@@ -22,12 +22,14 @@ object CoreQueries {
 
   /**
    * The `events` table carries TIMESTAMP(NANOS) parquet, which Spark's
-   * vectorized reader rejects. Read nanos as long (legacy conf), derive a
-   * microsecond TimestampType `ts`, and keep the raw nanos as `ts_ns` so
-   * window ordering and gap arithmetic match the oracle's ns precision.
+   * vectorized reader rejects. The session must set
+   * `spark.sql.legacy.parquet.nanosAsLong=true` at build time (done in
+   * Verify/Bench/test builders — see [[graft.GraftSession]]); nanos arrive
+   * as LongType, from which we derive a microsecond TimestampType `ts` and
+   * keep the raw nanos as `ts_ns` so window ordering and gap arithmetic
+   * match the oracle's ns precision.
    */
   private def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     s.read.parquet(s"$dir/events.parquet")
       .withColumn("ts_ns", col("ts"))
       .withColumn("ts", expr("timestamp_micros(ts_ns div 1000)"))
@@ -220,7 +222,7 @@ object CoreQueries {
         .agg(
           round(avg("n_chars"), 4).as("avg_chars"),
           round(avg(length(col("text"))), 4).as("avg_len"),
-          (sum(length(col("text")) - length(regexp_replace(col("text"), " ", ""))) +
+          (sum(length(col("text")) - length(translate(col("text"), " ", ""))) +
             count(lit(1))).as("n_words"))
         .orderBy("lang")),
 
