@@ -1,0 +1,207 @@
+package graft.slowlog
+
+import java.security.MessageDigest
+import java.util.Locale
+
+/**
+ * pt-query-digest-compatible SQL normalization ("fingerprinting") and the
+ * 16-hex-char digest id derived from it.
+ *
+ * Semantics follow the publicly documented pt-query-digest / Percona
+ * `go-mysql` `query.Fingerprint` behavior (SURVEY.md §2.1 R7–R8; the
+ * reference checkout is empty, so this is a re-implementation from the
+ * public contract, not a port):
+ *
+ *  - lowercase the whole statement;
+ *  - collapse all whitespace (incl. newlines) to single spaces, trim;
+ *  - strip comments: block comments, `-- ...` (to end of line), `# ...`;
+ *  - replace value literals with `?`: quoted strings (single/double,
+ *    backslash and doubled-quote escapes), numbers (int, decimal,
+ *    scientific, `0x` hex, unary-signed in value position), `null`;
+ *  - collapse literal IN-lists: `in (?, ?, ?)` → `in(?+)`;
+ *  - collapse single- and multi-row VALUES lists: `values (?),(?)` →
+ *    `values(?+)` (also the `value` spelling);
+ *  - `use somedb` → `use ?`;
+ *  - administrator commands pass through unchanged;
+ *  - trailing semicolons stripped.
+ *
+ * Implemented as a single char-scan (no regex in the hot path except the
+ * two list-collapse rewrites on the already-normalized string), so it can
+ * later be lifted into a codegen'd Catalyst Expression unchanged.
+ */
+object Fingerprint {
+
+  private val InList =
+    """\bin\s*\(\s*\?(?:\s*,\s*\?)*\s*\)""".r
+  private val ValuesList =
+    """\bvalues?\s*\(\s*\?(?:\s*,\s*\?)*\s*\)(?:\s*,\s*\(\s*\?(?:\s*,\s*\?)*\s*\))*""".r
+
+  def fingerprint(query: String): String = {
+    if (query == null) return null
+    val trimmed = query.trim
+    if (trimmed.toLowerCase(Locale.ROOT).startsWith("administrator command:"))
+      return stripTrailingSemis(trimmed)
+
+    val n  = trimmed.length
+    val sb = new StringBuilder(n)
+    var i  = 0
+
+    def lastEmitted: Char = if (sb.isEmpty) ' ' else sb.charAt(sb.length - 1)
+
+    // Last non-space emitted char — decides unary vs binary +/- and whether
+    // a digit starts a literal or continues an identifier.
+    def lastMeaningful: Char = {
+      var j = sb.length - 1
+      while (j >= 0 && sb.charAt(j) == ' ') j -= 1
+      if (j >= 0) sb.charAt(j) else ' '
+    }
+
+    def emitSpace(): Unit =
+      if (lastEmitted != ' ' && sb.nonEmpty) sb.append(' ')
+
+    def isIdentChar(c: Char): Boolean =
+      c.isLetterOrDigit || c == '_' || c == '$'
+
+    // True when a +/- right after this char is a unary sign on a literal
+    // (operator, comma, open paren, or start of statement) rather than a
+    // binary operator after an identifier/number/closing paren.
+    def isValuePos(prev: Char): Boolean = prev match {
+      case '(' | ',' | '=' | '<' | '>' | '*' | '/' | '+' | '-' | '%' | ' ' => sb.isEmpty || prev != ' '
+      case _ => false
+    }
+
+    // Consume a numeric literal starting at position j (after any sign).
+    // Returns the index just past the literal, or j if none present.
+    def numberEnd(j: Int): Int = {
+      var k = j
+      if (k + 1 < n && trimmed.charAt(k) == '0' &&
+          (trimmed.charAt(k + 1) == 'x' || trimmed.charAt(k + 1) == 'X')) {
+        k += 2
+        while (k < n && isHex(trimmed.charAt(k))) k += 1
+        return k
+      }
+      while (k < n && trimmed.charAt(k).isDigit) k += 1
+      if (k < n && trimmed.charAt(k) == '.') {
+        k += 1
+        while (k < n && trimmed.charAt(k).isDigit) k += 1
+      }
+      if (k > j && k < n && (trimmed.charAt(k) == 'e' || trimmed.charAt(k) == 'E')) {
+        var e = k + 1
+        if (e < n && (trimmed.charAt(e) == '+' || trimmed.charAt(e) == '-')) e += 1
+        var d = e
+        while (d < n && trimmed.charAt(d).isDigit) d += 1
+        if (d > e) k = d
+      }
+      k
+    }
+
+    def isHex(c: Char): Boolean =
+      c.isDigit || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
+
+    while (i < n) {
+      val c = trimmed.charAt(i)
+      c match {
+        // -- quoted string literals → ?
+        case '\'' | '"' =>
+          val quote = c
+          i += 1
+          var done = false
+          while (i < n && !done) {
+            val ch = trimmed.charAt(i)
+            if (ch == '\\' && i + 1 < n) i += 2
+            else if (ch == quote && i + 1 < n && trimmed.charAt(i + 1) == quote) i += 2
+            else if (ch == quote) { i += 1; done = true }
+            else i += 1
+          }
+          sb.append('?')
+
+        // -- backtick identifiers pass through (lowercased, quotes kept)
+        case '`' =>
+          sb.append('`'); i += 1
+          while (i < n && trimmed.charAt(i) != '`') {
+            sb.append(trimmed.charAt(i).toLower); i += 1
+          }
+          if (i < n) { sb.append('`'); i += 1 }
+
+        // -- comments → single space
+        case '/' if i + 1 < n && trimmed.charAt(i + 1) == '*' =>
+          i += 2
+          while (i + 1 < n && !(trimmed.charAt(i) == '*' && trimmed.charAt(i + 1) == '/')) i += 1
+          i = math.min(i + 2, n)
+          emitSpace()
+        case '-' if i + 1 < n && trimmed.charAt(i + 1) == '-' &&
+                    (i + 2 >= n || trimmed.charAt(i + 2).isWhitespace) =>
+          while (i < n && trimmed.charAt(i) != '\n') i += 1
+          emitSpace()
+        case '#' =>
+          while (i < n && trimmed.charAt(i) != '\n') i += 1
+          emitSpace()
+
+        // -- whitespace runs → one space
+        case w if w.isWhitespace =>
+          emitSpace(); i += 1
+
+        // -- unary-signed numbers in value position → ?
+        case '-' | '+' if {
+              val after = i + 1
+              after < n &&
+              (trimmed.charAt(after).isDigit ||
+               (trimmed.charAt(after) == '.' && after + 1 < n && trimmed.charAt(after + 1).isDigit)) &&
+              isValuePos(lastMeaningful)
+            } =>
+          i = numberEnd(i + 1)
+          sb.append('?')
+
+        // -- bare numbers → ? unless continuing an identifier (web01, t1)
+        case d if d.isDigit =>
+          if (isIdentChar(lastEmitted) || lastEmitted == '`') {
+            // inside an identifier: copy digits through
+            while (i < n && isIdentChar(trimmed.charAt(i))) {
+              sb.append(trimmed.charAt(i).toLower); i += 1
+            }
+          } else {
+            i = numberEnd(i)
+            sb.append('?')
+          }
+
+        // -- leading-dot decimals: .5
+        case '.' if i + 1 < n && trimmed.charAt(i + 1).isDigit && !isIdentChar(lastEmitted) =>
+          i = numberEnd(i)
+          sb.append('?')
+
+        // -- identifiers / keywords
+        case a if a.isLetter || a == '_' =>
+          val start = i
+          while (i < n && isIdentChar(trimmed.charAt(i))) i += 1
+          val word = trimmed.substring(start, i).toLowerCase(Locale.ROOT)
+          if (word == "null") sb.append('?') else sb.append(word)
+
+        case other =>
+          sb.append(other.toLower); i += 1
+      }
+    }
+
+    var out = sb.result().trim
+    out = InList.replaceAllIn(out, "in(?+)")
+    out = ValuesList.replaceAllIn(out, "values(?+)")
+    out = stripTrailingSemis(out)
+    if (out.startsWith("use ") || out == "use ?") "use ?" else out
+  }
+
+  private def stripTrailingSemis(s: String): String = {
+    var e = s.length
+    while (e > 0 && (s.charAt(e - 1) == ';' || s.charAt(e - 1).isWhitespace)) e -= 1
+    s.substring(0, e)
+  }
+
+  /** Digest id: first 16 hex chars of the uppercase MD5 of the fingerprint
+    * (SURVEY.md §2.1 R8). Column-level equivalent:
+    * `upper(substring(md5(fp), 1, 16))`. */
+  def digestId(fp: String): String = {
+    val md = MessageDigest.getInstance("MD5")
+    md.digest(fp.getBytes("UTF-8"))
+      .take(8)
+      .map(b => f"$b%02X")
+      .mkString
+  }
+}

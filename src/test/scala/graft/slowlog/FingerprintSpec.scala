@@ -1,0 +1,128 @@
+package graft.slowlog
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Golden corpus + property tests for the pt-query-digest-compatible
+  * fingerprint (SURVEY.md §5.2 items 2–3). Properties are drawn
+  * deterministically from scalacheck Gens (fixed seeds) so the suite is
+  * reproducible without the scalatestplus bridge artifact. */
+class FingerprintSpec extends AnyFunSuite {
+  import Fingerprint.{fingerprint => fp, digestId}
+
+  private def samples[A](g: Gen[A], n: Int = 300): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  // -- golden corpus ---------------------------------------------------
+
+  private val golden: Seq[(String, String)] = Seq(
+    // FIXTURES.md slow001.log event 1: IN-list + string literal
+    ("SELECT o_orderkey, o_totalprice FROM orders\nWHERE o_custkey IN (1, 2, 3) AND o_orderstatus = 'F';",
+     "select o_orderkey, o_totalprice from orders where o_custkey in(?+) and o_orderstatus = ?"),
+    // FIXTURES.md event 2: multi-row VALUES collapse
+    ("INSERT INTO audit (a, b) VALUES (1, 'x'), (2, 'y');",
+     "insert into audit (a, b) values(?+)"),
+    // basic literal replacement + lowercase
+    ("SELECT * FROM t WHERE id = 42", "select * from t where id = ?"),
+    // backslash-escaped quote inside string
+    ("select 'it\\'s' from t", "select ? from t"),
+    // doubled-quote escapes (single and double quoted)
+    ("select 'a''b', \"c \"\"d\"\" e\" from t", "select ?, ? from t"),
+    // numbers embedded in identifiers survive
+    ("SELECT col1 FROM tbl2 WHERE host = 'web01'", "select col1 from tbl2 where host = ?"),
+    // decimal / scientific / hex / leading-dot
+    ("select 1.5, 1e9, 1.5E-3, 0xDEADbeef, .25", "select ?, ?, ?, ?, ?"),
+    // negative number in value position; binary minus untouched
+    ("select a - 5 from t where b = -5 and c < -1.5", "select a - ? from t where b = ? and c < ?"),
+    // NULL → ?
+    ("SELECT NULL, a FROM t WHERE b IS NULL", "select ?, a from t where b is ?"),
+    // comments stripped (block, --, #)
+    ("SELECT /* hint */ a FROM t -- trailing\nWHERE b=1 # note\n  AND c=2",
+     "select a from t where b=? and c=?"),
+    // whitespace collapse incl. newlines/tabs
+    ("SELECT\n\t a,\n\n  b\tFROM   t", "select a, b from t"),
+    // single-element IN collapses too
+    ("select a from t where b in (1)", "select a from t where b in(?+)"),
+    // IN with strings and negatives
+    ("select a from t where b IN ('x', -2, 3.5)", "select a from t where b in(?+)"),
+    // IN (subquery) must NOT collapse
+    ("select a from t where b in (select c from u where d = 1)",
+     "select a from t where b in (select c from u where d = ?)"),
+    // single-row VALUES collapses
+    ("INSERT INTO t VALUES (1, 'a', NULL)", "insert into t values(?+)"),
+    // VALUE spelling normalizes to values(?+)
+    ("insert into t value (1, 2)", "insert into t values(?+)"),
+    // use db → use ?
+    ("use orders_db;", "use ?"),
+    // administrator command passthrough (case preserved, ; stripped)
+    ("administrator command: Quit;", "administrator command: Quit"),
+    ("administrator command: Ping", "administrator command: Ping"),
+    // backtick identifiers keep digits and backticks
+    ("SELECT `col1` FROM `db1`.`tbl9` WHERE x = 7",
+     "select `col1` from `db1`.`tbl9` where x = ?"),
+    // LIMIT / OFFSET literals
+    ("select a from t order by a limit 10 offset 20",
+     "select a from t order by a limit ? offset ?"),
+    // string containing ; and # and comment-like content
+    ("select a from t where s = 'x; # not a comment /* nope */'",
+     "select a from t where s = ?"),
+    // multi-line VALUES across lines
+    ("INSERT INTO x(a,b)\nVALUES\n  (1,2),\n  (3,4)", "insert into x(a,b) values(?+)"),
+    // timestamps / dates as strings
+    ("select * from t where ts >= '2024-01-15 10:00:01' and ts < '2024-01-16'",
+     "select * from t where ts >= ? and ts < ?"),
+    // unary minus in function args
+    ("select round(x, 2), power(y, -2) from t", "select round(x, ?), power(y, ?) from t")
+  )
+
+  golden.zipWithIndex.foreach { case ((in, want), idx) =>
+    test(f"golden[$idx%02d]: ${want.take(50)}") {
+      assert(fp(in) == want)
+    }
+  }
+
+  // -- properties ------------------------------------------------------
+
+  private val sqlGen: Gen[String] = {
+    val word  = Gen.oneOf("select", "a", "b", "t", "from", "where", "and",
+                          "col1", "x9", "order", "by")
+    val lit   = Gen.oneOf("42", "-7", "3.14", "'str'", "\"d q\"", "NULL",
+                          "0xFF", "1e6", "'it''s'")
+    val token = Gen.frequency(3 -> word, 2 -> lit,
+      1 -> Gen.oneOf(",", "(", ")", "=", "<", ">", ";", "\n", "\t"))
+    Gen.listOf(token).map(_.mkString(" "))
+  }
+
+  test("property: fingerprint is idempotent") {
+    samples(sqlGen).foreach { q =>
+      val once = fp(q)
+      assert(fp(once) == once, s"not idempotent for input: $q -> $once -> ${fp(once)}")
+    }
+  }
+
+  test("property: no literals, uppercase, or double spaces survive") {
+    samples(sqlGen).foreach { q =>
+      val out = fp(q)
+      assert(!out.exists(c => c == '\'' || c == '"'), s"quote survives: $q -> $out")
+      assert(out == out.toLowerCase, s"uppercase survives: $q -> $out")
+      assert(!out.contains("  "), s"double space: $q -> $out")
+    }
+  }
+
+  test("property: digest is 16 uppercase hex chars and deterministic") {
+    samples(Gen.asciiPrintableStr, 200).foreach { s =>
+      val d = digestId(s)
+      assert(d.length == 16)
+      assert(d.matches("[0-9A-F]{16}"))
+      assert(d == digestId(s))
+    }
+  }
+
+  test("digest equals first 16 of uppercase MD5") {
+    val d = digestId("select ?")
+    assert(d == java.security.MessageDigest.getInstance("MD5")
+      .digest("select ?".getBytes("UTF-8"))
+      .map(b => f"$b%02X").mkString.take(16))
+  }
+}
