@@ -28,3 +28,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Spark suites share one local SparkContext (and one test touches the
+// shared Hadoop conf); run suites sequentially.
+Test / parallelExecution := false

@@ -1,0 +1,223 @@
+package graft.slowlog
+
+import java.sql.Timestamp
+import java.time.{Instant, LocalDateTime, OffsetDateTime, ZoneOffset}
+import java.time.format.DateTimeFormatter
+import scala.collection.mutable
+
+/**
+ * Line-oriented state machine that turns a MySQL/Percona slow-query log
+ * into [[SlowLogEvent]]s (SURVEY.md §2.1 R2–R6; format per public
+ * MySQL/Percona documentation — the reference checkout is empty, so this
+ * is built from the documented format, not ported code).
+ *
+ * Handled, single pass, O(1) memory per event:
+ *  - both `# Time:` formats — old `yymmdd H:MM:SS` and ISO-8601
+ *    (`2024-01-15T10:00:01.123456Z`, offset forms too);
+ *  - `# User@Host: user[user] @ host [ip]  Id: N` (host falls back to the
+ *    bracketed IP; `Id` becomes the `Thread_id` number metric);
+ *  - generic `# Key: value` metric lines into three typed maps — values
+ *    `Yes`/`No` → bool, integral → long, decimal → double; `Schema:` sets
+ *    the event db; non-numeric strings (e.g. rate-limit annotations) are
+ *    ignored;
+ *  - `use db` session carry across events, `SET timestamp=N` override
+ *    (wins over `# Time:`, second precision);
+ *  - `# administrator command: X` → admin event;
+ *  - multi-line statements (accumulated until the next header);
+ *  - truncated tail at EOF (emitted if a statement was seen);
+ *  - leading non-header banner junk (mysqld startup lines) skipped.
+ *
+ * Known line-level ambiguity, shared with any line-based slow-log parser:
+ * a *line* inside a quoted SQL string that itself starts with `# ` is
+ * indistinguishable from a header line.
+ */
+object SlowLogParser {
+
+  private val OldTime =
+    """^#\s+Time:\s+(\d{6})\s+(\d{1,2}):(\d{2}):(\d{2})(?:\.(\d+))?\s*$""".r
+  private val UserHost =
+    """^#\s+User@Host:\s*([^\[\s]*)(?:\[([^\]]*)\])?\s*@\s*([^\s\[]*)\s*(?:\[([^\]]*)\])?(?:.*?\bId:\s*(\d+))?\s*$""".r
+  private val MetricPair = """(\w+):\s*(\S+)""".r
+  private val SetTimestamp = """(?i)^\s*SET\s+timestamp\s*=\s*(\d+)\s*;?\s*$""".r
+  private val UseDb = """(?i)^\s*use\s+`?([\w$]+)`?\s*;?\s*$""".r
+  private val IntVal = """[+-]?\d+""".r
+  private val FloatVal = """[+-]?\d*\.\d+(?:[eE][+-]?\d+)?""".r
+
+  /** Parse a whole log text sequentially (reference semantics, incl. use-db
+    * carry). Offsets are UTF-8 byte positions relative to `baseOffset`. */
+  def parseString(text: String, baseOffset: Long = 0L): Vector[SlowLogEvent] =
+    parseLines(linesWithOffsets(text, baseOffset)).toVector
+
+  /** Lines of `text` paired with the UTF-8 byte offset of each line start. */
+  def linesWithOffsets(text: String, baseOffset: Long = 0L): Iterator[(Long, String)] = {
+    var off = baseOffset
+    text.linesIterator.map { line =>
+      val o = off
+      off += line.getBytes("UTF-8").length + 1L
+      (o, line)
+    }
+  }
+
+  /**
+   * Streaming parse of (byteOffset, line) pairs. The returned iterator is
+   * lazy: events are emitted as soon as their terminating boundary (next
+   * header or EOF) is seen — this is what runs inside `mapPartitions`.
+   */
+  def parseLines(lines: Iterator[(Long, String)]): Iterator[SlowLogEvent] =
+    new Iterator[SlowLogEvent] {
+      private var out: SlowLogEvent = _
+
+      // session state
+      private var sessionDb: String = _
+      private var seenHeader = false
+
+      // current-event state
+      private var evOffset = -1L
+      private var ts: Timestamp = _
+      private var admin = false
+      private var user: String = _
+      private var host: String = _
+      private var db: String = _
+      private val query = new StringBuilder
+      private var timeM = mutable.LinkedHashMap.empty[String, Double]
+      private var numM = mutable.LinkedHashMap.empty[String, Long]
+      private var boolM = mutable.LinkedHashMap.empty[String, Boolean]
+      private var inQuery = false
+
+      private def resetEvent(keepTs: Boolean): Unit = {
+        evOffset = -1L
+        if (!keepTs) ts = null
+        admin = false; user = null; host = null; db = null
+        query.clear()
+        timeM = mutable.LinkedHashMap.empty
+        numM = mutable.LinkedHashMap.empty
+        boolM = mutable.LinkedHashMap.empty
+        inQuery = false
+      }
+
+      private def flush(keepTs: Boolean): Unit = {
+        if (query.nonEmpty || admin) {
+          var q = query.result().trim
+          if (q.endsWith(";")) q = q.substring(0, q.length - 1).trim
+          val effDb = if (db != null) db else sessionDb
+          out = SlowLogEvent(evOffset, ts, admin, q, user, host, effDb,
+            timeM.toMap, numM.toMap, boolM.toMap)
+        }
+        resetEvent(keepTs)
+      }
+
+      private def handleHeaderish(off: Long, line: String): Unit = {
+        seenHeader = true
+        if (evOffset < 0) evOffset = off
+        val body = line.drop(1).trim // after '#'
+        if (body.startsWith("administrator command:")) {
+          admin = true
+          var q = body
+          if (q.endsWith(";")) q = q.substring(0, q.length - 1)
+          query.clear(); query.append(q.trim)
+          inQuery = true
+        } else if (body.startsWith("Time:")) {
+          line match {
+            case OldTime(ymd, h, m, s, frac) =>
+              val yy = ymd.substring(0, 2).toInt
+              val year = if (yy < 70) 2000 + yy else 1900 + yy
+              val ldt = LocalDateTime.of(year, ymd.substring(2, 4).toInt,
+                ymd.substring(4, 6).toInt, h.toInt, m.toInt, s.toInt,
+                if (frac == null) 0 else (frac.padTo(9, '0').take(9)).toInt)
+              ts = Timestamp.from(ldt.toInstant(ZoneOffset.UTC))
+            case _ =>
+              val v = body.drop(5).trim
+              ts = parseIsoTs(v).orNull
+          }
+        } else if (body.startsWith("User@Host:")) {
+          line match {
+            case UserHost(u1, u2, h1, h2, id) =>
+              user = if (u1 != null && u1.nonEmpty) u1 else u2
+              host = if (h1 != null && h1.nonEmpty) h1 else h2
+              if (id != null) numM("Thread_id") = id.toLong
+            case _ => ()
+          }
+        } else {
+          // generic metrics line
+          MetricPair.findAllMatchIn(line).foreach { m =>
+            val k = m.group(1); val v = m.group(2)
+            v match {
+              case "Yes" => boolM(k) = true
+              case "No" => boolM(k) = false
+              case IntVal() => numM(k) = v.toLong
+              case FloatVal() => timeM(k) = v.toDouble
+              case _ => if (k == "Schema" && v.nonEmpty) db = v
+            }
+          }
+        }
+      }
+
+      private def processLine(off: Long, rawLine: String): Unit = {
+        val line = rawLine.stripLineEnd
+        val isHeader = line.startsWith("#")
+        if (isHeader) {
+          val body = line.drop(1).trim
+          val startsNew = body.startsWith("Time:") ||
+            (inQuery && !body.isEmpty)
+          if (startsNew && (query.nonEmpty || admin)) {
+            val keepTs = !body.startsWith("Time:")
+            flush(keepTs)
+          } else if (body.startsWith("Time:") && !inQuery) {
+            // Time header while still assembling headers: reset partial state
+            // (two Time lines in a row = empty event, silently dropped).
+            resetEvent(keepTs = false)
+          }
+          handleHeaderish(off, line)
+        } else if (!seenHeader) {
+          // mysqld startup banner / column captions before the first header
+          ()
+        } else {
+          line match {
+            case SetTimestamp(epoch) if !inQuery =>
+              if (evOffset < 0) evOffset = off
+              ts = new Timestamp(epoch.toLong * 1000L)
+            case UseDb(d) if !inQuery =>
+              if (evOffset < 0) evOffset = off
+              db = d; sessionDb = d
+            case _ =>
+              if (line.trim.nonEmpty || inQuery) {
+                if (evOffset < 0) evOffset = off
+                inQuery = true
+                if (query.nonEmpty) query.append('\n')
+                query.append(line)
+              }
+          }
+        }
+      }
+
+      private def advance(): Unit = {
+        while (out == null && lines.hasNext) {
+          val (off, line) = lines.next()
+          processLine(off, line)
+        }
+        if (out == null && !lines.hasNext && (query.nonEmpty || admin))
+          flush(keepTs = false) // truncated tail at EOF
+      }
+
+      override def hasNext: Boolean = {
+        if (out == null) advance()
+        out != null
+      }
+
+      override def next(): SlowLogEvent = {
+        if (!hasNext) throw new NoSuchElementException("end of log")
+        val e = out; out = null; e
+      }
+    }
+
+  private val IsoLocal = DateTimeFormatter.ISO_LOCAL_DATE_TIME
+
+  private def parseIsoTs(v: String): Option[Timestamp] = {
+    def attempt[A](f: => A): Option[A] =
+      try Some(f) catch { case _: Exception => None }
+    attempt(Timestamp.from(Instant.parse(v)))
+      .orElse(attempt(Timestamp.from(OffsetDateTime.parse(v).toInstant)))
+      .orElse(attempt(Timestamp.from(
+        LocalDateTime.parse(v, IsoLocal).toInstant(ZoneOffset.UTC))))
+  }
+}

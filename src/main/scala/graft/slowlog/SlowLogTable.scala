@@ -1,0 +1,70 @@
+package graft.slowlog
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Projection of parsed events onto the wide `queries` table (SURVEY.md
+ * §2.1 R7–R9): fingerprint + digest identity columns plus the metric maps
+ * flattened to one typed column per metric, absent metrics defaulting to
+ * 0 / false (the reference's fixed ClickHouse schema declared NOT NULL
+ * defaults).
+ *
+ * The fingerprint runs as a Scala UDF for now; it is a pure
+ * `String => String` and deliberately kept regex-free in the hot path so
+ * it can be lifted into a codegen'd Catalyst Expression if the bench
+ * shows it dominating ingest (SURVEY.md §7 decision ledger). The digest
+ * is pure built-ins (`upper(substring(md5(fp), 1, 16))`) and stays inside
+ * whole-stage codegen.
+ */
+object SlowLogTable {
+
+  /** Time metrics flattened to DOUBLE columns (seconds). */
+  val TimeKeys: Seq[String] = Seq(
+    "Query_time", "Lock_time", "InnoDB_IO_r_wait",
+    "InnoDB_rec_lock_wait", "InnoDB_queue_wait")
+
+  /** Count metrics flattened to LONG columns. */
+  val NumberKeys: Seq[String] = Seq(
+    "Rows_sent", "Rows_examined", "Rows_affected", "Bytes_sent",
+    "Tmp_tables", "Tmp_disk_tables", "Tmp_table_sizes", "Merge_passes",
+    "InnoDB_IO_r_ops", "InnoDB_IO_r_bytes", "InnoDB_pages_distinct",
+    "Thread_id", "Killed", "Last_errno")
+
+  /** Boolean metrics flattened to BOOLEAN columns. */
+  val BoolKeys: Seq[String] = Seq(
+    "QC_hit", "Full_scan", "Full_join", "Tmp_table", "Tmp_table_on_disk",
+    "Filesort", "Filesort_on_disk")
+
+  val fingerprintUdf = udf((q: String) => Fingerprint.fingerprint(q))
+
+  /** `digest` column from a fingerprint column — built-ins only. */
+  def digestCol(fp: Column): Column = upper(substring(md5(fp), 1, 16))
+
+  /** Register `fingerprint` / `digest_id` for Spark SQL use. */
+  def registerFunctions(spark: SparkSession): Unit = {
+    spark.udf.register("fingerprint", (q: String) => Fingerprint.fingerprint(q))
+    spark.udf.register("digest_id", (fp: String) =>
+      if (fp == null) null else Fingerprint.digestId(fp))
+  }
+
+  /**
+   * Events (schema of [[SlowLogEvent]], extra columns like `file`
+   * tolerated) → wide `queries` table.
+   */
+  def flatten(events: DataFrame): DataFrame = {
+    val timeCols = TimeKeys.map(k =>
+      coalesce(element_at(col("timeMetrics"), k), lit(0.0)).as(k.toLowerCase))
+    val numCols = NumberKeys.map(k =>
+      coalesce(element_at(col("numberMetrics"), k), lit(0L)).as(k.toLowerCase))
+    val boolCols = BoolKeys.map(k =>
+      coalesce(element_at(col("boolMetrics"), k), lit(false)).as(k.toLowerCase))
+
+    events
+      .withColumn("fingerprint", fingerprintUdf(col("query")))
+      .withColumn("digest", digestCol(col("fingerprint")))
+      .select(Seq(col("digest"), col("fingerprint"), col("query"),
+        col("db"), col("user"), col("host"), col("ts"), col("admin"),
+        col("offset")) ++ timeCols ++ numCols ++ boolCols: _*)
+  }
+}

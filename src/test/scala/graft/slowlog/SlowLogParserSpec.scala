@@ -1,0 +1,244 @@
+package graft.slowlog
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+
+/** Golden-file tests for the slow-log state machine (SURVEY.md §5.2 item 2,
+  * FIXTURES.md §B), plus the re-chunking conservation property that the
+  * distributed record-delimiter reader relies on. */
+class SlowLogParserSpec extends AnyFunSuite {
+
+  private def epochTs(sec: Long): Timestamp = new Timestamp(sec * 1000L)
+
+  /** FIXTURES.md slow001.log, verbatim. */
+  val slow001: String =
+    """# Time: 2024-01-15T10:00:01.123456Z
+      |# User@Host: appuser[appuser] @ web01 [10.0.0.5]  Id:    42
+      |# Query_time: 0.003218  Lock_time: 0.000087 Rows_sent: 10  Rows_examined: 1000
+      |use orders_db;
+      |SET timestamp=1705312801;
+      |SELECT o_orderkey, o_totalprice FROM orders
+      |WHERE o_custkey IN (1, 2, 3) AND o_orderstatus = 'F';
+      |# Time: 2024-01-15T10:00:02.000000Z
+      |# User@Host: appuser[appuser] @ web01 [10.0.0.5]  Id:    42
+      |# Query_time: 1.500000  Lock_time: 0.010000 Rows_sent: 0  Rows_examined: 500000
+      |# Thread_id: 42  Schema: orders_db  QC_hit: No
+      |# Full_scan: Yes  Full_join: No  Tmp_table: Yes  Tmp_table_on_disk: No
+      |# Filesort: Yes  Filesort_on_disk: No  Merge_passes: 0
+      |# InnoDB_IO_r_ops: 100  InnoDB_IO_r_bytes: 1638400  InnoDB_IO_r_wait: 0.500000
+      |# InnoDB_rec_lock_wait: 0.000000  InnoDB_queue_wait: 0.000000  InnoDB_pages_distinct: 64
+      |SET timestamp=1705312802;
+      |INSERT INTO audit (a, b) VALUES (1, 'x'), (2, 'y');
+      |# Time: 2024-01-15T10:00:03.000000Z
+      |# User@Host: root[root] @ localhost []  Id:    43
+      |# Query_time: 0.000010  Lock_time: 0.000000 Rows_sent: 0  Rows_examined: 0
+      |SET timestamp=1705312803;
+      |# administrator command: Quit;
+      |""".stripMargin
+
+  test("slow001: three events with full field extraction") {
+    val evs = SlowLogParser.parseString(slow001)
+    assert(evs.size == 3)
+
+    val e1 = evs(0)
+    assert(e1.offset == 0L)
+    assert(e1.ts == epochTs(1705312801L)) // SET timestamp wins
+    assert(!e1.admin)
+    assert(e1.user == "appuser")
+    assert(e1.host == "web01")
+    assert(e1.db == "orders_db")
+    assert(e1.query ==
+      "SELECT o_orderkey, o_totalprice FROM orders\nWHERE o_custkey IN (1, 2, 3) AND o_orderstatus = 'F'")
+    assert(e1.timeMetrics == Map("Query_time" -> 0.003218, "Lock_time" -> 0.000087))
+    assert(e1.numberMetrics == Map("Thread_id" -> 42L, "Rows_sent" -> 10L, "Rows_examined" -> 1000L))
+    assert(e1.boolMetrics.isEmpty)
+
+    val e2 = evs(1)
+    assert(e2.ts == epochTs(1705312802L))
+    assert(e2.db == "orders_db") // Schema: header
+    assert(e2.query == "INSERT INTO audit (a, b) VALUES (1, 'x'), (2, 'y')")
+    assert(e2.timeMetrics("Query_time") == 1.5)
+    assert(e2.timeMetrics("InnoDB_IO_r_wait") == 0.5)
+    assert(e2.timeMetrics("InnoDB_rec_lock_wait") == 0.0)
+    assert(e2.numberMetrics("Rows_examined") == 500000L)
+    assert(e2.numberMetrics("Merge_passes") == 0L)
+    assert(e2.numberMetrics("InnoDB_IO_r_bytes") == 1638400L)
+    assert(e2.numberMetrics("InnoDB_pages_distinct") == 64L)
+    assert(e2.boolMetrics == Map(
+      "QC_hit" -> false, "Full_scan" -> true, "Full_join" -> false,
+      "Tmp_table" -> true, "Tmp_table_on_disk" -> false,
+      "Filesort" -> true, "Filesort_on_disk" -> false))
+
+    val e3 = evs(2)
+    assert(e3.admin)
+    assert(e3.query == "administrator command: Quit")
+    assert(e3.user == "root")
+    assert(e3.host == "localhost")
+    assert(e3.ts == epochTs(1705312803L))
+    assert(e3.db == "orders_db") // session carry from event 1's use
+  }
+
+  test("slow001: fingerprints and digests match FIXTURES.md goldens") {
+    val evs = SlowLogParser.parseString(slow001)
+    val fp1 = Fingerprint.fingerprint(evs(0).query)
+    val fp2 = Fingerprint.fingerprint(evs(1).query)
+    assert(fp1 == "select o_orderkey, o_totalprice from orders where o_custkey in(?+) and o_orderstatus = ?")
+    assert(fp2 == "insert into audit (a, b) values(?+)")
+    assert(Fingerprint.digestId(fp1).matches("[0-9A-F]{16}"))
+  }
+
+  test("old # Time: format, host from IP bracket, ts from Time line") {
+    val log =
+      """# Time: 240115 10:00:01
+        |# User@Host: bob[bob] @  [192.168.1.1]
+        |# Query_time: 0.100000  Lock_time: 0.000000 Rows_sent: 1  Rows_examined: 1
+        |SELECT 1;
+        |""".stripMargin
+    val evs = SlowLogParser.parseString(log)
+    assert(evs.size == 1)
+    val e = evs.head
+    assert(e.user == "bob")
+    assert(e.host == "192.168.1.1")
+    // 2024-01-15T10:00:01Z == 1705312801
+    assert(e.ts == epochTs(1705312801L))
+    assert(e.query == "SELECT 1")
+  }
+
+  test("consecutive events sharing one # Time: header (same second)") {
+    val log =
+      """# Time: 2024-01-15T10:00:01.000000Z
+        |# User@Host: a[a] @ h []
+        |# Query_time: 0.010000  Lock_time: 0.000000 Rows_sent: 1  Rows_examined: 1
+        |SELECT 1;
+        |# User@Host: b[b] @ h []
+        |# Query_time: 0.020000  Lock_time: 0.000000 Rows_sent: 2  Rows_examined: 2
+        |SELECT 2;
+        |""".stripMargin
+    val evs = SlowLogParser.parseString(log)
+    assert(evs.size == 2)
+    assert(evs(0).user == "a" && evs(1).user == "b")
+    // second event inherits the shared Time header
+    assert(evs(1).ts == epochTs(1705312801L))
+    assert(evs(1).query == "SELECT 2")
+  }
+
+  test("query split across >2 lines, string containing ; and #") {
+    val log =
+      """# Time: 2024-01-15T10:00:01.000000Z
+        |# User@Host: a[a] @ h []
+        |# Query_time: 0.010000  Lock_time: 0.000000 Rows_sent: 1  Rows_examined: 1
+        |SELECT a,
+        |       b,
+        |       c
+        |FROM t
+        |WHERE s = 'x; y # z'
+        |  AND d = 1;
+        |""".stripMargin
+    val evs = SlowLogParser.parseString(log)
+    assert(evs.size == 1)
+    assert(evs.head.query.count(_ == '\n') == 5)
+    assert(evs.head.query.contains("'x; y # z'"))
+  }
+
+  test("truncated event at EOF is emitted") {
+    val log =
+      """# Time: 2024-01-15T10:00:01.000000Z
+        |# User@Host: a[a] @ h []
+        |# Query_time: 0.010000  Lock_time: 0.000000 Rows_sent: 1  Rows_examined: 1
+        |SELECT a FROM t WHERE""".stripMargin // no terminator, mid-statement
+    val evs = SlowLogParser.parseString(log)
+    assert(evs.size == 1)
+    assert(evs.head.query == "SELECT a FROM t WHERE")
+  }
+
+  test("mysqld startup banner before first header is skipped") {
+    val log =
+      """/usr/sbin/mysqld, Version: 8.0.36 (MySQL Community Server - GPL). started with:
+        |Tcp port: 3306  Unix socket: /var/run/mysqld/mysqld.sock
+        |Time                 Id Command    Argument
+        |# Time: 2024-01-15T10:00:01.000000Z
+        |# User@Host: a[a] @ h []
+        |# Query_time: 0.010000  Lock_time: 0.000000 Rows_sent: 1  Rows_examined: 1
+        |SELECT 1;
+        |""".stripMargin
+    val evs = SlowLogParser.parseString(log)
+    assert(evs.size == 1)
+    assert(evs.head.query == "SELECT 1")
+  }
+
+  test("rate-limit / unknown string annotations are ignored, not mis-typed") {
+    val log =
+      """# Time: 2024-01-15T10:00:01.000000Z
+        |# User@Host: a[a] @ h []
+        |# Query_time: 0.010000  Lock_time: 0.000000 Rows_sent: 1  Rows_examined: 1
+        |# Log_slow_rate_type: query  Log_slow_rate_limit: 100
+        |SELECT 1;
+        |""".stripMargin
+    val evs = SlowLogParser.parseString(log)
+    assert(evs.size == 1)
+    val e = evs.head
+    assert(e.numberMetrics("Log_slow_rate_limit") == 100L)
+    assert(!e.timeMetrics.contains("Log_slow_rate_type"))
+    assert(!e.numberMetrics.contains("Log_slow_rate_type"))
+  }
+
+  test("use-db carry: later events without explicit db inherit it") {
+    val log =
+      """# Time: 2024-01-15T10:00:01.000000Z
+        |# User@Host: a[a] @ h []
+        |# Query_time: 0.010000  Lock_time: 0.000000 Rows_sent: 1  Rows_examined: 1
+        |use db1;
+        |SELECT 1;
+        |# Time: 2024-01-15T10:00:02.000000Z
+        |# User@Host: a[a] @ h []
+        |# Query_time: 0.010000  Lock_time: 0.000000 Rows_sent: 1  Rows_examined: 1
+        |SELECT 2;
+        |# Time: 2024-01-15T10:00:03.000000Z
+        |# User@Host: a[a] @ h []
+        |# Query_time: 0.010000  Lock_time: 0.000000 Rows_sent: 1  Rows_examined: 1
+        |use db2;
+        |SELECT 3;
+        |""".stripMargin
+    val evs = SlowLogParser.parseString(log)
+    assert(evs.map(_.db) == Vector("db1", "db1", "db2"))
+  }
+
+  test("offsets are byte positions of each event's first header line") {
+    val evs = SlowLogParser.parseString(slow001)
+    val text = slow001
+    assert(evs(0).offset == 0L)
+    assert(text.substring(evs(1).offset.toInt).startsWith("# Time: 2024-01-15T10:00:02"))
+    assert(text.substring(evs(2).offset.toInt).startsWith("# Time: 2024-01-15T10:00:03"))
+  }
+
+  // -- re-chunking conservation (SURVEY.md §5.2 property 3) -------------
+
+  /** Split exactly like the Hadoop record reader: at "\n# Time: ",
+    * restoring the consumed header prefix, keeping true byte offsets. */
+  private def recordSplit(text: String): Seq[(Long, String)] = {
+    val delim = "\n# Time: "
+    val cuts = Iterator.iterate(text.indexOf(delim))(p =>
+      text.indexOf(delim, p + 1)).takeWhile(_ >= 0).toVector
+    if (cuts.isEmpty) Seq((0L, text))
+    else {
+      val starts = 0L +: cuts.map(_ + 1L) // record starts at "# Time: "
+      val ends = cuts.map(_.toLong) :+ text.length.toLong
+      starts.zip(ends).map { case (s, e) => (s, text.substring(s.toInt, e.toInt)) }
+    }
+  }
+
+  test("property: per-record parse + db fill == sequential whole-file parse") {
+    for (fixture <- Seq(slow001)) {
+      val whole = SlowLogParser.parseString(fixture)
+      val chunked = recordSplit(fixture)
+        .flatMap { case (off, rec) => SlowLogParser.parseString(rec, off) }
+      // distributed db-carry fill: last non-null db in offset order
+      var carry: String = null
+      val filled = chunked.sortBy(_.offset).map { e =>
+        if (e.db != null) { carry = e.db; e }
+        else e.copy(db = carry)
+      }
+      assert(filled == whole)
+    }
+  }
+}
