@@ -15,7 +15,7 @@ class SlowLogSparkSpec extends AnyFunSuite with SparkTestSession {
   private lazy val logDir: Path = {
     val dir = Files.createTempDirectory("graft-slowlog")
     // file 1: the FIXTURES.md representative log (3 events)
-    writeFixture(dir, "slow001.log", new SlowLogParserSpec().slow001)
+    writeFixture(dir, "slow001.log", SlowLogFixtures.slow001)
     // file 2: 40 events sharing 20 Time headers, db carry from one use
     val sb = new StringBuilder
     for (i <- 0 until 20) {
