@@ -1,0 +1,135 @@
+package graft.streaming
+
+import graft.SparkTestSession
+import graft.slowlog.{SlowLogFixtures, SlowLogParser}
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.{Files, Path}
+import scala.collection.mutable.ArrayBuffer
+
+/** Streaming surface tests (SURVEY.md M4): record framing parity with the
+  * batch parser, checkpoint resume as the offset-tracking analog,
+  * watermarked windowed aggregation, stateful dedup, session windows, and
+  * the foreachBatch JDBC sink. */
+class SlowLogStreamSpec extends AnyFunSuite with SparkTestSession {
+
+  private def tempDir(prefix: String): Path = Files.createTempDirectory(prefix)
+
+  private def eventFile(i: Int, nEvents: Int, sameSecond: Boolean = false): String = {
+    val sb = new StringBuilder
+    for (j <- 0 until nEvents) {
+      val sec = if (sameSecond) 0 else j
+      sb.append(f"# Time: 2024-02-0${i + 1}%dT08:00:$sec%02d.000000Z\n")
+      sb.append("# User@Host: u[u] @ h [10.0.0.1]\n")
+      sb.append(f"# Query_time: 0.10000$j%d  Lock_time: 0.000001 Rows_sent: $j%d  Rows_examined: 10\n")
+      sb.append(f"SET timestamp=${1706774400L + i * 3600 + sec}%d;\n")
+      sb.append(f"SELECT c FROM t$i%d WHERE k = $j%d;\n")
+    }
+    sb.result()
+  }
+
+  test("restoreHeader: lineSep-framed records reparse to the batch result") {
+    val text = SlowLogFixtures.slow001
+    val whole = SlowLogParser.parseString(text)
+    val records = text.split("\n# Time: ", -1)
+    val streamed = records.flatMap(r =>
+      SlowLogParser.parseString(SlowLogStream.restoreHeader(r)))
+    assert(streamed.length == whole.length)
+    assert(streamed.map(_.query).toSeq == whole.map(_.query).toSeq)
+    assert(streamed.map(_.ts).toSeq == whole.map(_.ts).toSeq)
+  }
+
+  test("checkpoint resume: restarted query processes only new files (offset parity)") {
+    val logDir = tempDir("graft-stream-in")
+    val ckpt = tempDir("graft-stream-ckpt").toString
+    val batchCounts = ArrayBuffer.empty[Long]
+
+    def runOnce(): Unit = {
+      val q = SlowLogStream.wideRows(SlowLogStream.events(spark, logDir.toString))
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          batchCounts.synchronized { batchCounts += b.count() }
+          ()
+        }
+        .start()
+      q.awaitTermination(60000)
+      q.stop()
+    }
+
+    Files.writeString(logDir.resolve("f1.log"), eventFile(0, 3))
+    runOnce()
+    assert(batchCounts.sum == 3, s"first run: $batchCounts")
+
+    Files.writeString(logDir.resolve("f2.log"), eventFile(1, 5))
+    runOnce()
+    // resume: f1 is in the checkpoint's file log, only f2's events arrive
+    assert(batchCounts.sum == 8, s"after resume: $batchCounts")
+  }
+
+  test("watermarked tumbling per-digest aggregation") {
+    val logDir = tempDir("graft-stream-agg")
+    // 4 events in one second-window, same digest (same fingerprint shape)
+    Files.writeString(logDir.resolve("f.log"), eventFile(0, 4, sameSecond = true))
+    val agg = SlowLogStream.digestWindowedAgg(
+      SlowLogStream.wideRows(SlowLogStream.events(spark, logDir.toString)),
+      windowLen = "1 minute", watermark = "2 minutes")
+    val q = agg.writeStream.format("memory").queryName("digest_agg")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000); q.stop()
+    val rows = spark.table("digest_agg").collect()
+    // all 4 events share one fingerprint (k = ? normalized) and one window
+    assert(rows.length == 1)
+    assert(rows.head.getAs[Long]("cnt") == 4L)
+  }
+
+  test("dropDuplicatesWithinWatermark collapses replayed events") {
+    val logDir = tempDir("graft-stream-dedup")
+    val one = eventFile(0, 3)
+    // the same log shipped twice (replay) in two files
+    Files.writeString(logDir.resolve("a.log"), one)
+    Files.writeString(logDir.resolve("b.log"), one)
+    val dedup = SlowLogStream.dedupWithinWatermark(
+      SlowLogStream.wideRows(SlowLogStream.events(spark, logDir.toString)))
+    val counts = ArrayBuffer.empty[Long]
+    val q = dedup.writeStream
+      .option("checkpointLocation", tempDir("graft-dedup-ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        counts.synchronized { counts += b.count() }; ()
+      }.start()
+    q.awaitTermination(60000); q.stop()
+    assert(counts.sum == 3, s"expected 3 unique of 6 shipped, got $counts")
+  }
+
+  test("session windows group a user's burst into one session") {
+    val logDir = tempDir("graft-stream-sess")
+    Files.writeString(logDir.resolve("f.log"), eventFile(0, 5))
+    val sess = SlowLogStream.userSessions(
+      SlowLogStream.wideRows(SlowLogStream.events(spark, logDir.toString)),
+      gap = "10 minutes", watermark = "1 hour")
+    val q = sess.writeStream.format("memory").queryName("sessions")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000); q.stop()
+    val rows = spark.table("sessions").collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[Long]("n_queries") == 5L)
+  }
+
+  test("foreachBatch JDBC sink lands streamed events in the warehouse") {
+    val logDir = tempDir("graft-stream-jdbc")
+    Files.writeString(logDir.resolve("f.log"), eventFile(0, 4))
+    val url = s"jdbc:duckdb:${tempDir("graft-stream-db").resolve("s.db")}"
+    val wide = SlowLogStream.wideRows(SlowLogStream.events(spark, logDir.toString))
+      // DuckDB boolean DDL handled by the registered dialect
+    val q = SlowLogStream.startJdbcSink(wide, url, "queries",
+      "org.duckdb.DuckDBDriver", tempDir("graft-jdbc-ckpt").toString)
+    q.processAllAvailable(); q.stop()
+    val back = graft.sources.JdbcSink.read(spark, url, "queries",
+      "org.duckdb.DuckDBDriver")
+    assert(back.count() == 4L)
+    assert(back.select("digest").distinct().count() == 1L)
+  }
+}
