@@ -16,11 +16,54 @@ package graft
  *
  * The headline `value` is the sum over the stable core-24 inventory
  * (q01–q24) so it stays comparable with BASELINE.md and round-over-round;
- * `total_all` covers every registered query.
+ * `total_all` covers every registered query, and `ingest_eps` measures
+ * the reference's actual job — slow-log parse + fingerprint + flatten —
+ * in events/second over a generated 20k-event log.
  */
 object Bench {
   private val Core24: Set[String] =
     (1 to 24).map(i => f"q$i%02d_").toSet
+
+  /** Deterministic synthetic slow log for the ingest benchmark — split
+    * across several files so the scan parallelizes like a rotated log
+    * directory (one file would pin the parse to a single task). */
+  private def ingestLog(events: Int, files: Int = 8): java.nio.file.Path = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ingest")
+    val perFile = events / files
+    for (f <- 0 until files) {
+      val sb = new StringBuilder(perFile * 260)
+      var j = 0
+      while (j < perFile) {
+        val i = f * perFile + j
+        appendEvent(sb, i)
+        j += 1
+      }
+      java.nio.file.Files.writeString(dir.resolve(f"bench$f%02d.log"), sb.result())
+    }
+    dir
+  }
+
+  private def appendEvent(sb: StringBuilder, i: Int): Unit = {
+      sb.append(f"# Time: 2024-03-01T${i / 3600 % 24}%02d:${i / 60 % 60}%02d:${i % 60}%02d.000000Z\n")
+      sb.append(f"# User@Host: app[app] @ web${i % 40}%d [10.0.${i % 250}%d.7]  Id: ${i % 1000}%d\n")
+      sb.append(f"# Query_time: 0.${i % 997}%06d  Lock_time: 0.000021 Rows_sent: ${i % 50}%d  Rows_examined: ${i % 9973}%d\n")
+      sb.append(f"SET timestamp=${1709251200L + i}%d;\n")
+      sb.append(f"SELECT c${i % 7}%d, sum(v) FROM t${i % 23}%d WHERE k IN (${i % 100}%d, ${i % 101}%d, ${i % 103}%d) AND s = 'x${i % 13}%d' GROUP BY c${i % 7}%d;\n")
+  }
+
+  /** Events/second through scan → parse → fingerprint+digest → wide
+    * flatten (a noop write materializes every row). */
+  private def benchIngest(spark: org.apache.spark.sql.SparkSession, events: Int): Double = {
+    val dir = ingestLog(events)
+    def run(): Unit =
+      graft.slowlog.SlowLogTable.flatten(
+        graft.slowlog.SlowLogSource.readRaw(spark, dir.toString))
+        .write.format("noop").mode("overwrite").save()
+    run() // warm-up
+    val t0 = System.nanoTime()
+    run()
+    events / ((System.nanoTime() - t0) / 1e9)
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -46,8 +89,9 @@ object Bench {
       case (k, v) if Core24.exists(k.startsWith) => v
     }.sum
     val all = results.map(_._2).sum
+    val eps = benchIngest(spark, 20000)
     println(
-      s"""{"metric":"total","value":$core,"unit":"sec","queries":$qs,"total_all":$all,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$core,"unit":"sec","queries":$qs,"total_all":$all,"ingest_eps":${eps.round},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -97,16 +97,17 @@ object Similarity {
     }
     val c = bucketed(corpus, "nn_id")
     val p = bucketed(probes, "probe_id")
-    val cand = c.join(broadcast(p), Seq("table", "key"))
-      .filter(col("nn_id") =!= col("probe_id"))
-      .select(col("probe_id"), col("nn_id"),
-        col("_emb_probe_id"), col("_emb_nn_id"))
-      .distinct()
     val w = Window.partitionBy("probe_id")
       .orderBy(col("sim").desc, col("nn_id"))
-    cand
+    // Score before dedup: a pair colliding in several tables is scored up
+    // to `tables` times (cheap, ~2·dim flops), but the distinct then runs
+    // on (long, long, double) — the exchange never carries embeddings
+    // (grouping on float arrays was the scale bug caught in plan audit).
+    c.join(broadcast(p), Seq("table", "key"))
+      .filter(col("nn_id") =!= col("probe_id"))
       .select(col("probe_id"), col("nn_id"),
         round(cosine(col("_emb_probe_id"), col("_emb_nn_id")), 4).as("sim"))
+      .distinct()
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
   }
