@@ -1,0 +1,47 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Running-moments buffer: count, mean, sum of squared deviations. */
+final case class WelfordBuf(n: Long, mean: Double, m2: Double)
+
+/**
+ * Numerically stable sample variance as a typed `Aggregator` — the
+ * engine's UDAF surface (SURVEY.md §2.2 "UDAF"). Welford's online update
+ * merges associatively (Chan et al.), so the partial/final split Spark
+ * applies to every aggregate works unchanged; register with
+ * `udaf(WelfordVariance)` for SQL use.
+ *
+ * Built-in `var_samp` covers production needs; this exists to keep the
+ * extension point exercised and tested, not to replace the built-in.
+ */
+object WelfordVariance extends Aggregator[Double, WelfordBuf, Double] {
+
+  override def zero: WelfordBuf = WelfordBuf(0L, 0.0, 0.0)
+
+  override def reduce(b: WelfordBuf, x: Double): WelfordBuf = {
+    val n = b.n + 1
+    val d = x - b.mean
+    val mean = b.mean + d / n
+    WelfordBuf(n, mean, b.m2 + d * (x - mean))
+  }
+
+  override def merge(a: WelfordBuf, b: WelfordBuf): WelfordBuf = {
+    if (a.n == 0) b
+    else if (b.n == 0) a
+    else {
+      val n = a.n + b.n
+      val d = b.mean - a.mean
+      WelfordBuf(n,
+        a.mean + d * b.n / n,
+        a.m2 + b.m2 + d * d * a.n * b.n / n)
+    }
+  }
+
+  override def finish(r: WelfordBuf): Double =
+    if (r.n < 2) Double.NaN else r.m2 / (r.n - 1)
+
+  override def bufferEncoder: Encoder[WelfordBuf] = Encoders.product[WelfordBuf]
+  override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+}

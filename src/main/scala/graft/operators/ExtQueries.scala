@@ -208,7 +208,26 @@ object ExtQueries {
           Dedup.simHash64(split(col("text"), " ")).as("sh"))
         .groupBy("lang")
         .agg(countDistinct(col("sh")).as("n_distinct"), count(lit(1)).as("cnt"))
-        .orderBy("lang"))
+        .orderBy("lang")),
+
+    "q43_grouping_sets" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+
+    // typed Aggregator (UDAF surface): Welford sample variance vs the
+    // oracle's var_samp — numerically stable partial/merge split.
+    "q44_variance_udaf" -> ((s, d) => {
+      val welford = udaf(graft.functions.WelfordVariance)
+      CoreQueries.events(s, d)
+        .groupBy("event_type")
+        .agg(round(welford(col("value")), 2).as("vs"), count(lit(1)).as("cnt"))
+        .orderBy("event_type")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -249,6 +268,10 @@ object ExtQueries {
     "q38_token_fingerprint" ->
       s"SELECT lang, CAST(sum(len(regexp_extract_all(text, '${TextAnalysis.TokenPattern}'))) AS BIGINT) total_tokens, count(DISTINCT $fpSql) n_fp, min($fpSql) min_fp FROM documents GROUP BY lang ORDER BY lang",
     "q39_knn_batch" ->
-      s"WITH c AS (SELECT p.vec_id probe_id, e.vec_id nn_id, round($cosSql,4) sim FROM embeddings p CROSS JOIN embeddings e WHERE p.vec_id < 5 AND e.vec_id <> p.vec_id) SELECT probe_id, nn_id, sim, rn FROM (SELECT probe_id, nn_id, sim, row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, nn_id) rn FROM c) WHERE rn <= 3 ORDER BY probe_id, rn"
+      s"WITH c AS (SELECT p.vec_id probe_id, e.vec_id nn_id, round($cosSql,4) sim FROM embeddings p CROSS JOIN embeddings e WHERE p.vec_id < 5 AND e.vec_id <> p.vec_id) SELECT probe_id, nn_id, sim, rn FROM (SELECT probe_id, nn_id, sim, row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, nn_id) rn FROM c) WHERE rn <= 3 ORDER BY probe_id, rn",
+    "q43_grouping_sets" ->
+      "SELECT l_returnflag, l_linestatus, count(*) cnt FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus)) ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST",
+    "q44_variance_udaf" ->
+      "SELECT event_type, round(var_samp(value), 2) vs, count(*) cnt FROM events GROUP BY event_type ORDER BY event_type"
   )
 }

@@ -3,6 +3,13 @@ package graft.streaming
 import graft.slowlog.{SlowLogEvent, SlowLogParser, SlowLogTable}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Cumulative per-digest totals carried in the state store. */
+final case class DigestState(cnt: Long, totalTime: Double)
+
+/** One update row emitted per digest per micro-batch. */
+final case class DigestTotals(digest: String, cnt: Long, totalTime: Double)
 
 /**
  * Structured-Streaming analog of the reference's tail-the-log loop
@@ -85,6 +92,28 @@ object SlowLogStream {
       .groupBy(session_window(col("ts"), gap), col("user"))
       .agg(count(lit(1)).as("n_queries"),
         sum("query_time").as("total_time"))
+
+  /**
+   * Arbitrary-state analog of the reference's in-process session state
+   * (SURVEY.md §2.2 R6 row): cumulative per-digest totals via
+   * `flatMapGroupsWithState`. State lives in the checkpointed state
+   * store, so totals survive query restarts — proven in the spec.
+   */
+  def digestRunningTotals(wide: DataFrame): Dataset[DigestTotals] = {
+    val spark = wide.sparkSession
+    import spark.implicits._
+    wide.select(col("digest"), col("query_time"))
+      .as[(String, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (digest: String, rows: Iterator[(String, Double)],
+         state: GroupState[DigestState]) =>
+          var s = state.getOption.getOrElse(DigestState(0L, 0.0))
+          rows.foreach { case (_, qt) => s = DigestState(s.cnt + 1, s.totalTime + qt) }
+          state.update(s)
+          Iterator(DigestTotals(digest, s.cnt, s.totalTime))
+      }
+  }
 
   /**
    * Batched-idempotent JDBC sink: `foreachBatch` + the [[graft.sources.JdbcSink]]

@@ -118,6 +118,41 @@ class SlowLogStreamSpec extends AnyFunSuite with SparkTestSession {
     assert(rows.head.getAs[Long]("n_queries") == 5L)
   }
 
+  test("flatMapGroupsWithState: per-digest totals survive a restart") {
+    val logDir = tempDir("graft-stream-state")
+    val ckpt = tempDir("graft-state-ckpt").toString
+    val seen = ArrayBuffer.empty[(String, Long)]
+
+    def runOnce(): Unit = {
+      val totals = SlowLogStream.digestRunningTotals(
+        SlowLogStream.wideRows(SlowLogStream.events(spark, logDir.toString)))
+      val q = totals.writeStream
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[DigestTotals], _: Long) =>
+          seen.synchronized {
+            seen ++= b.collect().map(t => (t.digest, t.cnt))
+          }
+          ()
+        }
+        .start()
+      q.awaitTermination(60000); q.stop()
+    }
+
+    // file 1: 3 events, all the same fingerprint shape → one digest
+    Files.writeString(logDir.resolve("s1.log"), eventFile(0, 3, sameSecond = true))
+    runOnce()
+    // identical query shape again in a new file → same digest, new state run
+    Files.writeString(logDir.resolve("s2.log"), eventFile(0, 3, sameSecond = true))
+    runOnce()
+
+    val byRun = seen.toList
+    assert(byRun.map(_._2).contains(3L), s"first run totals: $byRun")
+    // cumulative across restart: the second run reports 6, not 3
+    assert(byRun.map(_._2).contains(6L), s"state not restored: $byRun")
+  }
+
   test("foreachBatch JDBC sink lands streamed events in the warehouse") {
     val logDir = tempDir("graft-stream-jdbc")
     Files.writeString(logDir.resolve("f.log"), eventFile(0, 4))
