@@ -115,6 +115,31 @@ object Dedup {
   }
 
   /**
+   * Embedding-cosine near-duplicate pairs: LSH-bucketed self-join (only
+   * rows colliding in some hash table are scored) with exact cosine
+   * verification at `threshold`. Output (da, db, sim), da < db. Recall
+   * follows the sign-LSH collision bound, which is near-1 for the
+   * near-identical vectors this targets (θ≈0 ⇒ per-bit agreement ≈ 1).
+   */
+  def embeddingNearDupPairs(emb: DataFrame, idCol: String, embCol: String,
+                            threshold: Double, tables: Int = 8, bits: Int = 8,
+                            dim: Int = 64, seed: Long = 42L): DataFrame = {
+    val keys = Similarity.lshBucketKeys(col(embCol), tables, bits, dim, seed)
+    def bucketed(out: String): DataFrame =
+      emb.select(col(idCol).as(out), col(embCol).as(s"_e_$out"),
+        explode(array(keys.zipWithIndex.map { case (key, t) =>
+          struct(lit(t).as("table"), key.as("key"))
+        }: _*)).as("bk"))
+        .select(col(out), col(s"_e_$out"), col("bk.table"), col("bk.key"))
+    bucketed("da").join(bucketed("db"), Seq("table", "key"))
+      .filter(col("da") < col("db"))
+      .select(col("da"), col("db"),
+        round(Similarity.cosine(col("_e_da"), col("_e_db")), 4).as("sim"))
+      .distinct()
+      .filter(col("sim") >= threshold)
+  }
+
+  /**
    * 64-bit SimHash over a token array column: per-token xxhash64, per-bit
    * ±1 votes, fingerprint bit b set when the vote is positive. Pure
    * higher-order functions — stays inside whole-stage codegen.

@@ -135,14 +135,21 @@ object ExtQueries {
         .orderBy("lang")),
 
     // -- approx siblings, verified within tolerance (VERDICT item 9) ---
-    "q34_approx_distinct" -> ((s, d) =>
-      CoreQueries.events(s, d)
-        .groupBy("event_type")
-        .agg(approx_count_distinct(col("user_id"), 0.01).as("apx"),
-          countDistinct(col("user_id")).as("ex"))
+    // HLL and exact distinct computed in SEPARATE aggregations: combined,
+    // Catalyst's distinct-expand plan materializes one 2^14-register HLL
+    // sketch per (type, user) group — ~GBs of merge traffic for nothing.
+    // Split, each agg is single-level; the join is 5 rows.
+    "q34_approx_distinct" -> ((s, d) => {
+      val ev = CoreQueries.events(s, d)
+      val apx = ev.groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id"), 0.01).as("apx"))
+      val ex = ev.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("ex"))
+      apx.join(ex, "event_type")
         .select(col("event_type"),
           (abs(col("apx") - col("ex")) <= col("ex") * 0.05).as("ok"))
-        .orderBy("event_type")),
+        .orderBy("event_type")
+    }),
 
     "q35_approx_quantile" -> ((s, d) =>
       CoreQueries.events(s, d)
@@ -219,6 +226,17 @@ object ExtQueries {
         .orderBy(col("l_returnflag").asc_nulls_first,
           col("l_linestatus").asc_nulls_first)),
 
+    // Embedding-cosine near-dup dedup, LSH-pruned + exact verify. The
+    // corpus plants no embedding near-dups (max pairwise cosine ≈0.51,
+    // measured), so both engines must agree on the empty result; the
+    // operator's positive path is proven by the planted-pair scalatest.
+    // vec_id < 1000 bounds the oracle's brute-force pair count.
+    "q45_embed_neardup" -> ((s, d) =>
+      Dedup.embeddingNearDupPairs(
+          t(s, d, "embeddings").filter(col("vec_id") < 1000),
+          "vec_id", "embedding", threshold = 0.9)
+        .orderBy("da", "db")),
+
     // typed Aggregator (UDAF surface): Welford sample variance vs the
     // oracle's var_samp — numerically stable partial/merge split.
     "q44_variance_udaf" -> ((s, d) => {
@@ -269,6 +287,11 @@ object ExtQueries {
       s"SELECT lang, CAST(sum(len(regexp_extract_all(text, '${TextAnalysis.TokenPattern}'))) AS BIGINT) total_tokens, count(DISTINCT $fpSql) n_fp, min($fpSql) min_fp FROM documents GROUP BY lang ORDER BY lang",
     "q39_knn_batch" ->
       s"WITH c AS (SELECT p.vec_id probe_id, e.vec_id nn_id, round($cosSql,4) sim FROM embeddings p CROSS JOIN embeddings e WHERE p.vec_id < 5 AND e.vec_id <> p.vec_id) SELECT probe_id, nn_id, sim, rn FROM (SELECT probe_id, nn_id, sim, row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, nn_id) rn FROM c) WHERE rn <= 3 ORDER BY probe_id, rn",
+    "q45_embed_neardup" -> {
+      val pairCos = cosSql.replace("p.embedding", "a.embedding")
+        .replace("e.embedding", "b.embedding")
+      s"SELECT a.vec_id da, b.vec_id db, round($pairCos, 4) sim FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id WHERE a.vec_id < 1000 AND b.vec_id < 1000 AND $pairCos >= 0.9 ORDER BY da, db"
+    },
     "q43_grouping_sets" ->
       "SELECT l_returnflag, l_linestatus, count(*) cnt FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus)) ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST",
     "q44_variance_udaf" ->

@@ -1,5 +1,7 @@
 package graft.operators
 
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -107,6 +109,64 @@ object Similarity {
       .filter(col("nn_id") =!= col("probe_id"))
       .select(col("probe_id"), col("nn_id"),
         round(cosine(col("_emb_probe_id"), col("_emb_nn_id")), 4).as("sim"))
+      .distinct()
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+  }
+
+  /** L2-normalized ml-Vector column from a float-array column (unit
+    * vectors make Euclidean KMeans cluster by cosine direction). */
+  private def unitVector(emb: Column): Column = {
+    val vd = transform(emb, x => x.cast("double"))
+    val norm = sqrt(sumArr(transform(vd, x => x * x)))
+    array_to_vector(transform(vd, x => x / norm))
+  }
+
+  /**
+   * IVF-flat approximate top-k (the other classic ANN layout): KMeans
+   * coarse quantizer over unit vectors, corpus inverted into `nlist`
+   * cluster cells, probes search only their `nprobe` nearest cells with
+   * exact cosine re-ranking.
+   *
+   * Scale shape: the corpus is scanned once to assign cells (at rest the
+   * cell table persists `bucketBy(cell)`); a probe touches
+   * ~corpus·nprobe/nlist rows. Centroids are driver-side (nlist ≤ a few
+   * thousand) and broadcast. Clustering is seeded but not bit-stable
+   * across partitionings — IVF is verified by recall tests, never a
+   * hash oracle.
+   */
+  def ivfCosineTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
+                    embCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
+                    seed: Long = 42L): DataFrame = {
+    val spark = corpus.sparkSession
+    val featured = corpus.withColumn("_feat", unitVector(col(embCol)))
+    val model = new KMeans().setK(nlist).setSeed(seed)
+      .setFeaturesCol("_feat").setPredictionCol("_cell")
+      .fit(featured)
+    val cells = model.transform(featured)
+      .select(col(idCol).as("nn_id"), col(embCol).as("_emb_nn"), col("_cell"))
+
+    // nprobe nearest cells per probe, by cosine against the centroids
+    val centroids = spark.createDataFrame(
+      model.clusterCenters.zipWithIndex.toSeq
+        .map { case (c, i) => (i, c.toArray) })
+      .toDF("_cell", "_centroid")
+    val cw = Window.partitionBy("probe_id").orderBy(col("_csim").desc, col("_cell"))
+    val probeCells = probes
+      .select(col(idCol).as("probe_id"), col(embCol).as("_emb_probe"))
+      .crossJoin(broadcast(centroids))
+      .select(col("probe_id"), col("_emb_probe"), col("_cell"),
+        cosine(col("_emb_probe"), col("_centroid")).as("_csim"))
+      .withColumn("_cr", row_number().over(cw))
+      .filter(col("_cr") <= nprobe)
+      .select("probe_id", "_emb_probe", "_cell")
+
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("sim").desc, col("nn_id"))
+    cells.join(broadcast(probeCells), Seq("_cell"))
+      .filter(col("nn_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("nn_id"),
+        round(cosine(col("_emb_probe"), col("_emb_nn")), 4).as("sim"))
       .distinct()
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)

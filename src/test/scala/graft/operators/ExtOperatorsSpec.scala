@@ -74,6 +74,37 @@ class ExtOperatorsSpec extends AnyFunSuite with SparkTestSession {
     assert(near < avgFar, s"simhash near=$near avgFar=$avgFar")
   }
 
+  test("ivf: coarse-quantized search reaches usable recall vs brute force") {
+    val probes = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.knnBatch(emb, probes, "vec_id", "embedding", 10)
+      .select("probe_id", "nn_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfCosineTopK(emb, probes, "vec_id", "embedding",
+        k = 10, nlist = 16, nprobe = 6)
+      .select("probe_id", "nn_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall too low: $recall")
+  }
+
+  test("embedding near-dup pairs finds exactly the planted pair") {
+    import spark.implicits._
+    val dim = 64
+    def unit(axis: Int): Array[Float] =
+      Array.tabulate(dim)(i => if (i == axis) 1f else 0f)
+    val nearA = unit(0)
+    val nearB = Array.tabulate(dim)(i => nearA(i) + (if (i == 1) 0.01f else 0f))
+    val rows = Seq(
+      (0L, nearA), (1L, nearB), // planted near-identical pair
+      (2L, unit(5)), (3L, unit(9)), // orthogonal strangers
+      (4L, Array.tabulate(dim)(i => ((i * 37 % 11) - 5).toFloat / 5)))
+      .toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDupPairs(rows, "vec_id", "embedding",
+        threshold = 0.95, tables = 8, bits = 4, dim = dim)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L)), s"got $pairs")
+  }
+
   test("lang-id predicts real-language samples") {
     import spark.implicits._
     val samples = Seq(
