@@ -102,16 +102,29 @@ object Dedup {
   /**
    * Fuzzy-dedup pairs with MinHash-LSH pruning plus exact Jaccard
    * verification of the candidates — same output contract as
-   * [[ngramJaccardPairs]] whenever LSH recall holds, at banded-join cost.
+   * [[ngramJaccardPairs]] whenever LSH recall holds.
+   *
+   * The exact Jaccard is computed ONLY for candidate pairs (candidate ⋈
+   * per-doc shingles, grouped per pair) — cost scales with |candidates|,
+   * not with the full shingle-blocked pair count; that is the entire
+   * point of the LSH pass at 100 TB.
    */
   def minHashDedupPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.6,
                         numHashes: Int = 32, rowsPerBand: Int = 2): DataFrame = {
+    val sh = shingles(docs, idCol, textCol, n).cache()
+    val counts = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
     val cand = minHashCandidatePairs(docs, idCol, textCol, n, numHashes, rowsPerBand)
-    val exact = ngramJaccardPairs(docs, idCol, textCol, n, threshold)
-    // semi-join: keep only verified candidates (candidates ⊇ true pairs
-    // with high probability, so this equals `exact` at full recall)
-    exact.join(cand, Seq("da", "db"), "left_semi")
+    val overlap = cand
+      .join(sh.select(col(idCol).as("da"), col("shingle")), "da")
+      .join(sh.select(col(idCol).as("db"), col("shingle")), Seq("db", "shingle"))
+      .groupBy("da", "db").agg(count(lit(1)).as("overlap"))
+    val jac = col("overlap") / (col("na") + col("nb") - col("overlap"))
+    overlap
+      .join(counts.select(col(idCol).as("da"), col("n_sh").as("na")), "da")
+      .join(counts.select(col(idCol).as("db"), col("n_sh").as("nb")), "db")
+      .filter(jac >= threshold)
+      .select(col("da"), col("db"), round(jac, 4).as("jac"))
   }
 
   /**

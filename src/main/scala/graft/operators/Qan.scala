@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * The QAN (Query Analytics) report surface — the queries the reference's
+ * users actually run against the ClickHouse `queries` table (SURVEY.md
+ * §2.1 closing note / §3.3), expressed natively over the wide table
+ * produced by [[graft.slowlog.SlowLogTable.flatten]].
+ *
+ * At 100 TB these group on `digest` over a date-partitioned,
+ * digest-bucketed table (SCALE.md §2): partition pruning handles the time
+ * range, bucketing removes the exchange under the aggregate.
+ */
+object Qan {
+
+  /**
+   * Per-digest profile, the canonical "top queries" report: call count,
+   * total/avg/p95 latency, rows scanned/returned, user spread, first/last
+   * seen, one representative fingerprint. Ordered by total time, worst
+   * first.
+   */
+  def profile(wide: DataFrame, topN: Int = 100): DataFrame =
+    wide.groupBy("digest")
+      .agg(
+        min("fingerprint").as("fingerprint"),
+        count(lit(1)).as("cnt"),
+        sum("query_time").as("total_time"),
+        avg("query_time").as("avg_time"),
+        percentile_approx(col("query_time"), lit(0.95), lit(10000)).as("p95_time"),
+        sum("rows_examined").as("rows_examined"),
+        sum("rows_sent").as("rows_sent"),
+        countDistinct(col("user")).as("n_users"),
+        min("ts").as("first_seen"),
+        max("ts").as("last_seen"))
+      .orderBy(col("total_time").desc, col("digest"))
+      .limit(topN)
+
+  /** Time-bucketed per-digest sparkline (the QAN chart series). */
+  def sparkline(wide: DataFrame, bucket: String = "hour"): DataFrame =
+    wide.groupBy(date_trunc(bucket, col("ts")).as("bucket"), col("digest"))
+      .agg(count(lit(1)).as("cnt"),
+        sum("query_time").as("total_time"))
+      .orderBy("bucket", "digest")
+
+  /** Load breakdown by database and user (QAN filters sidebar). */
+  def loadByDbUser(wide: DataFrame): DataFrame =
+    wide.rollup("db", "user")
+      .agg(count(lit(1)).as("cnt"), sum("query_time").as("total_time"))
+      .orderBy(col("db").asc_nulls_first, col("user").asc_nulls_first)
+}
