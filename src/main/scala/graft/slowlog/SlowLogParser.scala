@@ -100,6 +100,10 @@ object SlowLogParser {
           var q = query.result().trim
           if (q.endsWith(";")) q = q.substring(0, q.length - 1).trim
           val effDb = if (db != null) db else sessionDb
+          // Any explicit db (use OR # Schema:) becomes the session carry:
+          // this makes sequential carry identical to the distributed
+          // last-non-null window fill, by construction.
+          if (db != null) sessionDb = db
           out = SlowLogEvent(evOffset, ts, admin, q, user, host, effDb,
             timeM.toMap, numM.toMap, boolM.toMap)
         }

@@ -62,15 +62,18 @@ object SlowLogStream {
     SlowLogTable.flatten(events.toDF())
 
   /**
-   * QAN sparkline as a stream: per-digest tumbling-window aggregates with
-   * late-data drop. Emits (window, digest, cnt, total_time, rows_sent).
+   * QAN sparkline as a stream: per-digest tumbling (or, with `slide` <
+   * `windowLen`, sliding) window aggregates with late-data drop. Emits
+   * (window, digest, cnt, total_time, rows_sent).
    */
   def digestWindowedAgg(wide: DataFrame,
                         windowLen: String = "1 minute",
-                        watermark: String = "2 minutes"): DataFrame =
+                        watermark: String = "2 minutes",
+                        slide: Option[String] = None): DataFrame =
     wide
       .withWatermark("ts", watermark)
-      .groupBy(window(col("ts"), windowLen), col("digest"))
+      .groupBy(window(col("ts"), windowLen, slide.getOrElse(windowLen)),
+        col("digest"))
       .agg(count(lit(1)).as("cnt"),
         sum("query_time").as("total_time"),
         sum("rows_sent").as("rows_sent"))

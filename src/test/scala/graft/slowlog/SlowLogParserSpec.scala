@@ -187,6 +187,31 @@ class SlowLogParserSpec extends AnyFunSuite {
     assert(text.substring(evs(2).offset.toInt).startsWith("# Time: 2024-01-15T10:00:03"))
   }
 
+  test("ISO # Time: with zone offset and no SET timestamp keeps micros") {
+    val log =
+      """# Time: 2024-01-15T12:00:01.123456+02:00
+        |# User@Host: a[a] @ h []
+        |# Query_time: 0.010000  Lock_time: 0.000000 Rows_sent: 1  Rows_examined: 1
+        |SELECT 1;
+        |""".stripMargin
+    val evs = SlowLogParser.parseString(log)
+    assert(evs.size == 1)
+    // 12:00:01.123456+02:00 == 10:00:01.123456Z
+    assert(evs.head.ts.getTime == 1705312801123L)
+    assert(evs.head.ts.getNanos == 123456000)
+  }
+
+  test("ISO # Time: without zone is treated as UTC") {
+    val log =
+      """# Time: 2024-01-15T10:00:01.500000
+        |# User@Host: a[a] @ h []
+        |# Query_time: 0.010000  Lock_time: 0.000000 Rows_sent: 1  Rows_examined: 1
+        |SELECT 1;
+        |""".stripMargin
+    val evs = SlowLogParser.parseString(log)
+    assert(evs.head.ts.getTime == 1705312801500L)
+  }
+
   // -- re-chunking conservation (SURVEY.md §5.2 property 3) -------------
 
   /** Split exactly like the Hadoop record reader: at "\n# Time: ",
@@ -203,18 +228,68 @@ class SlowLogParserSpec extends AnyFunSuite {
     }
   }
 
-  test("property: per-record parse + db fill == sequential whole-file parse") {
-    for (fixture <- Seq(slow001)) {
-      val whole = SlowLogParser.parseString(fixture)
-      val chunked = recordSplit(fixture)
-        .flatMap { case (off, rec) => SlowLogParser.parseString(rec, off) }
-      // distributed db-carry fill: last non-null db in offset order
-      var carry: String = null
-      val filled = chunked.sortBy(_.offset).map { e =>
-        if (e.db != null) { carry = e.db; e }
-        else e.copy(db = carry)
-      }
-      assert(filled == whole)
+  private def chunkedEqualsWhole(fixture: String): Unit = {
+    val whole = SlowLogParser.parseString(fixture)
+    val chunked = recordSplit(fixture)
+      .flatMap { case (off, rec) => SlowLogParser.parseString(rec, off) }
+    // distributed db-carry fill: last non-null db in offset order.
+    // NOTE: per-record parses apply carry within their record, so only
+    // events with no explicit-or-in-record db are null here.
+    var carry: String = null
+    val filled = chunked.sortBy(_.offset).map { e =>
+      if (e.db != null) { carry = e.db; e }
+      else e.copy(db = carry)
     }
+    assert(filled == whole, s"\nfixture:\n$fixture")
+  }
+
+  test("property: per-record parse + db fill == sequential whole-file parse") {
+    chunkedEqualsWhole(slow001)
+  }
+
+  test("property: re-chunking conservation on generated logs") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+
+    val word = Gen.oneOf("orders", "audit", "t1", "cust", "nation")
+    val eventGen: Gen[(Boolean, String)] = for {
+      shareTime <- Gen.frequency(3 -> false, 1 -> true)
+      user <- Gen.oneOf("app", "root", "etl")
+      useDb <- Gen.option(Gen.oneOf("db1", "db2"))
+      schema <- Gen.option(Gen.oneOf("sch1", "sch2"))
+      setTs <- Gen.oneOf(true, false)
+      extended <- Gen.oneOf(true, false)
+      tbl <- word
+      lines <- Gen.choose(1, 3)
+      k <- Gen.choose(0, 999)
+    } yield {
+      val sb = new StringBuilder
+      sb.append(s"# User@Host: $user[$user] @ h${k % 7} [10.0.0.${k % 9}]  Id: ${k % 50}\n")
+      sb.append(f"# Query_time: 0.${k}%06d  Lock_time: 0.000001 Rows_sent: ${k % 9}%d  Rows_examined: $k%d\n")
+      if (extended)
+        sb.append(s"# Thread_id: ${k % 50}${schema.map(s => s"  Schema: $s").getOrElse("")}  QC_hit: No\n")
+      useDb.foreach(d => sb.append(s"use $d;\n"))
+      if (setTs) sb.append(s"SET timestamp=${1705312800L + k};\n")
+      val q = (0 until lines).map(l => s"SELECT c$l FROM $tbl WHERE k = $k")
+        .mkString(" AND x IN (1,\n")
+      sb.append(q + ";\n")
+      (shareTime, sb.result())
+    }
+    val logGen: Gen[String] = for {
+      n <- Gen.choose(1, 25)
+      evs <- Gen.listOfN(n, eventGen)
+      secs <- Gen.listOfN(n, Gen.choose(0, 59))
+    } yield {
+      val sb = new StringBuilder
+      evs.zip(secs).zipWithIndex.foreach { case (((share, body), sec), i) =>
+        if (i == 0 || !share)
+          sb.append(f"# Time: 2024-01-15T10:00:$sec%02d.000000Z\n")
+        sb.append(body)
+      }
+      sb.result()
+    }
+    val samples = (0 until 250).flatMap(i =>
+      logGen.apply(Gen.Parameters.default, Seed(i.toLong)))
+    samples.foreach(chunkedEqualsWhole)
   }
 }
