@@ -49,8 +49,22 @@ object Dedup {
    * jac ≥ threshold.
    */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                        n: Int, threshold: Double): DataFrame = {
-    val sh = shingles(docs, idCol, textCol, n).cache()
+                        n: Int, threshold: Double,
+                        maxShingleDf: Option[Long] = None): DataFrame = {
+    val all = shingles(docs, idCol, textCol, n).cache()
+    // Optional document-frequency cap (SCALE.md §4): stop-shingles carry
+    // no discrimination and all of the join skew; dropping them bounds
+    // Σ(bucket²). Off by default — the oracle comparison is exact.
+    // NOTE: capped runs compute Jaccard over the surviving shingle sets
+    // (per-doc counts are taken after the cap, so the ratio stays
+    // internally consistent).
+    val sh = maxShingleDf match {
+      case None => all
+      case Some(cap) =>
+        val rare = all.groupBy("shingle").agg(count(lit(1)).as("_df"))
+          .filter(col("_df") <= cap).select("shingle")
+        all.join(rare, "shingle")
+    }
     val counts = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
     val a = sh.select(col(idCol).as("da"), col("shingle"))
     val b = sh.select(col(idCol).as("db"), col("shingle"))

@@ -35,6 +35,12 @@ object Fingerprint {
     """\bin\s*\(\s*\?(?:\s*,\s*\?)*\s*\)""".r
   private val ValuesList =
     """\bvalues?\s*\(\s*\?(?:\s*,\s*\?)*\s*\)(?:\s*,\s*\(\s*\?(?:\s*,\s*\?)*\s*\))*""".r
+  // pt-query-digest rule: "LIMIT ?, ?" / "LIMIT ? OFFSET ?" → "limit ?"
+  private val LimitClause =
+    """\blimit \?(?:\s*,\s*\?|\s+offset\s+\?)""".r
+  // pt-query-digest rule: redundant ASC in ORDER BY is dropped
+  private val OrderByAsc =
+    """(\border by [^;]*?)\s+asc\b""".r
 
   def fingerprint(query: String): String = {
     if (query == null) return null
@@ -184,6 +190,12 @@ object Fingerprint {
     var out = sb.result().trim
     out = InList.replaceAllIn(out, "in(?+)")
     out = ValuesList.replaceAllIn(out, "values(?+)")
+    out = LimitClause.replaceAllIn(out, "limit ?")
+    var prev: String = null
+    while (prev != out) { // fixpoint: one ASC removed per pass
+      prev = out
+      out = OrderByAsc.replaceAllIn(out, "$1")
+    }
     out = stripTrailingSemis(out)
     if (out.startsWith("use ") || out == "use ?") "use ?" else out
   }

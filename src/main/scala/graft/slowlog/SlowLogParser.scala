@@ -138,18 +138,23 @@ object SlowLogParser {
             case UserHost(u1, u2, h1, h2, id) =>
               user = if (u1 != null && u1.nonEmpty) u1 else u2
               host = if (h1 != null && h1.nonEmpty) h1 else h2
-              if (id != null) numM("Thread_id") = id.toLong
+              if (id != null)
+                try numM("Thread_id") = id.toLong
+                catch { case _: NumberFormatException => () }
             case _ => ()
           }
         } else {
-          // generic metrics line
+          // generic metrics line (toLong/toDouble guarded: a corrupt or
+          // adversarial log line must skip a metric, not kill the task)
           MetricPair.findAllMatchIn(line).foreach { m =>
             val k = m.group(1); val v = m.group(2)
             v match {
               case "Yes" => boolM(k) = true
               case "No" => boolM(k) = false
-              case IntVal() => numM(k) = v.toLong
-              case FloatVal() => timeM(k) = v.toDouble
+              case IntVal() =>
+                try numM(k) = v.toLong catch { case _: NumberFormatException => () }
+              case FloatVal() =>
+                try timeM(k) = v.toDouble catch { case _: NumberFormatException => () }
               case _ => if (k == "Schema" && v.nonEmpty) db = v
             }
           }
@@ -179,7 +184,8 @@ object SlowLogParser {
           line match {
             case SetTimestamp(epoch) if !inQuery =>
               if (evOffset < 0) evOffset = off
-              ts = new Timestamp(epoch.toLong * 1000L)
+              try ts = new Timestamp(epoch.toLong * 1000L)
+              catch { case _: NumberFormatException => () }
             case UseDb(d) if !inQuery =>
               if (evOffset < 0) evOffset = off
               db = d; sessionDb = d

@@ -33,6 +33,17 @@ class ExtOperatorsSpec extends AnyFunSuite with SparkTestSession {
     assert(lsh == exact)
   }
 
+  test("shingle DF cap keeps the high-similarity pairs, bounds the join") {
+    val uncapped = pairSet(Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8))
+    val capped = pairSet(Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.7,
+      maxShingleDf = Some(50L)))
+    assert(uncapped.nonEmpty)
+    // a generous cap (few shingles in this corpus repeat >50×) must not
+    // lose the planted near-dups, found at a slightly relaxed threshold
+    val missed = uncapped -- capped
+    assert(missed.isEmpty, s"DF cap lost pairs: $missed")
+  }
+
   test("exact dedup: copies sum to row count, representative is min id") {
     val dd = Dedup.exactDedup(docs, "doc_id", "text")
     val total = dd.agg(sum("n_copies")).collect().head.getLong(0)

@@ -61,9 +61,9 @@ class FingerprintSpec extends AnyFunSuite {
     // backtick identifiers keep digits and backticks
     ("SELECT `col1` FROM `db1`.`tbl9` WHERE x = 7",
      "select `col1` from `db1`.`tbl9` where x = ?"),
-    // LIMIT / OFFSET literals
+    // LIMIT / OFFSET literals (normalized per the pt limit rule)
     ("select a from t order by a limit 10 offset 20",
-     "select a from t order by a limit ? offset ?"),
+     "select a from t order by a limit ?"),
     // string containing ; and # and comment-like content
     ("select a from t where s = 'x; # not a comment /* nope */'",
      "select a from t where s = ?"),
@@ -73,7 +73,15 @@ class FingerprintSpec extends AnyFunSuite {
     ("select * from t where ts >= '2024-01-15 10:00:01' and ts < '2024-01-16'",
      "select * from t where ts >= ? and ts < ?"),
     // unary minus in function args
-    ("select round(x, 2), power(y, -2) from t", "select round(x, ?), power(y, ?) from t")
+    ("select round(x, 2), power(y, -2) from t", "select round(x, ?), power(y, ?) from t"),
+    // pt rule: LIMIT n, m and LIMIT n OFFSET m normalize to limit ?
+    ("select a from t limit 10, 20", "select a from t limit ?"),
+    ("select a from t limit 10 offset 20", "select a from t limit ?"),
+    // pt rule: redundant ASC dropped from ORDER BY (DESC kept)
+    ("select a from t order by a ASC, b DESC, c asc",
+     "select a from t order by a, b desc, c"),
+    // asc as a plain identifier outside order-by is untouched
+    ("select asc from t where asc = 5", "select asc from t where asc = ?")
   )
 
   golden.zipWithIndex.foreach { case ((in, want), idx) =>
