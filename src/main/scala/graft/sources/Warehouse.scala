@@ -1,0 +1,43 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * The wide-table warehouse layout from SCALE.md §2, made concrete:
+ * date-partitioned (partition pruning for every time-windowed QAN query)
+ * and optionally digest-bucketed (per-digest aggregates and joins
+ * co-locate without an exchange).
+ */
+object Warehouse {
+
+  /** Write the wide table date-partitioned: `.../q_date=YYYY-MM-DD/`.
+    * Time-ranged readers prune whole partitions (verified in the spec
+    * via PartitionFilters in the scan). */
+  def writePartitioned(wide: DataFrame, path: String,
+                       mode: SaveMode = SaveMode.Overwrite): Unit =
+    wide.withColumn("q_date", to_date(col("ts")))
+      .write.mode(mode)
+      .partitionBy("q_date")
+      .parquet(path)
+
+  /** Read back with partition pruning available on `q_date`. */
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /**
+   * Register the wide table as a digest-bucketed, date-partitioned
+   * managed table: per-digest aggregation over it needs no shuffle
+   * (bucketing pre-distributes by digest), which is the dominant QAN
+   * access path. Requires a session with a warehouse dir (any local or
+   * cluster metastore).
+   */
+  def saveBucketed(wide: DataFrame, table: String, buckets: Int = 32,
+                   mode: SaveMode = SaveMode.Overwrite): Unit =
+    wide.withColumn("q_date", to_date(col("ts")))
+      .write.mode(mode)
+      .bucketBy(buckets, "digest")
+      .sortBy("digest")
+      .format("parquet")
+      .saveAsTable(table)
+}

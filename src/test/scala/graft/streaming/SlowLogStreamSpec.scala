@@ -85,6 +85,21 @@ class SlowLogStreamSpec extends AnyFunSuite with SparkTestSession {
     assert(rows.head.getAs[Long]("cnt") == 4L)
   }
 
+  test("sliding windows emit one row per overlapping window") {
+    val logDir = tempDir("graft-stream-slide")
+    Files.writeString(logDir.resolve("f.log"), eventFile(0, 4, sameSecond = true))
+    val agg = SlowLogStream.digestWindowedAgg(
+      SlowLogStream.wideRows(SlowLogStream.events(spark, logDir.toString)),
+      windowLen = "2 minutes", watermark = "5 minutes", slide = Some("1 minute"))
+    val q = agg.writeStream.format("memory").queryName("slide_agg")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000); q.stop()
+    val rows = spark.table("slide_agg").collect()
+    // one event instant, 2-minute windows sliding by 1 → two windows
+    assert(rows.length == 2)
+    assert(rows.forall(_.getAs[Long]("cnt") == 4L))
+  }
+
   test("dropDuplicatesWithinWatermark collapses replayed events") {
     val logDir = tempDir("graft-stream-dedup")
     val one = eventFile(0, 3)
