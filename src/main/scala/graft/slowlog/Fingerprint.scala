@@ -41,6 +41,9 @@ object Fingerprint {
   // pt-query-digest rule: redundant ASC in ORDER BY is dropped
   private val OrderByAsc =
     """(\border by [^;]*?)\s+asc\b""".r
+  // pt-query-digest rule: CALL statements normalize to `call procname`
+  private val CallStmt =
+    """^call\s+([^\s(]+).*$""".r
 
   def fingerprint(query: String): String = {
     if (query == null) return null
@@ -197,6 +200,7 @@ object Fingerprint {
       out = OrderByAsc.replaceAllIn(out, "$1")
     }
     out = stripTrailingSemis(out)
+    out = CallStmt.replaceAllIn(out, m => "call " + java.util.regex.Matcher.quoteReplacement(m.group(1)))
     if (out.startsWith("use ") || out == "use ?") "use ?" else out
   }
 

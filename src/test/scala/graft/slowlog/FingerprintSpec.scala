@@ -81,7 +81,18 @@ class FingerprintSpec extends AnyFunSuite {
     ("select a from t order by a ASC, b DESC, c asc",
      "select a from t order by a, b desc, c"),
     // asc as a plain identifier outside order-by is untouched
-    ("select asc from t where asc = 5", "select asc from t where asc = ?")
+    ("select asc from t where asc = 5", "select asc from t where asc = ?"),
+    // pt rule: CALL normalizes to the bare procedure name
+    ("CALL foo(1, 2, 3)", "call foo"),
+    ("call sp_cleanup", "call sp_cleanup"),
+    // trailing-dot decimal and exponent-zero literals (pt corpus shapes)
+    ("select null, 5.001, 5001. from healthy_animal",
+     "select ?, ?, ? from healthy_animal"),
+    ("select 0e0, +6, 5, -80", "select ?, ?, ?, ?"),
+    // backticked use
+    ("use `foo`", "use ?"),
+    // REPLACE INTO also collapses VALUES
+    ("REPLACE INTO t(a) VALUES (1), (2)", "replace into t(a) values(?+)")
   )
 
   golden.zipWithIndex.foreach { case ((in, want), idx) =>
