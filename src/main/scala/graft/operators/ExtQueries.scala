@@ -237,6 +237,23 @@ object ExtQueries {
           "vec_id", "embedding", threshold = 0.9)
         .orderBy("da", "db")),
 
+    // As-of join: each error event picks up the latest preceding click
+    // of the same user (union + running window — one shuffle, no range
+    // cross product; see AsOfJoin).
+    "q46_asof_join" -> ((s, d) => {
+      val ev = CoreQueries.events(s, d)
+      val errors = ev.filter(col("event_type") === "error")
+        .select("event_id", "user_id", "ts_ns")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts_ns"), col("event_id").as("click_event"))
+      AsOfJoin.asOf(errors, clicks, Seq("user_id"),
+          leftTs = "ts_ns", rightTs = "ts_ns",
+          rightVal = "click_event", rightTie = "click_event",
+          as = "click_id")
+        .select("event_id", "click_id")
+        .orderBy("event_id")
+    }),
+
     // typed Aggregator (UDAF surface): Welford sample variance vs the
     // oracle's var_samp — numerically stable partial/merge split.
     "q44_variance_udaf" -> ((s, d) => {
@@ -295,6 +312,10 @@ object ExtQueries {
     "q43_grouping_sets" ->
       "SELECT l_returnflag, l_linestatus, count(*) cnt FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus)) ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST",
     "q44_variance_udaf" ->
-      "SELECT event_type, round(var_samp(value), 2) vs, count(*) cnt FROM events GROUP BY event_type ORDER BY event_type"
+      "SELECT event_type, round(var_samp(value), 2) vs, count(*) cnt FROM events GROUP BY event_type ORDER BY event_type",
+    // same union+window formulation as the Spark operator (ties: clicks
+    // before errors at equal ts, then by event id)
+    "q46_asof_join" ->
+      "WITH u AS (SELECT user_id, ts, event_id, CASE WHEN event_type='click' THEN event_id END cid, CASE WHEN event_type='error' THEN 1 ELSE 0 END is_err FROM events WHERE event_type IN ('click','error')) SELECT event_id, click_id FROM (SELECT event_id, is_err, last_value(cid IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, CASE WHEN cid IS NULL THEN 1 ELSE 0 END, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) click_id FROM u) t WHERE is_err=1 ORDER BY event_id"
   )
 }

@@ -116,6 +116,23 @@ class ExtOperatorsSpec extends AnyFunSuite with SparkTestSession {
     assert(pairs == Set((0L, 1L)), s"got $pairs")
   }
 
+  test("as-of join: <= semantics, equal-ts ties, and no-match nulls") {
+    import spark.implicits._
+    val left = Seq( // (id, key, ts)
+      (100L, 1L, 10L), (101L, 1L, 20L), (102L, 1L, 5L), (103L, 2L, 50L))
+      .toDF("id", "k", "ts")
+    val right = Seq( // (key, ts, val)
+      (1L, 10L, 7L), (1L, 10L, 8L), (1L, 15L, 9L), (2L, 60L, 1L))
+      .toDF("k", "ts", "v")
+    val out = AsOfJoin.asOf(left, right, Seq("k"), "ts", "ts", "v", "v", "matched")
+      .collect().map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Long]))
+      .toMap
+    assert(out(100L).contains(8L)) // equal ts matches; tie → larger tiebreak
+    assert(out(101L).contains(9L)) // latest ≤ 20 is ts=15
+    assert(out(102L).isEmpty) // nothing at or before ts=5
+    assert(out(103L).isEmpty) // right row is after the left ts
+  }
+
   test("lang-id predicts real-language samples") {
     import spark.implicits._
     val samples = Seq(
