@@ -54,7 +54,6 @@ object Bench {
   /** Events/second through scan → parse → fingerprint+digest → wide
     * flatten (a noop write materializes every row). */
   private def benchIngest(spark: org.apache.spark.sql.SparkSession, events: Int): Double = {
-    spark.catalog.clearCache() // drop shingle caches left by the queries
     val dir = ingestLog(events)
     def run(): Unit =
       graft.slowlog.SlowLogTable.flatten(
@@ -71,19 +70,26 @@ object Bench {
     val spark = GraftSession.build("graft-bench")
 
     val names = SparkEntry.queries.keys.toSeq.sorted
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     def run(name: String): Unit =
-      SparkEntry.queries(name)(spark, sfDir)
+      try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        // a failed query must be VISIBLE, not a silently fast entry that
+        // deflates the round-over-round total
+        failed += name
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      }
 
     // Warm-up: one full untimed pass.
-    names.foreach { n => try run(n) catch { case _: Throwable => () } }
+    names.foreach(run)
 
     // Two timed passes, min per query: the driver runs Verify's JVM right
     // before this one, and residual page-cache/CPU contention from its
     // shutdown inflated single-pass totals ~3× in testing.
     def timedPass(): Map[String, Double] = names.map { name =>
       val t0 = System.nanoTime()
-      try run(name) catch { case _: Throwable => () }
+      run(name)
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
     val (p1, p2) = (timedPass(), timedPass())
@@ -98,8 +104,9 @@ object Bench {
     // 100k events across 16 files: large enough that steady-state parse
     // dominates the fixed job overhead (20k measured ~6× low).
     val eps = benchIngest(spark, 100000)
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(
-      s"""{"metric":"total","value":$core,"unit":"sec","queries":$qs,"total_all":$all,"ingest_eps":${eps.round},"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$core,"unit":"sec","queries":$qs,"total_all":$all,"ingest_eps":${eps.round},"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

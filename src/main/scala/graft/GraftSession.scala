@@ -18,10 +18,16 @@ import org.apache.spark.sql.SparkSession
 object GraftSession {
   def build(appName: String): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    build(appName, s"local[$cpus]", cpus)
+  }
+
+  /** Single source of truth for session confs; tests call this with
+    * their own master/parallelism so the conf lists cannot drift. */
+  def build(appName: String, master: String, shufflePartitions: String): SparkSession = {
     val spark = SparkSession.builder()
       .appName(appName)
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

@@ -16,7 +16,7 @@ final case class WelfordBuf(n: Long, mean: Double, m2: Double)
  * Built-in `var_samp` covers production needs; this exists to keep the
  * extension point exercised and tested, not to replace the built-in.
  */
-object WelfordVariance extends Aggregator[Double, WelfordBuf, Double] {
+object WelfordVariance extends Aggregator[Double, WelfordBuf, java.lang.Double] {
 
   override def zero: WelfordBuf = WelfordBuf(0L, 0.0, 0.0)
 
@@ -39,9 +39,11 @@ object WelfordVariance extends Aggregator[Double, WelfordBuf, Double] {
     }
   }
 
-  override def finish(r: WelfordBuf): Double =
-    if (r.n < 2) Double.NaN else r.m2 / (r.n - 1)
+  // null (not NaN) for n<2, matching SQL var_samp semantics — the q44
+  // oracle compares against DuckDB's var_samp, which yields NULL there.
+  override def finish(r: WelfordBuf): java.lang.Double =
+    if (r.n < 2) null else java.lang.Double.valueOf(r.m2 / (r.n - 1))
 
   override def bufferEncoder: Encoder[WelfordBuf] = Encoders.product[WelfordBuf]
-  override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  override def outputEncoder: Encoder[java.lang.Double] = Encoders.DOUBLE
 }

@@ -33,21 +33,25 @@ object AsOfJoin {
            leftTs: String, rightTs: String, rightVal: String,
            rightTie: String, as: String): DataFrame = {
     val keyCols = keys.map(col)
-    val valType = right.schema(rightVal).dataType
     val tieType = right.schema(rightTie).dataType
 
+    // The matched payload rides inside a STRUCT: the struct itself is
+    // null only on left placeholder rows, so a right row whose payload
+    // column is genuinely NULL still counts as the latest match (a bare
+    // last(_val, ignoreNulls) would skip it and attach a stale value).
     val l = left.select(
       keyCols :+
         col(leftTs).as("_ts") :+
         lit(1).as("_side") :+
-        lit(null).cast(valType).as("_val") :+
+        lit(null).cast(new org.apache.spark.sql.types.StructType()
+          .add("v", right.schema(rightVal).dataType)).as("_m") :+
         lit(null).cast(tieType).as("_tie") :+
         struct(left.columns.map(col): _*).as("_row"): _*)
     val r = right.select(
       keyCols :+
         col(rightTs).as("_ts") :+
         lit(0).as("_side") :+
-        col(rightVal).as("_val") :+
+        struct(col(rightVal).as("v")).as("_m") :+
         col(rightTie).as("_tie") :+
         lit(null).cast(l.schema("_row").dataType).as("_row"): _*)
 
@@ -56,8 +60,9 @@ object AsOfJoin {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     l.unionByName(r)
-      .withColumn(as, last(col("_val"), ignoreNulls = true).over(w))
+      .withColumn("_last", last(col("_m"), ignoreNulls = true).over(w))
       .filter(col("_side") === 1)
-      .select(left.columns.map(c => col(s"_row.$c").as(c)) :+ col(as): _*)
+      .select(left.columns.map(c => col(s"_row.$c").as(c)) :+
+        col("_last.v").as(as): _*)
   }
 }

@@ -51,7 +51,10 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, threshold: Double,
                         maxShingleDf: Option[Long] = None): DataFrame = {
-    val all = shingles(docs, idCol, textCol, n).cache()
+    // no cache(): builders return unexecuted plans, so an explicit cache
+    // here would pin storage the caller can never unpersist; identical
+    // shingle subtrees in one plan share work via exchange reuse instead
+    val all = shingles(docs, idCol, textCol, n)
     // Optional document-frequency cap (SCALE.md §4): stop-shingles carry
     // no discrimination and all of the join skew; dropping them bounds
     // Σ(bucket²). Off by default — the oracle comparison is exact.
@@ -126,7 +129,7 @@ object Dedup {
   def minHashDedupPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.6,
                         numHashes: Int = 32, rowsPerBand: Int = 2): DataFrame = {
-    val sh = shingles(docs, idCol, textCol, n).cache()
+    val sh = shingles(docs, idCol, textCol, n)
     val counts = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
     val cand = minHashCandidatePairs(docs, idCol, textCol, n, numHashes, rowsPerBand)
     val overlap = cand

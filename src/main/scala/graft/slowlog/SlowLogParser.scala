@@ -145,17 +145,21 @@ object SlowLogParser {
           }
         } else {
           // generic metrics line (toLong/toDouble guarded: a corrupt or
-          // adversarial log line must skip a metric, not kill the task)
+          // adversarial log line must skip a metric, not kill the task).
+          // Schema is dispatched on the KEY, before value-shape typing —
+          // a digits-only database name (`Schema: 2024`, legal in MySQL)
+          // must set the db, not become a number metric.
           MetricPair.findAllMatchIn(line).foreach { m =>
             val k = m.group(1); val v = m.group(2)
-            v match {
+            if (k == "Schema") { if (v.nonEmpty) db = v }
+            else v match {
               case "Yes" => boolM(k) = true
               case "No" => boolM(k) = false
               case IntVal() =>
                 try numM(k) = v.toLong catch { case _: NumberFormatException => () }
               case FloatVal() =>
                 try timeM(k) = v.toDouble catch { case _: NumberFormatException => () }
-              case _ => if (k == "Schema" && v.nonEmpty) db = v
+              case _ => ()
             }
           }
         }

@@ -24,9 +24,12 @@ object DuckDbDialect extends JdbcDialect {
   override def canHandle(url: String): Boolean =
     url.toLowerCase(java.util.Locale.ROOT).startsWith("jdbc:duckdb:")
 
+  // Only the table-missing shape: a broad "Catalog Error" match would
+  // classify missing functions/columns as table-not-found and send
+  // Spark down the create-table path instead of surfacing the error.
   override def isObjectNotFoundException(e: SQLException): Boolean = {
     val m = e.getMessage
-    m != null && (m.contains("does not exist") || m.contains("Catalog Error"))
+    m != null && m.contains("Table with name") && m.contains("does not exist")
   }
 
   override def getJDBCType(dt: DataType): Option[JdbcType] = dt match {

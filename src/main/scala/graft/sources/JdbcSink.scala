@@ -27,8 +27,12 @@ object JdbcSink {
       numPartitions: Option[Int] = None,
       createTableColumnTypes: Option[String] = None): Unit = {
     if (url.startsWith("jdbc:duckdb:")) DuckDbDialect.register()
+    // repartition, NOT coalesce: coalesce(n) is a narrow dependency that
+    // would collapse the whole upstream parse/fingerprint pipeline into
+    // n tasks; one shuffle of the final rows keeps ingest parallel and
+    // lets the knob raise partition counts too.
     val repartitioned = numPartitions match {
-      case Some(n) => df.coalesce(n)
+      case Some(n) => df.repartition(n)
       case None => df
     }
     val w = repartitioned.write.format("jdbc")

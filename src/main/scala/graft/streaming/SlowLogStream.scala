@@ -29,6 +29,12 @@ final case class DigestTotals(digest: String, cnt: Long, totalTime: Double)
  * record carry requires total byte order, which an unordered distributed
  * stream cannot replay. Events keep their explicit db (`use` in-record,
  * `# Schema:`) or null.
+ *
+ * The `offset` column is RECORD-RELATIVE here (the streaming text source
+ * exposes no file byte offsets), so unlike the batch path it is not an
+ * idempotency key. Resume/exactly-once accounting on this path comes
+ * from the file-source checkpoint plus the `foreachBatch` batch id —
+ * never from `offset`.
  */
 object SlowLogStream {
 

@@ -18,14 +18,14 @@ class FunctionsSpec extends AnyFunSuite with SparkTestSession {
     assert(math.abs(w - v) / math.abs(v) < 1e-9, s"welford=$w var_samp=$v")
   }
 
-  test("Welford handles tiny groups (n<2 -> NaN)") {
+  test("Welford handles tiny groups (n<2 -> null, matching var_samp)") {
     import spark.implicits._
     val welford = udaf(WelfordVariance)
-    val out = Seq(("a", 1.0), ("b", 2.0), ("b", 4.0)).toDF("k", "x")
+    val rows = Seq(("a", 1.0), ("b", 2.0), ("b", 4.0)).toDF("k", "x")
       .groupBy("k").agg(welford(col("x")).as("v"))
-      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
-    assert(out("a").isNaN)
-    assert(math.abs(out("b") - 2.0) < 1e-12)
+      .collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(rows("a").isEmpty)
+    assert(math.abs(rows("b").get.asInstanceOf[Double] - 2.0) < 1e-12)
   }
 
   test("Amplify replicates n-fold without shuffling the amplified side") {
