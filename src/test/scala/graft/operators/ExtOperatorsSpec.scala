@@ -133,6 +133,48 @@ class ExtOperatorsSpec extends AnyFunSuite with SparkTestSession {
     assert(out(103L).isEmpty) // right row is after the left ts
   }
 
+  test("as-of join matches a naive reference on randomized data with ties") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val left = (0 until 200).map(i =>
+      (i.toLong, rnd.nextInt(20).toLong, rnd.nextInt(50).toLong))
+    val right = (0 until 150).map(i =>
+      (rnd.nextInt(20).toLong, rnd.nextInt(50).toLong, (1000 + i).toLong))
+    val out = AsOfJoin.asOf(
+        left.toDF("id", "k", "ts"), right.toDF("k", "ts", "v"),
+        Seq("k"), "ts", "ts", "v", "v", "m")
+      .collect().map(r => r.getLong(0) -> Option(r.get(3))).toMap
+    left.foreach { case (id, k, ts) =>
+      val expect = right.filter(r => r._1 == k && r._2 <= ts)
+        .sortBy(r => (r._2, r._3)).lastOption.map(_._3)
+      assert(out(id) == expect, s"id=$id k=$k ts=$ts")
+    }
+  }
+
+  test("jaccard pairs match a naive reference on a randomized corpus") {
+    import spark.implicits._
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+    val rnd = new scala.util.Random(11)
+    val base = (0 until 40).map(i =>
+      (i.toLong, Seq.fill(8 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+    // plant 10 near-duplicates: copy with one word appended
+    val planted = (0 until 10).map(i =>
+      (100L + i, base(i)._2 + " " + vocab(rnd.nextInt(vocab.size))))
+    val docs = base ++ planted
+    def shingleSet(t: String): Set[String] =
+      t.split(" ").sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    val expect = (for {
+      (ia, ta) <- docs; (ib, tb) <- docs if ia < ib
+      sa = shingleSet(ta); sb = shingleSet(tb)
+      if sa.nonEmpty && sb.nonEmpty
+      j = (sa & sb).size.toDouble / (sa | sb).size
+      if j >= 0.5
+    } yield (ia, ib)).toSet
+    val got = pairSet(Dedup.ngramJaccardPairs(
+      docs.toDF("doc_id", "text"), "doc_id", "text", 3, 0.5))
+    assert(got == expect, s"missing=${expect -- got} extra=${got -- expect}")
+  }
+
   test("lang-id predicts real-language samples") {
     import spark.implicits._
     val samples = Seq(
