@@ -16,11 +16,17 @@ final case class WelfordBuf(n: Long, mean: Double, m2: Double)
  * Built-in `var_samp` covers production needs; this exists to keep the
  * extension point exercised and tested, not to replace the built-in.
  */
-object WelfordVariance extends Aggregator[Double, WelfordBuf, java.lang.Double] {
+object WelfordVariance
+    extends Aggregator[java.lang.Double, WelfordBuf, java.lang.Double] {
 
   override def zero: WelfordBuf = WelfordBuf(0L, 0.0, 0.0)
 
-  override def reduce(b: WelfordBuf, x: Double): WelfordBuf = {
+  // boxed input so NULLs arrive as null and are SKIPPED, matching SQL
+  // aggregate semantics (a primitive Double encoder would decode NULL
+  // as 0.0 and count it as a sample)
+  override def reduce(b: WelfordBuf, boxed: java.lang.Double): WelfordBuf = {
+    if (boxed == null) return b
+    val x = boxed.doubleValue()
     val n = b.n + 1
     val d = x - b.mean
     val mean = b.mean + d / n

@@ -161,12 +161,17 @@ object Dedup {
           struct(lit(t).as("table"), key.as("key"))
         }: _*)).as("bk"))
         .select(col(out), col(s"_e_$out"), col("bk.table"), col("bk.key"))
+    // threshold applies to the UNROUNDED cosine (the oracle filters raw
+    // too — filtering after round() would admit boundary pairs like
+    // 0.89996→0.9000 that the oracle rejects); dedup on the raw value,
+    // which is deterministic per pair, then round for output only.
     bucketed("da").join(bucketed("db"), Seq("table", "key"))
       .filter(col("da") < col("db"))
       .select(col("da"), col("db"),
-        round(Similarity.cosine(col("_e_da"), col("_e_db")), 4).as("sim"))
+        Similarity.cosine(col("_e_da"), col("_e_db")).as("_sim"))
       .distinct()
-      .filter(col("sim") >= threshold)
+      .filter(col("_sim") >= threshold)
+      .select(col("da"), col("db"), round(col("_sim"), 4).as("sim"))
   }
 
   /**

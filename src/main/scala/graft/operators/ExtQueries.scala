@@ -59,9 +59,11 @@ object ExtQueries {
     "list_reduce(list_prepend(CAST(0 AS BIGINT), [ascii(w)+length(w) for w in string_split(text,' ')]), (a,b) -> (a*31+b) % 1000000007)"
 
   /** Deterministic total-order sort key for min_by/max_by over (value,
-    * event_id) — values are exact 2-decimal doubles, so the fixed-width
-    * print is collation-safe in both engines. */
-  private val sortKeyFmt = "%012.2f|%012d"
+    * event_id). The value is shifted by +1e9 before fixed-width printing
+    * so the lexicographic order equals numeric order for ANY value in
+    * (-1e9, 9e9) — a bare `%012.2f` inverts for negatives. Identical
+    * printf semantics in Spark's format_string and DuckDB's printf. */
+  private val sortKeyFmt = "%020.4f|%012d"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- dedup ---------------------------------------------------------
@@ -80,7 +82,7 @@ object ExtQueries {
 
     // -- built-in inventory gaps --------------------------------------
     "q27_arg_minmax" -> ((s, d) => {
-      val key = format_string(sortKeyFmt, col("value"), col("event_id"))
+      val key = format_string(sortKeyFmt, col("value") + 1e9, col("event_id"))
       CoreQueries.events(s, d)
         .groupBy("event_type")
         .agg(min_by(col("event_id"), key).as("lo_id"),
@@ -273,7 +275,7 @@ object ExtQueries {
     // reproduce the brute-force blocked result at full recall
     "q40_minhash_dedup" -> jaccardPairsSql,
     "q27_arg_minmax" ->
-      s"SELECT event_type, arg_min(event_id, printf('$sortKeyFmt', value, event_id)) AS lo_id, arg_max(event_id, printf('$sortKeyFmt', value, event_id)) AS hi_id, count(*) AS cnt FROM events GROUP BY event_type ORDER BY event_type",
+      s"SELECT event_type, arg_min(event_id, printf('$sortKeyFmt', value + 1e9, event_id)) AS lo_id, arg_max(event_id, printf('$sortKeyFmt', value + 1e9, event_id)) AS hi_id, count(*) AS cnt FROM events GROUP BY event_type ORDER BY event_type",
     "q28_cube" ->
       "SELECT l_returnflag, l_linestatus, count(*) cnt, round(sum(l_quantity),4) sq FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus) ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST",
     "q29_except" ->

@@ -201,7 +201,9 @@ object Fingerprint {
     }
     out = stripTrailingSemis(out)
     out = CallStmt.replaceAllIn(out, m => "call " + java.util.regex.Matcher.quoteReplacement(m.group(1)))
-    if (out.startsWith("use ") || out == "use ?") "use ?" else out
+    // any USE statement (with space or backtick-glued db name) → use ?
+    if (out == "use" || out.startsWith("use ") || out.startsWith("use`")) "use ?"
+    else out
   }
 
   private def stripTrailingSemis(s: String): String = {
@@ -210,13 +212,21 @@ object Fingerprint {
     s.substring(0, e)
   }
 
-  /** Digest id: first 16 hex chars of the uppercase MD5 of the fingerprint
-    * (SURVEY.md §2.1 R8). Column-level equivalent:
-    * `upper(substring(md5(fp), 1, 16))`. */
+  private val md5Local = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  /** Digest id: the LAST 16 hex chars of the uppercase MD5 of the
+    * fingerprint — pt-query-digest's `make_checksum` is
+    * `uc substr(md5_hex($fp), -16)` and go-mysql's `query.Id` takes MD5
+    * bytes 8..16, both the second half. (Round-2 correction: SURVEY.md
+    * §2.1 R8's unverified `[U:]` reconstruction said "first 16".)
+    * Column-level equivalent: `upper(substring(md5(fp), 17, 16))`. */
   def digestId(fp: String): String = {
-    val md = MessageDigest.getInstance("MD5")
+    val md = md5Local.get()
+    md.reset()
     md.digest(fp.getBytes("UTF-8"))
-      .take(8)
+      .drop(8)
       .map(b => f"$b%02X")
       .mkString
   }

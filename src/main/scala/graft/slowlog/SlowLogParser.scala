@@ -48,14 +48,44 @@ object SlowLogParser {
   def parseString(text: String, baseOffset: Long = 0L): Vector[SlowLogEvent] =
     parseLines(linesWithOffsets(text, baseOffset)).toVector
 
-  /** Lines of `text` paired with the UTF-8 byte offset of each line start. */
-  def linesWithOffsets(text: String, baseOffset: Long = 0L): Iterator[(Long, String)] = {
-    var off = baseOffset
-    text.linesIterator.map { line =>
-      val o = off
-      off += line.getBytes("UTF-8").length + 1L
-      (o, line)
+  /** Lines of `text` paired with the UTF-8 byte offset of each line
+    * start. Hand-rolled split so CRLF terminators advance the offset by
+    * their true 2 bytes (linesIterator + len+1 drifts one byte per CRLF
+    * line, corrupting the resume offsets). */
+  def linesWithOffsets(text: String, baseOffset: Long = 0L): Iterator[(Long, String)] =
+    new Iterator[(Long, String)] {
+      private var pos = 0
+      private var off = baseOffset
+      override def hasNext: Boolean = pos < text.length
+      override def next(): (Long, String) = {
+        val start = pos
+        val startOff = off
+        val nl = text.indexOf('\n', pos)
+        val lineEnd = if (nl < 0) text.length else nl
+        val contentEnd =
+          if (lineEnd > start && text.charAt(lineEnd - 1) == '\r') lineEnd - 1
+          else lineEnd
+        val line = text.substring(start, contentEnd)
+        pos = if (nl < 0) text.length else nl + 1
+        off = startOff + utf8Len(text, start, lineEnd) +
+          (if (nl < 0) 0L else 1L)
+        (startOff, line)
+      }
     }
+
+  /** UTF-8 byte length of text[from, until) without allocating. */
+  private def utf8Len(s: String, from: Int, until: Int): Long = {
+    var i = from
+    var n = 0L
+    while (i < until) {
+      val c = s.charAt(i)
+      n += (if (c < 0x80) 1
+            else if (c < 0x800) 2
+            else if (Character.isHighSurrogate(c)) { i += 1; 4 }
+            else 3)
+      i += 1
+    }
+    n
   }
 
   /**

@@ -38,8 +38,10 @@ object SlowLogTable {
 
   val fingerprintUdf = udf((q: String) => Fingerprint.fingerprint(q))
 
-  /** `digest` column from a fingerprint column — built-ins only. */
-  def digestCol(fp: Column): Column = upper(substring(md5(fp), 1, 16))
+  /** `digest` column from a fingerprint column — built-ins only. Last 16
+    * hex chars of the MD5, matching pt-query-digest's checksum (see
+    * [[Fingerprint.digestId]]). */
+  def digestCol(fp: Column): Column = upper(substring(md5(fp), 17, 16))
 
   /** Register `fingerprint` / `digest_id` for Spark SQL use. */
   def registerFunctions(spark: SparkSession): Unit = {

@@ -21,7 +21,9 @@ class FunctionsSpec extends AnyFunSuite with SparkTestSession {
   test("Welford handles tiny groups (n<2 -> null, matching var_samp)") {
     import spark.implicits._
     val welford = udaf(WelfordVariance)
-    val rows = Seq(("a", 1.0), ("b", 2.0), ("b", 4.0)).toDF("k", "x")
+    val rows = Seq(("a", Some(1.0)), ("b", Some(2.0)), ("b", Some(4.0)),
+        ("b", None)) // NULL input must be skipped, not counted as 0.0
+      .toDF("k", "x")
       .groupBy("k").agg(welford(col("x")).as("v"))
       .collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
     assert(rows("a").isEmpty)

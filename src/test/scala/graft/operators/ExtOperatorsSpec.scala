@@ -199,4 +199,15 @@ class ExtOperatorsSpec extends AnyFunSuite with SparkTestSession {
     // cross-checked against DuckDB list_reduce this session
     assert(rows(1).getLong(1) == 108714L)
   }
+
+  test("rollingFingerprint uses code points (ascii parity with DuckDB)") {
+    import spark.implicits._
+    // 'é' = U+00E9 = 233 in BOTH Spark ascii() and DuckDB ascii()
+    // (empirically verified; a first-BYTE semantic would give -61).
+    // words: "été" -> 233+3=236, "fête" -> 102+4=106; fold: 236*31+106
+    val got = Seq("été fête").toDF("text")
+      .select(TextAnalysis.rollingFingerprint(col("text")))
+      .collect().head.getLong(0)
+    assert(got == 236L * 31 + 106)
+  }
 }

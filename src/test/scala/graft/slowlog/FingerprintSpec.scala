@@ -138,10 +138,10 @@ class FingerprintSpec extends AnyFunSuite {
     }
   }
 
-  test("digest equals first 16 of uppercase MD5") {
+  test("digest equals LAST 16 of uppercase MD5 (pt make_checksum contract)") {
     val d = digestId("select ?")
     assert(d == java.security.MessageDigest.getInstance("MD5")
       .digest("select ?".getBytes("UTF-8"))
-      .map(b => f"$b%02X").mkString.take(16))
+      .map(b => f"$b%02X").mkString.takeRight(16))
   }
 }

@@ -187,6 +187,28 @@ class SlowLogParserSpec extends AnyFunSuite {
     assert(text.substring(evs(2).offset.toInt).startsWith("# Time: 2024-01-15T10:00:03"))
   }
 
+  test("CRLF log: parsing works and offsets count the 2-byte terminators") {
+    val lf =
+      """# Time: 2024-01-15T10:00:01.000000Z
+        |# User@Host: a[a] @ h []
+        |# Query_time: 0.010000  Lock_time: 0.000000 Rows_sent: 1  Rows_examined: 1
+        |SELECT 1;
+        |# Time: 2024-01-15T10:00:02.000000Z
+        |# User@Host: a[a] @ h []
+        |# Query_time: 0.010000  Lock_time: 0.000000 Rows_sent: 1  Rows_examined: 1
+        |SELECT 2;
+        |""".stripMargin
+    val crlf = lf.replace("\n", "\r\n")
+    val evs = SlowLogParser.parseString(crlf)
+    assert(evs.size == 2)
+    assert(evs.map(_.query) == Vector("SELECT 1", "SELECT 2"))
+    // second event's offset points at its # Time: line in BYTES (CRLF=2)
+    val bytes = crlf.getBytes("UTF-8")
+    val at = new String(bytes, evs(1).offset.toInt,
+      math.min(8, bytes.length - evs(1).offset.toInt), "UTF-8")
+    assert(at == "# Time: ", s"offset ${evs(1).offset} points at '$at'")
+  }
+
   test("ISO # Time: with zone offset and no SET timestamp keeps micros") {
     val log =
       """# Time: 2024-01-15T12:00:01.123456+02:00
