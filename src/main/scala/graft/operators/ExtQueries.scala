@@ -256,6 +256,58 @@ object ExtQueries {
         .orderBy("event_id")
     }),
 
+    // distribution windows: ntile / percent_rank / cume_dist over a
+    // total order, aggregated per tile
+    "q47_window_distribution" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("value", "event_id")
+      CoreQueries.events(s, d)
+        .select(col("event_type"),
+          ntile(4).over(w).cast("long").as("tile"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+        .groupBy("event_type", "tile")
+        .agg(count(lit(1)).as("cnt"),
+          round(max("pr"), 6).as("mpr"), round(max("cd"), 6).as("mcd"))
+        .orderBy("event_type", "tile")
+    }),
+
+    "q48_string_more" -> ((s, d) =>
+      t(s, d, "part").selectExpr(
+          "p_partkey",
+          "lpad(p_brand, 12, '0') lp",
+          "rpad(p_brand, 12, '_') rp",
+          "reverse(p_name) rev",
+          "split_part(p_type, ' ', 1) t1",
+          "left(p_name, 3) l3",
+          "right(p_name, 3) r3",
+          "trim(concat(' ', p_brand, ' ')) tr")
+        .orderBy("p_partkey")),
+
+    "q49_math_fns" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_orderkey") < 100)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(pow(col("l_quantity"), 2), 4).as("p2"),
+          round(log(col("l_quantity") + 1), 6).as("lg"),
+          signum(col("l_discount") - 0.05).cast("long").as("sg"),
+          (col("l_orderkey") % 7).as("md"),
+          floor(col("l_quantity")).cast("long").as("fl"),
+          round(sqrt(col("l_extendedprice")), 6).as("sq"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // dow: Spark dayofweek is 1=Sunday..7, DuckDB date_part('dow') is
+    // 0=Sunday..6 — aligned by subtracting 1 on the Spark side.
+    "q50_date_more" -> ((s, d) =>
+      t(s, d, "orders")
+        .select(col("o_orderkey"),
+          last_day(col("o_orderdate")).as("ld"),
+          datediff(col("o_orderdate"), lit("1992-01-01").cast("date"))
+            .cast("long").as("dd"),
+          dayofyear(col("o_orderdate")).cast("long").as("doy"),
+          (dayofweek(col("o_orderdate")) - 1).cast("long").as("dow"))
+        .orderBy("o_orderkey")),
+
     // typed Aggregator (UDAF surface): Welford sample variance vs the
     // oracle's var_samp — numerically stable partial/merge split.
     "q44_variance_udaf" -> ((s, d) => {
@@ -315,6 +367,14 @@ object ExtQueries {
       "SELECT l_returnflag, l_linestatus, count(*) cnt FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus)) ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST",
     "q44_variance_udaf" ->
       "SELECT event_type, round(var_samp(value), 2) vs, count(*) cnt FROM events GROUP BY event_type ORDER BY event_type",
+    "q47_window_distribution" ->
+      "SELECT event_type, tile, count(*) cnt, round(max(pr),6) mpr, round(max(cd),6) mcd FROM (SELECT event_type, ntile(4) OVER w tile, percent_rank() OVER w pr, cume_dist() OVER w cd FROM events WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)) t GROUP BY event_type, tile ORDER BY event_type, tile",
+    "q48_string_more" ->
+      "SELECT p_partkey, lpad(p_brand,12,'0') lp, rpad(p_brand,12,'_') rp, reverse(p_name) rev, split_part(p_type,' ',1) t1, left(p_name,3) l3, right(p_name,3) r3, trim(concat(' ',p_brand,' ')) tr FROM part ORDER BY p_partkey",
+    "q49_math_fns" ->
+      "SELECT l_orderkey, l_linenumber, round(power(l_quantity,2),4) p2, round(ln(l_quantity+1),6) lg, CAST(sign(l_discount - 0.05) AS BIGINT) sg, l_orderkey % 7 md, CAST(floor(l_quantity) AS BIGINT) fl, round(sqrt(l_extendedprice),6) sq FROM lineitem WHERE l_orderkey < 100 ORDER BY l_orderkey, l_linenumber",
+    "q50_date_more" ->
+      "SELECT o_orderkey, last_day(CAST(o_orderdate AS DATE)) ld, CAST(datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) dd, CAST(date_part('doy', o_orderdate) AS BIGINT) doy, CAST(date_part('dow', o_orderdate) AS BIGINT) dow FROM orders ORDER BY o_orderkey",
     // same union+window formulation as the Spark operator (ties: clicks
     // before errors at equal ts, then by event id)
     "q46_asof_join" ->
