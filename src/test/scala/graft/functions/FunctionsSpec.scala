@@ -30,6 +30,26 @@ class FunctionsSpec extends AnyFunSuite with SparkTestSession {
     assert(math.abs(rows("b").get.asInstanceOf[Double] - 2.0) < 1e-12)
   }
 
+  test("TopKSketch finds heavy hitters across partitions within error bounds") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    // skewed stream: 3 heavy items + uniform noise tail
+    val items = Seq.fill(1200)("alpha") ++ Seq.fill(700)("beta") ++
+      Seq.fill(400)("gamma") ++ Seq.fill(900)(s"noise${rnd.nextInt(300)}")
+    val df = rnd.shuffle(items).toDF("item").repartition(8) // force merges
+    val topk = udaf(TopKSketch(5))
+    val out = df.agg(topk(col("item")).as("top")).collect().head
+      .getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // the three true heavy hitters lead, in order
+    assert(out.take(3).map(_._1) == Seq("alpha", "beta", "gamma"), out.toString)
+    // counts overestimate by at most the reported error
+    val exact = Map("alpha" -> 1200L, "beta" -> 700L, "gamma" -> 400L)
+    out.take(3).foreach { case (i, c, e) =>
+      assert(c >= exact(i) && c - e <= exact(i), s"$i: c=$c e=$e")
+    }
+  }
+
   test("Amplify replicates n-fold without shuffling the amplified side") {
     val df = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
     val amp = Amplify(df, 7)
