@@ -211,13 +211,16 @@ object ExtQueries {
     }),
 
     // SimHash fingerprints: xxhash64 has no DuckDB twin → rows-only.
-    "q42_simhash" -> ((s, d) =>
-      t(s, d, "documents")
-        .select(col("lang"),
-          Dedup.simHash64(split(col("text"), " ")).as("sh"))
+    // Uses the corpus-scale explode+aggregate formulation (identical
+    // fingerprints to the per-row HOF version, tested).
+    "q42_simhash" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.simHash64Agg(docs, "doc_id", split(col("text"), " "))
+        .join(docs.select("doc_id", "lang"), "doc_id")
         .groupBy("lang")
         .agg(countDistinct(col("sh")).as("n_distinct"), count(lit(1)).as("cnt"))
-        .orderBy("lang")),
+        .orderBy("lang")
+    }),
 
     "q43_grouping_sets" -> ((s, d) =>
       t(s, d, "lineitem")

@@ -70,6 +70,15 @@ class ExtOperatorsSpec extends AnyFunSuite with SparkTestSession {
     assert(ranks.forall(r => r.getAs[Long]("n") == r.getAs[Long]("mx")))
   }
 
+  test("simhash: aggregate formulation equals the per-row HOF version") {
+    val viaHof = docs.select(col("doc_id"),
+        Dedup.simHash64(split(col("text"), " ")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaAgg = Dedup.simHash64Agg(docs, "doc_id", split(col("text"), " "))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaAgg == viaHof)
+  }
+
   test("simhash: near-duplicates are closer in hamming distance than strangers") {
     val top = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
       .orderBy(col("jac").desc, col("da")).limit(1).collect().head
