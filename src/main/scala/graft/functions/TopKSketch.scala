@@ -39,9 +39,16 @@ final class TopKSketch(k: Int, capacity: Int)
   }
 
   override def merge(a: Map[String, (Long, Long)], b: Map[String, (Long, Long)]): Map[String, (Long, Long)] = {
+    // Mergeable-summaries rule (Agarwal et al.): an item absent from a
+    // FULL summary may have been evicted with count up to that summary's
+    // minimum counter, so credit min as both count and error — treating
+    // absence as 0 would let merged counts UNDERstate true frequencies.
+    def minOf(m: Map[String, (Long, Long)]): Long =
+      if (m.size < capacity) 0L else m.valuesIterator.map(_._1).min
+    val (minA, minB) = (minOf(a), minOf(b))
     val combined = (a.keySet ++ b.keySet).iterator.map { i =>
-      val (ca, ea) = a.getOrElse(i, (0L, 0L))
-      val (cb, eb) = b.getOrElse(i, (0L, 0L))
+      val (ca, ea) = a.getOrElse(i, (minA, minA))
+      val (cb, eb) = b.getOrElse(i, (minB, minB))
       i -> (ca + cb, ea + eb)
     }.toMap
     if (combined.size <= capacity) combined

@@ -39,6 +39,17 @@ object AsOfJoin {
     // null only on left placeholder rows, so a right row whose payload
     // column is genuinely NULL still counts as the latest match (a bare
     // last(_val, ignoreNulls) would skip it and attach a stale value).
+    // SQL semantics for the predicate (r.key = l.key AND r.ts <= l.ts):
+    // a right row with a NULL key or NULL ts can never match — drop them
+    // up front (the window would otherwise group NULL keys together and
+    // sort NULL ts first, fabricating matches). Left rows with NULL key
+    // or ts need no special handling: their partition then holds no
+    // right rows / the null-first sort puts them before every right row,
+    // so they naturally get a null match.
+    val matchableRight =
+      keys.foldLeft(right.filter(col(rightTs).isNotNull))(
+        (df, k) => df.filter(col(k).isNotNull))
+
     val l = left.select(
       keyCols :+
         col(leftTs).as("_ts") :+
@@ -47,7 +58,7 @@ object AsOfJoin {
           .add("v", right.schema(rightVal).dataType)).as("_m") :+
         lit(null).cast(tieType).as("_tie") :+
         struct(left.columns.map(col): _*).as("_row"): _*)
-    val r = right.select(
+    val r = matchableRight.select(
       keyCols :+
         col(rightTs).as("_ts") :+
         lit(0).as("_side") :+

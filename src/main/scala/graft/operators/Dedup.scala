@@ -89,8 +89,11 @@ object Dedup {
    */
   def minHashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, numHashes: Int): DataFrame =
-    shingles(docs, idCol, textCol, n)
-      .groupBy(col(idCol))
+    signaturesFromShingles(shingles(docs, idCol, textCol, n), idCol, numHashes)
+
+  private def signaturesFromShingles(sh: DataFrame, idCol: String,
+                                     numHashes: Int): DataFrame =
+    sh.groupBy(col(idCol))
       .agg(array((0 until numHashes).map(i =>
         min(xxhash64(col("shingle"), lit(i)))): _*).as("sig"))
 
@@ -102,9 +105,14 @@ object Dedup {
    */
   def minHashCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
                             n: Int = 3, numHashes: Int = 32,
-                            rowsPerBand: Int = 2): DataFrame = {
+                            rowsPerBand: Int = 2): DataFrame =
+    candidatesFromShingles(shingles(docs, idCol, textCol, n), idCol,
+      numHashes, rowsPerBand)
+
+  private def candidatesFromShingles(sh: DataFrame, idCol: String,
+                                     numHashes: Int, rowsPerBand: Int): DataFrame = {
     val bands = numHashes / rowsPerBand
-    val sigs = minHashSignatures(docs, idCol, textCol, n, numHashes)
+    val sigs = signaturesFromShingles(sh, idCol, numHashes)
     val banded = sigs.select(col(idCol), explode(array((0 until bands).map(bnd =>
       struct(lit(bnd).as("band"),
         xxhash64(lit(bnd), slice(col("sig"), bnd * rowsPerBand + 1, rowsPerBand))
@@ -129,9 +137,11 @@ object Dedup {
   def minHashDedupPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.6,
                         numHashes: Int = 32, rowsPerBand: Int = 2): DataFrame = {
+    // one shingle frame feeds signatures, counts, AND overlap — the
+    // candidate path must not re-shingle the corpus per branch
     val sh = shingles(docs, idCol, textCol, n)
     val counts = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
-    val cand = minHashCandidatePairs(docs, idCol, textCol, n, numHashes, rowsPerBand)
+    val cand = candidatesFromShingles(sh, idCol, numHashes, rowsPerBand)
     val overlap = cand
       .join(sh.select(col(idCol).as("da"), col("shingle")), "da")
       .join(sh.select(col(idCol).as("db"), col("shingle")), Seq("db", "shingle"))

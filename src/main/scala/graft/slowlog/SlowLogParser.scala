@@ -37,7 +37,10 @@ object SlowLogParser {
     """^#\s+Time:\s+(\d{6})\s+(\d{1,2}):(\d{2}):(\d{2})(?:\.(\d+))?\s*$""".r
   private val UserHost =
     """^#\s+User@Host:\s*([^\[\s]*)(?:\[([^\]]*)\])?\s*@\s*([^\s\[]*)\s*(?:\[([^\]]*)\])?(?:.*?\bId:\s*(\d+))?\s*$""".r
-  private val MetricPair = """(\w+):\s*(\S+)""".r
+  // value must not itself be the next `Key:` token — an EMPTY value
+  // (`# Schema:  Last_errno: 0`, the normal shape when no default db is
+  // selected) must not swallow the following key as its value
+  private val MetricPair = """(\w+):[ \t]*(?!\w+:)(\S+)""".r
   private val SetTimestamp = """(?i)^\s*SET\s+timestamp\s*=\s*(\d+)\s*;?\s*$""".r
   private val UseDb = """(?i)^\s*use\s+`?([\w$]+)`?\s*;?\s*$""".r
   private val IntVal = """[+-]?\d+""".r
@@ -49,9 +52,9 @@ object SlowLogParser {
     parseLines(linesWithOffsets(text, baseOffset)).toVector
 
   /** Lines of `text` paired with the UTF-8 byte offset of each line
-    * start. Hand-rolled split so CRLF terminators advance the offset by
-    * their true 2 bytes (linesIterator + len+1 drifts one byte per CRLF
-    * line, corrupting the resume offsets). */
+    * start. Hand-rolled split handling \n, \r\n, and lone \r terminators
+    * with true byte accounting (linesIterator + len+1 drifted one byte
+    * per CRLF line, corrupting the resume offsets). */
   def linesWithOffsets(text: String, baseOffset: Long = 0L): Iterator[(Long, String)] =
     new Iterator[(Long, String)] {
       private var pos = 0
@@ -60,15 +63,18 @@ object SlowLogParser {
       override def next(): (Long, String) = {
         val start = pos
         val startOff = off
-        val nl = text.indexOf('\n', pos)
-        val lineEnd = if (nl < 0) text.length else nl
-        val contentEnd =
-          if (lineEnd > start && text.charAt(lineEnd - 1) == '\r') lineEnd - 1
-          else lineEnd
-        val line = text.substring(start, contentEnd)
-        pos = if (nl < 0) text.length else nl + 1
-        off = startOff + utf8Len(text, start, lineEnd) +
-          (if (nl < 0) 0L else 1L)
+        var i = pos
+        while (i < text.length && text.charAt(i) != '\n' && text.charAt(i) != '\r')
+          i += 1
+        val line = text.substring(start, i)
+        // consume the terminator: \r\n as one, else single \n or \r
+        val termLen =
+          if (i >= text.length) 0
+          else if (text.charAt(i) == '\r' && i + 1 < text.length &&
+                   text.charAt(i + 1) == '\n') 2
+          else 1
+        pos = i + termLen
+        off = startOff + utf8Len(text, start, i) + termLen
         (startOff, line)
       }
     }

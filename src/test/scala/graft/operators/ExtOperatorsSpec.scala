@@ -184,6 +184,18 @@ class ExtOperatorsSpec extends AnyFunSuite with SparkTestSession {
     assert(got == expect, s"missing=${expect -- got} extra=${got -- expect}")
   }
 
+  test("as-of join: NULL right keys/ts never fabricate matches") {
+    import spark.implicits._
+    val left = Seq((1L, 1L, 5L)).toDF("id", "k", "ts")
+    val right = Seq(
+      (Some(1L), None: Option[Long], 99L), // null ts: r.ts <= l.ts is false
+      (None: Option[Long], Some(3L), 98L)) // null key: never equi-matches
+      .toDF("k", "ts", "v")
+    val out = AsOfJoin.asOf(left, right, Seq("k"), "ts", "ts", "v", "v", "m")
+      .collect()
+    assert(out.length == 1 && out.head.isNullAt(3), out.mkString)
+  }
+
   test("lang-id predicts real-language samples") {
     import spark.implicits._
     val samples = Seq(

@@ -187,6 +187,33 @@ class SlowLogParserSpec extends AnyFunSuite {
     assert(text.substring(evs(2).offset.toInt).startsWith("# Time: 2024-01-15T10:00:03"))
   }
 
+  test("empty Schema value does not swallow the next metric key") {
+    val log =
+      """# Time: 2024-01-15T10:00:01.000000Z
+        |# User@Host: a[a] @ h []
+        |# Query_time: 0.010000  Lock_time: 0.000000 Rows_sent: 1  Rows_examined: 1
+        |# Thread_id: 10 Schema:  Last_errno: 3  Killed: 0
+        |SELECT 1;
+        |""".stripMargin
+    val e = SlowLogParser.parseString(log).head
+    assert(e.db == null) // empty Schema = no default db
+    assert(e.numberMetrics("Last_errno") == 3L)
+    assert(e.numberMetrics("Killed") == 0L)
+    assert(e.numberMetrics("Thread_id") == 10L)
+  }
+
+  test("lone-\\r (legacy Mac) line terminators parse like \\n") {
+    val lf =
+      """# Time: 2024-01-15T10:00:01.000000Z
+        |# User@Host: a[a] @ h []
+        |# Query_time: 0.010000  Lock_time: 0.000000 Rows_sent: 1  Rows_examined: 1
+        |SELECT 1;
+        |""".stripMargin
+    val evs = SlowLogParser.parseString(lf.replace("\n", "\r"))
+    assert(evs.size == 1)
+    assert(evs.head.query == "SELECT 1")
+  }
+
   test("CRLF log: parsing works and offsets count the 2-byte terminators") {
     val lf =
       """# Time: 2024-01-15T10:00:01.000000Z
