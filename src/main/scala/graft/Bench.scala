@@ -52,17 +52,28 @@ object Bench {
   }
 
   /** Events/second through scan → parse → fingerprint+digest → wide
-    * flatten (a noop write materializes every row). */
+    * flatten (a noop write materializes every row). eps is computed from
+    * the count actually WRITTEN (files × events/files, integer division)
+    * so a non-divisible `events` cannot skew the rate. */
   private def benchIngest(spark: org.apache.spark.sql.SparkSession, events: Int): Double = {
-    val dir = ingestLog(events)
-    def run(): Unit =
-      graft.slowlog.SlowLogTable.flatten(
-        graft.slowlog.SlowLogSource.readRaw(spark, dir.toString))
-        .write.format("noop").mode("overwrite").save()
-    run() // warm-up
-    val t0 = System.nanoTime()
-    run()
-    events / ((System.nanoTime() - t0) / 1e9)
+    val files = 16
+    val written = (events / files).toLong * files
+    val dir = ingestLog(events, files)
+    try {
+      def run(): Unit =
+        graft.slowlog.SlowLogTable.flatten(
+          graft.slowlog.SlowLogSource.readRaw(spark, dir.toString))
+          .write.format("noop").mode("overwrite").save()
+      run() // warm-up
+      val t0 = System.nanoTime()
+      run()
+      written / ((System.nanoTime() - t0) / 1e9)
+    } finally {
+      val entries = java.nio.file.Files.list(dir)
+      try entries.forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally entries.close()
+      java.nio.file.Files.deleteIfExists(dir)
+    }
   }
 
   def main(args: Array[String]): Unit = {

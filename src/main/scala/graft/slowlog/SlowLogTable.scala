@@ -14,8 +14,9 @@ import org.apache.spark.sql.functions._
  * `String => String` and deliberately kept regex-free in the hot path so
  * it can be lifted into a codegen'd Catalyst Expression if the bench
  * shows it dominating ingest (SURVEY.md §7 decision ledger). The digest
- * is pure built-ins (`upper(substring(md5(fp), 1, 16))`) and stays inside
- * whole-stage codegen.
+ * is pure built-ins (`upper(substring(md5(fp), 17, 16))` — the last 16
+ * hex chars, pt make_checksum semantics) and stays inside whole-stage
+ * codegen.
  */
 object SlowLogTable {
 

@@ -44,7 +44,10 @@ object SlowLogStream {
   /** Restore the record-separator prefix when the record starts with a
     * bare timestamp value. Exposed for the parser-parity test. */
   def restoreHeader(record: String): String = {
-    val firstLine = record.takeWhile(_ != '\n')
+    // strip a trailing '\r' too: java regex '.' excludes line terminators,
+    // so a CRLF log would otherwise never match TsStart and silently lose
+    // its '# Time:' header (the batch parser handles CRLF; keep parity)
+    val firstLine = record.takeWhile(c => c != '\n' && c != '\r')
     firstLine match {
       case TsStart(_) => "# Time: " + record
       case _ => record

@@ -40,6 +40,19 @@ class SlowLogStreamSpec extends AnyFunSuite with SparkTestSession {
     assert(streamed.map(_.ts).toSeq == whole.map(_.ts).toSeq)
   }
 
+  test("restoreHeader: CRLF records keep their Time header (batch parity)") {
+    val text = SlowLogFixtures.slow001.replace("\n", "\r\n")
+    val whole = SlowLogParser.parseString(text)
+    // the streaming lineSep "\n# Time: " leaves a post-delimiter record
+    // starting with the bare timestamp value followed by "\r\n..."
+    val records = text.split("\n# Time: ", -1)
+    val streamed = records.flatMap(r =>
+      SlowLogParser.parseString(SlowLogStream.restoreHeader(r)))
+    assert(streamed.length == whole.length)
+    assert(streamed.map(_.ts).toSeq == whole.map(_.ts).toSeq)
+    assert(streamed.forall(_.ts != null))
+  }
+
   test("checkpoint resume: restarted query processes only new files (offset parity)") {
     val logDir = tempDir("graft-stream-in")
     val ckpt = tempDir("graft-stream-ckpt").toString
