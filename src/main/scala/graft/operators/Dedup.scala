@@ -207,6 +207,38 @@ object Dedup {
   }
 
   /**
+   * Oracle-checkable SimHash variant: the 64-bit token hash is the FIRST
+   * 16 hex chars of `md5(token)` (big-endian), so bit b lives in bit
+   * (b%4) of hex digit 16-(b/4); the fingerprint is emitted as a 16-char
+   * lowercase hex STRING assembled nibble-by-nibble — every piece
+   * (md5, substring, hex-digit decode, bitwise AND) exists in DuckDB
+   * too, so fingerprints hash-match end-to-end (q42). Same explode +
+   * flat bit-vote aggregate shape as [[simHash64Agg]]; keep the
+   * xxhash64 version for speed when no cross-engine oracle is needed.
+   * ExtQueries.simHashHexSql generates the DuckDB twin with the same
+   * index math.
+   */
+  def simHashHexAgg(docs: DataFrame, idCol: String, tokens: Column): DataFrame = {
+    val votes = (0 until 64).map { b =>
+      val digitPos = 16 - b / 4       // 1-based md5 hex digit holding bit b
+      val mask = 1 << (b % 4)
+      val nib = conv(substring(col("_h"), digitPos, 1), 16, 10).cast("int")
+      sum(when(nib.bitwiseAND(lit(mask)) =!= 0, 1).otherwise(-1)).as(s"_v$b")
+    }
+    val digits = (1 to 16).map { p =>
+      val v = (0 until 4).map(j =>
+        when(col(s"_v${(16 - p) * 4 + j}") > 0, lit(1 << j)).otherwise(lit(0)))
+        .reduce(_ + _)
+      lit("0123456789abcdef").substr(v + 1, lit(1))
+    }
+    docs.select(col(idCol), explode(tokens).as("_tok"))
+      .select(col(idCol), md5(col("_tok")).as("_h"))
+      .groupBy(col(idCol))
+      .agg(votes.head, votes.tail: _*)
+      .select(col(idCol), concat(digits: _*).as("sh"))
+  }
+
+  /**
    * 64-bit SimHash over a token array column: per-token xxhash64, per-bit
    * ±1 votes, fingerprint bit b set when the vote is positive. Pure
    * higher-order functions — stays inside whole-stage codegen.

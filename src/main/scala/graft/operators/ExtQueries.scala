@@ -45,15 +45,49 @@ object ExtQueries {
   private val cosSql: String =
     "list_sum(list_apply(list_zip(p.embedding, e.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (sqrt(list_sum(list_apply(p.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) * sqrt(list_sum(list_apply(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))))"
 
-  private val jaccardPairsSql: String =
-    """WITH docs AS (SELECT doc_id, string_split(text,' ') words FROM documents),
-      |sh AS (SELECT doc_id, unnest(list_distinct([array_to_string(words[i:i+2],' ') for i in range(1, len(words)-1)])) AS shingle FROM docs WHERE len(words) >= 3),
-      |cnt AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
-      |pairs AS (SELECT a.doc_id da, b.doc_id db, count(*) overlap FROM sh a JOIN sh b ON a.shingle=b.shingle AND a.doc_id<b.doc_id GROUP BY 1,2)
-      |SELECT da, db, round(overlap*1.0/(ca.n+cb.n-overlap),4) AS jac
-      |FROM pairs JOIN cnt ca ON da=ca.doc_id JOIN cnt cb ON db=cb.doc_id
-      |WHERE overlap*1.0/(ca.n+cb.n-overlap) >= 0.6
-      |ORDER BY da, db""".stripMargin.replace("\n", " ")
+  /** Shingle-blocked Jaccard-pairs oracle; with `maxShingleDf` set, the
+    * document-frequency cap is applied before counts AND overlap — the
+    * exact semantics of Dedup.ngramJaccardPairs(maxShingleDf=Some(cap)). */
+  private def jaccardSql(maxShingleDf: Option[Long]): String = {
+    val sh0 = "SELECT doc_id, unnest(list_distinct([array_to_string(words[i:i+2],' ') for i in range(1, len(words)-1)])) AS shingle FROM docs WHERE len(words) >= 3"
+    val shingleCte = maxShingleDf match {
+      case None => s"sh AS ($sh0)"
+      case Some(cap) =>
+        s"sh0 AS ($sh0), keep AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= $cap), sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN keep USING (shingle))"
+    }
+    s"WITH docs AS (SELECT doc_id, string_split(text,' ') words FROM documents), " +
+      s"$shingleCte, " +
+      "cnt AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1), " +
+      "pairs AS (SELECT a.doc_id da, b.doc_id db, count(*) overlap FROM sh a JOIN sh b ON a.shingle=b.shingle AND a.doc_id<b.doc_id GROUP BY 1,2) " +
+      "SELECT da, db, round(overlap*1.0/(ca.n+cb.n-overlap),4) AS jac " +
+      "FROM pairs JOIN cnt ca ON da=ca.doc_id JOIN cnt cb ON db=cb.doc_id " +
+      "WHERE overlap*1.0/(ca.n+cb.n-overlap) >= 0.6 " +
+      "ORDER BY da, db"
+  }
+  private val jaccardPairsSql: String = jaccardSql(None)
+
+  /** DuckDB twin of Dedup.simHashHexAgg — generated with the SAME index
+    * math (bit b = bit b%4 of md5 hex digit 16-b/4; fingerprint digit p
+    * assembles votes (16-p)*4 .. (16-p)*4+3), so the two engines cannot
+    * drift structurally. */
+  private val simHashHexSql: String = {
+    val votes = (0 until 64).map { b =>
+      val digitPos = 16 - b / 4
+      val mask = 1 << (b % 4)
+      s"sum(CASE WHEN ((strpos('0123456789abcdef', substr(h,$digitPos,1))-1) & $mask) != 0 THEN 1 ELSE -1 END) v$b"
+    }
+    val digits = (1 to 16).map { p =>
+      val terms = (0 until 4).map(j =>
+        s"(CASE WHEN v${(16 - p) * 4 + j} > 0 THEN ${1 << j} ELSE 0 END)")
+        .mkString(" + ")
+      s"substr('0123456789abcdef', ($terms) + 1, 1)"
+    }
+    "WITH toks AS (SELECT doc_id, md5(unnest(string_split(text,' '))) h FROM documents), " +
+      s"v AS (SELECT doc_id, ${votes.mkString(", ")} FROM toks GROUP BY doc_id), " +
+      s"f AS (SELECT doc_id, ${digits.mkString(" || ")} AS sh FROM v) " +
+      "SELECT d.lang, count(DISTINCT f.sh) AS n_distinct, min(f.sh) AS min_sh, count(*) AS cnt " +
+      "FROM f JOIN documents d USING (doc_id) GROUP BY d.lang ORDER BY d.lang"
+  }
 
   private val fpSql: String =
     "list_reduce(list_prepend(CAST(0 AS BIGINT), [ascii(w)+length(w) for w in string_split(text,' ')]), (a,b) -> (a*31+b) % 1000000007)"
@@ -210,15 +244,18 @@ object ExtQueries {
         .orderBy("probe_id", "rn")
     }),
 
-    // SimHash fingerprints: xxhash64 has no DuckDB twin → rows-only.
-    // Uses the corpus-scale explode+aggregate formulation (identical
-    // fingerprints to the per-row HOF version, tested).
+    // SimHash fingerprints, oracle-checked end-to-end: the md5-derived
+    // hex variant is expressible in BOTH engines, so min_sh proves the
+    // actual fingerprint VALUES match (not just their counts). The
+    // xxhash64 formulations (simHash64 / simHash64Agg) remain the speed
+    // path, proven equal to each other in the scalatest suite.
     "q42_simhash" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      Dedup.simHash64Agg(docs, "doc_id", split(col("text"), " "))
+      Dedup.simHashHexAgg(docs, "doc_id", split(col("text"), " "))
         .join(docs.select("doc_id", "lang"), "doc_id")
         .groupBy("lang")
-        .agg(countDistinct(col("sh")).as("n_distinct"), count(lit(1)).as("cnt"))
+        .agg(countDistinct(col("sh")).as("n_distinct"), min("sh").as("min_sh"),
+          count(lit(1)).as("cnt"))
         .orderBy("lang")
     }),
 
@@ -319,6 +356,56 @@ object ExtQueries {
         .groupBy("event_type")
         .agg(round(welford(col("value")), 2).as("vs"), count(lit(1)).as("cnt"))
         .orderBy("event_type")
+    }),
+
+    // Space-Saving heavy hitters (the QAN topK() analog) as a driver
+    // entry: item cardinality is bounded by 5 event types × 500 user-id
+    // residues = 2500 < capacity 4096, so the sketch never evicts and is
+    // EXACT (err = 0) — oracle-able as GROUP BY / ORDER BY count / LIMIT.
+    // The global agg over 32 input partitions exercises the Aggregator's
+    // partial/merge path, where the mergeable-summary credit rule lives.
+    "q51_topk_sketch" -> ((s, d) => {
+      val topk = udaf(new graft.functions.TopKSketch(10, 4096))
+      CoreQueries.events(s, d)
+        .select(concat_ws("|", col("event_type"), col("user_id") % 500)
+          .as("item"))
+        .agg(topk(col("item")).as("tk"))
+        .select(explode(col("tk")).as("t"))
+        .select(col("t.item").as("item"), col("t.count").as("cnt"),
+          col("t.err").as("err"))
+        .orderBy(col("cnt").desc, col("item"))
+    }),
+
+    // The 100 TB Jaccard path (SCALE.md §4): document-frequency-capped
+    // shingles bound the blocked join's Σ(bucket²) under Zipfian
+    // stop-shingles. Same generated oracle as q26 with the cap applied
+    // before counts AND overlap — proving the capped semantics are
+    // exactly oracle-expressible, not a lossy approximation knob.
+    "q52_jaccard_capped" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
+          n = 3, threshold = 0.6, maxShingleDf = Some(50L))
+        .orderBy("da", "db")),
+
+    // IVF-flat ANN, tolerance-as-contract (q34 pattern): per probe,
+    // recall of IVF top-3 vs the exact knnBatch top-3; ok = at least 2
+    // of 3 found with nprobe=8 of nlist=16 cells. KMeans cell
+    // assignments are seeded but not bit-stable, so the CONTRACT is the
+    // recall floor, never the neighbor identities.
+    "q53_ivf_recall" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val probes = emb.filter(col("vec_id") < 5)
+      val exact = Similarity.knnBatch(emb, probes, "vec_id", "embedding", k = 3)
+        .select(col("probe_id"), col("nn_id"))
+      val ivf = Similarity.ivfCosineTopK(emb, probes, "vec_id", "embedding",
+          k = 3, nlist = 16, nprobe = 8)
+        .select(col("probe_id"), col("nn_id"))
+      val hits = exact.join(ivf, Seq("probe_id", "nn_id"))
+        .groupBy("probe_id").agg(count(lit(1)).as("hits"))
+      probes.select(col("vec_id").as("probe_id"))
+        .join(hits, Seq("probe_id"), "left")
+        .select(col("probe_id"),
+          (coalesce(col("hits"), lit(0L)) >= 2).as("ok"))
+        .orderBy("probe_id")
     })
   )
 
@@ -370,6 +457,14 @@ object ExtQueries {
       "SELECT l_returnflag, l_linestatus, count(*) cnt FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus)) ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST",
     "q44_variance_udaf" ->
       "SELECT event_type, round(var_samp(value), 2) vs, count(*) cnt FROM events GROUP BY event_type ORDER BY event_type",
+    "q42_simhash" -> simHashHexSql,
+    // exact because capacity (4096) exceeds item cardinality (≤2500):
+    // the sketch never evicts, so counts are true counts and err = 0
+    "q51_topk_sketch" ->
+      "SELECT item, cnt, CAST(0 AS BIGINT) AS err FROM (SELECT event_type || '|' || CAST(user_id % 500 AS VARCHAR) AS item, count(*) AS cnt FROM events GROUP BY 1) t ORDER BY cnt DESC, item LIMIT 10",
+    "q52_jaccard_capped" -> jaccardSql(Some(50L)),
+    "q53_ivf_recall" ->
+      "SELECT vec_id AS probe_id, true AS ok FROM embeddings WHERE vec_id < 5 ORDER BY probe_id",
     "q47_window_distribution" ->
       "SELECT event_type, tile, count(*) cnt, round(max(pr),6) mpr, round(max(cd),6) mcd FROM (SELECT event_type, ntile(4) OVER w tile, percent_rank() OVER w pr, cume_dist() OVER w cd FROM events WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)) t GROUP BY event_type, tile ORDER BY event_type, tile",
     "q48_string_more" ->
@@ -379,8 +474,12 @@ object ExtQueries {
     "q50_date_more" ->
       "SELECT o_orderkey, last_day(CAST(o_orderdate AS DATE)) ld, CAST(datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) dd, CAST(date_part('doy', o_orderdate) AS BIGINT) doy, CAST(date_part('dow', o_orderdate) AS BIGINT) dow FROM orders ORDER BY o_orderkey",
     // same union+window formulation as the Spark operator (ties: clicks
-    // before errors at equal ts, then by event id)
+    // before errors at equal ts, then by event id). NULLS FIRST pins the
+    // null-ts ordering to Spark's default (nulls sort first ascending) —
+    // DuckDB defaults to NULLS LAST in window ORDER BY, which would
+    // attach the LAST click to a null-ts error instead of none. events.ts
+    // is never null today; this guards the formulation, not the data.
     "q46_asof_join" ->
-      "WITH u AS (SELECT user_id, ts, event_id, CASE WHEN event_type='click' THEN event_id END cid, CASE WHEN event_type='error' THEN 1 ELSE 0 END is_err FROM events WHERE event_type IN ('click','error')) SELECT event_id, click_id FROM (SELECT event_id, is_err, last_value(cid IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, CASE WHEN cid IS NULL THEN 1 ELSE 0 END, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) click_id FROM u) t WHERE is_err=1 ORDER BY event_id"
+      "WITH u AS (SELECT user_id, ts, event_id, CASE WHEN event_type='click' THEN event_id END cid, CASE WHEN event_type='error' THEN 1 ELSE 0 END is_err FROM events WHERE event_type IN ('click','error')) SELECT event_id, click_id FROM (SELECT event_id, is_err, last_value(cid IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, CASE WHEN cid IS NULL THEN 1 ELSE 0 END, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) click_id FROM u) t WHERE is_err=1 ORDER BY event_id"
   )
 }
