@@ -1,0 +1,94 @@
+package graft
+
+import graft.slowlog.{SlowLogSource, SlowLogTable}
+import graft.sources.{Amplify, JdbcSink}
+import org.apache.spark.sql.SparkSession
+
+/**
+ * End-to-end ingest CLI — the reference's one-command contract
+ * (SURVEY.md §3.1 `[U: main.go]`: flags `-slowLogPath`, `-dsn`; scan →
+ * parse → fingerprint → flatten → batched sink), re-expressed as ONE
+ * Spark job:
+ *
+ *   distributed scan+parse ([[graft.slowlog.SlowLogSource]])
+ *     → fingerprint/digest + wide flatten ([[graft.slowlog.SlowLogTable]])
+ *     → JDBC batch sink ([[graft.sources.JdbcSink]])
+ *
+ * The reference's goroutine/channel pipeline becomes executor
+ * parallelism; its accumulate-N/commit loop is the JDBC writer's
+ * per-partition batching; its `-x`-style re-ingest multiplier is
+ * [[graft.sources.Amplify]].
+ *
+ * Usage:
+ * {{{
+ *   Ingest -slowLogPath <dir|file|glob> -dsn <jdbc-url>
+ *     [-table queries] [-batchSize 10000] [-amplify 1]
+ *     [-driver <jdbc-driver-class>] [-mode append] [-numPartitions N]
+ * }}}
+ *
+ * The driver class is inferred for `jdbc:duckdb:` DSNs (the offline
+ * test sink); any other target needs `-driver`. Embedded DuckDB is a
+ * single-writer store, so its default `numPartitions` is 1; cluster
+ * sinks default to the upstream partitioning (one connection per task).
+ */
+object Ingest {
+
+  final case class Config(
+      slowLogPath: String = null,
+      dsn: String = null,
+      table: String = "queries",
+      batchSize: Int = 10000,
+      amplify: Int = 1,
+      driver: Option[String] = None,
+      mode: String = "append",
+      numPartitions: Option[Int] = None)
+
+  /** Parse reference-style `-flag value` pairs. */
+  def parseArgs(args: Array[String]): Config = {
+    def loop(rest: List[String], c: Config): Config = rest match {
+      case Nil => c
+      case "-slowLogPath" :: v :: t => loop(t, c.copy(slowLogPath = v))
+      case "-dsn" :: v :: t => loop(t, c.copy(dsn = v))
+      case "-table" :: v :: t => loop(t, c.copy(table = v))
+      case "-batchSize" :: v :: t => loop(t, c.copy(batchSize = v.toInt))
+      case "-amplify" :: v :: t => loop(t, c.copy(amplify = v.toInt))
+      case "-driver" :: v :: t => loop(t, c.copy(driver = Some(v)))
+      case "-mode" :: v :: t => loop(t, c.copy(mode = v))
+      case "-numPartitions" :: v :: t =>
+        loop(t, c.copy(numPartitions = Some(v.toInt)))
+      case other :: _ =>
+        throw new IllegalArgumentException(s"unknown or valueless flag: $other")
+    }
+    val c = loop(args.toList, Config())
+    require(c.slowLogPath != null, "-slowLogPath is required")
+    require(c.dsn != null, "-dsn is required")
+    require(c.amplify >= 1, "-amplify must be >= 1")
+    c
+  }
+
+  private def driverFor(c: Config): String = c.driver.getOrElse {
+    if (c.dsn.startsWith("jdbc:duckdb:")) "org.duckdb.DuckDBDriver"
+    else throw new IllegalArgumentException(
+      s"cannot infer a JDBC driver class for '${c.dsn}' — pass -driver")
+  }
+
+  /** Single-writer embedded targets cannot take concurrent connections. */
+  private def defaultPartitions(c: Config): Option[Int] =
+    if (c.dsn.startsWith("jdbc:duckdb:")) Some(1) else None
+
+  /** The whole reference job as one declarative plan. */
+  def run(spark: SparkSession, c: Config): Unit = {
+    val events = SlowLogSource.readRaw(spark, c.slowLogPath).drop("file")
+    val amplified = if (c.amplify > 1) Amplify(events, c.amplify) else events
+    JdbcSink.write(SlowLogTable.flatten(amplified), c.dsn, c.table,
+      driverFor(c), mode = c.mode, batchSize = c.batchSize,
+      numPartitions = c.numPartitions.orElse(defaultPartitions(c)))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val c = parseArgs(args)
+    val spark = GraftSession.build("graft-ingest")
+    try run(spark, c)
+    finally spark.stop()
+  }
+}

@@ -1,0 +1,87 @@
+package graft.sources
+
+import graft.{Ingest, SparkTestSession}
+import graft.operators.Qan
+import graft.slowlog.Fingerprint
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** End-to-end CLI contract (VERDICT r02 item 2, SURVEY.md §3.1): one
+  * command from a slow-log directory to a queried-back wide table, with
+  * hand-computed value assertions on counts, digests, and the QAN
+  * profile — the exact workflow a slowlog2clickhouse user runs. */
+class IngestSpec extends AnyFunSuite with SparkTestSession {
+
+  private val driver = "org.duckdb.DuckDBDriver"
+
+  private val selectFp =
+    "select o_orderkey, o_totalprice from orders where o_custkey in(?+) and o_orderstatus = ?"
+  private val insertFp = "insert into audit (a, b) values(?+)"
+  private val adminFp = "administrator command: Quit"
+
+  test("parseArgs: reference-style flags, defaults, and validation") {
+    val c = Ingest.parseArgs(Array(
+      "-slowLogPath", "/logs", "-dsn", "jdbc:duckdb:/tmp/x.db",
+      "-batchSize", "500", "-amplify", "3", "-mode", "overwrite"))
+    assert(c.slowLogPath == "/logs")
+    assert(c.dsn == "jdbc:duckdb:/tmp/x.db")
+    assert(c.table == "queries") // default
+    assert(c.batchSize == 500 && c.amplify == 3 && c.mode == "overwrite")
+    intercept[IllegalArgumentException](Ingest.parseArgs(Array("-bogus", "x")))
+    intercept[IllegalArgumentException](
+      Ingest.parseArgs(Array("-slowLogPath", "/logs"))) // -dsn missing
+  }
+
+  test("one-command ingest: log dir → DuckDB → counts, digests, QAN profile") {
+    val dir = Files.createTempDirectory("graft-ingest-cli")
+    Files.writeString(dir.resolve("slow001.log"),
+      graft.slowlog.SlowLogFixtures.slow001)
+    val url = s"jdbc:duckdb:${dir.resolve("ingest.db")}"
+
+    Ingest.run(spark, Ingest.parseArgs(Array(
+      "-slowLogPath", dir.toString, "-dsn", url, "-mode", "overwrite")))
+
+    val back = JdbcSink.read(spark, url, "queries", driver)
+    assert(back.count() == 3L)
+    assert(back.select("digest").collect().map(_.getString(0)).sorted.toSeq ==
+      Seq(selectFp, insertFp, adminFp).map(Fingerprint.digestId).sorted)
+
+    // QAN profile over the round-tripped table, worst-first by total time:
+    // INSERT (1.5 s) > SELECT (0.003218 s) > admin Quit (0.00001 s).
+    val prof = Qan.profile(back).collect()
+    assert(prof.map(_.getAs[String]("digest")).toSeq ==
+      Seq(insertFp, selectFp, adminFp).map(Fingerprint.digestId))
+    val insertRow = prof(0)
+    assert(insertRow.getAs[Number]("cnt").longValue == 1L)
+    assert(math.abs(insertRow.getAs[Number]("total_time").doubleValue - 1.5) < 1e-9)
+    assert(insertRow.getAs[Number]("rows_examined").longValue == 500000L)
+    assert(insertRow.getAs[Number]("n_users").longValue == 1L)
+    assert(insertRow.getAs[String]("fingerprint") == insertFp)
+    val selectRow = prof(1)
+    assert(math.abs(selectRow.getAs[Number]("total_time").doubleValue - 0.003218) < 1e-9)
+    assert(selectRow.getAs[Number]("rows_sent").longValue == 10L)
+
+    // metric fidelity through the sink (no explicit DDL: DuckDbDialect
+    // maps BooleanType natively)
+    val full = back.filter("full_scan").collect()
+    assert(full.length == 1)
+    assert(full.head.getAs[Number]("innodb_io_r_bytes").longValue == 1638400L)
+  }
+
+  test("-amplify N replicates the load N times (reference re-ingest flag)") {
+    val dir = Files.createTempDirectory("graft-ingest-amp")
+    Files.writeString(dir.resolve("slow001.log"),
+      graft.slowlog.SlowLogFixtures.slow001)
+    val url = s"jdbc:duckdb:${dir.resolve("amp.db")}"
+
+    Ingest.run(spark, Ingest.parseArgs(Array(
+      "-slowLogPath", dir.toString, "-dsn", url, "-amplify", "3",
+      "-mode", "overwrite")))
+
+    val back = JdbcSink.read(spark, url, "queries", driver)
+    assert(back.count() == 9L)
+    val prof = Qan.profile(back).collect()
+    assert(prof(0).getAs[Number]("cnt").longValue == 3L)
+    assert(math.abs(prof(0).getAs[Number]("total_time").doubleValue - 4.5) < 1e-9)
+  }
+}
