@@ -116,8 +116,34 @@ object Bench {
     // dominates the fixed job overhead (20k measured ~6× low).
     val eps = benchIngest(spark, 100000)
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val (baseName, baseTimes) = loadBaseline()
+    val ratios = results.collect {
+      case (k, v) if baseTimes.get(k).exists(_ > 0) =>
+        "\"" + k + "\":" + f"${v / baseTimes(k)}%.3f"
+    }.mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":$core,"unit":"sec","queries":$qs,"total_all":$all,"ingest_eps":${eps.round},"failed":$failedJson,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$core,"unit":"sec","queries":$qs,"total_all":$all,"ingest_eps":${eps.round},"failed":$failedJson,"baseline":"$baseName","vs_baseline":$ratios,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Per-query seconds from the newest `BENCH_r*.json` in the working
+    * directory (or `SPARK_GRAFT_BASELINE`), so every bench line carries a
+    * mechanical per-query ratio vs the previous round. The driver file
+    * nests the bench JSON line inside a "tail" string, so keys appear
+    * with escaped quotes — the regex accepts both forms. Ratios are only
+    * meaningful when both runs used the same sf; the driver always
+    * benches sf0.1. */
+  private def loadBaseline(): (String, Map[String, Double]) = {
+    val file = sys.env.get("SPARK_GRAFT_BASELINE").map(new java.io.File(_))
+      .orElse(Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.matches("BENCH_r\\d+\\.json")).sortBy(_.getName)
+        .lastOption)
+      .filter(_.isFile)
+    file.map { f =>
+      val txt = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      val re = """\\?"(q\d{2}[a-z0-9_]*)\\?":([0-9][0-9.Ee+-]*)""".r
+      f.getName -> re.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }.getOrElse("none" -> Map.empty[String, Double])
   }
 }
