@@ -12,14 +12,17 @@ class QanSpec extends AnyFunSuite with SparkTestSession {
   private lazy val wide = {
     val dir = Files.createTempDirectory("graft-qan")
     val sb = new StringBuilder
-    // digest A: 6 slow calls; digest B: 3 fast calls; two users on A
+    // digest A: 6 slow calls in shopdb; digest B: 3 fast calls in refdb;
+    // two users on A — every aggregate below is hand-computable
     for (i <- 0 until 9) {
-      val (tbl, qt, user) =
-        if (i < 6) ("orders", 0.5 + i * 0.1, if (i % 2 == 0) "alice" else "bob")
-        else ("nation", 0.001, "alice")
+      val (tbl, qt, user, db) =
+        if (i < 6) ("orders", 0.5 + i * 0.1,
+          if (i % 2 == 0) "alice" else "bob", "shopdb")
+        else ("nation", 0.001, "alice", "refdb")
       sb.append(f"# Time: 2024-01-15T10:0${i / 6}%d:0$i%02d.000000Z\n")
       sb.append(s"# User@Host: $user[$user] @ h [10.0.0.1]\n")
       sb.append(f"# Query_time: $qt%.6f  Lock_time: 0.000001 Rows_sent: 5  Rows_examined: ${100 * (i + 1)}%d\n")
+      sb.append(s"use $db;\n")
       sb.append(f"SET timestamp=${1705312800L + i}%d;\n")
       sb.append(s"SELECT * FROM $tbl WHERE k = $i;\n")
     }
@@ -36,22 +39,54 @@ class QanSpec extends AnyFunSuite with SparkTestSession {
     assert(top.getAs[Long]("n_users") == 2L)
     assert(math.abs(top.getAs[Double]("total_time") - (0.5 + 0.6 + 0.7 + 0.8 + 0.9 + 1.0)) < 1e-9)
     assert(top.getAs[Long]("rows_examined") == (1 to 6).map(_ * 100L).sum)
+    // hand-computed: avg = 4.5/6; p95 over {0.5..1.0} at 10k accuracy is
+    // the max; first/last seen are the SET timestamps of calls 0 and 5
+    assert(math.abs(top.getAs[Double]("avg_time") - 0.75) < 1e-9)
+    assert(math.abs(top.getAs[Double]("p95_time") - 1.0) < 1e-9)
+    assert(top.getAs[java.sql.Timestamp]("first_seen").getTime == 1705312800000L)
+    assert(top.getAs[java.sql.Timestamp]("last_seen").getTime == 1705312805000L)
     val second = prof(1)
     assert(second.getAs[String]("fingerprint") == "select * from nation where k = ?")
     assert(second.getAs[Long]("cnt") == 3L)
+    assert(math.abs(second.getAs[Double]("total_time") - 0.003) < 1e-9)
   }
 
-  test("sparkline buckets per digest and hour") {
+  test("sparkline buckets per digest and hour with exact values") {
     val sl = Qan.sparkline(wide, "hour").collect()
-    // all events fall in hour 10:00; 2 digests → 2 rows
+    // all events fall in hour 10:00; 2 digests → 2 rows, ordered by
+    // (bucket, digest); identify rows by value, not digest order
     assert(sl.length == 2)
-    assert(sl.map(_.getAs[Long]("cnt")).sum == 9L)
+    assert(sl.forall(_.getAs[java.sql.Timestamp]("bucket").getTime ==
+      1705312800000L)) // 2024-01-15T10:00:00Z
+    val byCnt = sl.sortBy(_.getAs[Long]("cnt"))
+    assert(byCnt(0).getAs[Long]("cnt") == 3L)
+    assert(math.abs(byCnt(0).getAs[Double]("total_time") - 0.003) < 1e-9)
+    assert(byCnt(1).getAs[Long]("cnt") == 6L)
+    assert(math.abs(byCnt(1).getAs[Double]("total_time") - 4.5) < 1e-9)
   }
 
-  test("load breakdown rolls up db and user") {
+  test("load breakdown rolls up db and user with exact values") {
     val rows = Qan.loadByDbUser(wide).collect()
-    // rollup: grand total + per-db + per-(db,user)
-    val grand = rows.find(r => r.isNullAt(0) && r.isNullAt(1)).get
-    assert(grand.getAs[Long]("cnt") == 9L)
+    // rollup levels: grand, per-db ×2, per-(db,user) ×3 → 6 rows
+    assert(rows.length == 6)
+    def level(db: Option[String], user: Option[String]): (Long, Double) = {
+      val r = rows.find(r =>
+        Option(r.getAs[String]("db")) == db &&
+        Option(r.getAs[String]("user")) == user).get
+      (r.getAs[Long]("cnt"), r.getAs[Double]("total_time"))
+    }
+    val (gc, gt) = level(None, None)
+    assert(gc == 9L && math.abs(gt - 4.503) < 1e-9)
+    val (sc, st) = level(Some("shopdb"), None)
+    assert(sc == 6L && math.abs(st - 4.5) < 1e-9)
+    val (rc, rt) = level(Some("refdb"), None)
+    assert(rc == 3L && math.abs(rt - 0.003) < 1e-9)
+    // alice took the even-indexed orders calls: 0.5 + 0.7 + 0.9
+    val (ac, at) = level(Some("shopdb"), Some("alice"))
+    assert(ac == 3L && math.abs(at - 2.1) < 1e-9)
+    val (bc, bt) = level(Some("shopdb"), Some("bob"))
+    assert(bc == 3L && math.abs(bt - 2.4) < 1e-9)
+    val (rac, rat) = level(Some("refdb"), Some("alice"))
+    assert(rac == 3L && math.abs(rat - 0.003) < 1e-9)
   }
 }
