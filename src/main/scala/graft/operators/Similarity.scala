@@ -76,6 +76,23 @@ object Similarity {
   }
 
   /**
+   * The exploded LSH bucket frame `(id, emb, table, key)` — the
+   * persistable ANN index. At rest, write it `bucketBy(key)`
+   * ([[graft.sources.Warehouse.saveAnnIndex]]) so a probe lookup becomes
+   * a bucket-pruned scan instead of a full pass over the corpus.
+   */
+  def annBucketFrame(corpus: DataFrame, idCol: String, embCol: String,
+                     tables: Int = 8, bits: Int = 8, dim: Int = 64,
+                     seed: Long = 42L): DataFrame = {
+    val keys = lshBucketKeys(col(embCol), tables, bits, dim, seed)
+    corpus.select(col(idCol).as("id"), col(embCol).as("emb"),
+      explode(array(keys.zipWithIndex.map { case (key, t) =>
+        struct(lit(t).as("table"), key.as("key"))
+      }: _*)).as("bk"))
+      .select(col("id"), col("emb"), col("bk.table"), col("bk.key"))
+  }
+
+  /**
    * Approximate top-k: candidates = corpus rows sharing at least one
    * LSH bucket with the probe in any table, then exact cosine re-rank of
    * the candidates only. Returns up to k neighbors per probe.
@@ -89,14 +106,10 @@ object Similarity {
   def annCosineTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
                     embCol: String, k: Int, tables: Int = 8, bits: Int = 8,
                     dim: Int = 64, seed: Long = 42L): DataFrame = {
-    def bucketed(df: DataFrame, outId: String): DataFrame = {
-      val keys = lshBucketKeys(col(embCol), tables, bits, dim, seed)
-      df.select(col(idCol).as(outId), col(embCol).as(s"_emb_$outId"),
-        explode(array(keys.zipWithIndex.map { case (key, t) =>
-          struct(lit(t).as("table"), key.as("key"))
-        }: _*)).as("bk"))
-        .select(col(outId), col(s"_emb_$outId"), col("bk.table"), col("bk.key"))
-    }
+    def bucketed(df: DataFrame, outId: String): DataFrame =
+      annBucketFrame(df, idCol, embCol, tables, bits, dim, seed)
+        .select(col("id").as(outId), col("emb").as(s"_emb_$outId"),
+          col("table"), col("key"))
     val c = bucketed(corpus, "nn_id")
     val p = bucketed(probes, "probe_id")
     val w = Window.partitionBy("probe_id")

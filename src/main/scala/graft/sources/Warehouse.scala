@@ -40,4 +40,21 @@ object Warehouse {
       .sortBy("digest")
       .format("parquet")
       .saveAsTable(table)
+
+  /**
+   * Persist an ANN LSH bucket frame
+   * ([[graft.operators.Similarity.annBucketFrame]]: `(id, emb, table,
+   * key)`) bucketed by `key` — the SCALE.md §5 "index as a table layout":
+   * a probe lookup filtering on its bucket keys scans only the matching
+   * file buckets (`SelectedBucketsCount` in the plan), never the whole
+   * corpus. `sortBy(key)` keeps same-bucket runs contiguous for the
+   * within-file scan.
+   */
+  def saveAnnIndex(bucketFrame: DataFrame, table: String, buckets: Int = 32,
+                   mode: SaveMode = SaveMode.Overwrite): Unit =
+    bucketFrame.write.mode(mode)
+      .bucketBy(buckets, "key")
+      .sortBy("key")
+      .format("parquet")
+      .saveAsTable(table)
 }

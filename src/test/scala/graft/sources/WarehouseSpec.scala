@@ -37,6 +37,36 @@ class WarehouseSpec extends AnyFunSuite with SparkTestSession {
     assert(filtered.count() == 4)
   }
 
+  test("persisted ANN index: probe lookups scan only the matching buckets") {
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    // filter-only queries hit the auto-bucketed-scan heuristic, which
+    // falls back to a plain scan (no join/agg to exploit distribution) —
+    // turning it off lets the planner use bucket PRUNING on the filter
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val frame = graft.operators.Similarity.annBucketFrame(
+      emb, "vec_id", "embedding")
+    Warehouse.saveAnnIndex(frame, "ann_idx", buckets = 8)
+    try {
+      // a probe's lookup key (table 0) for vec_id 0, computed from the
+      // same deterministic hyperplanes the index was built with
+      val probeKey = frame
+        .filter(col("id") === 0L && col("table") === 0).collect().head
+        .getAs[Long]("key")
+      val lookup = spark.table("ann_idx")
+        .filter(col("table") === 0 && col("key") === probeKey)
+      val plan = lookup.queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount: 1 out of 8"),
+        s"probe lookup did not bucket-prune:\n$plan")
+      // pruned scan returns exactly the rows the unbucketed frame holds
+      assert(lookup.count() ==
+        frame.filter(col("table") === 0 && col("key") === probeKey).count())
+    } finally {
+      spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+      spark.sql("DROP TABLE IF EXISTS ann_idx")
+    }
+  }
+
   test("digest-bucketed table aggregates per digest without an exchange") {
     spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
     Warehouse.saveBucketed(wide, "queries_bucketed", buckets = 4)
