@@ -219,11 +219,17 @@ object Dedup {
    * index math.
    */
   def simHashHexAgg(docs: DataFrame, idCol: String, tokens: Column): DataFrame = {
+    // project each md5 hex digit to an int ONCE per token ("_n1".."_n16");
+    // the 64 vote aggregates then read 4 bits per nibble instead of
+    // re-deriving conv(substring(...)) per bit (4× fewer string ops in
+    // the hot aggregate input)
+    val nibbles = (1 to 16).map(q =>
+      conv(substring(col("_h"), q, 1), 16, 10).cast("int").as(s"_n$q"))
     val votes = (0 until 64).map { b =>
       val digitPos = 16 - b / 4       // 1-based md5 hex digit holding bit b
       val mask = 1 << (b % 4)
-      val nib = conv(substring(col("_h"), digitPos, 1), 16, 10).cast("int")
-      sum(when(nib.bitwiseAND(lit(mask)) =!= 0, 1).otherwise(-1)).as(s"_v$b")
+      sum(when(col(s"_n$digitPos").bitwiseAND(lit(mask)) =!= 0, 1)
+        .otherwise(-1)).as(s"_v$b")
     }
     val digits = (1 to 16).map { p =>
       val v = (0 until 4).map(j =>
@@ -233,6 +239,7 @@ object Dedup {
     }
     docs.select(col(idCol), explode(tokens).as("_tok"))
       .select(col(idCol), md5(col("_tok")).as("_h"))
+      .select(col(idCol) +: nibbles: _*)
       .groupBy(col(idCol))
       .agg(votes.head, votes.tail: _*)
       .select(col(idCol), concat(digits: _*).as("sh"))
