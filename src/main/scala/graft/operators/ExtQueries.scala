@@ -386,6 +386,34 @@ object ExtQueries {
           n = 3, threshold = 0.6, maxShingleDf = Some(50L))
         .orderBy("da", "db")),
 
+    // Deterministic train/val/test split by md5(doc_id) — the post-dedup
+    // split audit. Pure per-row arithmetic, reproducible in any engine;
+    // the oracle CASE is generated from the same thresholds.
+    "q54_hash_split" -> ((s, d) =>
+      Pipeline.hashSplit(t(s, d, "documents"), "doc_id", "text")
+        .orderBy("split")),
+
+    // Contiguous sequence packing to 2048-token packs per lang: one
+    // window shuffle, pack id from the running sum — reproducible from
+    // the sort key alone.
+    "q55_pack_sequences" -> ((s, d) =>
+      Pipeline.packSequences(t(s, d, "documents"), "doc_id", "text",
+          byCol = "lang", capacity = 2048)
+        .orderBy("lang", "pack_id")),
+
+    // Benchmark decontamination: corpus docs (id >= 20) sharing any
+    // distinct 5-gram with the probe set (id < 20), counted per lang.
+    // The probe shingles broadcast; the corpus side never shuffles.
+    "q56_contamination" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Pipeline.contaminatedDocs(
+          docs.filter(col("doc_id") >= 20), docs.filter(col("doc_id") < 20),
+          "doc_id", "text", n = 5)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang").agg(count(lit(1)).as("n_contaminated"))
+        .orderBy("lang")
+    }),
+
     // IVF-flat ANN, tolerance-as-contract (q34 pattern): per probe,
     // recall of IVF top-3 vs the exact knnBatch top-3; ok = at least 2
     // of 3 found with nprobe=8 of nlist=16 cells. KMeans cell
@@ -465,6 +493,17 @@ object ExtQueries {
     "q52_jaccard_capped" -> jaccardSql(Some(50L)),
     "q53_ivf_recall" ->
       "SELECT vec_id AS probe_id, true AS ok FROM embeddings WHERE vec_id < 5 ORDER BY probe_id",
+    "q54_hash_split" -> {
+      // CASE generated from Pipeline.SplitThresholds — one source of truth
+      val whens = Pipeline.SplitThresholds
+        .map { case (name, bound) => s"WHEN h < $bound THEN '$name'" }
+        .mkString(" ")
+      s"SELECT split, count(*) AS n_docs, CAST(sum(len(string_split(text,' '))) AS BIGINT) AS tokens FROM (SELECT CASE $whens ELSE 'test' END AS split, text FROM (SELECT CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),1,4)) AS INTEGER) h, text FROM documents) t1) t2 GROUP BY split ORDER BY split"
+    },
+    "q55_pack_sequences" ->
+      "SELECT lang, pack_id, count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS pack_tokens FROM (SELECT lang, CAST(floor((run - tok)/2048.0) AS BIGINT) pack_id, tok FROM (SELECT lang, doc_id, len(string_split(text,' ')) tok, sum(len(string_split(text,' '))) OVER (PARTITION BY lang ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) run FROM documents) t) t2 GROUP BY lang, pack_id ORDER BY lang, pack_id",
+    "q56_contamination" ->
+      "WITH docs AS (SELECT doc_id, lang, string_split(text,' ') words FROM documents), sh AS (SELECT doc_id, unnest(list_distinct([array_to_string(words[i:i+4],' ') for i in range(1, len(words)-3)])) AS shingle FROM docs WHERE len(words) >= 5), probe AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 20), hits AS (SELECT DISTINCT s.doc_id FROM sh s JOIN probe p USING (shingle) WHERE s.doc_id >= 20) SELECT d.lang, count(*) AS n_contaminated FROM hits h JOIN documents d ON h.doc_id = d.doc_id GROUP BY d.lang ORDER BY d.lang",
     "q47_window_distribution" ->
       "SELECT event_type, tile, count(*) cnt, round(max(pr),6) mpr, round(max(cd),6) mcd FROM (SELECT event_type, ntile(4) OVER w tile, percent_rank() OVER w pr, cume_dist() OVER w cd FROM events WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)) t GROUP BY event_type, tile ORDER BY event_type, tile",
     "q48_string_more" ->

@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Training-data pipeline operators beyond dedup/similarity: the
+ * bookkeeping every LLM corpus build needs between "deduplicated" and
+ * "ready to train" — deterministic split assignment, sequence packing,
+ * and benchmark decontamination.
+ *
+ * Scale notes (100 TB):
+ *  - every op here is a scan plus at most one shuffle (window or
+ *    aggregate) on a bounded key (split id, (lang, pack), shingle);
+ *  - hash-splitting is pure per-row arithmetic on `md5(id)` — no
+ *    coordination, stable under re-runs and cluster re-partitioning,
+ *    and reproducible in any engine (the q54 oracle recomputes it in
+ *    DuckDB);
+ *  - the contamination screen is the standard n-gram screen: the
+ *    benchmark side is tiny by construction, so the join broadcasts;
+ *    corpus shingles stream past it without a corpus-side shuffle.
+ */
+object Pipeline {
+
+  /** 16-bit bucket from the first 4 hex digits of md5(idCol) —
+    * deterministic, engine-independent (same value as DuckDB's
+    * `CAST('0x'||substr(md5(id),1,4) AS INTEGER)`). */
+  def hashBucket16(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 4), 16, 10).cast("int")
+
+  /** Train/val/test thresholds over the 16-bit bucket space; single
+    * source of truth for the Spark plan AND the generated oracle SQL. */
+  val SplitThresholds: Seq[(String, Int)] =
+    Seq("train" -> 52429, "val" -> 58982) // ~80% / ~10% / ~10% of 65536
+
+  /** Split label for a document id. */
+  def splitLabel(id: Column): Column = {
+    val h = hashBucket16(id)
+    SplitThresholds.foldRight(lit("test")) { case ((name, bound), rest) =>
+      when(h < bound, name).otherwise(rest)
+    }
+  }
+
+  /** Per-split document and token totals — the post-dedup split audit. */
+  def hashSplit(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(splitLabel(col(idCol)).as("split"),
+        size(split(col(textCol), " ")).cast("long").as("_tok"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), sum("_tok").as("tokens"))
+
+  /**
+   * Contiguous sequence packing: within each `byCol` stream ordered by
+   * id, documents are appended to the current pack until `capacity`
+   * tokens, i.e. pack = floor(preceding-token-count / capacity). One
+   * window shuffle on (byCol); the pack id is pure arithmetic on the
+   * running sum — no stateful packer, so the layout is reproducible
+   * from the sort key alone (which also makes it restartable).
+   */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+                    byCol: String, capacity: Int): DataFrame = {
+    val w = Window.partitionBy(byCol).orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tok = size(split(col(textCol), " ")).cast("long")
+    docs.select(col(byCol), col(idCol), tok.as("_tok"))
+      .withColumn("_run", sum(col("_tok")).over(w))
+      .withColumn("pack_id",
+        floor((col("_run") - col("_tok")) / capacity).cast("long"))
+      .groupBy(col(byCol), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"), sum("_tok").as("pack_tokens"))
+  }
+
+  /**
+   * Benchmark decontamination screen: corpus documents sharing at least
+   * one distinct word `n`-gram with the probe (benchmark) set. The
+   * probe shingle set is small by construction — broadcast — so the
+   * corpus side never shuffles; output is one row per corpus document,
+   * to be anti-joined away or audited.
+   */
+  def contaminatedDocs(corpus: DataFrame, probes: DataFrame, idCol: String,
+                       textCol: String, n: Int): DataFrame = {
+    val probeShingles =
+      Dedup.shingles(probes, idCol, textCol, n).select("shingle").distinct()
+    Dedup.shingles(corpus, idCol, textCol, n)
+      .join(broadcast(probeShingles), Seq("shingle"), "left_semi")
+      .select(idCol).distinct()
+  }
+}

@@ -153,7 +153,12 @@ object Similarity {
                     seed: Long = 42L): DataFrame = {
     val spark = corpus.sparkSession
     val featured = corpus.withColumn("_feat", unitVector(col(embCol)))
-    val model = new KMeans().setK(nlist).setSeed(seed)
+    // capped iterations: the default 20 each schedule a full pass — on a
+    // coarse quantizer (nlist cells, nprobe-of-nlist search) centroid
+    // polish past ~10 iterations buys no recall, just scheduler time.
+    // k-means|| init is kept: random init measurably drops per-probe
+    // recall below the q53 floor at sf0.1.
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
       .setFeaturesCol("_feat").setPredictionCol("_cell")
       .fit(featured)
     val cells = model.transform(featured)
