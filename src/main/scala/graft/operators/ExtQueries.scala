@@ -414,6 +414,21 @@ object ExtQueries {
         .orderBy("lang")
     }),
 
+    // Salted skew join: events are Zipfian on event_type (5 hot keys,
+    // ~20% of the table each); the salt widens the shuffle key to
+    // (event_type, salt) so no single reducer owns a hot key. The
+    // result is IDENTICAL to the plain join — which is exactly what the
+    // oracle states.
+    "q57_salted_join" -> ((s, d) => {
+      val ev = CoreQueries.events(s, d)
+      val dim = ev.select(col("event_type")).distinct()
+        .withColumn("type_tag", upper(col("event_type")))
+      Skew.saltedJoin(ev, dim, "event_type", "event_id", salts = 8)
+        .groupBy("type_tag")
+        .agg(count(lit(1)).as("cnt"), round(sum("value"), 4).as("sv"))
+        .orderBy("type_tag")
+    }),
+
     // IVF-flat ANN, tolerance-as-contract (q34 pattern): per probe,
     // recall of IVF top-3 vs the exact knnBatch top-3; ok = at least 2
     // of 3 found with nprobe=8 of nlist=16 cells. KMeans cell
@@ -502,6 +517,8 @@ object ExtQueries {
     },
     "q55_pack_sequences" ->
       "SELECT lang, pack_id, count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS pack_tokens FROM (SELECT lang, CAST(floor((run - tok)/2048.0) AS BIGINT) pack_id, tok FROM (SELECT lang, doc_id, len(string_split(text,' ')) tok, sum(len(string_split(text,' '))) OVER (PARTITION BY lang ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) run FROM documents) t) t2 GROUP BY lang, pack_id ORDER BY lang, pack_id",
+    "q57_salted_join" ->
+      "SELECT upper(event_type) AS type_tag, count(*) AS cnt, round(sum(value),4) AS sv FROM events GROUP BY 1 ORDER BY 1",
     "q56_contamination" ->
       "WITH docs AS (SELECT doc_id, lang, string_split(text,' ') words FROM documents), sh AS (SELECT doc_id, unnest(list_distinct([array_to_string(words[i:i+4],' ') for i in range(1, len(words)-3)])) AS shingle FROM docs WHERE len(words) >= 5), probe AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 20), hits AS (SELECT DISTINCT s.doc_id FROM sh s JOIN probe p USING (shingle) WHERE s.doc_id >= 20) SELECT d.lang, count(*) AS n_contaminated FROM hits h JOIN documents d ON h.doc_id = d.doc_id GROUP BY d.lang ORDER BY d.lang",
     "q47_window_distribution" ->
