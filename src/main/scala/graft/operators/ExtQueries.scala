@@ -414,6 +414,47 @@ object ExtQueries {
         .orderBy("lang")
     }),
 
+    // Relational PIVOT with an explicit value list (no extra pass to
+    // discover columns); cells coalesced to 0 to match the oracle's
+    // FILTERed counts on any data.
+    "q58_pivot" -> ((s, d) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val p = CoreQueries.events(s, d)
+        .groupBy((col("user_id") % 10).as("ug"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+      p.select(col("ug") +:
+          types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+        .orderBy("ug")
+    }),
+
+    // statistical aggregates: Pearson corr, sample covariance/stddev
+    "q59_stats_agg" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(round(corr("l_quantity", "l_extendedprice"), 6).as("c"),
+          round(covar_samp("l_quantity", "l_extendedprice"), 4).as("cv"),
+          round(stddev_samp(col("l_quantity")), 6).as("sd"))
+        .orderBy("l_returnflag")),
+
+    // ordered collect: collect_set sorted then truncated — the only
+    // deterministic (hence oracle-able) way to emit a grouped list
+    "q60_collect_sorted" -> ((s, d) =>
+      CoreQueries.events(s, d)
+        .groupBy("event_type")
+        .agg(array_join(slice(sort_array(collect_set(col("user_id") % 50)),
+          1, 5), ",").as("top"))
+        .orderBy("event_type")),
+
+    // regexp family: extract / replace / match
+    "q61_regexp" -> ((s, d) =>
+      t(s, d, "part")
+        .select(col("p_partkey"),
+          regexp_extract(col("p_name"), "^(\\w+)", 1).as("fw"),
+          regexp_replace(col("p_brand"), "#", "-").as("b2"),
+          col("p_type").rlike("BRASS$").as("ib"))
+        .orderBy("p_partkey")),
+
     // Salted skew join: events are Zipfian on event_type (5 hot keys,
     // ~20% of the table each); the salt widens the shuffle key to
     // (event_type, salt) so no single reducer owns a hot key. The
@@ -519,6 +560,14 @@ object ExtQueries {
       "SELECT lang, pack_id, count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS pack_tokens FROM (SELECT lang, CAST(floor((run - tok)/2048.0) AS BIGINT) pack_id, tok FROM (SELECT lang, doc_id, len(string_split(text,' ')) tok, sum(len(string_split(text,' '))) OVER (PARTITION BY lang ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) run FROM documents) t) t2 GROUP BY lang, pack_id ORDER BY lang, pack_id",
     "q57_salted_join" ->
       "SELECT upper(event_type) AS type_tag, count(*) AS cnt, round(sum(value),4) AS sv FROM events GROUP BY 1 ORDER BY 1",
+    "q58_pivot" ->
+      "SELECT user_id % 10 AS ug, count(*) FILTER (event_type='click') AS click, count(*) FILTER (event_type='error') AS error, count(*) FILTER (event_type='purchase') AS purchase, count(*) FILTER (event_type='signup') AS signup, count(*) FILTER (event_type='view') AS view FROM events GROUP BY 1 ORDER BY 1",
+    "q59_stats_agg" ->
+      "SELECT l_returnflag, round(corr(l_quantity, l_extendedprice),6) AS c, round(covar_samp(l_quantity, l_extendedprice),4) AS cv, round(stddev_samp(l_quantity),6) AS sd FROM lineitem GROUP BY 1 ORDER BY 1",
+    "q60_collect_sorted" ->
+      "SELECT event_type, array_to_string(list_sort(list(DISTINCT user_id % 50))[1:5], ',') AS top FROM events GROUP BY 1 ORDER BY 1",
+    "q61_regexp" ->
+      raw"SELECT p_partkey, regexp_extract(p_name,'^(\w+)',1) AS fw, regexp_replace(p_brand,'#','-') AS b2, regexp_matches(p_type,'BRASS$$') AS ib FROM part ORDER BY p_partkey",
     "q56_contamination" ->
       "WITH docs AS (SELECT doc_id, lang, string_split(text,' ') words FROM documents), sh AS (SELECT doc_id, unnest(list_distinct([array_to_string(words[i:i+4],' ') for i in range(1, len(words)-3)])) AS shingle FROM docs WHERE len(words) >= 5), probe AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 20), hits AS (SELECT DISTINCT s.doc_id FROM sh s JOIN probe p USING (shingle) WHERE s.doc_id >= 20) SELECT d.lang, count(*) AS n_contaminated FROM hits h JOIN documents d ON h.doc_id = d.doc_id GROUP BY d.lang ORDER BY d.lang",
     "q47_window_distribution" ->
