@@ -414,6 +414,61 @@ object ExtQueries {
         .orderBy("lang")
     }),
 
+    // relational UNPIVOT (wide measures → (name, val) rows)
+    "q62_unpivot" -> ((s, d) =>
+      t(s, d, "lineitem").groupBy("l_returnflag")
+        .agg(round(sum("l_quantity"), 4).as("qty"),
+          round(sum("l_discount"), 4).as("disc"))
+        .unpivot(Array(col("l_returnflag")), Array(col("qty"), col("disc")),
+          "name", "val")
+        .orderBy("l_returnflag", "name")),
+
+    // RANGE frame over event time: per-user trailing-1h sum. Both sides
+    // order and frame on MICROsecond longs — DuckDB truncates the
+    // parquet ns timestamps to µs on read (verified ...999 ns → ...275
+    // µs), so Spark must use ts_ns div 1000, never raw ns.
+    "q63_range_frame" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts_us")
+        .rangeBetween(-3600L * 1000000L, 0L)
+      CoreQueries.events(s, d)
+        .withColumn("ts_us", expr("ts_ns div 1000"))
+        .select(col("event_id"), round(sum("value").over(w), 4).as("w1h"))
+        .orderBy("event_id")
+    }),
+
+    // first_value / nth_value windows + nullif/coalesce scalar nulls
+    "q64_value_windows" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      CoreQueries.events(s, d)
+        .withColumn("ts_us", expr("ts_ns div 1000"))
+        .select(col("event_id"),
+          first("event_id").over(w).as("f"),
+          nth_value(col("event_id"), 2).over(w).as("n2"),
+          coalesce(expr("nullif(event_type, 'click')"), lit("CLK")).as("cc"))
+        .orderBy("event_id")
+    }),
+
+    // posexplode: token with its 0-based position
+    "q65_posexplode" -> ((s, d) =>
+      t(s, d, "documents").filter(col("doc_id") < 20)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          col("col").as("tok"))
+        .orderBy("doc_id", "pos")),
+
+    // grouping_id labels the rollup levels (same bit encoding both
+    // engines: detail 0, subtotal 1, grand total 3)
+    "q66_grouping_id" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(grouping_id().cast("long").as("g"), count(lit(1)).as("cnt"))
+        .orderBy(col("g").desc, col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+
     // Relational PIVOT with an explicit value list (no extra pass to
     // discover columns); cells coalesced to 0 to match the oracle's
     // FILTERed counts on any data.
@@ -562,6 +617,16 @@ object ExtQueries {
       "SELECT upper(event_type) AS type_tag, count(*) AS cnt, round(sum(value),4) AS sv FROM events GROUP BY 1 ORDER BY 1",
     "q58_pivot" ->
       "SELECT user_id % 10 AS ug, count(*) FILTER (event_type='click') AS click, count(*) FILTER (event_type='error') AS error, count(*) FILTER (event_type='purchase') AS purchase, count(*) FILTER (event_type='signup') AS signup, count(*) FILTER (event_type='view') AS view FROM events GROUP BY 1 ORDER BY 1",
+    "q62_unpivot" ->
+      "SELECT l_returnflag, name, val FROM (SELECT l_returnflag, round(sum(l_quantity),4) qty, round(sum(l_discount),4) disc FROM lineitem GROUP BY 1) UNPIVOT (val FOR name IN (qty, disc)) ORDER BY l_returnflag, name",
+    "q63_range_frame" ->
+      "SELECT event_id, round(sum(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts) RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW),4) AS w1h FROM events ORDER BY event_id",
+    "q64_value_windows" ->
+      "SELECT event_id, first_value(event_id) OVER w AS f, nth_value(event_id, 2) OVER w AS n2, coalesce(nullif(event_type,'click'),'CLK') AS cc FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) ORDER BY event_id",
+    "q65_posexplode" ->
+      "SELECT doc_id, r['pos'] AS pos, r['tok'] AS tok FROM (SELECT doc_id, unnest([{'pos': i-1, 'tok': words[i]} for i in range(1, len(words)+1)]) r FROM (SELECT doc_id, string_split(text,' ') words FROM documents WHERE doc_id < 20) t1) t2 ORDER BY doc_id, pos",
+    "q66_grouping_id" ->
+      "SELECT l_returnflag, l_linestatus, CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS g, count(*) AS cnt FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus) ORDER BY g DESC, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST",
     "q59_stats_agg" ->
       "SELECT l_returnflag, round(corr(l_quantity, l_extendedprice),6) AS c, round(covar_samp(l_quantity, l_extendedprice),4) AS cv, round(stddev_samp(l_quantity),6) AS sd FROM lineitem GROUP BY 1 ORDER BY 1",
     "q60_collect_sorted" ->
