@@ -128,6 +128,32 @@ object SlowLogStream {
   }
 
   /**
+   * Stream-stream interval join: each left wide-row matches right
+   * wide-rows with the same `key` whose event time lies in
+   * `[left.ts - maxDelay, left.ts]` — e.g. primary-vs-replica slow-log
+   * correlation ("which replica executions trailed this primary
+   * query, and by how much"). Both sides carry watermarks, so Spark
+   * BOUNDS the join state: a buffered right row is dropped once the
+   * left watermark passes its ts + maxDelay — state is
+   * O(traffic × horizon), never unbounded history. Output:
+   * (key, l_ts, r_ts, lag_s), append-mode capable.
+   */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   maxDelay: String = "5 minutes",
+                   watermark: String = "10 minutes"): DataFrame = {
+    val l = left.select(col(key), col("ts").as("l_ts"))
+      .withWatermark("l_ts", watermark)
+    val r = right.select(col(key).as("r_key"), col("ts").as("r_ts"))
+      .withWatermark("r_ts", watermark)
+    l.join(r, col(key) === col("r_key") &&
+        col("r_ts") >= col("l_ts") - expr(s"INTERVAL $maxDelay") &&
+        col("r_ts") <= col("l_ts"))
+      .select(col(key), col("l_ts"), col("r_ts"),
+        (unix_timestamp(col("l_ts")) - unix_timestamp(col("r_ts")))
+          .as("lag_s"))
+  }
+
+  /**
    * Batched-idempotent JDBC sink: `foreachBatch` + the [[graft.sources.JdbcSink]]
    * batch writer — the reference's accumulate/commit loop per micro-batch,
    * with the checkpoint providing exactly-once file accounting.

@@ -82,6 +82,37 @@ class SlowLogStreamSpec extends AnyFunSuite with SparkTestSession {
     assert(batchCounts.sum == 8, s"after resume: $batchCounts")
   }
 
+  test("stream-stream interval join correlates replica rows within the delay") {
+    val primDir = tempDir("graft-ss-prim")
+    val replDir = tempDir("graft-ss-repl")
+    def log(t0: Long, n: Int): String = {
+      val sb = new StringBuilder
+      for (j <- 0 until n) {
+        sb.append("# Time: 2024-02-01T08:00:00.000000Z\n")
+        sb.append("# User@Host: u[u] @ h [10.0.0.1]\n")
+        sb.append(f"# Query_time: 0.100000  Lock_time: 0.000001 Rows_sent: 1  Rows_examined: 1\n")
+        sb.append(f"SET timestamp=${t0 + j * 600}%d;\n") // 10 min apart
+        sb.append(s"SELECT c FROM rep WHERE k = $j;\n")
+      }
+      sb.result()
+    }
+    val t0 = 1706774400L
+    // replica executes the same digest 30 s before each primary row —
+    // inside the 5 min maxDelay; the 10 min spacing keeps pairs unique
+    Files.writeString(primDir.resolve("p.log"), log(t0, 3))
+    Files.writeString(replDir.resolve("r.log"), log(t0 - 30, 3))
+    val joined = SlowLogStream.intervalJoin(
+      SlowLogStream.wideRows(SlowLogStream.events(spark, primDir.toString)),
+      SlowLogStream.wideRows(SlowLogStream.events(spark, replDir.toString)),
+      key = "digest")
+    val q = joined.writeStream.format("memory").queryName("ss_join")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000); q.stop()
+    val rows = spark.table("ss_join").collect()
+    assert(rows.length == 3, s"expected 3 pairs, got ${rows.toSeq}")
+    assert(rows.forall(_.getAs[Long]("lag_s") == 30L), rows.toSeq)
+  }
+
   test("watermarked tumbling per-digest aggregation") {
     val logDir = tempDir("graft-stream-agg")
     // 4 events in one second-window, same digest (same fingerprint shape)
