@@ -34,7 +34,10 @@ Test / parallelExecution := false
 // DuckDB JDBC jar from the pre-warmed local cache (test-only stand-in for
 // the reference's ClickHouse sink; SURVEY.md M3). Not a new dependency
 // resolution — a local unmanaged jar, located by glob so no cache-layout
-// path is hardcoded.
+// path is hardcoded. Exactly ONE jar (the newest by name) is added: two
+// cached versions on the classpath would make the loaded engine version
+// classpath-order dependent.
 Test / unmanagedJars ++=
   (file(sys.env.getOrElse("COURSIER_CACHE", "/root/.cache/coursier")) **
-    "duckdb_jdbc-*.jar").classpath
+    "duckdb_jdbc-*.jar").get.sortBy(_.getName).lastOption.toSeq
+    .map(Attributed.blank(_))

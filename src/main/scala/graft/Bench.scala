@@ -119,7 +119,9 @@ object Bench {
     val (baseName, baseTimes) = loadBaseline()
     val ratios = results.collect {
       case (k, v) if baseTimes.get(k).exists(_ > 0) =>
-        "\"" + k + "\":" + f"${v / baseTimes(k)}%.3f"
+        // Locale.ROOT: default-locale %.3f can emit comma decimals
+        "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3f",
+          Double.box(v / baseTimes(k)))
     }.mkString("{", ",", "}")
     println(
       s"""{"metric":"total","value":$core,"unit":"sec","queries":$qs,"total_all":$all,"ingest_eps":${eps.round},"failed":$failedJson,"baseline":"$baseName","vs_baseline":$ratios,"sf":"$sfDir"}""")
@@ -134,16 +136,26 @@ object Bench {
     * meaningful when both runs used the same sf; the driver always
     * benches sf0.1. */
   private def loadBaseline(): (String, Map[String, Double]) = {
+    val roundNum = "BENCH_r(\\d+)\\.json".r
     val file = sys.env.get("SPARK_GRAFT_BASELINE").map(new java.io.File(_))
       .orElse(Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
-        .filter(_.getName.matches("BENCH_r\\d+\\.json")).sortBy(_.getName)
-        .lastOption)
+        .collect { case f if roundNum.matches(f.getName) =>
+          // numeric round order: lexicographic puts r9 after r10
+          (roundNum.findFirstMatchIn(f.getName).get.group(1).toInt, f)
+        }.sortBy(_._1).map(_._2).lastOption)
       .filter(_.isFile)
     file.map { f =>
       val txt = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
       val re = """\\?"(q\d{2}[a-z0-9_]*)\\?":([0-9][0-9.Ee+-]*)""".r
-      f.getName -> re.findAllMatchIn(txt)
-        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      // FIRST occurrence per key: the bench line carries each query key
+      // twice ("queries" seconds first, then "vs_baseline" ratios) — a
+      // last-wins toMap would silently divide by last round's ratios
+      val times = re.findAllMatchIn(txt)
+        .foldLeft(Map.empty[String, Double]) { (acc, m) =>
+          if (acc.contains(m.group(1))) acc
+          else acc.updated(m.group(1), m.group(2).toDouble)
+        }
+      f.getName -> times
     }.getOrElse("none" -> Map.empty[String, Double])
   }
 }

@@ -29,6 +29,9 @@ object Skew {
     * changes. `bigUnique` must be non-null per row (any id column). */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  bigUnique: String, salts: Int): DataFrame = {
+    // salts = 0 would make pmod NULL on every row and silently join to
+    // nothing — fail loudly instead
+    require(salts >= 1, s"salts must be >= 1, got $salts")
     val saltedBig = big.withColumn("_salt",
       pmod(xxhash64(col(bigUnique)), lit(salts.toLong)))
     val saltedSmall = small.withColumn("_salt",
@@ -44,10 +47,12 @@ object Skew {
     * covers most groupBy skew; this is for when the REDUCE side of one
     * key exceeds a single task (extreme cardinality-1-ish skew). */
   def saltedSumCount(df: DataFrame, key: String, valueCol: String,
-                     uniqueCol: String, salts: Int): DataFrame =
+                     uniqueCol: String, salts: Int): DataFrame = {
+    require(salts >= 1, s"salts must be >= 1, got $salts")
     df.withColumn("_salt", pmod(xxhash64(col(uniqueCol)), lit(salts.toLong)))
       .groupBy(col(key), col("_salt"))
       .agg(sum(col(valueCol)).as("_ps"), count(lit(1)).as("_pc"))
       .groupBy(col(key))
       .agg(sum("_ps").as("sum"), sum("_pc").as("cnt"))
+  }
 }
