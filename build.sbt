@@ -34,10 +34,13 @@ Test / parallelExecution := false
 // DuckDB JDBC jar from the pre-warmed local cache (test-only stand-in for
 // the reference's ClickHouse sink; SURVEY.md M3). Not a new dependency
 // resolution — a local unmanaged jar, located by glob so no cache-layout
-// path is hardcoded. Exactly ONE jar (the newest by name) is added: two
-// cached versions on the classpath would make the loaded engine version
-// classpath-order dependent.
+// path is hardcoded. Exactly ONE jar (the newest by numeric version) is
+// added: two cached versions on the classpath would make the loaded
+// engine version classpath-order dependent, and a lexicographic sort
+// would rank 0.9 above 0.10.
 Test / unmanagedJars ++=
   (file(sys.env.getOrElse("COURSIER_CACHE", "/root/.cache/coursier")) **
-    "duckdb_jdbc-*.jar").get.sortBy(_.getName).lastOption.toSeq
-    .map(Attributed.blank(_))
+    "duckdb_jdbc-*.jar").get
+    .sortBy(f => "\\d+".r.findAllIn(f.getName).map(_.toLong)
+      .padTo(6, 0L).foldLeft(0L)((acc, v) => acc * 1000 + v))
+    .lastOption.toSeq.map(Attributed.blank(_))

@@ -116,9 +116,12 @@ object Bench {
     // dominates the fixed job overhead (20k measured ~6× low).
     val eps = benchIngest(spark, 100000)
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val (baseName, baseTimes) = loadBaseline()
+    val (baseName, baseTimes, baseFailed) = loadBaseline()
+    // a failed query (either round) records only its fail-fast time, so
+    // its ratio would read as a absurd speedup/regression — omit it
     val ratios = results.collect {
-      case (k, v) if baseTimes.get(k).exists(_ > 0) =>
+      case (k, v) if baseTimes.get(k).exists(_ > 0) &&
+          !failed.contains(k) && !baseFailed.contains(k) =>
         // Locale.ROOT: default-locale %.3f can emit comma decimals
         "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3f",
           Double.box(v / baseTimes(k)))
@@ -135,7 +138,7 @@ object Bench {
     * with escaped quotes — the regex accepts both forms. Ratios are only
     * meaningful when both runs used the same sf; the driver always
     * benches sf0.1. */
-  private def loadBaseline(): (String, Map[String, Double]) = {
+  private def loadBaseline(): (String, Map[String, Double], Set[String]) = {
     val roundNum = "BENCH_r(\\d+)\\.json".r
     val file = sys.env.get("SPARK_GRAFT_BASELINE").map(new java.io.File(_))
       .orElse(Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
@@ -155,7 +158,13 @@ object Bench {
           if (acc.contains(m.group(1))) acc
           else acc.updated(m.group(1), m.group(2).toDouble)
         }
-      f.getName -> times
-    }.getOrElse("none" -> Map.empty[String, Double])
+      // the baseline round's own failed list (fail-fast times are not
+      // comparable); keys appear as bare or escaped-quote strings
+      val failedRe = """"failed\\?":\[([^\]]*)\]""".r
+      val baseFailed = failedRe.findFirstMatchIn(txt)
+        .map(m => """q\d{2}[a-z0-9_]*""".r.findAllIn(m.group(1)).toSet)
+        .getOrElse(Set.empty[String])
+      (f.getName, times, baseFailed)
+    }.getOrElse(("none", Map.empty[String, Double], Set.empty[String]))
   }
 }

@@ -45,17 +45,23 @@ object Ingest {
 
   /** Parse reference-style `-flag value` pairs. */
   def parseArgs(args: Array[String]): Config = {
+    def int(flag: String, v: String): Int =
+      try v.toInt catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"$flag expects an integer, got '$v'")
+      }
     def loop(rest: List[String], c: Config): Config = rest match {
       case Nil => c
       case "-slowLogPath" :: v :: t => loop(t, c.copy(slowLogPath = v))
       case "-dsn" :: v :: t => loop(t, c.copy(dsn = v))
       case "-table" :: v :: t => loop(t, c.copy(table = v))
-      case "-batchSize" :: v :: t => loop(t, c.copy(batchSize = v.toInt))
-      case "-amplify" :: v :: t => loop(t, c.copy(amplify = v.toInt))
+      case "-batchSize" :: v :: t =>
+        loop(t, c.copy(batchSize = int("-batchSize", v)))
+      case "-amplify" :: v :: t => loop(t, c.copy(amplify = int("-amplify", v)))
       case "-driver" :: v :: t => loop(t, c.copy(driver = Some(v)))
       case "-mode" :: v :: t => loop(t, c.copy(mode = v))
       case "-numPartitions" :: v :: t =>
-        loop(t, c.copy(numPartitions = Some(v.toInt)))
+        loop(t, c.copy(numPartitions = Some(int("-numPartitions", v))))
       case other :: _ =>
         throw new IllegalArgumentException(s"unknown or valueless flag: $other")
     }
@@ -63,6 +69,8 @@ object Ingest {
     require(c.slowLogPath != null, "-slowLogPath is required")
     require(c.dsn != null, "-dsn is required")
     require(c.amplify >= 1, "-amplify must be >= 1")
+    require(c.batchSize >= 1, "-batchSize must be >= 1")
+    require(c.numPartitions.forall(_ >= 1), "-numPartitions must be >= 1")
     c
   }
 

@@ -218,6 +218,18 @@ object Dedup {
    * ExtQueries.simHashHexSql generates the DuckDB twin with the same
    * index math.
    */
+  /** SimHash bit b (0 = LSB) lives in bit `mask` of the 1-based md5 hex
+    * digit `digitPos` — the SINGLE source of the index math consumed by
+    * both [[simHashHexAgg]] and ExtQueries' generated DuckDB oracle, so
+    * the two engines cannot drift structurally. */
+  val SimHashBitDigit: IndexedSeq[(Int, Int)] =
+    (0 until 64).map(b => (16 - b / 4, 1 << (b % 4)))
+
+  /** For output hex digit position p (1 = most significant), the four
+    * vote indices it assembles; index j carries weight 2^j. */
+  val SimHashDigitBits: IndexedSeq[IndexedSeq[Int]] =
+    (1 to 16).map(p => (0 until 4).map(j => (16 - p) * 4 + j))
+
   def simHashHexAgg(docs: DataFrame, idCol: String, tokens: Column): DataFrame = {
     // project each md5 hex digit to an int ONCE per token ("_n1".."_n16");
     // the 64 vote aggregates then read 4 bits per nibble instead of
@@ -225,16 +237,14 @@ object Dedup {
     // the hot aggregate input)
     val nibbles = (1 to 16).map(q =>
       conv(substring(col("_h"), q, 1), 16, 10).cast("int").as(s"_n$q"))
-    val votes = (0 until 64).map { b =>
-      val digitPos = 16 - b / 4       // 1-based md5 hex digit holding bit b
-      val mask = 1 << (b % 4)
+    val votes = SimHashBitDigit.zipWithIndex.map { case ((digitPos, mask), b) =>
       sum(when(col(s"_n$digitPos").bitwiseAND(lit(mask)) =!= 0, 1)
         .otherwise(-1)).as(s"_v$b")
     }
-    val digits = (1 to 16).map { p =>
-      val v = (0 until 4).map(j =>
-        when(col(s"_v${(16 - p) * 4 + j}") > 0, lit(1 << j)).otherwise(lit(0)))
-        .reduce(_ + _)
+    val digits = SimHashDigitBits.map { bits =>
+      val v = bits.zipWithIndex.map { case (b, j) =>
+        when(col(s"_v$b") > 0, lit(1 << j)).otherwise(lit(0))
+      }.reduce(_ + _)
       lit("0123456789abcdef").substr(v + 1, lit(1))
     }
     docs.select(col(idCol), explode(tokens).as("_tok"))

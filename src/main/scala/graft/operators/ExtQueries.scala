@@ -66,20 +66,18 @@ object ExtQueries {
   }
   private val jaccardPairsSql: String = jaccardSql(None)
 
-  /** DuckDB twin of Dedup.simHashHexAgg — generated with the SAME index
-    * math (bit b = bit b%4 of md5 hex digit 16-b/4; fingerprint digit p
-    * assembles votes (16-p)*4 .. (16-p)*4+3), so the two engines cannot
-    * drift structurally. */
+  /** DuckDB twin of Dedup.simHashHexAgg — generated from the SAME shared
+    * index constants (Dedup.SimHashBitDigit / SimHashDigitBits), so the
+    * two engines cannot drift structurally. */
   private val simHashHexSql: String = {
-    val votes = (0 until 64).map { b =>
-      val digitPos = 16 - b / 4
-      val mask = 1 << (b % 4)
-      s"sum(CASE WHEN ((strpos('0123456789abcdef', substr(h,$digitPos,1))-1) & $mask) != 0 THEN 1 ELSE -1 END) v$b"
+    val votes = Dedup.SimHashBitDigit.zipWithIndex.map {
+      case ((digitPos, mask), b) =>
+        s"sum(CASE WHEN ((strpos('0123456789abcdef', substr(h,$digitPos,1))-1) & $mask) != 0 THEN 1 ELSE -1 END) v$b"
     }
-    val digits = (1 to 16).map { p =>
-      val terms = (0 until 4).map(j =>
-        s"(CASE WHEN v${(16 - p) * 4 + j} > 0 THEN ${1 << j} ELSE 0 END)")
-        .mkString(" + ")
+    val digits = Dedup.SimHashDigitBits.map { bits =>
+      val terms = bits.zipWithIndex.map { case (b, j) =>
+        s"(CASE WHEN v$b > 0 THEN ${1 << j} ELSE 0 END)"
+      }.mkString(" + ")
       s"substr('0123456789abcdef', ($terms) + 1, 1)"
     }
     "WITH toks AS (SELECT doc_id, md5(unnest(string_split(text,' '))) h FROM documents), " +

@@ -24,14 +24,19 @@ class PipelineSpec extends AnyFunSuite with SparkTestSession {
       assert(tokens < 2048L + maxDocTok,
         s"pack ${p.getAs[Long]("pack_id")} overflows: $tokens")
     }
-    // all but the final pack per lang must be at least capacity-full once
-    // the next doc is added, i.e. only the max pack_id per lang may be
-    // "light"; contiguity: pack ids per lang are 0..max with no gaps
-    val byLang = packs.groupBy(_.getAs[String]("lang"))
-    byLang.foreach { case (_, ps) =>
-      val ids = ps.map(_.getAs[Long]("pack_id")).sorted.toSeq
-      assert(ids == (0L until ids.length.toLong).toSeq)
-    }
+    // contiguity (pack ids per lang are 0..max, no gaps) holds only when
+    // no single doc exceeds capacity — an oversized doc legitimately
+    // jumps the running sum across >1 boundary and leaves a gap. The
+    // corpus satisfies that today; guard so growth flags the assumption
+    // instead of failing a then-correct operator.
+    if (maxDocTok <= 2048) {
+      val byLang = packs.groupBy(_.getAs[String]("lang"))
+      byLang.foreach { case (_, ps) =>
+        val ids = ps.map(_.getAs[Long]("pack_id")).sorted.toSeq
+        assert(ids == (0L until ids.length.toLong).toSeq)
+      }
+    } else cancel(s"corpus grew a doc of $maxDocTok tokens > capacity; " +
+      "contiguity assertion not applicable")
   }
 
   test("hashSplit: deterministic across recomputation, ratios near 80/10/10") {
