@@ -155,6 +155,53 @@ object Dedup {
   }
 
   /**
+   * Cluster near-duplicate PAIRS into connected components — the step a
+   * real dedup pipeline needs after pair generation: pairs (a,b),(b,c)
+   * must collapse to ONE surviving document, not two independent
+   * removals. Returns (node, lbl) where lbl = min doc id reachable
+   * through the pair graph (the cluster's canonical representative).
+   *
+   * Algorithm: iterative min-label propagation — each round every node
+   * takes the min of its own label and its neighbors' labels; converges
+   * in ≤ diameter rounds (near-dup clusters are shallow: pairs at
+   * threshold J form cliques-ish components, diameter 2–4). Each round
+   * is one join + one aggregation; the driver loop only runs an
+   * emptiness check per round (the standard iterative-algorithm shape,
+   * as in MLlib). Results are persisted per round so lineage does not
+   * recompute from scratch; at 100 TB add `localCheckpoint()` every few
+   * rounds to truncate lineage, and swap in GraphFrames' large-star /
+   * small-star if components stop being shallow.
+   */
+  def dedupClusters(pairs: DataFrame, aCol: String, bCol: String,
+                    maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("x"), col(bCol).as("y"))
+      .unionAll(pairs.select(col(bCol).as("x"), col(aCol).as("y")))
+      .persist()
+    var labels = edges.groupBy(col("x").as("node"))
+      .agg(min("y").as("_nmin"))
+      .select(col("node"), least(col("node"), col("_nmin")).as("lbl"))
+      .persist()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val prop = edges.join(labels, edges("y") === labels("node"))
+        .select(edges("x").as("node"), col("lbl"))
+      val next = labels.unionAll(prop)
+        .groupBy("node").agg(min("lbl").as("lbl"))
+        .persist()
+      converged = next
+        .join(labels.withColumnRenamed("lbl", "_old"), "node")
+        .filter(col("lbl") =!= col("_old"))
+        .isEmpty
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /**
    * Embedding-cosine near-duplicate pairs: LSH-bucketed self-join (only
    * rows colliding in some hash table are scored) with exact cosine
    * verification at `threshold`. Output (da, db, sim), da < db. Recall

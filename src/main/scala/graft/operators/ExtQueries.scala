@@ -412,6 +412,48 @@ object ExtQueries {
         .orderBy("lang")
     }),
 
+    // Near-dup pairs → connected components: each doc labeled with the
+    // min doc id reachable through the pair graph (its canonical
+    // representative). Iterative min-label propagation on the Spark
+    // side; transitive-closure recursive CTE on the oracle side — two
+    // utterly different formulations agreeing on the fixpoint.
+    "q67_dedup_clusters" -> ((s, d) => {
+      val pairs = Dedup.ngramJaccardPairs(t(s, d, "documents"),
+        "doc_id", "text", n = 3, threshold = 0.6)
+      Dedup.dedupClusters(pairs, "da", "db")
+        .select(col("node").as("doc_id"), col("lbl").as("cluster"))
+        .orderBy("doc_id")
+    }),
+
+    // Regex redaction at corpus scale (the PII-scrub shape: pattern →
+    // count + replace); the corpus plants no emails, so the scrubbed
+    // token is a domain word — the operator is the contract, the
+    // pattern is a parameter.
+    "q68_redact" -> ((s, d) => {
+      val pat = "\\bcustomer\\b"
+      t(s, d, "documents")
+        .select(col("lang"),
+          regexp_count(col("text"), lit(pat)).cast("long").as("hits"),
+          length(regexp_replace(col("text"), pat, "[REDACTED]"))
+            .cast("long").as("redacted_len"))
+        .groupBy("lang")
+        .agg(sum("hits").as("n_hits"), sum("redacted_len").as("total_len"))
+        .orderBy("lang")
+    }),
+
+    // Intra-document repetition: distinct-token ratio — the in-doc
+    // cousin of corpus dedup (boilerplate/looped text scores low)
+    "q69_repetition" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      val ratio = size(array_distinct(toks)).cast("double") / size(toks)
+      t(s, d, "documents")
+        .select(col("lang"), ratio.as("r"))
+        .groupBy("lang")
+        .agg(count(when(col("r") < 0.3, 1)).as("n_repetitive"),
+          round(avg("r"), 4).as("avg_ratio"))
+        .orderBy("lang")
+    }),
+
     // relational UNPIVOT (wide measures → (name, val) rows)
     "q62_unpivot" -> ((s, d) =>
       t(s, d, "lineitem").groupBy("l_returnflag")
@@ -615,6 +657,23 @@ object ExtQueries {
       "SELECT upper(event_type) AS type_tag, count(*) AS cnt, round(sum(value),4) AS sv FROM events GROUP BY 1 ORDER BY 1",
     "q58_pivot" ->
       "SELECT user_id % 10 AS ug, count(*) FILTER (event_type='click') AS click, count(*) FILTER (event_type='error') AS error, count(*) FILTER (event_type='purchase') AS purchase, count(*) FILTER (event_type='signup') AS signup, count(*) FILTER (event_type='view') AS view FROM events GROUP BY 1 ORDER BY 1",
+    // transitive closure by recursive CTE over the same pair formulation
+    // (UNION dedups, so the recursion terminates)
+    "q67_dedup_clusters" ->
+      ("WITH RECURSIVE docs AS (SELECT doc_id, string_split(text,' ') words FROM documents), " +
+        "sh AS (SELECT doc_id, unnest(list_distinct([array_to_string(words[i:i+2],' ') for i in range(1, len(words)-1)])) AS shingle FROM docs WHERE len(words) >= 3), " +
+        "cnt AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1), " +
+        "p0 AS (SELECT a.doc_id da, b.doc_id db, count(*) overlap FROM sh a JOIN sh b ON a.shingle=b.shingle AND a.doc_id<b.doc_id GROUP BY 1,2), " +
+        "pairs AS (SELECT da, db FROM p0 JOIN cnt ca ON da=ca.doc_id JOIN cnt cb ON db=cb.doc_id WHERE overlap*1.0/(ca.n+cb.n-overlap) >= 0.6), " +
+        "edges AS (SELECT da x, db y FROM pairs UNION ALL SELECT db, da FROM pairs), " +
+        "reach(node, lbl) AS (SELECT x, x FROM (SELECT DISTINCT x FROM edges) t UNION SELECT e.x, r.lbl FROM edges e JOIN reach r ON e.y = r.node) " +
+        "SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node ORDER BY doc_id"),
+    // DuckDB regexp_replace needs the 'g' flag — default replaces only
+    // the FIRST match, Spark replaces all
+    "q68_redact" ->
+      raw"SELECT lang, CAST(sum(len(regexp_extract_all(text, '\bcustomer\b'))) AS BIGINT) AS n_hits, CAST(sum(length(regexp_replace(text, '\bcustomer\b', '[REDACTED]', 'g'))) AS BIGINT) AS total_len FROM documents GROUP BY lang ORDER BY lang",
+    "q69_repetition" ->
+      "SELECT lang, count(CASE WHEN r < 0.3 THEN 1 END) AS n_repetitive, round(avg(r),4) AS avg_ratio FROM (SELECT lang, len(list_distinct(string_split(text,' ')))*1.0/len(string_split(text,' ')) r FROM documents) t GROUP BY lang ORDER BY lang",
     "q62_unpivot" ->
       "SELECT l_returnflag, name, val FROM (SELECT l_returnflag, round(sum(l_quantity),4) qty, round(sum(l_discount),4) disc FROM lineitem GROUP BY 1) UNPIVOT (val FOR name IN (qty, disc)) ORDER BY l_returnflag, name",
     "q63_range_frame" ->
