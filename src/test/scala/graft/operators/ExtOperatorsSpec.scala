@@ -25,6 +25,17 @@ class ExtOperatorsSpec extends AnyFunSuite with SparkTestSession {
     assert(missed.isEmpty, s"LSH missed true pairs: $missed")
   }
 
+  test("dedupClusters: chains collapse transitively, components stay apart") {
+    import spark.implicits._
+    // two components: a chain 1-2-3-4 (no direct 1-4 pair) and a pair 10-11
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("da", "db")
+    val got = Dedup.dedupClusters(pairs, "da", "db")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
   test("minhash dedup pairs == brute-force blocked pairs") {
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.6)
       .orderBy("da", "db").collect().toSeq
