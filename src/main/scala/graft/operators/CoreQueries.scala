@@ -40,16 +40,13 @@ object CoreQueries {
     aggregate(a, lit(0.0), (acc, x) => acc + x)
 
   /**
-   * Cosine similarity between two float-array columns, computed in double
-   * precision via codegen'd higher-order functions (no UDF).
+   * Cosine similarity between two float-array columns — delegates to the
+   * native codegen'd [[graft.functions.CosineSimExpr]] via
+   * [[Similarity.cosine]] (bit-identical to the original HOF
+   * formulation, 2.4× faster; see the Similarity scaladoc).
    */
-  private[graft] def cosineSim(a: Column, b: Column): Column = {
-    val ad  = transform(a, x => x.cast("double"))
-    val bd  = transform(b, x => x.cast("double"))
-    val dot = sumArr(zip_with(ad, bd, (x, y) => x * y))
-    dot / (sqrt(sumArr(transform(ad, x => x * x))) *
-           sqrt(sumArr(transform(bd, x => x * x))))
-  }
+  private[graft] def cosineSim(a: Column, b: Column): Column =
+    Similarity.cosine(a, b)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project" -> ((s, d) =>

@@ -1,0 +1,53 @@
+package graft.functions
+
+import graft.SparkTestSession
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.GraftColumnBridge
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The native codegen cosine must be BIT-identical to the HOF
+  * formulation (same float→double widening, same sequential fold), or
+  * swapping it in would silently shift oracle hashes. */
+class CosineSimExprSpec extends AnyFunSuite with SparkTestSession {
+
+  private def native(a: org.apache.spark.sql.Column,
+                     b: org.apache.spark.sql.Column) =
+    GraftColumnBridge.column(CosineSimExpr(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  test("native cosine is bit-identical to the HOF cosine on real pairs") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val a = emb.select(col("vec_id").as("ia"), col("embedding").as("ea"))
+      .filter(col("ia") < 40)
+    val b = emb.select(col("vec_id").as("ib"), col("embedding").as("eb"))
+      .filter(col("ib") < 40)
+    val both = a.crossJoin(b)
+      .select(col("ia"), col("ib"),
+        Similarity.cosineHof(col("ea"), col("eb")).as("hof"),
+        native(col("ea"), col("eb")).as("nat"))
+      .collect()
+    assert(both.length == 1600)
+    both.foreach { r =>
+      val (h, n) = (r.getDouble(2), r.getDouble(3))
+      assert(java.lang.Double.doubleToLongBits(h) ==
+        java.lang.Double.doubleToLongBits(n),
+        s"(${r.getLong(0)},${r.getLong(1)}): hof=$h native=$n")
+    }
+  }
+
+  test("null input yields null; zero vector yields NaN (HOF parity)") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Array(1f, 0f), Array(1f, 0f)),
+      (2L, null.asInstanceOf[Array[Float]], Array(1f, 0f)),
+      (3L, Array(0f, 0f), Array(1f, 0f))
+    ).toDF("id", "a", "b")
+    val got = rows.select(col("id"), native(col("a"), col("b")).as("s"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(got(1L).contains(1.0))
+    assert(got(2L).isEmpty)       // null array → null
+    assert(got(3L).exists(_.isNaN)) // zero vector → NaN, as the HOF
+  }
+}
