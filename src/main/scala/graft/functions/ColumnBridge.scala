@@ -14,4 +14,15 @@ import org.apache.spark.sql.classic.{ExpressionColumnNode, ExpressionUtils}
 object GraftColumnBridge {
   def column(e: Expression): Column = new Column(ExpressionColumnNode(e))
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register a native function on a LIVE session (the
+    * SparkSessionExtensions path only applies at builder time; the
+    * registry itself is `private[sql]`). */
+  def registerFunction(
+      spark: org.apache.spark.sql.SparkSession,
+      name: String,
+      info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier(name), info, builder)
 }

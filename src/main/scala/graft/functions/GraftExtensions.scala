@@ -1,0 +1,46 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graftbridge.GraftColumnBridge
+
+/**
+ * Spark-native installation of the engine's custom expressions, two
+ * ways:
+ *
+ *  1. cluster-wide via config —
+ *     `--conf spark.sql.extensions=graft.functions.GraftExtensions`
+ *     (the [[SparkSessionExtensions]] injection path, applied at
+ *     session build);
+ *  2. on a live session — [[GraftExtensions.register]] (tests, REPLs).
+ *
+ * After either, `cosine_sim(a, b)` is a first-class SQL function backed
+ * by the codegen'd [[CosineSimExpr]] — usable from `spark.sql(...)`
+ * exactly like a built-in, with none of a UDF's serialization or
+ * codegen-barrier costs.
+ */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction(GraftExtensions.CosineSimDescriptor)
+}
+
+object GraftExtensions {
+  private def cosineBuilder(children: Seq[Expression]): Expression = {
+    require(children.length == 2,
+      s"cosine_sim expects 2 arguments, got ${children.length}")
+    CosineSimExpr(children.head, children(1))
+  }
+
+  /** (identifier, info, builder) tuple for the injection API. */
+  val CosineSimDescriptor: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) =
+    (FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimExpr].getName, "cosine_sim"),
+      cosineBuilder)
+
+  /** Register on an already-built session. */
+  def register(spark: SparkSession): Unit =
+    GraftColumnBridge.registerFunction(spark, "cosine_sim",
+      CosineSimDescriptor._2, CosineSimDescriptor._3)
+}

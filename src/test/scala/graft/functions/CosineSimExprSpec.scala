@@ -36,6 +36,28 @@ class CosineSimExprSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("cosine_sim registers as a SQL function (extensions path)") {
+    GraftExtensions.register(spark)
+    spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .createOrReplaceTempView("emb_sql")
+    val viaSql = spark.sql(
+      """SELECT a.vec_id ia, b.vec_id ib,
+        |       round(cosine_sim(a.embedding, b.embedding), 6) s
+        |FROM emb_sql a JOIN emb_sql b
+        |  ON a.vec_id = 0 AND b.vec_id IN (1, 2, 3)
+        |ORDER BY ib""".stripMargin).collect()
+    assert(viaSql.length == 3)
+    val viaCol = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .filter(col("vec_id") === 0)
+      .crossJoin(spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+        .filter(col("vec_id").isin(1, 2, 3))
+        .select(col("vec_id").as("ib"), col("embedding").as("eb")))
+      .select(col("ib"), round(Similarity.cosine(col("embedding"), col("eb")), 6).as("s"))
+      .orderBy("ib").collect()
+    assert(viaSql.map(r => (r.getLong(1), r.getDouble(2))).toSeq ==
+      viaCol.map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+  }
+
   test("null input yields null; zero vector yields NaN (HOF parity)") {
     import spark.implicits._
     val rows = Seq(
