@@ -24,7 +24,12 @@ import org.apache.spark.sql.SparkSession
  *   Ingest -slowLogPath <dir|file|glob> -dsn <jdbc-url>
  *     [-table queries] [-batchSize 10000] [-amplify 1]
  *     [-driver <jdbc-driver-class>] [-mode append] [-numPartitions N]
+ *     [-tail -checkpoint <dir>]
  * }}}
+ *
+ * `-tail` switches to the reference's default behavior — follow the
+ * log directory continuously, exactly-once per file, resuming from
+ * `-checkpoint` after restarts (the analog of its byte-offset file).
  *
  * The driver class is inferred for `jdbc:duckdb:` DSNs (the offline
  * test sink); any other target needs `-driver`. Embedded DuckDB is a
@@ -41,7 +46,9 @@ object Ingest {
       amplify: Int = 1,
       driver: Option[String] = None,
       mode: String = "append",
-      numPartitions: Option[Int] = None)
+      numPartitions: Option[Int] = None,
+      tail: Boolean = false,
+      checkpoint: Option[String] = None)
 
   /** Parse reference-style `-flag value` pairs. */
   def parseArgs(args: Array[String]): Config = {
@@ -62,6 +69,8 @@ object Ingest {
       case "-mode" :: v :: t => loop(t, c.copy(mode = v))
       case "-numPartitions" :: v :: t =>
         loop(t, c.copy(numPartitions = Some(int("-numPartitions", v))))
+      case "-tail" :: t => loop(t, c.copy(tail = true))
+      case "-checkpoint" :: v :: t => loop(t, c.copy(checkpoint = Some(v)))
       case other :: _ =>
         throw new IllegalArgumentException(s"unknown or valueless flag: $other")
     }
@@ -71,6 +80,9 @@ object Ingest {
     require(c.amplify >= 1, "-amplify must be >= 1")
     require(c.batchSize >= 1, "-batchSize must be >= 1")
     require(c.numPartitions.forall(_ >= 1), "-numPartitions must be >= 1")
+    require(!c.tail || c.checkpoint.nonEmpty,
+      "-tail requires -checkpoint (the resume state, as the reference's byte offset)")
+    require(!c.tail || c.amplify == 1, "-amplify is a batch-mode flag")
     c
   }
 
@@ -93,10 +105,24 @@ object Ingest {
       numPartitions = c.numPartitions.orElse(defaultPartitions(c)))
   }
 
+  /** The reference's default mode: tail the log directory continuously,
+    * resuming from the checkpoint (its byte-offset file, as Structured
+    * Streaming state). `trigger` is exposed for tests
+    * (`Trigger.AvailableNow` drains and stops). */
+  def runTail(spark: SparkSession, c: Config,
+              trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    graft.streaming.SlowLogStream.startJdbcSink(
+      graft.streaming.SlowLogStream.wideRows(
+        graft.streaming.SlowLogStream.events(spark, c.slowLogPath)),
+      c.dsn, c.table, driverFor(c), c.checkpoint.get, trigger)
+
   def main(args: Array[String]): Unit = {
     val c = parseArgs(args)
     val spark = GraftSession.build("graft-ingest")
-    try run(spark, c)
-    finally spark.stop()
+    try {
+      if (c.tail) runTail(spark, c).awaitTermination()
+      else run(spark, c)
+    } finally spark.stop()
   }
 }

@@ -159,13 +159,16 @@ object SlowLogStream {
    * with the checkpoint providing exactly-once file accounting.
    */
   def startJdbcSink(wide: DataFrame, url: String, table: String,
-                    driver: String, checkpointDir: String)
-      : org.apache.spark.sql.streaming.StreamingQuery =
-    wide.writeStream
+                    driver: String, checkpointDir: String,
+                    trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = wide.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         graft.sources.JdbcSink.write(batch, url, table, driver,
           numPartitions = Some(1))
       }
-      .start()
+    trigger.foreach(w.trigger)
+    w.start()
+  }
 }

@@ -68,6 +68,34 @@ class IngestSpec extends AnyFunSuite with SparkTestSession {
     assert(full.head.getAs[Number]("innodb_io_r_bytes").longValue == 1638400L)
   }
 
+  test("-tail follows the log dir with checkpointed exactly-once resume") {
+    val dir = Files.createTempDirectory("graft-ingest-tail")
+    val ckpt = Files.createTempDirectory("graft-ingest-ckpt").toString
+    val url = s"jdbc:duckdb:${dir.resolve("tail.db")}"
+    val conf = Ingest.parseArgs(Array(
+      "-slowLogPath", dir.toString, "-dsn", url, "-tail", "-checkpoint", ckpt))
+
+    def drainOnce(): Unit = {
+      val q = Ingest.runTail(spark, conf, Some(
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+      q.awaitTermination(60000); q.stop()
+    }
+
+    Files.writeString(dir.resolve("a.log"),
+      graft.slowlog.SlowLogFixtures.slow001)
+    drainOnce()
+    assert(JdbcSink.read(spark, url, "queries", driver).count() == 3L)
+
+    // restart: a.log is in the checkpoint, only b.log's events append
+    Files.writeString(dir.resolve("b.log"),
+      graft.slowlog.SlowLogFixtures.slow001)
+    drainOnce()
+    assert(JdbcSink.read(spark, url, "queries", driver).count() == 6L)
+
+    intercept[IllegalArgumentException](Ingest.parseArgs(Array(
+      "-slowLogPath", dir.toString, "-dsn", url, "-tail"))) // no checkpoint
+  }
+
   test("-amplify N replicates the load N times (reference re-ingest flag)") {
     val dir = Files.createTempDirectory("graft-ingest-amp")
     Files.writeString(dir.resolve("slow001.log"),
