@@ -142,10 +142,11 @@ object Bench {
     val roundNum = "BENCH_r(\\d+)\\.json".r
     val file = sys.env.get("SPARK_GRAFT_BASELINE").map(new java.io.File(_))
       .orElse(Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
-        .collect { case f if roundNum.matches(f.getName) =>
+        .flatMap(f => f.getName match {
           // numeric round order: lexicographic puts r9 after r10
-          (roundNum.findFirstMatchIn(f.getName).get.group(1).toInt, f)
-        }.sortBy(_._1).map(_._2).lastOption)
+          case roundNum(n) => Some((n.toInt, f))
+          case _ => None
+        }).sortBy(_._1).map(_._2).lastOption)
       .filter(_.isFile)
     file.map { f =>
       val txt = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")

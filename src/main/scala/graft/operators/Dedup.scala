@@ -171,6 +171,11 @@ object Dedup {
    * recompute from scratch; at 100 TB add `localCheckpoint()` every few
    * rounds to truncate lineage, and swap in GraphFrames' large-star /
    * small-star if components stop being shallow.
+   *
+   * The RETURNED frame stays persisted (one small row per clustered
+   * node) — unavoidable, since unpersisting would force downstream
+   * actions to replay the whole loop; call `.unpersist()` on the result
+   * when finished with it.
    */
   def dedupClusters(pairs: DataFrame, aCol: String, bCol: String,
                     maxIter: Int = 20): DataFrame = {

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -45,25 +46,30 @@ object ExtQueries {
   private val cosSql: String =
     "list_sum(list_apply(list_zip(p.embedding, e.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (sqrt(list_sum(list_apply(p.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) * sqrt(list_sum(list_apply(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))))"
 
-  /** Shingle-blocked Jaccard-pairs oracle; with `maxShingleDf` set, the
-    * document-frequency cap is applied before counts AND overlap — the
-    * exact semantics of Dedup.ngramJaccardPairs(maxShingleDf=Some(cap)). */
-  private def jaccardSql(maxShingleDf: Option[Long]): String = {
+  /** Shared CTE chain for every shingle-Jaccard oracle (q26/q40/q52/q67):
+    * docs → distinct 3-gram shingles (with the optional DF cap applied
+    * before counts AND overlap, matching ngramJaccardPairs) → per-doc
+    * counts → candidate pair overlaps. ONE definition so the entries
+    * cannot drift structurally. */
+  private def jaccardCtes(maxShingleDf: Option[Long]): String = {
     val sh0 = "SELECT doc_id, unnest(list_distinct([array_to_string(words[i:i+2],' ') for i in range(1, len(words)-1)])) AS shingle FROM docs WHERE len(words) >= 3"
     val shingleCte = maxShingleDf match {
       case None => s"sh AS ($sh0)"
       case Some(cap) =>
         s"sh0 AS ($sh0), keep AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= $cap), sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN keep USING (shingle))"
     }
-    s"WITH docs AS (SELECT doc_id, string_split(text,' ') words FROM documents), " +
+    "docs AS (SELECT doc_id, string_split(text,' ') words FROM documents), " +
       s"$shingleCte, " +
       "cnt AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1), " +
-      "pairs AS (SELECT a.doc_id da, b.doc_id db, count(*) overlap FROM sh a JOIN sh b ON a.shingle=b.shingle AND a.doc_id<b.doc_id GROUP BY 1,2) " +
+      "p0 AS (SELECT a.doc_id da, b.doc_id db, count(*) overlap FROM sh a JOIN sh b ON a.shingle=b.shingle AND a.doc_id<b.doc_id GROUP BY 1,2)"
+  }
+
+  private def jaccardSql(maxShingleDf: Option[Long]): String =
+    s"WITH ${jaccardCtes(maxShingleDf)} " +
       "SELECT da, db, round(overlap*1.0/(ca.n+cb.n-overlap),4) AS jac " +
-      "FROM pairs JOIN cnt ca ON da=ca.doc_id JOIN cnt cb ON db=cb.doc_id " +
+      "FROM p0 JOIN cnt ca ON da=ca.doc_id JOIN cnt cb ON db=cb.doc_id " +
       "WHERE overlap*1.0/(ca.n+cb.n-overlap) >= 0.6 " +
       "ORDER BY da, db"
-  }
   private val jaccardPairsSql: String = jaccardSql(None)
 
   /** DuckDB twin of Dedup.simHashHexAgg — generated from the SAME shared
@@ -297,8 +303,7 @@ object ExtQueries {
     // distribution windows: ntile / percent_rank / cume_dist over a
     // total order, aggregated per tile
     "q47_window_distribution" -> ((s, d) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("event_type").orderBy("value", "event_id")
+      val w = Window.partitionBy("event_type").orderBy("value", "event_id")
       CoreQueries.events(s, d)
         .select(col("event_type"),
           ntile(4).over(w).cast("long").as("tile"),
@@ -468,8 +473,7 @@ object ExtQueries {
     // parquet ns timestamps to µs on read (verified ...999 ns → ...275
     // µs), so Spark must use ts_ns div 1000, never raw ns.
     "q63_range_frame" -> ((s, d) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("user_id").orderBy("ts_us")
+      val w = Window.partitionBy("user_id").orderBy("ts_us")
         .rangeBetween(-3600L * 1000000L, 0L)
       CoreQueries.events(s, d)
         .withColumn("ts_us", expr("ts_ns div 1000"))
@@ -479,10 +483,8 @@ object ExtQueries {
 
     // first_value / nth_value windows + nullif/coalesce scalar nulls
     "q64_value_windows" -> ((s, d) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-          org.apache.spark.sql.expressions.Window.currentRow)
+      val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       CoreQueries.events(s, d)
         .withColumn("ts_us", expr("ts_ns div 1000"))
         .select(col("event_id"),
@@ -657,13 +659,10 @@ object ExtQueries {
       "SELECT upper(event_type) AS type_tag, count(*) AS cnt, round(sum(value),4) AS sv FROM events GROUP BY 1 ORDER BY 1",
     "q58_pivot" ->
       "SELECT user_id % 10 AS ug, count(*) FILTER (event_type='click') AS click, count(*) FILTER (event_type='error') AS error, count(*) FILTER (event_type='purchase') AS purchase, count(*) FILTER (event_type='signup') AS signup, count(*) FILTER (event_type='view') AS view FROM events GROUP BY 1 ORDER BY 1",
-    // transitive closure by recursive CTE over the same pair formulation
-    // (UNION dedups, so the recursion terminates)
+    // transitive closure by recursive CTE over the SAME jaccardCtes pair
+    // formulation as q26/q52 (UNION dedups, so the recursion terminates)
     "q67_dedup_clusters" ->
-      ("WITH RECURSIVE docs AS (SELECT doc_id, string_split(text,' ') words FROM documents), " +
-        "sh AS (SELECT doc_id, unnest(list_distinct([array_to_string(words[i:i+2],' ') for i in range(1, len(words)-1)])) AS shingle FROM docs WHERE len(words) >= 3), " +
-        "cnt AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1), " +
-        "p0 AS (SELECT a.doc_id da, b.doc_id db, count(*) overlap FROM sh a JOIN sh b ON a.shingle=b.shingle AND a.doc_id<b.doc_id GROUP BY 1,2), " +
+      (s"WITH RECURSIVE ${jaccardCtes(None)}, " +
         "pairs AS (SELECT da, db FROM p0 JOIN cnt ca ON da=ca.doc_id JOIN cnt cb ON db=cb.doc_id WHERE overlap*1.0/(ca.n+cb.n-overlap) >= 0.6), " +
         "edges AS (SELECT da x, db y FROM pairs UNION ALL SELECT db, da FROM pairs), " +
         "reach(node, lbl) AS (SELECT x, x FROM (SELECT DISTINCT x FROM edges) t UNION SELECT e.x, r.lbl FROM edges e JOIN reach r ON e.y = r.node) " +
