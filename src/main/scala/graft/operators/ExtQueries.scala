@@ -459,6 +459,22 @@ object ExtQueries {
         .orderBy("lang")
     }),
 
+    // The SQL-text surface: spark.sql(...) with a scalar subquery and a
+    // correlated EXISTS — Catalyst's subquery planning (rewrite to
+    // joins), exercised through the exact SQL text the oracle runs.
+    "q70_sql_subquery" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("orders_v")
+      t(s, d, "customer").createOrReplaceTempView("customer_v")
+      s.sql(
+        """SELECT o_orderkey, round(o_totalprice, 4) AS tp
+          |FROM orders_v o
+          |WHERE o_totalprice > 3 * (SELECT avg(o_totalprice) FROM orders_v)
+          |  AND EXISTS (SELECT 1 FROM customer_v c
+          |              WHERE c.c_custkey = o.o_custkey
+          |                AND c.c_acctbal > 0)
+          |ORDER BY o_orderkey""".stripMargin)
+    }),
+
     // relational UNPIVOT (wide measures → (name, val) rows)
     "q62_unpivot" -> ((s, d) =>
       t(s, d, "lineitem").groupBy("l_returnflag")
@@ -673,6 +689,9 @@ object ExtQueries {
       raw"SELECT lang, CAST(sum(len(regexp_extract_all(text, '\bcustomer\b'))) AS BIGINT) AS n_hits, CAST(sum(length(regexp_replace(text, '\bcustomer\b', '[REDACTED]', 'g'))) AS BIGINT) AS total_len FROM documents GROUP BY lang ORDER BY lang",
     "q69_repetition" ->
       "SELECT lang, count(CASE WHEN r < 0.3 THEN 1 END) AS n_repetitive, round(avg(r),4) AS avg_ratio FROM (SELECT lang, len(list_distinct(string_split(text,' ')))*1.0/len(string_split(text,' ')) r FROM documents) t GROUP BY lang ORDER BY lang",
+    // the same statement text, modulo view names — the whole point
+    "q70_sql_subquery" ->
+      "SELECT o_orderkey, round(o_totalprice, 4) AS tp FROM orders o WHERE o_totalprice > 3 * (SELECT avg(o_totalprice) FROM orders) AND EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey AND c.c_acctbal > 0) ORDER BY o_orderkey",
     "q62_unpivot" ->
       "SELECT l_returnflag, name, val FROM (SELECT l_returnflag, round(sum(l_quantity),4) qty, round(sum(l_discount),4) disc FROM lineitem GROUP BY 1) UNPIVOT (val FOR name IN (qty, disc)) ORDER BY l_returnflag, name",
     "q63_range_frame" ->

@@ -23,6 +23,17 @@ class WarehouseSpec extends AnyFunSuite with SparkTestSession {
     SlowLogTable.flatten(SlowLogSource.readRaw(spark, dir.toString))
   }
 
+  test("AQE coalesces shuffle partitions at runtime (SCALE.md §0 posture)") {
+    // 12 tiny rows through a 4-partition shuffle: AQE should fuse the
+    // near-empty reducers into one — the mechanism SCALE.md relies on to
+    // let clusters over-provision spark.sql.shuffle.partitions
+    val agg = wide.groupBy("digest").count()
+    agg.collect() // materialize so AQE finalizes the plan
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("AQEShuffleRead") && plan.contains("coalesced"),
+      s"AQE did not coalesce the shuffle:\n$plan")
+  }
+
   test("date-partitioned layout prunes partitions for time-ranged reads") {
     val out = Files.createTempDirectory("graft-wh-out").toString + "/queries"
     Warehouse.writePartitioned(wide, out)
