@@ -83,6 +83,9 @@ object Ingest {
     require(!c.tail || c.checkpoint.nonEmpty,
       "-tail requires -checkpoint (the resume state, as the reference's byte offset)")
     require(!c.tail || c.amplify == 1, "-amplify is a batch-mode flag")
+    // the streaming sink is append-only by construction; silently
+    // accepting -mode would ignore it
+    require(!c.tail || c.mode == "append", "-mode is a batch-mode flag")
     c
   }
 
@@ -115,7 +118,9 @@ object Ingest {
     graft.streaming.SlowLogStream.startJdbcSink(
       graft.streaming.SlowLogStream.wideRows(
         graft.streaming.SlowLogStream.events(spark, c.slowLogPath)),
-      c.dsn, c.table, driverFor(c), c.checkpoint.get, trigger)
+      c.dsn, c.table, driverFor(c), c.checkpoint.get, trigger,
+      batchSize = c.batchSize,
+      numPartitions = c.numPartitions.orElse(defaultPartitions(c)))
 
   def main(args: Array[String]): Unit = {
     val c = parseArgs(args)

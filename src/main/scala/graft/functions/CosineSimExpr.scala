@@ -19,7 +19,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
  * elements widened to double, sequential accumulation in array order
  * (so results are bit-identical and the DuckDB oracle hash-match is
  * unaffected — spec-proven), zero vectors yield NaN, SQL-null inputs
- * yield null. Arrays are assumed to have non-null elements (embedding
+ * yield null, and LENGTH-MISMATCHED arrays yield null too (the HOF's
+ * `zip_with` pads with null, which poisons its fold — a malformed
+ * vector must drop out of ranked results, not score on a truncated
+ * prefix). Arrays are assumed to have non-null elements (embedding
  * vectors by contract).
  */
 case class CosineSimExpr(left: Expression, right: Expression)
@@ -40,6 +43,10 @@ case class CosineSimExpr(left: Expression, right: Expression)
     }
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
+  // null also arises from non-null inputs (length mismatch) — the
+  // default child-nullability union would let the optimizer assume
+  // non-null output over non-null children
+  override def nullable: Boolean = true
 
   private def get(a: ArrayData, t: DataType, i: Int): Double = t match {
     case FloatType => a.getFloat(i).toDouble
@@ -50,16 +57,19 @@ case class CosineSimExpr(left: Expression, right: Expression)
     val (lt, rt) = (elemType(left).get, elemType(right).get)
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var dot = 0.0; var na = 0.0; var nb = 0.0
-    var i = 0
-    while (i < n) {
-      val xi = get(x, lt, i)
-      val yi = get(y, rt, i)
-      dot += xi * yi; na += xi * xi; nb += yi * yi
-      i += 1
+    val n = x.numElements()
+    if (n != y.numElements()) null
+    else {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val xi = get(x, lt, i)
+        val yi = get(y, rt, i)
+        dot += xi * yi; na += xi * xi; nb += yi * yi
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   private def genGet(arr: String, t: DataType, i: String): String = t match {
@@ -74,16 +84,22 @@ case class CosineSimExpr(left: Expression, right: Expression)
       val dot = ctx.freshName("dot")
       val na = ctx.freshName("na")
       val nb = ctx.freshName("nb")
+      val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
       val (lt, rt) = (elemType(left).get, elemType(right).get)
       s"""
-         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double xi = ${genGet(a, lt, i)};
-         |  double yi = ${genGet(b, rt, i)};
-         |  $dot += xi * yi; $na += xi * xi; $nb += yi * yi;
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $xi = ${genGet(a, lt, i)};
+         |    double $yi = ${genGet(b, rt, i)};
+         |    $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+         |  }
+         |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
        """.stripMargin
     })
 

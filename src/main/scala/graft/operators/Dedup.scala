@@ -172,10 +172,12 @@ object Dedup {
    * rounds to truncate lineage, and swap in GraphFrames' large-star /
    * small-star if components stop being shallow.
    *
-   * The RETURNED frame stays persisted (one small row per clustered
-   * node) — unavoidable, since unpersisting would force downstream
-   * actions to replay the whole loop; call `.unpersist()` on the result
-   * when finished with it.
+   * Failing to converge within `maxIter` throws (a silently split
+   * component is a wrong answer, not a degraded one); raise `maxIter`
+   * for graphs whose diameter can exceed it. The returned frame is NOT
+   * left persisted — the loop's caches are dropped once the fixpoint is
+   * confirmed, so downstream actions re-evaluate a (bounded-depth)
+   * deterministic plan and no storage leaks into the caller's session.
    */
   def dedupClusters(pairs: DataFrame, aCol: String, bCol: String,
                     maxIter: Int = 20): DataFrame = {
@@ -203,6 +205,10 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    labels.unpersist()
+    if (!converged) throw new IllegalStateException(
+      s"dedupClusters did not converge in $maxIter rounds — the pair " +
+        "graph has a component of diameter > maxIter; raise maxIter")
     labels
   }
 

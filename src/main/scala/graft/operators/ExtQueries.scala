@@ -468,7 +468,7 @@ object ExtQueries {
       s.sql(
         """SELECT o_orderkey, round(o_totalprice, 4) AS tp
           |FROM orders_v o
-          |WHERE o_totalprice > 3 * (SELECT avg(o_totalprice) FROM orders_v)
+          |WHERE o_totalprice > 1.8 * (SELECT avg(o_totalprice) FROM orders_v)
           |  AND EXISTS (SELECT 1 FROM customer_v c
           |              WHERE c.c_custkey = o.o_custkey
           |                AND c.c_acctbal > 0)
@@ -691,7 +691,7 @@ object ExtQueries {
       "SELECT lang, count(CASE WHEN r < 0.3 THEN 1 END) AS n_repetitive, round(avg(r),4) AS avg_ratio FROM (SELECT lang, len(list_distinct(string_split(text,' ')))*1.0/len(string_split(text,' ')) r FROM documents) t GROUP BY lang ORDER BY lang",
     // the same statement text, modulo view names — the whole point
     "q70_sql_subquery" ->
-      "SELECT o_orderkey, round(o_totalprice, 4) AS tp FROM orders o WHERE o_totalprice > 3 * (SELECT avg(o_totalprice) FROM orders) AND EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey AND c.c_acctbal > 0) ORDER BY o_orderkey",
+      "SELECT o_orderkey, round(o_totalprice, 4) AS tp FROM orders o WHERE o_totalprice > 1.8 * (SELECT avg(o_totalprice) FROM orders) AND EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey AND c.c_acctbal > 0) ORDER BY o_orderkey",
     "q62_unpivot" ->
       "SELECT l_returnflag, name, val FROM (SELECT l_returnflag, round(sum(l_quantity),4) qty, round(sum(l_discount),4) disc FROM lineitem GROUP BY 1) UNPIVOT (val FOR name IN (qty, disc)) ORDER BY l_returnflag, name",
     "q63_range_frame" ->

@@ -160,13 +160,15 @@ object SlowLogStream {
    */
   def startJdbcSink(wide: DataFrame, url: String, table: String,
                     driver: String, checkpointDir: String,
-                    trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+                    trigger: Option[org.apache.spark.sql.streaming.Trigger] = None,
+                    batchSize: Int = 10000,
+                    numPartitions: Option[Int] = Some(1))
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val w = wide.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         graft.sources.JdbcSink.write(batch, url, table, driver,
-          numPartitions = Some(1))
+          batchSize = batchSize, numPartitions = numPartitions)
       }
     trigger.foreach(w.trigger)
     w.start()

@@ -72,4 +72,15 @@ class CosineSimExprSpec extends AnyFunSuite with SparkTestSession {
     assert(got(2L).isEmpty)       // null array → null
     assert(got(3L).exists(_.isNaN)) // zero vector → NaN, as the HOF
   }
+
+  test("length-mismatched arrays yield null, as the HOF (malformed rows drop out)") {
+    import spark.implicits._
+    val rows = Seq((1L, Array(1f, 0f, 0f), Array(1f, 0f)))
+      .toDF("id", "a", "b")
+    val r = rows.select(
+      native(col("a"), col("b")).as("nat"),
+      Similarity.cosineHof(col("a"), col("b")).as("hof")).collect()(0)
+    assert(r.isNullAt(0), s"native returned ${r.get(0)} for a dim mismatch")
+    assert(r.isNullAt(1)) // the parity reference agrees
+  }
 }

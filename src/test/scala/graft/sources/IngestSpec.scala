@@ -71,7 +71,11 @@ class IngestSpec extends AnyFunSuite with SparkTestSession {
   test("-tail follows the log dir with checkpointed exactly-once resume") {
     val dir = Files.createTempDirectory("graft-ingest-tail")
     val ckpt = Files.createTempDirectory("graft-ingest-ckpt").toString
-    val url = s"jdbc:duckdb:${dir.resolve("tail.db")}"
+    // the sink db must live OUTSIDE the streamed directory — the file
+    // source has no glob filter, so a sink inside it would be ingested
+    // as a log on the next drain
+    val sinkDir = Files.createTempDirectory("graft-ingest-sink")
+    val url = s"jdbc:duckdb:${sinkDir.resolve("tail.db")}"
     val conf = Ingest.parseArgs(Array(
       "-slowLogPath", dir.toString, "-dsn", url, "-tail", "-checkpoint", ckpt))
 
