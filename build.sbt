@@ -38,9 +38,12 @@ Test / parallelExecution := false
 // added: two cached versions on the classpath would make the loaded
 // engine version classpath-order dependent, and a lexicographic sort
 // would rank 0.9 above 0.10.
-Test / unmanagedJars ++=
+Test / unmanagedJars ++= {
+  // version components compared as a sequence (not packed base-1000,
+  // which a date-stamped component like 20240101 would overflow)
+  import scala.math.Ordering.Implicits._
   (file(sys.env.getOrElse("COURSIER_CACHE", "/root/.cache/coursier")) **
     "duckdb_jdbc-*.jar").get
-    .sortBy(f => "\\d+".r.findAllIn(f.getName).map(_.toLong)
-      .padTo(6, 0L).foldLeft(0L)((acc, v) => acc * 1000 + v))
+    .sortBy(f => "\\d+".r.findAllIn(f.getName).map(_.toLong).toSeq.padTo(6, 0L))
     .lastOption.toSeq.map(Attributed.blank(_))
+}

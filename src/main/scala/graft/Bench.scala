@@ -116,7 +116,7 @@ object Bench {
     // dominates the fixed job overhead (20k measured ~6× low).
     val eps = benchIngest(spark, 100000)
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val (baseName, baseTimes, baseFailed) = loadBaseline()
+    val (baseName, baseTimes, baseFailed) = loadBaseline(sfDir)
     // a failed query (either round) records only its fail-fast time, so
     // its ratio would read as a absurd speedup/regression — omit it
     val ratios = results.collect {
@@ -126,21 +126,38 @@ object Bench {
         "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3f",
           Double.box(v / baseTimes(k)))
     }.mkString("{", ",", "}")
-    println(
-      s"""{"metric":"total","value":$core,"unit":"sec","queries":$qs,"total_all":$all,"ingest_eps":${eps.round},"failed":$failedJson,"baseline":"$baseName","vs_baseline":$ratios,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$core,"unit":"sec","queries":$qs,"total_all":$all,"ingest_eps":${eps.round},"failed":$failedJson,"baseline":"$baseName","vs_baseline":$ratios,"sf":"$sfDir"}"""
+    println(line)
+    // Persist the full line as next round's baseline: the driver's
+    // BENCH_r*.json nests this line in a "tail" string that can be
+    // TRUNCATED mid-queries-map (seen in r03), which would make the
+    // regex pick vs_baseline ratios as seconds (round-3 advice). An
+    // untruncated self-written file sidesteps the problem entirely.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_BASELINE.json"), line + "\n")
+    catch { case e: java.io.IOException =>
+      System.err.println(s"[bench] baseline not persisted: ${e.getMessage}")
+    }
     spark.stop()
   }
 
-  /** Per-query seconds from the newest `BENCH_r*.json` in the working
-    * directory (or `SPARK_GRAFT_BASELINE`), so every bench line carries a
+  /** Per-query seconds from the self-written `BENCH_BASELINE.json` (or
+    * `SPARK_GRAFT_BASELINE`, or — fallback for the first run after this
+    * scheme — the newest `BENCH_r*.json`), so every bench line carries a
     * mechanical per-query ratio vs the previous round. The driver file
     * nests the bench JSON line inside a "tail" string, so keys appear
-    * with escaped quotes — the regex accepts both forms. Ratios are only
-    * meaningful when both runs used the same sf; the driver always
-    * benches sf0.1. */
-  private def loadBaseline(): (String, Map[String, Double], Set[String]) = {
+    * with escaped quotes — the regex accepts both forms. Guards (round-3
+    * advice: a truncated tail made ratios parse as seconds):
+    *  - the seconds regex only reads text BEFORE the "vs_baseline" key;
+    *  - no baseline at all when that prefix lacks the "queries" key
+    *    (the tail was cut mid-map, so the seconds are gone);
+    *  - no baseline when the recorded sf dir differs from this run's
+    *    (cross-sf ratios are meaningless). */
+  private def loadBaseline(sfDir: String): (String, Map[String, Double], Set[String]) = {
     val roundNum = "BENCH_r(\\d+)\\.json".r
     val file = sys.env.get("SPARK_GRAFT_BASELINE").map(new java.io.File(_))
+      .orElse(Some(new java.io.File("BENCH_BASELINE.json")).filter(_.isFile))
       .orElse(Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
         .flatMap(f => f.getName match {
           // numeric round order: lexicographic puts r9 after r10
@@ -148,24 +165,36 @@ object Bench {
           case _ => None
         }).sortBy(_._1).map(_._2).lastOption)
       .filter(_.isFile)
-    file.map { f =>
+    file.flatMap { f =>
       val txt = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-      val re = """\\?"(q\d{2}[a-z0-9_]*)\\?":([0-9][0-9.Ee+-]*)""".r
-      // FIRST occurrence per key: the bench line carries each query key
-      // twice ("queries" seconds first, then "vs_baseline" ratios) — a
-      // last-wins toMap would silently divide by last round's ratios
-      val times = re.findAllMatchIn(txt)
-        .foldLeft(Map.empty[String, Double]) { (acc, m) =>
-          if (acc.contains(m.group(1))) acc
-          else acc.updated(m.group(1), m.group(2).toDouble)
-        }
-      // the baseline round's own failed list (fail-fast times are not
-      // comparable); keys appear as bare or escaped-quote strings
-      val failedRe = """"failed\\?":\[([^\]]*)\]""".r
-      val baseFailed = failedRe.findFirstMatchIn(txt)
-        .map(m => """q\d{2}[a-z0-9_]*""".r.findAllIn(m.group(1)).toSet)
-        .getOrElse(Set.empty[String])
-      (f.getName, times, baseFailed)
+      // seconds live in the "queries" map, which precedes "vs_baseline";
+      // scoping the scan there keeps ratios out even when keys repeat
+      val scoped = txt.split("vs_baseline", 2)(0)
+      val sfRe = """\\?"sf\\?":\\?"([^"\\]+)""".r
+      val recordedSf = sfRe.findAllMatchIn(txt).map(_.group(1)).toSeq.lastOption
+      if (!"""\\?"queries\\?":""".r.findFirstIn(scoped).isDefined) {
+        System.err.println(s"[bench] baseline ${f.getName} truncated before its queries map — skipping ratios")
+        None
+      } else if (recordedSf.exists(_ != sfDir)) {
+        System.err.println(s"[bench] baseline ${f.getName} ran sf ${recordedSf.get}, this run is $sfDir — skipping ratios")
+        None
+      } else {
+        val re = """\\?"(q\d{2}[a-z0-9_]*)\\?":([0-9][0-9.Ee+-]*)""".r
+        // FIRST occurrence per key, and only within the pre-vs_baseline
+        // prefix: belt and braces against ratio keys leaking in
+        val times = re.findAllMatchIn(scoped)
+          .foldLeft(Map.empty[String, Double]) { (acc, m) =>
+            if (acc.contains(m.group(1))) acc
+            else acc.updated(m.group(1), m.group(2).toDouble)
+          }
+        // the baseline round's own failed list (fail-fast times are not
+        // comparable); keys appear as bare or escaped-quote strings
+        val failedRe = """"failed\\?":\[([^\]]*)\]""".r
+        val baseFailed = failedRe.findFirstMatchIn(txt)
+          .map(m => """q\d{2}[a-z0-9_]*""".r.findAllIn(m.group(1)).toSet)
+          .getOrElse(Set.empty[String])
+        Some((f.getName, times, baseFailed))
+      }
     }.getOrElse(("none", Map.empty[String, Double], Set.empty[String]))
   }
 }

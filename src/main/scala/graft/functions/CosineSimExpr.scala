@@ -22,8 +22,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
  * yield null, and LENGTH-MISMATCHED arrays yield null too (the HOF's
  * `zip_with` pads with null, which poisons its fold — a malformed
  * vector must drop out of ranked results, not score on a truncated
- * prefix). Arrays are assumed to have non-null elements (embedding
- * vectors by contract).
+ * prefix). A NULL ELEMENT likewise yields null — in the HOF the null
+ * poisons the aggregate fold — so malformed vectors never score on
+ * partial data (round-3 advice: this was previously assumed away and
+ * read as garbage).
  */
 case class CosineSimExpr(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -63,6 +65,7 @@ case class CosineSimExpr(left: Expression, right: Expression)
       var dot = 0.0; var na = 0.0; var nb = 0.0
       var i = 0
       while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
         val xi = get(x, lt, i)
         val yi = get(y, rt, i)
         dot += xi * yi; na += xi * xi; nb += yi * yi
@@ -94,11 +97,14 @@ case class CosineSimExpr(left: Expression, right: Expression)
          |} else {
          |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    double $xi = ${genGet(a, lt, i)};
          |    double $yi = ${genGet(b, rt, i)};
          |    $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
          |  }
-         |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |  }
          |}
        """.stripMargin
     })

@@ -64,9 +64,16 @@ object Dedup {
     val sh = maxShingleDf match {
       case None => all
       case Some(cap) =>
-        val rare = all.groupBy("shingle").agg(count(lit(1)).as("_df"))
-          .filter(col("_df") <= cap).select("shingle")
-        all.join(rare, "shingle")
+        // The HOT list (df > cap), not the rare list: under a Zipfian
+        // shingle distribution the hot set is tiny by construction (it
+        // is exactly the head the cap exists to drop), so it broadcasts,
+        // and the cap becomes a map-side anti-join — no shuffle of the
+        // full shingle frame against a rare list that is nearly as large
+        // as the frame itself. The df aggregation itself is skew-proof:
+        // partial aggregation collapses each hot shingle map-side.
+        val hot = all.groupBy("shingle").agg(count(lit(1)).as("_df"))
+          .filter(col("_df") > cap).select("shingle")
+        all.join(broadcast(hot), Seq("shingle"), "left_anti")
     }
     val counts = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
     val a = sh.select(col(idCol).as("da"), col("shingle"))
@@ -161,16 +168,20 @@ object Dedup {
    * removals. Returns (node, lbl) where lbl = min doc id reachable
    * through the pair graph (the cluster's canonical representative).
    *
-   * Algorithm: iterative min-label propagation — each round every node
+   * Algorithm: iterative min-label propagation — each hop every node
    * takes the min of its own label and its neighbors' labels; converges
-   * in ≤ diameter rounds (near-dup clusters are shallow: pairs at
-   * threshold J form cliques-ish components, diameter 2–4). Each round
-   * is one join + one aggregation; the driver loop only runs an
-   * emptiness check per round (the standard iterative-algorithm shape,
-   * as in MLlib). Results are persisted per round so lineage does not
-   * recompute from scratch; at 100 TB add `localCheckpoint()` every few
-   * rounds to truncate lineage, and swap in GraphFrames' large-star /
-   * small-star if components stop being shallow.
+   * in ≤ diameter hops (near-dup clusters are shallow: pairs at
+   * threshold J form cliques-ish components, diameter 2–4). Each
+   * materialized round applies one hop and runs one label-sum
+   * aggregation as its convergence check (labels are monotone
+   * non-increasing over a fixed node set, so an unchanged sum IS the
+   * fixpoint) — cheaper than re-joining against the previous labels to
+   * diff them, since the sum runs over the frame the round materializes
+   * anyway. Results are persisted
+   * per round so lineage does not recompute from scratch; at 100 TB add
+   * `localCheckpoint()` every few rounds to truncate lineage, and swap
+   * in GraphFrames' large-star / small-star if components stop being
+   * shallow.
    *
    * Failing to converge within `maxIter` throws (a silently split
    * component is a wrong answer, not a degraded one); raise `maxIter`
@@ -188,28 +199,56 @@ object Dedup {
       .agg(min("y").as("_nmin"))
       .select(col("node"), least(col("node"), col("_nmin")).as("lbl"))
       .persist()
+    // one min-propagation hop: next(x) = min(lbl(x), min over neighbors)
+    def hop(l: DataFrame): DataFrame =
+      edges.join(l, edges("y") === l("node"))
+        .select(edges("x").as("node"), col("lbl"))
+        .unionAll(l)
+        .groupBy("node").agg(min("lbl").as("lbl"))
+    // Convergence by label-sum: propagation is monotone non-increasing
+    // per node over a fixed node set, so the sum strictly decreases
+    // until — and only until — the fixpoint. Comparing sums costs one
+    // aggregation over the frame the round materializes ANYWAY, where
+    // the previous shape (join vs old labels + isEmpty) scheduled an
+    // extra join per round. Two hops per materialized round halve the
+    // round count for the same diameter bound.
+    // decimal accumulator: a long sum could wrap at ~10⁹ nodes × 10⁹
+    // ids, and a wrapped equality would break the monotonicity argument
+    def lblSum(l: DataFrame): Any =
+      l.agg(sum(col("lbl").cast("decimal(38,0)"))).first().get(0)
+    // the up-front sum doubles as the action that MATERIALIZES the
+    // labels cache — without it, round 1's plan (which references
+    // labels twice) races its own cache population and computes the
+    // initial aggregation repeatedly
+    var prevSum = lblSum(labels)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      val prop = edges.join(labels, edges("y") === labels("node"))
-        .select(edges("x").as("node"), col("lbl"))
-      val next = labels.unionAll(prop)
-        .groupBy("node").agg(min("lbl").as("lbl"))
-        .persist()
-      converged = next
-        .join(labels.withColumnRenamed("lbl", "_old"), "node")
-        .filter(col("lbl") =!= col("_old"))
-        .isEmpty
+      val next = hop(labels).persist()
+      val s = lblSum(next)
+      converged = s == prevSum
+      prevSum = s
       labels.unpersist()
       labels = next
       iter += 1
     }
     edges.unpersist()
+    if (!converged) {
+      labels.unpersist()
+      throw new IllegalStateException(
+        s"dedupClusters did not converge in $maxIter rounds — the pair " +
+          "graph has a component of diameter > maxIter; raise maxIter")
+    }
+    // Hand back the fixpoint as an eager localCheckpoint, then drop the
+    // loop's caches: the label table is bounded (one row per paired doc,
+    // ≪ corpus), and without the checkpoint every consumer would re-run
+    // the ENTIRE pair pipeline + propagation from bare lineage — at
+    // sf0.1 that doubled the operator's cost. Checkpoint blocks free on
+    // frame GC; on a cluster, executor loss invalidates them (use
+    // reliable checkpointing there if the job must survive it).
+    val out = labels.localCheckpoint(true)
     labels.unpersist()
-    if (!converged) throw new IllegalStateException(
-      s"dedupClusters did not converge in $maxIter rounds — the pair " +
-        "graph has a component of diameter > maxIter; raise maxIter")
-    labels
+    out
   }
 
   /**

@@ -163,17 +163,42 @@ object Similarity {
    */
   def ivfCosineTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
                     embCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
-                    seed: Long = 42L): DataFrame = {
+                    seed: Long = 42L, trainSampleRows: Int = 200000): DataFrame = {
     val spark = corpus.sparkSession
     val featured = corpus.withColumn("_feat", unitVector(col(embCol)))
+    // Quantizer training input: k-means|| init + every Lloyd iteration
+    // schedules a job over this frame, so fit cost is (#jobs ≈ 15) ×
+    // (task scheduling + input recompute). Training on the raw corpus
+    // frame re-evaluates the scan + unit-norm HOF on every one of those
+    // jobs across all its partitions — at sf0.1 that was ~6× the cost of
+    // the actual search. Instead: a bounded deterministic hash-sample
+    // (a coarse quantizer gains nothing past ~10⁵ points), column-pruned
+    // to the feature vector, shuffled down to ~50k-row partitions, and
+    // cached for the fit. This is also the only viable 100 TB shape —
+    // the quantizer NEVER trains on the full corpus, it trains on a
+    // sample and the corpus is only scanned once for cell assignment.
+    val n = corpus.count()
+    val keep = math.min(1.0, trainSampleRows.toDouble / math.max(1L, n))
+    val sampled =
+      if (keep >= 1.0) featured
+      // xxhash64(id) mod 1e6: deterministic, seed-stable, no bias toward
+      // leading partitions (a limit() would train on a data-order prefix)
+      else featured.filter(pmod(xxhash64(col(idCol)), lit(1000000L)) <
+        lit(math.ceil(keep * 1e6).toLong))
+    val trainParts = math.max(1, (math.min(n, trainSampleRows.toLong) / 50000L).toInt)
+    // repartition (not coalesce): coalesce would fuse the full corpus
+    // scan into trainParts tasks; the shuffle ships only sampled vectors
+    val train = sampled.select(col("_feat")).repartition(trainParts).cache()
     // capped iterations: the default 20 each schedule a full pass — on a
     // coarse quantizer (nlist cells, nprobe-of-nlist search) centroid
     // polish past ~10 iterations buys no recall, just scheduler time.
     // k-means|| init is kept: random init measurably drops per-probe
     // recall below the q53 floor at sf0.1.
-    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
-      .setFeaturesCol("_feat").setPredictionCol("_cell")
-      .fit(featured)
+    val model =
+      try new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
+        .setFeaturesCol("_feat").setPredictionCol("_cell")
+        .fit(train)
+      finally train.unpersist()
     val cells = model.transform(featured)
       .select(col(idCol).as("nn_id"), col(embCol).as("_emb_nn"), col("_cell"))
 

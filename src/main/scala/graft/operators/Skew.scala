@@ -23,6 +23,14 @@ import org.apache.spark.sql.functions._
  */
 object Skew {
 
+  /** A working-column name absent from every input frame: a fixed
+    * "_salt" would be silently REPLACED by withColumn if an input
+    * already carried that column, producing wrong joins/aggregates
+    * instead of an error (round-3 advice). */
+  private def freshSaltCol(frames: DataFrame*): String =
+    Iterator.from(0).map(i => if (i == 0) "_salt" else s"_salt$i")
+      .find(n => !frames.exists(_.columns.contains(n))).get
+
   /** Inner equi-join of a skewed big side with a small side on `key`,
     * with the shuffle key widened to (key, salt). Result set is
     * IDENTICAL to `big.join(small, key)` — only the partitioning
@@ -32,11 +40,12 @@ object Skew {
     // salts = 0 would make pmod NULL on every row and silently join to
     // nothing — fail loudly instead
     require(salts >= 1, s"salts must be >= 1, got $salts")
-    val saltedBig = big.withColumn("_salt",
+    val saltCol = freshSaltCol(big, small)
+    val saltedBig = big.withColumn(saltCol,
       pmod(xxhash64(col(bigUnique)), lit(salts.toLong)))
-    val saltedSmall = small.withColumn("_salt",
+    val saltedSmall = small.withColumn(saltCol,
       explode(sequence(lit(0L), lit(salts.toLong - 1))))
-    saltedBig.join(saltedSmall, Seq(key, "_salt")).drop("_salt")
+    saltedBig.join(saltedSmall, Seq(key, saltCol)).drop(saltCol)
   }
 
   /** Two-phase aggregation with a salted first phase: partials group on
@@ -49,8 +58,9 @@ object Skew {
   def saltedSumCount(df: DataFrame, key: String, valueCol: String,
                      uniqueCol: String, salts: Int): DataFrame = {
     require(salts >= 1, s"salts must be >= 1, got $salts")
-    df.withColumn("_salt", pmod(xxhash64(col(uniqueCol)), lit(salts.toLong)))
-      .groupBy(col(key), col("_salt"))
+    val saltCol = freshSaltCol(df)
+    df.withColumn(saltCol, pmod(xxhash64(col(uniqueCol)), lit(salts.toLong)))
+      .groupBy(col(key), col(saltCol))
       .agg(sum(col(valueCol)).as("_ps"), count(lit(1)).as("_pc"))
       .groupBy(col(key))
       .agg(sum("_ps").as("sum"), sum("_pc").as("cnt"))

@@ -73,6 +73,20 @@ class CosineSimExprSpec extends AnyFunSuite with SparkTestSession {
     assert(got(3L).exists(_.isNaN)) // zero vector → NaN, as the HOF
   }
 
+  test("a null ELEMENT yields null, as the HOF (no scoring on partial data)") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Seq[Option[Float]](Some(1f), None), Seq[Option[Float]](Some(1f), Some(0f))),
+      (2L, Seq[Option[Float]](Some(1f), Some(0f)), Seq[Option[Float]](Some(1f), Some(0f)))
+    ).toDF("id", "a", "b")
+    val got = rows.select(col("id"),
+      native(col("a").cast("array<float>"), col("b").cast("array<float>")).as("nat"),
+      Similarity.cosineHof(col("a").cast("array<float>"), col("b").cast("array<float>")).as("hof"))
+      .collect().map(r => r.getLong(0) -> (r.isNullAt(1), r.isNullAt(2))).toMap
+    assert(got(1L) == ((true, true)), "null element must null out both paths")
+    assert(got(2L) == ((false, false)))
+  }
+
   test("length-mismatched arrays yield null, as the HOF (malformed rows drop out)") {
     import spark.implicits._
     val rows = Seq((1L, Array(1f, 0f, 0f), Array(1f, 0f)))

@@ -38,6 +38,29 @@ class SkewSpec extends AnyFunSuite with SparkTestSession {
       s"shuffle key not widened:\n$plan")
   }
 
+  test("inputs already carrying a _salt column are not clobbered") {
+    // withColumn would silently REPLACE a caller's _salt and corrupt the
+    // join — the salt column must dodge existing names instead
+    val withSalt = skewed.withColumn("_salt", lit("mine"))
+    val dimSalt = dim.withColumn("_salt", lit("theirs"))
+    val got = Skew.saltedJoin(withSalt, dimSalt, "k", "id", salts = 4)
+    // same column surface as the plain join (both callers' _salt survive)
+    val plain = withSalt.join(dimSalt, "k")
+    assert(got.columns.toSeq == plain.columns.toSeq)
+    // 10k join rows survive and both callers' values are intact
+    val rows = got.collect()
+    assert(rows.length == 10000)
+    val salts = got.columns.zipWithIndex.filter(_._1 == "_salt").map(_._2)
+    assert(rows.forall(r => salts.map(r.getString).toSet == Set("mine", "theirs")))
+
+    val agg = Skew.saltedSumCount(withSalt, "k", "v", "id", salts = 4)
+    val direct = skewed.groupBy("k")
+      .agg(sum("v").as("sum"), count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(agg.collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet == direct)
+  }
+
   test("saltedSumCount equals the direct aggregation") {
     val direct = skewed.groupBy("k")
       .agg(sum("v").as("sum"), count(lit(1)).as("cnt"))
