@@ -46,6 +46,12 @@ object ExtQueries {
   private val cosSql: String =
     "list_sum(list_apply(list_zip(p.embedding, e.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (sqrt(list_sum(list_apply(p.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) * sqrt(list_sum(list_apply(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))))"
 
+  /** q72 per-lang keep rates + fallback — the single source for the
+    * Spark-side stratified filter AND the generated oracle CASE. */
+  private val SampleRates: Seq[(String, Double)] =
+    Seq("en" -> 0.5, "fr" -> 0.25, "zh" -> 0.1)
+  private val SampleDefaultRate: Double = 0.75
+
   /** Shared CTE chain for every shingle-Jaccard oracle (q26/q40/q52/q67):
     * docs → distinct 3-gram shingles (with the optional DF cap applied
     * before counts AND overlap, matching ngramJaccardPairs) → per-doc
@@ -603,7 +609,44 @@ object ExtQueries {
         .select(col("probe_id"),
           (coalesce(col("hits"), lit(0L)) >= 2).as("ok"))
         .orderBy("probe_id")
-    })
+    }),
+
+    // TF-IDF top terms per language: two vocabulary-keyed aggregates, a
+    // term join, broadcast corpus count, top-k window — ranked on the
+    // ROUNDED score so cross-engine ln() ulp differences cannot reorder.
+    "q71_tfidf" -> ((s, d) =>
+      TextAnalysis.tfIdfTopTerms(t(s, d, "documents"), "doc_id", "text",
+          byCol = "lang", k = 3)
+        .orderBy("lang", "rn")),
+
+    // Deterministic stratified downsample: per-lang keep decision is
+    // pure arithmetic on md5(doc_id) — re-runnable, partitioning-proof —
+    // with thresholds generated into the oracle from the same constants.
+    "q72_stratified_sample" -> ((s, d) =>
+      Pipeline.stratifiedSample(t(s, d, "documents"), "doc_id", "lang",
+          SampleRates, SampleDefaultRate)
+        .groupBy("lang").agg(count(lit(1)).as("n_kept"))
+        .orderBy("lang")),
+
+    // CDC latest-row-wins upsert compaction over the event changelog:
+    // one surviving row per user. Ordered by the µs timestamp (DuckDB
+    // truncates the ns column on read) with event_id as the unique
+    // tiebreaker.
+    "q73_latest_wins" -> ((s, d) =>
+      Pipeline.latestByKey(
+          CoreQueries.events(s, d)
+            .withColumn("ts_us", expr("ts_ns div 1000")),
+          Seq("user_id"), Seq(col("ts_us"), col("event_id")))
+        .select(col("user_id"), col("event_type").as("last_type"),
+          round(col("value"), 4).as("last_value"), col("ts_us").as("last_us"))
+        .orderBy("user_id")),
+
+    // Fixed-width value histogram per event type — the scan-shaped
+    // distribution profile (map-side partials, bounded key space).
+    "q74_histogram" -> ((s, d) =>
+      Pipeline.histogram(CoreQueries.events(s, d), "value", 10.0,
+          Seq("event_type"))
+        .orderBy("event_type", "bin"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -689,6 +732,19 @@ object ExtQueries {
       raw"SELECT lang, CAST(sum(len(regexp_extract_all(text, '\bcustomer\b'))) AS BIGINT) AS n_hits, CAST(sum(length(regexp_replace(text, '\bcustomer\b', '[REDACTED]', 'g'))) AS BIGINT) AS total_len FROM documents GROUP BY lang ORDER BY lang",
     "q69_repetition" ->
       "SELECT lang, count(CASE WHEN r < 0.3 THEN 1 END) AS n_repetitive, round(avg(r),4) AS avg_ratio FROM (SELECT lang, len(list_distinct(string_split(text,' ')))*1.0/len(string_split(text,' ')) r FROM documents) t GROUP BY lang ORDER BY lang",
+    "q71_tfidf" ->
+      "WITH tok AS (SELECT doc_id, lang, unnest(string_split(text,' ')) AS token FROM documents), tf AS (SELECT lang, token, count(*) AS tf FROM tok GROUP BY 1, 2), df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1), n AS (SELECT count(*) AS c FROM documents), scored AS (SELECT lang, token, round(tf * ln((SELECT c FROM n) * 1.0 / df), 4) AS score FROM tf JOIN df USING (token)) SELECT lang, token, score, rn FROM (SELECT lang, token, score, row_number() OVER (PARTITION BY lang ORDER BY score DESC, token) AS rn FROM scored) t WHERE rn <= 3 ORDER BY lang, rn",
+    // thresholds generated from SampleRates — one source of truth
+    "q72_stratified_sample" -> {
+      val whens = SampleRates.map { case (lang, rate) =>
+        s"WHEN lang = '$lang' THEN ${math.floor(rate * 65536).toInt}"
+      }.mkString(" ")
+      s"SELECT lang, count(*) AS n_kept FROM documents WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),1,4)) AS INTEGER) < (CASE $whens ELSE ${math.floor(SampleDefaultRate * 65536).toInt} END) GROUP BY lang ORDER BY lang"
+    },
+    "q73_latest_wins" ->
+      "SELECT user_id, last_type, last_value, last_us FROM (SELECT user_id, event_type AS last_type, round(value, 4) AS last_value, epoch_us(ts) AS last_us, row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn FROM events) t WHERE rn = 1 ORDER BY user_id",
+    "q74_histogram" ->
+      "SELECT event_type, CAST(floor(value / 10.0) AS BIGINT) AS bin, count(*) AS cnt FROM events GROUP BY 1, 2 ORDER BY 1, 2",
     // the same statement text, modulo view names — the whole point
     "q70_sql_subquery" ->
       "SELECT o_orderkey, round(o_totalprice, 4) AS tp FROM orders o WHERE o_totalprice > 1.8 * (SELECT avg(o_totalprice) FROM orders) AND EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey AND c.c_acctbal > 0) ORDER BY o_orderkey",

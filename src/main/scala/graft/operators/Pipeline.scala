@@ -71,6 +71,53 @@ object Pipeline {
   }
 
   /**
+   * Deterministic stratified downsampling: a row survives when its
+   * 16-bit md5 bucket falls below `floor(rate × 65536)` for its
+   * stratum. Pure per-row arithmetic — no sampling state, no shuffle,
+   * stable under re-runs/re-partitioning, and engine-reproducible (the
+   * q72 oracle recomputes the same CASE) — which is what a corpus
+   * rebalance (e.g. per-language mixture weights) needs at 100 TB:
+   * `sample()` is seed × partitioning dependent, this is content-keyed.
+   * Strata absent from `rates` fall back to `defaultRate`.
+   */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+                       rates: Seq[(String, Double)],
+                       defaultRate: Double = 1.0): DataFrame = {
+    def bound(rate: Double) = math.floor(rate * 65536).toInt
+    val thr = rates.foldRight(lit(bound(defaultRate)): Column) {
+      case ((stratum, rate), rest) =>
+        when(col(strataCol) === stratum, lit(bound(rate))).otherwise(rest)
+    }
+    df.filter(hashBucket16(col(idCol)) < thr)
+  }
+
+  /**
+   * Latest-row-wins compaction — the CDC / SCD-type-1 upsert merge: one
+   * surviving row per key, chosen by the LAST position in `orderCols`
+   * (later version wins; make the last order column unique so the
+   * winner is total-ordered). One window shuffle on the key — the same
+   * cost as the groupBy a MERGE would need — and the whole changelog
+   * never leaves its key partition.
+   */
+  def latestByKey(df: DataFrame, keyCols: Seq[String],
+                  orderCols: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(_.desc): _*)
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+  }
+
+  /** Fixed-width value histogram per group: bin = floor(value / width).
+    * One aggregation with map-side partials over a (group, bin) key
+    * space bounded by the value range — the scan-shaped profile every
+    * curation dashboard starts from. */
+  def histogram(df: DataFrame, valueCol: String, width: Double,
+                byCols: Seq[String]): DataFrame =
+    df.groupBy(byCols.map(col) :+
+        floor(col(valueCol) / width).cast("long").as("bin"): _*)
+      .agg(count(lit(1)).as("cnt"))
+
+  /**
    * Benchmark decontamination screen: corpus documents sharing at least
    * one distinct word `n`-gram with the probe (benchmark) set. The
    * probe shingle set is small by construction — broadcast — so the

@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -64,6 +65,37 @@ object TextAnalysis {
   val TokenPattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
   def tokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit(TokenPattern), lit(0))).cast("long")
+
+  /**
+   * Top-k terms per group by TF-IDF: tf = term occurrences within the
+   * group, idf = ln(N_docs / doc-frequency), ranked on the ROUNDED
+   * score (4 dp) with the token as tiebreaker so the ordering is
+   * reproducible across engines (raw doubles can differ by an ulp of
+   * `ln` between implementations; 4-dp rounding absorbs that).
+   *
+   * Scale shape: two aggregations over the exploded token frame (both
+   * with map-side partials; the (group, token) and (token) key spaces
+   * are vocabulary-bounded, not corpus-bounded), one shuffle join of
+   * the two term-keyed aggregates, a broadcast of the single-row corpus
+   * count, and a top-k window over vocabulary-sized groups. The corpus
+   * itself is scanned once.
+   */
+  def tfIdfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+                    byCol: String, k: Int): DataFrame = {
+    val tok = docs.select(col(idCol), col(byCol),
+      explode(split(col(textCol), " ")).as("token"))
+    val tf = tok.groupBy(col(byCol), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = tok.groupBy(col("token"))
+      .agg(countDistinct(col(idCol)).as("df"))
+    val n = docs.agg(count(lit(1)).as("_n"))
+    val scored = tf.join(dfreq, "token").crossJoin(broadcast(n))
+      .withColumn("score",
+        round(col("tf") * log(col("_n") * lit(1.0) / col("df")), 4))
+    val w = Window.partitionBy(byCol).orderBy(col("score").desc, col("token"))
+    scored.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col(byCol), col("token"), col("score"), col("rn"))
+  }
 
   /** Rolling polynomial fingerprint over words: fold of
     * h → (h*31 + ascii(first char) + len(word)) mod 1e9+7. Order-sensitive

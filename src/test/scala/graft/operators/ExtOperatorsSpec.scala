@@ -232,6 +232,36 @@ class ExtOperatorsSpec extends AnyFunSuite with SparkTestSession {
     assert(rows(1).getLong(1) == 108714L)
   }
 
+  test("tfIdfTopTerms matches a brute-force Scala computation") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "g1", "apple apple banana"),
+      (2L, "g1", "apple cherry"),
+      (3L, "g2", "banana banana cherry"),
+      (4L, "g2", "date")
+    ).toDF("id", "grp", "txt")
+    val got = TextAnalysis.tfIdfTopTerms(corpus, "id", "txt", "grp", k = 2)
+      .orderBy("grp", "rn").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+
+    // brute force: tf per (group, token), df per token over ALL docs
+    val docs = Seq((1L, "g1", "apple apple banana"), (2L, "g1", "apple cherry"),
+      (3L, "g2", "banana banana cherry"), (4L, "g2", "date"))
+    val n = docs.size.toDouble
+    val toks = docs.flatMap { case (id, g, t) => t.split(" ").map(w => (id, g, w)) }
+    val tf = toks.groupBy(x => (x._2, x._3)).view.mapValues(_.size).toMap
+    val dfreq = toks.groupBy(_._3).view.mapValues(_.map(_._1).distinct.size).toMap
+    val expected = tf.toSeq.map { case ((g, w), f) =>
+      val score = BigDecimal(f * math.log(n / dfreq(w)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (g, w, score)
+    }.groupBy(_._1).toSeq.flatMap { case (_, terms) =>
+      terms.sortBy(t => (-t._3, t._2)).take(2).zipWithIndex
+        .map { case ((g, w, s), i) => (g, w, s, i + 1L) }
+    }.sortBy(t => (t._1, t._4))
+    assert(got.toSeq == expected)
+  }
+
   test("rollingFingerprint uses code points (ascii parity with DuckDB)") {
     import spark.implicits._
     // 'é' = U+00E9 = 233 in BOTH Spark ascii() and DuckDB ascii()

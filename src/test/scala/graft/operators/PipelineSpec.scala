@@ -11,6 +11,58 @@ class PipelineSpec extends AnyFunSuite with SparkTestSession {
   private val sf = "/root/testdata/sf0.01"
   private lazy val docs = spark.read.parquet(s"$sf/documents.parquet")
 
+  test("stratifiedSample: deterministic, monotone in rate, exact at 0 and 1") {
+    val rates = Seq("en" -> 0.5, "fr" -> 0.25)
+    val once = Pipeline.stratifiedSample(docs, "doc_id", "lang", rates, 0.75)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val again = Pipeline.stratifiedSample(docs, "doc_id", "lang", rates, 0.75)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(once == again, "same inputs must keep the same rows")
+    // raising every rate only ADDS rows (thresholds are monotone in rate)
+    val larger = Pipeline.stratifiedSample(docs, "doc_id", "lang",
+      Seq("en" -> 0.9, "fr" -> 0.6), 1.0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(once.subsetOf(larger))
+    // boundary rates are exact, not approximate
+    val all = Pipeline.stratifiedSample(docs, "doc_id", "lang", Nil, 1.0)
+    assert(all.count() == docs.count())
+    val none = Pipeline.stratifiedSample(docs, "doc_id", "lang",
+      Seq("en" -> 0.0), 1.0)
+    assert(none.filter(col("lang") === "en").count() == 0)
+    assert(none.count() == docs.filter(col("lang") =!= "en").count())
+  }
+
+  test("latestByKey: per-key winner is the argmax of the order columns") {
+    import spark.implicits._
+    val log = Seq(
+      // key 1: ties on version, seq breaks them — (1, v2, seq3) wins
+      (1L, 1L, 1L, "a"), (1L, 2L, 2L, "b"), (1L, 2L, 3L, "c"),
+      // key 2: single row
+      (2L, 5L, 1L, "d"),
+      // key 3: later version with lower seq still wins on version
+      (3L, 9L, 1L, "e"), (3L, 7L, 9L, "f")
+    ).toDF("k", "version", "seq", "payload")
+    val got = Pipeline.latestByKey(log, Seq("k"),
+        Seq(col("version"), col("seq")))
+      .select("k", "payload").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "c", 2L -> "d", 3L -> "e"))
+  }
+
+  test("histogram: bins partition the rows and floor negative values down") {
+    import spark.implicits._
+    val vals = Seq(("a", -0.5), ("a", 0.0), ("a", 9.99), ("a", 10.0), ("b", 25.0))
+      .toDF("g", "v")
+    val got = Pipeline.histogram(vals, "v", 10.0, Seq("g")).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map(("a", -1L) -> 1L, ("a", 0L) -> 2L, ("a", 1L) -> 1L,
+      ("b", 2L) -> 1L))
+    // on the real corpus the bin counts must repartition to the row count
+    val ev = CoreQueries.events(spark, sf) // ns-timestamp-safe loader
+    val hist = Pipeline.histogram(ev, "value", 10.0, Seq("event_type"))
+    assert(hist.agg(sum("cnt")).collect()(0).getLong(0) == ev.count())
+  }
+
   test("packSequences: packs respect capacity unless a single doc exceeds it") {
     val packs = Pipeline.packSequences(docs, "doc_id", "text", "lang", 2048)
       .collect()
