@@ -352,6 +352,52 @@ object Dedup {
       .select(col(idCol), concat(digits: _*).as("sh"))
   }
 
+  /** Number of 16-bit bands a 64-bit SimHash splits into for the banded
+    * near-dup join — shared by [[simHashNearDupPairs]] and the generated
+    * q75 oracle. */
+  val SimHashBands: Int = 4
+
+  /**
+   * SimHash near-duplicate pairs via a banded bucket join — the hamming
+   * "index" that makes SimHash usable at corpus scale: fingerprints are
+   * cut into [[SimHashBands]] 16-bit bands, only pairs agreeing on at
+   * least one band ever meet (bucket join on (band, key), never an
+   * all-pairs product), and the exact hamming distance of the
+   * candidates is then verified ≤ `maxHamming`.
+   *
+   * Exactness: by pigeonhole a pair at hamming < [[SimHashBands]]
+   * ALWAYS shares an intact band, so for `maxHamming < SimHashBands`
+   * the banded result IS the exhaustive result. For larger thresholds
+   * the ≥1-shared-band condition is part of the operator's contract
+   * (the q75 oracle applies the same condition), matching how a
+   * production SimHash index trades recall for never scanning pairs.
+   *
+   * Uses the md5-derived hex fingerprints ([[simHashHexAgg]]) so the
+   * whole pipeline is oracle-checkable end-to-end. The distinct runs on
+   * (long, long, long) scalars — fingerprint strings never ride the
+   * pair exchange.
+   */
+  def simHashNearDupPairs(docs: DataFrame, idCol: String, tokens: Column,
+                          maxHamming: Int = 16): DataFrame = {
+    val fp = simHashHexAgg(docs, idCol, tokens)
+    def band(sh: Column, i: Int): Column =
+      conv(substring(sh, 1 + 4 * i, 4), 16, 10).cast("long")
+    def banded(out: String): DataFrame =
+      fp.select(col(idCol).as(out), col("sh").as(s"_sh_$out"),
+        explode(array((0 until SimHashBands).map(i =>
+          struct(lit(i).as("band"), band(col("sh"), i).as("key"))): _*)).as("bk"))
+        .select(col(out), col(s"_sh_$out"), col("bk.band"), col("bk.key"))
+    val hamming = (0 until SimHashBands).map(i =>
+      call_function("bit_count",
+        band(col("_sh_da"), i).bitwiseXOR(band(col("_sh_db"), i))))
+      .reduce(_ + _).cast("long")
+    banded("da").join(banded("db"), Seq("band", "key"))
+      .filter(col("da") < col("db"))
+      .select(col("da"), col("db"), hamming.as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /**
    * 64-bit SimHash over a token array column: per-token xxhash64, per-bit
    * ±1 votes, fingerprint bit b set when the vote is positive. Pure

@@ -81,7 +81,9 @@ object ExtQueries {
   /** DuckDB twin of Dedup.simHashHexAgg — generated from the SAME shared
     * index constants (Dedup.SimHashBitDigit / SimHashDigitBits), so the
     * two engines cannot drift structurally. */
-  private val simHashHexSql: String = {
+  /** Per-doc hex-SimHash CTE chain (toks → v → f(doc_id, sh)), shared by
+    * the q42 aggregate oracle and the q75 banded-pair oracle. */
+  private val simHashDocCtes: String = {
     val votes = Dedup.SimHashBitDigit.zipWithIndex.map {
       case ((digitPos, mask), b) =>
         s"sum(CASE WHEN ((strpos('0123456789abcdef', substr(h,$digitPos,1))-1) & $mask) != 0 THEN 1 ELSE -1 END) v$b"
@@ -92,12 +94,15 @@ object ExtQueries {
       }.mkString(" + ")
       s"substr('0123456789abcdef', ($terms) + 1, 1)"
     }
-    "WITH toks AS (SELECT doc_id, md5(unnest(string_split(text,' '))) h FROM documents), " +
+    "toks AS (SELECT doc_id, md5(unnest(string_split(text,' '))) h FROM documents), " +
       s"v AS (SELECT doc_id, ${votes.mkString(", ")} FROM toks GROUP BY doc_id), " +
-      s"f AS (SELECT doc_id, ${digits.mkString(" || ")} AS sh FROM v) " +
+      s"f AS (SELECT doc_id, ${digits.mkString(" || ")} AS sh FROM v)"
+  }
+
+  private val simHashHexSql: String =
+    s"WITH $simHashDocCtes " +
       "SELECT d.lang, count(DISTINCT f.sh) AS n_distinct, min(f.sh) AS min_sh, count(*) AS cnt " +
       "FROM f JOIN documents d USING (doc_id) GROUP BY d.lang ORDER BY d.lang"
-  }
 
   private val fpSql: String =
     "list_reduce(list_prepend(CAST(0 AS BIGINT), [ascii(w)+length(w) for w in string_split(text,' ')]), (a,b) -> (a*31+b) % 1000000007)"
@@ -646,7 +651,23 @@ object ExtQueries {
     "q74_histogram" -> ((s, d) =>
       Pipeline.histogram(CoreQueries.events(s, d), "value", 10.0,
           Seq("event_type"))
-        .orderBy("event_type", "bin"))
+        .orderBy("event_type", "bin")),
+
+    // SimHash banded near-dup join — the hamming "index": only pairs
+    // sharing a 16-bit band meet (bucket join, never all-pairs); exact
+    // hamming verify of the candidates. The oracle replicates the same
+    // band condition over an all-pairs join (fine at oracle scale).
+    "q75_simhash_neardup" -> ((s, d) =>
+      Dedup.simHashNearDupPairs(t(s, d, "documents"), "doc_id",
+          split(col("text"), " "), maxHamming = 16)
+        .orderBy("da", "db")),
+
+    // PMI bigram collocations: the statistical phrase-extraction shape
+    // (two vocabulary aggregates + joins), ranked on the rounded score.
+    "q76_pmi_bigrams" -> ((s, d) =>
+      TextAnalysis.pmiBigrams(t(s, d, "documents"), "text",
+          minCount = 5L, k = 20)
+        .orderBy(col("pmi").desc, col("w1"), col("w2")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -745,6 +766,26 @@ object ExtQueries {
       "SELECT user_id, last_type, last_value, last_us FROM (SELECT user_id, event_type AS last_type, round(value, 4) AS last_value, epoch_us(ts) AS last_us, row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn FROM events) t WHERE rn = 1 ORDER BY user_id",
     "q74_histogram" ->
       "SELECT event_type, CAST(floor(value / 10.0) AS BIGINT) AS bin, count(*) AS cnt FROM events GROUP BY 1, 2 ORDER BY 1, 2",
+    // same band/hamming arithmetic as the Spark side, generated from the
+    // shared SimHashBands constant over the shared per-doc CTE chain
+    "q75_simhash_neardup" -> {
+      val bandEq = (0 until Dedup.SimHashBands)
+        .map(i => s"substr(a.sh,${1 + 4 * i},4) = substr(b.sh,${1 + 4 * i},4)")
+        .mkString(" OR ")
+      val ham = (0 until Dedup.SimHashBands)
+        .map(i => s"bit_count(xor(CAST(concat('0x', substr(a.sh,${1 + 4 * i},4)) AS BIGINT), CAST(concat('0x', substr(b.sh,${1 + 4 * i},4)) AS BIGINT)))")
+        .mkString(" + ")
+      s"WITH $simHashDocCtes SELECT a.doc_id AS da, b.doc_id AS db, CAST($ham AS BIGINT) AS hamming FROM f a JOIN f b ON a.doc_id < b.doc_id WHERE ($bandEq) AND $ham <= 16 ORDER BY da, db"
+    },
+    "q76_pmi_bigrams" ->
+      ("WITH w AS (SELECT string_split(text,' ') ws FROM documents), " +
+        "bi AS (SELECT r['w1'] AS w1, r['w2'] AS w2, count(*) AS c_ab FROM (SELECT unnest([{'w1': ws[i], 'w2': ws[i+1]} for i in range(1, len(ws))]) r FROM w) t GROUP BY 1, 2 HAVING count(*) >= 5), " +
+        "uni AS (SELECT unnest(ws) AS w FROM w), " +
+        "cnt AS (SELECT w, count(*) AS c_w FROM uni GROUP BY 1), " +
+        "n AS (SELECT count(*) AS c FROM uni) " +
+        "SELECT w1, w2, c_ab, round(ln(c_ab * (SELECT c FROM n) * 1.0 / (ca.c_w * cb.c_w)), 4) AS pmi " +
+        "FROM bi JOIN cnt ca ON bi.w1 = ca.w JOIN cnt cb ON bi.w2 = cb.w " +
+        "ORDER BY pmi DESC, w1, w2 LIMIT 20"),
     // the same statement text, modulo view names — the whole point
     "q70_sql_subquery" ->
       "SELECT o_orderkey, round(o_totalprice, 4) AS tp FROM orders o WHERE o_totalprice > 1.8 * (SELECT avg(o_totalprice) FROM orders) AND EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey AND c.c_acctbal > 0) ORDER BY o_orderkey",

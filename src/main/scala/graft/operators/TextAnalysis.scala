@@ -97,6 +97,40 @@ object TextAnalysis {
       .select(col(byCol), col("token"), col("score"), col("rn"))
   }
 
+  /**
+   * Top-k bigram collocations by pointwise mutual information:
+   * `pmi = ln(c_ab · N / (c_a · c_b))` with N the corpus unigram count,
+   * ranked on the ROUNDED score with the bigram as tiebreaker (same
+   * cross-engine rationale as [[tfIdfTopTerms]]). A support floor keeps
+   * hapax pairs — whose PMI is maximal by construction — out of the
+   * ranking.
+   *
+   * Scale shape: bigram and unigram aggregates (vocabulary-keyed,
+   * map-side partials), two shuffle joins of the bigram counts against
+   * the unigram counts, a broadcast single-row total, one top-k.
+   */
+  def pmiBigrams(docs: DataFrame, textCol: String, minCount: Long,
+                 k: Int): DataFrame = {
+    val ws = split(col(textCol), " ")
+    val bi = docs.select(explode(zip_with(
+        slice(ws, lit(1), size(ws) - 1), slice(ws, lit(2), size(ws) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("bg.w1"), col("bg.w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+    val uniToks = docs.select(explode(ws).as("w"))
+    val uni = uniToks.groupBy("w").agg(count(lit(1)).as("c_w"))
+    val n = uniToks.agg(count(lit(1)).as("_n"))
+    bi.join(uni.select(col("w").as("w1"), col("c_w").as("c_a")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c_w").as("c_b")), "w2")
+      .crossJoin(broadcast(n))
+      .withColumn("pmi", round(
+        log(col("c_ab") * col("_n") * lit(1.0) / (col("c_a") * col("c_b"))), 4))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .select(col("w1"), col("w2"), col("c_ab"), col("pmi"))
+      .limit(k)
+  }
+
   /** Rolling polynomial fingerprint over words: fold of
     * h → (h*31 + ascii(first char) + len(word)) mod 1e9+7. Order-sensitive
     * (unlike a bag-of-words hash) and O(words) per doc. */

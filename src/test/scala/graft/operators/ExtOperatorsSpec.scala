@@ -262,6 +262,65 @@ class ExtOperatorsSpec extends AnyFunSuite with SparkTestSession {
     assert(got.toSeq == expected)
   }
 
+  test("simHashNearDupPairs finds planted near-dups; exact under the pigeonhole bound") {
+    import spark.implicits._
+    // two exact copies (hamming 0), one lightly edited copy, and noise
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val corpus = Seq(
+      (1L, base), (2L, base),
+      (3L, base.replace("dog", "cat")),
+      (4L, "completely different words about spark physical plans here"),
+      (5L, "unrelated text on query optimization and shuffle exchanges")
+    ).toDF("doc_id", "text")
+    val toks = split(col("text"), " ")
+    val got = Dedup.simHashNearDupPairs(corpus, "doc_id", toks, maxHamming = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.contains((1L, 2L)) && got((1L, 2L)) == 0L,
+      s"exact copies must pair at hamming 0: $got")
+
+    // pigeonhole: for maxHamming < SimHashBands the banded result equals
+    // the BRUTE-FORCE result — verify against hamming computed in Scala
+    // from the collected fingerprints
+    val fps = Dedup.simHashHexAgg(corpus, "doc_id", toks)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def ham(a: String, b: String): Int =
+      (0 until 16).map(i => Integer.bitCount(
+        Integer.parseInt(a.substring(i, i + 1), 16) ^
+          Integer.parseInt(b.substring(i, i + 1), 16))).sum
+    val ids = fps.keys.toSeq.sorted
+    val brute = (for {
+      a <- ids; b <- ids if a < b && ham(fps(a), fps(b)) <= 3
+    } yield (a, b) -> ham(fps(a), fps(b)).toLong).toMap
+    val banded = Dedup.simHashNearDupPairs(corpus, "doc_id", toks, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(banded == brute)
+  }
+
+  test("pmiBigrams matches a brute-force computation") {
+    import spark.implicits._
+    val corpus = Seq(
+      "new york new york city hall",
+      "new york is a city",
+      "the city hall of new york"
+    ).map(Tuple1(_)).toDF("text")
+    val got = TextAnalysis.pmiBigrams(corpus, "text", minCount = 2L, k = 5)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+
+    val docs = Seq("new york new york city hall", "new york is a city",
+      "the city hall of new york").map(_.split(" ").toSeq)
+    val unis = docs.flatten
+    val n = unis.size.toDouble
+    val cw = unis.groupBy(identity).view.mapValues(_.size).toMap
+    val bis = docs.flatMap(ws => ws.zip(ws.tail))
+    val cab = bis.groupBy(identity).view.mapValues(_.size).toMap
+    val expected = cab.toSeq.filter(_._2 >= 2).map { case ((a, b), c) =>
+      val pmi = BigDecimal(math.log(c * n / (cw(a) * cw(b))))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (a, b, c.toLong, pmi)
+    }.sortBy(t => (-t._4, t._1, t._2)).take(5)
+    assert(got.toSeq == expected)
+  }
+
   test("rollingFingerprint uses code points (ascii parity with DuckDB)") {
     import spark.implicits._
     // 'é' = U+00E9 = 233 in BOTH Spark ascii() and DuckDB ascii()
