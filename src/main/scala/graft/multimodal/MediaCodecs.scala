@@ -1,0 +1,199 @@
+package graft.multimodal
+
+/**
+ * Pure-JVM decoders for UNCOMPRESSED media containers — the formats
+ * that need no codec library: binary PPM (P6) rasters and RIFF/WAV
+ * PCM16 audio. These are REAL decoders (header parse + sample access),
+ * so the multimodal pipeline's decode stage is genuine for these
+ * formats; only compressed codecs (JPEG/MP3/H.264/...) remain behind
+ * the documented stub boundary in [[MediaPipeline]].
+ *
+ * All functions are driver/executor-agnostic pure byte-array code:
+ * they run inside `mapPartitions` with constant memory per record and
+ * no library or native dependencies.
+ */
+object MediaCodecs {
+
+  /** Decoded raster: width, height, packed RGB bytes (3 per pixel,
+    * row-major). */
+  final case class Raster(width: Int, height: Int, rgb: Array[Byte])
+
+  /** Binary PPM (P6, maxval 255) decode. Accepts `#` comments and any
+    * whitespace between header tokens, per the netpbm spec. Returns
+    * None when the bytes are not a well-formed P6 image (callers fall
+    * back to the stub path). */
+  def decodePpm(bytes: Array[Byte]): Option[Raster] = {
+    var pos = 0
+    def isWs(b: Byte) = b == ' ' || b == '\n' || b == '\r' || b == '\t'
+    def nextToken(): Option[String] = {
+      while (pos < bytes.length &&
+        (isWs(bytes(pos)) || bytes(pos) == '#')) {
+        if (bytes(pos) == '#') // comment runs to end of line
+          while (pos < bytes.length && bytes(pos) != '\n') pos += 1
+        else pos += 1
+      }
+      val start = pos
+      while (pos < bytes.length && !isWs(bytes(pos))) pos += 1
+      if (pos > start) Some(new String(bytes, start, pos - start, "US-ASCII"))
+      else None
+    }
+    def nextInt(): Option[Int] = nextToken().flatMap(_.toIntOption)
+    for {
+      magic <- nextToken() if magic == "P6"
+      w <- nextInt() if w > 0
+      h <- nextInt() if h > 0
+      maxval <- nextInt() if maxval == 255
+      // exactly ONE whitespace byte separates the header from the data
+      _ <- if (pos < bytes.length && isWs(bytes(pos))) { pos += 1; Some(()) }
+           else None
+      data <- {
+        val need = w * h * 3
+        if (bytes.length - pos >= need)
+          Some(java.util.Arrays.copyOfRange(bytes, pos, pos + need))
+        else None
+      }
+    } yield Raster(w, h, data)
+  }
+
+  /** P6 encode — the write side of the round trip (tests, resize
+    * output). */
+  def encodePpm(r: Raster): Array[Byte] = {
+    val header = s"P6\n${r.width} ${r.height}\n255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + r.rgb.length)
+    System.arraycopy(header, 0, out, 0, header.length)
+    System.arraycopy(r.rgb, 0, out, header.length, r.rgb.length)
+    out
+  }
+
+  /** Nearest-neighbor resize — a real resampler (the classic O(nw·nh)
+    * kernel), not a feature shuffle. */
+  def resizeNearest(r: Raster, nw: Int, nh: Int): Raster = {
+    require(nw > 0 && nh > 0, s"resize target must be positive, got ${nw}x$nh")
+    val out = new Array[Byte](nw * nh * 3)
+    var y = 0
+    while (y < nh) {
+      val sy = y * r.height / nh
+      var x = 0
+      while (x < nw) {
+        val sx = x * r.width / nw
+        val si = (sy * r.width + sx) * 3
+        val di = (y * nw + x) * 3
+        out(di) = r.rgb(si); out(di + 1) = r.rgb(si + 1); out(di + 2) = r.rgb(si + 2)
+        x += 1
+      }
+      y += 1
+    }
+    Raster(nw, nh, out)
+  }
+
+  /** Mean R, G, B per grid cell (grid × grid cells, row-major),
+    * normalized to [0, 1] — a fixed-width 3·grid² feature vector. Cells
+    * get the floor-partitioned pixel ranges, so any raster ≥ grid px a
+    * side works. */
+  def imageFeatures(r: Raster, grid: Int = 2): Array[Float] = {
+    val out = new Array[Float](grid * grid * 3)
+    val counts = new Array[Int](grid * grid)
+    val sums = new Array[Long](grid * grid * 3)
+    var y = 0
+    while (y < r.height) {
+      val cy = math.min(grid - 1, y * grid / r.height)
+      var x = 0
+      while (x < r.width) {
+        val cx = math.min(grid - 1, x * grid / r.width)
+        val cell = cy * grid + cx
+        val si = (y * r.width + x) * 3
+        sums(cell * 3) += r.rgb(si) & 0xff
+        sums(cell * 3 + 1) += r.rgb(si + 1) & 0xff
+        sums(cell * 3 + 2) += r.rgb(si + 2) & 0xff
+        counts(cell) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var c = 0
+    while (c < grid * grid) {
+      var ch = 0
+      while (ch < 3) {
+        out(c * 3 + ch) =
+          if (counts(c) == 0) 0f
+          else (sums(c * 3 + ch).toDouble / counts(c) / 255.0).toFloat
+        ch += 1
+      }
+      c += 1
+    }
+    out
+  }
+
+  private def le16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+  private def le32(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
+      ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+  private def tag(b: Array[Byte], i: Int): String =
+    new String(b, i, 4, "US-ASCII")
+
+  /** RIFF/WAV PCM16 decode: walks the chunk list for `fmt ` (PCM,
+    * 16-bit) and `data`, returns the interleaved samples. None for
+    * anything else (compressed/float WAVs fall back to the stub). */
+  def decodeWavPcm16(bytes: Array[Byte]): Option[Array[Short]] = {
+    if (bytes.length < 44 || tag(bytes, 0) != "RIFF" || tag(bytes, 8) != "WAVE")
+      return None
+    var pos = 12
+    var pcm16 = false
+    var samples: Option[Array[Short]] = None
+    while (pos + 8 <= bytes.length) {
+      val id = tag(bytes, pos)
+      val size = le32(bytes, pos + 4)
+      if (size < 0 || pos + 8 + size > bytes.length) return None
+      if (id == "fmt " && size >= 16)
+        pcm16 = le16(bytes, pos + 8) == 1 && le16(bytes, pos + 8 + 14) == 16
+      else if (id == "data") {
+        val n = size / 2
+        val out = new Array[Short](n)
+        var i = 0
+        while (i < n) {
+          out(i) = le16(bytes, pos + 8 + i * 2).toShort
+          i += 1
+        }
+        samples = Some(out)
+      }
+      pos += 8 + size + (size & 1) // chunks are word-aligned
+    }
+    if (pcm16) samples else None
+  }
+
+  /** RMS energy per window (`nWin` equal slices), normalized by
+    * Short.MaxValue — the standard fixed-width audio energy profile. */
+  def audioFeatures(samples: Array[Short], nWin: Int = 8): Array[Float] = {
+    val out = new Array[Float](nWin)
+    if (samples.isEmpty) return out
+    var w = 0
+    while (w < nWin) {
+      val from = (w.toLong * samples.length / nWin).toInt
+      val until = ((w + 1).toLong * samples.length / nWin).toInt
+      if (until > from) {
+        var acc = 0.0
+        var i = from
+        while (i < until) { acc += samples(i).toDouble * samples(i); i += 1 }
+        out(w) = (math.sqrt(acc / (until - from)) / 32768.0).toFloat
+      }
+      w += 1
+    }
+    out
+  }
+
+  /** WAV PCM16 mono encode (test fixture builder). */
+  def encodeWavPcm16(samples: Array[Short], sampleRate: Int = 16000): Array[Byte] = {
+    val dataSize = samples.length * 2
+    val out = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(sampleRate).putInt(sampleRate * 2)
+      .putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataSize)
+    samples.foreach(out.putShort)
+    out.array()
+  }
+}

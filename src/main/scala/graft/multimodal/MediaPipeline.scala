@@ -24,14 +24,17 @@ final case class MediaFrame(docId: Long, frame: Int, bytes: Array[Byte])
  * Python bridge in this engine; the batch shape, schema, and
  * partitioning ARE the real contract and are tested).
  *
- * ==== STUB BOUNDARY ====
- * The byte-level decoders below are deterministic FAKES: this container
- * carries no image/audio codecs, so `stubDecode` derives features from
- * the raw bytes with a rolling fold and `frameSample` slices the byte
- * array. A production deployment replaces ONLY these two leaf functions
- * with real codec calls (JNI/javacpp); every Spark-side contract —
+ * ==== CODEC BOUNDARY ====
+ * UNCOMPRESSED containers decode for REAL in pure JVM ([[MediaCodecs]]:
+ * P6 PPM rasters → per-cell mean-RGB features + nearest-neighbor
+ * resize; RIFF/WAV PCM16 → windowed RMS features) —
+ * [[decodeFeaturesAuto]] dispatches on the magic bytes. COMPRESSED
+ * codecs (JPEG/MP3/H.264/...) are the remaining stub boundary: this
+ * container ships no codec libraries, so those bytes take the
+ * deterministic `stubDecode` fallback, and a production deployment
+ * replaces only that leaf (JNI/javacpp). Every Spark-side contract —
  * schema, encoders, partition preservation, batch iteration — is real
- * and unchanged.
+ * and unchanged either way.
  *
  * Scale notes (100 TB): decode is the expensive stage, so it must be
  * (a) iterator-to-iterator (no partition materialization — constant
@@ -62,6 +65,45 @@ object MediaPipeline {
     import records.sparkSession.implicits._
     records.mapPartitions { it =>
       it.map(r => MediaFeatures(r.docId, r.meta.kind, stubDecode(r.media, dim)))
+    }
+  }
+
+  /** Format-dispatching decode: real decoders for uncompressed
+    * containers (P6 PPM → 2×2-cell mean RGB, 12 floats; WAV PCM16 →
+    * 8-window RMS), deterministic stub fallback for everything else.
+    * Same iterator-to-iterator / partition-preserving contract as
+    * [[decodeFeatures]]. */
+  def decodeFeaturesAuto(records: Dataset[MediaRecord],
+                         stubDim: Int = 16): Dataset[MediaFeatures] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      it.map { r =>
+        val feats = MediaCodecs.decodePpm(r.media)
+          .map(MediaCodecs.imageFeatures(_))
+          .orElse(MediaCodecs.decodeWavPcm16(r.media)
+            .map(MediaCodecs.audioFeatures(_)))
+          .getOrElse(stubDecode(r.media, stubDim))
+        MediaFeatures(r.docId, r.meta.kind, feats)
+      }
+    }
+  }
+
+  /** Real image resize: PPM blobs are decoded, nearest-neighbor
+    * resampled, and re-encoded (metadata updated); non-PPM blobs pass
+    * through untouched. Iterator-to-iterator. */
+  def resizeImages(records: Dataset[MediaRecord], nw: Int,
+                   nh: Int): Dataset[MediaRecord] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      it.map { r =>
+        MediaCodecs.decodePpm(r.media) match {
+          case Some(raster) =>
+            val resized = MediaCodecs.resizeNearest(raster, nw, nh)
+            r.copy(media = MediaCodecs.encodePpm(resized),
+              meta = r.meta.copy(width = nw, height = nh))
+          case None => r
+        }
+      }
     }
   }
 

@@ -1,0 +1,113 @@
+package graft.multimodal
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The real-codec layer: exact-value decode/resize/feature assertions
+  * for the pure-JVM PPM and WAV paths, malformed-input fallback, and
+  * the Dataset-level dispatch. */
+class MediaCodecsSpec extends AnyFunSuite with SparkTestSession {
+
+  import MediaCodecs._
+
+  // 2×2 PPM: red, green / blue, white
+  private val px = Array[Int](
+    255, 0, 0,   0, 255, 0,
+    0, 0, 255,   255, 255, 255)
+  private def raster2x2 = Raster(2, 2, px.map(_.toByte))
+
+  test("PPM round trip: encode → decode recovers dimensions and pixels") {
+    val bytes = encodePpm(raster2x2)
+    val got = decodePpm(bytes).get
+    assert(got.width == 2 && got.height == 2)
+    assert(got.rgb.toSeq == raster2x2.rgb.toSeq)
+  }
+
+  test("PPM decode handles comments and rejects malformed inputs") {
+    val withComment =
+      "P6\n# a netpbm comment\n2 2\n255\n".getBytes("US-ASCII") ++
+        raster2x2.rgb
+    assert(decodePpm(withComment).exists(_.width == 2))
+    assert(decodePpm("P5\n2 2\n255\n".getBytes ++ raster2x2.rgb).isEmpty,
+      "P5 (grayscale) must not decode as P6")
+    assert(decodePpm(encodePpm(raster2x2).dropRight(1)).isEmpty,
+      "truncated pixel data must not decode")
+    assert(decodePpm(Array[Byte]()).isEmpty)
+  }
+
+  test("imageFeatures: 2×2 grid over a 2×2 raster is the exact pixels") {
+    val f = imageFeatures(raster2x2, grid = 2)
+    // cell order: (0,0)=red, (0,1)=green, (1,0)=blue, (1,1)=white
+    val expected = Array(1f, 0f, 0f, 0f, 1f, 0f, 0f, 0f, 1f, 1f, 1f, 1f)
+    assert(f.length == 12)
+    f.zip(expected).foreach { case (g, e) => assert(math.abs(g - e) < 1e-6) }
+  }
+
+  test("resizeNearest: upscale 2×2 → 4×4 replicates each source pixel") {
+    val up = resizeNearest(raster2x2, 4, 4)
+    assert(up.width == 4 && up.height == 4)
+    for (y <- 0 until 4; x <- 0 until 4) {
+      val si = ((y / 2) * 2 + (x / 2)) * 3
+      val di = (y * 4 + x) * 3
+      assert((0 until 3).forall(c => up.rgb(di + c) == raster2x2.rgb(si + c)),
+        s"pixel ($x,$y) does not replicate its source")
+    }
+    // and features are invariant under pixel replication
+    val f0 = imageFeatures(raster2x2, 2)
+    val f1 = imageFeatures(up, 2)
+    f0.zip(f1).foreach { case (a, b) => assert(math.abs(a - b) < 1e-6) }
+  }
+
+  test("WAV PCM16 round trip and windowed RMS of a known square wave") {
+    // 1600 samples alternating ±8192 → RMS = 8192/32768 = 0.25 everywhere
+    val sq = Array.tabulate(1600)(i => if (i % 2 == 0) 8192 else -8192)
+      .map(_.toShort)
+    val bytes = encodeWavPcm16(sq)
+    val got = decodeWavPcm16(bytes).get
+    assert(got.toSeq == sq.toSeq)
+    val rms = audioFeatures(got, nWin = 8)
+    assert(rms.length == 8)
+    rms.foreach(v => assert(math.abs(v - 0.25f) < 1e-4, s"rms $v"))
+    // non-PCM16 variants must fall through
+    assert(decodeWavPcm16("RIFFxxxxNOPE".getBytes).isEmpty)
+    assert(decodeWavPcm16(Array[Byte]()).isEmpty)
+  }
+
+  test("decodeFeaturesAuto dispatches by magic bytes inside the Dataset") {
+    import spark.implicits._
+    val img = encodePpm(raster2x2)
+    val wav = encodeWavPcm16(Array.tabulate(64)(i =>
+      (if (i % 2 == 0) 8192 else -8192).toShort))
+    val other = "not a media container".getBytes
+    val records = Seq(
+      MediaRecord(1L, img, MediaMeta("image", 2, 2, 0)),
+      MediaRecord(2L, wav, MediaMeta("audio", 0, 0, 16000)),
+      MediaRecord(3L, other, MediaMeta("video", 0, 0, 0))
+    ).toDS().repartition(2)
+    val got = MediaPipeline.decodeFeaturesAuto(records, stubDim = 16)
+      .collect().map(f => f.docId -> f).toMap
+    assert(got(1L).features.length == 12) // real PPM path
+    assert(math.abs(got(1L).features(0) - 1f) < 1e-6) // red cell
+    assert(got(2L).features.length == 8) // real WAV path
+    assert(math.abs(got(2L).features(0) - 0.25f) < 1e-4)
+    assert(got(3L).features.length == 16) // stub fallback
+    assert(got(3L).features.toSeq ==
+      MediaPipeline.stubDecode(other, 16).toSeq)
+  }
+
+  test("resizeImages resizes PPM blobs and passes other blobs through") {
+    import spark.implicits._
+    val img = encodePpm(raster2x2)
+    val other = "opaque".getBytes
+    val records = Seq(
+      MediaRecord(1L, img, MediaMeta("image", 2, 2, 0)),
+      MediaRecord(2L, other, MediaMeta("video", 0, 0, 0))
+    ).toDS()
+    val got = MediaPipeline.resizeImages(records, 4, 4)
+      .collect().map(r => r.docId -> r).toMap
+    val resized = decodePpm(got(1L).media).get
+    assert(resized.width == 4 && resized.height == 4)
+    assert(got(1L).meta.width == 4 && got(1L).meta.height == 4)
+    assert(got(2L).media.toSeq == other.toSeq, "non-PPM must pass through")
+  }
+}
