@@ -667,7 +667,36 @@ object ExtQueries {
     "q76_pmi_bigrams" -> ((s, d) =>
       TextAnalysis.pmiBigrams(t(s, d, "documents"), "text",
           minCount = 5L, k = 20)
-        .orderBy(col("pmi").desc, col("w1"), col("w2")))
+        .orderBy(col("pmi").desc, col("w1"), col("w2"))),
+
+    // Importance-weighted sampling: keep probability = wordCount/100,
+    // decided by pure md5 arithmetic — the quality-weighted corpus
+    // rebalance, deterministic in both engines.
+    "q77_weighted_sample" -> ((s, d) =>
+      Pipeline.weightedSample(t(s, d, "documents"), "doc_id",
+          TextAnalysis.wordCount(col("text")) / lit(100.0))
+        .groupBy("lang").agg(count(lit(1)).as("n_kept"))
+        .orderBy("lang")),
+
+    // Re-aggregable distinct-count sketch table (the 100 TB pattern:
+    // persist small per-(key, day) HLL sketches, merge at query time —
+    // never rescan raw data). Contract: the merged estimate is within
+    // 5% of the exact per-type distinct count (q34 tolerance pattern);
+    // the daily-merge = direct-sketch equality is spec-proven.
+    "q78_sketch_table" -> ((s, d) => {
+      val ev = CoreQueries.events(s, d)
+        .withColumn("day", expr("ts_ns div 86400000000000"))
+      val sketches = ev.groupBy("event_type", "day")
+        .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+      val est = sketches.groupBy("event_type")
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+      val exact = ev.groupBy("event_type")
+        .agg(countDistinct("user_id").as("ex"))
+      est.join(exact, "event_type")
+        .select(col("event_type"),
+          (abs(col("est") - col("ex")) <= col("ex") * 0.05).as("ok"))
+        .orderBy("event_type")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -777,6 +806,12 @@ object ExtQueries {
         .mkString(" + ")
       s"WITH $simHashDocCtes SELECT a.doc_id AS da, b.doc_id AS db, CAST($ham AS BIGINT) AS hamming FROM f a JOIN f b ON a.doc_id < b.doc_id WHERE ($bandEq) AND $ham <= 16 ORDER BY da, db"
     },
+    "q77_weighted_sample" ->
+      "SELECT lang, count(*) AS n_kept FROM documents WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),1,4)) AS INTEGER) < least(1.0, greatest(0.0, (length(text)-length(replace(text,' ',''))+1)/100.0)) * 65536.0 GROUP BY lang ORDER BY lang",
+    // approx sketches are engine-specific; the CONTRACT is the 5%
+    // tolerance, computed Spark-side (q34 pattern)
+    "q78_sketch_table" ->
+      "SELECT event_type, true AS ok FROM events GROUP BY 1 ORDER BY 1",
     "q76_pmi_bigrams" ->
       ("WITH w AS (SELECT string_split(text,' ') ws FROM documents), " +
         "bi AS (SELECT r['w1'] AS w1, r['w2'] AS w2, count(*) AS c_ab FROM (SELECT unnest([{'w1': ws[i], 'w2': ws[i+1]} for i in range(1, len(ws))]) r FROM w) t GROUP BY 1, 2 HAVING count(*) >= 5), " +

@@ -92,6 +92,19 @@ object Pipeline {
   }
 
   /**
+   * Importance-weighted deterministic sampling — [[stratifiedSample]]'s
+   * continuous sibling: a row survives iff its 16-bit md5 bucket falls
+   * below `clamp(weight, 0, 1) × 65536`, so keep probability tracks any
+   * per-row weight expression (quality score, length prior, mixture
+   * coefficient) while staying pure per-row arithmetic: re-runnable,
+   * partitioning-proof, engine-reproducible.
+   */
+  def weightedSample(df: DataFrame, idCol: String, weight: Column): DataFrame = {
+    val w = least(lit(1.0), greatest(lit(0.0), weight))
+    df.filter(hashBucket16(col(idCol)) < w * 65536.0)
+  }
+
+  /**
    * Latest-row-wins compaction — the CDC / SCD-type-1 upsert merge: one
    * surviving row per key, chosen by the LAST position in `orderCols`
    * (later version wins; make the last order column unique so the

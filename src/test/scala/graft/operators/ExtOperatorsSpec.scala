@@ -296,6 +296,31 @@ class ExtOperatorsSpec extends AnyFunSuite with SparkTestSession {
     assert(banded == brute)
   }
 
+  test("HLL sketch table is re-aggregable: daily-union estimate equals the direct estimate") {
+    val ev = CoreQueries.events(spark, "/root/testdata/sf0.01")
+      .withColumn("day", expr("ts_ns div 86400000000000"))
+    // the sketch-table path: per-(type, day) sketches merged at read time
+    val merged = ev.groupBy("event_type", "day")
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+      .groupBy("event_type")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+    // the direct path: one sketch over the raw rows
+    val direct = ev.groupBy("event_type")
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id))").as("est"))
+    val m = merged.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val d = direct.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // HLL union is register-wise max: partitioning the input must not
+    // change the estimate AT ALL — that is what makes the pattern safe
+    assert(m == d, s"merged=$m direct=$d")
+    // and the estimate is honest: within 5% of the exact count
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct("user_id").as("ex"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (t, ex) =>
+      assert(math.abs(m(t) - ex) <= ex * 0.05, s"$t: est=${m(t)} exact=$ex")
+    }
+  }
+
   test("pmiBigrams matches a brute-force computation") {
     import spark.implicits._
     val corpus = Seq(

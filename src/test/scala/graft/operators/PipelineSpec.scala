@@ -32,6 +32,21 @@ class PipelineSpec extends AnyFunSuite with SparkTestSession {
     assert(none.count() == docs.filter(col("lang") =!= "en").count())
   }
 
+  test("weightedSample: clamps, hits boundaries, and matches the stratified threshold for constant weights") {
+    assert(Pipeline.weightedSample(docs, "doc_id", lit(0.0)).count() == 0)
+    assert(Pipeline.weightedSample(docs, "doc_id", lit(1.0)).count() == docs.count())
+    assert(Pipeline.weightedSample(docs, "doc_id", lit(7.5)).count() == docs.count(),
+      "weights above 1 clamp to keep-all")
+    assert(Pipeline.weightedSample(docs, "doc_id", lit(-3.0)).count() == 0,
+      "negative weights clamp to keep-none")
+    // a constant weight IS a stratified rate: same surviving set
+    val viaWeight = Pipeline.weightedSample(docs, "doc_id", lit(0.5))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val viaStrata = Pipeline.stratifiedSample(docs, "doc_id", "lang", Nil, 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaWeight == viaStrata)
+  }
+
   test("latestByKey: per-key winner is the argmax of the order columns") {
     import spark.implicits._
     val log = Seq(
