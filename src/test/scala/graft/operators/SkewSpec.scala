@@ -61,6 +61,57 @@ class SkewSpec extends AnyFunSuite with SparkTestSession {
       .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet == direct)
   }
 
+  test("AQE splits the skewed sort-merge join partition at runtime (skew=true)") {
+    // the adaptive counterpart to salting: same Zipfian shape, but the
+    // split happens at runtime from actual partition sizes. Thresholds
+    // are lowered so test-sized data trips them; confs restored after.
+    val keys = Seq(
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    // getOption-style capture; a conf can exist with a NULL default,
+    // which set() rejects — treat it as unset
+    val saved = keys.map(k =>
+      k -> scala.util.Try(spark.conf.get(k)).toOption.flatMap(Option(_)))
+    try {
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1MB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1MB")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val big = spark.range(300000).select(
+        when(col("id") % 10 < 9, "hot")
+          .otherwise(concat(lit("k"), col("id") % 97)).as("k"),
+        col("id").as("v"))
+      // exactly one dim row per key, so the join neither drops nor
+      // multiplies rows
+      val dim = spark.range(97)
+        .select(concat(lit("k"), col("id")).as("k"), col("id").as("tag"))
+        .union(Seq(("hot", -1L)).toDF("k", "tag"))
+      // no keyed operator (or pushable filter) AFTER the join: a
+      // downstream hash requirement makes AQE keep the partitioning and
+      // skip the skew split, and a filter would be pushed below the
+      // join and deflate the skew itself. collect() materializes THIS
+      // dataset's QueryExecution so the final adaptive plan is
+      // inspectable on it (the WarehouseSpec AQE pattern); the payload
+      // is 2 longs + a short string per row.
+      val joined = big.join(dim, "k")
+      assert(joined.collect().length == 300000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("isFinalPlan=true"))
+      assert(plan.contains("skew=true"), s"no runtime skew split:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("saltedSumCount equals the direct aggregation") {
     val direct = skewed.groupBy("k")
       .agg(sum("v").as("sum"), count(lit(1)).as("cnt"))
