@@ -99,6 +99,15 @@ object ExtQueries {
       s"f AS (SELECT doc_id, ${digits.mkString(" || ")} AS sh FROM v)"
   }
 
+  /** Transitive-closure CTE chain over the q26 pair formulation (pairs →
+    * edges → recursive reach) — shared by the q67 cluster oracle and the
+    * q80 applied-dedup oracle. Callers prefix `WITH RECURSIVE`. */
+  private lazy val dedupClosureCtes: String =
+    s"${jaccardCtes(None)}, " +
+      "pairs AS (SELECT da, db FROM p0 JOIN cnt ca ON da=ca.doc_id JOIN cnt cb ON db=cb.doc_id WHERE overlap*1.0/(ca.n+cb.n-overlap) >= 0.6), " +
+      "edges AS (SELECT da x, db y FROM pairs UNION ALL SELECT db, da FROM pairs), " +
+      "reach(node, lbl) AS (SELECT x, x FROM (SELECT DISTINCT x FROM edges) t UNION SELECT e.x, r.lbl FROM edges e JOIN reach r ON e.y = r.node)"
+
   private val simHashHexSql: String =
     s"WITH $simHashDocCtes " +
       "SELECT d.lang, count(DISTINCT f.sh) AS n_distinct, min(f.sh) AS min_sh, count(*) AS cnt " +
@@ -696,6 +705,30 @@ object ExtQueries {
         .select(col("event_type"),
           (abs(col("est") - col("ex")) <= col("ex") * 0.05).as("ok"))
         .orderBy("event_type")
+    }),
+
+    // Sliding-window chunking (40-word windows, 10-word overlap):
+    // context-window preparation; md5 proves chunk content end-to-end.
+    "q79_chunking" -> ((s, d) =>
+      Pipeline.chunkDocuments(t(s, d, "documents"), "doc_id", "text",
+          chunkSize = 40, overlap = 10)
+        .orderBy("doc_id", "chunk_id")),
+
+    // Dedup APPLIED: cluster labels from q67 anti-joined back onto the
+    // corpus (non-representatives dropped, unpaired docs kept) — the
+    // surviving corpus a dedup pass actually ships, audited per lang.
+    "q80_dedup_apply" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.6)
+      val drop = Dedup.dedupClusters(pairs, "da", "db")
+        .filter(col("node") =!= col("lbl"))
+        .select(col("node").as("doc_id"))
+      docs.join(drop, Seq("doc_id"), "left_anti")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " ")).cast("long")).as("tokens"))
+        .orderBy("lang")
     })
   )
 
@@ -771,11 +804,16 @@ object ExtQueries {
     // transitive closure by recursive CTE over the SAME jaccardCtes pair
     // formulation as q26/q52 (UNION dedups, so the recursion terminates)
     "q67_dedup_clusters" ->
-      (s"WITH RECURSIVE ${jaccardCtes(None)}, " +
-        "pairs AS (SELECT da, db FROM p0 JOIN cnt ca ON da=ca.doc_id JOIN cnt cb ON db=cb.doc_id WHERE overlap*1.0/(ca.n+cb.n-overlap) >= 0.6), " +
-        "edges AS (SELECT da x, db y FROM pairs UNION ALL SELECT db, da FROM pairs), " +
-        "reach(node, lbl) AS (SELECT x, x FROM (SELECT DISTINCT x FROM edges) t UNION SELECT e.x, r.lbl FROM edges e JOIN reach r ON e.y = r.node) " +
+      (s"WITH RECURSIVE $dedupClosureCtes " +
         "SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node ORDER BY doc_id"),
+    // the cluster labels APPLIED: non-representative members dropped,
+    // unpaired documents untouched — the corpus a dedup pass ships
+    "q80_dedup_apply" ->
+      (s"WITH RECURSIVE $dedupClosureCtes, " +
+        "lbls AS (SELECT node, min(lbl) AS lbl FROM reach GROUP BY node) " +
+        "SELECT lang, count(*) AS n_docs, CAST(sum(len(string_split(text,' '))) AS BIGINT) AS tokens " +
+        "FROM documents WHERE doc_id NOT IN (SELECT node FROM lbls WHERE node <> lbl) " +
+        "GROUP BY lang ORDER BY lang"),
     // DuckDB regexp_replace needs the 'g' flag — default replaces only
     // the FIRST match, Spark replaces all
     "q68_redact" ->
@@ -808,6 +846,10 @@ object ExtQueries {
     },
     "q77_weighted_sample" ->
       "SELECT lang, count(*) AS n_kept FROM documents WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),1,4)) AS INTEGER) < least(1.0, greatest(0.0, (length(text)-length(replace(text,' ',''))+1)/100.0)) * 65536.0 GROUP BY lang ORDER BY lang",
+    // same stride arithmetic as chunkDocuments(40, 10); DuckDB list
+    // slicing is INCLUSIVE and clamps at the list end
+    "q79_chunking" ->
+      "SELECT doc_id, CAST((s - 1) // 30 AS BIGINT) AS chunk_id, CAST(len(ws[s : s + 39]) AS BIGINT) AS n_tok, md5(array_to_string(ws[s : s + 39], ' ')) AS chunk_md5 FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1, 30)) AS s FROM (SELECT doc_id, string_split(text,' ') AS ws FROM documents) t0) t ORDER BY doc_id, chunk_id",
     // approx sketches are engine-specific; the CONTRACT is the 5%
     // tolerance, computed Spark-side (q34 pattern)
     "q78_sketch_table" ->

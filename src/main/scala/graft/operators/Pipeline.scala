@@ -120,6 +120,31 @@ object Pipeline {
       .filter(col("_rn") === 1).drop("_rn")
   }
 
+  /**
+   * Sliding-window document chunking: word windows of `chunkSize` with
+   * `overlap` words shared between consecutive chunks (stride =
+   * chunkSize − overlap; starts 1, 1+stride, … ≤ word count, so the
+   * tail chunk may be short). Emits (id, chunk_id, n_tok, chunk_md5) —
+   * the md5 proves chunk CONTENT cross-engine without shipping the
+   * text. Pure per-row array arithmetic: explodes inside codegen, no
+   * shuffle, trivially parallel — the shape context-window preparation
+   * needs at corpus scale.
+   */
+  def chunkDocuments(docs: DataFrame, idCol: String, textCol: String,
+                     chunkSize: Int, overlap: Int): DataFrame = {
+    require(overlap >= 0 && overlap < chunkSize,
+      s"need 0 <= overlap < chunkSize, got $overlap/$chunkSize")
+    val stride = chunkSize - overlap
+    val ws = split(col(textCol), " ")
+    docs.select(col(idCol), explode(transform(
+        sequence(lit(1), size(ws), lit(stride)),
+        s => struct(floor((s - 1) / stride).cast("long").as("chunk_id"),
+          slice(ws, s, lit(chunkSize)).as("arr")))).as("c"))
+      .select(col(idCol), col("c.chunk_id"),
+        size(col("c.arr")).cast("long").as("n_tok"),
+        md5(concat_ws(" ", col("c.arr"))).as("chunk_md5"))
+  }
+
   /** Fixed-width value histogram per group: bin = floor(value / width).
     * One aggregation with map-side partials over a (group, bin) key
     * space bounded by the value range — the scan-shaped profile every

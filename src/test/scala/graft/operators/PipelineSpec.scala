@@ -64,6 +64,33 @@ class PipelineSpec extends AnyFunSuite with SparkTestSession {
     assert(got == Map(1L -> "c", 2L -> "d", 3L -> "e"))
   }
 
+  test("chunkDocuments: strides, overlap, and tail chunk behave exactly") {
+    import spark.implicits._
+    // 10 words, chunkSize 4, overlap 2 → stride 2, starts 1,3,5,7,9
+    val words = (1 to 10).map(i => s"w$i")
+    val one = Seq((7L, words.mkString(" "))).toDF("id", "txt")
+    val got = Pipeline.chunkDocuments(one, "id", "txt", chunkSize = 4, overlap = 2)
+      .orderBy("chunk_id").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.length == 5)
+    assert(got.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L, 4L))
+    // full chunks are chunkSize long; the last two starts clamp
+    assert(got.map(_._2).toSeq == Seq(4L, 4L, 4L, 4L, 2L))
+    // content: chunk i covers words [2i+1, 2i+4] — verify via md5
+    def m(s: String) = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    got.zipWithIndex.foreach { case ((_, _, md5got), i) =>
+      val expect = words.slice(i * 2, i * 2 + 4).mkString(" ")
+      assert(md5got == m(expect), s"chunk $i content mismatch")
+    }
+    // invalid overlap fails loudly
+    intercept[IllegalArgumentException] {
+      Pipeline.chunkDocuments(one, "id", "txt", chunkSize = 4, overlap = 4)
+    }
+  }
+
   test("histogram: bins partition the rows and floor negative values down") {
     import spark.implicits._
     val vals = Seq(("a", -0.5), ("a", 0.0), ("a", 9.99), ("a", 10.0), ("b", 25.0))
