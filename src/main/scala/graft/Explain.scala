@@ -2,17 +2,27 @@ package graft
 
 /** Plan-audit utility: dump the executed plan of the named queries (or
   * all with no args) against a sf dir — the `.explain` loop SCALE.md's
-  * audits come from. Usage: `runMain graft.Explain [sfDir] [q...]`. */
+  * audits come from. With `-exec` as the first arg, each query is
+  * MATERIALIZED first so the printed plan is the AQE-final one
+  * (runtime skew splits, coalesced reads, reused stages).
+  * Usage: `runMain graft.Explain [-exec] [sfDir] [q...]`. */
 object Explain {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val exec = args.headOption.contains("-exec")
+    val rest = if (exec) args.drop(1) else args
+    val sfDir = rest.headOption.getOrElse("/root/testdata/sf0.001")
     val names =
-      if (args.length > 1) args.drop(1).toSeq else SparkEntry.queries.keys.toSeq.sorted
+      if (rest.length > 1) rest.drop(1).toSeq else SparkEntry.queries.keys.toSeq.sorted
     val spark = GraftSession.build("graft-explain")
     names.foreach { name =>
       println(s"########## $name")
-      println(SparkEntry.queries(name)(spark, sfDir)
-        .queryExecution.executedPlan.toString)
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      // toRdd executes THIS dataset's QueryExecution (a write/count
+      // would build a fresh one), so the final adaptive plan lands on
+      // the same object we print; foreach materializes without
+      // collecting rows to the driver
+      if (exec) df.queryExecution.toRdd.foreach(_ => ())
+      println(df.queryExecution.executedPlan.toString)
     }
     spark.stop()
   }
