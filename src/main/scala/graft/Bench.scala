@@ -134,8 +134,10 @@ object Bench {
     // TRUNCATED mid-queries-map (seen in r03), which would make the
     // regex pick vs_baseline ratios as seconds (round-3 advice). An
     // untruncated self-written file sidesteps the problem entirely.
+    // The filename is SF-KEYED so a quick local sf0.01 sanity bench
+    // can never clobber the canonical sf0.1 baseline.
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_BASELINE.json"), line + "\n")
+      java.nio.file.Paths.get(baselineFileFor(sfDir)), line + "\n")
     catch { case e: java.io.IOException =>
       System.err.println(s"[bench] baseline not persisted: ${e.getMessage}")
     }
@@ -154,10 +156,15 @@ object Bench {
     *    (the tail was cut mid-map, so the seconds are gone);
     *  - no baseline when the recorded sf dir differs from this run's
     *    (cross-sf ratios are meaningless). */
+  /** Self-written baseline file for a sf dir, keyed by its basename:
+    * `BENCH_BASELINE_sf0.1.json`. */
+  private def baselineFileFor(sfDir: String): String =
+    s"BENCH_BASELINE_${new java.io.File(sfDir).getName}.json"
+
   private def loadBaseline(sfDir: String): (String, Map[String, Double], Set[String]) = {
     val roundNum = "BENCH_r(\\d+)\\.json".r
     val file = sys.env.get("SPARK_GRAFT_BASELINE").map(new java.io.File(_))
-      .orElse(Some(new java.io.File("BENCH_BASELINE.json")).filter(_.isFile))
+      .orElse(Some(new java.io.File(baselineFileFor(sfDir))).filter(_.isFile))
       .orElse(Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
         .flatMap(f => f.getName match {
           // numeric round order: lexicographic puts r9 after r10

@@ -47,9 +47,13 @@ object MediaCodecs {
       _ <- if (pos < bytes.length && isWs(bytes(pos))) { pos += 1; Some(()) }
            else None
       data <- {
-        val need = w * h * 3
+        // Long arithmetic: a corrupt/hostile header like 65536×65536
+        // wraps w*h*3 in Int (to 0 here) and would yield a corrupt
+        // Raster that crashes downstream instead of the documented
+        // None fallback
+        val need = w.toLong * h * 3
         if (bytes.length - pos >= need)
-          Some(java.util.Arrays.copyOfRange(bytes, pos, pos + need))
+          Some(java.util.Arrays.copyOfRange(bytes, pos, pos + need.toInt))
         else None
       }
     } yield Raster(w, h, data)
@@ -144,7 +148,9 @@ object MediaCodecs {
     while (pos + 8 <= bytes.length) {
       val id = tag(bytes, pos)
       val size = le32(bytes, pos + 4)
-      if (size < 0 || pos + 8 + size > bytes.length) return None
+      // Long guard: a corrupt size near Int.MaxValue wraps pos+8+size
+      // negative and would bypass the bounds check
+      if (size < 0 || pos + 8L + size > bytes.length) return None
       if (id == "fmt " && size >= 16)
         pcm16 = le16(bytes, pos + 8) == 1 && le16(bytes, pos + 8 + 14) == 16
       else if (id == "data") {

@@ -210,8 +210,10 @@ object Dedup {
     // until — and only until — the fixpoint. Comparing sums costs one
     // aggregation over the frame the round materializes ANYWAY, where
     // the previous shape (join vs old labels + isEmpty) scheduled an
-    // extra join per round. Two hops per materialized round halve the
-    // round count for the same diameter bound.
+    // extra join per round. One hop per materialized round: a
+    // double-hop variant was measured SLOWER here (deeper per-round
+    // plans with multiply-referenced caches beat the saved driver
+    // round-trips only for much larger graphs).
     // decimal accumulator: a long sum could wrap at ~10⁹ nodes × 10⁹
     // ids, and a wrapped equality would break the monotonicity argument
     def lblSum(l: DataFrame): Any =

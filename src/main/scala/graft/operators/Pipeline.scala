@@ -116,8 +116,13 @@ object Pipeline {
                   orderCols: Seq[Column]): DataFrame = {
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(orderCols.map(_.desc): _*)
-    df.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1).drop("_rn")
+    // dodge existing names: withColumn would silently REPLACE a
+    // caller's _rn and drop would then destroy their data (same
+    // failure mode as the round-3 _salt advice on Skew)
+    val rn = Iterator.from(0).map(i => if (i == 0) "_rn" else s"_rn$i")
+      .find(n => !df.columns.contains(n)).get
+    df.withColumn(rn, row_number().over(w))
+      .filter(col(rn) === 1).drop(rn)
   }
 
   /**

@@ -177,6 +177,10 @@ object Similarity {
     // cached for the fit. This is also the only viable 100 TB shape —
     // the quantizer NEVER trains on the full corpus, it trains on a
     // sample and the corpus is only scanned once for cell assignment.
+    // count() here prunes to an empty read schema (for parquet that is
+    // row-group metadata, not column IO) — cheap even at corpus scale;
+    // a production index build would read the table's stored row-count
+    // statistic instead
     val n = corpus.count()
     val keep = math.min(1.0, trainSampleRows.toDouble / math.max(1L, n))
     val sampled =

@@ -35,6 +35,25 @@ class MediaCodecsSpec extends AnyFunSuite with SparkTestSession {
     assert(decodePpm(Array[Byte]()).isEmpty)
   }
 
+  test("hostile headers and chunk sizes fall back to None, never crash") {
+    // 65536×65536 wraps w*h*3 to 0 in Int arithmetic — must be None,
+    // not a corrupt empty Raster that crashes feature extraction
+    val hugePpm = "P6\n65536 65536\n255\n".getBytes("US-ASCII") ++
+      Array.fill[Byte](64)(1)
+    assert(decodePpm(hugePpm).isEmpty)
+    // 50000×50000 wraps negative
+    val negPpm = "P6\n50000 50000\n255\n".getBytes("US-ASCII") ++
+      Array.fill[Byte](64)(1)
+    assert(decodePpm(negPpm).isEmpty)
+    // WAV data-chunk size near Int.MaxValue wraps the bounds guard
+    val wav = encodeWavPcm16(Array.tabulate(16)(_.toShort))
+    val corrupt = wav.clone()
+    val sizePos = 40 // "data" chunk size field
+    corrupt(sizePos) = 0xf0.toByte; corrupt(sizePos + 1) = 0xff.toByte
+    corrupt(sizePos + 2) = 0xff.toByte; corrupt(sizePos + 3) = 0x7f.toByte
+    assert(decodeWavPcm16(corrupt).isEmpty)
+  }
+
   test("imageFeatures: 2×2 grid over a 2×2 raster is the exact pixels") {
     val f = imageFeatures(raster2x2, grid = 2)
     // cell order: (0,0)=red, (0,1)=green, (1,0)=blue, (1,1)=white

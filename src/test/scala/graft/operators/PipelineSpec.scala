@@ -62,6 +62,14 @@ class PipelineSpec extends AnyFunSuite with SparkTestSession {
       .select("k", "payload").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got == Map(1L -> "c", 2L -> "d", 3L -> "e"))
+
+    // a caller's existing _rn column must survive, not be clobbered
+    // by the operator's working column and then dropped
+    val withRn = log.withColumn("_rn", lit("mine"))
+    val kept = Pipeline.latestByKey(withRn, Seq("k"),
+      Seq(col("version"), col("seq")))
+    assert(kept.columns.contains("_rn"))
+    assert(kept.select("_rn").collect().forall(_.getString(0) == "mine"))
   }
 
   test("chunkDocuments: strides, overlap, and tail chunk behave exactly") {
