@@ -714,6 +714,22 @@ object ExtQueries {
           chunkSize = 40, overlap = 10)
         .orderBy("doc_id", "chunk_id")),
 
+    // SQL session variables (Spark 4 SQL surface): the threshold rides
+    // a DECLAREd variable through the same scalar-subquery shape as
+    // q70; the oracle inlines the literal. Variables are session state,
+    // so the q34-style contract is value-level equality of the result.
+    "q81_sql_variable" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("orders_v81")
+      s.sql("DECLARE OR REPLACE VARIABLE graft_thresh DOUBLE DEFAULT 0.0")
+      s.sql("SET VARIABLE graft_thresh = 1.8")
+      s.sql(
+        """SELECT o_orderkey, round(o_totalprice, 4) AS tp
+          |FROM orders_v81
+          |WHERE o_totalprice > graft_thresh *
+          |      (SELECT avg(o_totalprice) FROM orders_v81)
+          |ORDER BY o_orderkey""".stripMargin)
+    }),
+
     // Dedup APPLIED: cluster labels from q67 anti-joined back onto the
     // corpus (non-representatives dropped, unpaired docs kept) — the
     // surviving corpus a dedup pass actually ships, audited per lang.
@@ -846,6 +862,8 @@ object ExtQueries {
     },
     "q77_weighted_sample" ->
       "SELECT lang, count(*) AS n_kept FROM documents WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),1,4)) AS INTEGER) < least(1.0, greatest(0.0, (length(text)-length(replace(text,' ',''))+1)/100.0)) * 65536.0 GROUP BY lang ORDER BY lang",
+    "q81_sql_variable" ->
+      "SELECT o_orderkey, round(o_totalprice, 4) AS tp FROM orders WHERE o_totalprice > 1.8 * (SELECT avg(o_totalprice) FROM orders) ORDER BY o_orderkey",
     // same stride arithmetic as chunkDocuments(40, 10); DuckDB list
     // slicing is INCLUSIVE and clamps at the list end
     "q79_chunking" ->

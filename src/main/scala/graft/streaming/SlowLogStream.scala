@@ -3,7 +3,7 @@ package graft.streaming
 import graft.slowlog.{SlowLogEvent, SlowLogParser, SlowLogTable}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** Cumulative per-digest totals carried in the state store. */
 final case class DigestState(cnt: Long, totalTime: Double)
@@ -125,6 +125,36 @@ object SlowLogStream {
           state.update(s)
           Iterator(DigestTotals(digest, s.cnt, s.totalTime))
       }
+  }
+
+  /** [[digestRunningTotals]] on the Spark-4 `transformWithState` API —
+    * explicit state-variable handles (here one `ValueState`) instead of
+    * the single `GroupState` blob. Requires the RocksDB state store
+    * provider (multiple column families); same output contract as the
+    * fMGWS version, equality + restart proven in the spec. */
+  class DigestTotalsProcessor
+      extends StatefulProcessor[String, (String, Double), DigestTotals] {
+    @transient private var state: ValueState[DigestState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[DigestState]("totals",
+        org.apache.spark.sql.Encoders.product[DigestState], TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[(String, Double)],
+                                 timerValues: TimerValues): Iterator[DigestTotals] = {
+      var s = Option(state.get()).getOrElse(DigestState(0L, 0.0))
+      rows.foreach { case (_, qt) => s = DigestState(s.cnt + 1, s.totalTime + qt) }
+      state.update(s)
+      Iterator.single(DigestTotals(key, s.cnt, s.totalTime))
+    }
+  }
+
+  def digestRunningTotalsTws(wide: DataFrame): Dataset[DigestTotals] = {
+    val spark = wide.sparkSession
+    import spark.implicits._
+    wide.select(col("digest"), col("query_time"))
+      .as[(String, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new DigestTotalsProcessor,
+        TimeMode.None(), OutputMode.Update())
   }
 
   /**

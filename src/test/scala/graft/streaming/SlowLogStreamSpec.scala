@@ -212,6 +212,50 @@ class SlowLogStreamSpec extends AnyFunSuite with SparkTestSession {
     assert(byRun.map(_._2).contains(6L), s"state not restored: $byRun")
   }
 
+  test("transformWithState: per-digest totals survive a restart (RocksDB provider)") {
+    // the Spark-4 arbitrary-state API needs the RocksDB provider
+    // (multiple column families); conf restored after
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = scala.util.Try(spark.conf.get(key)).toOption.flatMap(Option(_))
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val logDir = tempDir("graft-tws-state")
+      val ckpt = tempDir("graft-tws-ckpt").toString
+      val seen = ArrayBuffer.empty[(String, Long)]
+
+      def runOnce(): Unit = {
+        val totals = SlowLogStream.digestRunningTotalsTws(
+          SlowLogStream.wideRows(SlowLogStream.events(spark, logDir.toString)))
+        val q = totals.writeStream
+          .option("checkpointLocation", ckpt)
+          .outputMode("update")
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (b: org.apache.spark.sql.Dataset[DigestTotals], _: Long) =>
+            seen.synchronized {
+              seen ++= b.collect().map(t => (t.digest, t.cnt))
+            }
+            ()
+          }
+          .start()
+        q.awaitTermination(60000); q.stop()
+      }
+
+      Files.writeString(logDir.resolve("t1.log"), eventFile(0, 3, sameSecond = true))
+      runOnce()
+      Files.writeString(logDir.resolve("t2.log"), eventFile(0, 3, sameSecond = true))
+      runOnce()
+
+      val byRun = seen.toList
+      assert(byRun.map(_._2).contains(3L), s"first run totals: $byRun")
+      // ValueState restored from the checkpoint: cumulative 6, not 3
+      assert(byRun.map(_._2).contains(6L), s"state not restored: $byRun")
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("foreachBatch JDBC sink lands streamed events in the warehouse") {
     val logDir = tempDir("graft-stream-jdbc")
     Files.writeString(logDir.resolve("f.log"), eventFile(0, 4))
