@@ -714,6 +714,18 @@ object ExtQueries {
           chunkSize = 40, overlap = 10)
         .orderBy("doc_id", "chunk_id")),
 
+    // Composite quality score (stopword ratio + inverse punctuation
+    // density + length prior) — the prompt-canonical ratio features,
+    // generated into the oracle from the same constants.
+    "q82_quality_score" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("lang"), TextAnalysis.qualityScore(col("text")).as("score"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg("score"), 4).as("avg_score"),
+          sum(when(col("score") >= 0.6, 1L).otherwise(0L)).as("n_high"))
+        .orderBy("lang")),
+
     // SQL session variables (Spark 4 SQL surface): the threshold rides
     // a DECLAREd variable through the same scalar-subquery shape as
     // q70; the oracle inlines the literal. Variables are session state,
@@ -864,6 +876,16 @@ object ExtQueries {
       "SELECT lang, count(*) AS n_kept FROM documents WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),1,4)) AS INTEGER) < least(1.0, greatest(0.0, (length(text)-length(replace(text,' ',''))+1)/100.0)) * 65536.0 GROUP BY lang ORDER BY lang",
     "q81_sql_variable" ->
       "SELECT o_orderkey, round(o_totalprice, 4) AS tp FROM orders WHERE o_totalprice > 1.8 * (SELECT avg(o_totalprice) FROM orders) ORDER BY o_orderkey",
+    // score formula generated from TextAnalysis constants (stopword
+    // list, punct class, weights) — the engines cannot drift
+    "q82_quality_score" -> {
+      val stopList = TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
+      val wcSql = "(length(text)-length(replace(text,' ',''))+1)"
+      val stopSql = s"len(list_filter(string_split(text,' '), t -> t IN ($stopList)))"
+      val punctSql = s"(length(text) - length(regexp_replace(text, '${TextAnalysis.PunctClass}', '', 'g')))"
+      val scoreSql = s"round(0.4 * $stopSql / CAST($wcSql AS DOUBLE) + 0.3 * (1.0 - $punctSql / CAST(length(text) AS DOUBLE)) + 0.3 * least(1.0, $wcSql / 100.0), 4)"
+      s"SELECT lang, count(*) AS n_docs, round(avg(score), 4) AS avg_score, CAST(sum(CASE WHEN score >= 0.6 THEN 1 ELSE 0 END) AS BIGINT) AS n_high FROM (SELECT lang, $scoreSql AS score FROM documents) t GROUP BY lang ORDER BY lang"
+    },
     // same stride arithmetic as chunkDocuments(40, 10); DuckDB list
     // slicing is INCLUSIVE and clamps at the list end
     "q79_chunking" ->

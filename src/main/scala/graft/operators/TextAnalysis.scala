@@ -60,6 +60,40 @@ object TextAnalysis {
     when(wc < 40, "short").when(wc < 70, "medium").otherwise("long")
   }
 
+  /** Stopword list for the quality score — tiny on purpose (the
+    * mechanism is the contract); single source for the Spark filter AND
+    * the generated oracle IN-list. */
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "is", "in", "to", "it")
+
+  /** Punctuation class shared with the oracle regex. */
+  val PunctClass: String = "[.,!?;:]"
+
+  /** Punctuation-character count: length minus length with the class
+    * stripped — the same expression shape in both engines. */
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, PunctClass, ""))
+
+  /** Stopword-token count over the whitespace tokens. */
+  def stopwordCount(text: Column): Column =
+    size(filter(split(text, " "), t => t.isin(Stopwords: _*))).cast("long")
+
+  /**
+   * Composite quality score in [0, 1] — the three prompt-canonical
+   * ratio features: stopword ratio (natural prose has some), inverse
+   * punctuation density (tables/boilerplate are punctuation-heavy),
+   * and a length prior saturating at 100 words. Weights are fixed
+   * constants shared with the generated oracle; scores round to 4 dp
+   * so cross-engine float noise cannot flip a bucket.
+   */
+  def qualityScore(text: Column): Column = {
+    val wc = wordCount(text).cast("double")
+    val stopRatio = stopwordCount(text) / wc
+    val punctRatio = punctCount(text) / length(text).cast("double")
+    round(lit(0.4) * stopRatio + lit(0.3) * (lit(1.0) - punctRatio) +
+      lit(0.3) * least(lit(1.0), wc / 100.0), 4)
+  }
+
   /** BPE-ish token count: letter runs, digit runs, and single non-space
     * symbols each count as one token. */
   val TokenPattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"

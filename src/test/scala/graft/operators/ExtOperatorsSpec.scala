@@ -232,6 +232,21 @@ class ExtOperatorsSpec extends AnyFunSuite with SparkTestSession {
     assert(rows(1).getLong(1) == 108714L)
   }
 
+  test("qualityScore matches a hand computation and orders prose above noise") {
+    import spark.implicits._
+    // "the cat is in a hat." : 6 words, 4 stopwords (the, is, in, a),
+    // 1 punct char of 20 chars -> 0.4*(4/6) + 0.3*(1 - 1/20) + 0.3*(6/100)
+    val prose = "the cat is in a hat."
+    val noise = ";;;; !!!! ???? ::::"
+    val got = Seq(prose, noise).toDF("text")
+      .select(TextAnalysis.qualityScore(col("text")).as("s"))
+      .collect().map(_.getDouble(0))
+    val expected = BigDecimal(0.4 * (4.0 / 6) + 0.3 * (1 - 1.0 / 20) + 0.3 * 0.06)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(0) == expected, s"prose scored ${got(0)}, expected $expected")
+    assert(got(0) > got(1), "punctuation noise must score below prose")
+  }
+
   test("tfIdfTopTerms matches a brute-force Scala computation") {
     import spark.implicits._
     val corpus = Seq(
