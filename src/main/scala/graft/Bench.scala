@@ -67,9 +67,14 @@ object Bench {
           graft.slowlog.SlowLogSource.readRaw(spark, dir.toString))
           .write.format("noop").mode("overwrite").save()
       run() // warm-up
-      val t0 = System.nanoTime()
-      run()
-      written / ((System.nanoTime() - t0) / 1e9)
+      // min-of-two, same as the query timings: a single pass right
+      // after 80+ queries reads low from residual GC/page-cache churn
+      def timed(): Double = {
+        val t0 = System.nanoTime()
+        run()
+        written / ((System.nanoTime() - t0) / 1e9)
+      }
+      math.max(timed(), timed())
     } finally {
       val entries = java.nio.file.Files.list(dir)
       try entries.forEach(p => java.nio.file.Files.deleteIfExists(p))
