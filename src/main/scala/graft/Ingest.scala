@@ -21,11 +21,16 @@ import org.apache.spark.sql.SparkSession
  *
  * Usage:
  * {{{
- *   Ingest -slowLogPath <dir|file|glob> -dsn <jdbc-url>
+ *   Ingest -slowLogPath <dir|file|glob> -dsn <jdbc-url | parquet:dir>
  *     [-table queries] [-batchSize 10000] [-amplify 1]
  *     [-driver <jdbc-driver-class>] [-mode append] [-numPartitions N]
  *     [-tail -checkpoint <dir>]
  * }}}
+ *
+ * A `parquet:<dir>` DSN selects the native warehouse sink instead of
+ * JDBC — date-partitioned parquet ([[graft.sources.Warehouse]]), in
+ * both batch and `-tail` mode (the JDBC-only flags `-table`,
+ * `-batchSize`, `-driver`, `-numPartitions` are ignored for it).
  *
  * `-tail` switches to the reference's default behavior — follow the
  * log directory continuously, exactly-once per file, resuming from
@@ -89,6 +94,12 @@ object Ingest {
     c
   }
 
+  /** `parquet:<dir>` DSNs select the native warehouse sink (the
+    * Spark-world analog of the reference's ClickHouse target):
+    * date-partitioned parquet via [[graft.sources.Warehouse]]. */
+  private def parquetPath(c: Config): Option[String] =
+    Option(c.dsn).filter(_.startsWith("parquet:")).map(_.stripPrefix("parquet:"))
+
   private def driverFor(c: Config): String = c.driver.getOrElse {
     if (c.dsn.startsWith("jdbc:duckdb:")) "org.duckdb.DuckDBDriver"
     else throw new IllegalArgumentException(
@@ -103,9 +114,24 @@ object Ingest {
   def run(spark: SparkSession, c: Config): Unit = {
     val events = SlowLogSource.readRaw(spark, c.slowLogPath).drop("file")
     val amplified = if (c.amplify > 1) Amplify(events, c.amplify) else events
-    JdbcSink.write(SlowLogTable.flatten(amplified), c.dsn, c.table,
-      driverFor(c), mode = c.mode, batchSize = c.batchSize,
-      numPartitions = c.numPartitions.orElse(defaultPartitions(c)))
+    val wide = SlowLogTable.flatten(amplified)
+    parquetPath(c) match {
+      case Some(path) =>
+        val save = c.mode.toLowerCase match {
+          case "append" => org.apache.spark.sql.SaveMode.Append
+          case "overwrite" => org.apache.spark.sql.SaveMode.Overwrite
+          case "ignore" => org.apache.spark.sql.SaveMode.Ignore
+          case "error" | "errorifexists" =>
+            org.apache.spark.sql.SaveMode.ErrorIfExists
+          case other =>
+            throw new IllegalArgumentException(s"unknown -mode: $other")
+        }
+        graft.sources.Warehouse.writePartitioned(wide, path, save)
+      case None =>
+        JdbcSink.write(wide, c.dsn, c.table,
+          driverFor(c), mode = c.mode, batchSize = c.batchSize,
+          numPartitions = c.numPartitions.orElse(defaultPartitions(c)))
+    }
   }
 
   /** The reference's default mode: tail the log directory continuously,
@@ -114,13 +140,29 @@ object Ingest {
     * (`Trigger.AvailableNow` drains and stops). */
   def runTail(spark: SparkSession, c: Config,
               trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
-      : org.apache.spark.sql.streaming.StreamingQuery =
-    graft.streaming.SlowLogStream.startJdbcSink(
-      graft.streaming.SlowLogStream.wideRows(
-        graft.streaming.SlowLogStream.events(spark, c.slowLogPath)),
-      c.dsn, c.table, driverFor(c), c.checkpoint.get, trigger,
-      batchSize = c.batchSize,
-      numPartitions = c.numPartitions.orElse(defaultPartitions(c)))
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val wide = graft.streaming.SlowLogStream.wideRows(
+      graft.streaming.SlowLogStream.events(spark, c.slowLogPath))
+    parquetPath(c) match {
+      case Some(path) =>
+        // streaming warehouse sink: same date-partitioned layout as the
+        // batch path, exactly-once per file via the checkpoint
+        val w = wide
+          .withColumn("q_date", org.apache.spark.sql.functions.to_date(
+            org.apache.spark.sql.functions.col("ts")))
+          .writeStream.format("parquet")
+          .option("path", path)
+          .option("checkpointLocation", c.checkpoint.get)
+          .partitionBy("q_date")
+        trigger.foreach(w.trigger)
+        w.start()
+      case None =>
+        graft.streaming.SlowLogStream.startJdbcSink(
+          wide, c.dsn, c.table, driverFor(c), c.checkpoint.get, trigger,
+          batchSize = c.batchSize,
+          numPartitions = c.numPartitions.orElse(defaultPartitions(c)))
+    }
+  }
 
   def main(args: Array[String]): Unit = {
     val c = parseArgs(args)

@@ -32,6 +32,54 @@ class IngestSpec extends AnyFunSuite with SparkTestSession {
       Ingest.parseArgs(Array("-slowLogPath", "/logs"))) // -dsn missing
   }
 
+  test("parquet DSN: one-command ingest to the date-partitioned warehouse") {
+    val dir = Files.createTempDirectory("graft-ingest-pq")
+    Files.writeString(dir.resolve("slow001.log"),
+      graft.slowlog.SlowLogFixtures.slow001)
+    val out = dir.resolve("warehouse").toString
+
+    Ingest.run(spark, Ingest.parseArgs(Array(
+      "-slowLogPath", dir.toString, "-dsn", s"parquet:$out",
+      "-mode", "overwrite")))
+
+    val back = Warehouse.read(spark, out)
+    assert(back.count() == 3L)
+    assert(back.columns.contains("q_date"), "warehouse layout is date-partitioned")
+    assert(back.select("digest").collect().map(_.getString(0)).sorted.toSeq ==
+      Seq(selectFp, insertFp, adminFp).map(Fingerprint.digestId).sorted)
+    // the partition column actually landed as directory structure
+    val parts = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("q_date="))
+    assert(parts.nonEmpty, "no q_date= partition directories written")
+  }
+
+  test("parquet DSN in -tail mode: streamed files land and resume exactly-once") {
+    import org.apache.spark.sql.streaming.Trigger
+    val logDir = Files.createTempDirectory("graft-ingest-pqt")
+    // sink + checkpoint must live OUTSIDE the tailed directory, or the
+    // file source lists them as input
+    val sinkDir = Files.createTempDirectory("graft-ingest-pqt-out")
+    val out = sinkDir.resolve("wh").toString
+    val ckpt = sinkDir.resolve("ckpt").toString
+    Files.writeString(logDir.resolve("a.log"),
+      graft.slowlog.SlowLogFixtures.slow001)
+
+    def drain(): Unit = {
+      val q = Ingest.runTail(spark, Ingest.parseArgs(Array(
+        "-slowLogPath", logDir.toString, "-dsn", s"parquet:$out",
+        "-tail", "-checkpoint", ckpt)), Some(Trigger.AvailableNow()))
+      q.awaitTermination(60000); q.stop()
+    }
+    drain()
+    assert(Warehouse.read(spark, out).count() == 3L)
+    // restart with one NEW file: only its events are appended
+    Files.writeString(logDir.resolve("b.log"),
+      graft.slowlog.SlowLogFixtures.slow001)
+    drain()
+    assert(Warehouse.read(spark, out).count() == 6L,
+      "restart must process exactly the new file")
+  }
+
   test("one-command ingest: log dir → DuckDB → counts, digests, QAN profile") {
     val dir = Files.createTempDirectory("graft-ingest-cli")
     Files.writeString(dir.resolve("slow001.log"),
