@@ -625,6 +625,24 @@ object ExtQueries {
         .orderBy("probe_id")
     }),
 
+    // PQ ANN, tolerance-as-contract (q53 pattern): per probe, ≥2 of the
+    // exact top-3 must survive PQ's ADC candidate pass + exact re-rank.
+    "q83_pq_recall" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val probes = emb.filter(col("vec_id") < 5)
+      val exact = Similarity.knnBatch(emb, probes, "vec_id", "embedding", k = 3)
+        .select(col("probe_id"), col("nn_id"))
+      val pq = Similarity.pqCosineTopK(emb, probes, "vec_id", "embedding", k = 3)
+        .select(col("probe_id"), col("nn_id"))
+      val hits = exact.join(pq, Seq("probe_id", "nn_id"))
+        .groupBy("probe_id").agg(count(lit(1)).as("hits"))
+      probes.select(col("vec_id").as("probe_id"))
+        .join(hits, Seq("probe_id"), "left")
+        .select(col("probe_id"),
+          (coalesce(col("hits"), lit(0L)) >= 2).as("ok"))
+        .orderBy("probe_id")
+    }),
+
     // TF-IDF top terms per language: two vocabulary-keyed aggregates, a
     // term join, broadcast corpus count, top-k window — ranked on the
     // ROUNDED score so cross-engine ln() ulp differences cannot reorder.
@@ -815,6 +833,8 @@ object ExtQueries {
       "SELECT item, cnt, CAST(0 AS BIGINT) AS err FROM (SELECT event_type || '|' || CAST(user_id % 500 AS VARCHAR) AS item, count(*) AS cnt FROM events GROUP BY 1) t ORDER BY cnt DESC, item LIMIT 10",
     "q52_jaccard_capped" -> jaccardSql(Some(50L)),
     "q53_ivf_recall" ->
+      "SELECT vec_id AS probe_id, true AS ok FROM embeddings WHERE vec_id < 5 ORDER BY probe_id",
+    "q83_pq_recall" ->
       "SELECT vec_id AS probe_id, true AS ok FROM embeddings WHERE vec_id < 5 ORDER BY probe_id",
     "q54_hash_split" -> {
       // CASE generated from Pipeline.SplitThresholds — one source of truth

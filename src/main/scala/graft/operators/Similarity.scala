@@ -140,13 +140,17 @@ object Similarity {
       .filter(col("rn") <= k)
   }
 
-  /** L2-normalized ml-Vector column from a float-array column (unit
-    * vectors make Euclidean KMeans cluster by cosine direction). */
-  private def unitVector(emb: Column): Column = {
+  /** L2-normalized double array from a float-array column. */
+  private def unitArray(emb: Column): Column = {
     val vd = transform(emb, x => x.cast("double"))
     val norm = sqrt(sumArr(transform(vd, x => x * x)))
-    array_to_vector(transform(vd, x => x / norm))
+    transform(vd, x => x / norm)
   }
+
+  /** L2-normalized ml-Vector column from a float-array column (unit
+    * vectors make Euclidean KMeans cluster by cosine direction). */
+  private def unitVector(emb: Column): Column =
+    array_to_vector(unitArray(emb))
 
   /**
    * IVF-flat approximate top-k (the other classic ANN layout): KMeans
@@ -161,6 +165,97 @@ object Similarity {
    * across partitionings — IVF is verified by recall tests, never a
    * hash oracle.
    */
+  /**
+   * Product-quantization approximate top-k — the MEMORY-bound ANN
+   * layout: unit vectors are cut into `subspaces` subvectors, one
+   * shared codebook (sample-trained KMeans over all subvectors)
+   * quantizes each to a code, and the corpus at rest is `subspaces`
+   * small ints per vector (64 floats → 8 codes ≈ 32× compression —
+   * at 100 TB the index fits where raw embeddings cannot). A query
+   * scores codes by ADC (asymmetric distance computation): the probe's
+   * per-(subspace, code) partial dot products form a tiny broadcast
+   * table, the corpus code frame joins it map-side and sums — no
+   * embedding bytes move — then the top `candidates` get an exact
+   * cosine re-rank.
+   *
+   * Like IVF, quantization is seeded but not bit-stable across
+   * partitionings, so the contract is a RECALL floor vs [[knnBatch]]
+   * (q83), never a hash oracle.
+   */
+  def pqCosineTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
+                   embCol: String, k: Int, dim: Int = 64,
+                   subspaces: Int = 8, codebook: Int = 64,
+                   candidates: Int = 200, seed: Long = 42L,
+                   trainSampleRows: Int = 200000): DataFrame = {
+    require(dim % subspaces == 0, s"dim $dim must divide into $subspaces subspaces")
+    val subDim = dim / subspaces
+    val spark = corpus.sparkSession
+
+    // (id, sub, subvec): every unit vector exploded into its subvectors
+    def subFrame(df: DataFrame, outId: String): DataFrame =
+      df.select(col(idCol).as(outId), unitArray(col(embCol)).as("_u"))
+        .select(col(outId), posexplode(transform(
+          sequence(lit(0), lit(subspaces - 1)),
+          i => slice(col("_u"), i * subDim + 1, lit(subDim)))))
+        .select(col(outId), col("pos").as("sub"), col("col").as("_sv"))
+
+    val corpusSubs = subFrame(corpus, "nn_id")
+    // ONE shared codebook over all subvectors (classic PQ trains one
+    // per subspace; sharing loses a little precision for 1/subspaces
+    // the training cost — the candidates + exact re-rank absorb it),
+    // sample-fit exactly like the IVF quantizer
+    val n = corpus.count() * subspaces
+    val keep = math.min(1.0, trainSampleRows.toDouble / math.max(1L, n))
+    val sampled =
+      if (keep >= 1.0) corpusSubs
+      else corpusSubs.filter(pmod(xxhash64(col("nn_id"), col("sub")),
+        lit(1000000L)) < lit(math.ceil(keep * 1e6).toLong))
+    val trainParts = math.max(1, (math.min(n, trainSampleRows.toLong) / 50000L).toInt)
+    val train = sampled.select(array_to_vector(col("_sv")).as("_feat"))
+      .repartition(trainParts).cache()
+    val model =
+      try new KMeans().setK(codebook).setSeed(seed).setMaxIter(10)
+        .setFeaturesCol("_feat").setPredictionCol("_code")
+        .fit(train)
+      finally train.unpersist()
+
+    // corpus at rest: (nn_id, sub, code) — subspaces small ints per vector
+    val codes = model.transform(
+        corpusSubs.withColumn("_feat", array_to_vector(col("_sv"))))
+      .select(col("nn_id"), col("sub"), col("_code"))
+
+    // ADC table: dot(probe_sub, centroid) for every (probe, sub, code) —
+    // probes × subspaces × codebook rows, broadcast-sized by construction
+    val centroids = spark.createDataFrame(
+        model.clusterCenters.zipWithIndex.toSeq
+          .map { case (c, i) => (i, c.toArray) })
+      .toDF("_code", "_centroid")
+    val adcTable = subFrame(probes, "probe_id")
+      .crossJoin(broadcast(centroids))
+      .select(col("probe_id"), col("sub"), col("_code"),
+        sumArr(zip_with(col("_sv"), col("_centroid"), (x, c) => x * c)).as("_pdot"))
+
+    // approx score = Σ_sub pdot(sub, code): map-side broadcast join +
+    // one aggregation; embeddings never ride this exchange
+    val cw = Window.partitionBy("probe_id").orderBy(col("_adc").desc, col("nn_id"))
+    val cand = codes.join(broadcast(adcTable), Seq("sub", "_code"))
+      .groupBy("probe_id", "nn_id").agg(sum("_pdot").as("_adc"))
+      .withColumn("_cr", row_number().over(cw))
+      .filter(col("_cr") <= candidates && col("nn_id") =!= col("probe_id"))
+      .select("probe_id", "nn_id")
+
+    // exact cosine re-rank of the candidates only
+    val w = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("nn_id"))
+    cand
+      .join(corpus.select(col(idCol).as("nn_id"), col(embCol).as("_e_nn")), "nn_id")
+      .join(broadcast(probes.select(col(idCol).as("probe_id"),
+        col(embCol).as("_e_p"))), "probe_id")
+      .select(col("probe_id"), col("nn_id"),
+        round(cosine(col("_e_p"), col("_e_nn")), 4).as("sim"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+  }
+
   def ivfCosineTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
                     embCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
                     seed: Long = 42L, trainSampleRows: Int = 200000): DataFrame = {

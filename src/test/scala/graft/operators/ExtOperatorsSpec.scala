@@ -118,6 +118,21 @@ class ExtOperatorsSpec extends AnyFunSuite with SparkTestSession {
     assert(recall >= 0.5, s"IVF recall too low: $recall")
   }
 
+  test("pq: code-compressed search reaches usable recall vs brute force") {
+    val probes = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.knnBatch(emb, probes, "vec_id", "embedding", 10)
+      .select("probe_id", "nn_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Similarity.pqCosineTopK(emb, probes, "vec_id", "embedding",
+        k = 10, candidates = 100)
+      .select("probe_id", "nn_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & pq).size.toDouble / exact.size
+    assert(recall >= 0.5, s"PQ recall too low: $recall")
+    // every probe gets its full k (candidate pool never starves)
+    assert(pq.groupBy(_._1).values.forall(_.size == 10))
+  }
+
   test("embedding near-dup pairs finds exactly the planted pair") {
     import spark.implicits._
     val dim = 64
