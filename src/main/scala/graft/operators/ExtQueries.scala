@@ -257,15 +257,26 @@ object ExtQueries {
         .orderBy("probe_id", "rn")
     }),
 
-    // ANN path: bucket-pruned, recall < 1 by design → no SQL oracle
-    // (rows-only check); exactness is covered by the scalatest recall
-    // test against knnBatch.
+    // Sign-LSH ANN, tolerance-as-contract (q53/q83 pattern): bucket
+    // pruning makes recall < 1 by design, so the CONTRACT is a per-probe
+    // recall floor vs the exact knnBatch — ok = at least 2 of the exact
+    // top-3 survive the bucket join + re-rank. The neighbor identities
+    // themselves are additionally covered by the scalatest recall spec.
     "q41_ann_topk" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
-      Similarity.annCosineTopK(emb, emb.filter(col("vec_id") < 5),
-          "vec_id", "embedding", k = 3)
-        .select("probe_id", "nn_id", "sim", "rn")
-        .orderBy("probe_id", "rn")
+      val probes = emb.filter(col("vec_id") < 5)
+      val exact = Similarity.knnBatch(emb, probes, "vec_id", "embedding", k = 3)
+        .select(col("probe_id"), col("nn_id"))
+      val ann = Similarity.annCosineTopK(emb, probes, "vec_id", "embedding",
+          k = 3)
+        .select(col("probe_id"), col("nn_id"))
+      val hits = exact.join(ann, Seq("probe_id", "nn_id"))
+        .groupBy("probe_id").agg(count(lit(1)).as("hits"))
+      probes.select(col("vec_id").as("probe_id"))
+        .join(hits, Seq("probe_id"), "left")
+        .select(col("probe_id"),
+          (coalesce(col("hits"), lit(0L)) >= 2).as("ok"))
+        .orderBy("probe_id")
     }),
 
     // SimHash fingerprints, oracle-checked end-to-end: the md5-derived
@@ -832,6 +843,8 @@ object ExtQueries {
     "q51_topk_sketch" ->
       "SELECT item, cnt, CAST(0 AS BIGINT) AS err FROM (SELECT event_type || '|' || CAST(user_id % 500 AS VARCHAR) AS item, count(*) AS cnt FROM events GROUP BY 1) t ORDER BY cnt DESC, item LIMIT 10",
     "q52_jaccard_capped" -> jaccardSql(Some(50L)),
+    "q41_ann_topk" ->
+      "SELECT vec_id AS probe_id, true AS ok FROM embeddings WHERE vec_id < 5 ORDER BY probe_id",
     "q53_ivf_recall" ->
       "SELECT vec_id AS probe_id, true AS ok FROM embeddings WHERE vec_id < 5 ORDER BY probe_id",
     "q83_pq_recall" ->
