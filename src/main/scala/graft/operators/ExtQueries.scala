@@ -260,16 +260,19 @@ object ExtQueries {
     // Sign-LSH ANN, tolerance-as-contract (q53/q83 pattern): bucket
     // pruning makes recall < 1 by design, so the CONTRACT is a per-probe
     // recall floor vs the exact knnBatch — ok = at least 2 of the exact
-    // top-3 survive the bucket join + re-rank. The neighbor identities
-    // themselves are additionally covered by the scalatest recall spec.
+    // top-3 survive the bucket join + re-rank. Measured per-probe hit
+    // counts across configs at BOTH oracle SFs before asserting: 32
+    // tables x 5 bits recalls all 3/3 for every probe (500 and 2000
+    // vectors), so the >=2 floor holds with a one-hit margin; the
+    // round-5 default (8 tables x 8 bits) left buckets near-empty and
+    // recall near zero. Neighbor identities are additionally covered by
+    // the scalatest recall spec.
     "q41_ann_topk" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       val probes = emb.filter(col("vec_id") < 5)
       val exact = Similarity.knnBatch(emb, probes, "vec_id", "embedding", k = 3)
         .select(col("probe_id"), col("nn_id"))
-      val ann = Similarity.annCosineTopK(emb, probes, "vec_id", "embedding",
-          k = 3)
-        .select(col("probe_id"), col("nn_id"))
+      val ann = q41Ann(s, d).select(col("probe_id"), col("nn_id"))
       val hits = exact.join(ann, Seq("probe_id", "nn_id"))
         .groupBy("probe_id").agg(count(lit(1)).as("hits"))
       probes.select(col("vec_id").as("probe_id"))
