@@ -272,7 +272,12 @@ object ExtQueries {
       val probes = emb.filter(col("vec_id") < 5)
       val exact = Similarity.knnBatch(emb, probes, "vec_id", "embedding", k = 3)
         .select(col("probe_id"), col("nn_id"))
-      val ann = q41Ann(s, d).select(col("probe_id"), col("nn_id"))
+      // tables=32, bits=5: the measured-recall config from the comment
+      // above — keep these literals adjacent so contract and code can't
+      // drift (round-6 broke the build wiring this to a phantom helper).
+      val ann = Similarity.annCosineTopK(emb, probes, "vec_id", "embedding",
+          k = 3, tables = 32, bits = 5)
+        .select(col("probe_id"), col("nn_id"))
       val hits = exact.join(ann, Seq("probe_id", "nn_id"))
         .groupBy("probe_id").agg(count(lit(1)).as("hits"))
       probes.select(col("vec_id").as("probe_id"))
