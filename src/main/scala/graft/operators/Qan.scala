@@ -26,6 +26,12 @@ object Qan {
       .agg(
         min("fingerprint").as("fingerprint"),
         count(lit(1)).as("cnt"),
+        // Percona-sampled logs keep 1-in-rate_limit events, so each
+        // logged row represents rate_limit executions: the scaled count
+        // is the workload's TRUE call volume (pt-query-digest applies
+        // the same multiplier). rate_limit ≤ 1 (unsampled / sampling
+        // off) contributes exactly 1.
+        sum(greatest(col("rate_limit"), lit(1L))).as("cnt_scaled"),
         sum("query_time").as("total_time"),
         avg("query_time").as("avg_time"),
         percentile_approx(col("query_time"), lit(0.95), lit(10000)).as("p95_time"),

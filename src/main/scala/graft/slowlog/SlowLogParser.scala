@@ -41,6 +41,12 @@ object SlowLogParser {
   // (`# Schema:  Last_errno: 0`, the normal shape when no default db is
   // selected) must not swallow the following key as its value
   private val MetricPair = """(\w+):[ \t]*(?!\w+:)(\S+)""".r
+  // Percona rate-limit annotation, combined shape: `# Rate_limit: query:100`
+  // (type:limit in one token — the generic pair scanner would mis-read it
+  // as a bogus `query: 100` number metric, so it is cut out first). The
+  // two-key shape `Log_slow_rate_type: query  Log_slow_rate_limit: 100`
+  // is dispatched by key in the generic scanner, like `Schema:`.
+  private val RateCombined = """\bRate_limit:[ \t]*(\w+):(\d+)""".r
   private val SetTimestamp = """(?i)^\s*SET\s+timestamp\s*=\s*(\d+)\s*;?\s*$""".r
   private val UseDb = """(?i)^\s*use\s+`?([\w$]+)`?\s*;?\s*$""".r
   private val IntVal = """[+-]?\d+""".r
@@ -105,6 +111,11 @@ object SlowLogParser {
 
       // session state
       private var sessionDb: String = _
+      // rate-limit annotations carry forward like `use db`: Percona
+      // writes them where sampling starts, and they govern every event
+      // logged after (pt-query-digest applies the same log-level carry)
+      private var sessionRateType: String = _
+      private var sessionRateLimit = -1L
       private var seenHeader = false
 
       // current-event state
@@ -114,6 +125,8 @@ object SlowLogParser {
       private var user: String = _
       private var host: String = _
       private var db: String = _
+      private var rateType: String = _
+      private var rateLimit = -1L
       private val query = new StringBuilder
       private var timeM = mutable.LinkedHashMap.empty[String, Double]
       private var numM = mutable.LinkedHashMap.empty[String, Long]
@@ -124,6 +137,7 @@ object SlowLogParser {
         evOffset = -1L
         if (!keepTs) ts = null
         admin = false; user = null; host = null; db = null
+        rateType = null; rateLimit = -1L
         query.clear()
         timeM = mutable.LinkedHashMap.empty
         numM = mutable.LinkedHashMap.empty
@@ -140,7 +154,13 @@ object SlowLogParser {
           // this makes sequential carry identical to the distributed
           // last-non-null window fill, by construction.
           if (db != null) sessionDb = db
+          // rate annotations: same explicit-becomes-carry rule
+          if (rateType != null) sessionRateType = rateType
+          if (rateLimit >= 0) sessionRateLimit = rateLimit
+          val effRateType = if (rateType != null) rateType else sessionRateType
+          val effRateLimit = if (rateLimit >= 0) rateLimit else sessionRateLimit
           out = SlowLogEvent(evOffset, ts, admin, q, user, host, effDb,
+            effRateType, if (effRateLimit >= 0) Some(effRateLimit) else None,
             timeM.toMap, numM.toMap, boolM.toMap)
         }
         resetEvent(keepTs)
@@ -182,12 +202,30 @@ object SlowLogParser {
         } else {
           // generic metrics line (toLong/toDouble guarded: a corrupt or
           // adversarial log line must skip a metric, not kill the task).
-          // Schema is dispatched on the KEY, before value-shape typing —
-          // a digits-only database name (`Schema: 2024`, legal in MySQL)
-          // must set the db, not become a number metric.
-          MetricPair.findAllMatchIn(line).foreach { m =>
+          // Schema and the rate annotations are dispatched on the KEY,
+          // before value-shape typing — a digits-only database name
+          // (`Schema: 2024`, legal in MySQL) must set the db, not become
+          // a number metric, and `Log_slow_rate_limit: 100` must become
+          // the typed rate field, not an anonymous metric.
+          // substring pre-check so the regex never runs on the ~all
+          // metric lines that carry no rate annotation (hot parse path)
+          val scanLine = if (!line.contains("Rate_lim")) line
+          else RateCombined.findFirstMatchIn(line) match {
+            case Some(m) => // `Rate_limit: query:100` — typed, then cut
+              rateType = m.group(1)
+              try rateLimit = m.group(2).toLong
+              catch { case _: NumberFormatException => () }
+              line.substring(0, m.start) + line.substring(m.end)
+            case None => line
+          }
+          MetricPair.findAllMatchIn(scanLine).foreach { m =>
             val k = m.group(1); val v = m.group(2)
             if (k == "Schema") { if (v.nonEmpty) db = v }
+            else if (k == "Log_slow_rate_type") { if (v.nonEmpty) rateType = v }
+            else if (k == "Log_slow_rate_limit") {
+              try rateLimit = v.toLong
+              catch { case _: NumberFormatException => () }
+            }
             else v match {
               case "Yes" => boolM(k) = true
               case "No" => boolM(k) = false

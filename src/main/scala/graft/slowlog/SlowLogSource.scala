@@ -64,7 +64,7 @@ object SlowLogSource {
     }
 
     events.toDF("file", "event").select(col("file"), col("event.*"))
-      .transform(fillDbCarry)
+      .transform(fillCarry)
   }
 
   /** Typed event stream with reference (sequential-carry) semantics. */
@@ -73,11 +73,15 @@ object SlowLogSource {
     readRaw(spark, path).drop("file").as[SlowLogEvent]
   }
 
-  /** `use db` carries forward to later events that set no db of their own:
-    * last non-null db per file in byte-offset order. */
-  private def fillDbCarry(df: DataFrame): DataFrame = {
+  /** Session-carried fields re-established across record boundaries:
+    * `use db` and the Percona rate annotations carry forward to later
+    * events that set none of their own — last non-null per file in
+    * byte-offset order. One window spec, one sort, all three fills. */
+  private def fillCarry(df: DataFrame): DataFrame = {
     val w = Window.partitionBy("file").orderBy("offset")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("db", last("db", ignoreNulls = true).over(w))
+      .withColumn("rateType", last("rateType", ignoreNulls = true).over(w))
+      .withColumn("rateLimit", last("rateLimit", ignoreNulls = true).over(w))
   }
 }

@@ -68,6 +68,12 @@ object SlowLogTable {
       .withColumn("digest", digestCol(col("fingerprint")))
       .select(Seq(col("digest"), col("fingerprint"), col("query"),
         col("db"), col("user"), col("host"), col("ts"), col("admin"),
-        col("offset")) ++ timeCols ++ numCols ++ boolCols: _*)
+        col("offset"),
+        // Percona sampling annotations, NOT-NULL defaults like the
+        // metric columns: "" / 0 = unsampled log. rate_limit is the
+        // multiplier QAN aggregates scale by (Qan.profile cnt_scaled).
+        coalesce(col("rateType"), lit("")).as("rate_type"),
+        coalesce(col("rateLimit"), lit(0L)).as("rate_limit"))
+        ++ timeCols ++ numCols ++ boolCols: _*)
   }
 }

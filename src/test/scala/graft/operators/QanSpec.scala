@@ -36,6 +36,8 @@ class QanSpec extends AnyFunSuite with SparkTestSession {
     val top = prof(0)
     assert(top.getAs[String]("fingerprint") == "select * from orders where k = ?")
     assert(top.getAs[Long]("cnt") == 6L)
+    // unsampled log: scaled count degenerates to the plain count
+    assert(top.getAs[Long]("cnt_scaled") == 6L)
     assert(top.getAs[Long]("n_users") == 2L)
     assert(math.abs(top.getAs[Double]("total_time") - (0.5 + 0.6 + 0.7 + 0.8 + 0.9 + 1.0)) < 1e-9)
     assert(top.getAs[Long]("rows_examined") == (1 to 6).map(_ * 100L).sum)
@@ -49,6 +51,29 @@ class QanSpec extends AnyFunSuite with SparkTestSession {
     assert(second.getAs[String]("fingerprint") == "select * from nation where k = ?")
     assert(second.getAs[Long]("cnt") == 3L)
     assert(math.abs(second.getAs[Double]("total_time") - 0.003) < 1e-9)
+  }
+
+  test("profile scales counts by the Percona rate limit") {
+    // rate-limited log: sampling keeps 1-in-20 queries, annotation
+    // written once where sampling starts and carried forward — the
+    // 4 logged calls represent 80 executions
+    val dir = Files.createTempDirectory("graft-qan-rate")
+    val sb = new StringBuilder
+    for (i <- 0 until 4) {
+      sb.append(f"# Time: 2024-01-15T10:00:0$i%d.000000Z\n")
+      sb.append("# User@Host: app[app] @ h [10.0.0.1]\n")
+      sb.append("# Query_time: 0.200000  Lock_time: 0.000001 Rows_sent: 1  Rows_examined: 10\n")
+      if (i == 0)
+        sb.append("# Log_slow_rate_type: query  Log_slow_rate_limit: 20\n")
+      sb.append(f"SET timestamp=${1705312800L + i}%d;\n")
+      sb.append(s"SELECT * FROM orders WHERE k = $i;\n")
+    }
+    Files.writeString(dir.resolve("rate.log"), sb.result())
+    val w = SlowLogTable.flatten(SlowLogSource.readRaw(spark, dir.toString))
+    val prof = Qan.profile(w).collect()
+    assert(prof.length == 1)
+    assert(prof(0).getAs[Long]("cnt") == 4L)
+    assert(prof(0).getAs[Long]("cnt_scaled") == 80L)
   }
 
   test("sparkline buckets per digest and hour with exact values") {

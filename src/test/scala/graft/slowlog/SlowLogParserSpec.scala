@@ -142,7 +142,7 @@ class SlowLogParserSpec extends AnyFunSuite {
     assert(evs.head.query == "SELECT 1")
   }
 
-  test("rate-limit / unknown string annotations are ignored, not mis-typed") {
+  test("rate annotations become typed fields, never mis-typed metrics") {
     val log =
       """# Time: 2024-01-15T10:00:01.000000Z
         |# User@Host: a[a] @ h []
@@ -153,9 +153,55 @@ class SlowLogParserSpec extends AnyFunSuite {
     val evs = SlowLogParser.parseString(log)
     assert(evs.size == 1)
     val e = evs.head
-    assert(e.numberMetrics("Log_slow_rate_limit") == 100L)
+    assert(e.rateType == "query")
+    assert(e.rateLimit.contains(100L))
+    // typed dispatch, not anonymous metrics
+    assert(!e.numberMetrics.contains("Log_slow_rate_limit"))
     assert(!e.timeMetrics.contains("Log_slow_rate_type"))
     assert(!e.numberMetrics.contains("Log_slow_rate_type"))
+  }
+
+  test("combined Rate_limit shape parses and never leaks a bogus metric") {
+    // `Rate_limit: query:100` — the generic pair scanner would read the
+    // tail as `query: 100`; the typed cut-out must prevent that
+    val log =
+      """# Time: 2024-01-15T10:00:01.000000Z
+        |# User@Host: a[a] @ h []
+        |# Query_time: 0.010000  Lock_time: 0.000000 Rows_sent: 1  Rows_examined: 1
+        |# Rate_limit: query:100  Last_errno: 0
+        |SELECT 1;
+        |""".stripMargin
+    val e = SlowLogParser.parseString(log).head
+    assert(e.rateType == "query")
+    assert(e.rateLimit.contains(100L))
+    assert(!e.numberMetrics.contains("query"))
+    assert(e.numberMetrics("Last_errno") == 0L) // rest of the line survives
+  }
+
+  test("rate annotations carry forward and an explicit 1 resets them") {
+    val log =
+      """# Time: 2024-01-15T10:00:01.000000Z
+        |# User@Host: a[a] @ h []
+        |# Query_time: 0.010000  Lock_time: 0.000000 Rows_sent: 1  Rows_examined: 1
+        |# Log_slow_rate_type: session  Log_slow_rate_limit: 50
+        |SELECT 1;
+        |# Time: 2024-01-15T10:00:02.000000Z
+        |# User@Host: a[a] @ h []
+        |# Query_time: 0.020000  Lock_time: 0.000000 Rows_sent: 1  Rows_examined: 1
+        |SELECT 2;
+        |# Time: 2024-01-15T10:00:03.000000Z
+        |# User@Host: a[a] @ h []
+        |# Query_time: 0.030000  Lock_time: 0.000000 Rows_sent: 1  Rows_examined: 1
+        |# Log_slow_rate_limit: 1
+        |SELECT 3;
+        |""".stripMargin
+    val evs = SlowLogParser.parseString(log)
+    assert(evs.size == 3)
+    assert(evs(0).rateType == "session" && evs(0).rateLimit.contains(50L))
+    // carry: the un-annotated middle event inherits the session rate
+    assert(evs(1).rateType == "session" && evs(1).rateLimit.contains(50L))
+    // explicit rate_limit=1 (sampling off) RESETS the carried 50
+    assert(evs(2).rateLimit.contains(1L))
   }
 
   test("use-db carry: later events without explicit db inherit it") {
