@@ -20,4 +20,10 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ ExtQueries.oracles
+
+  /** Bench-only timings ([[ExtQueries.benchOnly]]) — merged into the
+    * benchmark inventory by [[Bench]], NEVER into [[queries]]: they have
+    * no oracle and must not dilute the 83-entry correctness surface. */
+  def benchExtra: Map[String, (SparkSession, String) => DataFrame] =
+    ExtQueries.benchOnly
 }

@@ -263,13 +263,10 @@ object Dedup {
   def embeddingNearDupPairs(emb: DataFrame, idCol: String, embCol: String,
                             threshold: Double, tables: Int = 8, bits: Int = 8,
                             dim: Int = 64, seed: Long = 42L): DataFrame = {
-    val keys = Similarity.lshBucketKeys(col(embCol), tables, bits, dim, seed)
+    val keys = Similarity.lshKeysArray(tables, bits, dim, seed)(col(embCol))
     def bucketed(out: String): DataFrame =
       emb.select(col(idCol).as(out), col(embCol).as(s"_e_$out"),
-        explode(array(keys.zipWithIndex.map { case (key, t) =>
-          struct(lit(t).as("table"), key.as("key"))
-        }: _*)).as("bk"))
-        .select(col(out), col(s"_e_$out"), col("bk.table"), col("bk.key"))
+        posexplode(keys).as(Seq("table", "key")))
     // threshold applies to the UNROUNDED cosine (the oracle filters raw
     // too — filtering after round() would admit boundary pairs like
     // 0.89996→0.9000 that the oracle rejects); dedup on the raw value,

@@ -797,6 +797,73 @@ object ExtQueries {
     })
   )
 
+  /**
+   * Bench-only entries (no oracle, never in the correctness surface):
+   * timings the 83-query inventory can't isolate. q41's correctness
+   * entry deliberately runs exact kNN + ANN + the recall join — right
+   * for the contract, wrong as a timing of the ANN path (r5 ADVICE:
+   * the ANN speedup was measured nowhere). This times `annCosineTopK`
+   * ALONE, same config as q41 (tables=32, bits=5 — the measured-recall
+   * choice), so BENCH rounds carry an ANN-only number comparable
+   * against q39's exact brute-force path.
+   */
+  /** q41c's session-cached ANN index, keyed by sf dir: built + persisted
+    * on first use (the bench warm-up pass), so the TIMED passes measure
+    * probe cost alone — the at-rest production split (index built once,
+    * probed forever; [[graft.sources.Warehouse.saveAnnIndex]] is the
+    * same split with parquet instead of the block-manager cache). */
+  private val annIndexCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  val benchOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // End-to-end ANN at the q41 contract config (32 tables × 5 bits,
+    // the measured-recall choice): index build + probe + re-rank. At
+    // the oracle SFs (≤2k vectors) the 160 hyperplane dots per corpus
+    // row dwarf 5-probe brute force (5 cosines/row) — the number that
+    // matters from this entry is the BUILD cost the probe entry below
+    // amortizes away.
+    "q41b_ann_only" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val probes = emb.filter(col("vec_id") < 5)
+      Similarity.annCosineTopK(emb, probes, "vec_id", "embedding",
+          k = 3, tables = 32, bits = 5)
+        .select("probe_id", "nn_id", "sim", "rn")
+        .orderBy("probe_id", "rn")
+    }),
+    // Probe-only ANN against the cached index — the production shape.
+    // 500 probes (not the oracle's 5): at test scale a 5-probe query of
+    // ANY path sits on the ~0.3 s job-launch floor, so the exact-vs-ANN
+    // gap only shows once per-row work dominates — 500×corpus exact
+    // cosines vs ~tables candidates/probe. Config uses corpus-scaled
+    // bits (2^11 buckets/table: the Scaladoc's bits≈log₂(corpus)
+    // pruning rule) rather than the oracle-recall 32×5, which at ≤2k
+    // vectors degenerates to scanning everything. Compare with
+    // q41d_exact_batch — the SAME 500-probe load on the exact path.
+    "q41c_ann_probe" -> ((s, d) => {
+      val idx = annIndexCache.getOrElseUpdate(d, {
+        val f = Similarity.annBucketFrame(t(s, d, "embeddings"),
+          "vec_id", "embedding", tables = 8, bits = 11).persist()
+        f.count() // materialize: index-build cost, paid once
+        f
+      })
+      val probes = t(s, d, "embeddings").filter(col("vec_id") < 500)
+      Similarity.annCosineTopKFrom(idx, probes, "vec_id", "embedding",
+          k = 3, tables = 8, bits = 11)
+        .select("probe_id", "nn_id", "sim", "rn")
+        .orderBy("probe_id", "rn")
+    }),
+    // The exact brute-force path under q41c's identical 500-probe load:
+    // the baseline the ANN probe must beat (and the honest version of
+    // "ANN vs q39" — q39's 5-probe timing is pure job overhead).
+    "q41d_exact_batch" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val probes = emb.filter(col("vec_id") < 500)
+      Similarity.knnBatch(emb, probes, "vec_id", "embedding", k = 3)
+        .select("probe_id", "nn_id", "sim", "rn")
+        .orderBy("probe_id", "rn")
+    })
+  )
+
   val oracles: Map[String, String] = Map(
     "q25_dedup_rows" ->
       "SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents GROUP BY text ORDER BY doc_id",

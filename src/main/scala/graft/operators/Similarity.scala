@@ -76,7 +76,9 @@ object Similarity {
   }
 
   /** Bucket keys (one per table) for an embedding column: bit b of table
-    * t's key is sign(v · plane(t,b)). */
+    * t's key is sign(v · plane(t,b)). HOF-expression formulation —
+    * retained as the parity reference for [[lshKeysArray]]'s equality
+    * spec; the operators use the array UDF, see below. */
   def lshBucketKeys(emb: Column, tables: Int, bits: Int, dim: Int,
                     seed: Long = 42L): Seq[Column] = {
     val vd = transform(emb, x => x.cast("double"))
@@ -89,6 +91,47 @@ object Similarity {
   }
 
   /**
+   * All `tables` bucket keys for an embedding as ONE `array<long>` column,
+   * computed by a single compiled closure per row — bit-identical to
+   * [[lshBucketKeys]] (spec-proven), but without its plan cost: the HOF
+   * formulation embeds tables×bits literal plane arrays as expression
+   * nodes (32×5×64 ≈ 10k literals), whose analysis + codegen dominated
+   * probe latency (~0.6 s/query at ANY data size). The hyperplanes here
+   * live in the closure, serialized once per task; the per-row work
+   * (tables×bits dim-length dots) is the same arithmetic, JIT-compiled.
+   * This is the deliberate exception to the functions-over-UDFs rule:
+   * the built-in route is quadratically worse in PLAN size, not data.
+   */
+  def lshKeysArray(tables: Int, bits: Int, dim: Int,
+                   seed: Long = 42L): Column => Column = {
+    val ps: Array[Array[Array[Double]]] =
+      planes(tables, bits, dim, seed).map(_.map(_.toArray).toArray).toArray
+    val f = udf { (emb: Seq[Float]) =>
+      val v = emb.toArray
+      val out = new Array[Long](tables)
+      var t = 0
+      while (t < tables) {
+        val tp = ps(t)
+        var key = 0L
+        var b = 0
+        while (b < bits) {
+          val plane = tp(b)
+          var dot = 0.0
+          var i = 0
+          val n = math.min(plane.length, v.length)
+          while (i < n) { dot += v(i) * plane(i); i += 1 }
+          if (dot > 0) key |= (1L << b)
+          b += 1
+        }
+        out(t) = key
+        t += 1
+      }
+      out
+    }
+    (emb: Column) => f(emb)
+  }
+
+  /**
    * The exploded LSH bucket frame `(id, emb, table, key)` — the
    * persistable ANN index. At rest, write it `bucketBy(key)`
    * ([[graft.sources.Warehouse.saveAnnIndex]]) so a probe lookup becomes
@@ -97,12 +140,9 @@ object Similarity {
   def annBucketFrame(corpus: DataFrame, idCol: String, embCol: String,
                      tables: Int = 8, bits: Int = 8, dim: Int = 64,
                      seed: Long = 42L): DataFrame = {
-    val keys = lshBucketKeys(col(embCol), tables, bits, dim, seed)
+    val keys = lshKeysArray(tables, bits, dim, seed)(col(embCol))
     corpus.select(col(idCol).as("id"), col(embCol).as("emb"),
-      explode(array(keys.zipWithIndex.map { case (key, t) =>
-        struct(lit(t).as("table"), key.as("key"))
-      }: _*)).as("bk"))
-      .select(col("id"), col("emb"), col("bk.table"), col("bk.key"))
+        posexplode(keys).as(Seq("table", "key")))
   }
 
   /**
@@ -118,13 +158,28 @@ object Similarity {
    */
   def annCosineTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
                     embCol: String, k: Int, tables: Int = 8, bits: Int = 8,
-                    dim: Int = 64, seed: Long = 42L): DataFrame = {
-    def bucketed(df: DataFrame, outId: String): DataFrame =
-      annBucketFrame(df, idCol, embCol, tables, bits, dim, seed)
-        .select(col("id").as(outId), col("emb").as(s"_emb_$outId"),
-          col("table"), col("key"))
-    val c = bucketed(corpus, "nn_id")
-    val p = bucketed(probes, "probe_id")
+                    dim: Int = 64, seed: Long = 42L): DataFrame =
+    annCosineTopKFrom(
+      annBucketFrame(corpus, idCol, embCol, tables, bits, dim, seed),
+      probes, idCol, embCol, k, tables, bits, dim, seed)
+
+  /**
+   * The probe side of [[annCosineTopK]] against an ALREADY-BUILT bucket
+   * frame ([[annBucketFrame]] layout, possibly persisted or read back
+   * from a [[graft.sources.Warehouse.saveAnnIndex]] table): hashing the
+   * corpus is the INDEX-BUILD cost, paid once — a production query pays
+   * only probe hashing + bucket join + candidate re-rank. Bench entry
+   * q41c times exactly this split.
+   */
+  def annCosineTopKFrom(corpusBuckets: DataFrame, probes: DataFrame,
+                        idCol: String, embCol: String, k: Int,
+                        tables: Int, bits: Int,
+                        dim: Int = 64, seed: Long = 42L): DataFrame = {
+    val c = corpusBuckets.select(col("id").as("nn_id"),
+      col("emb").as("_emb_nn_id"), col("table"), col("key"))
+    val p = annBucketFrame(probes, idCol, embCol, tables, bits, dim, seed)
+      .select(col("id").as("probe_id"), col("emb").as("_emb_probe_id"),
+        col("table"), col("key"))
     val w = Window.partitionBy("probe_id")
       .orderBy(col("sim").desc, col("nn_id"))
     // Score before dedup: a pair colliding in several tables is scored up

@@ -81,6 +81,22 @@ class ExtOperatorsSpec extends AnyFunSuite with SparkTestSession {
     assert(ranks.forall(r => r.getAs[Long]("n") == r.getAs[Long]("mx")))
   }
 
+  test("lsh keys: compiled-closure array equals the HOF expression keys") {
+    // the operators hash with lshKeysArray (one UDF call/row); the HOF
+    // column formulation is the pure-built-ins parity reference — the
+    // two must agree bit-for-bit or every bucket join silently changes
+    val (tables, bits, dim) = (8, 6, 64)
+    val viaUdf = emb.select(col("vec_id"),
+        Similarity.lshKeysArray(tables, bits, dim)(col("embedding")).as("ks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).toMap
+    val hofCols = Similarity.lshBucketKeys(col("embedding"), tables, bits, dim)
+    val viaHof = emb.select(col("vec_id") +: hofCols: _*)
+      .collect()
+      .map(r => r.getLong(0) -> (1 to tables).map(r.getLong(_)).toVector)
+      .toMap
+    assert(viaUdf == viaHof)
+  }
+
   test("simhash: aggregate formulation equals the per-row HOF version") {
     val viaHof = docs.select(col("doc_id"),
         Dedup.simHash64(split(col("text"), " ")).as("sh"))
