@@ -221,9 +221,74 @@ object Similarity {
    * hash oracle.
    */
   /**
+   * Per-group Lloyd's k-means over the exploded subvector sample — ALL
+   * `subspaces` codebooks in one distributed fit: each iteration is one
+   * assign (broadcast centroids, one compiled argmin closure per row)
+   * plus one `groupBy(sub, code)` element-wise mean, so training cost is
+   * `iters` small jobs REGARDLESS of how many codebooks are trained
+   * (`subspaces` sequential MLlib fits would schedule ~15 jobs each).
+   * Init is a deterministic hash-ranked pick of `codebook` sample rows
+   * per group; a code that loses every point keeps its old centroid.
+   * Returns centroids[sub][code][dim]. `groupPerSub=false` collapses
+   * every subvector into group 0 — the shared-codebook variant, kept
+   * for the recall-comparison spec.
+   */
+  private def fitCodebooks(train: DataFrame, subspaces: Int, codebook: Int,
+                           subDim: Int, groupPerSub: Boolean,
+                           iters: Int = 10): Array[Array[Array[Double]]] = {
+    val spark = train.sparkSession
+    val groups = if (groupPerSub) subspaces else 1
+    val grp = if (groupPerSub) col("sub") else lit(0)
+    val t = train.select(grp.as("_g"), col("_sv")).cache()
+    try {
+      // deterministic init: per group, the `codebook` sample rows with
+      // the smallest subvector hash (order stable across partitionings)
+      val iw = Window.partitionBy("_g")
+        .orderBy(xxhash64(col("_sv").cast("string")), col("_sv").cast("string"))
+      val initRows = t.withColumn("_rn", row_number().over(iw))
+        .filter(col("_rn") <= codebook)
+        .select(col("_g"), col("_rn"), col("_sv")).collect()
+      val centroids = Array.tabulate(groups, codebook)((g, c) =>
+        Array.fill(subDim)(0.0))
+      initRows.foreach { r =>
+        centroids(r.getInt(0))(r.getInt(1) - 1) =
+          r.getSeq[Double](2).toArray
+      }
+      val avgCols = (0 until subDim).map(i =>
+        avg(element_at(col("_sv"), i + 1)).as(s"_c$i"))
+      for (_ <- 1 to iters) {
+        val bc = spark.sparkContext.broadcast(centroids.map(_.map(_.clone())))
+        val assign = udf { (g: Int, sv: Seq[Double]) =>
+          val cs = bc.value(g)
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < cs.length) {
+            val cent = cs(c)
+            var d = 0.0; var i = 0
+            while (i < cent.length && i < sv.length) {
+              val diff = sv(i) - cent(i); d += diff * diff; i += 1
+            }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          best
+        }
+        val updated = t.withColumn("_code", assign(col("_g"), col("_sv")))
+          .groupBy("_g", "_code").agg(avgCols.head, avgCols.tail: _*)
+          .collect()
+        updated.foreach { r =>
+          centroids(r.getInt(0))(r.getInt(1)) =
+            Array.tabulate(subDim)(i => r.getDouble(2 + i))
+        }
+      }
+      centroids
+    } finally t.unpersist()
+  }
+
+  /**
    * Product-quantization approximate top-k — the MEMORY-bound ANN
-   * layout: unit vectors are cut into `subspaces` subvectors, one
-   * shared codebook (sample-trained KMeans over all subvectors)
+   * layout: unit vectors are cut into `subspaces` subvectors, a
+   * per-subspace codebook (classic PQ; [[fitCodebooks]], sample-fit)
    * quantizes each to a code, and the corpus at rest is `subspaces`
    * small ints per vector (64 floats → 8 codes ≈ 32× compression —
    * at 100 TB the index fits where raw embeddings cannot). A query
@@ -233,15 +298,21 @@ object Similarity {
    * embedding bytes move — then the top `candidates` get an exact
    * cosine re-rank.
    *
-   * Like IVF, quantization is seeded but not bit-stable across
-   * partitionings, so the contract is a RECALL floor vs [[knnBatch]]
+   * `perSubspace=false` selects the round-5 shared-codebook shortcut
+   * (one codebook for every subspace) — materially worse recall per
+   * byte at equal candidates (spec-measured), retained only as the
+   * comparison baseline.
+   *
+   * Quantization is seeded but float-sum order across partitions is
+   * not bit-stable, so the contract is a RECALL floor vs [[knnBatch]]
    * (q83), never a hash oracle.
    */
   def pqCosineTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
                    embCol: String, k: Int, dim: Int = 64,
                    subspaces: Int = 8, codebook: Int = 64,
                    candidates: Int = 200, seed: Long = 42L,
-                   trainSampleRows: Int = 200000): DataFrame = {
+                   trainSampleRows: Int = 200000,
+                   perSubspace: Boolean = true): DataFrame = {
     require(dim % subspaces == 0, s"dim $dim must divide into $subspaces subspaces")
     val subDim = dim / subspaces
     val spark = corpus.sparkSession
@@ -255,10 +326,7 @@ object Similarity {
         .select(col(outId), col("pos").as("sub"), col("col").as("_sv"))
 
     val corpusSubs = subFrame(corpus, "nn_id")
-    // ONE shared codebook over all subvectors (classic PQ trains one
-    // per subspace; sharing loses a little precision for 1/subspaces
-    // the training cost — the candidates + exact re-rank absorb it),
-    // sample-fit exactly like the IVF quantizer
+    // sample-bounded training frame, exactly like the IVF quantizer
     val n = corpus.count() * subspaces
     val keep = math.min(1.0, trainSampleRows.toDouble / math.max(1L, n))
     val sampled =
@@ -266,27 +334,42 @@ object Similarity {
       else corpusSubs.filter(pmod(xxhash64(col("nn_id"), col("sub")),
         lit(1000000L)) < lit(math.ceil(keep * 1e6).toLong))
     val trainParts = math.max(1, (math.min(n, trainSampleRows.toLong) / 50000L).toInt)
-    val train = sampled.select(array_to_vector(col("_sv")).as("_feat"))
-      .repartition(trainParts).cache()
-    val model =
-      try new KMeans().setK(codebook).setSeed(seed).setMaxIter(10)
-        .setFeaturesCol("_feat").setPredictionCol("_code")
-        .fit(train)
-      finally train.unpersist()
+    val train = sampled.select(col("sub"), col("_sv")).repartition(trainParts)
+    val books = fitCodebooks(train, subspaces, codebook, subDim,
+      groupPerSub = perSubspace)
 
-    // corpus at rest: (nn_id, sub, code) — subspaces small ints per vector
-    val codes = model.transform(
-        corpusSubs.withColumn("_feat", array_to_vector(col("_sv"))))
-      .select(col("nn_id"), col("sub"), col("_code"))
+    // corpus at rest: (nn_id, sub, code) — subspaces small ints per
+    // vector, assigned by the same compiled argmin closure as the fit
+    val bcBooks = spark.sparkContext.broadcast(books)
+    val assignCode = udf { (sub: Int, sv: Seq[Double]) =>
+      val cs = bcBooks.value(if (bcBooks.value.length == 1) 0 else sub)
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < cs.length) {
+        val cent = cs(c)
+        var d = 0.0; var i = 0
+        while (i < cent.length && i < sv.length) {
+          val diff = sv(i) - cent(i); d += diff * diff; i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+    val codes = corpusSubs
+      .select(col("nn_id"), col("sub"),
+        assignCode(col("sub"), col("_sv")).as("_code"))
 
     // ADC table: dot(probe_sub, centroid) for every (probe, sub, code) —
     // probes × subspaces × codebook rows, broadcast-sized by construction
     val centroids = spark.createDataFrame(
-        model.clusterCenters.zipWithIndex.toSeq
-          .map { case (c, i) => (i, c.toArray) })
-      .toDF("_code", "_centroid")
+        for {
+          sub <- 0 until subspaces
+          (cent, code) <- books(if (books.length == 1) 0 else sub).zipWithIndex
+        } yield (sub, code, cent.toSeq))
+      .toDF("sub", "_code", "_centroid")
     val adcTable = subFrame(probes, "probe_id")
-      .crossJoin(broadcast(centroids))
+      .join(broadcast(centroids), Seq("sub"))
       .select(col("probe_id"), col("sub"), col("_code"),
         sumArr(zip_with(col("_sv"), col("_centroid"), (x, c) => x * c)).as("_pdot"))
 

@@ -149,6 +149,26 @@ class ExtOperatorsSpec extends AnyFunSuite with SparkTestSession {
     assert(pq.groupBy(_._1).values.forall(_.size == 10))
   }
 
+  test("pq: per-subspace codebooks beat the shared codebook at equal candidates") {
+    // classic PQ trains one codebook per subspace; the round-5 shortcut
+    // shared one across all eight. At an aggressive candidate cut the
+    // quantization error gap shows up directly as recall.
+    val probes = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.knnBatch(emb, probes, "vec_id", "embedding", 10)
+      .select("probe_id", "nn_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(perSub: Boolean): Double = {
+      val pq = Similarity.pqCosineTopK(emb, probes, "vec_id", "embedding",
+          k = 10, candidates = 50, perSubspace = perSub)
+        .select("probe_id", "nn_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exact & pq).size.toDouble / exact.size
+    }
+    val (per, shared) = (recallOf(true), recallOf(false))
+    assert(per >= shared,
+      s"per-subspace recall $per below shared-codebook recall $shared")
+  }
+
   test("embedding near-dup pairs finds exactly the planted pair") {
     import spark.implicits._
     val dim = 64
