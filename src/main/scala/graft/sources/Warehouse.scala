@@ -57,4 +57,22 @@ object Warehouse {
       .sortBy("key")
       .format("parquet")
       .saveAsTable(table)
+
+  /**
+   * Persist a SimHash band frame
+   * ([[graft.operators.Dedup.simHashBandFrame]]: `(id, sh, band, key)`)
+   * bucketed by `key` — the text-near-dup twin of [[saveAnnIndex]]:
+   * a probe document's band keys become a bucket-pruned scan
+   * (`SelectedBucketsCount`), and the banded near-dup self-join reads
+   * both sides already hash-distributed on `key`, so the join needs no
+   * exchange (bucketing on a subset of the `(band, key)` join keys
+   * still satisfies its clustering). Index once, probe forever.
+   */
+  def saveSimHashIndex(bandFrame: DataFrame, table: String, buckets: Int = 32,
+                       mode: SaveMode = SaveMode.Overwrite): Unit =
+    bandFrame.write.mode(mode)
+      .bucketBy(buckets, "key")
+      .sortBy("key")
+      .format("parquet")
+      .saveAsTable(table)
 }

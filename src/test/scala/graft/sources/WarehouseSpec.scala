@@ -78,6 +78,49 @@ class WarehouseSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("persisted SimHash index: probe prunes buckets, pair join needs no exchange") {
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val bands = graft.operators.Dedup.simHashBandFrame(
+      docs, "doc_id", split(col("text"), " "))
+    Warehouse.saveSimHashIndex(bands, "simhash_idx", buckets = 8)
+    try {
+      // probe: one document's band-0 key, computed from the same
+      // deterministic fingerprint math the index was built with
+      val probeKey = bands
+        .filter(col("doc_id") === 0L && col("band") === 0).collect().head
+        .getAs[Long]("key")
+      val lookup = spark.table("simhash_idx")
+        .filter(col("band") === 0 && col("key") === probeKey)
+      val plan = lookup.queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount: 1 out of 8"),
+        s"probe lookup did not bucket-prune:\n$plan")
+      // the banded self-join over the STORED table: both sides already
+      // hash-distributed on key (a subset of the (band, key) join keys),
+      // so the join plans with zero exchanges
+      val stored = spark.table("simhash_idx")
+      val joined = stored.select(col("doc_id").as("da"), col("band"), col("key"))
+        .join(stored.select(col("doc_id").as("db"), col("band"), col("key")),
+          Seq("band", "key"))
+        .filter(col("da") < col("db"))
+      assert(!joined.queryExecution.executedPlan.toString
+          .contains("Exchange hashpartitioning"),
+        s"bucketed self-join still shuffles:\n${joined.queryExecution.executedPlan}")
+      // and the full persist-and-probe operator equals the direct path
+      val viaStore = graft.operators.Dedup
+        .simHashNearDupPairsFrom(stored, "doc_id", maxHamming = 16)
+        .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val direct = graft.operators.Dedup
+        .simHashNearDupPairs(docs, "doc_id", split(col("text"), " "), 16)
+        .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(viaStore == direct)
+    } finally {
+      spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+      spark.sql("DROP TABLE IF EXISTS simhash_idx")
+    }
+  }
+
   test("digest-bucketed table aggregates per digest without an exchange") {
     spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
     Warehouse.saveBucketed(wide, "queries_bucketed", buckets = 4)
