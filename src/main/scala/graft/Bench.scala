@@ -29,7 +29,7 @@ object Bench {
   /** Deterministic synthetic slow log for the ingest benchmark — split
     * across several files so the scan parallelizes like a rotated log
     * directory (one file would pin the parse to a single task). */
-  private def ingestLog(events: Int, files: Int = 16): java.nio.file.Path = {
+  private[graft] def ingestLog(events: Int, files: Int = 16): java.nio.file.Path = {
     val dir = java.nio.file.Files.createTempDirectory("graft-ingest")
     val perFile = events / files
     for (f <- 0 until files) {

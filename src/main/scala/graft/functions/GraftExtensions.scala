@@ -21,8 +21,10 @@ import org.apache.spark.sql.graftbridge.GraftColumnBridge
  * codegen-barrier costs.
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.CosineSimDescriptor)
+    ext.injectFunction(GraftExtensions.FingerprintDescriptor)
+  }
 }
 
 object GraftExtensions {
@@ -32,6 +34,12 @@ object GraftExtensions {
     CosineSimExpr(children.head, children(1))
   }
 
+  private def fingerprintBuilder(children: Seq[Expression]): Expression = {
+    require(children.length == 1,
+      s"fingerprint_native expects 1 argument, got ${children.length}")
+    FingerprintExpr(children.head)
+  }
+
   /** (identifier, info, builder) tuple for the injection API. */
   val CosineSimDescriptor: (FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression) =
@@ -39,8 +47,20 @@ object GraftExtensions {
       new ExpressionInfo(classOf[CosineSimExpr].getName, "cosine_sim"),
       cosineBuilder)
 
+  /** `fingerprint_native` — the codegen'd [[FingerprintExpr]]; the name
+    * leaves the long-registered `fingerprint` Scala-UDF alias
+    * ([[graft.slowlog.SlowLogTable.registerFunctions]]) untouched. */
+  val FingerprintDescriptor: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) =
+    (FunctionIdentifier("fingerprint_native"),
+      new ExpressionInfo(classOf[FingerprintExpr].getName, "fingerprint_native"),
+      fingerprintBuilder)
+
   /** Register on an already-built session. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     GraftColumnBridge.registerFunction(spark, "cosine_sim",
       CosineSimDescriptor._2, CosineSimDescriptor._3)
+    GraftColumnBridge.registerFunction(spark, "fingerprint_native",
+      FingerprintDescriptor._2, FingerprintDescriptor._3)
+  }
 }

@@ -230,4 +230,12 @@ object Fingerprint {
       .map(b => f"$b%02X")
       .mkString
   }
+
+  /** [[fingerprint]] over Spark's internal string representation — the
+    * entry point the codegen'd [[graft.functions.FingerprintExpr]]
+    * calls (generated Java reaches it through this class's static
+    * forwarder). Null passes through untouched. */
+  def fingerprintUtf8(s: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String =
+    if (s == null) null
+    else org.apache.spark.unsafe.types.UTF8String.fromString(fingerprint(s.toString))
 }

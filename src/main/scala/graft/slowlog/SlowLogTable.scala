@@ -39,6 +39,14 @@ object SlowLogTable {
 
   val fingerprintUdf = udf((q: String) => Fingerprint.fingerprint(q))
 
+  /** The codegen'd fingerprint ([[graft.functions.FingerprintExpr]]) —
+    * the ingest default since the §7.4 profile measured the UDF
+    * boundary at 31% of ingest wall time (FpProfile, SCALE.md §7). */
+  def fingerprintCol(q: Column): Column =
+    org.apache.spark.sql.graftbridge.GraftColumnBridge.column(
+      graft.functions.FingerprintExpr(
+        org.apache.spark.sql.graftbridge.GraftColumnBridge.expression(q)))
+
   /** `digest` column from a fingerprint column — built-ins only. Last 16
     * hex chars of the MD5, matching pt-query-digest's checksum (see
     * [[Fingerprint.digestId]]). */
@@ -55,7 +63,13 @@ object SlowLogTable {
    * Events (schema of [[SlowLogEvent]], extra columns like `file`
    * tolerated) → wide `queries` table.
    */
-  def flatten(events: DataFrame): DataFrame = {
+  def flatten(events: DataFrame): DataFrame =
+    flatten(events, fingerprintCol(col("query")))
+
+  /** [[flatten]] with an explicit fingerprint expression — the knob the
+    * SURVEY §7.4 ingest profile measures (real UDF vs identity column;
+    * see [[graft.FpProfile]] and SCALE.md §7). */
+  def flatten(events: DataFrame, fingerprint: Column): DataFrame = {
     val timeCols = TimeKeys.map(k =>
       coalesce(element_at(col("timeMetrics"), k), lit(0.0)).as(k.toLowerCase))
     val numCols = NumberKeys.map(k =>
@@ -64,7 +78,7 @@ object SlowLogTable {
       coalesce(element_at(col("boolMetrics"), k), lit(false)).as(k.toLowerCase))
 
     events
-      .withColumn("fingerprint", fingerprintUdf(col("query")))
+      .withColumn("fingerprint", fingerprint)
       .withColumn("digest", digestCol(col("fingerprint")))
       .select(Seq(col("digest"), col("fingerprint"), col("query"),
         col("db"), col("user"), col("host"), col("ts"), col("admin"),
