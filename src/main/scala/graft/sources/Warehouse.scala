@@ -59,6 +59,24 @@ object Warehouse {
       .saveAsTable(table)
 
   /**
+   * Collect table + column statistics for a saved warehouse table — the
+   * CBO feed (SCALE.md §2): row count and per-column ndv/min/max/nulls
+   * on the columns QAN queries filter and join by. With
+   * `spark.sql.cbo.enabled`, a selective digest filter's cardinality is
+   * then estimated from ndv instead of assumed un-selective, which is
+   * what lets the planner broadcast a filtered fact slice it would
+   * otherwise sort-merge (spec-proven plan flip). On a cluster this
+   * runs once per load batch — stats scans are column-pruned and cheap
+   * relative to the load itself.
+   */
+  def analyzeTable(spark: SparkSession, table: String,
+                   columns: Seq[String] = Seq("digest", "q_date")): Unit = {
+    spark.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS")
+    spark.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS " +
+      s"FOR COLUMNS ${columns.mkString(", ")}")
+  }
+
+  /**
    * Persist a SimHash band frame
    * ([[graft.operators.Dedup.simHashBandFrame]]: `(id, sh, band, key)`)
    * bucketed by `key` — the text-near-dup twin of [[saveAnnIndex]]:

@@ -121,6 +121,50 @@ class WarehouseSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("ANALYZE column stats flip a selective join from sort-merge to broadcast") {
+    // CBO on, broadcast threshold below the table's raw file size: a
+    // digest-filtered slice of the fact table joined to the full table
+    // must sort-merge while the optimizer knows nothing (filter can't
+    // shrink a size-only estimate), and broadcast once ANALYZE gives it
+    // ndv/rowCount to estimate the slice's true cardinality.
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    Warehouse.saveBucketed(wide, "queries_stats", buckets = 4)
+    try {
+      val digest = spark.table("queries_stats")
+        .select("digest").orderBy("digest").limit(1)
+        .collect().head.getString(0)
+      def plan(): String = {
+        // the slice keeps FULL width: a size-only estimator cannot
+        // shrink a bare filter, so only ANALYZE stats can reveal that
+        // one digest of four means a quarter of the rows
+        val a = spark.table("queries_stats").as("a")
+        val slice = spark.table("queries_stats").as("b")
+          .filter(col("b.digest") === digest)
+        a.join(slice, col("a.digest") === col("b.digest"))
+          .queryExecution.executedPlan.toString
+      }
+      val tableBytes = spark.table("queries_stats")
+        .queryExecution.optimizedPlan.stats.sizeInBytes
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+        (tableBytes / 2).toString)
+      val before = plan()
+      assert(before.contains("SortMergeJoin") && !before.contains("BroadcastHashJoin"),
+        s"expected SMJ before stats:\n$before")
+      Warehouse.analyzeTable(spark, "queries_stats")
+      val after = plan()
+      assert(after.contains("BroadcastHashJoin"),
+        s"column stats did not flip the join to broadcast:\n$after")
+      // and the stats are durable catalog state, not a session artifact
+      val described = spark.sql("DESCRIBE EXTENDED queries_stats digest")
+        .collect().map(r => (r.getString(0), r.getString(1))).toMap
+      assert(described.get("distinct_count").exists(_.toLong > 0))
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.cbo.enabled")
+      spark.sql("DROP TABLE IF EXISTS queries_stats")
+    }
+  }
+
   test("digest-bucketed table aggregates per digest without an exchange") {
     spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
     Warehouse.saveBucketed(wide, "queries_bucketed", buckets = 4)
