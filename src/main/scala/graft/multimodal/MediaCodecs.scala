@@ -1,18 +1,99 @@
 package graft.multimodal
 
 /**
- * Pure-JVM decoders for UNCOMPRESSED media containers — the formats
- * that need no codec library: binary PPM (P6) rasters and RIFF/WAV
- * PCM16 audio. These are REAL decoders (header parse + sample access),
- * so the multimodal pipeline's decode stage is genuine for these
- * formats; only compressed codecs (JPEG/MP3/H.264/...) remain behind
- * the documented stub boundary in [[MediaPipeline]].
+ * Pure-JVM media decoders — no external codec libraries:
+ *
+ *  - UNCOMPRESSED containers hand-parsed: binary PPM (P6) rasters and
+ *    RIFF/WAV PCM16 audio (header walk + sample access);
+ *  - COMPRESSED images through the JDK's own `javax.imageio` (round 7):
+ *    JPEG, PNG, GIF, BMP, TIFF ship with `java.desktop` in every
+ *    Java 17, headless included — real entropy/DCT decode, not a stub.
+ *
+ * The remaining stub boundary in [[MediaPipeline]] is compressed
+ * AUDIO/VIDEO (MP3/AAC/H.264…), for which the JDK genuinely has no
+ * decoder.
  *
  * All functions are driver/executor-agnostic pure byte-array code:
- * they run inside `mapPartitions` with constant memory per record and
- * no library or native dependencies.
+ * they run inside `mapPartitions` with constant memory per record.
  */
 object MediaCodecs {
+
+  /** One-time per-JVM ImageIO setup: headless AWT (executors have no
+    * display) and no disk cache (a temp file per decode would turn the
+    * hot decode path into small-file IO). */
+  private lazy val imageIoReady: Unit = {
+    System.setProperty("java.awt.headless", "true")
+    javax.imageio.ImageIO.setUseCache(false)
+  }
+
+  /** Magic-byte sniff for the formats [[decodeImage]] handles. Checked
+    * BEFORE ImageIO is touched, so arbitrary non-image blobs (the
+    * common case in a mixed corpus) skip reader discovery entirely. */
+  def looksLikeCompressedImage(b: Array[Byte]): Boolean =
+    b.length >= 8 && (
+      ((b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8 &&
+        (b(2) & 0xff) == 0xff) ||                              // JPEG
+      ((b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' &&
+        b(3) == 'G') ||                                        // PNG
+      (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') || // GIF
+      (b(0) == 'B' && b(1) == 'M') ||                          // BMP
+      (b(0) == 0x49 && b(1) == 0x49 && b(2) == 0x2a && b(3) == 0) || // TIFF LE
+      (b(0) == 0x4d && b(1) == 0x4d && b(2) == 0 && b(3) == 0x2a))   // TIFF BE
+
+  /** Compressed-image decode via the JDK's ImageIO (JPEG/PNG/GIF/BMP/
+    * TIFF) to the same packed-RGB [[Raster]] the PPM path produces, so
+    * resize + feature extraction are codec-agnostic downstream. None
+    * for non-image bytes (cheap magic check) and for malformed streams
+    * (callers fall back, a hostile blob must never kill the task). */
+  def decodeImage(bytes: Array[Byte]): Option[Raster] = {
+    if (!looksLikeCompressedImage(bytes)) return None
+    imageIoReady
+    try {
+      Option(javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))).map { img =>
+        val w = img.getWidth
+        val h = img.getHeight
+        val px = img.getRGB(0, 0, w, h, null, 0, w)
+        val rgb = new Array[Byte](w * h * 3)
+        var i = 0
+        while (i < px.length) {
+          val p = px(i)
+          rgb(i * 3) = ((p >> 16) & 0xff).toByte
+          rgb(i * 3 + 1) = ((p >> 8) & 0xff).toByte
+          rgb(i * 3 + 2) = (p & 0xff).toByte
+          i += 1
+        }
+        Raster(w, h, rgb)
+      }
+    } catch { case _: Exception => None }
+  }
+
+  private def toBufferedImage(r: Raster): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(r.width, r.height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val px = new Array[Int](r.width * r.height)
+    var i = 0
+    while (i < px.length) {
+      px(i) = ((r.rgb(i * 3) & 0xff) << 16) |
+        ((r.rgb(i * 3 + 1) & 0xff) << 8) | (r.rgb(i * 3 + 2) & 0xff)
+      i += 1
+    }
+    img.setRGB(0, 0, r.width, r.height, px, 0, r.width)
+    img
+  }
+
+  private def encodeVia(r: Raster, format: String): Array[Byte] = {
+    imageIoReady
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(toBufferedImage(r), format, bos)
+    bos.toByteArray
+  }
+
+  /** PNG encode (lossless — the round-trip and resize output format). */
+  def encodePng(r: Raster): Array[Byte] = encodeVia(r, "png")
+
+  /** JPEG encode (lossy; test fixtures for the compressed-decode path). */
+  def encodeJpeg(r: Raster): Array[Byte] = encodeVia(r, "jpg")
 
   /** Decoded raster: width, height, packed RGB bytes (3 per pixel,
     * row-major). */

@@ -25,16 +25,20 @@ final case class MediaFrame(docId: Long, frame: Int, bytes: Array[Byte])
  * partitioning ARE the real contract and are tested).
  *
  * ==== CODEC BOUNDARY ====
- * UNCOMPRESSED containers decode for REAL in pure JVM ([[MediaCodecs]]:
- * P6 PPM rasters → per-cell mean-RGB features + nearest-neighbor
- * resize; RIFF/WAV PCM16 → windowed RMS features) —
- * [[decodeFeaturesAuto]] dispatches on the magic bytes. COMPRESSED
- * codecs (JPEG/MP3/H.264/...) are the remaining stub boundary: this
- * container ships no codec libraries, so those bytes take the
- * deterministic `stubDecode` fallback, and a production deployment
- * replaces only that leaf (JNI/javacpp). Every Spark-side contract —
- * schema, encoders, partition preservation, batch iteration — is real
- * and unchanged either way.
+ * IMAGES decode for REAL in pure JVM, compressed or not
+ * ([[MediaCodecs]]: P6 PPM hand-parsed; JPEG/PNG/GIF/BMP/TIFF through
+ * the JDK's own `javax.imageio` since round 7 — real entropy/DCT
+ * decode, headless-safe, zero added dependencies), all landing on one
+ * packed-RGB [[MediaCodecs.Raster]] so per-cell mean-RGB features and
+ * nearest-neighbor resize are codec-agnostic. UNCOMPRESSED audio
+ * (RIFF/WAV PCM16) decodes for real too (windowed RMS features).
+ * [[decodeFeaturesAuto]] dispatches on magic bytes. The remaining stub
+ * boundary is compressed AUDIO/VIDEO (MP3/AAC/H.264/...) — the JDK has
+ * no decoder for those, so such bytes take the deterministic
+ * `stubDecode` fallback and a production deployment replaces only that
+ * leaf (JNI/javacpp). Every Spark-side contract — schema, encoders,
+ * partition preservation, batch iteration — is real and unchanged
+ * either way.
  *
  * Scale notes (100 TB): decode is the expensive stage, so it must be
  * (a) iterator-to-iterator (no partition materialization — constant
@@ -68,10 +72,11 @@ object MediaPipeline {
     }
   }
 
-  /** Format-dispatching decode: real decoders for uncompressed
-    * containers (P6 PPM → 2×2-cell mean RGB, 12 floats; WAV PCM16 →
-    * 8-window RMS), deterministic stub fallback for everything else.
-    * Same iterator-to-iterator / partition-preserving contract as
+  /** Format-dispatching decode: real decoders for every image format
+    * (P6 PPM hand-parsed; JPEG/PNG/GIF/BMP/TIFF via ImageIO — each →
+    * 2×2-cell mean RGB, 12 floats) and for WAV PCM16 (8-window RMS);
+    * deterministic stub fallback for compressed audio/video. Same
+    * iterator-to-iterator / partition-preserving contract as
     * [[decodeFeatures]]. */
   def decodeFeaturesAuto(records: Dataset[MediaRecord],
                          stubDim: Int = 16): Dataset[MediaFeatures] = {
@@ -79,6 +84,7 @@ object MediaPipeline {
     records.mapPartitions { it =>
       it.map { r =>
         val feats = MediaCodecs.decodePpm(r.media)
+          .orElse(MediaCodecs.decodeImage(r.media))
           .map(MediaCodecs.imageFeatures(_))
           .orElse(MediaCodecs.decodeWavPcm16(r.media)
             .map(MediaCodecs.audioFeatures(_)))
@@ -88,9 +94,12 @@ object MediaPipeline {
     }
   }
 
-  /** Real image resize: PPM blobs are decoded, nearest-neighbor
-    * resampled, and re-encoded (metadata updated); non-PPM blobs pass
-    * through untouched. Iterator-to-iterator. */
+  /** Real image resize: image blobs (PPM or any ImageIO format) are
+    * decoded, nearest-neighbor resampled, and re-encoded — PPM stays
+    * PPM, compressed formats re-encode as lossless PNG (resizing into
+    * a fresh lossy generation would compound JPEG artifacts); metadata
+    * updated. Non-image blobs pass through untouched.
+    * Iterator-to-iterator. */
   def resizeImages(records: Dataset[MediaRecord], nw: Int,
                    nh: Int): Dataset[MediaRecord] = {
     import records.sparkSession.implicits._
@@ -101,7 +110,13 @@ object MediaPipeline {
             val resized = MediaCodecs.resizeNearest(raster, nw, nh)
             r.copy(media = MediaCodecs.encodePpm(resized),
               meta = r.meta.copy(width = nw, height = nh))
-          case None => r
+          case None => MediaCodecs.decodeImage(r.media) match {
+            case Some(raster) =>
+              val resized = MediaCodecs.resizeNearest(raster, nw, nh)
+              r.copy(media = MediaCodecs.encodePng(resized),
+                meta = r.meta.copy(width = nw, height = nh))
+            case None => r
+          }
         }
       }
     }

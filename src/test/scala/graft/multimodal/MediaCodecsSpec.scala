@@ -92,16 +92,60 @@ class MediaCodecsSpec extends AnyFunSuite with SparkTestSession {
     assert(decodeWavPcm16(Array[Byte]()).isEmpty)
   }
 
+  test("PNG round trip through ImageIO is lossless to the exact pixel") {
+    val bytes = encodePng(raster2x2)
+    assert(looksLikeCompressedImage(bytes))
+    val got = decodeImage(bytes).get
+    assert(got.width == 2 && got.height == 2)
+    assert(got.rgb.toSeq == raster2x2.rgb.toSeq)
+  }
+
+  test("JPEG decode is a real DCT decode: lossy but close, never a stub") {
+    // a smooth 16×16 gradient (JPEG's favorable case — saturated 2×2
+    // primaries would be shredded by 4:2:0 chroma subsampling): decoded
+    // pixels must be within lossy tolerance of the source and NOT what
+    // the stub would fabricate from the same bytes
+    val w = 16
+    val rgb = new Array[Byte](w * w * 3)
+    for (y <- 0 until w; x <- 0 until w) {
+      val i = (y * w + x) * 3
+      rgb(i) = (x * 16).toByte; rgb(i + 1) = (y * 16).toByte
+      rgb(i + 2) = ((x + y) * 8).toByte
+    }
+    val grad = Raster(w, w, rgb)
+    val bytes = encodeJpeg(grad)
+    assert(looksLikeCompressedImage(bytes))
+    val got = decodeImage(bytes).get
+    assert(got.width == w && got.height == w)
+    val maxErr = got.rgb.toSeq.zip(grad.rgb.toSeq)
+      .map { case (a, b) => math.abs((a & 0xff) - (b & 0xff)) }.max
+    assert(maxErr <= 32, s"JPEG decode error too large: $maxErr")
+    val feats = imageFeatures(got)
+    assert(feats.length == 12)
+    assert(feats.toSeq != MediaPipeline.stubDecode(bytes, 12).toSeq)
+  }
+
+  test("decodeImage rejects non-images and truncated streams, never throws") {
+    assert(decodeImage("plain text, no magic".getBytes).isEmpty)
+    // valid PNG magic, garbage stream
+    val fake = Array[Byte](0x89.toByte, 'P', 'N', 'G', 13, 10, 26, 10, 1, 2, 3)
+    assert(decodeImage(fake).isEmpty)
+    val truncated = encodePng(raster2x2).take(20)
+    assert(decodeImage(truncated).isEmpty)
+  }
+
   test("decodeFeaturesAuto dispatches by magic bytes inside the Dataset") {
     import spark.implicits._
     val img = encodePpm(raster2x2)
     val wav = encodeWavPcm16(Array.tabulate(64)(i =>
       (if (i % 2 == 0) 8192 else -8192).toShort))
     val other = "not a media container".getBytes
+    val png = encodePng(raster2x2)
     val records = Seq(
       MediaRecord(1L, img, MediaMeta("image", 2, 2, 0)),
       MediaRecord(2L, wav, MediaMeta("audio", 0, 0, 16000)),
-      MediaRecord(3L, other, MediaMeta("video", 0, 0, 0))
+      MediaRecord(3L, other, MediaMeta("video", 0, 0, 0)),
+      MediaRecord(4L, png, MediaMeta("image", 2, 2, 0))
     ).toDS().repartition(2)
     val got = MediaPipeline.decodeFeaturesAuto(records, stubDim = 16)
       .collect().map(f => f.docId -> f).toMap
@@ -112,6 +156,9 @@ class MediaCodecsSpec extends AnyFunSuite with SparkTestSession {
     assert(got(3L).features.length == 16) // stub fallback
     assert(got(3L).features.toSeq ==
       MediaPipeline.stubDecode(other, 16).toSeq)
+    // compressed image takes the REAL ImageIO path on executors: PNG is
+    // lossless, so its features equal the PPM-decoded original's exactly
+    assert(got(4L).features.toSeq == got(1L).features.toSeq)
   }
 
   test("resizeImages resizes PPM blobs and passes other blobs through") {
@@ -128,5 +175,16 @@ class MediaCodecsSpec extends AnyFunSuite with SparkTestSession {
     assert(resized.width == 4 && resized.height == 4)
     assert(got(1L).meta.width == 4 && got(1L).meta.height == 4)
     assert(got(2L).media.toSeq == other.toSeq, "non-PPM must pass through")
+    // compressed input: decoded via ImageIO, resized, re-encoded PNG —
+    // pixel-exact vs resizing the raw raster (both paths lossless)
+    import spark.implicits._
+    val viaPng = MediaPipeline.resizeImages(
+        Seq(MediaRecord(3L, encodePng(raster2x2),
+          MediaMeta("image", 2, 2, 0))).toDS(), 4, 4)
+      .collect().head
+    val decodedBack = decodeImage(viaPng.media).get
+    assert(decodedBack.width == 4 && decodedBack.height == 4)
+    assert(decodedBack.rgb.toSeq == resizeNearest(raster2x2, 4, 4).rgb.toSeq)
+    assert(viaPng.meta.width == 4 && viaPng.meta.height == 4)
   }
 }
