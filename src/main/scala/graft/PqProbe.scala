@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Scratch measurement main: per-probe PQ hit counts (vs exact top-3)
+  * across candidate cuts and codebook layouts at both oracle SFs —
+  * the q83 contract (ok = hits >= 2 per probe) must hold at BOTH
+  * before a config ships (the round-7 sf0.1 rerun caught candidates
+  * =100 failing probe 3 there). */
+object PqProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.build("graft-pq-probe")
+    for (sf <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      val probes = emb.filter(col("vec_id") < 5)
+      val exact = graft.operators.Similarity
+        .knnBatch(emb, probes, "vec_id", "embedding", k = 3)
+        .select("probe_id", "nn_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      for (perSub <- Seq(true, false); cand <- Seq(100, 150, 200)) {
+        val pq = graft.operators.Similarity
+          .pqCosineTopK(emb, probes, "vec_id", "embedding", k = 3,
+            candidates = cand, perSubspace = perSub)
+          .select("probe_id", "nn_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val hits = (0L until 5L).map(p =>
+          (exact & pq).count(_._1 == p)).mkString(",")
+        println(s"== $sf perSub=$perSub cand=$cand hits=[$hits]")
+      }
+    }
+    spark.stop()
+  }
+}

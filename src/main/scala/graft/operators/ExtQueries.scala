@@ -646,17 +646,19 @@ object ExtQueries {
 
     // PQ ANN, tolerance-as-contract (q53 pattern): per probe, ≥2 of the
     // exact top-3 must survive PQ's ADC candidate pass + exact re-rank.
-    // candidates=100 (half the round-5 shared-codebook setting): the
-    // per-subspace codebooks hold the recall floor at the tighter cut —
-    // the verdict-#5 criterion — because each subspace quantizes its own
-    // distribution instead of sharing one codebook across all eight.
+    // candidates=150 (cut from the round-5 setting of 200, enabled by
+    // per-subspace codebooks + farthest-point seeding): PqProbe measured
+    // per-probe hits at BOTH oracle SFs — 150 recalls 3/3 for every
+    // probe (one-hit margin over the ≥2 floor); 100 also passes but
+    // with ZERO margin on one sf0.1 probe, too tight for a codebook fit
+    // whose float-sum order is not bit-stable across partitionings.
     "q83_pq_recall" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       val probes = emb.filter(col("vec_id") < 5)
       val exact = Similarity.knnBatch(emb, probes, "vec_id", "embedding", k = 3)
         .select(col("probe_id"), col("nn_id"))
       val pq = Similarity.pqCosineTopK(emb, probes, "vec_id", "embedding",
-          k = 3, candidates = 100)
+          k = 3, candidates = 150)
         .select(col("probe_id"), col("nn_id"))
       val hits = exact.join(pq, Seq("probe_id", "nn_id"))
         .groupBy("probe_id").agg(count(lit(1)).as("hits"))

@@ -241,18 +241,50 @@ object Similarity {
     val grp = if (groupPerSub) col("sub") else lit(0)
     val t = train.select(grp.as("_g"), col("_sv")).cache()
     try {
-      // deterministic init: per group, the `codebook` sample rows with
-      // the smallest subvector hash (order stable across partitionings)
+      // deterministic farthest-point init (k-means++-quality seeding
+      // without its randomness): per group, a hash-ranked candidate
+      // pool of ≤4096 subvectors comes to the driver (bounded: groups ×
+      // 4096 × subDim doubles), the first centroid is the hash-minimal
+      // candidate, and each next centroid is the candidate farthest
+      // from all chosen ones. Plain hash-random init measurably lost
+      // recall here — at sf0.1 it left per-subspace codebooks WORSE
+      // than the shared baseline (q83 probe 3 fell under the floor at
+      // candidates=100; PqProbe).
+      val poolSize = 4096
       val iw = Window.partitionBy("_g")
         .orderBy(xxhash64(col("_sv").cast("string")), col("_sv").cast("string"))
-      val initRows = t.withColumn("_rn", row_number().over(iw))
-        .filter(col("_rn") <= codebook)
+      val pool = t.withColumn("_rn", row_number().over(iw))
+        .filter(col("_rn") <= poolSize)
         .select(col("_g"), col("_rn"), col("_sv")).collect()
+        .groupBy(_.getInt(0))
+        .map { case (g, rows) =>
+          g -> rows.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray)
+        }
       val centroids = Array.tabulate(groups, codebook)((g, c) =>
         Array.fill(subDim)(0.0))
-      initRows.foreach { r =>
-        centroids(r.getInt(0))(r.getInt(1) - 1) =
-          r.getSeq[Double](2).toArray
+      def d2(a: Array[Double], b: Array[Double]): Double = {
+        var s = 0.0; var i = 0
+        val n = math.min(a.length, b.length)
+        while (i < n) { val d = a(i) - b(i); s += d * d; i += 1 }
+        s
+      }
+      pool.foreach { case (g, cands) =>
+        val minD = Array.fill(cands.length)(Double.MaxValue)
+        var chosen = 0
+        var next = 0 // hash-minimal candidate seeds the chain
+        while (chosen < math.min(codebook, cands.length)) {
+          centroids(g)(chosen) = cands(next)
+          var best = 0; var bestD = -1.0
+          var i = 0
+          while (i < cands.length) {
+            val d = d2(cands(i), cands(next))
+            if (d < minD(i)) minD(i) = d
+            if (minD(i) > bestD) { bestD = minD(i); best = i }
+            i += 1
+          }
+          next = best
+          chosen += 1
+        }
       }
       val avgCols = (0 until subDim).map(i =>
         avg(element_at(col("_sv"), i + 1)).as(s"_c$i"))

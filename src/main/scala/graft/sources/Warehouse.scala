@@ -25,6 +25,20 @@ object Warehouse {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Make `saveAsTable` idempotent ACROSS JVMs: an in-memory catalog
+    * forgets managed tables at shutdown but their warehouse LOCATION
+    * survives, and the next session's CREATE then fails with
+    * LOCATION_ALREADY_EXISTS. Drop the catalog entry if known, then
+    * remove any orphaned location. (A Hive/production metastore never
+    * orphans; this is the embedded-catalog dev/bench shape.) */
+  private def dropWithLocation(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val path = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) fs.delete(path, true)
+  }
+
   /**
    * Register the wide table as a digest-bucketed, date-partitioned
    * managed table: per-digest aggregation over it needs no shuffle
@@ -33,13 +47,15 @@ object Warehouse {
    * cluster metastore).
    */
   def saveBucketed(wide: DataFrame, table: String, buckets: Int = 32,
-                   mode: SaveMode = SaveMode.Overwrite): Unit =
+                   mode: SaveMode = SaveMode.Overwrite): Unit = {
+    if (mode == SaveMode.Overwrite) dropWithLocation(wide.sparkSession, table)
     wide.withColumn("q_date", to_date(col("ts")))
       .write.mode(mode)
       .bucketBy(buckets, "digest")
       .sortBy("digest")
       .format("parquet")
       .saveAsTable(table)
+  }
 
   /**
    * Persist an ANN LSH bucket frame
@@ -51,12 +67,15 @@ object Warehouse {
    * within-file scan.
    */
   def saveAnnIndex(bucketFrame: DataFrame, table: String, buckets: Int = 32,
-                   mode: SaveMode = SaveMode.Overwrite): Unit =
+                   mode: SaveMode = SaveMode.Overwrite): Unit = {
+    if (mode == SaveMode.Overwrite)
+      dropWithLocation(bucketFrame.sparkSession, table)
     bucketFrame.write.mode(mode)
       .bucketBy(buckets, "key")
       .sortBy("key")
       .format("parquet")
       .saveAsTable(table)
+  }
 
   /**
    * Collect table + column statistics for a saved warehouse table — the
@@ -87,10 +106,13 @@ object Warehouse {
    * still satisfies its clustering). Index once, probe forever.
    */
   def saveSimHashIndex(bandFrame: DataFrame, table: String, buckets: Int = 32,
-                       mode: SaveMode = SaveMode.Overwrite): Unit =
+                       mode: SaveMode = SaveMode.Overwrite): Unit = {
+    if (mode == SaveMode.Overwrite)
+      dropWithLocation(bandFrame.sparkSession, table)
     bandFrame.write.mode(mode)
       .bucketBy(buckets, "key")
       .sortBy("key")
       .format("parquet")
       .saveAsTable(table)
+  }
 }
