@@ -11,12 +11,13 @@ object Explain {
     val exec = args.headOption.contains("-exec")
     val rest = if (exec) args.drop(1) else args
     val sfDir = rest.headOption.getOrElse("/root/testdata/sf0.001")
+    val inventory = SparkEntry.queries ++ SparkEntry.benchExtra
     val names =
-      if (rest.length > 1) rest.drop(1).toSeq else SparkEntry.queries.keys.toSeq.sorted
+      if (rest.length > 1) rest.drop(1).toSeq else inventory.keys.toSeq.sorted
     val spark = GraftSession.build("graft-explain")
     names.foreach { name =>
       println(s"########## $name")
-      val df = SparkEntry.queries(name)(spark, sfDir)
+      val df = inventory(name)(spark, sfDir)
       // toRdd executes THIS dataset's QueryExecution (a write/count
       // would build a fresh one), so the final adaptive plan lands on
       // the same object we print; foreach materializes without
