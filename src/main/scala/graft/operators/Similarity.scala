@@ -221,100 +221,106 @@ object Similarity {
    * hash oracle.
    */
   /**
-   * Per-group Lloyd's k-means over the exploded subvector sample — ALL
-   * `subspaces` codebooks in one distributed fit: each iteration is one
-   * assign (broadcast centroids, one compiled argmin closure per row)
-   * plus one `groupBy(sub, code)` element-wise mean, so training cost is
-   * `iters` small jobs REGARDLESS of how many codebooks are trained
-   * (`subspaces` sequential MLlib fits would schedule ~15 jobs each).
-   * Init is a deterministic hash-ranked pick of `codebook` sample rows
-   * per group; a code that loses every point keeps its old centroid.
-   * Returns centroids[sub][code][dim]. `groupPerSub=false` collapses
-   * every subvector into group 0 — the shared-codebook variant, kept
-   * for the recall-comparison spec.
+   * Per-group Lloyd's k-means over a bounded subvector pool — ALL
+   * `subspaces` codebooks in ONE Spark job: the hash-ranked pool
+   * (≤`poolSize` rows per group, groups × poolSize × subDim doubles —
+   * a few MB) is collected once, and both seeding and every Lloyd
+   * iteration run driver-side on it. This is the faiss-style quantizer
+   * shape — a codebook never trains on the corpus, it trains on a
+   * sample, so iterating on that sample in-process costs nothing per
+   * round (the previous distributed loop paid a full job per
+   * iteration: ~11 driver round-trips ≈ 3 s of pure scheduling at any
+   * data size) AND is bit-deterministic (sequential float order — no
+   * partition-dependent sum jitter in the centroids).
+   *
+   * Seeding is deterministic farthest-point (k-means++ quality without
+   * its randomness): first centroid = hash-minimal candidate, each
+   * next = the candidate farthest from all chosen. Plain hash-random
+   * init measurably lost recall — at sf0.1 it left per-subspace
+   * codebooks WORSE than the shared baseline (q83 probe 3 under the
+   * floor at candidates=100; PqProbe). A code that loses every point
+   * keeps its previous centroid. Returns centroids[sub][code][dim].
+   * `groupPerSub=false` collapses every subvector into group 0 — the
+   * shared-codebook variant, kept for the recall-comparison spec.
    */
   private def fitCodebooks(train: DataFrame, subspaces: Int, codebook: Int,
                            subDim: Int, groupPerSub: Boolean,
                            iters: Int = 10): Array[Array[Array[Double]]] = {
-    val spark = train.sparkSession
     val groups = if (groupPerSub) subspaces else 1
     val grp = if (groupPerSub) col("sub") else lit(0)
-    val t = train.select(grp.as("_g"), col("_sv")).cache()
-    try {
-      // deterministic farthest-point init (k-means++-quality seeding
-      // without its randomness): per group, a hash-ranked candidate
-      // pool of ≤4096 subvectors comes to the driver (bounded: groups ×
-      // 4096 × subDim doubles), the first centroid is the hash-minimal
-      // candidate, and each next centroid is the candidate farthest
-      // from all chosen ones. Plain hash-random init measurably lost
-      // recall here — at sf0.1 it left per-subspace codebooks WORSE
-      // than the shared baseline (q83 probe 3 fell under the floor at
-      // candidates=100; PqProbe).
-      val poolSize = 4096
-      val iw = Window.partitionBy("_g")
-        .orderBy(xxhash64(col("_sv").cast("string")), col("_sv").cast("string"))
-      val pool = t.withColumn("_rn", row_number().over(iw))
-        .filter(col("_rn") <= poolSize)
-        .select(col("_g"), col("_rn"), col("_sv")).collect()
-        .groupBy(_.getInt(0))
-        .map { case (g, rows) =>
-          g -> rows.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray)
-        }
-      val centroids = Array.tabulate(groups, codebook)((g, c) =>
-        Array.fill(subDim)(0.0))
-      def d2(a: Array[Double], b: Array[Double]): Double = {
-        var s = 0.0; var i = 0
-        val n = math.min(a.length, b.length)
-        while (i < n) { val d = a(i) - b(i); s += d * d; i += 1 }
-        s
+    val poolSize = 8192
+    val iw = Window.partitionBy("_g")
+      .orderBy(xxhash64(col("_sv").cast("string")), col("_sv").cast("string"))
+    val pool = train.select(grp.as("_g"), col("_sv"))
+      .withColumn("_rn", row_number().over(iw))
+      .filter(col("_rn") <= poolSize)
+      .select(col("_g"), col("_rn"), col("_sv")).collect()
+      .groupBy(_.getInt(0))
+      .map { case (g, rows) =>
+        g -> rows.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray)
       }
-      pool.foreach { case (g, cands) =>
-        val minD = Array.fill(cands.length)(Double.MaxValue)
-        var chosen = 0
-        var next = 0 // hash-minimal candidate seeds the chain
-        while (chosen < math.min(codebook, cands.length)) {
-          centroids(g)(chosen) = cands(next)
-          var best = 0; var bestD = -1.0
-          var i = 0
-          while (i < cands.length) {
-            val d = d2(cands(i), cands(next))
-            if (d < minD(i)) minD(i) = d
-            if (minD(i) > bestD) { bestD = minD(i); best = i }
-            i += 1
-          }
-          next = best
-          chosen += 1
+    val centroids = Array.tabulate(groups, codebook)((g, c) =>
+      Array.fill(subDim)(0.0))
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    pool.foreach { case (g, cands) =>
+      val k = math.min(codebook, cands.length)
+      // farthest-point seeding
+      val minD = Array.fill(cands.length)(Double.MaxValue)
+      var chosen = 0
+      var next = 0 // hash-minimal candidate seeds the chain
+      while (chosen < k) {
+        centroids(g)(chosen) = cands(next)
+        var best = 0; var bestD = -1.0
+        var i = 0
+        while (i < cands.length) {
+          val d = d2(cands(i), cands(next))
+          if (d < minD(i)) minD(i) = d
+          if (minD(i) > bestD) { bestD = minD(i); best = i }
+          i += 1
         }
+        next = best
+        chosen += 1
       }
-      val avgCols = (0 until subDim).map(i =>
-        avg(element_at(col("_sv"), i + 1)).as(s"_c$i"))
+      // Lloyd iterations on the pool, sequential and deterministic
+      val assignTo = new Array[Int](cands.length)
       for (_ <- 1 to iters) {
-        val bc = spark.sparkContext.broadcast(centroids.map(_.map(_.clone())))
-        val assign = udf { (g: Int, sv: Seq[Double]) =>
-          val cs = bc.value(g)
+        var i = 0
+        while (i < cands.length) {
           var best = 0; var bestD = Double.MaxValue
           var c = 0
-          while (c < cs.length) {
-            val cent = cs(c)
-            var d = 0.0; var i = 0
-            while (i < cent.length && i < sv.length) {
-              val diff = sv(i) - cent(i); d += diff * diff; i += 1
-            }
+          while (c < k) {
+            val d = d2(cands(i), centroids(g)(c))
             if (d < bestD) { bestD = d; best = c }
             c += 1
           }
-          best
+          assignTo(i) = best
+          i += 1
         }
-        val updated = t.withColumn("_code", assign(col("_g"), col("_sv")))
-          .groupBy("_g", "_code").agg(avgCols.head, avgCols.tail: _*)
-          .collect()
-        updated.foreach { r =>
-          centroids(r.getInt(0))(r.getInt(1)) =
-            Array.tabulate(subDim)(i => r.getDouble(2 + i))
+        val sums = Array.tabulate(k)(_ => new Array[Double](subDim))
+        val counts = new Array[Int](k)
+        i = 0
+        while (i < cands.length) {
+          val c = assignTo(i)
+          counts(c) += 1
+          var j = 0
+          val v = cands(i)
+          while (j < subDim && j < v.length) { sums(c)(j) += v(j); j += 1 }
+          i += 1
+        }
+        var c = 0
+        while (c < k) {
+          if (counts(c) > 0)
+            centroids(g)(c) = Array.tabulate(subDim)(j => sums(c)(j) / counts(c))
+          c += 1
         }
       }
-      centroids
-    } finally t.unpersist()
+    }
+    centroids
   }
 
   /**
