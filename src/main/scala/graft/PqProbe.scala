@@ -27,6 +27,18 @@ object PqProbe {
           (exact & pq).count(_._1 == p)).mkString(",")
         println(s"== $sf perSub=$perSub cand=$cand hits=[$hits]")
       }
+      // the q53 IVF contract config (nlist=16, nprobe=8) + the spec's
+      // tighter nprobe=4
+      for (nprobe <- Seq(4, 8)) {
+        val ivf = graft.operators.Similarity
+          .ivfCosineTopK(emb, probes, "vec_id", "embedding", k = 3,
+            nlist = 16, nprobe = nprobe)
+          .select("probe_id", "nn_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val hits = (0L until 5L).map(p =>
+          (exact & ivf).count(_._1 == p)).mkString(",")
+        println(s"== $sf ivf nprobe=$nprobe hits=[$hits]")
+      }
     }
     spark.stop()
   }

@@ -1,7 +1,5 @@
 package graft.operators
 
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -202,23 +200,21 @@ object Similarity {
     transform(vd, x => x / norm)
   }
 
-  /** L2-normalized ml-Vector column from a float-array column (unit
-    * vectors make Euclidean KMeans cluster by cosine direction). */
-  private def unitVector(emb: Column): Column =
-    array_to_vector(unitArray(emb))
-
   /**
-   * IVF-flat approximate top-k (the other classic ANN layout): KMeans
-   * coarse quantizer over unit vectors, corpus inverted into `nlist`
-   * cluster cells, probes search only their `nprobe` nearest cells with
-   * exact cosine re-ranking.
+   * IVF-flat approximate top-k (the other classic ANN layout): a
+   * coarse quantizer over unit vectors ([[fitCodebooks]], driver-side
+   * sample fit, deterministic), corpus inverted into `nlist` cluster
+   * cells, probes search only their `nprobe` nearest cells with exact
+   * cosine re-ranking.
    *
    * Scale shape: the corpus is scanned once to assign cells (at rest the
    * cell table persists `bucketBy(cell)`); a probe touches
    * ~corpus·nprobe/nlist rows. Centroids are driver-side (nlist ≤ a few
-   * thousand) and broadcast. Clustering is seeded but not bit-stable
-   * across partitionings — IVF is verified by recall tests, never a
-   * hash oracle.
+   * thousand) and broadcast. The contract stays a recall floor vs
+   * [[knnBatch]] (q53), not a hash oracle — the quantizer is
+   * deterministic since round 7, but cell GEOMETRY (which neighbors
+   * share the probe's cells) is still a property of the fit, not of
+   * the query semantics.
    */
   /**
    * Per-group Lloyd's k-means over a bounded subvector pool — ALL
@@ -434,53 +430,54 @@ object Similarity {
 
   def ivfCosineTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
                     embCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
-                    seed: Long = 42L, trainSampleRows: Int = 200000): DataFrame = {
+                    seed: Long = 42L, trainSampleRows: Int = 200000,
+                    dim: Int = 64): DataFrame = {
     val spark = corpus.sparkSession
-    val featured = corpus.withColumn("_feat", unitVector(col(embCol)))
-    // Quantizer training input: k-means|| init + every Lloyd iteration
-    // schedules a job over this frame, so fit cost is (#jobs ≈ 15) ×
-    // (task scheduling + input recompute). Training on the raw corpus
-    // frame re-evaluates the scan + unit-norm HOF on every one of those
-    // jobs across all its partitions — at sf0.1 that was ~6× the cost of
-    // the actual search. Instead: a bounded deterministic hash-sample
-    // (a coarse quantizer gains nothing past ~10⁵ points), column-pruned
-    // to the feature vector, shuffled down to ~50k-row partitions, and
-    // cached for the fit. This is also the only viable 100 TB shape —
-    // the quantizer NEVER trains on the full corpus, it trains on a
-    // sample and the corpus is only scanned once for cell assignment.
-    // count() here prunes to an empty read schema (for parquet that is
-    // row-group metadata, not column IO) — cheap even at corpus scale;
-    // a production index build would read the table's stored row-count
-    // statistic instead
+    // Quantizer training: bounded deterministic hash-sample (a coarse
+    // quantizer gains nothing past ~10⁵ points) feeding the same
+    // driver-side farthest-point + Lloyd fit as PQ ([[fitCodebooks]],
+    // round 7 — it replaced an MLlib k-means|| fit whose ~15 scheduled
+    // jobs were pure overhead at any data size, and it is
+    // bit-deterministic besides). This is also the only viable 100 TB
+    // shape — the quantizer NEVER trains on the full corpus, it trains
+    // on a sample and the corpus is only scanned once for cell
+    // assignment. count() prunes to an empty read schema (row-group
+    // metadata, not column IO); a production index build would read the
+    // table's stored row-count statistic instead.
     val n = corpus.count()
     val keep = math.min(1.0, trainSampleRows.toDouble / math.max(1L, n))
     val sampled =
-      if (keep >= 1.0) featured
+      if (keep >= 1.0) corpus
       // xxhash64(id) mod 1e6: deterministic, seed-stable, no bias toward
       // leading partitions (a limit() would train on a data-order prefix)
-      else featured.filter(pmod(xxhash64(col(idCol)), lit(1000000L)) <
+      else corpus.filter(pmod(xxhash64(col(idCol)), lit(1000000L)) <
         lit(math.ceil(keep * 1e6).toLong))
-    val trainParts = math.max(1, (math.min(n, trainSampleRows.toLong) / 50000L).toInt)
-    // repartition (not coalesce): coalesce would fuse the full corpus
-    // scan into trainParts tasks; the shuffle ships only sampled vectors
-    val train = sampled.select(col("_feat")).repartition(trainParts).cache()
-    // capped iterations: the default 20 each schedule a full pass — on a
-    // coarse quantizer (nlist cells, nprobe-of-nlist search) centroid
-    // polish past ~10 iterations buys no recall, just scheduler time.
-    // k-means|| init is kept: random init measurably drops per-probe
-    // recall below the q53 floor at sf0.1.
-    val model =
-      try new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
-        .setFeaturesCol("_feat").setPredictionCol("_cell")
-        .fit(train)
-      finally train.unpersist()
-    val cells = model.transform(featured)
-      .select(col(idCol).as("nn_id"), col(embCol).as("_emb_nn"), col("_cell"))
+    val books = fitCodebooks(
+      sampled.select(unitArray(col(embCol)).as("_sv")),
+      subspaces = 1, codebook = nlist, subDim = dim, groupPerSub = false)
+    val bcCells = spark.sparkContext.broadcast(books(0))
+    val assignCell = udf { (sv: Seq[Double]) =>
+      val cs = bcCells.value
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < cs.length) {
+        val cent = cs(c)
+        var d = 0.0; var i = 0
+        while (i < cent.length && i < sv.length) {
+          val diff = sv(i) - cent(i); d += diff * diff; i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+    val cells = corpus
+      .select(col(idCol).as("nn_id"), col(embCol).as("_emb_nn"),
+        assignCell(unitArray(col(embCol))).as("_cell"))
 
     // nprobe nearest cells per probe, by cosine against the centroids
     val centroids = spark.createDataFrame(
-      model.clusterCenters.zipWithIndex.toSeq
-        .map { case (c, i) => (i, c.toArray) })
+      books(0).toSeq.zipWithIndex.map { case (c, i) => (i, c.toSeq) })
       .toDF("_cell", "_centroid")
     val cw = Window.partitionBy("probe_id").orderBy(col("_csim").desc, col("_cell"))
     val probeCells = probes
