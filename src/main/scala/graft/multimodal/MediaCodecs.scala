@@ -95,6 +95,65 @@ object MediaCodecs {
   /** JPEG encode (lossy; test fixtures for the compressed-decode path). */
   def encodeJpeg(r: Raster): Array[Byte] = encodeVia(r, "jpg")
 
+  /** True when the bytes are a GIF container (the one multi-frame
+    * format the JDK can decode — animated GIF is the poor man's
+    * video). */
+  def looksLikeGif(b: Array[Byte]): Boolean =
+    b.length >= 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8'
+
+  /**
+   * REAL frame extraction for animated GIFs: up to `n` evenly spaced
+   * frames decoded via the JDK GIF reader and returned as [[Raster]]s.
+   * Frames are composited over the previous frame (GIF inter-frame
+   * patches can be partial — a raw `reader.read(i)` of a delta frame
+   * is a fragment, not the image), matching how a video decoder emits
+   * full frames from P-frames. None for non-GIF or malformed bytes.
+   */
+  def gifFrames(bytes: Array[Byte], n: Int): Option[Vector[Raster]] = {
+    if (!looksLikeGif(bytes) || n <= 0) return None
+    imageIoReady
+    val it = javax.imageio.ImageIO.getImageReadersByFormatName("gif")
+    if (!it.hasNext) return None
+    val reader = it.next()
+    try {
+      reader.setInput(javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes)))
+      val total = reader.getNumImages(true)
+      if (total <= 0) return None
+      // evenly spaced frame indices (always includes frame 0); decode
+      // sequentially compositing deltas, keep only the sampled ones
+      val want = (0 until math.min(n, total))
+        .map(i => i.toLong * total / math.min(n, total)).map(_.toInt).toSet
+      var canvas: java.awt.image.BufferedImage = null
+      val out = Vector.newBuilder[Raster]
+      for (i <- 0 until total if i <= want.max) {
+        val frame = reader.read(i)
+        if (canvas == null) {
+          canvas = new java.awt.image.BufferedImage(frame.getWidth,
+            frame.getHeight, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        }
+        val g = canvas.createGraphics()
+        try g.drawImage(frame, 0, 0, null) finally g.dispose()
+        if (want.contains(i)) {
+          val w = canvas.getWidth; val h = canvas.getHeight
+          val px = canvas.getRGB(0, 0, w, h, null, 0, w)
+          val rgb = new Array[Byte](w * h * 3)
+          var j = 0
+          while (j < px.length) {
+            val p = px(j)
+            rgb(j * 3) = ((p >> 16) & 0xff).toByte
+            rgb(j * 3 + 1) = ((p >> 8) & 0xff).toByte
+            rgb(j * 3 + 2) = (p & 0xff).toByte
+            j += 1
+          }
+          out += Raster(w, h, rgb)
+        }
+      }
+      Some(out.result())
+    } catch { case _: Exception => None }
+    finally reader.dispose()
+  }
+
   /** Decoded raster: width, height, packed RGB bytes (3 per pixel,
     * row-major). */
   final case class Raster(width: Int, height: Int, rgb: Array[Byte])
@@ -207,6 +266,67 @@ object MediaCodecs {
       c += 1
     }
     out
+  }
+
+  /** Raster as a palette-indexed image with its EXACT color table —
+    * what the GIF writer needs: fed a direct-color image it derives
+    * its own palette and (JDK quirk, reproduced on 17.0.20) miscolors
+    * small images. >256 distinct colors falls back to direct color
+    * and accepts the writer's quantization. */
+  private def toIndexedImage(r: Raster): java.awt.image.BufferedImage = {
+    val seen = scala.collection.mutable.LinkedHashMap.empty[Int, Byte]
+    var i = 0
+    while (i < r.width * r.height && seen.size <= 256) {
+      val p = ((r.rgb(i * 3) & 0xff) << 16) |
+        ((r.rgb(i * 3 + 1) & 0xff) << 8) | (r.rgb(i * 3 + 2) & 0xff)
+      if (!seen.contains(p)) seen(p) = seen.size.toByte
+      i += 1
+    }
+    if (seen.size > 256) return toBufferedImage(r)
+    val n = math.max(2, seen.size)
+    val (rs, gs, bs) = (new Array[Byte](n), new Array[Byte](n), new Array[Byte](n))
+    seen.foreach { case (p, idx) =>
+      rs(idx & 0xff) = ((p >> 16) & 0xff).toByte
+      gs(idx & 0xff) = ((p >> 8) & 0xff).toByte
+      bs(idx & 0xff) = (p & 0xff).toByte
+    }
+    val icm = new java.awt.image.IndexColorModel(8, n, rs, gs, bs)
+    val img = new java.awt.image.BufferedImage(r.width, r.height,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+    val raster = img.getRaster
+    i = 0
+    while (i < r.width * r.height) {
+      val p = ((r.rgb(i * 3) & 0xff) << 16) |
+        ((r.rgb(i * 3 + 1) & 0xff) << 8) | (r.rgb(i * 3 + 2) & 0xff)
+      raster.setSample(i % r.width, i / r.width, 0, seen(p) & 0xff)
+      i += 1
+    }
+    img
+  }
+
+  /** Animated-GIF encode from rasters (test fixture builder; exact for
+    * ≤256 distinct colors per frame via an explicit palette). JDK
+    * writer quirk (reproduced on 17.0.20): frames SMALLER than ~8×8
+    * come back with corrupted trailing pixels — the LZW encoder, not
+    * the reader, so fixtures must be ≥8×8; externally-produced GIFs
+    * decode fine at any size. */
+  def encodeGif(frames: Seq[Raster]): Array[Byte] = {
+    imageIoReady
+    val writer =
+      javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frames.foreach { r =>
+        writer.writeToSequence(
+          new javax.imageio.IIOImage(toIndexedImage(r), null, null),
+          writer.getDefaultWriteParam)
+      }
+      writer.endWriteSequence()
+    } finally { ios.close(); writer.dispose() }
+    bos.toByteArray
   }
 
   private def le16(b: Array[Byte], i: Int): Int =

@@ -122,21 +122,32 @@ object MediaPipeline {
     }
   }
 
-  /** Frame sampling: n evenly spaced frames (byte slices in the stub;
-    * real impl seeks keyframes). Generator-shaped — one input row fans
-    * out to n rows. */
+  /** Frame sampling: n evenly spaced frames. REAL for animated GIF
+    * (the one multi-frame container the JDK decodes): frames are
+    * decoded with inter-frame delta compositing and emitted as
+    * lossless PNG bytes. Other formats fall back to byte slices (a
+    * real H.264 impl would seek keyframes — no JDK decoder exists).
+    * Generator-shaped — one input row fans out to ≤n rows. */
   def frameSample(records: Dataset[MediaRecord], n: Int): Dataset[MediaFrame] = {
     import records.sparkSession.implicits._
     records.flatMap { r =>
-      val len = r.media.length
-      if (len == 0 || n <= 0) Iterator.empty
-      else {
-        val step = math.max(1, len / n)
-        (0 until n).iterator.takeWhile(f => f * step < len).map { f =>
-          val from = f * step
-          val until = math.min(len, from + step)
-          MediaFrame(r.docId, f, java.util.Arrays.copyOfRange(r.media, from, until))
-        }
+      MediaCodecs.gifFrames(r.media, n) match {
+        case Some(frames) =>
+          frames.iterator.zipWithIndex.map { case (raster, f) =>
+            MediaFrame(r.docId, f, MediaCodecs.encodePng(raster))
+          }
+        case None =>
+          val len = r.media.length
+          if (len == 0 || n <= 0) Iterator.empty
+          else {
+            val step = math.max(1, len / n)
+            (0 until n).iterator.takeWhile(f => f * step < len).map { f =>
+              val from = f * step
+              val until = math.min(len, from + step)
+              MediaFrame(r.docId, f,
+                java.util.Arrays.copyOfRange(r.media, from, until))
+            }
+          }
       }
     }
   }

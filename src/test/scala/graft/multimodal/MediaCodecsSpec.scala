@@ -134,6 +134,60 @@ class MediaCodecsSpec extends AnyFunSuite with SparkTestSession {
     assert(decodeImage(truncated).isEmpty)
   }
 
+  // 8×8 four-color checkerboard (the JDK GIF WRITER corrupts frames
+  // smaller than ~8×8 — see encodeGif's doc; reader is fine)
+  private def checker8: Raster = {
+    val colors = Array(
+      Array(255, 0, 0), Array(0, 255, 0), Array(0, 0, 255),
+      Array(255, 255, 255))
+    val rgb = new Array[Byte](8 * 8 * 3)
+    for (y <- 0 until 8; x <- 0 until 8; ch <- 0 until 3)
+      rgb((y * 8 + x) * 3 + ch) = colors((x + y) % 4)(ch).toByte
+    Raster(8, 8, rgb)
+  }
+
+  test("GIF frame extraction: real decoded frames, evenly sampled, composited") {
+    // 6 solid-color frames (palette-exact in GIF); sample 3 of 6
+    val colors = Seq(
+      (255, 0, 0), (0, 255, 0), (0, 0, 255),
+      (255, 255, 0), (0, 255, 255), (255, 0, 255))
+    def solid(c: (Int, Int, Int)) = Raster(8, 8,
+      Array.fill(64)(Array(c._1.toByte, c._2.toByte, c._3.toByte)).flatten)
+    val gif = encodeGif(colors.map(solid))
+    assert(looksLikeGif(gif) && looksLikeCompressedImage(gif))
+    val frames = gifFrames(gif, 3).get
+    // evenly spaced: indices 0, 2, 4 → red, blue, cyan
+    assert(frames.length == 3)
+    assert(frames.map(f => (f.width, f.height)).forall(_ == ((8, 8))))
+    val got = frames.map(f =>
+      ((f.rgb(0) & 0xff), (f.rgb(1) & 0xff), (f.rgb(2) & 0xff)))
+    assert(got == Vector(colors(0), colors(2), colors(4)))
+    // non-GIF and malformed GIFs yield None, never throw
+    assert(gifFrames("not a gif".getBytes, 3).isEmpty)
+    assert(gifFrames(gif.take(10), 3).isEmpty)
+  }
+
+  test("frameSample emits real PNG frames for GIF, byte slices otherwise") {
+    import spark.implicits._
+    val gif = encodeGif(Seq(checker8, checker8, checker8, checker8))
+    val other = "0123456789abcdef".getBytes
+    val records = Seq(
+      MediaRecord(1L, gif, MediaMeta("video", 8, 8, 0)),
+      MediaRecord(2L, other, MediaMeta("video", 0, 0, 0))
+    ).toDS()
+    val got = MediaPipeline.frameSample(records, 2)
+      .collect().groupBy(_.docId)
+    // GIF: 2 sampled frames, each a decodable PNG of the checkerboard
+    assert(got(1L).length == 2)
+    got(1L).foreach { f =>
+      val r = decodeImage(f.bytes).get
+      assert(r.width == 8 && r.height == 8)
+      assert(r.rgb.toSeq == checker8.rgb.toSeq)
+    }
+    // non-GIF: the byte-slice fallback covers all bytes
+    assert(got(2L).map(_.bytes.toSeq).reduce(_ ++ _) == other.toSeq)
+  }
+
   test("decodeFeaturesAuto dispatches by magic bytes inside the Dataset") {
     import spark.implicits._
     val img = encodePpm(raster2x2)
