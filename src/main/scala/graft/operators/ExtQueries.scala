@@ -878,6 +878,26 @@ object ExtQueries {
       Similarity.knnBatch(emb, probes, "vec_id", "embedding", k = 3)
         .select("probe_id", "nn_id", "sim", "rn")
         .orderBy("probe_id", "rn")
+    }),
+    // IVF / PQ search alone at the q53/q83 contract configs: the
+    // oracle entries deliberately time exact kNN + the recall join too
+    // (right for the contract, wrong as an ANN timing — the q41 bench
+    // lesson applied to the other two ANN families).
+    "q53b_ivf_only" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val probes = emb.filter(col("vec_id") < 5)
+      Similarity.ivfCosineTopK(emb, probes, "vec_id", "embedding",
+          k = 3, nlist = 16, nprobe = 8)
+        .select("probe_id", "nn_id", "sim", "rn")
+        .orderBy("probe_id", "rn")
+    }),
+    "q83b_pq_only" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val probes = emb.filter(col("vec_id") < 5)
+      Similarity.pqCosineTopK(emb, probes, "vec_id", "embedding",
+          k = 3, candidates = 150)
+        .select("probe_id", "nn_id", "sim", "rn")
+        .orderBy("probe_id", "rn")
     })
   )
 
