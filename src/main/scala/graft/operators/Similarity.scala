@@ -428,22 +428,29 @@ object Similarity {
       .filter(col("rn") <= k)
   }
 
-  def ivfCosineTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
-                    embCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
-                    seed: Long = 42L, trainSampleRows: Int = 200000,
-                    dim: Int = 64): DataFrame = {
+  /**
+   * The persistable IVF layout: the cell frame `(id, emb, cell)` (the
+   * "inverted file" — corpus scanned ONCE for assignment) and the
+   * centroid table `(cell, centroid)` (nlist rows). At rest, write the
+   * cell frame `bucketBy(cell)` ([[graft.sources.Warehouse.saveIvfIndex]])
+   * so a probe's `nprobe` cells become a bucket-pruned scan; the
+   * centroid table is tiny and rides anywhere.
+   *
+   * Quantizer training: bounded deterministic hash-sample (a coarse
+   * quantizer gains nothing past ~10⁵ points) feeding the same
+   * driver-side farthest-point + Lloyd fit as PQ ([[fitCodebooks]] —
+   * it replaced an MLlib k-means|| fit whose ~15 scheduled jobs were
+   * pure overhead at any data size, and it is bit-deterministic
+   * besides). The quantizer NEVER trains on the full corpus. count()
+   * prunes to an empty read schema (row-group metadata, not column
+   * IO); a production index build would read the table's stored
+   * row-count statistic instead.
+   */
+  def ivfIndex(corpus: DataFrame, idCol: String, embCol: String,
+               nlist: Int = 16, seed: Long = 42L,
+               trainSampleRows: Int = 200000,
+               dim: Int = 64): (DataFrame, DataFrame) = {
     val spark = corpus.sparkSession
-    // Quantizer training: bounded deterministic hash-sample (a coarse
-    // quantizer gains nothing past ~10⁵ points) feeding the same
-    // driver-side farthest-point + Lloyd fit as PQ ([[fitCodebooks]],
-    // round 7 — it replaced an MLlib k-means|| fit whose ~15 scheduled
-    // jobs were pure overhead at any data size, and it is
-    // bit-deterministic besides). This is also the only viable 100 TB
-    // shape — the quantizer NEVER trains on the full corpus, it trains
-    // on a sample and the corpus is only scanned once for cell
-    // assignment. count() prunes to an empty read schema (row-group
-    // metadata, not column IO); a production index build would read the
-    // table's stored row-count statistic instead.
     val n = corpus.count()
     val keep = math.min(1.0, trainSampleRows.toDouble / math.max(1L, n))
     val sampled =
@@ -472,17 +479,36 @@ object Similarity {
       best
     }
     val cells = corpus
-      .select(col(idCol).as("nn_id"), col(embCol).as("_emb_nn"),
-        assignCell(unitArray(col(embCol))).as("_cell"))
-
-    // nprobe nearest cells per probe, by cosine against the centroids
+      .select(col(idCol).as("id"), col(embCol).as("emb"),
+        assignCell(unitArray(col(embCol))).as("cell"))
     val centroids = spark.createDataFrame(
       books(0).toSeq.zipWithIndex.map { case (c, i) => (i, c.toSeq) })
-      .toDF("_cell", "_centroid")
+      .toDF("cell", "centroid")
+    (cells, centroids)
+  }
+
+  def ivfCosineTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
+                    embCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
+                    seed: Long = 42L, trainSampleRows: Int = 200000,
+                    dim: Int = 64): DataFrame = {
+    val (cells, centroids) =
+      ivfIndex(corpus, idCol, embCol, nlist, seed, trainSampleRows, dim)
+    ivfCosineTopKFrom(cells, centroids, probes, idCol, embCol, k, nprobe)
+  }
+
+  /** The probe side of [[ivfCosineTopK]] against an ALREADY-BUILT index
+    * ([[ivfIndex]] layout, fresh or read back from
+    * [[graft.sources.Warehouse.saveIvfIndex]]): nprobe nearest cells
+    * per probe by cosine against the broadcast centroids, then exact
+    * re-rank of only those cells' rows. */
+  def ivfCosineTopKFrom(cells: DataFrame, centroids: DataFrame,
+                        probes: DataFrame, idCol: String, embCol: String,
+                        k: Int, nprobe: Int): DataFrame = {
     val cw = Window.partitionBy("probe_id").orderBy(col("_csim").desc, col("_cell"))
     val probeCells = probes
       .select(col(idCol).as("probe_id"), col(embCol).as("_emb_probe"))
-      .crossJoin(broadcast(centroids))
+      .crossJoin(broadcast(centroids
+        .select(col("cell").as("_cell"), col("centroid").as("_centroid"))))
       .select(col("probe_id"), col("_emb_probe"), col("_cell"),
         cosine(col("_emb_probe"), col("_centroid")).as("_csim"))
       .withColumn("_cr", row_number().over(cw))
@@ -491,7 +517,10 @@ object Similarity {
 
     val w = Window.partitionBy("probe_id")
       .orderBy(col("sim").desc, col("nn_id"))
-    cells.join(broadcast(probeCells), Seq("_cell"))
+    cells
+      .select(col("id").as("nn_id"), col("emb").as("_emb_nn"),
+        col("cell").as("_cell"))
+      .join(broadcast(probeCells), Seq("_cell"))
       .filter(col("nn_id") =!= col("probe_id"))
       .select(col("probe_id"), col("nn_id"),
         round(cosine(col("_emb_probe"), col("_emb_nn")), 4).as("sim"))

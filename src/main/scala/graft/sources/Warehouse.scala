@@ -115,4 +115,29 @@ object Warehouse {
       .format("parquet")
       .saveAsTable(table)
   }
+
+  /**
+   * Persist an IVF cell frame
+   * ([[graft.operators.Similarity.ivfIndex]]: `(id, emb, cell)`)
+   * bucketed by `cell` — the inverted file at rest: a probe touching
+   * its `nprobe` nearest cells scans only those cells' file buckets
+   * (`SelectedBucketsCount`), never the corpus. The companion centroid
+   * table (nlist rows) is written as a plain table alongside,
+   * `<table>_centroids`.
+   */
+  def saveIvfIndex(cells: DataFrame, centroids: DataFrame, table: String,
+                   buckets: Int = 16,
+                   mode: SaveMode = SaveMode.Overwrite): Unit = {
+    if (mode == SaveMode.Overwrite) {
+      dropWithLocation(cells.sparkSession, table)
+      dropWithLocation(cells.sparkSession, s"${table}_centroids")
+    }
+    cells.write.mode(mode)
+      .bucketBy(buckets, "cell")
+      .sortBy("cell")
+      .format("parquet")
+      .saveAsTable(table)
+    centroids.write.mode(mode).format("parquet")
+      .saveAsTable(s"${table}_centroids")
+  }
 }

@@ -121,6 +121,41 @@ class WarehouseSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("persisted IVF index: cell lookups bucket-prune, stored probe equals direct") {
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val (cells, centroids) = graft.operators.Similarity.ivfIndex(
+      emb, "vec_id", "embedding", nlist = 8)
+    Warehouse.saveIvfIndex(cells, centroids, "ivf_idx", buckets = 8)
+    try {
+      // one cell's rows: a bucket-pruned scan of the stored table
+      val someCell = cells.select("cell").orderBy("cell").limit(1)
+        .collect().head.getInt(0)
+      val lookup = spark.table("ivf_idx").filter(col("cell") === someCell)
+      val plan = lookup.queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount: 1 out of 8"),
+        s"cell lookup did not bucket-prune:\n$plan")
+      assert(lookup.count() == cells.filter(col("cell") === someCell).count())
+      // probing the STORED index returns what the direct path returns
+      // (the quantizer fit is deterministic, so cell geometry matches)
+      val probes = emb.filter(col("vec_id") < 5)
+      def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+        df.select("probe_id", "nn_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val viaStore = pairs(graft.operators.Similarity.ivfCosineTopKFrom(
+        spark.table("ivf_idx"), spark.table("ivf_idx_centroids"),
+        probes, "vec_id", "embedding", k = 3, nprobe = 4))
+      val direct = pairs(graft.operators.Similarity.ivfCosineTopK(
+        emb, probes, "vec_id", "embedding", k = 3, nlist = 8, nprobe = 4))
+      assert(viaStore == direct)
+    } finally {
+      spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+      spark.sql("DROP TABLE IF EXISTS ivf_idx")
+      spark.sql("DROP TABLE IF EXISTS ivf_idx_centroids")
+    }
+  }
+
   test("ANALYZE column stats flip a selective join from sort-merge to broadcast") {
     // CBO on, broadcast threshold below the table's raw file size: a
     // digest-filtered slice of the fact table joined to the full table
