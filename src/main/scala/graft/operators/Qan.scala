@@ -29,10 +29,13 @@ object Qan {
         // Percona-sampled logs keep 1-in-rate_limit events, so each
         // logged row represents rate_limit executions: the scaled count
         // is the workload's TRUE call volume (pt-query-digest applies
-        // the same multiplier). rate_limit ≤ 1 (unsampled / sampling
-        // off) contributes exactly 1.
+        // the same multiplier — to every additive aggregate, hence the
+        // scaled load total below too). rate_limit ≤ 1 (unsampled /
+        // sampling off) contributes exactly 1.
         sum(greatest(col("rate_limit"), lit(1L))).as("cnt_scaled"),
         sum("query_time").as("total_time"),
+        sum(col("query_time") * greatest(col("rate_limit"), lit(1L)))
+          .as("total_time_scaled"),
         avg("query_time").as("avg_time"),
         percentile_approx(col("query_time"), lit(0.95), lit(10000)).as("p95_time"),
         sum("rows_examined").as("rows_examined"),

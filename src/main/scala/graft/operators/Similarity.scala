@@ -341,39 +341,46 @@ object Similarity {
    * not bit-stable, so the contract is a RECALL floor vs [[knnBatch]]
    * (q83), never a hash oracle.
    */
-  def pqCosineTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
-                   embCol: String, k: Int, dim: Int = 64,
-                   subspaces: Int = 8, codebook: Int = 64,
-                   candidates: Int = 200, seed: Long = 42L,
-                   trainSampleRows: Int = 200000,
-                   perSubspace: Boolean = true): DataFrame = {
+  /** `(id, sub, subvec)`: every unit vector exploded into its
+    * `subspaces` subvectors of `subDim` elements. */
+  private def subFrame(df: DataFrame, idCol: String, embCol: String,
+                       outId: String, subspaces: Int,
+                       subDim: Int): DataFrame =
+    df.select(col(idCol).as(outId), unitArray(col(embCol)).as("_u"))
+      .select(col(outId), posexplode(transform(
+        sequence(lit(0), lit(subspaces - 1)),
+        i => slice(col("_u"), i * subDim + 1, lit(subDim)))))
+      .select(col(outId), col("pos").as("sub"), col("col").as("_sv"))
+
+  /**
+   * The persistable PQ layout: the code frame `(id, sub, code)` —
+   * `subspaces` small ints per vector, the ~32×-compressed index — and
+   * the codebook table `(sub, code, centroid)` (subspaces × codebook
+   * rows, broadcast-sized). At rest, write both via
+   * [[graft.sources.Warehouse.savePqIndex]]; unlike LSH/IVF there is
+   * no pruning key — an ADC query scans every code row by design, the
+   * win is that the scan is 8 ints/vector instead of the embeddings.
+   */
+  def pqIndex(corpus: DataFrame, idCol: String, embCol: String,
+              dim: Int = 64, subspaces: Int = 8, codebook: Int = 64,
+              seed: Long = 42L, trainSampleRows: Int = 200000,
+              perSubspace: Boolean = true): (DataFrame, DataFrame) = {
     require(dim % subspaces == 0, s"dim $dim must divide into $subspaces subspaces")
     val subDim = dim / subspaces
     val spark = corpus.sparkSession
-
-    // (id, sub, subvec): every unit vector exploded into its subvectors
-    def subFrame(df: DataFrame, outId: String): DataFrame =
-      df.select(col(idCol).as(outId), unitArray(col(embCol)).as("_u"))
-        .select(col(outId), posexplode(transform(
-          sequence(lit(0), lit(subspaces - 1)),
-          i => slice(col("_u"), i * subDim + 1, lit(subDim)))))
-        .select(col(outId), col("pos").as("sub"), col("col").as("_sv"))
-
-    val corpusSubs = subFrame(corpus, "nn_id")
+    val corpusSubs = subFrame(corpus, idCol, embCol, "id", subspaces, subDim)
     // sample-bounded training frame, exactly like the IVF quantizer
     val n = corpus.count() * subspaces
     val keep = math.min(1.0, trainSampleRows.toDouble / math.max(1L, n))
     val sampled =
       if (keep >= 1.0) corpusSubs
-      else corpusSubs.filter(pmod(xxhash64(col("nn_id"), col("sub")),
+      else corpusSubs.filter(pmod(xxhash64(col("id"), col("sub")),
         lit(1000000L)) < lit(math.ceil(keep * 1e6).toLong))
-    val trainParts = math.max(1, (math.min(n, trainSampleRows.toLong) / 50000L).toInt)
-    val train = sampled.select(col("sub"), col("_sv")).repartition(trainParts)
-    val books = fitCodebooks(train, subspaces, codebook, subDim,
-      groupPerSub = perSubspace)
+    val books = fitCodebooks(sampled.select(col("sub"), col("_sv")),
+      subspaces, codebook, subDim, groupPerSub = perSubspace)
 
-    // corpus at rest: (nn_id, sub, code) — subspaces small ints per
-    // vector, assigned by the same compiled argmin closure as the fit
+    // corpus at rest: (id, sub, code), assigned by the same compiled
+    // argmin closure as the fit
     val bcBooks = spark.sparkContext.broadcast(books)
     val assignCode = udf { (sub: Int, sv: Seq[Double]) =>
       val cs = bcBooks.value(if (bcBooks.value.length == 1) 0 else sub)
@@ -391,26 +398,53 @@ object Similarity {
       best
     }
     val codes = corpusSubs
-      .select(col("nn_id"), col("sub"),
-        assignCode(col("sub"), col("_sv")).as("_code"))
-
-    // ADC table: dot(probe_sub, centroid) for every (probe, sub, code) —
-    // probes × subspaces × codebook rows, broadcast-sized by construction
-    val centroids = spark.createDataFrame(
+      .select(col("id"), col("sub"), assignCode(col("sub"), col("_sv")).as("code"))
+    val codebookDf = spark.createDataFrame(
         for {
           sub <- 0 until subspaces
           (cent, code) <- books(if (books.length == 1) 0 else sub).zipWithIndex
         } yield (sub, code, cent.toSeq))
-      .toDF("sub", "_code", "_centroid")
-    val adcTable = subFrame(probes, "probe_id")
-      .join(broadcast(centroids), Seq("sub"))
+      .toDF("sub", "code", "centroid")
+    (codes, codebookDf)
+  }
+
+  def pqCosineTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
+                   embCol: String, k: Int, dim: Int = 64,
+                   subspaces: Int = 8, codebook: Int = 64,
+                   candidates: Int = 200, seed: Long = 42L,
+                   trainSampleRows: Int = 200000,
+                   perSubspace: Boolean = true): DataFrame = {
+    val (codes, codebookDf) = pqIndex(corpus, idCol, embCol, dim, subspaces,
+      codebook, seed, trainSampleRows, perSubspace)
+    pqCosineTopKFrom(codes, codebookDf, corpus, probes, idCol, embCol,
+      k, candidates, dim, subspaces)
+  }
+
+  /** The ADC query side of [[pqCosineTopK]] against an ALREADY-BUILT
+    * code index ([[pqIndex]] layout, fresh or read back from
+    * [[graft.sources.Warehouse.savePqIndex]]). `corpus` supplies raw
+    * embeddings for the exact re-rank of the `candidates` only — the
+    * point-lookup join a production store serves by id. */
+  def pqCosineTopKFrom(codes: DataFrame, codebookDf: DataFrame,
+                       corpus: DataFrame, probes: DataFrame,
+                       idCol: String, embCol: String, k: Int,
+                       candidates: Int = 200, dim: Int = 64,
+                       subspaces: Int = 8): DataFrame = {
+    val subDim = dim / subspaces
+    // ADC table: dot(probe_sub, centroid) for every (probe, sub, code) —
+    // probes × subspaces × codebook rows, broadcast-sized by construction
+    val adcTable = subFrame(probes, idCol, embCol, "probe_id", subspaces, subDim)
+      .join(broadcast(codebookDf.select(col("sub"), col("code").as("_code"),
+        col("centroid").as("_centroid"))), Seq("sub"))
       .select(col("probe_id"), col("sub"), col("_code"),
         sumArr(zip_with(col("_sv"), col("_centroid"), (x, c) => x * c)).as("_pdot"))
 
     // approx score = Σ_sub pdot(sub, code): map-side broadcast join +
     // one aggregation; embeddings never ride this exchange
     val cw = Window.partitionBy("probe_id").orderBy(col("_adc").desc, col("nn_id"))
-    val cand = codes.join(broadcast(adcTable), Seq("sub", "_code"))
+    val cand = codes
+      .select(col("id").as("nn_id"), col("sub"), col("code").as("_code"))
+      .join(broadcast(adcTable), Seq("sub", "_code"))
       .groupBy("probe_id", "nn_id").agg(sum("_pdot").as("_adc"))
       .withColumn("_cr", row_number().over(cw))
       .filter(col("_cr") <= candidates && col("nn_id") =!= col("probe_id"))

@@ -140,4 +140,30 @@ object Warehouse {
     centroids.write.mode(mode).format("parquet")
       .saveAsTable(s"${table}_centroids")
   }
+
+  /**
+   * Persist a PQ code index
+   * ([[graft.operators.Similarity.pqIndex]]: codes `(id, sub, code)` +
+   * codebook `(sub, code, centroid)`, written as `<table>` and
+   * `<table>_codebook`). No pruning key — an ADC query scans every
+   * code row by design; the at-rest win is SIZE (subspaces small ints
+   * per vector, ~32× under the raw embeddings). Codes are bucketed by
+   * `id` so the post-ADC candidate re-rank can co-locate with an
+   * id-bucketed corpus table without an exchange.
+   */
+  def savePqIndex(codes: DataFrame, codebook: DataFrame, table: String,
+                  buckets: Int = 32,
+                  mode: SaveMode = SaveMode.Overwrite): Unit = {
+    if (mode == SaveMode.Overwrite) {
+      dropWithLocation(codes.sparkSession, table)
+      dropWithLocation(codes.sparkSession, s"${table}_codebook")
+    }
+    codes.write.mode(mode)
+      .bucketBy(buckets, "id")
+      .sortBy("id")
+      .format("parquet")
+      .saveAsTable(table)
+    codebook.write.mode(mode).format("parquet")
+      .saveAsTable(s"${table}_codebook")
+  }
 }

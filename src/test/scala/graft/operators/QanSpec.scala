@@ -74,6 +74,8 @@ class QanSpec extends AnyFunSuite with SparkTestSession {
     assert(prof.length == 1)
     assert(prof(0).getAs[Long]("cnt") == 4L)
     assert(prof(0).getAs[Long]("cnt_scaled") == 80L)
+    // every additive aggregate scales: 4 × 0.2 s logged ⇒ 16 s true load
+    assert(math.abs(prof(0).getAs[Double]("total_time_scaled") - 16.0) < 1e-9)
   }
 
   test("sparkline buckets per digest and hour with exact values") {

@@ -156,6 +156,31 @@ class WarehouseSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("persisted PQ index: stored codes + codebook probe equals direct") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val (codes, codebook) = graft.operators.Similarity.pqIndex(
+      emb, "vec_id", "embedding")
+    Warehouse.savePqIndex(codes, codebook, "pq_idx")
+    try {
+      // the at-rest win is size: subspaces ints per vector, not dims
+      assert(spark.table("pq_idx").count() == emb.count() * 8)
+      assert(spark.table("pq_idx_codebook").count() == 8 * 64)
+      val probes = emb.filter(col("vec_id") < 5)
+      def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+        df.select("probe_id", "nn_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val viaStore = pairs(graft.operators.Similarity.pqCosineTopKFrom(
+        spark.table("pq_idx"), spark.table("pq_idx_codebook"),
+        emb, probes, "vec_id", "embedding", k = 3, candidates = 150))
+      val direct = pairs(graft.operators.Similarity.pqCosineTopK(
+        emb, probes, "vec_id", "embedding", k = 3, candidates = 150))
+      assert(viaStore == direct)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS pq_idx")
+      spark.sql("DROP TABLE IF EXISTS pq_idx_codebook")
+    }
+  }
+
   test("ANALYZE column stats flip a selective join from sort-merge to broadcast") {
     // CBO on, broadcast threshold below the table's raw file size: a
     // digest-filtered slice of the fact table joined to the full table
