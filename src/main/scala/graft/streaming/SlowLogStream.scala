@@ -73,7 +73,10 @@ object SlowLogStream {
   /**
    * QAN sparkline as a stream: per-digest tumbling (or, with `slide` <
    * `windowLen`, sliding) window aggregates with late-data drop. Emits
-   * (window, digest, cnt, total_time, rows_sent).
+   * (window, digest, cnt, cnt_scaled, total_time, rows_sent) —
+   * `cnt_scaled` applies the Percona rate-limit multiplier exactly
+   * like the batch [[graft.operators.Qan.profile]], so a sampled log
+   * streams true call volume too.
    */
   def digestWindowedAgg(wide: DataFrame,
                         windowLen: String = "1 minute",
@@ -84,6 +87,7 @@ object SlowLogStream {
       .groupBy(window(col("ts"), windowLen, slide.getOrElse(windowLen)),
         col("digest"))
       .agg(count(lit(1)).as("cnt"),
+        sum(greatest(col("rate_limit"), lit(1L))).as("cnt_scaled"),
         sum("query_time").as("total_time"),
         sum("rows_sent").as("rows_sent"))
 

@@ -127,6 +127,8 @@ class SlowLogStreamSpec extends AnyFunSuite with SparkTestSession {
     // all 4 events share one fingerprint (k = ? normalized) and one window
     assert(rows.length == 1)
     assert(rows.head.getAs[Long]("cnt") == 4L)
+    // unsampled log: the rate-scaled count degenerates to the count
+    assert(rows.head.getAs[Long]("cnt_scaled") == 4L)
   }
 
   test("sliding windows emit one row per overlapping window") {
