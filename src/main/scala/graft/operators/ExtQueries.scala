@@ -832,6 +832,11 @@ object ExtQueries {
   private val annIndexCache =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
+  /** q75b's session-cached SimHash band frame, keyed by sf dir (same
+    * at-rest split as [[annIndexCache]]). */
+  private val simhashIndexCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
   val benchOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
     // End-to-end ANN at the q41 contract config (32 tables × 5 bits,
     // the measured-recall choice): index build + probe + re-rank. At
@@ -898,6 +903,20 @@ object ExtQueries {
           k = 3, candidates = 150)
         .select("probe_id", "nn_id", "sim", "rn")
         .orderBy("probe_id", "rn")
+    }),
+    // SimHash near-dup with the fingerprint index PREBUILT (session
+    // cache, q41c pattern): times the banded pair join + hamming
+    // verify alone — the recurring cost once the index is at rest.
+    // q75's oracle entry keeps timing build+store+join (its contract).
+    "q75b_neardup_probe" -> ((s, d) => {
+      val bands = simhashIndexCache.getOrElseUpdate(d, {
+        val f = Dedup.simHashBandFrame(t(s, d, "documents"), "doc_id",
+          split(col("text"), " ")).persist()
+        f.count() // materialize: fingerprint/index cost, paid once
+        f
+      })
+      Dedup.simHashNearDupPairsFrom(bands, "doc_id", maxHamming = 16)
+        .orderBy("da", "db")
     })
   )
 
