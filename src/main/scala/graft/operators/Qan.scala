@@ -18,8 +18,11 @@ object Qan {
   /**
    * Per-digest profile, the canonical "top queries" report: call count,
    * total/avg/p95 latency, rows scanned/returned, user spread, first/last
-   * seen, one representative fingerprint. Ordered by total time, worst
-   * first.
+   * seen, one representative fingerprint. Ordered by SCALED total time,
+   * worst first — for a rate-limited log, pt-query-digest ranks by the
+   * sampling-corrected load, so a heavily-sampled heavy hitter outranks an
+   * unsampled lighter query. On an unsampled log `total_time_scaled ==
+   * total_time` and the ordering degenerates to the raw one.
    */
   def profile(wide: DataFrame, topN: Int = 100): DataFrame =
     wide.groupBy("digest")
@@ -43,19 +46,30 @@ object Qan {
         countDistinct(col("user")).as("n_users"),
         min("ts").as("first_seen"),
         max("ts").as("last_seen"))
-      .orderBy(col("total_time").desc, col("digest"))
+      .orderBy(col("total_time_scaled").desc, col("digest"))
       .limit(topN)
 
-  /** Time-bucketed per-digest sparkline (the QAN chart series). */
+  /**
+   * Time-bucketed per-digest sparkline (the QAN chart series). Carries both
+   * raw and rate-limit-scaled series so a sampled window charts its true
+   * load, same multiplier contract as [[profile]].
+   */
   def sparkline(wide: DataFrame, bucket: String = "hour"): DataFrame =
     wide.groupBy(date_trunc(bucket, col("ts")).as("bucket"), col("digest"))
       .agg(count(lit(1)).as("cnt"),
-        sum("query_time").as("total_time"))
+        sum(greatest(col("rate_limit"), lit(1L))).as("cnt_scaled"),
+        sum("query_time").as("total_time"),
+        sum(col("query_time") * greatest(col("rate_limit"), lit(1L)))
+          .as("total_time_scaled"))
       .orderBy("bucket", "digest")
 
   /** Load breakdown by database and user (QAN filters sidebar). */
   def loadByDbUser(wide: DataFrame): DataFrame =
     wide.rollup("db", "user")
-      .agg(count(lit(1)).as("cnt"), sum("query_time").as("total_time"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(greatest(col("rate_limit"), lit(1L))).as("cnt_scaled"),
+        sum("query_time").as("total_time"),
+        sum(col("query_time") * greatest(col("rate_limit"), lit(1L)))
+          .as("total_time_scaled"))
       .orderBy(col("db").asc_nulls_first, col("user").asc_nulls_first)
 }

@@ -78,6 +78,56 @@ class QanSpec extends AnyFunSuite with SparkTestSession {
     assert(math.abs(prof(0).getAs[Double]("total_time_scaled") - 16.0) < 1e-9)
   }
 
+  test("profile ranks a sampled heavy hitter above an unsampled lighter query") {
+    // digest A: 2 logged calls × 0.3 s at rate 1-in-50 → true load 30 s.
+    // digest B: 5 unsampled calls × 1.0 s → true load 5 s.
+    // Raw total_time would rank B (5.0 s) above A (0.6 s); the scaled
+    // ordering puts A first — the pt-query-digest contract.
+    val dir = Files.createTempDirectory("graft-qan-rank")
+    val sb = new StringBuilder
+    for (i <- 0 until 2) {
+      sb.append(f"# Time: 2024-01-15T10:00:0$i%d.000000Z\n")
+      sb.append("# User@Host: app[app] @ h [10.0.0.1]\n")
+      sb.append("# Query_time: 0.300000  Lock_time: 0.000001 Rows_sent: 1  Rows_examined: 10\n")
+      if (i == 0)
+        sb.append("# Log_slow_rate_type: query  Log_slow_rate_limit: 50\n")
+      sb.append(f"SET timestamp=${1705312800L + i}%d;\n")
+      sb.append(s"SELECT * FROM hot WHERE k = $i;\n")
+    }
+    Files.writeString(dir.resolve("sampled.log"), sb.result())
+    val sb2 = new StringBuilder
+    for (i <- 0 until 5) {
+      sb2.append(f"# Time: 2024-01-15T10:01:0$i%d.000000Z\n")
+      sb2.append("# User@Host: app[app] @ h [10.0.0.1]\n")
+      sb2.append("# Query_time: 1.000000  Lock_time: 0.000001 Rows_sent: 1  Rows_examined: 10\n")
+      sb2.append(f"SET timestamp=${1705312860L + i}%d;\n")
+      sb2.append(s"SELECT * FROM cold WHERE k = $i;\n")
+    }
+    Files.writeString(dir.resolve("unsampled.log"), sb2.result())
+    val w = SlowLogTable.flatten(SlowLogSource.readRaw(spark, dir.toString))
+    val prof = Qan.profile(w).collect()
+    assert(prof.length == 2)
+    assert(prof(0).getAs[String]("fingerprint") == "select * from hot where k = ?")
+    assert(math.abs(prof(0).getAs[Double]("total_time_scaled") - 30.0) < 1e-9)
+    assert(math.abs(prof(0).getAs[Double]("total_time") - 0.6) < 1e-9)
+    assert(prof(1).getAs[String]("fingerprint") == "select * from cold where k = ?")
+    assert(math.abs(prof(1).getAs[Double]("total_time_scaled") - 5.0) < 1e-9)
+  }
+
+  test("unsampled log: scaled ordering and totals degenerate to the raw ones") {
+    val prof = Qan.profile(wide).collect()
+    // the shared 9-event fixture is never rate-limited: every scaled
+    // aggregate must equal its raw twin row-for-row, so the scaled
+    // ordering IS the raw ordering
+    prof.foreach { r =>
+      assert(r.getAs[Long]("cnt_scaled") == r.getAs[Long]("cnt"))
+      assert(math.abs(r.getAs[Double]("total_time_scaled") -
+        r.getAs[Double]("total_time")) < 1e-12)
+    }
+    assert(prof.map(_.getAs[Double]("total_time")).toSeq ==
+      prof.map(_.getAs[Double]("total_time")).sortBy(-_).toSeq)
+  }
+
   test("sparkline buckets per digest and hour with exact values") {
     val sl = Qan.sparkline(wide, "hour").collect()
     // all events fall in hour 10:00; 2 digests → 2 rows, ordered by
@@ -90,6 +140,12 @@ class QanSpec extends AnyFunSuite with SparkTestSession {
     assert(math.abs(byCnt(0).getAs[Double]("total_time") - 0.003) < 1e-9)
     assert(byCnt(1).getAs[Long]("cnt") == 6L)
     assert(math.abs(byCnt(1).getAs[Double]("total_time") - 4.5) < 1e-9)
+    // unsampled fixture: the scaled series mirrors the raw series
+    sl.foreach { r =>
+      assert(r.getAs[Long]("cnt_scaled") == r.getAs[Long]("cnt"))
+      assert(math.abs(r.getAs[Double]("total_time_scaled") -
+        r.getAs[Double]("total_time")) < 1e-12)
+    }
   }
 
   test("load breakdown rolls up db and user with exact values") {
@@ -115,5 +171,11 @@ class QanSpec extends AnyFunSuite with SparkTestSession {
     assert(bc == 3L && math.abs(bt - 2.4) < 1e-9)
     val (rac, rat) = level(Some("refdb"), Some("alice"))
     assert(rac == 3L && math.abs(rat - 0.003) < 1e-9)
+    // unsampled fixture: the scaled breakdown mirrors the raw one
+    rows.foreach { r =>
+      assert(r.getAs[Long]("cnt_scaled") == r.getAs[Long]("cnt"))
+      assert(math.abs(r.getAs[Double]("total_time_scaled") -
+        r.getAs[Double]("total_time")) < 1e-12)
+    }
   }
 }
