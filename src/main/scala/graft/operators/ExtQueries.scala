@@ -627,13 +627,24 @@ object ExtQueries {
     // of 3 found with nprobe=8 of nlist=16 cells. KMeans cell
     // assignments are seeded but not bit-stable, so the CONTRACT is the
     // recall floor, never the neighbor identities.
+    // Since round 8 the entry exercises the PERSIST-AND-PROBE path (the
+    // q75 pattern): the inverted file + centroid table are written once
+    // as warehouse tables (Warehouse.saveIvfIndex, cell-bucketed) and
+    // the probe consumes the STORED tables — the production split the
+    // stored-index specs prove pruning for. Output (and oracle)
+    // unchanged. Table names are graft_bench_-prefixed: internal scratch
+    // namespace, never a user table (r7 ADVICE).
     "q53_ivf_recall" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       val probes = emb.filter(col("vec_id") < 5)
       val exact = Similarity.knnBatch(emb, probes, "vec_id", "embedding", k = 3)
         .select(col("probe_id"), col("nn_id"))
-      val ivf = Similarity.ivfCosineTopK(emb, probes, "vec_id", "embedding",
-          k = 3, nlist = 16, nprobe = 8)
+      val (cells, centroids) =
+        Similarity.ivfIndex(emb, "vec_id", "embedding", nlist = 16)
+      graft.sources.Warehouse.saveIvfIndex(cells, centroids, "graft_bench_ivf_q53")
+      val ivf = Similarity.ivfCosineTopKFrom(s.table("graft_bench_ivf_q53"),
+          s.table("graft_bench_ivf_q53_centroids"), probes,
+          "vec_id", "embedding", k = 3, nprobe = 8)
         .select(col("probe_id"), col("nn_id"))
       val hits = exact.join(ivf, Seq("probe_id", "nn_id"))
         .groupBy("probe_id").agg(count(lit(1)).as("hits"))
@@ -715,12 +726,15 @@ object ExtQueries {
     // (Warehouse.saveSimHashIndex) and the pair join consumes the
     // stored table — both sides arrive hash-distributed on `key`, so
     // the join itself needs no exchange, and future probes never
-    // re-fingerprint the corpus. Output (and oracle) unchanged.
+    // re-fingerprint the corpus. Output (and oracle) unchanged. The
+    // table name is graft_bench_-prefixed: internal scratch namespace,
+    // never a plausible user table (r7 ADVICE flagged the old
+    // graft_simhash_idx as clobber-able).
     "q75_simhash_neardup" -> ((s, d) => {
       val bands = Dedup.simHashBandFrame(t(s, d, "documents"), "doc_id",
         split(col("text"), " "))
-      graft.sources.Warehouse.saveSimHashIndex(bands, "graft_simhash_idx")
-      Dedup.simHashNearDupPairsFrom(s.table("graft_simhash_idx"), "doc_id",
+      graft.sources.Warehouse.saveSimHashIndex(bands, "graft_bench_simhash_q75")
+      Dedup.simHashNearDupPairsFrom(s.table("graft_bench_simhash_q75"), "doc_id",
           maxHamming = 16)
         .orderBy("da", "db")
     }),

@@ -105,6 +105,11 @@ object Similarity {
     val ps: Array[Array[Array[Double]]] =
       planes(tables, bits, dim, seed).map(_.map(_.toArray).toArray).toArray
     val f = udf { (emb: Seq[Float]) =>
+      // null in → null keys out (posexplode then drops the row): a dirty
+      // corpus row degrades per-row, like the HOF path it replaced,
+      // instead of failing the whole job with an NPE
+      if (emb == null) null
+      else {
       val v = emb.toArray
       val out = new Array[Long](tables)
       var t = 0
@@ -125,6 +130,7 @@ object Similarity {
         t += 1
       }
       out
+      }
     }
     (emb: Column) => f(emb)
   }
@@ -247,7 +253,10 @@ object Similarity {
     val poolSize = 8192
     val iw = Window.partitionBy("_g")
       .orderBy(xxhash64(col("_sv").cast("string")), col("_sv").cast("string"))
-    val pool = train.select(grp.as("_g"), col("_sv"))
+    // dirty rows (null subvectors) never reach the training pool — the
+    // same per-row degrade contract as the assigner UDFs
+    val pool = train.filter(col("_sv").isNotNull)
+      .select(grp.as("_g"), col("_sv"))
       .withColumn("_rn", row_number().over(iw))
       .filter(col("_rn") <= poolSize)
       .select(col("_g"), col("_rn"), col("_sv")).collect()
@@ -352,6 +361,67 @@ object Similarity {
         i => slice(col("_u"), i * subDim + 1, lit(subDim)))))
       .select(col(outId), col("pos").as("sub"), col("col").as("_sv"))
 
+  /** Compiled nearest-centroid argmin over a broadcast per-subspace
+    * codebook. Null subvectors (dirty rows) yield null codes instead of
+    * an NPE — the downstream code join then drops them per-row, matching
+    * how the HOF expression paths propagate null. Shared by the initial
+    * build ([[pqIndex]]) and the append-time encode ([[pqEncode]]) so
+    * both assign with identical semantics. */
+  private def codeAssigner(
+      bcBooks: org.apache.spark.broadcast.Broadcast[Array[Array[Array[Double]]]]) =
+    udf { (sub: Int, sv: Seq[Double]) =>
+      if (sv == null) None
+      else {
+        val cs = bcBooks.value(if (bcBooks.value.length == 1) 0 else sub)
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < cs.length) {
+          val cent = cs(c)
+          var d = 0.0; var i = 0
+          while (i < cent.length && i < sv.length) {
+            val diff = sv(i) - cent(i); d += diff * diff; i += 1
+          }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        Some(best)
+      }
+    }
+
+  /** [[codeAssigner]] for the IVF coarse quantizer (one flat centroid
+    * list, same null-degrade contract). Shared by [[ivfIndex]] and the
+    * append-time assignment ([[ivfAssign]]). */
+  private def cellAssigner(
+      bcCells: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]]) =
+    udf { (sv: Seq[Double]) =>
+      if (sv == null) None
+      else {
+        val cs = bcCells.value
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < cs.length) {
+          val cent = cs(c)
+          var d = 0.0; var i = 0
+          while (i < cent.length && i < sv.length) {
+            val diff = sv(i) - cent(i); d += diff * diff; i += 1
+          }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        Some(best)
+      }
+    }
+
+  /** Row count for sizing a bounded training sample: prefer the
+    * optimizer's stats row count — free when the source is an analyzed
+    * warehouse table ([[graft.sources.Warehouse.analyzeTable]]) — and
+    * fall back to the metadata-only count() job. At 100 TB the stats
+    * path avoids even the per-build footer-listing pass over a million
+    * object-store files. */
+  private def rowCountForSampling(df: DataFrame): Long =
+    df.queryExecution.optimizedPlan.stats.rowCount
+      .map(_.toLong).getOrElse(df.count())
+
   /**
    * The persistable PQ layout: the code frame `(id, sub, code)` —
    * `subspaces` small ints per vector, the ~32×-compressed index — and
@@ -370,7 +440,7 @@ object Similarity {
     val spark = corpus.sparkSession
     val corpusSubs = subFrame(corpus, idCol, embCol, "id", subspaces, subDim)
     // sample-bounded training frame, exactly like the IVF quantizer
-    val n = corpus.count() * subspaces
+    val n = rowCountForSampling(corpus) * subspaces
     val keep = math.min(1.0, trainSampleRows.toDouble / math.max(1L, n))
     val sampled =
       if (keep >= 1.0) corpusSubs
@@ -382,21 +452,7 @@ object Similarity {
     // corpus at rest: (id, sub, code), assigned by the same compiled
     // argmin closure as the fit
     val bcBooks = spark.sparkContext.broadcast(books)
-    val assignCode = udf { (sub: Int, sv: Seq[Double]) =>
-      val cs = bcBooks.value(if (bcBooks.value.length == 1) 0 else sub)
-      var best = 0; var bestD = Double.MaxValue
-      var c = 0
-      while (c < cs.length) {
-        val cent = cs(c)
-        var d = 0.0; var i = 0
-        while (i < cent.length && i < sv.length) {
-          val diff = sv(i) - cent(i); d += diff * diff; i += 1
-        }
-        if (d < bestD) { bestD = d; best = c }
-        c += 1
-      }
-      best
-    }
+    val assignCode = codeAssigner(bcBooks)
     val codes = corpusSubs
       .select(col("id"), col("sub"), assignCode(col("sub"), col("_sv")).as("code"))
     val codebookDf = spark.createDataFrame(
@@ -406,6 +462,33 @@ object Similarity {
         } yield (sub, code, cent.toSeq))
       .toDF("sub", "code", "centroid")
     (codes, codebookDf)
+  }
+
+  /**
+   * Encode NEW rows against an EXISTING codebook — the incremental-append
+   * half of the PQ index ([[graft.sources.Warehouse.appendPqIndex]]): at
+   * 100 TB an index is never rebuilt for a daily batch, the batch is
+   * encoded with the stored codebook (faiss `add` vs `train`) and its
+   * code rows appended. The codebook frame is the [[pqIndex]] /
+   * `<table>_codebook` layout `(sub, code, centroid)`; it is collected
+   * (subspaces × codebook rows — broadcast-sized by construction) and
+   * codes are assigned by the SAME compiled argmin as the initial build,
+   * so appended codes are directly comparable with stored ones.
+   */
+  def pqEncode(newRows: DataFrame, idCol: String, embCol: String,
+               codebookDf: DataFrame, dim: Int = 64,
+               subspaces: Int = 8): DataFrame = {
+    require(dim % subspaces == 0, s"dim $dim must divide into $subspaces subspaces")
+    val subDim = dim / subspaces
+    val rows = codebookDf.select(col("sub"), col("code"), col("centroid")).collect()
+    require(rows.nonEmpty, "empty codebook")
+    val books = Array.fill(rows.map(_.getInt(0)).max + 1)(
+      Array.fill(rows.map(_.getInt(1)).max + 1)(new Array[Double](subDim)))
+    rows.foreach(r => books(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray)
+    val bc = newRows.sparkSession.sparkContext.broadcast(books)
+    subFrame(newRows, idCol, embCol, "id", subspaces, subDim)
+      .select(col("id"), col("sub"),
+        codeAssigner(bc)(col("sub"), col("_sv")).as("code"))
   }
 
   def pqCosineTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
@@ -475,17 +558,17 @@ object Similarity {
    * driver-side farthest-point + Lloyd fit as PQ ([[fitCodebooks]] —
    * it replaced an MLlib k-means|| fit whose ~15 scheduled jobs were
    * pure overhead at any data size, and it is bit-deterministic
-   * besides). The quantizer NEVER trains on the full corpus. count()
-   * prunes to an empty read schema (row-group metadata, not column
-   * IO); a production index build would read the table's stored
-   * row-count statistic instead.
+   * besides). The quantizer NEVER trains on the full corpus; the sample
+   * is sized from the optimizer's stats row count when the corpus is an
+   * analyzed warehouse table ([[rowCountForSampling]]), falling back to
+   * a metadata-only count() (row-group footers, not column IO).
    */
   def ivfIndex(corpus: DataFrame, idCol: String, embCol: String,
                nlist: Int = 16, seed: Long = 42L,
                trainSampleRows: Int = 200000,
                dim: Int = 64): (DataFrame, DataFrame) = {
     val spark = corpus.sparkSession
-    val n = corpus.count()
+    val n = rowCountForSampling(corpus)
     val keep = math.min(1.0, trainSampleRows.toDouble / math.max(1L, n))
     val sampled =
       if (keep >= 1.0) corpus
@@ -497,21 +580,7 @@ object Similarity {
       sampled.select(unitArray(col(embCol)).as("_sv")),
       subspaces = 1, codebook = nlist, subDim = dim, groupPerSub = false)
     val bcCells = spark.sparkContext.broadcast(books(0))
-    val assignCell = udf { (sv: Seq[Double]) =>
-      val cs = bcCells.value
-      var best = 0; var bestD = Double.MaxValue
-      var c = 0
-      while (c < cs.length) {
-        val cent = cs(c)
-        var d = 0.0; var i = 0
-        while (i < cent.length && i < sv.length) {
-          val diff = sv(i) - cent(i); d += diff * diff; i += 1
-        }
-        if (d < bestD) { bestD = d; best = c }
-        c += 1
-      }
-      best
-    }
+    val assignCell = cellAssigner(bcCells)
     val cells = corpus
       .select(col(idCol).as("id"), col(embCol).as("emb"),
         assignCell(unitArray(col(embCol))).as("cell"))
@@ -519,6 +588,25 @@ object Similarity {
       books(0).toSeq.zipWithIndex.map { case (c, i) => (i, c.toSeq) })
       .toDF("cell", "centroid")
     (cells, centroids)
+  }
+
+  /**
+   * Assign NEW rows to EXISTING IVF cells — the incremental-append half
+   * of the inverted file ([[graft.sources.Warehouse.appendIvfIndex]]):
+   * the coarse quantizer is never refit for a batch append, the batch is
+   * assigned against the stored centroid table `(cell, centroid)` with
+   * the same compiled argmin as the initial build and its cell rows
+   * appended to the bucketed table.
+   */
+  def ivfAssign(newRows: DataFrame, idCol: String, embCol: String,
+                centroids: DataFrame): DataFrame = {
+    val rows = centroids.select(col("cell"), col("centroid")).collect()
+    require(rows.nonEmpty, "empty centroid table")
+    val cells = new Array[Array[Double]](rows.map(_.getInt(0)).max + 1)
+    rows.foreach(r => cells(r.getInt(0)) = r.getSeq[Double](1).toArray)
+    val bc = newRows.sparkSession.sparkContext.broadcast(cells)
+    newRows.select(col(idCol).as("id"), col(embCol).as("emb"),
+      cellAssigner(bc)(unitArray(col(embCol))).as("cell"))
   }
 
   def ivfCosineTopK(corpus: DataFrame, probes: DataFrame, idCol: String,

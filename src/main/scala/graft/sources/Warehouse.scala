@@ -28,15 +28,26 @@ object Warehouse {
   /** Make `saveAsTable` idempotent ACROSS JVMs: an in-memory catalog
     * forgets managed tables at shutdown but their warehouse LOCATION
     * survives, and the next session's CREATE then fails with
-    * LOCATION_ALREADY_EXISTS. Drop the catalog entry if known, then
-    * remove any orphaned location. (A Hive/production metastore never
-    * orphans; this is the embedded-catalog dev/bench shape.) */
+    * LOCATION_ALREADY_EXISTS. (A Hive/production metastore never
+    * orphans; this is the embedded-catalog dev/bench shape.)
+    *
+    * Data-safety contract: when the catalog KNOWS the table, `DROP TABLE`
+    * alone is correct — Spark deletes a MANAGED location itself and must
+    * NOT delete an EXTERNAL one (the catalog never owned that data). The
+    * manual delete applies only to the orphan case (no catalog entry),
+    * and the path is the catalog's own `defaultTablePath` for the parsed
+    * identifier — honoring the current database and `db.tbl` qualifiers
+    * instead of assuming `<warehouse>/<name>`. */
   private def dropWithLocation(spark: SparkSession, table: String): Unit = {
-    spark.sql(s"DROP TABLE IF EXISTS $table")
-    val wh = spark.conf.get("spark.sql.warehouse.dir")
-    val path = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(path)) fs.delete(path, true)
+    val cat = spark.sessionState.catalog
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    if (cat.tableExists(ident)) {
+      spark.sql(s"DROP TABLE $table")
+    } else {
+      val path = new org.apache.hadoop.fs.Path(cat.defaultTablePath(ident))
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(path)) fs.delete(path, true)
+    }
   }
 
   /**
@@ -166,4 +177,38 @@ object Warehouse {
     codebook.write.mode(mode).format("parquet")
       .saveAsTable(s"${table}_codebook")
   }
+
+  // ── Incremental index maintenance ─────────────────────────────────────
+  //
+  // At 100 TB an index is NEVER rebuilt for a daily batch: new rows are
+  // encoded against the EXISTING model (LSH/SimHash are stateless
+  // seed-derived hashes; IVF/PQ encode with the stored centroids/codebook
+  // via Similarity.ivfAssign / Similarity.pqEncode) and their index rows
+  // appended to the bucketed table. `bucketBy` + Append verifies the
+  // bucket spec against the catalog, so an append can't silently degrade
+  // the layout — Spark rejects a mismatched bucket count. LSH and SimHash
+  // appends need no dedicated helper (saveAnnIndex/saveSimHashIndex with
+  // SaveMode.Append ARE the append path); IVF/PQ need these two because
+  // their Overwrite savers also rewrite the model tables, which an append
+  // must leave untouched.
+
+  /** Append already-assigned cell rows ([[graft.operators.Similarity.ivfAssign]])
+    * to a stored IVF index, leaving `<table>_centroids` untouched. */
+  def appendIvfIndex(cells: DataFrame, table: String,
+                     buckets: Int = 16): Unit =
+    cells.write.mode(SaveMode.Append)
+      .bucketBy(buckets, "cell")
+      .sortBy("cell")
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Append already-encoded code rows ([[graft.operators.Similarity.pqEncode]])
+    * to a stored PQ index, leaving `<table>_codebook` untouched. */
+  def appendPqIndex(codes: DataFrame, table: String,
+                    buckets: Int = 32): Unit =
+    codes.write.mode(SaveMode.Append)
+      .bucketBy(buckets, "id")
+      .sortBy("id")
+      .format("parquet")
+      .saveAsTable(table)
 }

@@ -81,6 +81,27 @@ class ExtOperatorsSpec extends AnyFunSuite with SparkTestSession {
     assert(ranks.forall(r => r.getAs[Long]("n") == r.getAs[Long]("mx")))
   }
 
+  test("null embeddings degrade per-row: LSH/IVF/PQ never NPE on dirty rows") {
+    // a single null embedding in a 100 TB corpus must cost one row, not
+    // the job (r7 ADVICE: the compiled key/assign UDFs used to NPE where
+    // the HOF expressions they replaced propagated null)
+    val dirty = emb.select(col("vec_id"),
+      when(col("vec_id") === 7L, lit(null).cast("array<float>"))
+        .otherwise(col("embedding")).as("embedding"))
+    // LSH: null keys → posexplode drops the row; everything else indexed
+    val buckets = Similarity.annBucketFrame(dirty, "vec_id", "embedding")
+    assert(buckets.count() == (emb.count() - 1) * 8)
+    assert(buckets.filter(col("id") === 7L).count() == 0)
+    // IVF: the dirty row gets a null cell (and the fit ignores it)
+    val (cells, _) = Similarity.ivfIndex(dirty, "vec_id", "embedding", nlist = 8)
+    assert(cells.filter(col("cell").isNull).count() == 1)
+    assert(cells.filter(col("id") === 7L).select("cell").collect().head.isNullAt(0))
+    // PQ: the dirty row's codes are null (and the fit ignores it)
+    val (codes, _) = Similarity.pqIndex(dirty, "vec_id", "embedding")
+    assert(codes.filter(col("code").isNull).count() == 8)
+    assert(codes.filter(col("id") === 7L && col("code").isNotNull).count() == 0)
+  }
+
   test("lsh keys: compiled-closure array equals the HOF expression keys") {
     // the operators hash with lshKeysArray (one UDF call/row); the HOF
     // column formulation is the pure-built-ins parity reference — the
