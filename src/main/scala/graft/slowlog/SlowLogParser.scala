@@ -57,6 +57,30 @@ object SlowLogParser {
   def parseString(text: String, baseOffset: Long = 0L): Vector[SlowLogEvent] =
     parseLines(linesWithOffsets(text, baseOffset)).toVector
 
+  /** The session-carry state a log CHUNK hands to its successor: last
+    * `use`/`# Schema:` db and last rate-limit annotation. This is what a
+    * tailing reader keeps between reads of a rotated/growing log — the
+    * streaming path persists it per logical stream in the state store
+    * ([[graft.streaming.SlowLogStream.eventsWithSessionCarry]]). */
+  final case class SessionCarry(db: String, rateType: String,
+                                rateLimit: Long, headerSeen: Boolean)
+  object SessionCarry {
+    val empty: SessionCarry = SessionCarry(null, null, -1L, headerSeen = false)
+  }
+
+  /** [[parseString]] for one chunk of a LOGICAL stream: seeds the session
+    * state from the previous chunk's hand-off and returns the state this
+    * chunk ends with. Parsing chunk₁ then chunk₂ through this is
+    * event-identical to parsing chunk₁ ++ chunk₂ in one pass (spec-proven)
+    * — the property that makes cross-micro-batch `use db` carry exact. */
+  def parseChunk(text: String,
+                 initial: SessionCarry = SessionCarry.empty,
+                 baseOffset: Long = 0L): (Vector[SlowLogEvent], SessionCarry) = {
+    val it = new ParseIterator(linesWithOffsets(text, baseOffset), initial)
+    val events = it.toVector
+    (events, it.sessionCarry)
+  }
+
   /** Lines of `text` paired with the UTF-8 byte offset of each line
     * start. Hand-rolled split handling \n, \r\n, and lone \r terminators
     * with true byte accounting (linesIterator + len+1 drifted one byte
@@ -106,17 +130,30 @@ object SlowLogParser {
    * header or EOF) is seen — this is what runs inside `mapPartitions`.
    */
   def parseLines(lines: Iterator[(Long, String)]): Iterator[SlowLogEvent] =
-    new Iterator[SlowLogEvent] {
+    new ParseIterator(lines, SessionCarry.empty)
+
+  private final class ParseIterator(lines: Iterator[(Long, String)],
+                                    initial: SessionCarry)
+      extends Iterator[SlowLogEvent] {
       private var out: SlowLogEvent = _
 
-      // session state
-      private var sessionDb: String = _
+      // session state, seeded from the previous chunk's hand-off (empty
+      // for a standalone parse)
+      private var sessionDb: String = initial.db
       // rate-limit annotations carry forward like `use db`: Percona
       // writes them where sampling starts, and they govern every event
       // logged after (pt-query-digest applies the same log-level carry)
-      private var sessionRateType: String = _
-      private var sessionRateLimit = -1L
-      private var seenHeader = false
+      private var sessionRateType: String = initial.rateType
+      private var sessionRateLimit = initial.rateLimit
+      // banner-skipping only applies to the head of the logical STREAM,
+      // not of each chunk: the carry records whether an earlier chunk
+      // already saw a header (so a chunk starting mid-statement keeps
+      // its lines instead of treating them as banner junk)
+      private var seenHeader = initial.headerSeen
+
+      /** The state to seed the NEXT chunk with — read after exhaustion. */
+      def sessionCarry: SessionCarry =
+        SessionCarry(sessionDb, sessionRateType, sessionRateLimit, seenHeader)
 
       // current-event state
       private var evOffset = -1L

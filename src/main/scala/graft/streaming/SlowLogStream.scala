@@ -25,10 +25,13 @@ final case class DigestTotals(digest: String, cnt: Long, totalTime: Double)
  * file-head record begins with banner junk or a complete `# Time:` line;
  * only the former gets the prefix back.
  *
- * `use db` carry is within-record only on the streaming path: cross-
- * record carry requires total byte order, which an unordered distributed
- * stream cannot replay. Events keep their explicit db (`use` in-record,
- * `# Schema:`) or null.
+ * `use db` carry on the streaming path comes in two grades: the
+ * splittable [[events]] source carries within-record only (cross-record
+ * carry requires total byte order, which an unordered distributed stream
+ * cannot replay — events keep their explicit db or null), while
+ * [[eventsWithSessionCarry]] restores FULL reference semantics for
+ * rotated/shipped logs by holding each logical stream's session state in
+ * the checkpointed state store across micro-batches.
  *
  * The `offset` column is RECORD-RELATIVE here (the streaming text source
  * exposes no file byte offsets), so unlike the batch path it is not an
@@ -69,6 +72,72 @@ object SlowLogStream {
     * metrics) — the unit every downstream stream consumes. */
   def wideRows(events: Dataset[SlowLogEvent]): DataFrame =
     SlowLogTable.flatten(events.toDF())
+
+  /** Logical-stream key for a chunk file: full path with any numeric
+    * rotation suffix stripped, so `…/slow.log`, `…/slow.log.1`,
+    * `…/slow.log.2` all belong to one tailed stream. */
+  def defaultStreamKey(file: String): String =
+    file.replaceAll("\\.\\d+$", "")
+
+  /** Rotation order within one micro-batch: numeric-aware on the
+    * trailing suffix (`.2` before `.10` — lexical order gets this
+    * wrong past single digits), with the suffix-less head file first. */
+  private[streaming] def rotationOrder(file: String): (String, Long) = {
+    val m = "\\.(\\d+)$".r.findFirstMatchIn(file)
+    m match {
+      case Some(g) => (file.substring(0, g.start), g.group(1).toLong)
+      case None => (file, -1L)
+    }
+  }
+
+  /**
+   * [[events]] with FULL session carry — SURVEY §7 hard part 4, closed:
+   * a `use db` (or rate-limit annotation) seen in one micro-batch
+   * governs events of the same logical stream in every later
+   * micro-batch, exactly like the reference's single tailing reader.
+   *
+   * Shape: one row per CHUNK FILE (`wholetext`), grouped by logical
+   * stream ([[defaultStreamKey]] strips rotation suffixes), ordered by
+   * rotation number within the batch, parsed by the batch state machine
+   * seeded with the stream's stored [[SlowLogParser.SessionCarry]] —
+   * which then goes back to the state store for the next batch
+   * (checkpointed, so carry survives restarts too). Two-chunk parse ≡
+   * one concatenated parse is spec-proven at the parser level.
+   *
+   * Scale contract: this path holds ONE CHUNK's text per task — right
+   * for rotated/shipped slow logs (bounded by the rotation size), wrong
+   * for one giant unrotated file; bulk history loads should use the
+   * batch scan, and order-insensitive streams can keep the splittable
+   * [[events]] source. Parallelism is per logical stream — a fleet of
+   * database hosts shipping logs fans out naturally.
+   */
+  def eventsWithSessionCarry(spark: SparkSession, dir: String,
+                             streamKey: String => String = defaultStreamKey)
+      : Dataset[SlowLogEvent] = {
+    import spark.implicits._
+    val keyFn = streamKey
+    spark.readStream
+      .format("text")
+      .option("wholetext", "true")
+      .load(dir)
+      .select(input_file_name().as("file"), col("value"))
+      .as[(String, String)]
+      .groupByKey { case (file, _) => keyFn(file) }
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, chunks: Iterator[(String, String)],
+         state: GroupState[SlowLogParser.SessionCarry]) =>
+          var carry = state.getOption.getOrElse(SlowLogParser.SessionCarry.empty)
+          val out = Vector.newBuilder[SlowLogEvent]
+          chunks.toVector.sortBy { case (f, _) => rotationOrder(f) }
+            .foreach { case (_, text) =>
+              val (evs, next) = SlowLogParser.parseChunk(text, carry)
+              out ++= evs
+              carry = next
+            }
+          state.update(carry)
+          out.result().iterator
+      }
+  }
 
   /**
    * QAN sparkline as a stream: per-digest tumbling (or, with `slide` <

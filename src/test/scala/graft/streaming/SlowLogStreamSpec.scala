@@ -82,6 +82,98 @@ class SlowLogStreamSpec extends AnyFunSuite with SparkTestSession {
     assert(batchCounts.sum == 8, s"after resume: $batchCounts")
   }
 
+  test("parseChunk: two-chunk parse equals the one-pass concatenated parse") {
+    // the property eventsWithSessionCarry is built on: splitting a log at
+    // ANY record boundary and handing the SessionCarry across must yield
+    // the same events as a single sequential pass
+    val chunk1 =
+      """# Time: 2024-02-01T08:00:00.000000Z
+        |# User@Host: u[u] @ h [10.0.0.1]
+        |# Query_time: 0.100000  Lock_time: 0.000001 Rows_sent: 1  Rows_examined: 1
+        |# Log_slow_rate_type: query  Log_slow_rate_limit: 20
+        |use shopdb;
+        |SET timestamp=1706774400;
+        |SELECT a FROM t1;
+        |""".stripMargin
+    val chunk2 =
+      """# Time: 2024-02-01T08:01:00.000000Z
+        |# User@Host: u[u] @ h [10.0.0.1]
+        |# Query_time: 0.200000  Lock_time: 0.000001 Rows_sent: 1  Rows_examined: 1
+        |SET timestamp=1706774460;
+        |SELECT b FROM t2;
+        |""".stripMargin
+    val whole = SlowLogParser.parseString(chunk1 + chunk2)
+    val (ev1, carry) = SlowLogParser.parseChunk(chunk1)
+    val (ev2, _) = SlowLogParser.parseChunk(chunk2, carry)
+    val twoPass = ev1 ++ ev2
+    assert(twoPass.map(e => (e.query, e.db, e.rateType, e.rateLimit)) ==
+      whole.map(e => (e.query, e.db, e.rateType, e.rateLimit)))
+    // the carried state did the work: chunk 2 alone has no db/rate
+    assert(ev2.head.db == "shopdb" && ev2.head.rateLimit.contains(20L))
+    val (cold, _) = SlowLogParser.parseChunk(chunk2)
+    assert(cold.head.db == null && cold.head.rateLimit.isEmpty)
+  }
+
+  test("session carry: use db in batch 1 governs the stream's batch-2 events across a restart") {
+    // SURVEY §7 hard part 4: the reference's single tailing reader keeps
+    // session state between reads; here the state store keeps it between
+    // micro-batches AND query restarts. Two rotation chunks of one
+    // logical stream arrive in separate runs sharing a checkpoint.
+    val logDir = tempDir("graft-carry-in")
+    val ckpt = tempDir("graft-carry-ckpt").toString
+    val seen = ArrayBuffer.empty[(String, String, Option[Long])]
+    def runOnce(): Unit = {
+      val q = SlowLogStream.eventsWithSessionCarry(spark, logDir.toString)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[graft.slowlog.SlowLogEvent], _: Long) =>
+            seen.synchronized {
+              seen ++= b.collect().map(e => (e.query, e.db, e.rateLimit))
+            }
+            ()
+        }
+        .start()
+      q.awaitTermination(60000)
+      q.stop()
+    }
+    Files.writeString(logDir.resolve("slow.log"),
+      """# Time: 2024-02-01T08:00:00.000000Z
+        |# User@Host: u[u] @ h [10.0.0.1]
+        |# Query_time: 0.100000  Lock_time: 0.000001 Rows_sent: 1  Rows_examined: 1
+        |# Log_slow_rate_type: query  Log_slow_rate_limit: 20
+        |use shopdb;
+        |SET timestamp=1706774400;
+        |SELECT a FROM t1;
+        |""".stripMargin)
+    runOnce()
+    assert(seen.toList == List(("SELECT a FROM t1", "shopdb", Some(20L))))
+    // second chunk of the SAME stream (rotation suffix), no use/rate of
+    // its own, delivered to a RESTARTED query
+    Files.writeString(logDir.resolve("slow.log.1"),
+      """# Time: 2024-02-01T08:01:00.000000Z
+        |# User@Host: u[u] @ h [10.0.0.1]
+        |# Query_time: 0.200000  Lock_time: 0.000001 Rows_sent: 1  Rows_examined: 1
+        |SET timestamp=1706774460;
+        |SELECT b FROM t2;
+        |""".stripMargin)
+    // an unrelated stream in the same dir must NOT inherit shopdb
+    Files.writeString(logDir.resolve("other.log"),
+      """# Time: 2024-02-01T08:01:30.000000Z
+        |# User@Host: u[u] @ h [10.0.0.1]
+        |# Query_time: 0.300000  Lock_time: 0.000001 Rows_sent: 1  Rows_examined: 1
+        |SET timestamp=1706774490;
+        |SELECT c FROM t3;
+        |""".stripMargin)
+    runOnce()
+    val byQuery = seen.toList.groupBy(_._1)
+    assert(byQuery("SELECT b FROM t2") == List(("SELECT b FROM t2", "shopdb", Some(20L))),
+      s"carry lost across batches/restart: $seen")
+    assert(byQuery("SELECT c FROM t3") == List(("SELECT c FROM t3", null, None)),
+      s"carry leaked across streams: $seen")
+  }
+
   test("stream-stream interval join correlates replica rows within the delay") {
     val primDir = tempDir("graft-ss-prim")
     val replDir = tempDir("graft-ss-repl")
