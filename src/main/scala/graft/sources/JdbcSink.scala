@@ -27,6 +27,7 @@ object JdbcSink {
       numPartitions: Option[Int] = None,
       createTableColumnTypes: Option[String] = None): Unit = {
     if (url.startsWith("jdbc:duckdb:")) DuckDbDialect.register()
+    if (ClickHouseDialect.canHandle(url)) ClickHouseDialect.register()
     // repartition, NOT coalesce: coalesce(n) is a narrow dependency that
     // would collapse the whole upstream parse/fingerprint pipeline into
     // n tasks; one shuffle of the final rows keeps ingest parallel and
@@ -49,6 +50,7 @@ object JdbcSink {
   def read(spark: org.apache.spark.sql.SparkSession, url: String,
            table: String, driver: String): DataFrame = {
     if (url.startsWith("jdbc:duckdb:")) DuckDbDialect.register()
+    if (ClickHouseDialect.canHandle(url)) ClickHouseDialect.register()
     spark.read.format("jdbc")
       .option("url", url)
       .option("dbtable", table)
