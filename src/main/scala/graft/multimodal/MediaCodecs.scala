@@ -7,11 +7,14 @@ package graft.multimodal
  *    RIFF/WAV PCM16 audio (header walk + sample access);
  *  - COMPRESSED images through the JDK's own `javax.imageio` (round 7):
  *    JPEG, PNG, GIF, BMP, TIFF ship with `java.desktop` in every
- *    Java 17, headless included — real entropy/DCT decode, not a stub.
+ *    Java 17, headless included — real entropy/DCT decode, not a stub;
+ *  - VIDEO containers whose frames are intra-coded images: animated GIF
+ *    (delta compositing with offsets/disposal) and MJPEG-in-AVI
+ *    (round 8: the RIFF walk composed with the JPEG decoder).
  *
- * The remaining stub boundary in [[MediaPipeline]] is compressed
- * AUDIO/VIDEO (MP3/AAC/H.264…), for which the JDK genuinely has no
- * decoder.
+ * The remaining stub boundary in [[MediaPipeline]] is compressed AUDIO
+ * (MP3/AAC) and inter-frame-coded video (H.264…), for which the JDK
+ * genuinely has no decoder.
  *
  * All functions are driver/executor-agnostic pure byte-array code:
  * they run inside `mapPartitions` with constant memory per record.
@@ -120,6 +123,13 @@ object MediaCodecs {
         new java.io.ByteArrayInputStream(bytes)))
       val total = reader.getNumImages(true)
       if (total <= 0) return None
+      // canvas = the LOGICAL SCREEN from the stream metadata, not frame
+      // 0's raster: optimized GIFs ship partial delta frames positioned
+      // by per-frame (left, top) offsets — compositing everything at
+      // (0,0) on a frame-0-sized canvas corrupts exactly those files
+      // (r7 ADVICE). Fall back to frame 0's extent if the descriptor is
+      // absent/zero (malformed but decodable streams).
+      val (sw, sh) = gifLogicalScreen(reader)
       // evenly spaced frame indices (always includes frame 0); decode
       // sequentially compositing deltas, keep only the sampled ones
       val want = (0 until math.min(n, total))
@@ -128,12 +138,24 @@ object MediaCodecs {
       val out = Vector.newBuilder[Raster]
       for (i <- 0 until total if i <= want.max) {
         val frame = reader.read(i)
+        val (fx, fy, disposal) = gifFrameMeta(reader, i)
         if (canvas == null) {
-          canvas = new java.awt.image.BufferedImage(frame.getWidth,
-            frame.getHeight, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val w = if (sw > 0) sw else fx + frame.getWidth
+          val h = if (sh > 0) sh else fy + frame.getHeight
+          canvas = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
         }
+        // restore-to-previous frames revert the canvas AFTER display
+        val snapshot =
+          if (disposal == "restoreToPrevious") {
+            val c = new java.awt.image.BufferedImage(canvas.getWidth,
+              canvas.getHeight, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = c.createGraphics()
+            try g.drawImage(canvas, 0, 0, null) finally g.dispose()
+            c
+          } else null
         val g = canvas.createGraphics()
-        try g.drawImage(frame, 0, 0, null) finally g.dispose()
+        try g.drawImage(frame, fx, fy, null) finally g.dispose()
         if (want.contains(i)) {
           val w = canvas.getWidth; val h = canvas.getHeight
           val px = canvas.getRGB(0, 0, w, h, null, 0, w)
@@ -148,11 +170,67 @@ object MediaCodecs {
           }
           out += Raster(w, h, rgb)
         }
+        // disposal applies after the frame was shown: background-restore
+        // clears the frame's RECT (to the canvas base color — this
+        // renderer has no transparency channel, so background = black),
+        // previous-restore reverts the whole canvas
+        disposal match {
+          case "restoreToBackgroundColor" =>
+            val g2 = canvas.createGraphics()
+            try {
+              g2.setColor(java.awt.Color.BLACK)
+              g2.fillRect(fx, fy, frame.getWidth, frame.getHeight)
+            } finally g2.dispose()
+          case "restoreToPrevious" =>
+            val g2 = canvas.createGraphics()
+            try g2.drawImage(snapshot, 0, 0, null) finally g2.dispose()
+          case _ => () // none / doNotDispose: frame persists
+        }
       }
       Some(out.result())
     } catch { case _: Exception => None }
     finally reader.dispose()
   }
+
+  /** Logical screen (width, height) from the GIF stream metadata; (0,0)
+    * when the descriptor is missing. */
+  private def gifLogicalScreen(reader: javax.imageio.ImageReader): (Int, Int) =
+    try {
+      val root = reader.getStreamMetadata
+        .getAsTree("javax_imageio_gif_stream_1.0")
+        .asInstanceOf[org.w3c.dom.Element]
+      val lsd = root.getElementsByTagName("LogicalScreenDescriptor")
+      if (lsd.getLength == 0) (0, 0)
+      else {
+        val e = lsd.item(0).asInstanceOf[org.w3c.dom.Element]
+        (e.getAttribute("logicalScreenWidth").toInt,
+          e.getAttribute("logicalScreenHeight").toInt)
+      }
+    } catch { case _: Exception => (0, 0) }
+
+  /** Per-frame (left, top, disposalMethod) from the GIF image metadata;
+    * ((0,0), "none") when absent. */
+  private def gifFrameMeta(reader: javax.imageio.ImageReader,
+                           i: Int): (Int, Int, String) =
+    try {
+      val root = reader.getImageMetadata(i)
+        .getAsTree("javax_imageio_gif_image_1.0")
+        .asInstanceOf[org.w3c.dom.Element]
+      val idn = root.getElementsByTagName("ImageDescriptor")
+      val (x, y) =
+        if (idn.getLength == 0) (0, 0)
+        else {
+          val e = idn.item(0).asInstanceOf[org.w3c.dom.Element]
+          (e.getAttribute("imageLeftPosition").toInt,
+            e.getAttribute("imageTopPosition").toInt)
+        }
+      val gce = root.getElementsByTagName("GraphicControlExtension")
+      val disposal =
+        if (gce.getLength == 0) "none"
+        else gce.item(0).asInstanceOf[org.w3c.dom.Element]
+          .getAttribute("disposalMethod")
+      (x, y, disposal)
+    } catch { case _: Exception => (0, 0, "none") }
 
   /** Decoded raster: width, height, packed RGB bytes (3 per pixel,
     * row-major). */
@@ -310,7 +388,16 @@ object MediaCodecs {
     * come back with corrupted trailing pixels — the LZW encoder, not
     * the reader, so fixtures must be ≥8×8; externally-produced GIFs
     * decode fine at any size. */
-  def encodeGif(frames: Seq[Raster]): Array[Byte] = {
+  def encodeGif(frames: Seq[Raster]): Array[Byte] =
+    encodeGifFrames(frames.map(r => (r, 0, 0, "none")))
+
+  /** [[encodeGif]] with explicit per-frame placement `(raster, left,
+    * top, disposalMethod)` — builds OPTIMIZED-GIF fixtures: partial
+    * delta frames at non-zero offsets with disposal semantics, the
+    * common externally-produced shape [[gifFrames]] must composite
+    * correctly (frame 0 should cover the screen so the writer derives
+    * the right logical size). */
+  def encodeGifFrames(frames: Seq[(Raster, Int, Int, String)]): Array[Byte] = {
     imageIoReady
     val writer =
       javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
@@ -319,9 +406,39 @@ object MediaCodecs {
     try {
       writer.setOutput(ios)
       writer.prepareWriteSequence(null)
-      frames.foreach { r =>
+      frames.foreach { case (r, x, y, disposal) =>
+        val img = toIndexedImage(r)
+        val meta = writer.getDefaultImageMetadata(
+          new javax.imageio.ImageTypeSpecifier(img),
+          writer.getDefaultWriteParam)
+        val fmt = "javax_imageio_gif_image_1.0"
+        val root = meta.getAsTree(fmt)
+          .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+        def node(name: String): javax.imageio.metadata.IIOMetadataNode = {
+          val ns = root.getElementsByTagName(name)
+          if (ns.getLength > 0)
+            ns.item(0).asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+          else {
+            val n = new javax.imageio.metadata.IIOMetadataNode(name)
+            root.appendChild(n)
+            n
+          }
+        }
+        val gce = node("GraphicControlExtension")
+        gce.setAttribute("disposalMethod", disposal)
+        gce.setAttribute("userInputFlag", "FALSE")
+        gce.setAttribute("transparentColorFlag", "FALSE")
+        gce.setAttribute("delayTime", "10")
+        gce.setAttribute("transparentColorIndex", "0")
+        val idn = node("ImageDescriptor")
+        idn.setAttribute("imageLeftPosition", x.toString)
+        idn.setAttribute("imageTopPosition", y.toString)
+        idn.setAttribute("imageWidth", r.width.toString)
+        idn.setAttribute("imageHeight", r.height.toString)
+        idn.setAttribute("interlaceFlag", "FALSE")
+        meta.setFromTree(fmt, root)
         writer.writeToSequence(
-          new javax.imageio.IIOImage(toIndexedImage(r), null, null),
+          new javax.imageio.IIOImage(img, null, meta),
           writer.getDefaultWriteParam)
       }
       writer.endWriteSequence()
@@ -387,6 +504,102 @@ object MediaCodecs {
       w += 1
     }
     out
+  }
+
+  /** True when the bytes are a RIFF AVI container. */
+  def looksLikeAvi(b: Array[Byte]): Boolean =
+    b.length >= 12 && tag(b, 0) == "RIFF" && tag(b, 8) == "AVI "
+
+  /**
+   * REAL video-container frame extraction for MJPEG-in-AVI: the same
+   * RIFF chunk walk as [[decodeWavPcm16]] (AVI is RIFF, recursing into
+   * `LIST` chunks to reach `movi`) composed with the ImageIO JPEG
+   * decode — each `##dc`/`##db` stream chunk whose payload starts with
+   * a JPEG SOI marker is one compressed frame. Up to `n` evenly spaced
+   * frames come back as [[Raster]]s; None for non-AVI bytes, corrupt
+   * chunk lists, or streams with no decodable MJPEG frames (a DivX AVI
+   * falls back to the stub path like any other compressed video).
+   */
+  def aviMjpegFrames(bytes: Array[Byte], n: Int): Option[Vector[Raster]] = {
+    if (!looksLikeAvi(bytes) || n <= 0) return None
+    val jpegs = Vector.newBuilder[Array[Byte]]
+    def walk(from: Int, until: Int): Boolean = {
+      var pos = from
+      while (pos + 8 <= until) {
+        val id = tag(bytes, pos)
+        val size = le32(bytes, pos + 4)
+        if (size < 0 || pos + 8L + size > until) return false // corrupt list
+        if (id == "LIST" && size >= 4) {
+          if (!walk(pos + 12, pos + 8 + size)) return false
+        } else if ((id.endsWith("dc") || id.endsWith("db")) && size >= 3 &&
+            (bytes(pos + 8) & 0xff) == 0xff && (bytes(pos + 9) & 0xff) == 0xd8) {
+          jpegs += java.util.Arrays.copyOfRange(bytes, pos + 8, pos + 8 + size)
+        }
+        pos += 8 + size + (size & 1) // chunks are word-aligned
+      }
+      true
+    }
+    if (!walk(12, bytes.length)) return None
+    val all = jpegs.result()
+    if (all.isEmpty) return None
+    val k = math.min(n, all.size)
+    val picked = (0 until k).map(i => all((i.toLong * all.size / k).toInt))
+    val decoded = picked.map(decodeImage)
+    if (decoded.exists(_.isEmpty)) None
+    else Some(decoded.map(_.get).toVector)
+  }
+
+  /** Minimal MJPEG AVI encode (test fixture builder): RIFF('AVI ') with
+    * an `hdrl` header list (avih + one MJPG `strl`) and a `movi` list of
+    * one `00dc` JPEG chunk per frame — the structure real muxers emit,
+    * minus the optional seek index. */
+  def encodeMjpegAvi(frames: Seq[Raster], fps: Int = 10): Array[Byte] = {
+    require(frames.nonEmpty, "at least one frame")
+    val jpegs = frames.map(encodeJpeg)
+    val (w, h) = (frames.head.width, frames.head.height)
+    def chunk(id: String, payload: Array[Byte]): Array[Byte] = {
+      val out = java.nio.ByteBuffer
+        .allocate(8 + payload.length + (payload.length & 1))
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put(id.getBytes("US-ASCII")).putInt(payload.length).put(payload)
+      out.array() // trailing pad byte (if any) stays zero
+    }
+    def list(listType: String, children: Seq[Array[Byte]]): Array[Byte] = {
+      val body = children.foldLeft(listType.getBytes("US-ASCII")) {
+        (acc, c) => acc ++ c
+      }
+      chunk("LIST", body)
+    }
+    def struct(n: Int)(fill: java.nio.ByteBuffer => Unit): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(n)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      fill(b)
+      b.array()
+    }
+    val avih = chunk("avih", struct(56) { b =>
+      b.putInt(1000000 / fps) // µs per frame
+        .putInt(0).putInt(0).putInt(0)
+        .putInt(frames.size) // total frames
+        .putInt(0).putInt(1) // streams
+        .putInt(0).putInt(w).putInt(h)
+    })
+    val strh = chunk("strh", struct(56) { b =>
+      b.put("vids".getBytes("US-ASCII")).put("MJPG".getBytes("US-ASCII"))
+        .putInt(0).putInt(0).putInt(0)
+        .putInt(1).putInt(fps) // scale / rate
+        .putInt(0).putInt(frames.size)
+        .putInt(0).putInt(0).putInt(0)
+    })
+    val strf = chunk("strf", struct(40) { b =>
+      b.putInt(40).putInt(w).putInt(h)
+        .putShort(1).putShort(24)
+        .put("MJPG".getBytes("US-ASCII"))
+        .putInt(w * h * 3)
+    })
+    val hdrl = list("hdrl", Seq(avih, list("strl", Seq(strh, strf))))
+    val movi = list("movi", jpegs.map(chunk("00dc", _)))
+    val riffBody = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    chunk("RIFF", riffBody)
   }
 
   /** WAV PCM16 mono encode (test fixture builder). */

@@ -31,14 +31,16 @@ final case class MediaFrame(docId: Long, frame: Int, bytes: Array[Byte])
  * decode, headless-safe, zero added dependencies), all landing on one
  * packed-RGB [[MediaCodecs.Raster]] so per-cell mean-RGB features and
  * nearest-neighbor resize are codec-agnostic. UNCOMPRESSED audio
- * (RIFF/WAV PCM16) decodes for real too (windowed RMS features).
+ * (RIFF/WAV PCM16) decodes for real too (windowed RMS features), and
+ * VIDEO frame extraction is real for animated GIF and MJPEG-in-AVI
+ * (round 8: the RIFF walker composed with the JPEG decoder).
  * [[decodeFeaturesAuto]] dispatches on magic bytes. The remaining stub
- * boundary is compressed AUDIO/VIDEO (MP3/AAC/H.264/...) — the JDK has
- * no decoder for those, so such bytes take the deterministic
- * `stubDecode` fallback and a production deployment replaces only that
- * leaf (JNI/javacpp). Every Spark-side contract — schema, encoders,
- * partition preservation, batch iteration — is real and unchanged
- * either way.
+ * boundary is compressed AUDIO (MP3/AAC) and inter-frame-coded video
+ * (H.264/...) — the JDK has no decoder for those, so such bytes take
+ * the deterministic `stubDecode` fallback and a production deployment
+ * replaces only that leaf (JNI/javacpp). Every Spark-side contract —
+ * schema, encoders, partition preservation, batch iteration — is real
+ * and unchanged either way.
  *
  * Scale notes (100 TB): decode is the expensive stage, so it must be
  * (a) iterator-to-iterator (no partition materialization — constant
@@ -122,16 +124,18 @@ object MediaPipeline {
     }
   }
 
-  /** Frame sampling: n evenly spaced frames. REAL for animated GIF
-    * (the one multi-frame container the JDK decodes): frames are
-    * decoded with inter-frame delta compositing and emitted as
-    * lossless PNG bytes. Other formats fall back to byte slices (a
-    * real H.264 impl would seek keyframes — no JDK decoder exists).
-    * Generator-shaped — one input row fans out to ≤n rows. */
+  /** Frame sampling: n evenly spaced frames. REAL for two video-ish
+    * containers: animated GIF (inter-frame delta compositing honoring
+    * per-frame offsets and disposal) and MJPEG-in-AVI (RIFF chunk walk +
+    * ImageIO JPEG decode per frame) — both emitted as lossless PNG
+    * bytes. Other formats fall back to byte slices (a real H.264 impl
+    * would seek keyframes — no JDK decoder exists). Generator-shaped —
+    * one input row fans out to ≤n rows. */
   def frameSample(records: Dataset[MediaRecord], n: Int): Dataset[MediaFrame] = {
     import records.sparkSession.implicits._
     records.flatMap { r =>
-      MediaCodecs.gifFrames(r.media, n) match {
+      MediaCodecs.gifFrames(r.media, n)
+        .orElse(MediaCodecs.aviMjpegFrames(r.media, n)) match {
         case Some(frames) =>
           frames.iterator.zipWithIndex.map { case (raster, f) =>
             MediaFrame(r.docId, f, MediaCodecs.encodePng(raster))

@@ -167,6 +167,63 @@ class MediaCodecsSpec extends AnyFunSuite with SparkTestSession {
     assert(gifFrames(gif.take(10), 3).isEmpty)
   }
 
+  test("optimized GIF: delta frames honor offsets and disposal on the logical screen") {
+    // the externally-produced shape (r8 ADVICE): partial frames at
+    // non-zero offsets over a 16×16 logical screen. Composited at (0,0)
+    // these would corrupt — the assertion pins every region per frame.
+    def solid(w: Int, h: Int, c: (Int, Int, Int)) = Raster(w, h,
+      Array.fill(w * h)(Array(c._1.toByte, c._2.toByte, c._3.toByte)).flatten)
+    val gif = encodeGifFrames(Seq(
+      (solid(16, 16, (255, 0, 0)), 0, 0, "none"),
+      // green patch shown at (8,4), then its RECT restores to background
+      (solid(8, 8, (0, 255, 0)), 8, 4, "restoreToBackgroundColor"),
+      (solid(8, 8, (0, 0, 255)), 0, 8, "none")))
+    val frames = gifFrames(gif, 3).get
+    assert(frames.length == 3)
+    assert(frames.forall(f => f.width == 16 && f.height == 16))
+    def px(f: Raster, x: Int, y: Int): (Int, Int, Int) = {
+      val i = (y * f.width + x) * 3
+      ((f.rgb(i) & 0xff), (f.rgb(i + 1) & 0xff), (f.rgb(i + 2) & 0xff))
+    }
+    val (red, green, blue, black) =
+      ((255, 0, 0), (0, 255, 0), (0, 0, 255), (0, 0, 0))
+    assert(px(frames(0), 0, 0) == red && px(frames(0), 15, 15) == red)
+    // frame 1: green ONLY in its (8,4)+8×8 rect, red everywhere else
+    assert(px(frames(1), 8, 4) == green && px(frames(1), 15, 11) == green)
+    assert(px(frames(1), 7, 4) == red && px(frames(1), 8, 3) == red)
+    assert(px(frames(1), 0, 0) == red && px(frames(1), 15, 15) == red)
+    // frame 2: the green rect restored to background (black in this
+    // renderer), blue patch at (0,8), untouched regions still red
+    assert(px(frames(2), 8, 4) == black && px(frames(2), 15, 11) == black)
+    assert(px(frames(2), 0, 8) == blue && px(frames(2), 7, 15) == blue)
+    assert(px(frames(2), 0, 0) == red && px(frames(2), 15, 0) == red)
+  }
+
+  test("MJPEG-in-AVI: frames extract through the RIFF walk + JPEG decode") {
+    def solid(c: (Int, Int, Int)) = Raster(16, 16,
+      Array.fill(256)(Array(c._1.toByte, c._2.toByte, c._3.toByte)).flatten)
+    val colors = Seq((255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 0))
+    val avi = encodeMjpegAvi(colors.map(solid))
+    assert(looksLikeAvi(avi) && !looksLikeGif(avi))
+    val frames = aviMjpegFrames(avi, 2).get
+    // evenly spaced 2 of 4 → frames 0 (red) and 2 (blue); JPEG is lossy
+    // so assert channel dominance with tolerance, like the JPEG spec
+    assert(frames.length == 2)
+    assert(frames.forall(f => f.width == 16 && f.height == 16))
+    def center(f: Raster): Seq[Int] = {
+      val i = (8 * 16 + 8) * 3
+      Seq(f.rgb(i) & 0xff, f.rgb(i + 1) & 0xff, f.rgb(i + 2) & 0xff)
+    }
+    assert(center(frames(0)).zip(Seq(255, 0, 0)).forall {
+      case (got, want) => math.abs(got - want) <= 24 })
+    assert(center(frames(1)).zip(Seq(0, 0, 255)).forall {
+      case (got, want) => math.abs(got - want) <= 24 })
+    // non-AVI, truncated AVI, and AVI with no MJPEG payload all → None
+    assert(aviMjpegFrames("RIFFxxxx not avi".getBytes, 2).isEmpty)
+    assert(aviMjpegFrames(avi.take(avi.length / 2), 2).isEmpty)
+    assert(aviMjpegFrames(encodeWavPcm16(Array[Short](1, 2, 3)), 2).isEmpty)
+  }
+
   test("frameSample emits real PNG frames for GIF, byte slices otherwise") {
     import spark.implicits._
     val gif = encodeGif(Seq(checker8, checker8, checker8, checker8))
@@ -186,6 +243,26 @@ class MediaCodecsSpec extends AnyFunSuite with SparkTestSession {
     }
     // non-GIF: the byte-slice fallback covers all bytes
     assert(got(2L).map(_.bytes.toSeq).reduce(_ ++ _) == other.toSeq)
+  }
+
+  test("frameSample handles a real MJPEG AVI container") {
+    import spark.implicits._
+    def solid(c: (Int, Int, Int)) = Raster(16, 16,
+      Array.fill(256)(Array(c._1.toByte, c._2.toByte, c._3.toByte)).flatten)
+    val avi = encodeMjpegAvi(Seq(solid((255, 0, 0)), solid((0, 0, 255))))
+    val records = Seq(
+      MediaRecord(1L, avi, MediaMeta("video", 16, 16, 0))).toDS()
+    val got = MediaPipeline.frameSample(records, 2).collect().sortBy(_.frame)
+    assert(got.length == 2)
+    got.foreach { f =>
+      val r = decodeImage(f.bytes).get // PNG-decodable full frames
+      assert(r.width == 16 && r.height == 16)
+    }
+    // red frame then blue frame, JPEG-lossy tolerance
+    val first = decodeImage(got(0).bytes).get
+    val second = decodeImage(got(1).bytes).get
+    assert((first.rgb(0) & 0xff) > 200 && (first.rgb(2) & 0xff) < 60)
+    assert((second.rgb(2) & 0xff) > 200 && (second.rgb(0) & 0xff) < 60)
   }
 
   test("decodeFeaturesAuto dispatches by magic bytes inside the Dataset") {
