@@ -178,10 +178,11 @@ object Dedup {
    * fixpoint) — cheaper than re-joining against the previous labels to
    * diff them, since the sum runs over the frame the round materializes
    * anyway. Results are persisted
-   * per round so lineage does not recompute from scratch; at 100 TB add
-   * `localCheckpoint()` every few rounds to truncate lineage, and swap
-   * in GraphFrames' large-star / small-star if components stop being
-   * shallow.
+   * per round, and every 4th round eagerly `localCheckpoint()`s to
+   * truncate lineage (the per-round plan otherwise doubles — see the
+   * in-loop note); swap in large-star / small-star alternation if
+   * components stop being shallow (hop count grows with diameter, and
+   * past a few dozen rounds the O(rounds) driver barrier dominates).
    *
    * Failing to converge within `maxIter` throws (a silently split
    * component is a wrong answer, not a degraded one); raise `maxIter`
@@ -226,13 +227,24 @@ object Dedup {
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      val next = hop(labels).persist()
+      iter += 1
+      // Lineage truncation every 4th round: hop() references the previous
+      // labels frame TWICE (join + union), so the bare logical plan
+      // DOUBLES per round — caching stores the DATA but not a shorter
+      // plan, and beyond ~8 rounds the plan description built per action
+      // for the execution listener alone OOMs the driver (deep-path spec
+      // reproduces at diameter 11). An eager localCheckpoint resets the
+      // plan to its materialized blocks; every-4 keeps the common
+      // clique-ish components (diameter 2-4, never reach a checkpoint)
+      // on the pure-cache path.
+      val next =
+        if (iter % 4 == 0) hop(labels).localCheckpoint(true)
+        else hop(labels).persist()
       val s = lblSum(next)
       converged = s == prevSum
       prevSum = s
       labels.unpersist()
       labels = next
-      iter += 1
     }
     edges.unpersist()
     if (!converged) {

@@ -36,6 +36,22 @@ class ExtOperatorsSpec extends AnyFunSuite with SparkTestSession {
       10L -> 10L, 11L -> 10L))
   }
 
+  test("dedupClusters: deep path graph converges; diameter > maxIter fails loudly") {
+    import spark.implicits._
+    // a 12-node path is the WORST case for min-label propagation
+    // (diameter 11 — real near-dup components are clique-ish and
+    // shallow); the label must walk the whole chain
+    val path = (1L until 12L).map(i => (i, i + 1)).toDF("da", "db")
+    val got = Dedup.dedupClusters(path, "da", "db")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (1L to 12L).map(_ -> 1L).toMap)
+    // the documented contract: a component the budget can't close is an
+    // exception, never a silently SPLIT clustering (a wrong answer)
+    intercept[IllegalStateException] {
+      Dedup.dedupClusters(path, "da", "db", maxIter = 3)
+    }
+  }
+
   test("minhash dedup pairs == brute-force blocked pairs") {
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.6)
       .orderBy("da", "db").collect().toSeq
