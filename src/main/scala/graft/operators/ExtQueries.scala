@@ -869,22 +869,28 @@ object ExtQueries {
     // Probe-only ANN against the cached index — the production shape.
     // 500 probes (not the oracle's 5): at test scale a 5-probe query of
     // ANY path sits on the ~0.3 s job-launch floor, so the exact-vs-ANN
-    // gap only shows once per-row work dominates — 500×corpus exact
-    // cosines vs ~tables candidates/probe. Config uses corpus-scaled
-    // bits (2^11 buckets/table: the Scaladoc's bits≈log₂(corpus)
-    // pruning rule) rather than the oracle-recall 32×5, which at ≤2k
-    // vectors degenerates to scanning everything. Compare with
-    // q41d_exact_batch — the SAME 500-probe load on the exact path.
+    // gap only shows once per-row work dominates. Config tables=32,
+    // bits=6 with MEASURED recall under this exact load (Q41cRecall,
+    // 500 probes, k=3): recall@3 = 0.829 at sf0.01 / 0.850 at sf0.1
+    // (per-probe hit dist at sf0.1 — 3/3: 310, 2/3: 158, 1/3: 29,
+    // 0/3: 3). The former 8×11 "bits≈log₂N" config measured 0.046/0.054
+    // — fast by finding nothing (r7 verdict item); every bench config
+    // now carries a measured recall like the oracle configs do.
+    // Candidate sets are ~tables·N/2^bits ≈ N/2 on this corpus:
+    // near-random vectors are LSH's worst case, so ≈2× scan pruning at
+    // 0.85 recall IS the frontier here (clustered real embeddings sit
+    // far above it; the recall sweep is one `runMain graft.Q41cRecall`).
+    // Compare q41d_exact_batch — the SAME 500-probe load, exact path.
     "q41c_ann_probe" -> ((s, d) => {
       val idx = annIndexCache.getOrElseUpdate(d, {
         val f = Similarity.annBucketFrame(t(s, d, "embeddings"),
-          "vec_id", "embedding", tables = 8, bits = 11).persist()
+          "vec_id", "embedding", tables = 32, bits = 6).persist()
         f.count() // materialize: index-build cost, paid once
         f
       })
       val probes = t(s, d, "embeddings").filter(col("vec_id") < 500)
       Similarity.annCosineTopKFrom(idx, probes, "vec_id", "embedding",
-          k = 3, tables = 8, bits = 11)
+          k = 3, tables = 32, bits = 6)
         .select("probe_id", "nn_id", "sim", "rn")
         .orderBy("probe_id", "rn")
     }),
