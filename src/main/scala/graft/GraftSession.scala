@@ -13,7 +13,17 @@ import org.apache.spark.sql.SparkSession
  *    this conf; set here ONCE instead of mutating the session inside a
  *    query builder (round-1 judge finding),
  *  - shuffle partitions sized to the local core count (on a real cluster
- *    this would be ~2-3× total executor cores; AQE coalesces down).
+ *    this would be ~2-3× total executor cores; AQE coalesces down),
+ *  - AQE's `initialPartitionNum` is exposed as
+ *    `SPARK_GRAFT_INITIAL_PARTITIONS`: AQE can only COALESCE partitions,
+ *    never split an oversized one, so jobs over big inputs must
+ *    over-provision the starting count or reducers sort-spill (the
+ *    ScaleBench 100× runs hit exactly this at the local default —
+ *    initial=512 drops q67's scaling exponent 1.44 → 1.03,
+ *    BENCH_SCALED.json). It stays un-over-provisioned by default
+ *    because the same A/B measured shuffle-file fragmentation costing
+ *    q67 2.7× at 10× — the knob belongs to the job size, which is why
+ *    cluster submissions set it per job (SCALE.md §10).
  */
 object GraftSession {
   def build(appName: String): SparkSession = {
@@ -24,10 +34,17 @@ object GraftSession {
   /** Single source of truth for session confs; tests call this with
     * their own master/parallelism so the conf lists cannot drift. */
   def build(appName: String, master: String, shufflePartitions: String): SparkSession = {
-    val spark = SparkSession.builder()
+    val initial = sys.env.get("SPARK_GRAFT_INITIAL_PARTITIONS")
+      .map(_.toInt).getOrElse(0)
+    val builder = SparkSession.builder()
       .appName(appName)
       .master(master)
       .config("spark.sql.shuffle.partitions", shufflePartitions)
+    if (initial > 0)
+      builder.config(
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        initial.toString)
+    val spark = builder
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
