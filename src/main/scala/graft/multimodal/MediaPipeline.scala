@@ -30,12 +30,13 @@ final case class MediaFrame(docId: Long, frame: Int, bytes: Array[Byte])
  * the JDK's own `javax.imageio` since round 7 — real entropy/DCT
  * decode, headless-safe, zero added dependencies), all landing on one
  * packed-RGB [[MediaCodecs.Raster]] so per-cell mean-RGB features and
- * nearest-neighbor resize are codec-agnostic. UNCOMPRESSED audio
- * (RIFF/WAV PCM16) decodes for real too (windowed RMS features), and
- * VIDEO frame extraction is real for animated GIF and MJPEG-in-AVI
+ * nearest-neighbor resize are codec-agnostic. AUDIO decodes for real
+ * (windowed RMS features) for WAV PCM16 and — round 8 — for the
+ * compressed G.711 mu-law/a-law and IMA ADPCM WAV payloads, and VIDEO
+ * frame extraction is real for animated GIF and MJPEG-in-AVI
  * (round 8: the RIFF walker composed with the JPEG decoder).
  * [[decodeFeaturesAuto]] dispatches on magic bytes. The remaining stub
- * boundary is compressed AUDIO (MP3/AAC) and inter-frame-coded video
+ * boundary is PERCEPTUAL audio (MP3/AAC) and inter-frame-coded video
  * (H.264/...) — the JDK has no decoder for those, so such bytes take
  * the deterministic `stubDecode` fallback and a production deployment
  * replaces only that leaf (JNI/javacpp). Every Spark-side contract —
@@ -76,10 +77,11 @@ object MediaPipeline {
 
   /** Format-dispatching decode: real decoders for every image format
     * (P6 PPM hand-parsed; JPEG/PNG/GIF/BMP/TIFF via ImageIO — each →
-    * 2×2-cell mean RGB, 12 floats) and for WAV PCM16 (8-window RMS);
-    * deterministic stub fallback for compressed audio/video. Same
-    * iterator-to-iterator / partition-preserving contract as
-    * [[decodeFeatures]]. */
+    * 2×2-cell mean RGB, 12 floats) and for WAV audio (8-window RMS)
+    * including REAL decompression of G.711 mu-law/a-law and IMA ADPCM
+    * payloads (round 8); deterministic stub fallback for perceptual
+    * audio (MP3/AAC) and inter-frame video. Same iterator-to-iterator
+    * / partition-preserving contract as [[decodeFeatures]]. */
   def decodeFeaturesAuto(records: Dataset[MediaRecord],
                          stubDim: Int = 16): Dataset[MediaFeatures] = {
     import records.sparkSession.implicits._
@@ -88,7 +90,7 @@ object MediaPipeline {
         val feats = MediaCodecs.decodePpm(r.media)
           .orElse(MediaCodecs.decodeImage(r.media))
           .map(MediaCodecs.imageFeatures(_))
-          .orElse(MediaCodecs.decodeWavPcm16(r.media)
+          .orElse(MediaCodecs.decodeWavAudio(r.media)
             .map(MediaCodecs.audioFeatures(_)))
           .getOrElse(stubDecode(r.media, stubDim))
         MediaFeatures(r.docId, r.meta.kind, feats)

@@ -318,4 +318,77 @@ class MediaCodecsSpec extends AnyFunSuite with SparkTestSession {
     assert(decodedBack.rgb.toSeq == resizeNearest(raster2x2, 4, 4).rgb.toSeq)
     assert(viaPng.meta.width == 4 && viaPng.meta.height == 4)
   }
+
+  test("G.711: every codeword is an exact encode/decode fixed point") {
+    // THE canonical G.711 conformance check: expand each of the 256
+    // codewords and compress the result back.
+    for (c <- 0 until 256) {
+      val a = alawDecode(c)
+      assert(alawEncode(a) == c, f"alaw codeword 0x$c%02x: decoded $a")
+      val m = mulawDecode(c)
+      // mu-law has a negative zero: 0x7f decodes to 0, which canonically
+      // re-encodes as positive zero 0xff — the one non-fixed-point
+      val expected = if (c == 0x7f) 0xff else c
+      assert(mulawEncode(m) == expected, f"mulaw codeword 0x$c%02x: decoded $m")
+      // and decode∘encode is idempotent on sample values for both laws
+      assert(mulawDecode(mulawEncode(m)) == m)
+      assert(alawDecode(alawEncode(a)) == a)
+    }
+  }
+
+  test("G.711 WAV round trip: quantization error bounded, features match PCM") {
+    val sine = Array.tabulate(1600)(i =>
+      (math.sin(i * 0.05) * 24000).toInt.toShort)
+    for (mulaw <- Seq(true, false)) {
+      val bytes = encodeWavG711(sine, mulaw = mulaw)
+      val got = decodeWavAudio(bytes).get
+      assert(got.length == sine.length)
+      // log-PCM error: half a quantization interval, which scales with
+      // the segment — ≤ |x|/12 + 40 covers both laws with margin
+      sine.zip(got).foreach { case (x, y) =>
+        assert(math.abs(x - y) <= math.abs(x.toInt) / 12 + 40,
+          s"sample $x decoded as $y (mulaw=$mulaw)")
+      }
+      val f0 = audioFeatures(sine)
+      val f1 = audioFeatures(got)
+      f0.zip(f1).foreach { case (a, b) => assert(math.abs(a - b) < 0.01f) }
+      // the PCM16-only decoder must NOT accept a compressed WAV
+      assert(decodeWavPcm16(bytes).isEmpty)
+    }
+  }
+
+  test("IMA ADPCM: decoder bit-exactly reproduces the encoder reconstruction") {
+    val sine = Array.tabulate(1000)(i =>
+      (math.sin(i * 0.03) * 12000).toInt.toShort)
+    // blockAlign 64 → 121 samples/block → 9 blocks, the last one partial
+    val (bytes, recon) = encodeWavImaAdpcm(sine, blockAlign = 64)
+    val got = decodeWavAudio(bytes).get
+    // ADPCM is lossy, but the decoder tracks the encoder's predictor
+    // state exactly — the contract is bit-equality with the encoder's
+    // own reconstruction, and `fact` trims the padded final block
+    assert(got.length == sine.length)
+    assert(got.toSeq == recon.toSeq)
+    // a 4:1 predictive codec tracks a smooth signal closely
+    sine.zip(got).foreach { case (x, y) =>
+      assert(math.abs(x - y) <= 2000, s"ADPCM drifted: $x vs $y")
+    }
+    assert(bytes.length < sine.length, "ADPCM output is ~4x smaller than PCM16")
+  }
+
+  test("compressed-audio WAV decode rejects what it cannot decode") {
+    val sine = Array.tabulate(200)(i => (math.sin(i * 0.1) * 8000).toInt.toShort)
+    // stereo ADPCM is out of scope → None (stub fallback), never garbage
+    val (monoBytes, _) = encodeWavImaAdpcm(sine, blockAlign = 64)
+    val stereo = monoBytes.clone()
+    stereo(22) = 2 // channels field of the fmt chunk
+    assert(decodeWavAudio(stereo).isEmpty)
+    // unknown format tag → None
+    val unknownTag = monoBytes.clone()
+    unknownTag(20) = 0x55 // MPEG Layer 3 would be 0x55
+    assert(decodeWavAudio(unknownTag).isEmpty)
+    // truncating mid-block drops only the incomplete final block
+    val full = decodeWavAudio(monoBytes).get
+    assert(full.length == sine.length)
+    assert(decodeWavAudio("RIFFxxxxNOPE".getBytes).isEmpty)
+  }
 }

@@ -55,4 +55,26 @@ class MediaPipelineSpec extends AnyFunSuite with SparkTestSession {
       MediaPipeline.decodeFeatures(media, dim = 16), newDim = 32)
     assert(f32.collect().forall(_.features.length == 32))
   }
+
+  test("compressed-audio WAVs dispatch to the real decoder, not the stub") {
+    import spark.implicits._
+    val sine = Array.tabulate(1600)(i =>
+      (math.sin(i * 0.05) * 20000).toInt.toShort)
+    val pcm = MediaCodecs.encodeWavPcm16(sine)
+    val mulaw = MediaCodecs.encodeWavG711(sine, mulaw = true)
+    val adpcm = MediaCodecs.encodeWavImaAdpcm(sine, blockAlign = 256)._1
+    val records = Seq(
+      MediaRecord(1L, pcm, MediaMeta("audio", 0, 0, 16000)),
+      MediaRecord(2L, mulaw, MediaMeta("audio", 0, 0, 8000)),
+      MediaRecord(3L, adpcm, MediaMeta("audio", 0, 0, 8000))).toDS()
+    val byId = MediaPipeline.decodeFeaturesAuto(records).collect()
+      .map(f => f.docId -> f.features).toMap
+    // real decode → 8 RMS windows; the stub fallback would emit 16 dims
+    assert(byId.values.forall(_.length == 8))
+    // all three containers carry the same signal, so the compressed
+    // paths must land within quantization distance of the PCM features
+    val ref = byId(1L)
+    for (id <- Seq(2L, 3L); (a, b) <- ref.zip(byId(id)))
+      assert(math.abs(a - b) < 0.01f, s"doc $id diverged from PCM features")
+  }
 }
