@@ -91,6 +91,48 @@ object ScaleBench {
     }
 
     for (k <- scales) {
+      // the slow-log surface: parse throughput and the QAN report over
+      // the flattened warehouse, both at k× the event count. File count
+      // scales with k (fixed per-file size) — the rotated-log-directory
+      // shape a 100 TB deployment actually has, so the scan stays
+      // file-granular-parallel at every scale.
+      if (want("ingest_flatten") || want("qan_profile")) {
+        val events = 200000 * k
+        val files = 32 * k
+        val dir = Bench.ingestLog(events, files)
+        val flat = () => graft.slowlog.SlowLogTable.flatten(
+          graft.slowlog.SlowLogSource.readRaw(spark, dir.toString))
+        try {
+          System.err.println(s"SCALE inputs ${k}x: $events slow-log events / $files files")
+          if (want("ingest_flatten"))
+            record("ingest_flatten", k, time(flat()))
+          if (want("qan_profile")) {
+            // report cost over the warehouse AT REST: wide rows land in
+            // parquet once (excluded, like the index builds), the QAN
+            // profile aggregate is what's timed
+            val wideDir = s"/tmp/graft-scale-wide-$k"
+            flat().write.mode("overwrite").parquet(wideDir)
+            val wide = spark.read.parquet(wideDir)
+            record("qan_profile", k, time(
+              graft.operators.Qan.profile(wide, topN = 100)))
+            org.apache.hadoop.fs.FileSystem.getLocal(
+                spark.sparkContext.hadoopConfiguration)
+              .delete(new org.apache.hadoop.fs.Path(wideDir), true)
+          }
+        } finally {
+          val entries = java.nio.file.Files.list(dir)
+          try entries.forEach(p => java.nio.file.Files.deleteIfExists(p))
+          finally entries.close()
+          java.nio.file.Files.deleteIfExists(dir)
+        }
+      }
+
+      val docOps = Seq("q26_jaccard", "q52_capped", "q40_minhash",
+        "q67_clusters", "q75_probe")
+      val embOps = Seq("q83_pq", "q41c_probe")
+      if (!(docOps ++ embOps).exists(want)) {
+        System.err.println(s"SCALE ${k}x: no corpus ops requested")
+      } else {
       val docs = scaleDocs(spark, sf, k).persist()
       val emb = scaleEmb(spark, sf, k).persist()
       val nDocs = docs.count(); val nEmb = emb.count()
@@ -138,6 +180,7 @@ object ScaleBench {
         idx.unpersist()
       }
       docs.unpersist(); emb.unpersist()
+      }
     }
 
     val expPair = if (scales.size >= 2)
