@@ -89,6 +89,16 @@ object ScaleBench {
         scala.collection.mutable.LinkedHashMap.empty[Int, Double])(k) = secs
       System.err.println(f"SCALE $op%-14s ${k}%3dx  $secs%8.2f s")
     }
+    // (scale → (config-bits, recall@3)) per op, emitted inside the op's
+    // JSON object so accuracy ships next to the cost it was bought at
+    val recalls = scala.collection.mutable.LinkedHashMap
+      .empty[String, scala.collection.mutable.LinkedHashMap[Int, (Int, Double)]]
+    def recordRecall(op: String, k: Int, bits: Int, rec: Double): Unit = {
+      recalls.getOrElseUpdate(op,
+        scala.collection.mutable.LinkedHashMap.empty[Int, (Int, Double)])(k) =
+        (bits, rec)
+      System.err.println(f"SCALE $op%-14s ${k}%3dx  bits=$bits%2d  recall@3=$rec%.3f")
+    }
 
     for (k <- scales) {
       // the slow-log surface: parse throughput and the QAN report over
@@ -129,7 +139,7 @@ object ScaleBench {
 
       val docOps = Seq("q26_jaccard", "q52_capped", "q40_minhash",
         "q67_clusters", "q75_probe")
-      val embOps = Seq("q83_pq", "q41c_probe")
+      val embOps = Seq("q83_pq", "q41c_probe", "q41c_logbits")
       if (!(docOps ++ embOps).exists(want)) {
         System.err.println(s"SCALE ${k}x: no corpus ops requested")
       } else {
@@ -179,6 +189,32 @@ object ScaleBench {
             k = 3, tables = 32, bits = 6)))
         idx.unpersist()
       }
+      if (want("q41c_logbits")) {
+        // the SCALE.md §5 design rule, measured instead of asserted:
+        // bits grows with log₂(corpus) so expected bucket occupancy
+        // N/2^bits — and with it per-probe candidate count and cost —
+        // stays ~flat as the corpus grows. Recall@3 vs the exact kNN is
+        // re-measured at every (scale, bits) on the SAME scaled corpus,
+        // so flat cost is never bought with silent recall loss.
+        val bits = 6 + (math.log(k.toDouble) / math.log(2)).round.toInt
+        val idx = Similarity.annBucketFrame(emb, "vec_id", "embedding",
+          tables = 32, bits = bits).persist()
+        idx.count()
+        // probe ids < 500 are always rep-0 originals: a FIXED probe load
+        // against a growing corpus
+        val annProbes = emb.filter(col("vec_id") < 500)
+        def ann() = Similarity.annCosineTopKFrom(idx, annProbes,
+          "vec_id", "embedding", k = 3, tables = 32, bits = bits)
+        record("q41c_logbits", k, time(ann()))
+        val exact = Similarity.knnBatch(emb, annProbes,
+          "vec_id", "embedding", k = 3).select("probe_id", "nn_id")
+        val hits = exact
+          .join(ann().select("probe_id", "nn_id"), Seq("probe_id", "nn_id"))
+          .count()
+        val rec = hits.toDouble / (3.0 * annProbes.count())
+        recordRecall("q41c_logbits", k, bits, rec)
+        idx.unpersist()
+      }
       docs.unpersist(); emb.unpersist()
       }
     }
@@ -193,7 +229,13 @@ object ScaleBench {
           math.log(kHi.toDouble / kLo)
         s""","exponent":${f"$exp%.3f"}"""
       }.getOrElse("")
-      s""""$op":{$times$expPart}"""
+      val recallPart = recalls.get(op).map { byK =>
+        val rs = byK.map { case (s, (bits, r)) =>
+          s""""${s}x":{"bits":$bits,"recall_at_3":${f"$r%.3f"}}"""
+        }.mkString(",")
+        s""","config":{$rs}"""
+      }.getOrElse("")
+      s""""$op":{$times$expPart$recallPart}"""
     }.mkString(",")
     val expLabel = expPair
       .map { case (l, h) => s""","exponent_between":["${l}x","${h}x"]""" }
