@@ -143,7 +143,29 @@ object Similarity {
    */
   def annBucketFrame(corpus: DataFrame, idCol: String, embCol: String,
                      tables: Int = 8, bits: Int = 8, dim: Int = 64,
-                     seed: Long = 42L): DataFrame = {
+                     seed: Long = 42L): DataFrame =
+    annBucketFrameImpl(corpus, idCol, embCol, tables, bits, dim, seed)
+
+  /**
+   * The measured sizing rule for `bits` (BENCH_SCALED.json
+   * `q41c_logbits`, SCALE.md §10): expected bucket occupancy is
+   * N/2^bits, so holding occupancy constant as the corpus grows keeps
+   * per-probe candidate count — and probe cost — flat. Growing bits
+   * 6→9→13 with a 1×→10×→100× corpus measured a 0.14 scaling exponent
+   * at held recall@3 (0.85–0.97); fixed bits measured 70× the probe
+   * time at 100×. Default occupancy 32 reproduces the measured
+   * configs (2 k→6, 20 k→9, 200 k→13); raise `tables`, not occupancy,
+   * to buy recall.
+   */
+  def bitsFor(corpusSize: Long, targetBucketOccupancy: Int = 32): Int = {
+    require(targetBucketOccupancy > 0, "occupancy must be positive")
+    val buckets = math.max(2.0, corpusSize.toDouble / targetBucketOccupancy)
+    math.max(1, math.round(math.log(buckets) / math.log(2)).toInt)
+  }
+
+  private def annBucketFrameImpl(corpus: DataFrame, idCol: String,
+                                 embCol: String, tables: Int, bits: Int,
+                                 dim: Int, seed: Long): DataFrame = {
     val keys = lshKeysArray(tables, bits, dim, seed)(col(embCol))
     corpus.select(col(idCol).as("id"), col(embCol).as("emb"),
         posexplode(keys).as(Seq("table", "key")))

@@ -97,6 +97,20 @@ class ExtOperatorsSpec extends AnyFunSuite with SparkTestSession {
     assert(ranks.forall(r => r.getAs[Long]("n") == r.getAs[Long]("mx")))
   }
 
+  test("bitsFor reproduces the measured scale configs and stays monotone") {
+    // the BENCH_SCALED q41c_logbits sweep: 2k→6, 20k→9, 200k→13 bits
+    assert(Similarity.bitsFor(2000) == 6)
+    assert(Similarity.bitsFor(20000) == 9)
+    assert(Similarity.bitsFor(200000) == 13)
+    // flat-occupancy invariant: +10× corpus ≈ +log₂10 ≈ 3.3 bits
+    val steps = (3 to 9).map(e => Similarity.bitsFor(math.pow(10, e).toLong))
+    assert(steps == steps.sorted && steps.distinct == steps)
+    steps.sliding(2).foreach { case Seq(a, b) => assert(b - a >= 3 && b - a <= 4) }
+    // tiny corpora never go below 1 bit; occupancy must be positive
+    assert(Similarity.bitsFor(1) >= 1)
+    assertThrows[IllegalArgumentException](Similarity.bitsFor(100, 0))
+  }
+
   test("null embeddings degrade per-row: LSH/IVF/PQ never NPE on dirty rows") {
     // a single null embedding in a 100 TB corpus must cost one row, not
     // the job (r7 ADVICE: the compiled key/assign UDFs used to NPE where
