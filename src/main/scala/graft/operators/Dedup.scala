@@ -180,9 +180,10 @@ object Dedup {
    * anyway. Results are persisted
    * per round, and every 4th round eagerly `localCheckpoint()`s to
    * truncate lineage (the per-round plan otherwise doubles — see the
-   * in-loop note); swap in large-star / small-star alternation if
-   * components stop being shallow (hop count grows with diameter, and
-   * past a few dozen rounds the O(rounds) driver barrier dominates).
+   * in-loop note); [[dedupClustersStar]] is the same fixpoint computed
+   * in O(log) alternations when components stop being shallow (here,
+   * hop count grows with diameter, and past a few dozen rounds the
+   * O(rounds) driver barrier dominates).
    *
    * Failing to converge within `maxIter` throws (a silently split
    * component is a wrong answer, not a degraded one); raise `maxIter`
@@ -263,6 +264,126 @@ object Dedup {
     val out = labels.localCheckpoint(true)
     labels.unpersist()
     out
+  }
+
+  /**
+   * Deep-graph scale path for pair clustering: large-star / small-star
+   * alternation (the public two-phase MapReduce connected-components
+   * algorithm of Kiveris et al., "Connected Components in MapReduce and
+   * Beyond", SoCC 2014). Identical contract and fixpoint as
+   * [[dedupClusters]] — (node, lbl) with lbl = min id reachable through
+   * the pair graph — but the round count is O(log²) in component SIZE
+   * and independent of diameter, where propagation needs O(diameter)
+   * driver rounds: a diameter-1000 chain of borderline pairs closes
+   * here in a handful of alternations. Near-dup components are
+   * normally clique-ish (diameter 2–4), where propagation wins on
+   * per-round constants — keep it as the default and reach for this
+   * when pair graphs grow deep (the propagation loop's maxIter throw
+   * is the signal).
+   *
+   * One alternation = two grouped aggregations over the edge frame,
+   * each shuffling (long, long) pairs only:
+   *  - large-star: every node points its LARGER neighbors at
+   *    m = min(N(u) ∪ {u}) — large ids hook directly onto component
+   *    minima, halving tree heights without ever minting new ids;
+   *  - small-star: edges orient toward their smaller endpoint, then
+   *    every node points its smaller neighborhood and itself at its
+   *    minimum — partial trees flatten into stars.
+   * The fixpoint is exactly the star graphs (member → component min),
+   * which both steps map to themselves. Convergence is detected by an
+   * order-independent multiset signature of the edge frame (count +
+   * Σu + Σv + Σxxhash64(u,v), decimal accumulators for the same
+   * wrap-safety reason as [[dedupClusters]]): the steps are
+   * deterministic functions of the edge SET, so an unchanged signature
+   * is a fixpoint forever after (hash-collision odds ~2⁻⁶⁴ per round).
+   * Like propagation, failure to converge within `maxIter` throws —
+   * a silently split component is a wrong answer.
+   */
+  def dedupClustersStar(pairs: DataFrame, aCol: String, bCol: String,
+                        maxIter: Int = 25): DataFrame =
+    dedupClustersStarImpl(pairs, aCol, bCol, maxIter)._1
+
+  /** [[dedupClustersStar]] plus the alternation count it converged in —
+    * the O(log) claim is spec-asserted against this, not eyeballed. */
+  private[graft] def dedupClustersStarImpl(
+      pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int): (DataFrame, Int) = {
+    // eager checkpoint up front: every alternation until the next
+    // truncation would otherwise re-reference the caller's full pair
+    // plan (for q84 that is the whole shingle-join pipeline) 6–8×
+    var edges = pairs
+      .select(col(aCol).as("u"), col(bCol).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+
+    // large-star: per node u over the symmetric neighborhood,
+    // m = min(N(u) ∪ {u}); emit (v, m) for the strictly-larger
+    // neighbors. v > u ≥ m, so no self-loops can be emitted.
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u").agg(min("v").as("_nm"))
+        .select(col("u"), least(col("u"), col("_nm")).as("_m"))
+      sym.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("_m").as("v"))
+        .distinct()
+    }
+
+    // small-star: orient each edge toward its smaller endpoint, then
+    // per node u over the (all-smaller) neighborhood, m = min; emit
+    // (w, m) for w ∈ N(u) ∪ {u}, w ≠ m.
+    def smallStar(e: DataFrame): DataFrame = {
+      val oriented = e.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      val mins = oriented.groupBy("u").agg(min("v").as("_m"))
+      oriented.join(mins, "u")
+        .select(col("v").as("u"), col("_m").as("v"))
+        .unionAll(mins.select(col("u"), col("_m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    def sig(e: DataFrame): Seq[Any] = e.agg(
+      count(lit(1)),
+      sum(col("u").cast("decimal(38,0)")),
+      sum(col("v").cast("decimal(38,0)")),
+      sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)"))
+    ).first().toSeq
+
+    var prev = sig(edges)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      iter += 1
+      // lineage truncation EVERY round, not dedupClusters' every-4th:
+      // one alternation references the previous frame three times (the
+      // symmetrize union twice + the min join), so the bare plan grows
+      // ~8× per round — two uncheckpointed rounds already put the
+      // AQE plan-change log's explainString past driver heap (measured:
+      // the every-4th regime OOM'd in PlanStringConcat before round 4)
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val s = sig(next)
+      converged = s == prev
+      prev = s
+      edges.unpersist()
+      edges = next
+    }
+    if (!converged) {
+      edges.unpersist()
+      throw new IllegalStateException(
+        s"dedupClustersStar did not converge in $maxIter alternations — " +
+          "pathological edge set; raise maxIter")
+    }
+    // at fixpoint the edges ARE the star: members only on the u side,
+    // roots only on the v side — the union below is disjoint and total
+    val labels = edges
+      .select(col("u").as("node"), col("v").as("lbl"))
+      .unionAll(edges.select(col("v"), col("v")).distinct()
+        .toDF("node", "lbl"))
+    val out = labels.localCheckpoint(true)
+    edges.unpersist()
+    (out, iter)
   }
 
   /**

@@ -469,6 +469,19 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // The same clustering fixpoint via large-star/small-star alternation
+    // (Dedup.dedupClustersStar) — the diameter-independent O(log)-round
+    // scale path. Three formulations now agree on this answer: min-label
+    // propagation (q67), star alternation (q84), and the oracle's
+    // recursive transitive closure.
+    "q84_dedup_clusters_star" -> ((s, d) => {
+      val pairs = Dedup.ngramJaccardPairs(t(s, d, "documents"),
+        "doc_id", "text", n = 3, threshold = 0.6)
+      Dedup.dedupClustersStar(pairs, "da", "db")
+        .select(col("node").as("doc_id"), col("lbl").as("cluster"))
+        .orderBy("doc_id")
+    }),
+
     // Regex redaction at corpus scale (the PII-scrub shape: pattern →
     // count + replace); the corpus plants no emails, so the scrubbed
     // token is a domain word — the operator is the contract, the
@@ -1016,6 +1029,11 @@ object ExtQueries {
     // transitive closure by recursive CTE over the SAME jaccardCtes pair
     // formulation as q26/q52 (UNION dedups, so the recursion terminates)
     "q67_dedup_clusters" ->
+      (s"WITH RECURSIVE $dedupClosureCtes " +
+        "SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node ORDER BY doc_id"),
+    // q84 computes the identical fixpoint by a different algorithm
+    // (star alternation vs propagation) — same closure oracle
+    "q84_dedup_clusters_star" ->
       (s"WITH RECURSIVE $dedupClosureCtes " +
         "SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node ORDER BY doc_id"),
     // the cluster labels APPLIED: non-representative members dropped,

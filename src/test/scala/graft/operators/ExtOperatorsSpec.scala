@@ -52,6 +52,40 @@ class ExtOperatorsSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("dedupClustersStar: propagation's fixpoint in O(log) rounds on deep graphs") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("da", "db")
+    val star = Dedup.dedupClustersStar(pairs, "da", "db")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+    // diameter-199 path: min-label propagation needs ~199 driver rounds
+    // (its own spec above throws past maxIter); the large/small-star
+    // alternation is diameter-independent and must close it in ≤ 10
+    val path = (1L until 200L).map(i => (i, i + 1)).toDF("da", "db")
+    val (lbls, rounds) = Dedup.dedupClustersStarImpl(path, "da", "db", 25)
+    assert(rounds <= 10, s"expected O(log) alternations, got $rounds")
+    val got = lbls.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (1L to 200L).map(_ -> 1L).toMap)
+  }
+
+  test("dedupClustersStar == dedupClusters on random graphs and real pairs") {
+    import spark.implicits._
+    def labelSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rnd = new scala.util.Random(7)
+    val randomPairs = Seq.fill(300)(
+        (rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .distinct.toDF("da", "db")
+    assert(labelSet(Dedup.dedupClustersStar(randomPairs, "da", "db")) ==
+      labelSet(Dedup.dedupClusters(randomPairs, "da", "db")))
+    val real = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.6)
+    assert(labelSet(Dedup.dedupClustersStar(real, "da", "db")) ==
+      labelSet(Dedup.dedupClusters(real, "da", "db")))
+  }
+
   test("minhash dedup pairs == brute-force blocked pairs") {
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.6)
       .orderBy("da", "db").collect().toSeq
