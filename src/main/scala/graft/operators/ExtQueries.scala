@@ -482,6 +482,27 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // Two-window trend comparison (Qan.compareWindows — pt-query-digest's
+    // `--history` "which queries got worse?" question) demonstrated on the
+    // events table: per-type load on each side of the range midpoint,
+    // delta-ranked. The midpoint rides in as a broadcast 1-row frame (no
+    // driver collect); the operator itself is ONE conditional-sum
+    // aggregation — one shuffle on the key, no two-scan self-join.
+    "q85_window_compare" -> ((s, d) => {
+      val ev = CoreQueries.events(s, d)
+        .withColumn("ts_us", expr("ts_ns div 1000"))
+      val mid = ev.agg(expr("(min(ts_us) + max(ts_us)) div 2").as("_mid"))
+      Qan.compareWindows(ev.crossJoin(broadcast(mid)), "event_type",
+          "ts_us", col("value"), col("_mid"))
+        .select(col("event_type"),
+          round(col("load_before"), 4).as("load_before"),
+          round(col("load_after"), 4).as("load_after"),
+          col("cnt_before"), col("cnt_after"),
+          round(col("load_delta"), 4).as("load_delta"),
+          round(col("load_ratio"), 4).as("load_ratio"))
+        .orderBy(col("load_delta").desc, col("event_type"))
+    }),
+
     // Regex redaction at corpus scale (the PII-scrub shape: pattern →
     // count + replace); the corpus plants no emails, so the scrubbed
     // token is a domain word — the operator is the contract, the
@@ -1036,6 +1057,19 @@ object ExtQueries {
     "q84_dedup_clusters_star" ->
       (s"WITH RECURSIVE $dedupClosureCtes " +
         "SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node ORDER BY doc_id"),
+    // two-window trend over the µs-truncated event time (epoch_us rule);
+    // integer-floor midpoint on both sides (Spark `div` ≡ DuckDB `//` on
+    // non-negative epochs)
+    "q85_window_compare" ->
+      ("WITH m AS (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid FROM events) " +
+        "SELECT event_type, " +
+        "round(coalesce(sum(CASE WHEN epoch_us(ts) < (SELECT mid FROM m) THEN value END), 0), 4) AS load_before, " +
+        "round(coalesce(sum(CASE WHEN epoch_us(ts) >= (SELECT mid FROM m) THEN value END), 0), 4) AS load_after, " +
+        "count(CASE WHEN epoch_us(ts) < (SELECT mid FROM m) THEN 1 END) AS cnt_before, " +
+        "count(CASE WHEN epoch_us(ts) >= (SELECT mid FROM m) THEN 1 END) AS cnt_after, " +
+        "round(coalesce(sum(CASE WHEN epoch_us(ts) >= (SELECT mid FROM m) THEN value END), 0) - coalesce(sum(CASE WHEN epoch_us(ts) < (SELECT mid FROM m) THEN value END), 0), 4) AS load_delta, " +
+        "round(coalesce(sum(CASE WHEN epoch_us(ts) >= (SELECT mid FROM m) THEN value END), 0) / nullif(coalesce(sum(CASE WHEN epoch_us(ts) < (SELECT mid FROM m) THEN value END), 0), 0), 4) AS load_ratio " +
+        "FROM events GROUP BY event_type ORDER BY load_delta DESC, event_type"),
     // the cluster labels APPLIED: non-representative members dropped,
     // unpaired documents untouched — the corpus a dedup pass ships
     "q80_dedup_apply" ->

@@ -63,6 +63,37 @@ object Qan {
           .as("total_time_scaled"))
       .orderBy("bucket", "digest")
 
+  /**
+   * Two-window trend comparison — pt-query-digest's `--history` question
+   * ("which queries got worse?") as one operator: per key, load and call
+   * count on each side of `split`, the absolute load delta, and the
+   * after/before ratio (null when the key is new — absent before the
+   * split). Ranked by delta, worst regression first.
+   *
+   * Deliberately a SINGLE aggregation over conditional sums rather than
+   * two windowed aggregates joined: one shuffle on the key, map-side
+   * partials, no join — the two-CTE + full-outer-join formulation a SQL
+   * user would write costs two scans and an extra exchange at any scale.
+   * `loadCol`/`split` are caller-supplied expressions so the rate-scaled
+   * load (`query_time * greatest(rate_limit, 1)`) and any split rule
+   * (constant timestamp, broadcast midpoint column) plug in unchanged.
+   */
+  def compareWindows(df: DataFrame, keyCol: String, tsCol: String,
+                     loadCol: org.apache.spark.sql.Column,
+                     split: org.apache.spark.sql.Column): DataFrame = {
+    val before = col(tsCol) < split
+    df.groupBy(keyCol)
+      .agg(
+        coalesce(sum(when(before, loadCol)), lit(0.0)).as("load_before"),
+        coalesce(sum(when(!before, loadCol)), lit(0.0)).as("load_after"),
+        count(when(before, lit(1))).as("cnt_before"),
+        count(when(!before, lit(1))).as("cnt_after"))
+      .withColumn("load_delta", col("load_after") - col("load_before"))
+      .withColumn("load_ratio",
+        col("load_after") / when(col("load_before") =!= 0.0, col("load_before")))
+      .orderBy(col("load_delta").desc, col(keyCol))
+  }
+
   /** Load breakdown by database and user (QAN filters sidebar). */
   def loadByDbUser(wide: DataFrame): DataFrame =
     wide.rollup("db", "user")

@@ -178,4 +178,31 @@ class QanSpec extends AnyFunSuite with SparkTestSession {
         r.getAs[Double]("total_time")) < 1e-12)
     }
   }
+
+  test("compareWindows ranks by load delta with the rate-scaled load plugged in") {
+    import org.apache.spark.sql.functions._
+    val df = wide.withColumn("ts_s", unix_timestamp(col("ts")))
+    // split at epoch 1705312803: digest A (orders) has calls 0-2 before
+    // (0.5+0.6+0.7 = 1.8) and 3-5 after (0.8+0.9+1.0 = 2.7); digest B
+    // (nation) is entirely in the after-window (3 × 0.001). The load
+    // expression is the same rate-scaled one profile() uses — unsampled
+    // fixture, so greatest(rate_limit, 1) degenerates to 1.
+    val cmp = Qan.compareWindows(df, "digest", "ts_s",
+      col("query_time") * greatest(col("rate_limit"), lit(1L)),
+      lit(1705312803L)).collect()
+    assert(cmp.length == 2)
+    val top = cmp(0) // worst regression first: A's delta 0.9 > B's 0.003
+    assert(math.abs(top.getAs[Double]("load_before") - 1.8) < 1e-9)
+    assert(math.abs(top.getAs[Double]("load_after") - 2.7) < 1e-9)
+    assert(math.abs(top.getAs[Double]("load_delta") - 0.9) < 1e-9)
+    assert(top.getAs[Long]("cnt_before") == 3L)
+    assert(top.getAs[Long]("cnt_after") == 3L)
+    assert(math.abs(top.getAs[Double]("load_ratio") - 1.5) < 1e-9)
+    val fresh = cmp(1) // new-after-split key: zero before, null ratio
+    assert(fresh.getAs[Long]("cnt_before") == 0L)
+    assert(fresh.getAs[Long]("cnt_after") == 3L)
+    assert(math.abs(fresh.getAs[Double]("load_before")) < 1e-12)
+    assert(math.abs(fresh.getAs[Double]("load_delta") - 0.003) < 1e-9)
+    assert(fresh.isNullAt(fresh.fieldIndex("load_ratio")))
+  }
 }
