@@ -503,6 +503,16 @@ object ExtQueries {
         .orderBy(col("load_delta").desc, col("event_type"))
     }),
 
+    // Deterministic epoch shuffle (Pipeline.shuffleDeterministic): the
+    // reproducible pseudorandom permutation a training pipeline streams a
+    // corpus in — md5(id:seed) sort key, range-partitioned global sort.
+    // The entry ships the head of the epoch-7 stream; the oracle replays
+    // the identical md5-hex ordering.
+    "q86_epoch_shuffle" -> ((s, d) =>
+      Pipeline.shuffleDeterministic(t(s, d, "documents"), "doc_id", seed = 7L)
+        .select(col("doc_id"), col("shuffle_key"), col("lang"))
+        .limit(100)),
+
     // Regex redaction at corpus scale (the PII-scrub shape: pattern →
     // count + replace); the corpus plants no emails, so the scrubbed
     // token is a domain word — the operator is the contract, the
@@ -1070,6 +1080,10 @@ object ExtQueries {
         "round(coalesce(sum(CASE WHEN epoch_us(ts) >= (SELECT mid FROM m) THEN value END), 0) - coalesce(sum(CASE WHEN epoch_us(ts) < (SELECT mid FROM m) THEN value END), 0), 4) AS load_delta, " +
         "round(coalesce(sum(CASE WHEN epoch_us(ts) >= (SELECT mid FROM m) THEN value END), 0) / nullif(coalesce(sum(CASE WHEN epoch_us(ts) < (SELECT mid FROM m) THEN value END), 0), 0), 4) AS load_ratio " +
         "FROM events GROUP BY event_type ORDER BY load_delta DESC, event_type"),
+    // the same md5-hex permutation replayed in SQL (seed 7, epoch head)
+    "q86_epoch_shuffle" ->
+      ("SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':7') AS shuffle_key, lang " +
+        "FROM documents ORDER BY shuffle_key, doc_id LIMIT 100"),
     // the cluster labels APPLIED: non-representative members dropped,
     // unpaired documents untouched — the corpus a dedup pass ships
     "q80_dedup_apply" ->

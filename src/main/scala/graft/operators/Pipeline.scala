@@ -105,6 +105,24 @@ object Pipeline {
   }
 
   /**
+   * Deterministic global shuffle — the epoch-shuffle primitive a training
+   * pipeline runs before streaming a corpus: every row gets a pseudorandom
+   * but REPRODUCIBLE sort key `md5(id || ':' || seed)` and the frame is
+   * globally ordered by it (a new seed per epoch gives an independent
+   * permutation of the same corpus). Pure per-row arithmetic — re-runnable,
+   * partitioning-proof, engine-reproducible (the same md5-hex ordering is
+   * expressible in any SQL engine) — and the global sort is Spark's
+   * range-partitioned exchange: each writer task receives a contiguous,
+   * already-sorted slice, so "write the corpus in shuffled order" is one
+   * pass with no driver involvement. The key rides along so downstream
+   * stages can re-sort or resume mid-epoch without recomputing it.
+   */
+  def shuffleDeterministic(df: DataFrame, idCol: String, seed: Long): DataFrame =
+    df.withColumn("shuffle_key",
+        md5(concat(col(idCol).cast("string"), lit(":"), lit(seed.toString))))
+      .orderBy("shuffle_key", idCol)
+
+  /**
    * Latest-row-wins compaction — the CDC / SCD-type-1 upsert merge: one
    * surviving row per key, chosen by the LAST position in `orderCols`
    * (later version wins; make the last order column unique so the

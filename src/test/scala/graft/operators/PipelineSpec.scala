@@ -47,6 +47,25 @@ class PipelineSpec extends AnyFunSuite with SparkTestSession {
     assert(viaWeight == viaStrata)
   }
 
+  test("shuffleDeterministic: reproducible permutation, partitioning-proof, seed-independent") {
+    val base = Pipeline.shuffleDeterministic(docs, "doc_id", seed = 7L)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    // a permutation: same multiset, nothing dropped or duplicated
+    assert(base.sorted == docs.select("doc_id").collect()
+      .map(_.getLong(0)).toSeq.sorted)
+    // reproducible under a different physical partitioning
+    val repart = Pipeline.shuffleDeterministic(
+        docs.repartition(13), "doc_id", seed = 7L)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(base == repart, "same seed must give the identical order")
+    // a new epoch (seed) is a genuinely different permutation
+    val epoch2 = Pipeline.shuffleDeterministic(docs, "doc_id", seed = 8L)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(base != epoch2)
+    // and not the sorted-id order either (it actually shuffles)
+    assert(base != base.sorted)
+  }
+
   test("latestByKey: per-key winner is the argmax of the order columns") {
     import spark.implicits._
     val log = Seq(
