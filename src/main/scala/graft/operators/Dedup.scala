@@ -414,6 +414,33 @@ object Dedup {
   }
 
   /**
+   * Semantic dedup applied end-to-end (the SemDeDup shape: drop
+   * everything that says the same thing, keep one copy): embedding
+   * near-dup pairs ([[embeddingNearDupPairs]], LSH-blocked exact-cosine)
+   * → connected components ([[dedupClustersStar]], the
+   * diameter-independent alternation — semantic clusters chain, A≈B≈C
+   * with A̸≈C, so closure is the right semantics, same as text dedup) →
+   * keep each cluster's min-id representative; rows with no near-dup
+   * pass through untouched. Returns the surviving corpus with its
+   * original schema.
+   *
+   * Scale shape: pairs and clustering are the measured-linear q45/q84
+   * paths; the final filter is one left-anti hash join on the id — the
+   * drop list is tiny relative to the corpus (it is the dup mass), so
+   * AQE broadcasts it in practice.
+   */
+  def semanticDedup(emb: DataFrame, idCol: String, embCol: String,
+                    threshold: Double, tables: Int = 8, bits: Int = 8,
+                    dim: Int = 64, seed: Long = 42L): DataFrame = {
+    val pairs = embeddingNearDupPairs(emb, idCol, embCol, threshold,
+      tables, bits, dim, seed)
+    val drops = dedupClustersStar(pairs, "da", "db")
+      .filter(col("node") =!= col("lbl"))
+      .select(col("node").as(idCol))
+    emb.join(drops, Seq(idCol), "left_anti")
+  }
+
+  /**
    * Corpus-scale SimHash: explode tokens once and take the 64 bit-votes
    * as flat aggregate expressions per document — identical fingerprints
    * to [[simHash64]] (tested), but whole-stage-codegen'd sums instead of

@@ -46,6 +46,12 @@ object ExtQueries {
   private val cosSql: String =
     "list_sum(list_apply(list_zip(p.embedding, e.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (sqrt(list_sum(list_apply(p.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) * sqrt(list_sum(list_apply(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))))"
 
+  /** q87 Apdex satisfied threshold (tolerating ≤ 4T, the standard
+    * window) — single source for the Spark call AND the generated
+    * oracle; ~p50 of the events value column, so every class has all
+    * three populations. */
+  private val ApdexT: Double = 50.0
+
   /** q72 per-lang keep rates + fallback — the single source for the
     * Spark-side stratified filter AND the generated oracle CASE. */
   private val SampleRates: Seq[(String, Double)] =
@@ -512,6 +518,39 @@ object ExtQueries {
       Pipeline.shuffleDeterministic(t(s, d, "documents"), "doc_id", seed = 7L)
         .select(col("doc_id"), col("shuffle_key"), col("lang"))
         .limit(100)),
+
+    // Apdex latency-SLO rollup (Qan.apdex) demonstrated on the events
+    // table: satisfied/tolerating class counts and the score per type,
+    // worst first. Threshold generated into the oracle from the shared
+    // constant so the two sides cannot drift.
+    "q87_apdex" -> ((s, d) =>
+      Qan.apdex(CoreQueries.events(s, d), "event_type", col("value"), ApdexT)),
+
+    // New-key detection (Qan.firstSeen — the review-table "which query
+    // classes are NEW this window?" question) on the q51 composite key
+    // (2500 classes, so the range midpoint genuinely splits them):
+    // first/last seen in epoch-µs, is_new = zero occurrences before the
+    // broadcast midpoint. Same no-driver-collect midpoint ride as q85.
+    "q88_first_seen" -> ((s, d) => {
+      val ev = CoreQueries.events(s, d)
+        .withColumn("ts_us", expr("ts_ns div 1000"))
+        .withColumn("item",
+          concat_ws("|", col("event_type"), col("user_id") % 500))
+      val mid = ev.agg(expr("(min(ts_us) + max(ts_us)) div 2").as("_mid"))
+      Qan.firstSeen(ev.crossJoin(broadcast(mid)), "item", col("ts_us"),
+        col("_mid"))
+    }),
+
+    // Semantic dedup APPLIED (Dedup.semanticDedup — the embedding twin
+    // of q80's text closure): q45's pairs → connected components → one
+    // survivor per cluster. The oracle recomputes the full brute-force
+    // cosine closure, so blocking recall, clustering, and the anti-join
+    // are all under the hash check; the entry ships the surviving ids.
+    "q89_semantic_dedup" -> ((s, d) =>
+      Dedup.semanticDedup(t(s, d, "embeddings").filter(col("vec_id") < 1000),
+          "vec_id", "embedding", threshold = 0.9)
+        .select(col("vec_id"))
+        .orderBy("vec_id")),
 
     // Regex redaction at corpus scale (the PII-scrub shape: pattern →
     // count + replace); the corpus plants no emails, so the scrubbed
@@ -1084,6 +1123,37 @@ object ExtQueries {
     "q86_epoch_shuffle" ->
       ("SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':7') AS shuffle_key, lang " +
         "FROM documents ORDER BY shuffle_key, doc_id LIMIT 100"),
+    // Apdex from the same shared threshold constant; the score is the
+    // identical (satisfied + tolerating/2) / cnt double on both sides
+    "q87_apdex" -> {
+      val t = ApdexT
+      val sat = s"count(CASE WHEN value <= $t THEN 1 END)"
+      val tol = s"count(CASE WHEN value > $t AND value <= ${4 * t} THEN 1 END)"
+      s"SELECT event_type, count(*) AS cnt, $sat AS satisfied, $tol AS tolerating, " +
+        s"round(($sat + $tol / 2.0) / count(*), 4) AS apdex " +
+        "FROM events GROUP BY event_type ORDER BY apdex, event_type"
+    },
+    // first/last seen over the µs-truncated event time (epoch_us rule,
+    // q85's midpoint); is_new = zero occurrences before the midpoint
+    "q88_first_seen" ->
+      ("WITH m AS (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid FROM events) " +
+        "SELECT event_type || '|' || CAST(user_id % 500 AS VARCHAR) AS item, " +
+        "min(epoch_us(ts)) AS first_seen, max(epoch_us(ts)) AS last_seen, count(*) AS cnt, " +
+        "count(CASE WHEN epoch_us(ts) < (SELECT mid FROM m) THEN 1 END) = 0 AS is_new " +
+        "FROM events GROUP BY 1 ORDER BY is_new DESC, first_seen DESC, item"),
+    // brute-force cosine pairs (q45 formulation) → recursive transitive
+    // closure (q67/q80 pattern) → drop non-representatives, ship ids
+    "q89_semantic_dedup" -> {
+      val pairCos = cosSql.replace("p.embedding", "a.embedding")
+        .replace("e.embedding", "b.embedding")
+      "WITH RECURSIVE " +
+        s"pairs AS (SELECT a.vec_id da, b.vec_id db FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id WHERE a.vec_id < 1000 AND b.vec_id < 1000 AND $pairCos >= 0.9), " +
+        "edges AS (SELECT da x, db y FROM pairs UNION ALL SELECT db, da FROM pairs), " +
+        "reach(node, lbl) AS (SELECT x, x FROM (SELECT DISTINCT x FROM edges) t UNION SELECT e.x, r.lbl FROM edges e JOIN reach r ON e.y = r.node), " +
+        "lbls AS (SELECT node, min(lbl) AS lbl FROM reach GROUP BY node) " +
+        "SELECT vec_id FROM embeddings WHERE vec_id < 1000 " +
+        "AND vec_id NOT IN (SELECT node FROM lbls WHERE node <> lbl) ORDER BY vec_id"
+    },
     // the cluster labels APPLIED: non-representative members dropped,
     // unpaired documents untouched — the corpus a dedup pass ships
     "q80_dedup_apply" ->

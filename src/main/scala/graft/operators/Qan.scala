@@ -94,6 +94,53 @@ object Qan {
       .orderBy(col("load_delta").desc, col(keyCol))
   }
 
+  /**
+   * Apdex per key — the classic latency-SLO rollup over a query-class
+   * report: `(satisfied + tolerating/2) / total`, where a call is
+   * satisfied at latency ≤ `t` and tolerating at `t < latency ≤ 4t`
+   * (the standard Apdex tolerating window). Worst-scoring keys first,
+   * which is the page a responder actually reads.
+   *
+   * One hash aggregation — the three class counts are conditional
+   * counts inside the same `groupBy`, so the scan and shuffle are paid
+   * once no matter how many thresholds a caller adds. `latencyCol` is a
+   * caller expression so the rate-scaled or raw latency plugs in
+   * unchanged (same contract as [[compareWindows]]'s `loadCol`).
+   */
+  def apdex(df: DataFrame, keyCol: String,
+            latencyCol: org.apache.spark.sql.Column, t: Double): DataFrame =
+    df.groupBy(keyCol)
+      .agg(
+        count(lit(1)).as("cnt"),
+        count(when(latencyCol <= t, lit(1))).as("satisfied"),
+        count(when(latencyCol > t && latencyCol <= 4 * t, lit(1)))
+          .as("tolerating"))
+      .withColumn("apdex",
+        round((col("satisfied") + col("tolerating") / lit(2.0)) / col("cnt"), 4))
+      .orderBy(col("apdex").asc, col(keyCol))
+
+  /**
+   * New-query detection — the review-table question ("which query
+   * classes appeared for the first time in this window?"): per key,
+   * first/last seen and call count, flagged `is_new` when the key has
+   * NO occurrence before `cutoff`. New keys first, newest first.
+   *
+   * `first_seen >= cutoff ⟺ zero occurrences before cutoff`, so the
+   * flag is a conditional count inside the one aggregation rather than
+   * a comparison against the aggregate — which lets `cutoff` be any
+   * row-level expression (constant, broadcast midpoint column) without
+   * a second pass.
+   */
+  def firstSeen(df: DataFrame, keyCol: String, tsCol: org.apache.spark.sql.Column,
+                cutoff: org.apache.spark.sql.Column): DataFrame =
+    df.groupBy(keyCol)
+      .agg(
+        min(tsCol).as("first_seen"),
+        max(tsCol).as("last_seen"),
+        count(lit(1)).as("cnt"),
+        (count(when(tsCol < cutoff, lit(1))) === 0).as("is_new"))
+      .orderBy(col("is_new").desc, col("first_seen").desc, col(keyCol))
+
   /** Load breakdown by database and user (QAN filters sidebar). */
   def loadByDbUser(wide: DataFrame): DataFrame =
     wide.rollup("db", "user")

@@ -497,6 +497,39 @@ class ExtOperatorsSpec extends AnyFunSuite with SparkTestSession {
     assert(got.toSeq == expected)
   }
 
+  test("semanticDedup keeps one representative per chained cluster") {
+    import spark.implicits._
+    // a 2-D rotation chain embedded in 64 dims: cos(v0,v1)=cos(v1,v2)
+    // = cos 9° ≈ 0.988 ≥ 0.97 but cos(v0,v2) = cos 18° ≈ 0.951 < 0.97 —
+    // only the closure makes {0,1,2} one cluster; 40 is isolated
+    def vec(deg: Double): Array[Float] = {
+      val r = math.toRadians(deg)
+      Array.tabulate(64)(i =>
+        if (i == 0) math.cos(r).toFloat
+        else if (i == 1) math.sin(r).toFloat else 0f)
+    }
+    val corpus = Seq(
+      (0L, vec(0)), (1L, vec(9)), (2L, vec(18)),
+      (40L, Array.tabulate(64)(i => if (i == 2) 1f else 0f)))
+      .toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedup(corpus, "vec_id", "embedding",
+      threshold = 0.97)
+    assert(out.select("vec_id").collect().map(_.getLong(0)).toSet
+      == Set(0L, 40L))
+    // schema passes through untouched
+    assert(out.columns.toSeq == Seq("vec_id", "embedding"))
+  }
+
+  test("semanticDedup with no near-dups is the identity") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, Array.tabulate(64)(i => if (i == 0) 1f else 0f)),
+      (2L, Array.tabulate(64)(i => if (i == 1) 1f else 0f)))
+      .toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedup(corpus, "vec_id", "embedding", 0.9)
+    assert(out.count() == 2)
+  }
+
   test("rollingFingerprint uses code points (ascii parity with DuckDB)") {
     import spark.implicits._
     // 'é' = U+00E9 = 233 in BOTH Spark ascii() and DuckDB ascii()

@@ -205,4 +205,47 @@ class QanSpec extends AnyFunSuite with SparkTestSession {
     assert(math.abs(fresh.getAs[Double]("load_delta") - 0.003) < 1e-9)
     assert(fresh.isNullAt(fresh.fieldIndex("load_ratio")))
   }
+
+  test("apdex scores the three latency classes and ranks worst first") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // key a at t=50: 10 satisfied, 60 tolerating (50,200], 300 frustrated
+    // → (1 + 0.5)/3 = 0.5; key b: all satisfied → 1.0; a sorts first
+    val df = Seq(("a", 10.0), ("a", 60.0), ("a", 300.0),
+      ("b", 10.0), ("b", 20.0)).toDF("k", "lat")
+    val out = Qan.apdex(df, "k", col("lat"), t = 50.0).collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("a", "b"))
+    val a = out(0)
+    assert(a.getAs[Long]("cnt") == 3L)
+    assert(a.getAs[Long]("satisfied") == 1L)
+    assert(a.getAs[Long]("tolerating") == 1L)
+    assert(a.getAs[Double]("apdex") == 0.5)
+    assert(out(1).getAs[Double]("apdex") == 1.0)
+    // boundary: exactly t is satisfied, exactly 4t is tolerating
+    val edge = Qan.apdex(Seq(("e", 50.0), ("e", 200.0)).toDF("k", "lat"),
+      "k", col("lat"), t = 50.0).collect().head
+    assert(edge.getAs[Long]("satisfied") == 1L)
+    assert(edge.getAs[Long]("tolerating") == 1L)
+  }
+
+  test("firstSeen flags keys with no occurrence before the cutoff") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // a spans the cutoff (old), b starts after it (new), c ends before
+    val df = Seq(("a", 1L), ("a", 9L), ("b", 10L), ("b", 12L), ("c", 2L))
+      .toDF("k", "ts")
+    val out = Qan.firstSeen(df, "k", col("ts"), lit(8L)).collect()
+    // new first, then newest-first within each flag class
+    assert(out.map(_.getString(0)).toSeq == Seq("b", "c", "a"))
+    val b = out(0)
+    assert(b.getAs[Boolean]("is_new"))
+    assert(b.getAs[Long]("first_seen") == 10L)
+    assert(b.getAs[Long]("last_seen") == 12L)
+    assert(b.getAs[Long]("cnt") == 2L)
+    assert(!out(1).getAs[Boolean]("is_new") && !out(2).getAs[Boolean]("is_new"))
+    // boundary: first occurrence exactly AT the cutoff counts as new
+    val at = Qan.firstSeen(Seq(("x", 8L)).toDF("k", "ts"),
+      "k", col("ts"), lit(8L)).collect().head
+    assert(at.getAs[Boolean]("is_new"))
+  }
 }
