@@ -977,6 +977,27 @@ object ExtQueries {
         .select("probe_id", "nn_id", "sim", "rn")
         .orderBy("probe_id", "rn")
     }),
+    // Multi-probe LSH under q41c's identical 500-probe load, HALF the
+    // stored index (16 tables vs 32, bits=8): query-directed flips=6
+    // recover what the missing tables would have found. Measured
+    // (graft.MultiProbe, recall@3 vs exact): 0.823 at sf0.01 / 0.871 at
+    // sf0.1 vs q41c's 0.829/0.850 — same recall, half the index rows
+    // and half the per-row hash work at build AND probe time. The
+    // index-size/recall trade moves to probe-time policy (SCALE.md §10:
+    // the third-decade re-tune is flips, not a corpus re-encode).
+    "q41e_ann_multiprobe" -> ((s, d) => {
+      val idx = annIndexCache.getOrElseUpdate(s"$d#16x8", {
+        val f = Similarity.annBucketFrame(t(s, d, "embeddings"),
+          "vec_id", "embedding", tables = 16, bits = 8).persist()
+        f.count() // materialize: index-build cost, paid once
+        f
+      })
+      val probes = t(s, d, "embeddings").filter(col("vec_id") < 500)
+      Similarity.annCosineTopKFromMulti(idx, probes, "vec_id", "embedding",
+          k = 3, tables = 16, bits = 8, flips = 6)
+        .select("probe_id", "nn_id", "sim", "rn")
+        .orderBy("probe_id", "rn")
+    }),
     // The exact brute-force path under q41c's identical 500-probe load:
     // the baseline the ANN probe must beat (and the honest version of
     // "ANN vs q39" — q39's 5-probe timing is pure job overhead).

@@ -136,6 +136,97 @@ object Similarity {
   }
 
   /**
+   * Query-directed multi-probe key sets for the PROBE side (Lv et al.,
+   * "Multi-Probe LSH", VLDB 2007): per table, the base bucket key plus
+   * `flips` one-bit perturbations, flipping the bits with the smallest
+   * hyperplane margin |dot| — the bits most likely to have landed on
+   * the wrong side for a true near neighbor. Probing those buckets too
+   * buys the recall of ~`tables × (1+flips)` plain tables while hashing
+   * and storing only `tables` — the index is UNCHANGED; only probe rows
+   * multiply, and probes are the tiny side of the join.
+   *
+   * This is the documented re-tune for the measured third-decade recall
+   * decay (SCALE.md §10: fixed tables=32 held recall@3 ≈0.85 over two
+   * decades of log₂N bits growth, then slipped to 0.745 at 1000×):
+   * recall is recovered at probe time with zero index rebuild, instead
+   * of growing `tables` — which would re-encode every stored row.
+   *
+   * Returns one `array<array<long>>` column (per table, `1+flips` keys,
+   * base key first); same compiled-closure rationale and null contract
+   * as [[lshKeysArray]], and bit-identical base keys (shared plane
+   * derivation — spec-proven).
+   */
+  def lshProbeKeysMulti(tables: Int, bits: Int, dim: Int, seed: Long = 42L,
+                        flips: Int = 2): Column => Column = {
+    require(flips >= 0 && flips <= bits, s"flips must be in [0, $bits]")
+    val ps: Array[Array[Array[Double]]] =
+      planes(tables, bits, dim, seed).map(_.map(_.toArray).toArray).toArray
+    val f = udf { (emb: Seq[Float]) =>
+      if (emb == null) null
+      else {
+        val v = emb.toArray
+        Array.tabulate(tables) { t =>
+          val tp = ps(t)
+          val dots = new Array[Double](bits)
+          var key = 0L
+          var b = 0
+          while (b < bits) {
+            val plane = tp(b)
+            var dot = 0.0
+            var i = 0
+            val n = math.min(plane.length, v.length)
+            while (i < n) { dot += v(i) * plane(i); i += 1 }
+            dots(b) = dot
+            if (dot > 0) key |= (1L << b)
+            b += 1
+          }
+          // deterministic margin order (bit index breaks exact ties)
+          val order = Array.range(0, bits)
+            .sortBy(b => (math.abs(dots(b)), b))
+          val out = new Array[Long](1 + flips)
+          out(0) = key
+          var j = 0
+          while (j < flips) { out(j + 1) = key ^ (1L << order(j)); j += 1 }
+          out.toSeq
+        }.toSeq
+      }
+    }
+    (emb: Column) => f(emb)
+  }
+
+  /**
+   * [[annCosineTopKFrom]] with query-directed multi-probe: identical
+   * stored index and join shape, probe side carries `1+flips` keys per
+   * table. `flips = 0` is bit-identical to the single-probe path
+   * (spec). Candidate sets are supersets of single-probe's, so recall
+   * is monotone in `flips` (spec). Measured ([[graft.MultiProbe]],
+   * sf0.1, q41c's 500-probe load, recall@3 vs exact kNN):
+   *
+   *   - over-grown-bits regime t=32 b=8 (the third-decade shape):
+   *     0.528 → 0.883 (flips=2, probe ×1.49) → 0.965 (flips=4, ×1.83)
+   *   - shipped oracle regime t=32 b=6: 0.850 → 0.997 → 1.000
+   *   - HALF the index, t=16 b=8, flips=4: recall 0.805 in 1.10 s —
+   *     beats t=16→32 table doubling (t=32 flips=0: 0.528 in 2.14 s)
+   *     on recall AND probe time at half the storage.
+   *
+   * So the scale policy is: size `bits` by [[bitsFor]]'s occupancy
+   * rule, and buy recall with `flips` at probe time — never by
+   * re-encoding the corpus into more tables.
+   */
+  def annCosineTopKFromMulti(corpusBuckets: DataFrame, probes: DataFrame,
+                             idCol: String, embCol: String, k: Int,
+                             tables: Int, bits: Int, dim: Int = 64,
+                             seed: Long = 42L, flips: Int = 2): DataFrame = {
+    val keys = lshProbeKeysMulti(tables, bits, dim, seed, flips)(col(embCol))
+    val p = probes
+      .select(col(idCol).as("probe_id"), col(embCol).as("_emb_probe_id"),
+        posexplode(keys).as(Seq("table", "keys")))
+      .select(col("probe_id"), col("_emb_probe_id"), col("table"),
+        explode(col("keys")).as("key"))
+    annRerank(corpusBuckets, p, k)
+  }
+
+  /**
    * The exploded LSH bucket frame `(id, emb, table, key)` — the
    * persistable ANN index. At rest, write it `bucketBy(key)`
    * ([[graft.sources.Warehouse.saveAnnIndex]]) so a probe lookup becomes
@@ -201,18 +292,26 @@ object Similarity {
                         idCol: String, embCol: String, k: Int,
                         tables: Int, bits: Int,
                         dim: Int = 64, seed: Long = 42L): DataFrame = {
-    val c = corpusBuckets.select(col("id").as("nn_id"),
-      col("emb").as("_emb_nn_id"), col("table"), col("key"))
     val p = annBucketFrame(probes, idCol, embCol, tables, bits, dim, seed)
       .select(col("id").as("probe_id"), col("emb").as("_emb_probe_id"),
         col("table"), col("key"))
+    annRerank(corpusBuckets, p, k)
+  }
+
+  /** Shared bucket-join + exact re-rank tail of the LSH probe paths:
+    * probe frame is `(probe_id, _emb_probe_id, table, key)` with any key
+    * multiplicity (single- or multi-probe). */
+  private def annRerank(corpusBuckets: DataFrame, probeFrame: DataFrame,
+                        k: Int): DataFrame = {
+    val c = corpusBuckets.select(col("id").as("nn_id"),
+      col("emb").as("_emb_nn_id"), col("table"), col("key"))
     val w = Window.partitionBy("probe_id")
       .orderBy(col("sim").desc, col("nn_id"))
     // Score before dedup: a pair colliding in several tables is scored up
     // to `tables` times (cheap, ~2·dim flops), but the distinct then runs
     // on (long, long, double) — the exchange never carries embeddings
     // (grouping on float arrays was the scale bug caught in plan audit).
-    c.join(broadcast(p), Seq("table", "key"))
+    c.join(broadcast(probeFrame), Seq("table", "key"))
       .filter(col("nn_id") =!= col("probe_id"))
       .select(col("probe_id"), col("nn_id"),
         round(cosine(col("_emb_probe_id"), col("_emb_nn_id")), 4).as("sim"))

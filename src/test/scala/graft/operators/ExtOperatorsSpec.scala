@@ -182,6 +182,53 @@ class ExtOperatorsSpec extends AnyFunSuite with SparkTestSession {
     assert(viaUdf == viaHof)
   }
 
+  test("multi-probe keys: base key identical to single-probe, flips at hamming 1") {
+    val (tables, bits, dim) = (4, 6, 64)
+    val single = emb.select(col("vec_id"),
+        Similarity.lshKeysArray(tables, bits, dim)(col("embedding")).as("ks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).toMap
+    val multi = emb.select(col("vec_id"),
+        Similarity.lshProbeKeysMulti(tables, bits, dim, flips = 2)(col("embedding"))
+          .as("ks"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[scala.collection.Seq[Long]](1).map(_.toVector).toVector)
+      .toMap
+    assert(multi.keySet == single.keySet)
+    for ((id, perTable) <- multi; (keys, t) <- perTable.zipWithIndex) {
+      assert(keys.length == 3)
+      assert(keys.head == single(id)(t)) // base key bit-identical
+      for (k <- keys.tail) // each perturbation flips exactly one bit
+        assert(java.lang.Long.bitCount(k ^ keys.head) == 1)
+      assert(keys.distinct.length == 3) // distinct buckets probed
+    }
+  }
+
+  test("multi-probe ann: flips=0 equals the single-probe path; recall is monotone") {
+    val (tables, bits) = (4, 6)
+    val idx = Similarity.annBucketFrame(emb, "vec_id", "embedding",
+      tables = tables, bits = bits)
+    val probes = emb.filter(col("vec_id") < 20)
+    def res(flips: Int): Map[(Long, Long), Double] =
+      Similarity.annCosineTopKFromMulti(idx, probes, "vec_id", "embedding",
+          k = 5, tables = tables, bits = bits, flips = flips)
+        .collect()
+        .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("rn")) ->
+          r.getAs[Double]("sim")).toMap
+    val plain = Similarity.annCosineTopKFrom(idx, probes, "vec_id", "embedding",
+        k = 5, tables = tables, bits = bits)
+      .collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("rn")) ->
+        r.getAs[Double]("sim")).toMap
+    assert(res(0) == plain) // flips=0 ≡ single-probe, value-identical
+    // superset candidates ⇒ at every rank the sim weakly improves, and
+    // no probe returns fewer neighbors
+    val f0 = res(0); val f2 = res(2)
+    assert(f0.keySet.map(_._1).subsetOf(f2.keySet.map(_._1)))
+    for ((pr, s0) <- f0; s2 <- f2.get(pr)) assert(s2 >= s0 - 1e-9,
+      s"rank ${pr._2} of probe ${pr._1} got worse: $s0 -> $s2")
+  }
+
   test("simhash: aggregate formulation equals the per-row HOF version") {
     val viaHof = docs.select(col("doc_id"),
         Dedup.simHash64(split(col("text"), " ")).as("sh"))
