@@ -582,6 +582,40 @@ object Dedup {
   }
 
   /**
+   * Cross-corpus SimHash probe — the INCREMENTAL dedup primitive: which
+   * ids in `probeBands` sit within `maxHamming` of ANY id in
+   * `indexBands`? Same band-bucketed join + exact hamming verify as
+   * [[simHashNearDupPairsFrom]], but across two frames and without the
+   * `da < db` self-join guard (the sides are different corpora), so a
+   * new batch checks against an at-rest index without ever re-pairing
+   * the indexed corpus. Output: one row per matched probe id
+   * (`idCol`), distinct.
+   *
+   * Scale shape: with the index stored `bucketBy(key)`
+   * ([[graft.sources.Warehouse.saveSimHashIndex]]) the join reads only
+   * the probe batch's buckets and arrives pre-distributed on the join
+   * key — the probe side is the small side and broadcasts under AQE.
+   * Cost ∝ batch, not corpus (the same property BENCH_SCALED measured
+   * flat for the IVF/PQ appends).
+   */
+  def simHashMatchesAgainst(probeBands: DataFrame, indexBands: DataFrame,
+                            idCol: String,
+                            maxHamming: Int = 16): DataFrame = {
+    val p = probeBands.select(col(idCol), col("sh").as("_sh_p"),
+      col("band"), col("key"))
+    val ix = indexBands.select(col("sh").as("_sh_i"),
+      col("band"), col("key"))
+    val hamming = (0 until SimHashBands).map(i =>
+      call_function("bit_count",
+        bandOf(col("_sh_p"), i).bitwiseXOR(bandOf(col("_sh_i"), i))))
+      .reduce(_ + _).cast("long")
+    p.join(ix, Seq("band", "key"))
+      .filter(hamming <= maxHamming)
+      .select(col(idCol))
+      .distinct()
+  }
+
+  /**
    * 64-bit SimHash over a token array column: per-token xxhash64, per-bit
    * ±1 votes, fingerprint bit b set when the vote is positive. Pure
    * higher-order functions — stays inside whole-stage codegen.

@@ -38,7 +38,7 @@ object Warehouse {
     * and the path is the catalog's own `defaultTablePath` for the parsed
     * identifier — honoring the current database and `db.tbl` qualifiers
     * instead of assuming `<warehouse>/<name>`. */
-  private def dropWithLocation(spark: SparkSession, table: String): Unit = {
+  def dropWithLocation(spark: SparkSession, table: String): Unit = {
     val cat = spark.sessionState.catalog
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
     if (cat.tableExists(ident)) {

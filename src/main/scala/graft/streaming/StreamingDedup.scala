@@ -1,0 +1,105 @@
+package graft.streaming
+
+import graft.operators.Dedup
+import graft.sources.Warehouse
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/**
+ * Online near-duplicate ADMISSION CONTROL — the shape a 100 TB training
+ * corpus actually ingests through: documents arrive as a stream, and a
+ * document is admitted only if nothing like it has been admitted
+ * before. The at-rest SimHash index ([[graft.sources.Warehouse.saveSimHashIndex]])
+ * is both the memory and the output: each micro-batch probes it, and
+ * the survivors' band rows are appended so later batches (and every
+ * other consumer of the index) see them immediately.
+ *
+ * Per micro-batch:
+ *   1. fingerprint + band the batch with the SAME stateless seed-derived
+ *      model as the stored index ([[graft.operators.Dedup.simHashBandFrame]]
+ *      — no fit, so batch and index encodings can never drift);
+ *   2. resolve WITHIN-batch near-dups (banded pair join → connected
+ *      components → min-id representative) so one batch cannot admit two
+ *      copies of the same new document;
+ *   3. probe the stored index ([[graft.operators.Dedup.simHashMatchesAgainst]]):
+ *      representatives within `maxHamming` of any admitted document are
+ *      rejected. Non-representatives follow their representative
+ *      (transitive-closure semantics across the batch∪index graph, same
+ *      closure contract as the batch dedup operators);
+ *   4. append survivors' bands to the index and survivors to `outPath`.
+ *
+ * Cost per batch ∝ batch size, not corpus size: the index join is
+ * bucket-colocated on the band key and the batch side broadcasts; the
+ * append encodes only the batch (the measured-flat maintenance property,
+ * BENCH_SCALED `ivf_append`/`pq_append`).
+ *
+ * Exactly-once: the file-source checkpoint guarantees each input file is
+ * processed once per query lifetime. A batch REPLAYED after a mid-batch
+ * crash may append duplicate index/output rows for its own survivors —
+ * duplicate band rows never change admission decisions (the probe is a
+ * distinct-semijoin), but consumers of `outPath` that need exact-once
+ * rows should dedup on `idCol` (cheap: survivors are globally unique by
+ * construction). Making the output write conditional on the batch id
+ * (the JdbcSink pattern) is the strict alternative.
+ */
+object StreamingDedup {
+
+  def simHashAdmission(docs: DataFrame, idCol: String, textCol: String,
+                       indexTable: String, outPath: String,
+                       checkpointDir: String,
+                       maxHamming: Int = 16,
+                       indexBuckets: Int = 32): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        admitBatch(batch, idCol, textCol, indexTable, outPath,
+          maxHamming, indexBuckets)
+      }
+      .start()
+
+  /** One admission round — also the BATCH incremental-dedup API (ship a
+    * day's partition against the standing index without a stream). */
+  def admitBatch(batch: DataFrame, idCol: String, textCol: String,
+                 indexTable: String, outPath: String,
+                 maxHamming: Int = 16, indexBuckets: Int = 32): Unit = {
+    val spark = batch.sparkSession
+    val b = batch.persist()
+    try {
+      val bands = Dedup.simHashBandFrame(b, idCol,
+        split(col(textCol), " ")).persist()
+      try {
+        // within-batch: one representative per near-dup cluster
+        val within = Dedup.simHashNearDupPairsFrom(bands, idCol, maxHamming)
+        val dropWithin = Dedup.dedupClustersStar(within, "da", "db")
+          .filter(col("node") =!= col("lbl"))
+          .select(col("node").as(idCol))
+        val repBands = bands.join(dropWithin, Seq(idCol), "left_anti")
+        // vs the standing index: reject anything already admitted.
+        // localCheckpoint (eager) SEVERS the plan from the index table
+        // before we append to it below — a lazy plan would re-probe the
+        // table at output-write time, find the survivors' own
+        // just-appended bands, and self-reject every admitted document
+        // (persist() is not enough: the table append recaches dependent
+        // plans). Checkpointed rows are (id, sh, band, key) — scalar,
+        // batch-sized, never corpus-sized.
+        val survivorBands = (
+          if (spark.catalog.tableExists(indexTable)) {
+            val hit = Dedup.simHashMatchesAgainst(
+              repBands, spark.table(indexTable), idCol, maxHamming)
+            repBands.join(hit, Seq(idCol), "left_anti")
+          } else repBands
+        ).localCheckpoint()
+        val survivorIds = survivorBands.select(idCol).distinct()
+        val survivors = b.join(survivorIds, Seq(idCol), "left_semi")
+        // admit: index first (later batches must see these bands even if
+        // the output write below fails and the batch replays)
+        Warehouse.saveSimHashIndex(survivorBands, indexTable,
+          buckets = indexBuckets,
+          mode = if (spark.catalog.tableExists(indexTable)) SaveMode.Append
+                 else SaveMode.ErrorIfExists)
+        survivors.write.mode(SaveMode.Append).parquet(outPath)
+      } finally bands.unpersist()
+    } finally b.unpersist()
+  }
+}

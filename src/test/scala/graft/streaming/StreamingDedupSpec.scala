@@ -1,0 +1,82 @@
+package graft.streaming
+
+import graft.SparkTestSession
+import graft.sources.Warehouse
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** Online admission control: a streamed corpus deduped against the
+  * at-rest SimHash index — within-batch clustering, cross-batch
+  * rejection through the stored table, survivors appended to the index
+  * so the NEXT batch sees them. */
+class StreamingDedupSpec extends AnyFunSuite with SparkTestSession {
+
+  private val schema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType)))
+
+  // ~40 tokens per doc: a one-token mutation moves only a few of the 64
+  // simhash bits (near-dup at maxHamming=16); disjoint vocabularies land
+  // ~32 bits apart (stranger)
+  private def doc(stem: String): String =
+    (0 until 40).map(i => s"$stem$i").mkString(" ")
+  private def mutate(text: String, i: Int): String =
+    text.split(" ").updated(i, s"changed$i").mkString(" ")
+
+  test("streamed batches admit one representative and reject index dups") {
+    import spark.implicits._
+    val srcDir = Files.createTempDirectory("graft-sdx-src").toString
+    val outDir = Files.createTempDirectory("graft-sdx-out").toString + "/out"
+    val ckpt = Files.createTempDirectory("graft-sdx-ckpt").toString
+    val tbl = "graft_bench_stream_sdx"
+    Warehouse.dropWithLocation(spark, tbl)
+
+    val base = doc("alpha")
+    def runOnce(): Unit = {
+      val q = StreamingDedup.simHashAdmission(
+        spark.readStream.schema(schema).parquet(srcDir),
+        "doc_id", "text", tbl, outDir, ckpt)
+      q.processAllAvailable(); q.stop()
+    }
+
+    // batch 1: 1 and 2 are near-dups of each other (min-id 1 survives),
+    // 3 is a stranger
+    Seq((1L, base), (2L, mutate(base, 5)), (3L, doc("beta")))
+      .toDF("doc_id", "text").write.mode("append").parquet(srcDir)
+    runOnce()
+    // batch 2: 4 is a near-dup of ADMITTED 1 (only the stored index can
+    // reject it); 5 is a stranger
+    Seq((4L, mutate(base, 7)), (5L, doc("gamma")))
+      .toDF("doc_id", "text").write.mode("append").parquet(srcDir)
+    runOnce()
+
+    val admitted = spark.read.parquet(outDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(admitted == Set(1L, 3L, 5L), s"admitted $admitted")
+    // the index holds exactly the survivors' band rows (4 bands each)
+    val idx = spark.table(tbl)
+    assert(idx.select("doc_id").distinct().collect()
+      .map(_.getLong(0)).toSet == Set(1L, 3L, 5L))
+    assert(idx.count() == 12L)
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
+  test("admitBatch is the batch API: day-2 partition against a standing index") {
+    import spark.implicits._
+    val outDir = Files.createTempDirectory("graft-sdx-b-out").toString + "/o"
+    val tbl = "graft_bench_batch_sdx"
+    Warehouse.dropWithLocation(spark, tbl)
+    val base = doc("delta")
+    StreamingDedup.admitBatch(Seq((10L, base)).toDF("doc_id", "text"),
+      "doc_id", "text", tbl, outDir)
+    StreamingDedup.admitBatch(
+      Seq((11L, mutate(base, 3)), (12L, doc("epsilon"))).toDF("doc_id", "text"),
+      "doc_id", "text", tbl, outDir)
+    val admitted = spark.read.parquet(outDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(admitted == Set(10L, 12L), s"admitted $admitted")
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+}
