@@ -169,7 +169,8 @@ object ScaleBench {
       }
 
       val docOps = Seq("q26_jaccard", "q52_capped", "q40_minhash",
-        "q67_clusters", "q67_cluster_only", "q84_star_only", "q75_probe")
+        "q67_clusters", "q67_cluster_only", "q84_star_only", "q75_probe",
+        "admit_batch")
       val embOps = Seq("q83_pq", "q41c_probe", "q41c_logbits",
         "ivf_append", "pq_append")
       if (!(docOps ++ embOps).exists(want)) {
@@ -217,6 +218,36 @@ object ScaleBench {
         record("q75_probe", k, time(
           Dedup.simHashNearDupPairsFrom(bands, "doc_id", maxHamming = 16)))
         bands.unpersist()
+      }
+      // streaming admission at scale: the STANDING SimHash index grows k×
+      // (build excluded, like every index above) while the admitted batch
+      // stays FIXED — a 1×-sized batch of fresh-vocabulary documents runs
+      // the full admission path (within-batch CC → index probe → band
+      // append → output write). The 100 TB claim is admission cost ∝
+      // batch, so the ideal exponent is 0. min-of-2 uses two DIFFERENT
+      // fresh batches: re-admitting the same batch would be rejected as
+      // its own duplicate and skip the append half of the path.
+      if (want("admit_batch")) {
+        val tbl = "graft_bench_scale_admit"
+        Warehouse.dropWithLocation(spark, tbl)
+        Warehouse.saveSimHashIndex(
+          Dedup.simHashBandFrame(docs, "doc_id", split(col("text"), " ")),
+          tbl)
+        val outDir = java.nio.file.Files
+          .createTempDirectory("graft-scale-admit").toString + "/out"
+        def freshBatch(tag: Int): DataFrame = scaleDocs(spark, sf, 1)
+          .select((col("doc_id") + 800000000L + tag * 1000000L).as("doc_id"),
+            array_join(transform(split(col("text"), " "),
+              x => concat(x, lit("_n"), lit(tag))), " ").as("text"))
+        def once(tag: Int): Double = {
+          val b = freshBatch(tag)
+          val t0 = System.nanoTime()
+          graft.streaming.StreamingDedup.admitBatch(
+            b, "doc_id", "text", tbl, outDir)
+          (System.nanoTime() - t0) / 1e9
+        }
+        record("admit_batch", k, math.min(once(1), once(2)))
+        Warehouse.dropWithLocation(spark, tbl)
       }
       if (want("q83_pq")) {
         // q83: full PQ pipeline at the oracle config (fit+encode+ADC+re-rank)
