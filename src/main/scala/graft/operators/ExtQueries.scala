@@ -63,14 +63,15 @@ object ExtQueries {
     * before counts AND overlap, matching ngramJaccardPairs) → per-doc
     * counts → candidate pair overlaps. ONE definition so the entries
     * cannot drift structurally. */
-  private def jaccardCtes(maxShingleDf: Option[Long]): String = {
+  private def jaccardCtes(maxShingleDf: Option[Long],
+                          source: String = "documents"): String = {
     val sh0 = "SELECT doc_id, unnest(list_distinct([array_to_string(words[i:i+2],' ') for i in range(1, len(words)-1)])) AS shingle FROM docs WHERE len(words) >= 3"
     val shingleCte = maxShingleDf match {
       case None => s"sh AS ($sh0)"
       case Some(cap) =>
         s"sh0 AS ($sh0), keep AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= $cap), sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN keep USING (shingle))"
     }
-    "docs AS (SELECT doc_id, string_split(text,' ') words FROM documents), " +
+    s"docs AS (SELECT doc_id, string_split(text,' ') words FROM $source), " +
       s"$shingleCte, " +
       "cnt AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1), " +
       "p0 AS (SELECT a.doc_id da, b.doc_id db, count(*) overlap FROM sh a JOIN sh b ON a.shingle=b.shingle AND a.doc_id<b.doc_id GROUP BY 1,2)"
@@ -108,11 +109,24 @@ object ExtQueries {
   /** Transitive-closure CTE chain over the q26 pair formulation (pairs →
     * edges → recursive reach) — shared by the q67 cluster oracle and the
     * q80 applied-dedup oracle. Callers prefix `WITH RECURSIVE`. */
-  private lazy val dedupClosureCtes: String =
-    s"${jaccardCtes(None)}, " +
+  private def dedupClosureCtesFrom(source: String): String =
+    s"${jaccardCtes(None, source)}, " +
       "pairs AS (SELECT da, db FROM p0 JOIN cnt ca ON da=ca.doc_id JOIN cnt cb ON db=cb.doc_id WHERE overlap*1.0/(ca.n+cb.n-overlap) >= 0.6), " +
       "edges AS (SELECT da x, db y FROM pairs UNION ALL SELECT db, da FROM pairs), " +
       "reach(node, lbl) AS (SELECT x, x FROM (SELECT DISTINCT x FROM edges) t UNION SELECT e.x, r.lbl FROM edges e JOIN reach r ON e.y = r.node)"
+
+  private lazy val dedupClosureCtes: String = dedupClosureCtesFrom("documents")
+
+  /** DuckDB twin of TextAnalysis.qualityScore — generated from the same
+    * constants (stopword list, punct class, weights), shared by the q82
+    * aggregate oracle and the q90 pipeline oracle. */
+  private lazy val qualityScoreSql: String = {
+    val stopList = TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
+    val wcSql = "(length(text)-length(replace(text,' ',''))+1)"
+    val stopSql = s"len(list_filter(string_split(text,' '), t -> t IN ($stopList)))"
+    val punctSql = s"(length(text) - length(regexp_replace(text, '${TextAnalysis.PunctClass}', '', 'g')))"
+    s"round(0.4 * $stopSql / CAST($wcSql AS DOUBLE) + 0.3 * (1.0 - $punctSql / CAST(length(text) AS DOUBLE)) + 0.3 * least(1.0, $wcSql / 100.0), 4)"
+  }
 
   private val simHashHexSql: String =
     s"WITH $simHashDocCtes " +
@@ -893,6 +907,16 @@ object ExtQueries {
           |ORDER BY o_orderkey""".stripMargin)
     }),
 
+    // The CAPSTONE: the whole training-corpus preparation pipeline in
+    // one entry — quality gate → exact dedup → fuzzy dedup applied →
+    // epoch shuffle (Pipeline.prepareCorpus), every stage value-checked
+    // against the chained DuckDB replay of the same four stages.
+    "q90_prepare_corpus" -> ((s, d) =>
+      Pipeline.prepareCorpus(t(s, d, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("shuffle_key"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .orderBy("shuffle_key", "doc_id")),
+
     // Dedup APPLIED: cluster labels from q67 anti-joined back onto the
     // corpus (non-representatives dropped, unpaired docs kept) — the
     // surviving corpus a dedup pass actually ships, audited per lang.
@@ -1219,14 +1243,20 @@ object ExtQueries {
       "SELECT o_orderkey, round(o_totalprice, 4) AS tp FROM orders WHERE o_totalprice > 1.8 * (SELECT avg(o_totalprice) FROM orders) ORDER BY o_orderkey",
     // score formula generated from TextAnalysis constants (stopword
     // list, punct class, weights) — the engines cannot drift
-    "q82_quality_score" -> {
-      val stopList = TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
-      val wcSql = "(length(text)-length(replace(text,' ',''))+1)"
-      val stopSql = s"len(list_filter(string_split(text,' '), t -> t IN ($stopList)))"
-      val punctSql = s"(length(text) - length(regexp_replace(text, '${TextAnalysis.PunctClass}', '', 'g')))"
-      val scoreSql = s"round(0.4 * $stopSql / CAST($wcSql AS DOUBLE) + 0.3 * (1.0 - $punctSql / CAST(length(text) AS DOUBLE)) + 0.3 * least(1.0, $wcSql / 100.0), 4)"
-      s"SELECT lang, count(*) AS n_docs, round(avg(score), 4) AS avg_score, CAST(sum(CASE WHEN score >= 0.6 THEN 1 ELSE 0 END) AS BIGINT) AS n_high FROM (SELECT lang, $scoreSql AS score FROM documents) t GROUP BY lang ORDER BY lang"
-    },
+    "q82_quality_score" ->
+      s"SELECT lang, count(*) AS n_docs, round(avg(score), 4) AS avg_score, CAST(sum(CASE WHEN score >= 0.6 THEN 1 ELSE 0 END) AS BIGINT) AS n_high FROM (SELECT lang, $qualityScoreSql AS score FROM documents) t GROUP BY lang ORDER BY lang",
+    // the full q90 pipeline replayed in SQL: quality gate (same rounded
+    // score arithmetic as q82), exact dedup (min id per text), fuzzy
+    // dedup closure over the SURVIVING corpus (the shared recursive CTE
+    // chain re-sourced at c0), epoch-shuffle key (q86's md5 ordering)
+    "q90_prepare_corpus" ->
+      (s"WITH RECURSIVE gated AS (SELECT doc_id, text, lang FROM (SELECT doc_id, text, lang, $qualityScoreSql AS score FROM documents) s WHERE score >= ${Pipeline.PrepQualityThreshold}), " +
+        "c0 AS (SELECT doc_id, text, lang FROM gated WHERE doc_id IN (SELECT min(doc_id) FROM gated GROUP BY text)), " +
+        dedupClosureCtesFrom("c0") + ", " +
+        "lbls AS (SELECT node, min(lbl) AS lbl FROM reach GROUP BY node) " +
+        "SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':7') AS shuffle_key, lang, CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok " +
+        "FROM c0 WHERE doc_id NOT IN (SELECT node FROM lbls WHERE node <> lbl) " +
+        "ORDER BY shuffle_key, doc_id"),
     // same stride arithmetic as chunkDocuments(40, 10); DuckDB list
     // slicing is INCLUSIVE and clamps at the list end
     "q79_chunking" ->

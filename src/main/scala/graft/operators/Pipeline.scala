@@ -122,6 +122,49 @@ object Pipeline {
         md5(concat(col(idCol).cast("string"), lit(":"), lit(seed.toString))))
       .orderBy("shuffle_key", idCol)
 
+  /** Quality gate default for [[prepareCorpus]] — shared with the q90
+    * oracle generator so the two sides cannot drift. */
+  val PrepQualityThreshold = 0.5
+
+  /**
+   * The end-to-end training-corpus preparation pipeline — the
+   * composition a 100 TB ingest actually runs, every stage one of the
+   * individually-measured operators: (1) quality gate
+   * ([[TextAnalysis.qualityScore]] ≥ threshold; the score rounds to 4
+   * decimals on both engines, so the cut is bit-identical); (2) exact
+   * dedup (min-id representative per distinct text, hash-keyed exchange
+   * — bodies never shuffle); (3) fuzzy dedup APPLIED (word-3-gram
+   * Jaccard pairs via shingle blocking → large-star/small-star connected
+   * components → non-representatives dropped); (4) deterministic epoch
+   * shuffle ([[shuffleDeterministic]], seed-keyed md5 order). Returns
+   * the surviving corpus in epoch order with its `shuffle_key`.
+   *
+   * Scale shape: the gate is per-row arithmetic in the scan, exact
+   * dedup exchanges 8-byte hashes, pair generation is the q26/q40
+   * blocked join (never all-pairs), clustering is the
+   * diameter-independent q84 alternation, and the shuffle is one range
+   * exchange. No stage collects, and the corpus body crosses an
+   * exchange only in the final sort — once.
+   */
+  def prepareCorpus(docs: DataFrame, idCol: String, textCol: String,
+                    qualityThreshold: Double = PrepQualityThreshold,
+                    jaccardThreshold: Double = 0.6,
+                    seed: Long = 7L): DataFrame = {
+    val gated = docs.filter(
+      TextAnalysis.qualityScore(col(textCol)) >= qualityThreshold)
+    val minIds = gated.groupBy(xxhash64(col(textCol)).as("_h"))
+      .agg(min(col(idCol)).as(idCol))
+      .drop("_h")
+    val exact = gated.join(minIds, Seq(idCol), "left_semi")
+    val pairs = Dedup.ngramJaccardPairs(exact, idCol, textCol,
+      n = 3, threshold = jaccardThreshold)
+    val drop = Dedup.dedupClustersStar(pairs, "da", "db")
+      .filter(col("node") =!= col("lbl"))
+      .select(col("node").as(idCol))
+    shuffleDeterministic(exact.join(drop, Seq(idCol), "left_anti"),
+      idCol, seed)
+  }
+
   /**
    * Latest-row-wins compaction — the CDC / SCD-type-1 upsert merge: one
    * surviving row per key, chosen by the LAST position in `orderCols`

@@ -66,6 +66,31 @@ class PipelineSpec extends AnyFunSuite with SparkTestSession {
     assert(base != base.sorted)
   }
 
+  test("prepareCorpus: each stage drops exactly the planted rows, output in epoch order") {
+    import spark.implicits._
+    // prose that clears the quality gate (stopwords, no punctuation,
+    // decent length), with planted failures for each pipeline stage
+    val good = (0 until 60).map(i => s"the quick word$i is a fine token and it works").mkString(" ")
+    def mutated(i: Int) = good.split(" ").updated(i, "swapped").mkString(" ")
+    val corpus = Seq(
+      (1L, good, "en"),            // survives everything
+      (2L, good, "en"),            // exact dup of 1 → dropped (min id wins)
+      (3L, mutated(5), "en"),      // fuzzy near-dup of 1 → dropped
+      (4L, "!!! ??? ### $$$ %%%", "xx"), // quality gate drops it
+      (5L, (0 until 80).map(n => s"unique$n entirely different corpus body").mkString(" "), "fr")
+    ).toDF("doc_id", "text", "lang")
+    val out = Pipeline.prepareCorpus(corpus, "doc_id", "text")
+    val rows = out.select("doc_id", "shuffle_key").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows.map(_._1).toSet == Set(1L, 5L), s"survivors ${rows.map(_._1)}")
+    // epoch order: rows arrive sorted by the md5 shuffle key
+    assert(rows.map(_._2) == rows.map(_._2).sorted)
+    // the gate alone keeps 4 of 5 (only the punctuation doc fails)
+    assert(Pipeline.prepareCorpus(corpus, "doc_id", "text",
+      jaccardThreshold = 1.01).count() == 3,
+      "threshold above 1 disables fuzzy dedup: exact-dup drop only")
+  }
+
   test("latestByKey: per-key winner is the argmax of the order columns") {
     import spark.implicits._
     val log = Seq(
