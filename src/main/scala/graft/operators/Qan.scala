@@ -40,6 +40,14 @@ object Qan {
         sum(col("query_time") * greatest(col("rate_limit"), lit(1L)))
           .as("total_time_scaled"),
         avg("query_time").as("avg_time"),
+        // pt-query-digest's V/M column (variance-to-mean ratio, the
+        // index of dispersion): ~0 for a consistent query, large when
+        // the same digest swings between fast and slow executions — the
+        // classic "sometimes hits the bad plan / cold cache" signal.
+        // Population variance over the logged sample, like pt's sumsq
+        // formulation; single-call digests report 0, not null.
+        stddev_pop("query_time").as("stddev_time"),
+        (var_pop("query_time") / avg("query_time")).as("vm_ratio"),
         percentile_approx(col("query_time"), lit(0.95), lit(10000)).as("p95_time"),
         sum("rows_examined").as("rows_examined"),
         sum("rows_sent").as("rows_sent"),

@@ -44,6 +44,11 @@ class QanSpec extends AnyFunSuite with SparkTestSession {
     // hand-computed: avg = 4.5/6; p95 over {0.5..1.0} at 10k accuracy is
     // the max; first/last seen are the SET timestamps of calls 0 and 5
     assert(math.abs(top.getAs[Double]("avg_time") - 0.75) < 1e-9)
+    // V/M by hand over {0.5..1.0}: var_pop = E[x^2]-E[x]^2 = 0.0291666..,
+    // ratio = var/mean; stddev is its square root
+    val varPop = (5 to 10).map(i => (i / 10.0 - 0.75) * (i / 10.0 - 0.75)).sum / 6
+    assert(math.abs(top.getAs[Double]("stddev_time") - math.sqrt(varPop)) < 1e-9)
+    assert(math.abs(top.getAs[Double]("vm_ratio") - varPop / 0.75) < 1e-9)
     assert(math.abs(top.getAs[Double]("p95_time") - 1.0) < 1e-9)
     assert(top.getAs[java.sql.Timestamp]("first_seen").getTime == 1705312800000L)
     assert(top.getAs[java.sql.Timestamp]("last_seen").getTime == 1705312805000L)
