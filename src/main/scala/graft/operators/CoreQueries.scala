@@ -21,18 +21,29 @@ object CoreQueries {
     s.read.parquet(s"$dir/$name.parquet")
 
   /**
-   * The `events` table carries TIMESTAMP(NANOS) parquet, which Spark's
-   * vectorized reader rejects. The session must set
-   * `spark.sql.legacy.parquet.nanosAsLong=true` at build time (done in
-   * Verify/Bench/test builders — see [[graft.GraftSession]]); nanos arrive
-   * as LongType, from which we derive a microsecond TimestampType `ts` and
-   * keep the raw nanos as `ts_ns` so window ordering and gap arithmetic
-   * match the oracle's ns precision.
+   * The `events` table has shipped in two physical layouts across testdata
+   * generations: TIMESTAMP(NANOS) parquet (arrives as LongType under
+   * `spark.sql.legacy.parquet.nanosAsLong=true`, set in the session
+   * builders — see [[graft.GraftSession]]) and plain TIMESTAMP(MICROS)
+   * (arrives as timestamp / timestamp_ntz). Dispatch on the READ schema,
+   * not an assumed one, and normalize both to the same two columns:
+   * a microsecond TimestampType `ts` (NTZ cast is an identity under the
+   * pinned UTC session) plus the raw nanos as `ts_ns`, so window ordering
+   * and gap arithmetic match the oracle's `epoch_us`/`epoch` expressions
+   * regardless of which layout the driver generated.
    */
   private[operators] def events(s: SparkSession, dir: String): DataFrame = {
-    s.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts_ns", col("ts"))
-      .withColumn("ts", expr("timestamp_micros(ts_ns div 1000)"))
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw
+          .withColumn("ts_ns", col("ts"))
+          .withColumn("ts", expr("timestamp_micros(ts_ns div 1000)"))
+      case _ =>
+        raw
+          .withColumn("ts", col("ts").cast("timestamp"))
+          .withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
+    }
   }
 
   /** Sum of a double array column (sequential fold — deterministic order). */
