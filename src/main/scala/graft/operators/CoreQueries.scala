@@ -33,16 +33,22 @@ object CoreQueries {
    * regardless of which layout the driver generated.
    */
   private[operators] def events(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val raw = s.read.parquet(s"$dir/events.parquet")
     raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
+      case LongType =>
         raw
           .withColumn("ts_ns", col("ts"))
           .withColumn("ts", expr("timestamp_micros(ts_ns div 1000)"))
-      case _ =>
+      case TimestampType | TimestampNTZType =>
         raw
           .withColumn("ts", col("ts").cast("timestamp"))
           .withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
+      case other =>
+        // Any other type is schema corruption; casting it would flow nulls
+        // into every window/gap query downstream instead of failing here.
+        throw new IllegalStateException(
+          s"events.ts has unsupported type $other; expected TIMESTAMP(NANOS)-as-long, timestamp, or timestamp_ntz")
     }
   }
 

@@ -577,6 +577,20 @@ class ExtOperatorsSpec extends AnyFunSuite with SparkTestSession {
     assert(out.count() == 2)
   }
 
+  test("events() fails fast on a corrupt ts schema instead of flowing nulls") {
+    import spark.implicits._
+    // both shipped layouts normalize; anything else (here: ts arrives as a
+    // STRING after upstream schema corruption) must throw, because casting
+    // it would silently null every window/gap computation downstream
+    val dir = java.nio.file.Files.createTempDirectory("badevents").toString
+    Seq(("not-a-timestamp", 1L)).toDF("ts", "user_id")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val ex = intercept[IllegalStateException] {
+      CoreQueries.events(spark, dir)
+    }
+    assert(ex.getMessage.contains("unsupported type"))
+  }
+
   test("rollingFingerprint uses code points (ascii parity with DuckDB)") {
     import spark.implicits._
     // 'é' = U+00E9 = 233 in BOTH Spark ascii() and DuckDB ascii()
