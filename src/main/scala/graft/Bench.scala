@@ -117,7 +117,13 @@ object Bench {
     val (p1, p2) = (timedPass(), timedPass())
     val results = names.map(n => n -> math.min(p1(n), p2(n)))
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // %.4f (0.1 ms resolution, Locale.ROOT): full double repr made the
+    // line ~5.4 kB and the driver's tail capture (~2.7 kB) truncated it
+    // mid-map every round; sub-0.1 ms digits are pure noise at these
+    // scales anyway
+    def f4(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f4(v) }
       .mkString("{", ",", "}")
     val core = results.collect {
       case (k, v) if Core24.exists(k.startsWith) => v
@@ -142,7 +148,7 @@ object Bench {
           Double.box(v / baseTimes(k)))
     }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$core,"unit":"sec","queries":$qs,"total_all":$all,"ingest_eps":${eps.round},"failed":$failedJson,"baseline":"$baseName","vs_baseline":$ratios,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f4(core)},"unit":"sec","queries":$qs,"total_all":${f4(all)},"ingest_eps":${eps.round},"failed":$failedJson,"baseline":"$baseName","vs_baseline":$ratios,"sf":"$sfDir"}"""
     println(line)
     // Persist the full line as next round's baseline: the driver's
     // BENCH_r*.json nests this line in a "tail" string that can be
