@@ -476,6 +476,22 @@ object ExtQueries {
         .orderBy("lang")
     }),
 
+    // q56's screen through the bloom gate: probe shingles collapse to a
+    // broadcast bitset, corpus shingles die map-side before any
+    // exchange, survivors get the exact verify join. No false negatives
+    // → the ANSWER is exact, so this runs against q56's oracle verbatim
+    // (the equality is the whole point: the scale path is not an
+    // approximation).
+    "q92_bloom_contamination" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Pipeline.contaminatedDocsBloom(
+          docs.filter(col("doc_id") >= 20), docs.filter(col("doc_id") < 20),
+          "doc_id", "text", n = 5)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang").agg(count(lit(1)).as("n_contaminated"))
+        .orderBy("lang")
+    }),
+
     // Near-dup pairs → connected components: each doc labeled with the
     // min doc id reachable through the pair graph (its canonical
     // representative). Iterative min-label propagation on the Spark
@@ -907,6 +923,24 @@ object ExtQueries {
           |ORDER BY o_orderkey""".stripMargin)
     }),
 
+    // Mergeable quantile sketch table (the p95 complement of q78's HLL
+    // table): per-(event_type, day) HDR log2-histogram sketches built
+    // first — the frame a warehouse would persist — then MERGED back
+    // down to event_type and read for p50/p95/p99. The oracle computes
+    // the sketch directly from the raw rows with the same integer
+    // bucket arithmetic: equality IS the re-aggregability proof (a
+    // partitioned build cannot drift from the direct one), checked by
+    // hash, not tolerance, because every step is integer-exact.
+    "q91_quantile_sketch" -> ((s, d) => {
+      val ev = CoreQueries.events(s, d)
+        .withColumn("day", expr("ts_ns div 86400000000000"))
+      val daily = Pipeline.hdrSketch(ev, "value", Seq("event_type", "day"))
+      Pipeline.hdrQuantiles(
+          Pipeline.hdrMerge(daily, Seq("event_type")),
+          Seq("event_type"), Seq(50, 95, 99))
+        .orderBy("event_type")
+    }),
+
     // The CAPSTONE: the whole training-corpus preparation pipeline in
     // one entry — quality gate → exact dedup → fuzzy dedup applied →
     // epoch shuffle (Pipeline.prepareCorpus), every stage value-checked
@@ -1067,6 +1101,11 @@ object ExtQueries {
         .orderBy("da", "db")
     })
   )
+
+  /** Shared by q56 (exact broadcast screen) and q92 (bloom-gated screen):
+    * both compute the identical exact answer, so one oracle serves both. */
+  private val contaminationOracleSql: String =
+    "WITH docs AS (SELECT doc_id, lang, string_split(text,' ') words FROM documents), sh AS (SELECT doc_id, unnest(list_distinct([array_to_string(words[i:i+4],' ') for i in range(1, len(words)-3)])) AS shingle FROM docs WHERE len(words) >= 5), probe AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 20), hits AS (SELECT DISTINCT s.doc_id FROM sh s JOIN probe p USING (shingle) WHERE s.doc_id >= 20) SELECT d.lang, count(*) AS n_contaminated FROM hits h JOIN documents d ON h.doc_id = d.doc_id GROUP BY d.lang ORDER BY d.lang"
 
   val oracles: Map[String, String] = Map(
     "q25_dedup_rows" ->
@@ -1245,6 +1284,22 @@ object ExtQueries {
     // list, punct class, weights) — the engines cannot drift
     "q82_quality_score" ->
       s"SELECT lang, count(*) AS n_docs, round(avg(score), 4) AS avg_score, CAST(sum(CASE WHEN score >= 0.6 THEN 1 ELSE 0 END) AS BIGINT) AS n_high FROM (SELECT lang, $qualityScoreSql AS score FROM documents) t GROUP BY lang ORDER BY lang",
+    // same integer HDR bucket arithmetic as Pipeline.hdrSketch/
+    // hdrQuantiles: u = max(floor(value*100),1); bucket = bitlen*16 +
+    // top-4-bits; rank threshold ceil(n*p/100) as (n*p+99)//100 — no
+    // transcendentals, so the sketches are bit-identical cross-engine
+    "q91_quantile_sketch" ->
+      ("WITH v AS (SELECT event_type, greatest(CAST(floor(value*100) AS BIGINT), 1) AS u FROM events), " +
+        "b AS (SELECT event_type, length(bin(u))*16 + (u >> greatest(length(bin(u))-4, 0)) AS bucket FROM v), " +
+        "sk AS (SELECT event_type, bucket, count(*) AS cnt FROM b GROUP BY 1, 2), " +
+        "c AS (SELECT event_type, bucket, cnt, sum(cnt) OVER (PARTITION BY event_type ORDER BY bucket) AS cum, sum(cnt) OVER (PARTITION BY event_type) AS n FROM sk), " +
+        "l AS (SELECT *, ((bucket % 16) << CAST(greatest(bucket // 16 - 4, 0) AS INT)) AS lb FROM c) " +
+        "SELECT event_type, CAST(max(n) AS BIGINT) AS n_rows, " +
+        "min(CASE WHEN cum >= (n*50 + 99) // 100 THEN lb END)/100.0 AS p50, " +
+        "min(CASE WHEN cum >= (n*95 + 99) // 100 THEN lb END)/100.0 AS p95, " +
+        "min(CASE WHEN cum >= (n*99 + 99) // 100 THEN lb END)/100.0 AS p99 " +
+        "FROM l GROUP BY event_type ORDER BY event_type"),
+
     // the full q90 pipeline replayed in SQL: quality gate (same rounded
     // score arithmetic as q82), exact dedup (min id per text), fuzzy
     // dedup closure over the SURVIVING corpus (the shared recursive CTE
@@ -1293,8 +1348,10 @@ object ExtQueries {
       "SELECT event_type, array_to_string(list_sort(list(DISTINCT user_id % 50))[1:5], ',') AS top FROM events GROUP BY 1 ORDER BY 1",
     "q61_regexp" ->
       raw"SELECT p_partkey, regexp_extract(p_name,'^(\w+)',1) AS fw, regexp_replace(p_brand,'#','-') AS b2, regexp_matches(p_type,'BRASS$$') AS ib FROM part ORDER BY p_partkey",
-    "q56_contamination" ->
-      "WITH docs AS (SELECT doc_id, lang, string_split(text,' ') words FROM documents), sh AS (SELECT doc_id, unnest(list_distinct([array_to_string(words[i:i+4],' ') for i in range(1, len(words)-3)])) AS shingle FROM docs WHERE len(words) >= 5), probe AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 20), hits AS (SELECT DISTINCT s.doc_id FROM sh s JOIN probe p USING (shingle) WHERE s.doc_id >= 20) SELECT d.lang, count(*) AS n_contaminated FROM hits h JOIN documents d ON h.doc_id = d.doc_id GROUP BY d.lang ORDER BY d.lang",
+    "q56_contamination" -> contaminationOracleSql,
+    // bloom gate + exact verify ≡ exact screen (no false negatives):
+    // the scale path answers to the SAME oracle, by construction
+    "q92_bloom_contamination" -> contaminationOracleSql,
     "q47_window_distribution" ->
       "SELECT event_type, tile, count(*) cnt, round(max(pr),6) mpr, round(max(cd),6) mcd FROM (SELECT event_type, ntile(4) OVER w tile, percent_rank() OVER w pr, cume_dist() OVER w cd FROM events WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)) t GROUP BY event_type, tile ORDER BY event_type, tile",
     "q48_string_more" ->

@@ -221,6 +221,75 @@ object Pipeline {
         floor(col(valueCol) / width).cast("long").as("bin"): _*)
       .agg(count(lit(1)).as("cnt"))
 
+  // ---------------------------------------------------------------------
+  // Mergeable quantile sketch (HDR-style log2 histogram) — the percentile
+  // complement of the q78 HLL sketch table. Values are scaled to integer
+  // hundredths, bucketed by (bit-length, top-4-bits): pure integer
+  // arithmetic in BOTH engines (length(bin(u)) / shifts), so sketches are
+  // bit-identical cross-engine — no transcendental log whose last ulp
+  // could flip a boundary value into the neighboring bucket. Counts merge
+  // by addition, so per-day sketches persisted at rest re-aggregate to
+  // EXACTLY the sketch of the union (the property that lets 100 TB of
+  // history answer "p95 over any slice" from kilobytes per group).
+  // Guarantee: top-4-bit sub-buckets give lb <= v < lb*(1 + 1/8), so the
+  // reported lower bound underestimates the true quantile by < 12.5%.
+  // (Same guarantee family as DDSketch / HdrHistogram, in integer form.)
+  // ---------------------------------------------------------------------
+
+  /** Scaled value -> sketch bucket id: `major*16 + minor` where `major` is
+    * the bit length of u and `minor` its top 4 bits (u itself when u < 16).
+    * Monotone in u, so bucket order IS value order. */
+  private def hdrBucket(u: Column): Column = {
+    val major = length(bin(u)).cast("long")
+    val minor = expr("shiftright(u, cast(greatest(length(bin(u)) - 4, 0) as int))")
+    (major * 16 + minor).as("bucket")
+  }
+
+  /** Bucket lower bound in scaled units: `minor << max(major-4, 0)`. */
+  private val hdrLowerBound: Column =
+    expr("shiftleft(bucket % 16, cast(greatest(bucket div 16 - 4, 0) as int))")
+
+  /** Per-(byCols, bucket) counts over `max(floor(value*100), 1)` — the
+    * at-rest sketch frame. Include a day/partition column in `byCols` to
+    * persist per-partition sketches; [[hdrMerge]] collapses them. One
+    * map-side-combined aggregation; the exchange carries (group, long,
+    * long) rows whose cardinality is bounded by |groups| * ~1000 buckets
+    * regardless of row count. */
+  def hdrSketch(df: DataFrame, valueCol: String, byCols: Seq[String]): DataFrame =
+    df.select(byCols.map(col) :+
+        greatest(floor(col(valueCol) * 100).cast("long"), lit(1L)).as("u"): _*)
+      .groupBy(byCols.map(col) :+ hdrBucket(col("u")): _*)
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Merge sketches down to `byCols` (drop finer split keys): counts add. */
+  def hdrMerge(sketch: DataFrame, byCols: Seq[String]): DataFrame =
+    sketch.groupBy(byCols.map(col) :+ col("bucket"): _*)
+      .agg(sum("cnt").as("cnt"))
+
+  /** Percentile estimates from a merged sketch. `pcts` are integer
+    * percents (e.g. 50, 95, 99) so the rank threshold
+    * `ceil(n*pct/100) = (n*pct + 99) div 100` is exact integer arithmetic
+    * in any engine. Returns one row per group: n_rows plus a `pNN` column
+    * (bucket lower bound, unscaled back to value units) per percentile. */
+  def hdrQuantiles(sketch: DataFrame, byCols: Seq[String],
+                   pcts: Seq[Int]): DataFrame = {
+    val grp = Window.partitionBy(byCols.map(col): _*)
+    val cum = grp.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = sketch
+      .withColumn("cum", sum("cnt").over(cum))
+      .withColumn("n", sum("cnt").over(grp))
+      .withColumn("lb", hdrLowerBound)
+    val aggs = max(col("n")).as("n_rows") +: pcts.map { p =>
+      // rank threshold ceil(n*p/100) in pure integer arithmetic (Column./
+      // would be DOUBLE division); /100.0 at the end unscales the integer
+      // lower bound identically in any IEEE engine
+      (min(when(col("cum") >= expr(s"(n * $p + 99) div 100"), col("lb")))
+        / 100.0).as(s"p$p")
+    }
+    base.groupBy(byCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
   /**
    * Benchmark decontamination screen: corpus documents sharing at least
    * one distinct word `n`-gram with the probe (benchmark) set. The
@@ -234,6 +303,46 @@ object Pipeline {
       Dedup.shingles(probes, idCol, textCol, n).select("shingle").distinct()
     Dedup.shingles(corpus, idCol, textCol, n)
       .join(broadcast(probeShingles), Seq("shingle"), "left_semi")
+      .select(idCol).distinct()
+  }
+
+  /**
+   * Bloom-gated variant of [[contaminatedDocs]] with the SAME exact
+   * answer: a bloom filter over the probe shingles broadcasts to every
+   * task and drops non-matching corpus shingles map-side, BEFORE any
+   * exchange; only the surviving sliver (true hits + ~fpp false
+   * positives) reaches the exact verify join. Bloom filters have no
+   * false negatives, so verify-after-prefilter cannot lose a hit — the
+   * result is exact, which is why q92 shares q56's oracle.
+   *
+   * Why it matters at 100 TB: the broadcast in [[contaminatedDocs]] is a
+   * string hash TABLE of every probe shingle — fine while the benchmark
+   * set is thousands of documents, but a suite of hundreds of benchmarks
+   * (or a licensed-text blocklist) pushes it past broadcast limits. The
+   * bloom bitset stays ~10 bits per key at fpp=1% regardless of string
+   * length, and the verify join's left side shrinks from the full corpus
+   * shingle stream to the prefiltered sliver, so AQE plans it as a small
+   * shuffle (or broadcast) either way. This is the classic
+   * semi-join-reduction pattern Catalyst's runtime bloom filters apply
+   * to equi-joins (SCALE.md §3), hand-placed here because the probe side
+   * is an arbitrary frame, not a join build side.
+   */
+  def contaminatedDocsBloom(corpus: DataFrame, probes: DataFrame,
+                            idCol: String, textCol: String, n: Int,
+                            fpp: Double = 0.01): DataFrame = {
+    val probeShingles =
+      Dedup.shingles(probes, idCol, textCol, n).select("shingle").distinct()
+    // the probe side is small by construction (it is the benchmark set);
+    // this count prices the bitset, not the corpus
+    val nProbe = math.max(probeShingles.count(), 1L)
+    val bf = probeShingles.stat.bloomFilter("shingle", nProbe, fpp)
+    val bc = corpus.sparkSession.sparkContext.broadcast(bf)
+    val mightContain = udf((s: String) => s != null && bc.value.mightContainString(s))
+    Dedup.shingles(corpus, idCol, textCol, n)
+      .filter(mightContain(col("shingle")))
+      // exact verify: no broadcast hint — the left side is now tiny, let
+      // AQE pick; false positives die here, false negatives can't exist
+      .join(probeShingles, Seq("shingle"), "left_semi")
       .select(idCol).distinct()
   }
 }

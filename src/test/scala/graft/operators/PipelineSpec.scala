@@ -197,6 +197,79 @@ class PipelineSpec extends AnyFunSuite with SparkTestSession {
     assert(a("test") / n > 0.05 && a("test") / n < 0.15)
   }
 
+  test("hdr sketch: partitioned build merges to EXACTLY the direct build") {
+    val ev = CoreQueries.events(spark, sf)
+      .withColumn("day", expr("ts_ns div 86400000000000"))
+    val daily = Pipeline.hdrSketch(ev, "value", Seq("event_type", "day"))
+    val merged = Pipeline.hdrMerge(daily, Seq("event_type"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val direct = Pipeline.hdrSketch(ev, "value", Seq("event_type"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // counts are integers and merge by addition: the split-then-merge
+    // path must be EQUAL, not approximately equal — that is the property
+    // that makes per-day sketches at rest answer any-slice quantiles
+    assert(merged == direct)
+  }
+
+  test("hdr quantiles: within the 12.5% one-sided bucket guarantee of exact") {
+    val ev = CoreQueries.events(spark, sf)
+    val sk = Pipeline.hdrSketch(ev, "value", Seq("event_type"))
+    val est = Pipeline.hdrQuantiles(sk, Seq("event_type"), Seq(50, 95, 99))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    // the sketch targets the ceil(p*n/100)-th ORDER STATISTIC (not the
+    // interpolated percentile, which can fall below it) — compute that
+    // exact order statistic as the truth
+    val byType = ev.select("event_type", "value").collect()
+      .groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getDouble(1)).sorted).toMap
+    def orderStat(vs: Array[Double], p: Int): Double =
+      vs((vs.length * p + 99) / 100 - 1)
+    for ((t, vs) <- byType; (s, p) <- Seq(
+        (est(t)._1, 50), (est(t)._2, 95), (est(t)._3, 99))) {
+      val e = orderStat(vs, p)
+      // the estimate is the LOWER bound of the bucket holding the target
+      // order statistic: lb <= v < lb*(1 + 1/8), plus the 0.01 scaling
+      // granularity on each side
+      assert(s <= e + 0.01, s"$t p$p: estimate $s above exact $e")
+      assert(e < s * 1.125 + 0.02, s"$t p$p: estimate $s undershoots exact $e beyond the bucket guarantee")
+    }
+  }
+
+  test("contaminatedDocsBloom equals the exact screen on the real corpus") {
+    val corpus = docs.filter(col("doc_id") >= 20)
+    val probes = docs.filter(col("doc_id") < 20)
+    val exact = Pipeline.contaminatedDocs(corpus, probes, "doc_id", "text", 5)
+      .collect().map(_.getLong(0)).toSet
+    val bloom = Pipeline.contaminatedDocsBloom(corpus, probes, "doc_id", "text", 5)
+      .collect().map(_.getLong(0)).toSet
+    // verify-after-prefilter: false positives die in the verify join,
+    // false negatives are impossible — set equality, not containment
+    assert(bloom == exact)
+    assert(exact.nonEmpty, "screen should flag planted contamination")
+  }
+
+  test("bloom prefilter kills almost all corpus shingles before the join") {
+    val corpus = docs.filter(col("doc_id") >= 20)
+    val probes = docs.filter(col("doc_id") < 20)
+    val probeShingles = Dedup.shingles(probes, "doc_id", "text", 5)
+      .select("shingle").distinct()
+    val bf = probeShingles.stat.bloomFilter("shingle",
+      math.max(probeShingles.count(), 1L), 0.01)
+    val bc = spark.sparkContext.broadcast(bf)
+    val hit = udf((sh: String) => sh != null && bc.value.mightContainString(sh))
+    val all = Dedup.shingles(corpus, "doc_id", "text", 5)
+    val total = all.count()
+    val survivors = all.filter(hit(col("shingle"))).count()
+    val trueHits = all.join(broadcast(probeShingles), Seq("shingle"), "left_semi").count()
+    // survivors = true hits + ~fpp of the rest; at fpp=1% the prefilter
+    // must remove the overwhelming share of non-matching shingles —
+    // that reduction is what the verify join never has to process
+    assert(survivors >= trueHits, "bloom filters cannot lose true hits")
+    assert(survivors - trueHits <= (total - trueHits) / 20,
+      s"false-positive sliver too large: $survivors survivors, $trueHits true of $total")
+  }
+
   test("contaminatedDocs flags a planted copy and ignores clean docs") {
     import spark.implicits._
     val corpus = Seq(
