@@ -211,4 +211,56 @@ object Warehouse {
       .sortBy("id")
       .format("parquet")
       .saveAsTable(table)
+
+  /** Data files currently under a table's location (parquet parts only —
+    * excludes _SUCCESS and metadata). The observability half of
+    * [[compactTable]]. */
+  def tableFileCount(spark: SparkSession, table: String): Int = {
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.getTableMetadata(ident).location)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(loc, true)
+    var n = 0
+    while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
+    n
+  }
+
+  /**
+   * Compact a managed table in place, preserving its bucket/sort/partition
+   * spec. Every `Append` to a bucketed table lays down one MORE file per
+   * bucket, so a streaming admission loop ([[graft.streaming.StreamingDedup]])
+   * or daily [[appendIvfIndex]]/[[appendPqIndex]] batch grows k files per
+   * bucket after k appends — and at 100 TB the small-files problem is a
+   * real scan-cost and NameNode/listing tax (every probe opens k footers
+   * per selected bucket instead of 1). The rewrite reads the table once,
+   * writes a staging table with the IDENTICAL catalog spec (so bucket
+   * pruning and exchange-free joins survive), then atomically swaps it in
+   * via RENAME. Returns (files before, files after).
+   *
+   * This is the maintenance companion of the append path: appends keep
+   * ingest O(batch); a periodic compaction keeps reads O(corpus/buckets).
+   */
+  def compactTable(spark: SparkSession, table: String): (Int, Int) = {
+    val cat = spark.sessionState.catalog
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val meta = cat.getTableMetadata(ident)
+    val before = tableFileCount(spark, table)
+    val staging = table + "_compacting"
+    dropWithLocation(spark, staging)
+    var w = spark.table(table).write.mode(SaveMode.Overwrite)
+      .format(meta.provider.getOrElse("parquet"))
+    meta.bucketSpec.foreach { spec =>
+      w = w.bucketBy(spec.numBuckets,
+        spec.bucketColumnNames.head, spec.bucketColumnNames.tail: _*)
+      if (spec.sortColumnNames.nonEmpty)
+        w = w.sortBy(spec.sortColumnNames.head, spec.sortColumnNames.tail: _*)
+    }
+    if (meta.partitionColumnNames.nonEmpty)
+      w = w.partitionBy(meta.partitionColumnNames: _*)
+    w.saveAsTable(staging)
+    spark.sql(s"DROP TABLE $table")
+    spark.sql(s"ALTER TABLE $staging RENAME TO $table")
+    (before, tableFileCount(spark, table))
+  }
 }

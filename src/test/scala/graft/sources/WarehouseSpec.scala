@@ -341,6 +341,50 @@ class WarehouseSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("compactTable collapses append-grown files, keeping layout and answers") {
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    import graft.operators.Dedup
+    def bands(lo: Long, hi: Long) = Dedup.simHashBandFrame(
+      docs.filter(col("doc_id") >= lo && col("doc_id") < hi),
+      "doc_id", split(col("text"), " "))
+    // a build plus three admission-style appends: each append lays down
+    // its own file per non-empty bucket
+    Warehouse.saveSimHashIndex(bands(0, 125), "sh_cmp", buckets = 8)
+    for (lo <- Seq(125L, 250L, 375L))
+      Warehouse.saveSimHashIndex(bands(lo, lo + 125), "sh_cmp", buckets = 8,
+        mode = org.apache.spark.sql.SaveMode.Append)
+    try {
+      val pairsBefore = Dedup
+        .simHashNearDupPairsFrom(spark.table("sh_cmp"), "doc_id", maxHamming = 16)
+        .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val (before, after) = Warehouse.compactTable(spark, "sh_cmp")
+      // 4 writes × ~8 buckets before; exactly one file per non-empty
+      // bucket after
+      assert(before > 8, s"append-grown table should exceed 8 files, had $before")
+      assert(after <= 8, s"compaction left $after files for 8 buckets")
+      // the rewritten table keeps the catalog bucket spec: probes still
+      // prune to one bucket, and answers are unchanged
+      val probeKey = bands(0, 125)
+        .filter(col("doc_id") === 0L && col("band") === 0).collect().head
+        .getAs[Long]("key")
+      val plan = spark.table("sh_cmp")
+        .filter(col("band") === 0 && col("key") === probeKey)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount: 1 out of 8"),
+        s"compacted table lost bucket pruning:\n$plan")
+      val pairsAfter = Dedup
+        .simHashNearDupPairsFrom(spark.table("sh_cmp"), "doc_id", maxHamming = 16)
+        .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairsAfter == pairsBefore)
+    } finally {
+      spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+      spark.sql("DROP TABLE IF EXISTS sh_cmp")
+      spark.sql("DROP TABLE IF EXISTS sh_cmp_compacting")
+    }
+  }
+
   test("digest-bucketed table aggregates per digest without an exchange") {
     spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
     Warehouse.saveBucketed(wide, "queries_bucketed", buckets = 4)
