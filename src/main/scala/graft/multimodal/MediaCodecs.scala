@@ -19,7 +19,10 @@ package graft.multimodal
  *
  * The remaining stub boundary in [[MediaPipeline]] is PERCEPTUAL audio
  * (MP3/AAC) and inter-frame-coded video (H.264…), for which the JDK
- * genuinely has no decoder.
+ * genuinely has no decoder. Even for those, container METADATA is real
+ * (round 9, [[probeInfo]]): MP3/ADTS frame walks, MP4 box walks, and
+ * the RIFF headers yield codec/rate/channel/duration facts without any
+ * sample decode — the selection stage runs on headers alone.
  *
  * All functions are driver/executor-agnostic pure byte-array code:
  * they run inside `mapPartitions` with constant memory per record.
@@ -877,4 +880,243 @@ object MediaCodecs {
     samples.foreach(out.putShort)
     out.array()
   }
+
+  // --- Container metadata probe (round 9) ------------------------------
+  //
+  // Sample DECODE for perceptual codecs (MP3/AAC payloads, inter-frame
+  // video) is out of reach without codec libraries — but their container
+  // METADATA is plain public-spec byte arithmetic. At 100 TB that is the
+  // difference between "opaque blob" and "filterable row": duration,
+  // codec, sample-rate, and channel facts let a pipeline select/bucket/
+  // price media WITHOUT paying decode, and they are exactly what the
+  // stub boundary does not need. Frame walks are O(frames) over the
+  // byte array with constant memory — mapPartitions-safe.
+
+  /** Codec/container facts read from headers only — no sample decode.
+    * `durationMs` is computed from frame/sample counts; -1 fields mean
+    * "not applicable" (e.g. channels for a video container). */
+  final case class MediaInfo(container: String, codec: String,
+    sampleRate: Int, channels: Int, durationMs: Long, frames: Long,
+    tracks: Int)
+
+  /** MPEG-1/2/2.5 Layer III header walk (ID3v2 skipped): per-frame
+    * bitrate tables from the public spec, so VBR durations accumulate
+    * exactly. None unless at least one valid frame parses. */
+  def mp3Info(bytes: Array[Byte]): Option[MediaInfo] = {
+    var pos = 0
+    // ID3v2: "ID3" + version(2) + flags + 28-bit syncsafe size
+    if (bytes.length >= 10 && bytes(0) == 'I' && bytes(1) == 'D' && bytes(2) == '3')
+      pos = 10 + (((bytes(6) & 0x7f) << 21) | ((bytes(7) & 0x7f) << 14) |
+        ((bytes(8) & 0x7f) << 7) | (bytes(9) & 0x7f))
+    val brMpeg1 = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 0)
+    val brMpeg2 = Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160, 0)
+    val srMpeg1 = Array(44100, 48000, 32000, 0)
+    var frames = 0L
+    var durUs = 0.0
+    var sr0 = 0
+    var ch0 = 0
+    var version0 = ""
+    var ok = true
+    while (ok && pos + 4 <= bytes.length) {
+      val b1 = bytes(pos) & 0xff; val b2 = bytes(pos + 1) & 0xff
+      val b3 = bytes(pos + 2) & 0xff; val b4 = bytes(pos + 3) & 0xff
+      if (b1 != 0xff || (b2 & 0xe0) != 0xe0) ok = false
+      else {
+        val verBits = (b2 >> 3) & 3   // 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+        val layerBits = (b2 >> 1) & 3 // 1 = Layer III
+        val brIdx = (b3 >> 4) & 15
+        val srIdx = (b3 >> 2) & 3
+        val padding = (b3 >> 1) & 1
+        if (layerBits != 1 || verBits == 1 || srIdx == 3 ||
+            brIdx == 0 || brIdx == 15) ok = false
+        else {
+          val mpeg1 = verBits == 3
+          val kbps = (if (mpeg1) brMpeg1 else brMpeg2)(brIdx)
+          val sr = verBits match {
+            case 3 => srMpeg1(srIdx)
+            case 2 => srMpeg1(srIdx) / 2
+            case _ => srMpeg1(srIdx) / 4
+          }
+          val samplesPerFrame = if (mpeg1) 1152 else 576
+          val frameLen = samplesPerFrame / 8 * kbps * 1000 / sr + padding
+          if (frameLen <= 4 || pos + frameLen > bytes.length) ok = false
+          else {
+            if (frames == 0) {
+              sr0 = sr
+              ch0 = if (((b4 >> 6) & 3) == 3) 1 else 2
+              version0 = verBits match {
+                case 3 => "mpeg1-layer3"
+                case 2 => "mpeg2-layer3"
+                case _ => "mpeg2.5-layer3"
+              }
+            }
+            frames += 1
+            durUs += samplesPerFrame * 1e6 / sr
+            pos += frameLen
+          }
+        }
+      }
+    }
+    if (frames == 0) None
+    else Some(MediaInfo("mp3", version0, sr0, ch0,
+      math.round(durUs / 1000), frames, 1))
+  }
+
+  /** ADTS AAC header walk: 1024 samples per frame, frame length from the
+    * 13-bit header field. None unless at least one valid frame parses. */
+  def adtsInfo(bytes: Array[Byte]): Option[MediaInfo] = {
+    val srTable = Array(96000, 88200, 64000, 48000, 44100, 32000, 24000,
+      22050, 16000, 12000, 11025, 8000, 0, 0, 0, 0)
+    var pos = 0
+    var frames = 0L
+    var sr0 = 0
+    var ch0 = 0
+    var ok = true
+    while (ok && pos + 7 <= bytes.length) {
+      val b1 = bytes(pos) & 0xff; val b2 = bytes(pos + 1) & 0xff
+      if (b1 != 0xff || (b2 & 0xf6) != 0xf0) ok = false
+      else {
+        val srIdx = (bytes(pos + 2) >> 2) & 15
+        val ch = ((bytes(pos + 2) & 1) << 2) | ((bytes(pos + 3) >> 6) & 3)
+        val frameLen = ((bytes(pos + 3) & 3) << 11) |
+          ((bytes(pos + 4) & 0xff) << 3) | ((bytes(pos + 5) >> 5) & 7)
+        if (srTable(srIdx) == 0 || frameLen < 7 ||
+            pos + frameLen > bytes.length) ok = false
+        else {
+          if (frames == 0) { sr0 = srTable(srIdx); ch0 = ch }
+          frames += 1
+          pos += frameLen
+        }
+      }
+    }
+    if (frames == 0) None
+    else Some(MediaInfo("aac-adts", "aac", sr0, ch0,
+      math.round(frames * 1024 * 1000.0 / sr0), frames, 1))
+  }
+
+  private def be32(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+      ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+
+  /** ISO BMFF (MP4/MOV) box walk: `ftyp` major brand, `moov/mvhd`
+    * timescale+duration (v0 and v1), `trak` count. Codec naming would
+    * need `stsd` per track; the brand is the honest container-level
+    * answer. */
+  def mp4Info(bytes: Array[Byte]): Option[MediaInfo] = {
+    if (bytes.length < 12 || tag(bytes, 4) != "ftyp") return None
+    var brand = "mp4"
+    var timescale = 0L
+    var duration = -1L
+    var tracks = 0
+    def walk(from: Long, until: Long): Unit = {
+      var pos = from
+      while (pos + 8 <= until) {
+        var size = be32(bytes, pos.toInt)
+        val boxType = tag(bytes, pos.toInt + 4)
+        var header = 8L
+        if (size == 1 && pos + 16 <= until) { // 64-bit largesize
+          size = (be32(bytes, pos.toInt + 8) << 32) | be32(bytes, pos.toInt + 12)
+          header = 16L
+        } else if (size == 0) size = until - pos // box runs to end
+        if (size < header || pos + size > until) return // corrupt: stop
+        boxType match {
+          case "ftyp" if size >= header + 4 =>
+            brand = tag(bytes, (pos + header).toInt).trim
+          case "moov" => walk(pos + header, pos + size)
+          case "trak" => tracks += 1
+          case "mvhd" if size >= header + 4 =>
+            val v = bytes((pos + header).toInt) & 0xff
+            if (v == 1 && size >= header + 4 + 16 + 12) {
+              timescale = be32(bytes, (pos + header + 20).toInt)
+              duration = (be32(bytes, (pos + header + 24).toInt) << 32) |
+                be32(bytes, (pos + header + 28).toInt)
+            } else if (v == 0 && size >= header + 4 + 8 + 8) {
+              timescale = be32(bytes, (pos + header + 12).toInt)
+              duration = be32(bytes, (pos + header + 16).toInt)
+            }
+          case _ => ()
+        }
+        pos += size
+      }
+    }
+    walk(0, bytes.length.toLong)
+    if (timescale <= 0) None
+    else Some(MediaInfo("mp4", brand, -1, -1,
+      duration * 1000 / timescale, -1, tracks))
+  }
+
+  /** RIFF/WAV `fmt ` facts + `data` size → duration via byte rate;
+    * covers the compressed WAV variants ([[mulawDecode]] family) too. */
+  def wavInfo(bytes: Array[Byte]): Option[MediaInfo] = {
+    if (bytes.length < 12 || tag(bytes, 0) != "RIFF" || tag(bytes, 8) != "WAVE")
+      return None
+    var pos = 12
+    var codec = ""
+    var sr = 0
+    var ch = 0
+    var byteRate = 0
+    var dataLen = -1L
+    while (pos + 8 <= bytes.length) {
+      val id = tag(bytes, pos)
+      val size = le32(bytes, pos + 4)
+      if (size < 0 || pos + 8L + size > bytes.length) return None
+      if (id == "fmt " && size >= 16) {
+        codec = le16(bytes, pos + 8) match {
+          case 1 => "pcm"
+          case 6 => "g711-alaw"
+          case 7 => "g711-mulaw"
+          case 0x11 => "ima-adpcm"
+          case other => s"wav-0x${other.toHexString}"
+        }
+        ch = le16(bytes, pos + 10)
+        sr = le32(bytes, pos + 12)
+        byteRate = le32(bytes, pos + 16)
+      } else if (id == "data") dataLen = size.toLong
+      pos += 8 + size + (size & 1)
+    }
+    if (codec.isEmpty || dataLen < 0 || byteRate <= 0) None
+    else Some(MediaInfo("wav", codec, sr, ch,
+      dataLen * 1000 / byteRate, -1, 1))
+  }
+
+  /** AVI `avih` facts: µs-per-frame × total frames → duration; stream
+    * count from the main header; codec from the first `strh` handler. */
+  def aviInfo(bytes: Array[Byte]): Option[MediaInfo] = {
+    if (!looksLikeAvi(bytes)) return None
+    var usPerFrame = 0L
+    var totalFrames = 0L
+    var streams = 0
+    var codec = "avi"
+    def walk(from: Int, until: Int): Unit = {
+      var pos = from
+      while (pos + 8 <= until) {
+        val id = tag(bytes, pos)
+        val size = le32(bytes, pos + 4)
+        if (size < 0 || pos + 8L + size > until) return
+        if (id == "LIST") walk(pos + 12, pos + 8 + size)
+        else if (id == "avih" && size >= 28) {
+          usPerFrame = le32(bytes, pos + 8).toLong & 0xffffffffL
+          totalFrames = le32(bytes, pos + 24).toLong & 0xffffffffL
+          streams = le32(bytes, pos + 32)
+        } else if (id == "strh" && size >= 8 && codec == "avi")
+          codec = tag(bytes, pos + 12).trim.toLowerCase
+        pos += 8 + size + (size & 1)
+      }
+    }
+    walk(12, bytes.length)
+    if (usPerFrame <= 0) None
+    else Some(MediaInfo("avi", codec, -1, -1,
+      usPerFrame * totalFrames / 1000, totalFrames, streams))
+  }
+
+  /** Magic-byte dispatch over every container this object understands —
+    * the metadata face of [[graft.multimodal.MediaPipeline.decodeFeaturesAuto]]'s
+    * decode dispatch. */
+  def probeInfo(bytes: Array[Byte]): Option[MediaInfo] =
+    if (bytes == null || bytes.length < 4) None
+    else if (tag(bytes, 0) == "RIFF" && bytes.length >= 12 && tag(bytes, 8) == "WAVE")
+      wavInfo(bytes)
+    else if (looksLikeAvi(bytes)) aviInfo(bytes)
+    else if (bytes.length >= 12 && tag(bytes, 4) == "ftyp") mp4Info(bytes)
+    else mp3Info(bytes).orElse(adtsInfo(bytes))
 }

@@ -16,6 +16,11 @@ final case class MediaFeatures(docId: Long, kind: String, features: Array[Float]
 /** A sampled frame (or audio chunk): item id, frame index, bytes. */
 final case class MediaFrame(docId: Long, frame: Int, bytes: Array[Byte])
 
+/** Header-derived media facts ([[MediaCodecs.probeInfo]]): one row per
+  * blob, `container = "unknown"` when no parser claims the bytes. */
+final case class MediaProbe(docId: Long, container: String, codec: String,
+  sampleRate: Int, channels: Int, durationMs: Long, frames: Long, tracks: Int)
+
 /**
  * Multimodal column plumbing (task north star): image/audio/video as
  * opaque binary columns with typed metadata, decode / feature-extract /
@@ -72,6 +77,27 @@ object MediaPipeline {
     import records.sparkSession.implicits._
     records.mapPartitions { it =>
       it.map(r => MediaFeatures(r.docId, r.meta.kind, stubDecode(r.media, dim)))
+    }
+  }
+
+  /** Container/codec metadata for every blob WITHOUT sample decode
+    * (round 9): MP3 and ADTS-AAC frame walks, MP4 `mvhd`, WAV `fmt `,
+    * AVI `avih` — the formats whose sample decode sits behind the stub
+    * boundary still yield real duration/codec/rate facts from headers.
+    * This is the selection stage a media pipeline runs FIRST at 100 TB:
+    * filter/bucket/price by duration and codec over header bytes, and
+    * only the surviving rows ever reach the expensive decode stage.
+    * Same iterator-to-iterator, partition-preserving contract. */
+  def probeMedia(records: Dataset[MediaRecord]): Dataset[MediaProbe] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      it.map { r =>
+        MediaCodecs.probeInfo(r.media) match {
+          case Some(i) => MediaProbe(r.docId, i.container, i.codec,
+            i.sampleRate, i.channels, i.durationMs, i.frames, i.tracks)
+          case None => MediaProbe(r.docId, "unknown", "unknown", -1, -1, -1L, -1L, -1)
+        }
+      }
     }
   }
 

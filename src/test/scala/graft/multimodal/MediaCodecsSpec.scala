@@ -391,4 +391,97 @@ class MediaCodecsSpec extends AnyFunSuite with SparkTestSession {
     assert(full.length == sine.length)
     assert(decodeWavAudio("RIFFxxxxNOPE".getBytes).isEmpty)
   }
+
+  // ── Container metadata probe (round 9) ───────────────────────────────
+
+  /** One MPEG-1 Layer III frame, 128 kbps @ 44100 Hz stereo, zero
+    * payload: header 0xFF 0xFB 0x90 0x00, frame length 417. */
+  private def mp3Frame: Array[Byte] = {
+    val f = new Array[Byte](417)
+    f(0) = 0xff.toByte; f(1) = 0xfb.toByte; f(2) = 0x90.toByte; f(3) = 0x00
+    f
+  }
+
+  test("mp3Info: frame walk counts frames, skips ID3v2, reads rate/channels") {
+    val id3 = new Array[Byte](110)
+    id3(0) = 'I'; id3(1) = 'D'; id3(2) = '3'; id3(3) = 3
+    id3(9) = 100 // syncsafe size: 100 bytes after the 10-byte header
+    val bytes = id3 ++ Array.fill(10)(mp3Frame).flatten
+    val info = mp3Info(bytes).get
+    assert(info.container == "mp3" && info.codec == "mpeg1-layer3")
+    assert(info.sampleRate == 44100 && info.channels == 2)
+    assert(info.frames == 10)
+    // 10 frames × 1152 samples / 44100 Hz = 261.22 ms
+    assert(info.durationMs == 261)
+    assert(mp3Info("not audio at all".getBytes).isEmpty)
+  }
+
+  test("adtsInfo: AAC frame walk reads rate, channels, and 1024-sample duration") {
+    // 7-byte ADTS header: MPEG-4 AAC-LC, sr index 4 (44100), 2 channels,
+    // frameLen 32 (7 header + 25 payload)
+    val frame = new Array[Byte](32)
+    frame(0) = 0xff.toByte; frame(1) = 0xf1.toByte
+    frame(2) = 0x50; frame(3) = 0x80.toByte; frame(4) = 4; frame(5) = 0
+    val bytes = Array.fill(43)(frame).flatten
+    val info = adtsInfo(bytes).get
+    assert(info.container == "aac-adts" && info.codec == "aac")
+    assert(info.sampleRate == 44100 && info.channels == 2)
+    assert(info.frames == 43)
+    // 43 × 1024 / 44100 = 998.4 ms
+    assert(info.durationMs == 998)
+  }
+
+  test("mp4Info: box walk finds brand, mvhd v0/v1 duration, and trak count") {
+    def box(tp: String, payload: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(8 + payload.length)
+      b.putInt(8 + payload.length).put(tp.getBytes("US-ASCII")).put(payload)
+      b.array()
+    }
+    val ftyp = box("ftyp", "isomiso2".getBytes("US-ASCII"))
+    val mvhdV0 = box("mvhd", {
+      val p = java.nio.ByteBuffer.allocate(100)
+      p.putInt(0)           // version 0 + flags
+        .putInt(0).putInt(0) // creation, modification
+        .putInt(600)         // timescale
+        .putInt(1800)        // duration → 3.0 s
+      p.array()
+    })
+    val traks = box("trak", Array.empty) ++ box("trak", Array.empty)
+    val bytes = ftyp ++ box("moov", mvhdV0 ++ traks)
+    val info = mp4Info(bytes).get
+    assert(info.container == "mp4" && info.codec == "isom")
+    assert(info.durationMs == 3000 && info.tracks == 2)
+    // version-1 mvhd: 64-bit times, timescale shifted to offset 20
+    val mvhdV1 = box("mvhd", {
+      val p = java.nio.ByteBuffer.allocate(112)
+      p.putInt(0x01000000)       // version 1 + flags
+        .putLong(0).putLong(0)   // creation, modification (64-bit)
+        .putInt(1000)            // timescale
+        .putLong(2500)           // duration → 2.5 s
+      p.array()
+    })
+    val v1 = mp4Info(ftyp ++ box("moov", mvhdV1)).get
+    assert(v1.durationMs == 2500 && v1.tracks == 0)
+    assert(mp4Info("junkjunkjunkjunk".getBytes).isEmpty)
+  }
+
+  test("wavInfo and aviInfo read facts from the fixtures this suite encodes") {
+    val wav = wavInfo(encodeWavPcm16(new Array[Short](16000), 16000)).get
+    assert(wav.codec == "pcm" && wav.sampleRate == 16000 && wav.channels == 1)
+    assert(wav.durationMs == 1000) // 16000 samples at 16 kHz
+    val mu = wavInfo(encodeWavG711(new Array[Short](8000), mulaw = true, 8000)).get
+    assert(mu.codec == "g711-mulaw" && mu.durationMs == 1000)
+    val avi = aviInfo(encodeMjpegAvi(Seq(raster2x2, raster2x2, raster2x2), fps = 10)).get
+    assert(avi.codec == "vids" || avi.codec == "mjpg") // strh fccType/handler
+    assert(avi.frames == 3 && avi.durationMs == 300 && avi.tracks == 1)
+  }
+
+  test("probeInfo dispatches by magic bytes and rejects garbage") {
+    assert(probeInfo(Array.fill(10)(mp3Frame).flatten).get.container == "mp3")
+    assert(probeInfo(encodeWavPcm16(new Array[Short](100), 8000)).get.container == "wav")
+    assert(probeInfo(encodeMjpegAvi(Seq(raster2x2))).get.container == "avi")
+    assert(probeInfo("garbage bytes everywhere".getBytes).isEmpty)
+    assert(probeInfo(null).isEmpty)
+    assert(probeInfo(Array[Byte](1, 2)).isEmpty)
+  }
 }

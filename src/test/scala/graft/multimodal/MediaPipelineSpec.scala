@@ -77,4 +77,27 @@ class MediaPipelineSpec extends AnyFunSuite with SparkTestSession {
     for (id <- Seq(2L, 3L); (a, b) <- ref.zip(byId(id)))
       assert(math.abs(a - b) < 0.01f, s"doc $id diverged from PCM features")
   }
+
+  test("probeMedia: header facts per blob without decode, no shuffle") {
+    import spark.implicits._
+    val mp3 = {
+      val f = new Array[Byte](417)
+      f(0) = 0xff.toByte; f(1) = 0xfb.toByte; f(2) = 0x90.toByte
+      Array.fill(5)(f).flatten
+    }
+    val wav = MediaCodecs.encodeWavPcm16(new Array[Short](8000), 16000)
+    val records = Seq(
+      MediaRecord(1L, mp3, MediaMeta("audio", 0, 0, 44100)),
+      MediaRecord(2L, wav, MediaMeta("audio", 0, 0, 16000)),
+      MediaRecord(3L, "opaque stub bytes".getBytes, MediaMeta("video", 0, 0, 0))
+    ).toDS().repartition(2)
+    val probes = MediaPipeline.probeMedia(records)
+    assert(probes.rdd.getNumPartitions == records.rdd.getNumPartitions)
+    val byId = probes.collect().map(p => p.docId -> p).toMap
+    assert(byId(1L).container == "mp3" && byId(1L).sampleRate == 44100
+      && byId(1L).frames == 5)
+    assert(byId(2L).container == "wav" && byId(2L).codec == "pcm"
+      && byId(2L).durationMs == 500)
+    assert(byId(3L).container == "unknown" && byId(3L).durationMs == -1L)
+  }
 }
