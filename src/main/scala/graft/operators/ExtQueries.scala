@@ -941,6 +941,23 @@ object ExtQueries {
         .orderBy("event_type")
     }),
 
+    // Z-order key (the multi-column data-skipping layout): equal-width
+    // value bucket × day-of-epoch bucket, bit-interleaved into the
+    // Z-value a writer would range-partition-sort by. The interleave
+    // expression is GENERATED once for both engines
+    // (Pipeline.zorderKey / zorderKeySql) — pure literal-shift integer
+    // arithmetic, hash-checked; the file-box pruning payoff is
+    // spec-measured (PipelineSpec), since file layout isn't
+    // SQL-observable.
+    "q93_zorder_key" -> ((s, d) => {
+      val ev = CoreQueries.events(s, d)
+      ev.select(col("event_id"),
+          least(greatest(floor(col("value")).cast("long"), lit(0L)), lit(511L)).as("zx"),
+          pmod(expr("ts_ns div 86400000000000"), lit(512L)).as("zy"))
+        .withColumn("zkey", Pipeline.zorderKey(col("zx"), col("zy")))
+        .orderBy("zkey", "event_id")
+    }),
+
     // The CAPSTONE: the whole training-corpus preparation pipeline in
     // one entry — quality gate → exact dedup → fuzzy dedup applied →
     // epoch shuffle (Pipeline.prepareCorpus), every stage value-checked
@@ -1284,6 +1301,14 @@ object ExtQueries {
     // list, punct class, weights) — the engines cannot drift
     "q82_quality_score" ->
       s"SELECT lang, count(*) AS n_docs, round(avg(score), 4) AS avg_score, CAST(sum(CASE WHEN score >= 0.6 THEN 1 ELSE 0 END) AS BIGINT) AS n_high FROM (SELECT lang, $qualityScoreSql AS score FROM documents) t GROUP BY lang ORDER BY lang",
+    // the interleave fragment is generated by the SAME loop as the Spark
+    // Column (Pipeline.zorderKeySql) — the engines cannot drift
+    "q93_zorder_key" ->
+      (s"SELECT event_id, zx, zy, ${Pipeline.zorderKeySql("zx", "zy")} AS zkey " +
+        "FROM (SELECT event_id, least(greatest(CAST(floor(value) AS BIGINT), 0), 511) AS zx, " +
+        "(epoch_us(ts) // 86400000000) % 512 AS zy FROM events) t " +
+        "ORDER BY zkey, event_id"),
+
     // same integer HDR bucket arithmetic as Pipeline.hdrSketch/
     // hdrQuantiles: u = max(floor(value*100),1); bucket = bitlen*16 +
     // top-4-bits; rank threshold ceil(n*p/100) as (n*p+99)//100 — no

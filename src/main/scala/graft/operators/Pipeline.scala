@@ -290,6 +290,37 @@ object Pipeline {
     base.groupBy(byCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
+  // ---------------------------------------------------------------------
+  // Z-order clustering — multi-column data skipping. Sorting a table by
+  // ONE column gives perfect file-level min/max pruning on that column
+  // and none on any other; interleaving the bits of two bucket ids gives
+  // every file a small min/max BOX in (x, y) space, so range predicates
+  // on EITHER or BOTH dimensions skip most files. This is the layout
+  // trick behind Delta/Iceberg Z-ordering, reduced to its public core:
+  // bucket → bit-interleave → range-partitioned sort. The key is pure
+  // integer arithmetic (literal shifts), generated ONCE for both engines
+  // so the oracle cannot drift from the plan.
+  // ---------------------------------------------------------------------
+
+  /** Bit-interleave two bucket ids (each in `[0, 2^bits)`) into a
+    * Z-value: bit i of `x` lands at position 2i, bit i of `y` at 2i+1.
+    * All shifts are literals — one codegen'd integer expression, no UDF. */
+  def zorderKey(x: Column, y: Column, bits: Int = 9): Column =
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc +
+        shiftleft(shiftright(x.cast("long"), i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(y.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }
+
+  /** The SAME interleave as [[zorderKey]], rendered as engine-neutral SQL
+    * over the given column expressions — generated from one loop so the
+    * DuckDB oracle and the Spark plan share the arithmetic by
+    * construction (the qualityScoreSql pattern). */
+  def zorderKeySql(x: String, y: String, bits: Int = 9): String =
+    (0 until bits).map { i =>
+      s"(((($x) >> $i) & 1) << ${2 * i}) + (((($y) >> $i) & 1) << ${2 * i + 1})"
+    }.mkString("(", " + ", ")")
+
   /**
    * Benchmark decontamination screen: corpus documents sharing at least
    * one distinct word `n`-gram with the probe (benchmark) set. The

@@ -240,6 +240,13 @@ object Warehouse {
    *
    * This is the maintenance companion of the append path: appends keep
    * ingest O(batch); a periodic compaction keeps reads O(corpus/buckets).
+   *
+   * Crash window: DROP and RENAME are two catalog operations, so a crash
+   * between them leaves no table under the original name — but never
+   * loses data: `<table>_compacting` holds the complete rewrite, and
+   * recovery is one `ALTER TABLE <table>_compacting RENAME TO <table>`.
+   * (A metastore with transactional DDL — or table formats with commit
+   * protocols — closes the window; this is the embedded-catalog shape.)
    */
   def compactTable(spark: SparkSession, table: String): (Int, Int) = {
     val cat = spark.sessionState.catalog

@@ -236,6 +236,81 @@ class PipelineSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("zorderKey: Column, SQL generator, and a bit-twiddling reference agree") {
+    import spark.implicits._
+    def ref(x: Long, y: Long): Long =
+      (0 until 9).map(i => (((x >> i) & 1) << (2 * i)) |
+        (((y >> i) & 1) << (2 * i + 1))).sum
+    val pairs = Seq((0L, 0L), (511L, 511L), (1L, 0L), (0L, 1L),
+      (341L, 170L), (256L, 255L), (490L, 296L))
+    val df = pairs.toDF("x", "y")
+    val viaColumn = df.select(Pipeline.zorderKey(col("x"), col("y")))
+      .collect().map(_.getLong(0)).toSeq
+    val viaSql = df.selectExpr(Pipeline.zorderKeySql("x", "y") + " AS z")
+      .collect().map(_.getLong(0)).toSeq
+    val expected = pairs.map { case (x, y) => ref(x, y) }
+    assert(viaColumn == expected)
+    assert(viaSql == expected) // the generated SQL is the same arithmetic
+  }
+
+  test("z-order layout: file min/max boxes prune 2-D predicates, linear sort can't") {
+    // PREREQUISITE (the production rule): each dimension's bucket ids
+    // must occupy the full bit range, or the sparse dimension's bits
+    // drown under the dense one's in the interleave and z-order degrades
+    // to a single-column sort. Real writers bucket by rank (quantile
+    // boundaries from stats); here the day dimension spans ~30 values,
+    // so stretch it over [0, 511] order-preservingly before keying.
+    val raw = CoreQueries.events(spark, sf)
+      .select(
+        least(greatest(floor(col("value")).cast("long"), lit(0L)), lit(511L)).as("zx"),
+        expr("ts_ns div 86400000000000").as("day"))
+    val (dLo, dHi) = {
+      val r = raw.agg(min("day"), max("day")).collect().head
+      (r.getLong(0), r.getLong(1))
+    }
+    val ev = raw
+      .withColumn("zy", (col("day") - dLo) * 511L / math.max(dHi - dLo, 1L))
+      .withColumn("zy", col("zy").cast("long"))
+      .withColumn("zkey", Pipeline.zorderKey(col("zx"), col("zy")))
+    // 16 "files": range-partition on the layout key, then read each
+    // file's min/max stats per dimension — exactly what a parquet footer
+    // would expose for skipping
+    def fileBoxes(key: String): Array[(Long, Long, Long, Long)] =
+      ev.repartitionByRange(16, col(key))
+        .withColumn("pid", spark_partition_id())
+        .groupBy("pid")
+        .agg(min("zx").as("x0"), max("zx").as("x1"),
+          min("zy").as("y0"), max("zy").as("y1"))
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val zBoxes = fileBoxes("zkey")
+    val linBoxes = fileBoxes("zx") // the single-column sort layout
+    val (yLo, yHi) = {
+      val r = ev.agg(min("zy"), max("zy")).collect().head
+      (r.getLong(0), r.getLong(1))
+    }
+    def touches(boxes: Array[(Long, Long, Long, Long)],
+                x: Option[(Long, Long)], y: Option[(Long, Long)]): Int =
+      boxes.count { case (x0, x1, y0, y1) =>
+        x.forall { case (a, b) => x1 >= a && x0 <= b } &&
+          y.forall { case (a, b) => y1 >= a && y0 <= b }
+      }
+    // day-range predicate (~5 of 30 days, scaled): the dimension the
+    // linear layout does NOT sort by — every linear file spans all days;
+    // z-order files hold small day boxes
+    val yBox = Some((yLo + (yHi - yLo) / 10, yLo + (yHi - yLo) / 10 + (yHi - yLo) / 6))
+    assert(touches(linBoxes, None, yBox) == linBoxes.length,
+      "single-column sort cannot prune the other dimension")
+    assert(touches(zBoxes, None, yBox) < linBoxes.length / 2,
+      s"z-order should prune day-range scans: ${touches(zBoxes, None, yBox)} of ${zBoxes.length}")
+    // value-range predicate still prunes under z-order (worse than the
+    // perfect single-column sort, far better than nothing)
+    val xBox = Some((100L, 150L))
+    assert(touches(zBoxes, xBox, None) < zBoxes.length,
+      "z-order must retain pruning on the first dimension too")
+    // and a 2-D box composes both
+    assert(touches(zBoxes, xBox, yBox) <= touches(zBoxes, xBox, None))
+  }
+
   test("contaminatedDocsBloom equals the exact screen on the real corpus") {
     val corpus = docs.filter(col("doc_id") >= 20)
     val probes = docs.filter(col("doc_id") < 20)
