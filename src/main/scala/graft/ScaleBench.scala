@@ -56,6 +56,25 @@ object ScaleBench {
               .cast("double") / 250.0)).cast("float")).as("embedding"))
   }
 
+  /** k× events projected to (event_type, value, day) with per-replica
+    * day shifts: day cardinality grows k× (so the PERSISTED per-day
+    * sketch frame grows k×) while the merged group space stays fixed —
+    * the q91 at-rest shape. Handles both shipped ts layouts. */
+  def scaleEvents(spark: SparkSession, sf: String, k: Int): DataFrame = {
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+    val base = (raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("day", expr("ts div 86400000000000"))
+      case _ =>
+        raw.withColumn("day",
+          expr("unix_micros(cast(ts as timestamp)) div 86400000000"))
+    }).select("event_type", "value", "day")
+    if (k == 1) base
+    else base.crossJoin(spark.range(k).toDF("rep"))
+      .select(col("event_type"), col("value"),
+        (col("day") + col("rep") * 40L).as("day"))
+  }
+
   def main(args: Array[String]): Unit = {
     val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val scales = args.headOption.map(_.split(",").map(_.toInt).toSeq)
@@ -168,9 +187,26 @@ object ScaleBench {
         path.unpersist()
       }
 
+      // q91 sketch: the whole claim is that the ONLY input-sized stage is
+      // one map-side-combined partial aggregate — cost should track the
+      // scan (≈ linear), never the day-sketch cardinality downstream
+      if (want("q91_sketch")) {
+        val ev = scaleEvents(spark, sf, k).persist()
+        val nEv = ev.count()
+        System.err.println(s"SCALE inputs ${k}x: $nEv events")
+        record("q91_sketch", k, time {
+          val daily = graft.operators.Pipeline.hdrSketch(
+            ev, "value", Seq("event_type", "day"))
+          graft.operators.Pipeline.hdrQuantiles(
+            graft.operators.Pipeline.hdrMerge(daily, Seq("event_type")),
+            Seq("event_type"), Seq(50, 95, 99))
+        })
+        ev.unpersist()
+      }
+
       val docOps = Seq("q26_jaccard", "q52_capped", "q40_minhash",
         "q67_clusters", "q67_cluster_only", "q84_star_only", "q75_probe",
-        "admit_batch")
+        "admit_batch", "q92_bloom")
       val embOps = Seq("q83_pq", "q41c_probe", "q41c_logbits",
         "ivf_append", "pq_append")
       if (!(docOps ++ embOps).exists(want)) {
@@ -190,6 +226,18 @@ object ScaleBench {
       // from banded signatures, exact Jaccard only on candidates
       if (want("q40_minhash")) record("q40_minhash", k, time(
         Dedup.minHashDedupPairs(docs, "doc_id", "text")))
+      // bloom contamination: probe set FIXED (the unscaled benchmark),
+      // corpus grows k× — the bitset broadcast is constant, the corpus
+      // shingle stream is killed map-side, so cost must stay ≈ the scan
+      if (want("q92_bloom")) {
+        val probes = spark.read.parquet(s"$sf/documents.parquet")
+          .filter(col("doc_id") < 20).select("doc_id", "text").persist()
+        probes.count()
+        record("q92_bloom", k, time(
+          graft.operators.Pipeline.contaminatedDocsBloom(
+            docs, probes, "doc_id", "text", n = 5)))
+        probes.unpersist()
+      }
       if (want("q67_clusters")) record("q67_clusters", k, time {
         val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.6)
         Dedup.dedupClusters(pairs, "da", "db")
