@@ -150,6 +150,36 @@ object Qan {
       .orderBy(col("is_new").desc, col("first_seen").desc, col(keyCol))
 
   /** Load breakdown by database and user (QAN filters sidebar). */
+  /**
+   * Per-(digest, day) latency sketch — the AT-REST shape of the profile's
+   * percentile columns (round 9). [[profile]]'s `p95_time` rescans rows
+   * for the window it reports; at 100 TB the dashboard wants "p95 per
+   * digest over ANY date range" without touching the fact table again.
+   * This persists the [[Pipeline.hdrSketch]] frame at microsecond
+   * granularity (`query_time` seconds × 1e6 — sub-µs latency differences
+   * are below the log's own resolution), partitioned by day: a new day
+   * APPENDS its sketch rows without rewriting history, and
+   * [[latencyPercentilesFrom]] merges whatever day slice the report asks
+   * for. Kilobytes per digest-day, exact-mergeable counts (the q91
+   * contract: ≤12.5% one-sided bucket error, spec-bounded).
+   */
+  def latencySketch(wide: DataFrame): DataFrame =
+    Pipeline.hdrSketch(
+      wide.withColumn("day", to_date(col("ts")).cast("string"))
+        .withColumn("qt_us", col("query_time") * 1e4), // ×1e6 µs / ×100 sketch scaling
+      "qt_us", Seq("digest", "day"))
+
+  /** p50/p95/p99 (seconds) per digest from a (slice of a) stored
+    * [[latencySketch]] frame: merge counts, walk buckets — never the
+    * fact table. Filter the sketch on `day` first for ranged reports. */
+  def latencyPercentilesFrom(sketch: DataFrame): DataFrame =
+    Pipeline.hdrQuantiles(Pipeline.hdrMerge(sketch, Seq("digest")),
+        Seq("digest"), Seq(50, 95, 99))
+      .select(col("digest"), col("n_rows"),
+        (col("p50") / 1e4).as("p50_time"),
+        (col("p95") / 1e4).as("p95_time"),
+        (col("p99") / 1e4).as("p99_time"))
+
   def loadByDbUser(wide: DataFrame): DataFrame =
     wide.rollup("db", "user")
       .agg(count(lit(1)).as("cnt"),

@@ -253,4 +253,46 @@ class QanSpec extends AnyFunSuite with SparkTestSession {
       "k", col("ts"), lit(8L)).collect().head
     assert(at.getAs[Boolean]("is_new"))
   }
+
+  test("latency sketch at rest: per-day append merges to the direct build, p95 bounded") {
+    import org.apache.spark.sql.functions._
+    val sketch = Qan.latencySketch(wide)
+    // the at-rest contract: the union of per-day sketch frames (what
+    // daily appends accumulate) answers EXACTLY like a fresh build —
+    // counts are integers merging by addition
+    val days = sketch.select("day").distinct().collect().map(_.getString(0))
+    val viaAppends = days.map(d => sketch.filter(col("day") === d))
+      .reduce(_ union _)
+    val got = Qan.latencyPercentilesFrom(viaAppends)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val direct = Qan.latencyPercentilesFrom(sketch)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got == direct)
+    // accuracy against the exact order statistics of the fixture's
+    // hand-built latencies (digest A: 0.5..1.0 s): the q91 bucket
+    // guarantee at µs granularity
+    val byDigest = wide.select("digest", "query_time").collect()
+      .groupBy(_.getString(0)).view
+      .mapValues(_.map(_.getDouble(1)).sorted).toMap
+    for ((dig, (n, p50, p95, p99)) <- got; vs = byDigest(dig)) {
+      assert(n == vs.length)
+      for ((est, p) <- Seq((p50, 50), (p95, 95), (p99, 99))) {
+        val exact = vs((vs.length * p + 99) / 100 - 1)
+        assert(est <= exact + 1e-4, s"$dig p$p: $est above exact $exact")
+        assert(exact < est * 1.125 + 1e-4,
+          s"$dig p$p: $est undershoots exact $exact beyond the bucket bound")
+      }
+    }
+    // a day-sliced report reads only that day's sketch rows — and equals
+    // a direct build over only that day's fact rows
+    val d0 = days.min
+    val sliced = Qan.latencyPercentilesFrom(sketch.filter(col("day") === d0))
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    val directDay = Qan.latencyPercentilesFrom(
+        Qan.latencySketch(wide.filter(to_date(col("ts")).cast("string") === d0)))
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(sliced == directDay)
+  }
 }
