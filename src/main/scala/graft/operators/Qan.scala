@@ -53,7 +53,15 @@ object Qan {
         sum("rows_sent").as("rows_sent"),
         countDistinct(col("user")).as("n_users"),
         min("ts").as("first_seen"),
-        max("ts").as("last_seen"))
+        max("ts").as("last_seen"),
+        // pt-query-digest's worst-case EXAMPLE: the raw text (and time)
+        // of the slowest execution of this digest — what a DBA pastes
+        // into EXPLAIN. Deterministic tiebreak through (ts, offset) so
+        // equal-latency calls can't flap the report between runs.
+        max_by(col("query"),
+          struct(col("query_time"), col("ts"), col("offset"))).as("example_query"),
+        max_by(col("ts"),
+          struct(col("query_time"), col("ts"), col("offset"))).as("example_ts"))
       .orderBy(col("total_time_scaled").desc, col("digest"))
       .limit(topN)
 

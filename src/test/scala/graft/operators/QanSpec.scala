@@ -48,6 +48,9 @@ class QanSpec extends AnyFunSuite with SparkTestSession {
     // ratio = var/mean; stddev is its square root
     val varPop = (5 to 10).map(i => (i / 10.0 - 0.75) * (i / 10.0 - 0.75)).sum / 6
     assert(math.abs(top.getAs[Double]("stddev_time") - math.sqrt(varPop)) < 1e-9)
+    // the worst-case example is the raw text of the slowest call (k = 5,
+    // query_time 1.0) — pt-query-digest's EXPLAIN-ready sample
+    assert(top.getAs[String]("example_query") == "SELECT * FROM orders WHERE k = 5")
     assert(math.abs(top.getAs[Double]("vm_ratio") - varPop / 0.75) < 1e-9)
     assert(math.abs(top.getAs[Double]("p95_time") - 1.0) < 1e-9)
     assert(top.getAs[java.sql.Timestamp]("first_seen").getTime == 1705312800000L)
