@@ -241,13 +241,21 @@ object Pipeline {
     * Monotone in u, so bucket order IS value order. */
   private def hdrBucket(u: Column): Column = {
     val major = length(bin(u)).cast("long")
-    val minor = expr("shiftright(u, cast(greatest(length(bin(u)) - 4, 0) as int))")
+    val minor = call_function("shiftright", u,
+      greatest(major - 4, lit(0L)).cast("int"))
     (major * 16 + minor).as("bucket")
   }
 
   /** Bucket lower bound in scaled units: `minor << max(major-4, 0)`. */
   private val hdrLowerBound: Column =
     expr("shiftleft(bucket % 16, cast(greatest(bucket div 16 - 4, 0) as int))")
+
+  /** Public face of the bucket math: value → sketch bucket id, scaling
+    * and clamping included — the grouping expression streaming sketches
+    * ([[graft.streaming.SlowLogStream.digestLatencySketch]]) share with
+    * the batch build so their counts merge. */
+  def hdrBucketOf(value: Column): Column =
+    hdrBucket(greatest(floor(value * 100).cast("long"), lit(1L)))
 
   /** Per-(byCols, bucket) counts over `max(floor(value*100), 1)` — the
     * at-rest sketch frame. Include a day/partition column in `byCols` to
@@ -256,9 +264,7 @@ object Pipeline {
     * long) rows whose cardinality is bounded by |groups| * ~1000 buckets
     * regardless of row count. */
   def hdrSketch(df: DataFrame, valueCol: String, byCols: Seq[String]): DataFrame =
-    df.select(byCols.map(col) :+
-        greatest(floor(col(valueCol) * 100).cast("long"), lit(1L)).as("u"): _*)
-      .groupBy(byCols.map(col) :+ hdrBucket(col("u")): _*)
+    df.groupBy(byCols.map(col) :+ hdrBucketOf(col(valueCol)): _*)
       .agg(count(lit(1)).as("cnt"))
 
   /** Merge sketches down to `byCols` (drop finer split keys): counts add. */
@@ -273,6 +279,8 @@ object Pipeline {
     * (bucket lower bound, unscaled back to value units) per percentile. */
   def hdrQuantiles(sketch: DataFrame, byCols: Seq[String],
                    pcts: Seq[Int]): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
+      s"percentiles must be integer percents in [1, 100], got $pcts")
     val grp = Window.partitionBy(byCols.map(col): _*)
     val cum = grp.orderBy("bucket")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

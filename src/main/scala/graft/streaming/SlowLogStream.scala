@@ -160,6 +160,26 @@ object SlowLogStream {
         sum("query_time").as("total_time"),
         sum("rows_sent").as("rows_sent"))
 
+  /**
+   * Streaming HDR latency sketch (round 9): per-(window, digest, bucket)
+   * counts with late-data drop — the STREAMING face of
+   * [[graft.operators.Qan.latencySketch]], sharing its exact bucket
+   * arithmetic ([[graft.operators.Pipeline.hdrBucketOf]], query_time
+   * scaled to µs) so emitted rows append straight onto the at-rest
+   * sketch table and merge by addition. State per open window is bounded
+   * by |digests| × ~1000 buckets — counters, never events — and the
+   * watermark reclaims it; this is how the p95 dashboard stays current
+   * without ever re-scanning the fact table.
+   */
+  def digestLatencySketch(wide: DataFrame,
+                          windowLen: String = "1 minute",
+                          watermark: String = "2 minutes"): DataFrame =
+    wide
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("digest"),
+        graft.operators.Pipeline.hdrBucketOf(col("query_time") * 1e4))
+      .agg(count(lit(1)).as("cnt"))
+
   /** Stateful dedup: first occurrence of each (digest, ts) within the
     * watermark horizon (replayed/duplicated log shipments collapse). */
   def dedupWithinWatermark(wide: DataFrame,

@@ -223,6 +223,32 @@ class SlowLogStreamSpec extends AnyFunSuite with SparkTestSession {
     assert(rows.head.getAs[Long]("cnt_scaled") == 4L)
   }
 
+  test("streaming latency sketch merges onto the batch sketch exactly") {
+    val logDir = tempDir("graft-stream-sketch")
+    Files.writeString(logDir.resolve("f.log"), eventFile(0, 4, sameSecond = true))
+    val sk = SlowLogStream.digestLatencySketch(
+      SlowLogStream.wideRows(SlowLogStream.events(spark, logDir.toString)),
+      windowLen = "1 minute", watermark = "2 minutes")
+    val q = sk.writeStream.format("memory").queryName("lat_sketch")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000); q.stop()
+    // summed across windows, the streamed counters must EQUAL the batch
+    // sketch of the same log — same bucket arithmetic, counts add — so
+    // streamed rows can append straight onto the at-rest sketch table
+    val streamed = spark.table("lat_sketch")
+      .groupBy("digest", "bucket")
+      .agg(org.apache.spark.sql.functions.sum("cnt").as("cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val batchWide = graft.slowlog.SlowLogTable.flatten(
+      graft.slowlog.SlowLogSource.readRaw(spark, logDir.toString))
+    val batch = graft.operators.Qan.latencySketch(batchWide)
+      .groupBy("digest", "bucket")
+      .agg(org.apache.spark.sql.functions.sum("cnt").as("cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(streamed == batch)
+    assert(streamed.values.sum == 4L)
+  }
+
   test("sliding windows emit one row per overlapping window") {
     val logDir = tempDir("graft-stream-slide")
     Files.writeString(logDir.resolve("f.log"), eventFile(0, 4, sameSecond = true))
