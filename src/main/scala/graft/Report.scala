@@ -1,0 +1,90 @@
+package graft
+
+import graft.operators.Qan
+import graft.slowlog.{SlowLogSource, SlowLogTable}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * QAN report CLI — the consumption half of the reference's contract.
+ * [[Ingest]] replaces `slowlog2clickhouse`'s load path; this replaces
+ * the ClickHouse SQL its users run afterwards: one command from a slow
+ * log (or the ingested warehouse) to the pt-query-digest-style report,
+ * no SQL required.
+ *
+ * Usage:
+ * {{{
+ *   Report -source <logdir | parquet:warehouseDir> [-report profile]
+ *     [-top 20] [-bucket hour] [-apdexT 0.5]
+ * }}}
+ *
+ * Reports: `profile` (top digests by rate-scaled load, with the
+ * worst-case example query), `sparkline` (per-digest time buckets),
+ * `load` (db/user breakdown), `apdex` (latency satisfaction per
+ * digest), `percentiles` (p50/p95/p99 per digest via the mergeable
+ * HDR sketch — the path that reads a stored sketch table at scale).
+ *
+ * A `parquet:` source reads the [[graft.sources.Warehouse]] layout the
+ * ingest CLI writes (date-partitioned wide table), so
+ * `Ingest -dsn parquet:W` followed by `Report -source parquet:W` is the
+ * reference's full ingest→analyze round trip with no external store.
+ */
+object Report {
+
+  final case class Config(
+      source: String = null,
+      report: String = "profile",
+      top: Int = 20,
+      bucket: String = "hour",
+      apdexT: Double = 0.5)
+
+  def parseArgs(args: Array[String]): Config = {
+    @annotation.tailrec
+    def loop(rest: List[String], c: Config): Config = rest match {
+      case "-source" :: v :: t => loop(t, c.copy(source = v))
+      case "-report" :: v :: t => loop(t, c.copy(report = v))
+      case "-top" :: v :: t => loop(t, c.copy(top = v.toInt))
+      case "-bucket" :: v :: t => loop(t, c.copy(bucket = v))
+      case "-apdexT" :: v :: t => loop(t, c.copy(apdexT = v.toDouble))
+      case Nil => c
+      case other :: _ =>
+        throw new IllegalArgumentException(s"unknown flag: $other")
+    }
+    val c = loop(args.toList, Config())
+    require(c.source != null, "-source <logdir | parquet:dir> is required")
+    c
+  }
+
+  /** The wide table for a source: stored warehouse or a fresh parse. */
+  def wideFor(spark: SparkSession, source: String): DataFrame =
+    if (source.startsWith("parquet:"))
+      graft.sources.Warehouse.read(spark, source.stripPrefix("parquet:"))
+    else
+      SlowLogTable.flatten(SlowLogSource.readRaw(spark, source))
+
+  /** The selected report as a frame (the testable surface). */
+  def run(spark: SparkSession, c: Config): DataFrame = {
+    val wide = wideFor(spark, c.source)
+    c.report match {
+      case "profile" => Qan.profile(wide, c.top)
+      case "sparkline" => Qan.sparkline(wide, c.bucket)
+      case "load" => Qan.loadByDbUser(wide)
+      case "apdex" =>
+        import org.apache.spark.sql.functions.col
+        Qan.apdex(wide, "digest", col("query_time"), c.apdexT).limit(c.top)
+      case "percentiles" =>
+        Qan.latencyPercentilesFrom(Qan.latencySketch(wide))
+          .orderBy(org.apache.spark.sql.functions.col("p95_time").desc,
+            org.apache.spark.sql.functions.col("digest"))
+          .limit(c.top)
+      case other => throw new IllegalArgumentException(
+        s"unknown -report: $other (profile|sparkline|load|apdex|percentiles)")
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val c = parseArgs(args)
+    val spark = GraftSession.build("graft-report")
+    try run(spark, c).show(c.top, truncate = 48)
+    finally spark.stop()
+  }
+}

@@ -1,0 +1,67 @@
+package graft.sources
+
+import graft.{Ingest, Report, SparkTestSession}
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** The consumption half of the CLI contract: `Ingest -dsn parquet:W`
+  * then `Report -source parquet:W` is the reference's full
+  * ingest→analyze round trip; every report type returns rows from the
+  * same fixture the IngestSpec checks values on. */
+class ReportSpec extends AnyFunSuite with SparkTestSession {
+
+  private lazy val warehouse: String = {
+    val dir = Files.createTempDirectory("graft-report")
+    Files.writeString(dir.resolve("slow001.log"),
+      graft.slowlog.SlowLogFixtures.slow001)
+    val out = dir.resolve("warehouse").toString
+    Ingest.run(spark, Ingest.parseArgs(Array(
+      "-slowLogPath", dir.toString, "-dsn", s"parquet:$out")))
+    s"parquet:$out"
+  }
+
+  test("parseArgs: flags, defaults, validation") {
+    val c = Report.parseArgs(Array("-source", "parquet:/w", "-report",
+      "apdex", "-top", "5", "-apdexT", "0.25"))
+    assert(c.source == "parquet:/w" && c.report == "apdex")
+    assert(c.top == 5 && c.apdexT == 0.25)
+    assert(Report.parseArgs(Array("-source", "x")).report == "profile")
+    intercept[IllegalArgumentException](Report.parseArgs(Array("-bogus", "x")))
+    intercept[IllegalArgumentException](Report.parseArgs(Array.empty))
+  }
+
+  test("every report type returns rows over the ingested warehouse") {
+    for (rep <- Seq("profile", "sparkline", "load", "apdex", "percentiles")) {
+      val rows = Report.run(spark,
+        Report.Config(source = warehouse, report = rep)).collect()
+      assert(rows.nonEmpty, s"report $rep returned no rows")
+    }
+    intercept[IllegalArgumentException](
+      Report.run(spark, Report.Config(source = warehouse, report = "nope")))
+  }
+
+  test("profile over the warehouse equals profile over a fresh parse") {
+    val dir = Files.createTempDirectory("graft-report-direct")
+    Files.writeString(dir.resolve("slow001.log"),
+      graft.slowlog.SlowLogFixtures.slow001)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[String]("digest"), r.getAs[Long]("cnt"),
+        r.getAs[Double]("total_time"), r.getAs[String]("example_query"))
+    val stored = Report.run(spark,
+      Report.Config(source = warehouse)).collect().map(key).toSeq
+    val direct = Report.run(spark,
+      Report.Config(source = dir.toString)).collect().map(key).toSeq
+    assert(stored == direct)
+    // and the sketch-backed percentile report is consistent with the
+    // profile's own approx p95 within the documented bucket bound
+    val p = Report.run(spark,
+      Report.Config(source = warehouse, report = "percentiles")).collect()
+      .map(r => r.getAs[String]("digest") -> r.getAs[Double]("p95_time")).toMap
+    Report.run(spark, Report.Config(source = warehouse)).collect().foreach { r =>
+      val exact = r.getAs[Double]("p95_time")
+      val est = p(r.getAs[String]("digest"))
+      assert(est <= exact + 1e-4 && exact < est * 1.125 + 1e-4,
+        s"${r.getAs[String]("digest")}: sketch $est vs profile $exact")
+    }
+  }
+}
