@@ -15,7 +15,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  * {{{
  *   Report -source <logdir | parquet:warehouseDir> [-report profile]
  *     [-top 20] [-bucket hour] [-apdexT 0.5]
+ *     [-since YYYY-MM-DD] [-until YYYY-MM-DD]
  * }}}
+ *
+ * `-since`/`-until` bound the report window (inclusive / exclusive).
+ * Over a `parquet:` source they filter the warehouse's `q_date`
+ * PARTITION column, so a one-week report on a year of 100 TB history
+ * prunes whole date partitions before any IO (PartitionFilters in the
+ * scan — spec-asserted); over a raw log they filter parsed event time.
  *
  * Reports: `profile` (top digests by rate-scaled load, with the
  * worst-case example query), `sparkline` (per-digest time buckets),
@@ -35,7 +42,9 @@ object Report {
       report: String = "profile",
       top: Int = 20,
       bucket: String = "hour",
-      apdexT: Double = 0.5)
+      apdexT: Double = 0.5,
+      since: Option[String] = None,
+      until: Option[String] = None)
 
   def parseArgs(args: Array[String]): Config = {
     @annotation.tailrec
@@ -45,6 +54,8 @@ object Report {
       case "-top" :: v :: t => loop(t, c.copy(top = v.toInt))
       case "-bucket" :: v :: t => loop(t, c.copy(bucket = v))
       case "-apdexT" :: v :: t => loop(t, c.copy(apdexT = v.toDouble))
+      case "-since" :: v :: t => loop(t, c.copy(since = Some(v)))
+      case "-until" :: v :: t => loop(t, c.copy(until = Some(v)))
       case Nil => c
       case other :: _ =>
         throw new IllegalArgumentException(s"unknown flag: $other")
@@ -54,16 +65,27 @@ object Report {
     c
   }
 
-  /** The wide table for a source: stored warehouse or a fresh parse. */
-  def wideFor(spark: SparkSession, source: String): DataFrame =
-    if (source.startsWith("parquet:"))
-      graft.sources.Warehouse.read(spark, source.stripPrefix("parquet:"))
-    else
-      SlowLogTable.flatten(SlowLogSource.readRaw(spark, source))
+  /** The wide table for a source — stored warehouse or a fresh parse —
+    * with the report window applied on the prunable column: `q_date`
+    * (the warehouse's PARTITION column, so date bounds become
+    * PartitionFilters) or parsed event date for raw logs. */
+  def wideFor(spark: SparkSession, c: Config): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, to_date}
+    val (df, dateCol) =
+      if (c.source.startsWith("parquet:"))
+        (graft.sources.Warehouse.read(spark, c.source.stripPrefix("parquet:")),
+          col("q_date"))
+      else
+        (SlowLogTable.flatten(SlowLogSource.readRaw(spark, c.source)),
+          to_date(col("ts")))
+    val lo = c.since.map(s => dateCol >= to_date(lit(s)))
+    val hi = c.until.map(u => dateCol < to_date(lit(u)))
+    (lo.toSeq ++ hi.toSeq).foldLeft(df)(_ filter _)
+  }
 
   /** The selected report as a frame (the testable surface). */
   def run(spark: SparkSession, c: Config): DataFrame = {
-    val wide = wideFor(spark, c.source)
+    val wide = wideFor(spark, c)
     c.report match {
       case "profile" => Qan.profile(wide, c.top)
       case "sparkline" => Qan.sparkline(wide, c.bucket)

@@ -40,6 +40,29 @@ class ReportSpec extends AnyFunSuite with SparkTestSession {
       Report.run(spark, Report.Config(source = warehouse, report = "nope")))
   }
 
+  test("-since/-until prune warehouse partitions and bound both source kinds") {
+    // slow001's events are dated 2024-01-15 (fixture ground truth)
+    val in = Report.run(spark, Report.Config(source = warehouse,
+      since = Some("2024-01-01"), until = Some("2024-02-01"))).collect()
+    assert(in.nonEmpty)
+    val out = Report.run(spark, Report.Config(source = warehouse,
+      since = Some("2024-06-01"))).collect()
+    assert(out.isEmpty)
+    // the date bounds land on the PARTITION column: the scan carries
+    // PartitionFilters, i.e. whole date directories are skipped pre-IO
+    val plan = Report.wideFor(spark, Report.Config(source = warehouse,
+        since = Some("2024-01-01"), until = Some("2024-02-01")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(q_date"),
+      s"expected partition pruning in:\n$plan")
+    // raw-log sources honor the same window on parsed event time
+    val dir = Files.createTempDirectory("graft-report-window")
+    Files.writeString(dir.resolve("slow001.log"),
+      graft.slowlog.SlowLogFixtures.slow001)
+    assert(Report.run(spark, Report.Config(source = dir.toString,
+      until = Some("2024-01-01"))).collect().isEmpty)
+  }
+
   test("profile over the warehouse equals profile over a fresh parse") {
     val dir = Files.createTempDirectory("graft-report-direct")
     Files.writeString(dir.resolve("slow001.log"),
