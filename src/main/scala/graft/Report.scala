@@ -14,7 +14,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  * Usage:
  * {{{
  *   Report -source <logdir | parquet:warehouseDir> [-report profile]
- *     [-top 20] [-bucket hour] [-apdexT 0.5]
+ *     [-top 20] [-bucket hour] [-apdexT 0.5] [-splitAt <ts>]
  *     [-since YYYY-MM-DD] [-until YYYY-MM-DD]
  * }}}
  *
@@ -28,7 +28,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  * worst-case example query), `sparkline` (per-digest time buckets),
  * `load` (db/user breakdown), `apdex` (latency satisfaction per
  * digest), `percentiles` (p50/p95/p99 per digest via the mergeable
- * HDR sketch — the path that reads a stored sketch table at scale).
+ * HDR sketch — the path that reads a stored sketch table at scale),
+ * `compare` (rate-scaled load before/after `-splitAt`, worst
+ * regressions first).
  *
  * A `parquet:` source reads the [[graft.sources.Warehouse]] layout the
  * ingest CLI writes (date-partitioned wide table), so
@@ -43,6 +45,7 @@ object Report {
       top: Int = 20,
       bucket: String = "hour",
       apdexT: Double = 0.5,
+      splitAt: Option[String] = None,
       since: Option[String] = None,
       until: Option[String] = None)
 
@@ -54,6 +57,7 @@ object Report {
       case "-top" :: v :: t => loop(t, c.copy(top = v.toInt))
       case "-bucket" :: v :: t => loop(t, c.copy(bucket = v))
       case "-apdexT" :: v :: t => loop(t, c.copy(apdexT = v.toDouble))
+      case "-splitAt" :: v :: t => loop(t, c.copy(splitAt = Some(v)))
       case "-since" :: v :: t => loop(t, c.copy(since = Some(v)))
       case "-until" :: v :: t => loop(t, c.copy(until = Some(v)))
       case Nil => c
@@ -98,8 +102,17 @@ object Report {
           .orderBy(org.apache.spark.sql.functions.col("p95_time").desc,
             org.apache.spark.sql.functions.col("digest"))
           .limit(c.top)
+      case "compare" =>
+        // "what got worse?": rate-scaled load before vs after -splitAt
+        // (required), worst regressions first — the q85 trend report
+        import org.apache.spark.sql.functions.{col, greatest, lit, to_timestamp}
+        val at = c.splitAt.getOrElse(throw new IllegalArgumentException(
+          "-report compare needs -splitAt <YYYY-MM-DD[ HH:MM:SS]>"))
+        Qan.compareWindows(wide, "digest", "ts",
+          col("query_time") * greatest(col("rate_limit"), lit(1L)),
+          to_timestamp(lit(at))).limit(c.top)
       case other => throw new IllegalArgumentException(
-        s"unknown -report: $other (profile|sparkline|load|apdex|percentiles)")
+        s"unknown -report: $other (profile|sparkline|load|apdex|percentiles|compare)")
     }
   }
 

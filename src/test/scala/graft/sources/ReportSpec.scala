@@ -40,6 +40,21 @@ class ReportSpec extends AnyFunSuite with SparkTestSession {
       Report.run(spark, Report.Config(source = warehouse, report = "nope")))
   }
 
+  test("compare report splits rate-scaled load at -splitAt") {
+    // fixture events land at 10:00:01-03 on 2024-01-15: split mid-window
+    val rows = Report.run(spark, Report.Config(source = warehouse,
+      report = "compare", splitAt = Some("2024-01-15 10:00:02"))).collect()
+    assert(rows.nonEmpty)
+    val totals = rows.map(r => r.getAs[Long]("cnt_before")).sum +
+      rows.map(r => r.getAs[Long]("cnt_after")).sum
+    assert(totals == Report.run(spark,
+      Report.Config(source = warehouse)).collect()
+      .map(_.getAs[Long]("cnt")).sum)
+    // -splitAt is required for this report
+    intercept[IllegalArgumentException](Report.run(spark,
+      Report.Config(source = warehouse, report = "compare")))
+  }
+
   test("-since/-until prune warehouse partitions and bound both source kinds") {
     // slow001's events are dated 2024-01-15 (fixture ground truth)
     val in = Report.run(spark, Report.Config(source = warehouse,
