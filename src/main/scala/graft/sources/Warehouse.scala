@@ -268,6 +268,13 @@ object Warehouse {
     w.saveAsTable(staging)
     spark.sql(s"DROP TABLE $table")
     spark.sql(s"ALTER TABLE $staging RENAME TO $table")
+    // RENAME moves the table directory but per-PARTITION catalog entries
+    // still record their pre-rename locations, so a partitioned table
+    // reads back empty until the partition metadata is re-synced from
+    // the filesystem (caught by WarehouseSpec's partitioned case).
+    if (meta.partitionColumnNames.nonEmpty)
+      spark.sql(s"MSCK REPAIR TABLE $table")
+    spark.catalog.refreshTable(table)
     (before, tableFileCount(spark, table))
   }
 }

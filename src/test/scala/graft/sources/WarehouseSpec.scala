@@ -385,6 +385,40 @@ class WarehouseSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("compactTable preserves a partitioned table's layout and rows") {
+    import spark.implicits._
+    val day1 = Seq((1L, "a", "2024-01-01"), (2L, "b", "2024-01-01"))
+    val day2 = Seq((3L, "c", "2024-01-02"))
+    def frame(rows: Seq[(Long, String, String)]) =
+      rows.toDF("id", "v", "d").withColumn("d", col("d").cast("date"))
+    Warehouse.dropWithLocation(spark, "part_cmp")
+    frame(day1).write.partitionBy("d").format("parquet").saveAsTable("part_cmp")
+    // several small appends into the same partitions
+    for (_ <- 1 to 3) frame(day1 ++ day2).write.mode("append")
+      .partitionBy("d").format("parquet").saveAsTable("part_cmp")
+    try {
+      val rowsBefore = spark.table("part_cmp").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDate(2).toString)).sorted
+      val (before, after) = Warehouse.compactTable(spark, "part_cmp")
+      assert(before > after, s"expected fewer files, had $before -> $after")
+      // partition column survives as a partition (pruning still applies)
+      val meta = spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier("part_cmp"))
+      assert(meta.partitionColumnNames == Seq("d"))
+      val plan = spark.table("part_cmp")
+        .filter(col("d") === "2024-01-02")
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters: [isnotnull(d"),
+        s"compacted table lost partition pruning:\n$plan")
+      val rowsAfter = spark.table("part_cmp").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDate(2).toString)).sorted
+      assert(rowsAfter.toSeq == rowsBefore.toSeq)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS part_cmp")
+      spark.sql("DROP TABLE IF EXISTS part_cmp_compacting")
+    }
+  }
+
   test("digest-bucketed table aggregates per digest without an exchange") {
     spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
     Warehouse.saveBucketed(wide, "queries_bucketed", buckets = 4)
