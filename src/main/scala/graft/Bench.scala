@@ -147,21 +147,37 @@ object Bench {
         "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3f",
           Double.box(v / baseTimes(k)))
     }.mkString("{", ",", "}")
-    val line =
+    // Full detail (per-query seconds + per-query ratios) goes ONLY to the
+    // self-written baseline file: nine rounds of BENCH_r*.json show the
+    // driver's tail capture truncates anything over ~2 kB mid-line, so a
+    // stdout line carrying 90+ map entries has NEVER parsed (parsed:null
+    // every round). The file is the durable record; stdout carries a
+    // short summary the capture window cannot cut.
+    val fullLine =
       s"""{"metric":"total","value":${f4(core)},"unit":"sec","queries":$qs,"total_all":${f4(all)},"ingest_eps":${eps.round},"failed":$failedJson,"baseline":"$baseName","vs_baseline":$ratios,"sf":"$sfDir"}"""
-    println(line)
-    // Persist the full line as next round's baseline: the driver's
-    // BENCH_r*.json nests this line in a "tail" string that can be
-    // TRUNCATED mid-queries-map (seen in r03), which would make the
-    // regex pick vs_baseline ratios as seconds (round-3 advice). An
-    // untruncated self-written file sidesteps the problem entirely.
     // The filename is SF-KEYED so a quick local sf0.01 sanity bench
     // can never clobber the canonical sf0.1 baseline.
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(baselineFileFor(sfDir)), line + "\n")
+      java.nio.file.Paths.get(baselineFileFor(sfDir)), fullLine + "\n")
     catch { case e: java.io.IOException =>
       System.err.println(s"[bench] baseline not persisted: ${e.getMessage}")
     }
+    // Median ratio vs the prior baseline: one number summarizes the
+    // round-over-round drift the per-query map used to carry.
+    val ratioVals = results.collect {
+      case (k, v) if baseTimes.get(k).exists(_ > 0) &&
+          !failed.contains(k) && !baseFailed.contains(k) => v / baseTimes(k)
+    }.sorted
+    val medianRatio =
+      if (ratioVals.isEmpty) -1.0
+      else if (ratioVals.size % 2 == 1) ratioVals(ratioVals.size / 2)
+      else (ratioVals(ratioVals.size / 2 - 1) + ratioVals(ratioVals.size / 2)) / 2
+    val medianJson =
+      if (medianRatio < 0) "null"
+      else String.format(java.util.Locale.ROOT, "%.3f", Double.box(medianRatio))
+    // LAST stdout line, ~200 bytes: the driver's machine-readable contract.
+    println(
+      s"""{"metric":"total","value":${f4(core)},"unit":"sec","total_all":${f4(all)},"ingest_eps":${eps.round},"failed":$failedJson,"vs_baseline_median":$medianJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 

@@ -904,10 +904,22 @@ object MediaCodecs {
     * exactly. None unless at least one valid frame parses. */
   def mp3Info(bytes: Array[Byte]): Option[MediaInfo] = {
     var pos = 0
-    // ID3v2: "ID3" + version(2) + flags + 28-bit syncsafe size
-    if (bytes.length >= 10 && bytes(0) == 'I' && bytes(1) == 'D' && bytes(2) == '3')
+    // ID3v2: "ID3" + version(2) + flags + 28-bit syncsafe size; the size
+    // excludes the 10-byte header AND, when the footer flag (bit 4 of the
+    // flags byte, ID3v2.4) is set, the 10-byte footer after the tag
+    if (bytes.length >= 10 && bytes(0) == 'I' && bytes(1) == 'D' && bytes(2) == '3') {
       pos = 10 + (((bytes(6) & 0x7f) << 21) | ((bytes(7) & 0x7f) << 14) |
         ((bytes(8) & 0x7f) << 7) | (bytes(9) & 0x7f))
+      if ((bytes(5) & 0x10) != 0) pos += 10
+      // Resync: tolerate tag padding / a mis-stated tag size by scanning
+      // forward for the next frame sync word (11 set bits) instead of
+      // hard-failing at an unlucky offset. Only after an ID3 tag — an
+      // untagged stream must still sync at byte 0, or a whole-file scan
+      // would let arbitrary binaries masquerade as MP3.
+      while (pos + 1 < bytes.length &&
+          !((bytes(pos) & 0xff) == 0xff && (bytes(pos + 1) & 0xe0) == 0xe0))
+        pos += 1
+    }
     val brMpeg1 = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 0)
     val brMpeg2 = Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160, 0)
     val srMpeg1 = Array(44100, 48000, 32000, 0)

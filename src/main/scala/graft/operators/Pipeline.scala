@@ -371,10 +371,17 @@ object Pipeline {
                             fpp: Double = 0.01): DataFrame = {
     val probeShingles =
       Dedup.shingles(probes, idCol, textCol, n).select("shingle").distinct()
+    // Two driver-side actions (count, bloom build) plus the verify join
+    // all consume this frame; persist so the shingling+distinct runs once
+    // for the actions, then release — pinning it for the lazy verify join
+    // would leak storage the caller can never unpersist (cf. Dedup's
+    // shingles note), so verify pays one recompute: 3 passes → 2.
+    probeShingles.persist()
     // the probe side is small by construction (it is the benchmark set);
     // this count prices the bitset, not the corpus
     val nProbe = math.max(probeShingles.count(), 1L)
     val bf = probeShingles.stat.bloomFilter("shingle", nProbe, fpp)
+    probeShingles.unpersist(blocking = false)
     val bc = corpus.sparkSession.sparkContext.broadcast(bf)
     val mightContain = udf((s: String) => s != null && bc.value.mightContainString(s))
     Dedup.shingles(corpus, idCol, textCol, n)

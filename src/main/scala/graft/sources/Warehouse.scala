@@ -241,12 +241,16 @@ object Warehouse {
    * This is the maintenance companion of the append path: appends keep
    * ingest O(batch); a periodic compaction keeps reads O(corpus/buckets).
    *
-   * Crash window: DROP and RENAME are two catalog operations, so a crash
-   * between them leaves no table under the original name — but never
-   * loses data: `<table>_compacting` holds the complete rewrite, and
-   * recovery is one `ALTER TABLE <table>_compacting RENAME TO <table>`.
-   * (A metastore with transactional DDL — or table formats with commit
-   * protocols — closes the window; this is the embedded-catalog shape.)
+   * Crash safety: the swap renames the LIVE table aside first
+   * (`t → t_old`, `t_compacting → t`, drop `t_old`), so every crash
+   * point leaves a complete, queryable copy of the data under SOME name
+   * and recovery is at most one rename — unlike a DROP-then-RENAME
+   * ordering, which has a window where no table exists under the
+   * original name at all. The only remaining window is between the two
+   * renames, where a reader sees `t` briefly missing but `t_old` +
+   * `t_compacting` both hold full copies. (A metastore with
+   * transactional DDL — or table formats with commit protocols — closes
+   * even that; this is the embedded-catalog shape.)
    */
   def compactTable(spark: SparkSession, table: String): (Int, Int) = {
     val cat = spark.sessionState.catalog
@@ -254,7 +258,9 @@ object Warehouse {
     val meta = cat.getTableMetadata(ident)
     val before = tableFileCount(spark, table)
     val staging = table + "_compacting"
+    val retired = table + "_old"
     dropWithLocation(spark, staging)
+    dropWithLocation(spark, retired) // stale leftover from a prior crash
     var w = spark.table(table).write.mode(SaveMode.Overwrite)
       .format(meta.provider.getOrElse("parquet"))
     meta.bucketSpec.foreach { spec =>
@@ -266,14 +272,25 @@ object Warehouse {
     if (meta.partitionColumnNames.nonEmpty)
       w = w.partitionBy(meta.partitionColumnNames: _*)
     w.saveAsTable(staging)
-    spark.sql(s"DROP TABLE $table")
+    spark.sql(s"ALTER TABLE $table RENAME TO $retired")
     spark.sql(s"ALTER TABLE $staging RENAME TO $table")
     // RENAME moves the table directory but per-PARTITION catalog entries
-    // still record their pre-rename locations, so a partitioned table
-    // reads back empty until the partition metadata is re-synced from
-    // the filesystem (caught by WarehouseSpec's partitioned case).
-    if (meta.partitionColumnNames.nonEmpty)
+    // can still record pre-rename locations (URI-normalization-dependent:
+    // `file:/` entries get rewritten, `file:///` ones don't), so a
+    // partitioned table reads back empty — or worse, the retired table's
+    // entries keep pointing INTO the live directory. Heal the live table
+    // from the filesystem FIRST (every partition dir exists, so MSCK
+    // rewrites each entry), and strip the retired table down to
+    // metadata-only partitions (retainData) before dropping it: a
+    // managed DROP deletes partition locations outside its own dir,
+    // which with a stale cross-pointer is live data.
+    if (meta.partitionColumnNames.nonEmpty) {
       spark.sql(s"MSCK REPAIR TABLE $table")
+      val retIdent = spark.sessionState.sqlParser.parseTableIdentifier(retired)
+      cat.dropPartitions(retIdent, cat.listPartitions(retIdent).map(_.spec),
+        ignoreIfNotExists = true, purge = false, retainData = true)
+    }
+    spark.sql(s"DROP TABLE $retired")
     spark.catalog.refreshTable(table)
     (before, tableFileCount(spark, table))
   }

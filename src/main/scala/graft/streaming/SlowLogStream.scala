@@ -165,8 +165,11 @@ object SlowLogStream {
    * counts with late-data drop — the STREAMING face of
    * [[graft.operators.Qan.latencySketch]], sharing its exact bucket
    * arithmetic ([[graft.operators.Pipeline.hdrBucketOf]], query_time
-   * scaled to µs) so emitted rows append straight onto the at-rest
-   * sketch table and merge by addition. State per open window is bounded
+   * scaled to µs). The at-rest table is keyed (digest, day, bucket), so
+   * each row also carries `day` projected from the window start:
+   * `.select("digest", "day", "bucket", "cnt")` appends straight onto
+   * the stored sketch and merges by addition (windows never straddle a
+   * day boundary at sub-day lengths). State per open window is bounded
    * by |digests| × ~1000 buckets — counters, never events — and the
    * watermark reclaims it; this is how the p95 dashboard stays current
    * without ever re-scanning the fact table.
@@ -179,6 +182,7 @@ object SlowLogStream {
       .groupBy(window(col("ts"), windowLen), col("digest"),
         graft.operators.Pipeline.hdrBucketOf(col("query_time") * 1e4))
       .agg(count(lit(1)).as("cnt"))
+      .withColumn("day", to_date(col("window.start")).cast("string"))
 
   /** Stateful dedup: first occurrence of each (digest, ts) within the
     * watermark horizon (replayed/duplicated log shipments collapse). */

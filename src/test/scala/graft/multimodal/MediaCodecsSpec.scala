@@ -416,6 +416,24 @@ class MediaCodecsSpec extends AnyFunSuite with SparkTestSession {
     assert(mp3Info("not audio at all".getBytes).isEmpty)
   }
 
+  test("mp3Info: ID3v2.4 footer flag adds 10 bytes; tag padding resyncs") {
+    // footer flag (bit 4 of flags byte 5): audio starts 10 + size + 10 in
+    val id3 = new Array[Byte](120)
+    id3(0) = 'I'; id3(1) = 'D'; id3(2) = '3'; id3(3) = 4
+    id3(5) = 0x10; id3(9) = 100 // syncsafe size 100 + 10-byte footer
+    val footered = mp3Info(id3 ++ Array.fill(3)(mp3Frame).flatten).get
+    assert(footered.frames == 3 && footered.sampleRate == 44100)
+    // understated tag size (real tags pad): the resync scan must find the
+    // first frame instead of hard-failing at the stale offset
+    val padded = new Array[Byte](110)
+    padded(0) = 'I'; padded(1) = 'D'; padded(2) = '3'; padded(3) = 3
+    padded(9) = 50 // claims 50, actual gap to audio is 100
+    val resynced = mp3Info(padded ++ Array.fill(3)(mp3Frame).flatten).get
+    assert(resynced.frames == 3)
+    // no ID3 tag → still must sync at byte 0 (no whole-file scan)
+    assert(mp3Info(Array[Byte](0, 0, 0, 0) ++ mp3Frame).isEmpty)
+  }
+
   test("adtsInfo: AAC frame walk reads rate, channels, and 1024-sample duration") {
     // 7-byte ADTS header: MPEG-4 AAC-LC, sr index 4 (44100), 2 channels,
     // frameLen 32 (7 header + 25 payload)

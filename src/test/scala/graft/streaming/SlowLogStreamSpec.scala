@@ -235,16 +235,19 @@ class SlowLogStreamSpec extends AnyFunSuite with SparkTestSession {
     // summed across windows, the streamed counters must EQUAL the batch
     // sketch of the same log — same bucket arithmetic, counts add — so
     // streamed rows can append straight onto the at-rest sketch table
+    // grouped on the at-rest key (digest, day, bucket): the projected
+    // `day` column must line up with the batch sketch's, not just the
+    // bucket arithmetic
     val streamed = spark.table("lat_sketch")
-      .groupBy("digest", "bucket")
+      .groupBy("digest", "day", "bucket")
       .agg(org.apache.spark.sql.functions.sum("cnt").as("cnt"))
-      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)) -> r.getLong(3)).toMap
     val batchWide = graft.slowlog.SlowLogTable.flatten(
       graft.slowlog.SlowLogSource.readRaw(spark, logDir.toString))
     val batch = graft.operators.Qan.latencySketch(batchWide)
-      .groupBy("digest", "bucket")
+      .groupBy("digest", "day", "bucket")
       .agg(org.apache.spark.sql.functions.sum("cnt").as("cnt"))
-      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)) -> r.getLong(3)).toMap
     assert(streamed == batch)
     assert(streamed.values.sum == 4L)
   }
