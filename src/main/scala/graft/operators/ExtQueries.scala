@@ -46,11 +46,55 @@ object ExtQueries {
   private val cosSql: String =
     "list_sum(list_apply(list_zip(p.embedding, e.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (sqrt(list_sum(list_apply(p.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) * sqrt(list_sum(list_apply(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))))"
 
+  /** Shared q53/q83 oracle: the exact top-3 neighbor rows (q39's
+    * ranking — rounded sim DESC, nn_id tiebreak) with the per-probe
+    * recall floor as a literal TRUE. The data half pins the kNN values;
+    * the floor half is the ANN contract. */
+  private lazy val exactTop3FloorSql: String =
+    s"WITH c AS (SELECT p.vec_id probe_id, e.vec_id nn_id, round($cosSql,4) sim " +
+      "FROM embeddings p CROSS JOIN embeddings e WHERE p.vec_id < 5 AND e.vec_id <> p.vec_id) " +
+      "SELECT probe_id, rn, nn_id, sim, true AS ok FROM " +
+      "(SELECT probe_id, nn_id, sim, row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, nn_id) rn FROM c) " +
+      "WHERE rn <= 3 ORDER BY probe_id, rn"
+
   /** q87 Apdex satisfied threshold (tolerating ≤ 4T, the standard
     * window) — single source for the Spark call AND the generated
     * oracle; ~p50 of the events value column, so every class has all
     * three populations. */
   private val ApdexT: Double = 50.0
+
+  /** The events table mapped onto the wide slow-log schema (digest,
+    * fingerprint, query_time, rate_limit, rows, user, db, ts, query,
+    * offset), so the QAN report operators — the Report CLI's code
+    * paths ([[Qan.profile]]/[[Qan.sparkline]]/[[Qan.loadByDbUser]]) —
+    * run verbatim over driver testdata and oracle-check against the
+    * identical DuckDB projection ([[qanWideSql]]). Synthetic columns
+    * are pure `event_id`/`user_id` arithmetic: deterministic in both
+    * engines, with rate_limit hitting 0 to exercise the
+    * `greatest(rate_limit, 1)` sampling floor. */
+  private def qanWide(s: SparkSession, d: String): DataFrame =
+    CoreQueries.events(s, d).select(
+      col("event_type").as("digest"),
+      col("event_type").as("fingerprint"),
+      col("value").as("query_time"),
+      (col("event_id") % 5).as("rate_limit"),
+      (col("event_id") % 100).as("rows_examined"),
+      (col("event_id") % 10).as("rows_sent"),
+      concat(lit("u"), col("user_id") % 7).as("user"),
+      concat(lit("db"), col("user_id") % 3).as("db"),
+      col("ts"),
+      concat(lit("ev-"), col("event_id")).as("query"),
+      col("event_id").as("offset"))
+
+  /** DuckDB twin of [[qanWide]] — a CTE fragment prepended to the QAN
+    * oracles. One definition per column pair, adjacent in source, so
+    * the mapping cannot drift. */
+  private val qanWideSql: String =
+    "wide AS (SELECT event_type AS digest, event_type AS fingerprint, " +
+      "value AS query_time, event_id % 5 AS rate_limit, " +
+      "event_id % 100 AS rows_examined, event_id % 10 AS rows_sent, " +
+      "'u' || (user_id % 7) AS \"user\", 'db' || (user_id % 3) AS db, " +
+      "ts, 'ev-' || event_id AS query, event_id AS \"offset\" FROM events)"
 
   /** q72 per-lang keep rates + fallback — the single source for the
     * Spark-side stratified filter AND the generated oracle CASE. */
@@ -556,6 +600,51 @@ object ExtQueries {
     "q87_apdex" -> ((s, d) =>
       Qan.apdex(CoreQueries.events(s, d), "event_type", col("value"), ApdexT)),
 
+    // The QAN profile — the Report CLI's central report (Qan.profile,
+    // round 10): run VERBATIM over the events table mapped onto the wide
+    // slow-log schema (qanWide; the oracle mirrors the mapping), so the
+    // consumption half of the reference contract is oracle-checked
+    // end-to-end — scaled counts/load, dispersion, worst-case example
+    // row with its (time, ts, offset) tiebreak, user spread, first/last
+    // seen. Floats rounded post-profile; re-sorted on digest for a
+    // cross-engine total order (profile's own load rank stays its
+    // production contract).
+    "q94_qan_profile" -> ((s, d) =>
+      // p95Accuracy 200k ≥ any oracle-SF group size, so the percentile
+      // sketch is exact and hash-matches quantile_disc (at the 10k
+      // default, sf0.1's ~20k-row groups read one rank off)
+      Qan.profile(qanWide(s, d), p95Accuracy = 200000)
+        .select(col("digest"), col("fingerprint"), col("cnt"),
+          col("cnt_scaled"),
+          round(col("total_time"), 4).as("total_time"),
+          round(col("total_time_scaled"), 4).as("total_time_scaled"),
+          round(col("avg_time"), 4).as("avg_time"),
+          round(col("stddev_time"), 4).as("stddev_time"),
+          round(col("vm_ratio"), 4).as("vm_ratio"),
+          col("p95_time"),
+          col("rows_examined"), col("rows_sent"), col("n_users"),
+          col("first_seen"), col("last_seen"),
+          col("example_query"), col("example_ts"))
+        .orderBy("digest")),
+
+    // The QAN sparkline (Qan.sparkline) — hourly per-digest series with
+    // raw + rate-scaled load, the chart the profile drills into.
+    "q95_qan_sparkline" -> ((s, d) =>
+      Qan.sparkline(qanWide(s, d), "hour")
+        .select(col("bucket"), col("digest"), col("cnt"), col("cnt_scaled"),
+          round(col("total_time"), 4).as("total_time"),
+          round(col("total_time_scaled"), 4).as("total_time_scaled"))
+        .orderBy("bucket", "digest")),
+
+    // The QAN load sidebar (Qan.loadByDbUser) — db × user rollup with
+    // scaled load, subtotals and grand total included.
+    "q96_qan_load" -> ((s, d) =>
+      Qan.loadByDbUser(qanWide(s, d))
+        .select(col("db"), col("user"), col("cnt"), col("cnt_scaled"),
+          round(col("total_time"), 4).as("total_time"),
+          round(col("total_time_scaled"), 4).as("total_time_scaled"))
+        .orderBy(col("db").asc_nulls_first, col("user").asc_nulls_first)),
+
     // New-key detection (Qan.firstSeen — the review-table "which query
     // classes are NEW this window?" question) on the q51 composite key
     // (2500 classes, so the range midpoint genuinely splits them):
@@ -735,23 +824,26 @@ object ExtQueries {
         .orderBy("type_tag")
     }),
 
-    // IVF-flat ANN, tolerance-as-contract (q34 pattern): per probe,
-    // recall of IVF top-3 vs the exact knnBatch top-3; ok = at least 2
-    // of 3 found with nprobe=8 of nlist=16 cells. KMeans cell
-    // assignments are seeded but not bit-stable, so the CONTRACT is the
-    // recall floor, never the neighbor identities.
+    // IVF-flat ANN against the exact top-3. Since round 10 the oracle is
+    // DATA-BEARING (r9 advice): the entry emits the exact kNN neighbor
+    // set itself — (probe_id, rn, nn_id, sim), which DuckDB re-ranks
+    // independently — plus the per-probe recall-floor `ok` (≥2 of 3
+    // IVF hits at nprobe=8 of nlist=16). KMeans cell assignments are
+    // seeded but not bit-stable, so the floor — not the IVF neighbor
+    // identities — stays the ANN half of the contract; the exact half
+    // is now checked as values, not a self-graded boolean.
     // Since round 8 the entry exercises the PERSIST-AND-PROBE path (the
     // q75 pattern): the inverted file + centroid table are written once
     // as warehouse tables (Warehouse.saveIvfIndex, cell-bucketed) and
     // the probe consumes the STORED tables — the production split the
-    // stored-index specs prove pruning for. Output (and oracle)
-    // unchanged. Table names are graft_bench_-prefixed: internal scratch
-    // namespace, never a user table (r7 ADVICE).
+    // stored-index specs prove pruning for. Table names are
+    // graft_bench_-prefixed: internal scratch namespace, never a user
+    // table (r7 ADVICE).
     "q53_ivf_recall" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       val probes = emb.filter(col("vec_id") < 5)
       val exact = Similarity.knnBatch(emb, probes, "vec_id", "embedding", k = 3)
-        .select(col("probe_id"), col("nn_id"))
+        .select(col("probe_id"), col("rn"), col("nn_id"), col("sim"))
       val (cells, centroids) =
         Similarity.ivfIndex(emb, "vec_id", "embedding", nlist = 16)
       graft.sources.Warehouse.saveIvfIndex(cells, centroids, "graft_bench_ivf_q53")
@@ -761,36 +853,35 @@ object ExtQueries {
         .select(col("probe_id"), col("nn_id"))
       val hits = exact.join(ivf, Seq("probe_id", "nn_id"))
         .groupBy("probe_id").agg(count(lit(1)).as("hits"))
-      probes.select(col("vec_id").as("probe_id"))
-        .join(hits, Seq("probe_id"), "left")
-        .select(col("probe_id"),
+      exact.join(hits, Seq("probe_id"), "left")
+        .select(col("probe_id"), col("rn"), col("nn_id"), col("sim"),
           (coalesce(col("hits"), lit(0L)) >= 2).as("ok"))
-        .orderBy("probe_id")
+        .orderBy("probe_id", "rn")
     }),
 
-    // PQ ANN, tolerance-as-contract (q53 pattern): per probe, ≥2 of the
-    // exact top-3 must survive PQ's ADC candidate pass + exact re-rank.
-    // candidates=150 (cut from the round-5 setting of 200, enabled by
-    // per-subspace codebooks + farthest-point seeding): PqProbe measured
-    // per-probe hits at BOTH oracle SFs — 150 recalls 3/3 for every
-    // probe (one-hit margin over the ≥2 floor); 100 also passes but
-    // with ZERO margin on one sf0.1 probe, too tight for a codebook fit
-    // whose float-sum order is not bit-stable across partitionings.
+    // PQ ANN against the exact top-3, data-bearing oracle (q53 pattern,
+    // round 10): exact neighbor rows checked as values, ≥2-of-3 PQ
+    // recall floor as `ok`. candidates=150 (cut from the round-5
+    // setting of 200, enabled by per-subspace codebooks +
+    // farthest-point seeding): PqProbe measured per-probe hits at BOTH
+    // oracle SFs — 150 recalls 3/3 for every probe (one-hit margin over
+    // the ≥2 floor); 100 also passes but with ZERO margin on one sf0.1
+    // probe, too tight for a codebook fit whose float-sum order is not
+    // bit-stable across partitionings.
     "q83_pq_recall" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       val probes = emb.filter(col("vec_id") < 5)
       val exact = Similarity.knnBatch(emb, probes, "vec_id", "embedding", k = 3)
-        .select(col("probe_id"), col("nn_id"))
+        .select(col("probe_id"), col("rn"), col("nn_id"), col("sim"))
       val pq = Similarity.pqCosineTopK(emb, probes, "vec_id", "embedding",
           k = 3, candidates = 150)
         .select(col("probe_id"), col("nn_id"))
       val hits = exact.join(pq, Seq("probe_id", "nn_id"))
         .groupBy("probe_id").agg(count(lit(1)).as("hits"))
-      probes.select(col("vec_id").as("probe_id"))
-        .join(hits, Seq("probe_id"), "left")
-        .select(col("probe_id"),
+      exact.join(hits, Seq("probe_id"), "left")
+        .select(col("probe_id"), col("rn"), col("nn_id"), col("sim"),
           (coalesce(col("hits"), lit(0L)) >= 2).as("ok"))
-        .orderBy("probe_id")
+        .orderBy("probe_id", "rn")
     }),
 
     // TF-IDF top terms per language: two vocabulary-keyed aggregates, a
@@ -1004,10 +1095,13 @@ object ExtQueries {
   private val annIndexCache =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
-  /** q75b's session-cached SimHash band frame, keyed by sf dir (same
-    * at-rest split as [[annIndexCache]]). */
-  private val simhashIndexCache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  /** sf dirs whose q75b stored SimHash index exists this JVM: q75b
+    * probes the parquet index TABLE, not a block-manager cache — a
+    * memory-persisted frame was evicted mid-bench by the 100-entry
+    * sequence's storage pressure (r9: 1.1 s isolated, 5.05 s in-bench)
+    * while bucketed file reads stay page-cache-stable. */
+  private val simhashIndexBuilt =
+    scala.collection.concurrent.TrieMap.empty[String, Unit]
 
   val benchOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
     // End-to-end ANN at the q41 contract config (32 tables × 5 bits,
@@ -1103,18 +1197,20 @@ object ExtQueries {
         .select("probe_id", "nn_id", "sim", "rn")
         .orderBy("probe_id", "rn")
     }),
-    // SimHash near-dup with the fingerprint index PREBUILT (session
-    // cache, q41c pattern): times the banded pair join + hamming
-    // verify alone — the recurring cost once the index is at rest.
-    // q75's oracle entry keeps timing build+store+join (its contract).
+    // SimHash near-dup with the fingerprint index PREBUILT: times the
+    // banded pair join + hamming verify over the STORED index table
+    // alone — the recurring cost once the index is at rest. q75's
+    // oracle entry keeps timing build+store+join (its contract); in a
+    // bench run q75 has already (re)written the table, so the guarded
+    // build here only fires standalone, during the untimed first call.
     "q75b_neardup_probe" -> ((s, d) => {
-      val bands = simhashIndexCache.getOrElseUpdate(d, {
-        val f = Dedup.simHashBandFrame(t(s, d, "documents"), "doc_id",
-          split(col("text"), " ")).persist()
-        f.count() // materialize: fingerprint/index cost, paid once
-        f
+      simhashIndexBuilt.getOrElseUpdate(d, {
+        val bands = Dedup.simHashBandFrame(t(s, d, "documents"), "doc_id",
+          split(col("text"), " "))
+        graft.sources.Warehouse.saveSimHashIndex(bands, "graft_bench_simhash_q75")
       })
-      Dedup.simHashNearDupPairsFrom(bands, "doc_id", maxHamming = 16)
+      Dedup.simHashNearDupPairsFrom(s.table("graft_bench_simhash_q75"),
+          "doc_id", maxHamming = 16)
         .orderBy("da", "db")
     })
   )
@@ -1180,10 +1276,13 @@ object ExtQueries {
     "q52_jaccard_capped" -> jaccardSql(Some(50L)),
     "q41_ann_topk" ->
       "SELECT vec_id AS probe_id, true AS ok FROM embeddings WHERE vec_id < 5 ORDER BY probe_id",
-    "q53_ivf_recall" ->
-      "SELECT vec_id AS probe_id, true AS ok FROM embeddings WHERE vec_id < 5 ORDER BY probe_id",
-    "q83_pq_recall" ->
-      "SELECT vec_id AS probe_id, true AS ok FROM embeddings WHERE vec_id < 5 ORDER BY probe_id",
+    // data-bearing ANN oracles (round 10): DuckDB independently ranks
+    // the exact top-3 neighbor set (q39's ranking, same rounded-sim +
+    // nn_id tiebreak); only the per-probe recall floor stays a literal
+    // TRUE (the ANN side is seeded-but-not-bit-stable, so identities
+    // can't be pinned — the exact rows now can)
+    "q53_ivf_recall" -> exactTop3FloorSql,
+    "q83_pq_recall" -> exactTop3FloorSql,
     "q54_hash_split" -> {
       // CASE generated from Pipeline.SplitThresholds — one source of truth
       val whens = Pipeline.SplitThresholds
@@ -1234,6 +1333,44 @@ object ExtQueries {
         s"round(($sat + $tol / 2.0) / count(*), 4) AS apdex " +
         "FROM events GROUP BY event_type ORDER BY apdex, event_type"
     },
+    // The QAN report trio over the shared wide projection (qanWideSql ==
+    // qanWide, adjacent definitions). The example row's tiebreak string
+    // encodes (query_time, ts, offset) exactly like profile's max_by
+    // struct: values are 2-dp by construction, so the 4-dp key cannot
+    // collide where the doubles differ. quantile_disc = element at rank
+    // ceil(p*n), the same element percentile_approx returns when the
+    // group fits inside its accuracy budget (10k).
+    "q94_qan_profile" -> {
+      val tie = "printf('%020.4f|%020d|%012d', query_time + 1e9, epoch_us(ts), \"offset\")"
+      s"WITH $qanWideSql SELECT digest, min(fingerprint) AS fingerprint, " +
+        "count(*) AS cnt, CAST(sum(greatest(rate_limit, 1)) AS BIGINT) AS cnt_scaled, " +
+        "round(sum(query_time), 4) AS total_time, " +
+        "round(sum(query_time * greatest(rate_limit, 1)), 4) AS total_time_scaled, " +
+        "round(avg(query_time), 4) AS avg_time, " +
+        "round(stddev_pop(query_time), 4) AS stddev_time, " +
+        "round(var_pop(query_time) / avg(query_time), 4) AS vm_ratio, " +
+        "quantile_disc(query_time, 0.95) AS p95_time, " +
+        "CAST(sum(rows_examined) AS BIGINT) AS rows_examined, " +
+        "CAST(sum(rows_sent) AS BIGINT) AS rows_sent, " +
+        "CAST(count(DISTINCT \"user\") AS BIGINT) AS n_users, " +
+        "min(ts) AS first_seen, max(ts) AS last_seen, " +
+        s"arg_max(query, $tie) AS example_query, " +
+        s"arg_max(ts, $tie) AS example_ts " +
+        "FROM wide GROUP BY digest ORDER BY digest"
+    },
+    "q95_qan_sparkline" ->
+      (s"WITH $qanWideSql SELECT date_trunc('hour', ts) AS bucket, digest, " +
+        "count(*) AS cnt, CAST(sum(greatest(rate_limit, 1)) AS BIGINT) AS cnt_scaled, " +
+        "round(sum(query_time), 4) AS total_time, " +
+        "round(sum(query_time * greatest(rate_limit, 1)), 4) AS total_time_scaled " +
+        "FROM wide GROUP BY 1, 2 ORDER BY bucket, digest"),
+    "q96_qan_load" ->
+      (s"WITH $qanWideSql SELECT db, \"user\", " +
+        "count(*) AS cnt, CAST(sum(greatest(rate_limit, 1)) AS BIGINT) AS cnt_scaled, " +
+        "round(sum(query_time), 4) AS total_time, " +
+        "round(sum(query_time * greatest(rate_limit, 1)), 4) AS total_time_scaled " +
+        "FROM wide GROUP BY ROLLUP (db, \"user\") " +
+        "ORDER BY db ASC NULLS FIRST, \"user\" ASC NULLS FIRST"),
     // first/last seen over the µs-truncated event time (epoch_us rule,
     // q85's midpoint); is_new = zero occurrences before the midpoint
     "q88_first_seen" ->

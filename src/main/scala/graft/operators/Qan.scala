@@ -24,7 +24,12 @@ object Qan {
    * unsampled lighter query. On an unsampled log `total_time_scaled ==
    * total_time` and the ordering degenerates to the raw one.
    */
-  def profile(wide: DataFrame, topN: Int = 100): DataFrame =
+  /** `p95Accuracy` is `percentile_approx`'s rank-error budget (error ≤
+    * group_size / accuracy ranks): the default suits production group
+    * sizes; the oracle entry raises it past the test group sizes so the
+    * sketch degenerates to the exact percentile both engines agree on. */
+  def profile(wide: DataFrame, topN: Int = 100,
+              p95Accuracy: Int = 10000): DataFrame =
     wide.groupBy("digest")
       .agg(
         min("fingerprint").as("fingerprint"),
@@ -48,7 +53,7 @@ object Qan {
         // formulation; single-call digests report 0, not null.
         stddev_pop("query_time").as("stddev_time"),
         (var_pop("query_time") / avg("query_time")).as("vm_ratio"),
-        percentile_approx(col("query_time"), lit(0.95), lit(10000)).as("p95_time"),
+        percentile_approx(col("query_time"), lit(0.95), lit(p95Accuracy)).as("p95_time"),
         sum("rows_examined").as("rows_examined"),
         sum("rows_sent").as("rows_sent"),
         countDistinct(col("user")).as("n_users"),

@@ -44,12 +44,23 @@ object Fingerprint {
   // pt-query-digest rule: CALL statements normalize to `call procname`
   private val CallStmt =
     """^call\s+([^\s(]+).*$""".r
+  // pt-query-digest / go-mysql special case: statements carrying a
+  // percona-toolkit progress comment (`/*host.db:3/5*/`) all fingerprint
+  // to the literal "percona-toolkit"
+  private val PtToolkitComment =
+    """/\*\w+\.\w+:\d/\d\*/""".r
+  // pt-query-digest / go-mysql special case: mysqldump's table-copy
+  // SELECTs (exact emitted casing) all fingerprint to "mysqldump"
+  private val MysqldumpPrefix =
+    "SELECT /*!40001 SQL_NO_CACHE */ * FROM `"
 
   def fingerprint(query: String): String = {
     if (query == null) return null
     val trimmed = query.trim
     if (trimmed.toLowerCase(Locale.ROOT).startsWith("administrator command:"))
       return stripTrailingSemis(trimmed)
+    if (trimmed.startsWith(MysqldumpPrefix)) return "mysqldump"
+    if (PtToolkitComment.findFirstIn(trimmed).isDefined) return "percona-toolkit"
 
     val n  = trimmed.length
     val sb = new StringBuilder(n)

@@ -92,7 +92,29 @@ class FingerprintSpec extends AnyFunSuite {
     // backticked use
     ("use `foo`", "use ?"),
     // REPLACE INTO also collapses VALUES
-    ("REPLACE INTO t(a) VALUES (1), (2)", "replace into t(a) values(?+)")
+    ("REPLACE INTO t(a) VALUES (1), (2)", "replace into t(a) values(?+)"),
+    // pt special case: mysqldump table-copy SELECTs (exact casing)
+    ("SELECT /*!40001 SQL_NO_CACHE */ * FROM `film`", "mysqldump"),
+    // pt special case: percona-toolkit progress comment
+    ("REPLACE /*checksum.checksum:3/5*/ INTO t(a) VALUES (1)",
+     "percona-toolkit"),
+    // /*!40001 version comment stripped when NOT the mysqldump shape
+    ("SELECT /*!40001 SQL_NO_CACHE */ col FROM t WHERE id = 1",
+     "select col from t where id = ?"),
+    // hex literals inside IN-lists collapse with the rest
+    ("select a from t where b in (0xDEAD, 0xBEEF, 0x01)",
+     "select a from t where b in(?+)"),
+    // mixed-type IN-list: hex, int, string, negative
+    ("select a from t where b IN (1, 0x2F, 'x', -3)",
+     "select a from t where b in(?+)"),
+    // backticked column compared to hex, IN-list without spaces
+    ("select `c1` from t where `c1`=0x4F and id in(0x1F,2)",
+     "select `c1` from t where `c1`=? and id in(?+)"),
+    // LIMIT 0 is still a literal
+    ("SELECT a FROM t LIMIT 0", "select a from t limit ?"),
+    // VALUES collapse leaves the ON DUPLICATE KEY tail intact
+    ("insert into t (a) values (1) on duplicate key update a = 2",
+     "insert into t (a) values(?+) on duplicate key update a = ?")
   )
 
   golden.zipWithIndex.foreach { case ((in, want), idx) =>
