@@ -91,7 +91,15 @@ object Bench {
     // core-24 and total_all sums below exclude the bench-only names so
     // the headline stays comparable with every prior round's baseline
     val inventory = SparkEntry.queries ++ SparkEntry.benchExtra
-    val names = inventory.keys.toSeq.sorted
+    // SPARK_GRAFT_BENCH_ORDER=reverse flips the execution order: an
+    // entry whose time moves materially with order is measuring session
+    // state (cache residue, warehouse side effects), not its operator —
+    // the order-sensitivity audit in SCALE.md runs both directions.
+    val sortedNames = inventory.keys.toSeq.sorted
+    val names =
+      if (sys.env.get("SPARK_GRAFT_BENCH_ORDER").contains("reverse"))
+        sortedNames.reverse
+      else sortedNames
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     def run(name: String): Unit =
       try inventory(name)(spark, sfDir)
