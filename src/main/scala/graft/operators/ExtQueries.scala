@@ -335,7 +335,7 @@ object ExtQueries {
       val emb = t(s, d, "embeddings")
       val probes = emb.filter(col("vec_id") < 5)
       val exact = Similarity.knnBatch(emb, probes, "vec_id", "embedding", k = 3)
-        .select(col("probe_id"), col("nn_id"))
+        .select(col("probe_id"), col("rn"), col("nn_id"), col("sim"))
       // tables=32, bits=5: the measured-recall config from the comment
       // above — keep these literals adjacent so contract and code can't
       // drift (round-6 broke the build wiring this to a phantom helper).
@@ -344,11 +344,12 @@ object ExtQueries {
         .select(col("probe_id"), col("nn_id"))
       val hits = exact.join(ann, Seq("probe_id", "nn_id"))
         .groupBy("probe_id").agg(count(lit(1)).as("hits"))
-      probes.select(col("vec_id").as("probe_id"))
-        .join(hits, Seq("probe_id"), "left")
-        .select(col("probe_id"),
+      // data-bearing since round 10 (q53/q83 pattern): emit the exact
+      // top-3 rows DuckDB re-ranks, keep the >=2-of-3 floor as `ok`
+      exact.join(hits, Seq("probe_id"), "left")
+        .select(col("probe_id"), col("rn"), col("nn_id"), col("sim"),
           (coalesce(col("hits"), lit(0L)) >= 2).as("ok"))
-        .orderBy("probe_id")
+        .orderBy("probe_id", "rn")
     }),
 
     // SimHash fingerprints, oracle-checked end-to-end: the md5-derived
@@ -1274,13 +1275,12 @@ object ExtQueries {
     "q51_topk_sketch" ->
       "SELECT item, cnt, CAST(0 AS BIGINT) AS err FROM (SELECT event_type || '|' || CAST(user_id % 500 AS VARCHAR) AS item, count(*) AS cnt FROM events GROUP BY 1) t ORDER BY cnt DESC, item LIMIT 10",
     "q52_jaccard_capped" -> jaccardSql(Some(50L)),
-    "q41_ann_topk" ->
-      "SELECT vec_id AS probe_id, true AS ok FROM embeddings WHERE vec_id < 5 ORDER BY probe_id",
     // data-bearing ANN oracles (round 10): DuckDB independently ranks
     // the exact top-3 neighbor set (q39's ranking, same rounded-sim +
     // nn_id tiebreak); only the per-probe recall floor stays a literal
     // TRUE (the ANN side is seeded-but-not-bit-stable, so identities
     // can't be pinned — the exact rows now can)
+    "q41_ann_topk" -> exactTop3FloorSql,
     "q53_ivf_recall" -> exactTop3FloorSql,
     "q83_pq_recall" -> exactTop3FloorSql,
     "q54_hash_split" -> {
