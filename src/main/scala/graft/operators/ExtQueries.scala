@@ -1104,6 +1104,13 @@ object ExtQueries {
   private val simhashIndexBuilt =
     scala.collection.concurrent.TrieMap.empty[String, Unit]
 
+  /** Same stored-table guards for the IVF / PQ probe-only bench splits
+    * (q53b reuses q53's tables; q83b owns its own PQ pair). */
+  private val ivfIndexBuilt =
+    scala.collection.concurrent.TrieMap.empty[String, Unit]
+  private val pqIndexBuilt =
+    scala.collection.concurrent.TrieMap.empty[String, Unit]
+
   val benchOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
     // End-to-end ANN at the q41 contract config (32 tables × 5 bits,
     // the measured-recall choice): index build + probe + re-rank. At
@@ -1178,23 +1185,37 @@ object ExtQueries {
         .select("probe_id", "nn_id", "sim", "rn")
         .orderBy("probe_id", "rn")
     }),
-    // IVF / PQ search alone at the q53/q83 contract configs: the
-    // oracle entries deliberately time exact kNN + the recall join too
-    // (right for the contract, wrong as an ANN timing — the q41 bench
-    // lesson applied to the other two ANN families).
+    // IVF / PQ search alone at the q53/q83 contract configs, against
+    // the STORED index tables (round 10, the q75b lesson): the oracle
+    // entries deliberately time exact kNN + recall join + index build
+    // too (right for the contract, wrong as an ANN timing), so these
+    // probe-only splits read the warehouse tables — q53's own entry has
+    // already (re)written the IVF pair earlier in bench order; the PQ
+    // pair is built once per (JVM, sf dir) in the untimed first call.
     "q53b_ivf_only" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       val probes = emb.filter(col("vec_id") < 5)
-      Similarity.ivfCosineTopK(emb, probes, "vec_id", "embedding",
-          k = 3, nlist = 16, nprobe = 8)
+      ivfIndexBuilt.getOrElseUpdate(d, {
+        val (cells, centroids) =
+          Similarity.ivfIndex(emb, "vec_id", "embedding", nlist = 16)
+        graft.sources.Warehouse.saveIvfIndex(cells, centroids, "graft_bench_ivf_q53")
+      })
+      Similarity.ivfCosineTopKFrom(s.table("graft_bench_ivf_q53"),
+          s.table("graft_bench_ivf_q53_centroids"), probes,
+          "vec_id", "embedding", k = 3, nprobe = 8)
         .select("probe_id", "nn_id", "sim", "rn")
         .orderBy("probe_id", "rn")
     }),
     "q83b_pq_only" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       val probes = emb.filter(col("vec_id") < 5)
-      Similarity.pqCosineTopK(emb, probes, "vec_id", "embedding",
-          k = 3, candidates = 150)
+      pqIndexBuilt.getOrElseUpdate(d, {
+        val (codes, cb) = Similarity.pqIndex(emb, "vec_id", "embedding")
+        graft.sources.Warehouse.savePqIndex(codes, cb, "graft_bench_pq_q83b")
+      })
+      Similarity.pqCosineTopKFrom(s.table("graft_bench_pq_q83b"),
+          s.table("graft_bench_pq_q83b_codebook"), emb, probes,
+          "vec_id", "embedding", k = 3, candidates = 150)
         .select("probe_id", "nn_id", "sim", "rn")
         .orderBy("probe_id", "rn")
     }),
