@@ -202,16 +202,29 @@ object Fingerprint {
     }
 
     var out = sb.result().trim
-    out = InList.replaceAllIn(out, "in(?+)")
-    out = ValuesList.replaceAllIn(out, "values(?+)")
-    out = LimitClause.replaceAllIn(out, "limit ?")
-    var prev: String = null
-    while (prev != out) { // fixpoint: one ASC removed per pass
-      prev = out
-      out = OrderByAsc.replaceAllIn(out, "$1")
+    // The rewrite regexes cost a full scan each (the ASC fixpoint, two);
+    // on the ingest hot path guard each with a cheap substring test that
+    // is NECESSARY for its pattern to match: every collapse needs a `?`,
+    // ValuesList needs "value", LimitClause literally contains
+    // "limit ?", OrderByAsc's \s+asc is " asc" post-normalization
+    // (whitespace is single spaces by now), CallStmt anchors at "call ".
+    if (out.indexOf('?') >= 0) {
+      out = InList.replaceAllIn(out, "in(?+)")
+      if (out.contains("value"))
+        out = ValuesList.replaceAllIn(out, "values(?+)")
+      if (out.contains("limit ?"))
+        out = LimitClause.replaceAllIn(out, "limit ?")
+    }
+    if (out.contains(" asc")) {
+      var prev: String = null
+      while (prev != out) { // fixpoint: one ASC removed per pass
+        prev = out
+        out = OrderByAsc.replaceAllIn(out, "$1")
+      }
     }
     out = stripTrailingSemis(out)
-    out = CallStmt.replaceAllIn(out, m => "call " + java.util.regex.Matcher.quoteReplacement(m.group(1)))
+    if (out.startsWith("call "))
+      out = CallStmt.replaceAllIn(out, m => "call " + java.util.regex.Matcher.quoteReplacement(m.group(1)))
     // any USE statement (with space or backtick-glued db name) → use ?
     if (out == "use" || out.startsWith("use ") || out.startsWith("use`")) "use ?"
     else out
