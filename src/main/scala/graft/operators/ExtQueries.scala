@@ -646,6 +646,23 @@ object ExtQueries {
           round(col("total_time_scaled"), 4).as("total_time_scaled"))
         .orderBy(col("db").asc_nulls_first, col("user").asc_nulls_first)),
 
+    // Binned range join (RangeJoin — interval containment, AsOfJoin's
+    // sibling): events scored into OVERLAPPING value bands (width 30,
+    // stride 25, so most points land in two) via the bin-exploded
+    // equi-join, never Catalyst's nested-loop fallback (plan
+    // spec-asserted); aggregated per band. The oracle replays the same
+    // generated bands with a raw BETWEEN join.
+    "q97_range_join" -> ((s, d) => {
+      val ev = CoreQueries.events(s, d).select(col("event_id"), col("value"))
+      val bands = s.range(0, 9).select(col("id").as("band_id"),
+        (col("id") * 25.0).as("lo"), (col("id") * 25.0 + 30.0).as("hi"))
+      RangeJoin.rangeJoin(ev, bands, Seq.empty, "value", "lo", "hi",
+          binWidth = 25.0)
+        .groupBy("band_id")
+        .agg(count(lit(1)).as("cnt"), round(sum("value"), 4).as("sv"))
+        .orderBy("band_id")
+    }),
+
     // New-key detection (Qan.firstSeen — the review-table "which query
     // classes are NEW this window?" question) on the q51 composite key
     // (2500 classes, so the range midpoint genuinely splits them):
@@ -1392,6 +1409,11 @@ object ExtQueries {
         "round(sum(query_time * greatest(rate_limit, 1)), 4) AS total_time_scaled " +
         "FROM wide GROUP BY ROLLUP (db, \"user\") " +
         "ORDER BY db ASC NULLS FIRST, \"user\" ASC NULLS FIRST"),
+    "q97_range_join" ->
+      ("WITH bands AS (SELECT i AS band_id, i*25.0 AS lo, i*25.0+30.0 AS hi FROM range(0,9) t(i)) " +
+        "SELECT band_id, count(*) AS cnt, round(sum(value),4) AS sv " +
+        "FROM events e JOIN bands b ON e.value >= b.lo AND e.value <= b.hi " +
+        "GROUP BY band_id ORDER BY band_id"),
     // first/last seen over the µs-truncated event time (epoch_us rule,
     // q85's midpoint); is_new = zero occurrences before the midpoint
     "q88_first_seen" ->

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Interval-containment ("range") join, the sibling of [[AsOfJoin]]: for
+ * each left POINT row, every right INTERVAL row with
+ * `lo <= point <= hi` on equal keys — which Catalyst, given the raw
+ * range predicate, can only execute as a broadcast nested loop (or a
+ * full cartesian when the build side outgrows broadcast): O(points ×
+ * intervals) per key, the classic 100 TB cliff.
+ *
+ * Binned rewrite: pick a `binWidth`, explode each interval into the
+ * integer bins it overlaps (`sequence(floor(lo/w), floor(hi/w))` — one
+ * row per covered bin), map each point to its single bin, and
+ * equi-join on `(keys, bin)` with an exact containment post-filter. A
+ * point lies in exactly ONE bin and an interval appears at most once
+ * per bin, so the join is exact with no duplicate pairs and no
+ * distinct pass. Cost: shuffle both sides on `(keys, bin)` —
+ * hash/sort-merge, AQE-skew-splittable — plus an interval blow-up of
+ * `len/w + 1` rows; size `w` to the TYPICAL interval length so the
+ * blow-up is a small constant. Degenerate long intervals fatten hot
+ * bins — the salting/cap patterns from the dedup operators apply
+ * unchanged on top of the binned frame.
+ *
+ * Null semantics match SQL `BETWEEN` inside a join: a NULL point, lo,
+ * hi, or key never matches (nulls drop at the bin computation or the
+ * equi-join). Inverted intervals (`lo > hi`) match nothing and are
+ * dropped up front — Spark's `sequence` would otherwise step BACKWARD
+ * through the bins and fabricate matches for the reversed range.
+ */
+object RangeJoin {
+
+  /**
+   * @param points    left rows, each carrying a point value
+   * @param intervals right rows, each carrying an [lo, hi] interval
+   * @param keys      equi-key column names on both sides (may be empty;
+   *                  then the join distributes on the bin alone)
+   * @param pointCol  numeric point column on `points`
+   * @param loCol     inclusive lower bound column on `intervals`
+   * @param hiCol     inclusive upper bound column on `intervals`
+   * @param binWidth  bin size in value units — tune to the typical
+   *                  interval length (blow-up = len/binWidth + 1)
+   * @return points' columns plus intervals' non-key columns, one output
+   *         row per matching (point, interval) pair
+   */
+  def rangeJoin(points: DataFrame, intervals: DataFrame, keys: Seq[String],
+                pointCol: String, loCol: String, hiCol: String,
+                binWidth: Double): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val binned = intervals
+      .filter(col(loCol) <= col(hiCol))
+      .withColumn("_bin", explode(sequence(
+        floor(col(loCol) / binWidth).cast("long"),
+        floor(col(hiCol) / binWidth).cast("long"))))
+    points
+      .withColumn("_bin", floor(col(pointCol) / binWidth).cast("long"))
+      .join(binned, keys :+ "_bin")
+      .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
+      .drop("_bin")
+  }
+}
