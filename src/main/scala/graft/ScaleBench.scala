@@ -204,6 +204,24 @@ object ScaleBench {
         ev.unpersist()
       }
 
+      // q97 range join: the POINT side grows k×, the interval side is
+      // FIXED (9 bands) — cost should track the point scan (≈ linear):
+      // the bin explode is a constant 9 × ≤3 rows and the equi-join's
+      // shuffle carries band_id partials only after the aggregate
+      if (want("q97_range")) {
+        val ev = scaleEvents(spark, sf, k).persist()
+        val nEv = ev.count()
+        System.err.println(s"SCALE inputs ${k}x: $nEv events (range join)")
+        val bands = spark.range(0, 9).select(col("id").as("band_id"),
+          (col("id") * 25.0).as("lo"), (col("id") * 25.0 + 30.0).as("hi"))
+        record("q97_range", k, time(
+          graft.operators.RangeJoin.rangeJoin(ev, bands, Seq.empty,
+              "value", "lo", "hi", binWidth = 25.0)
+            .groupBy("band_id")
+            .agg(count(lit(1)).as("cnt"), round(sum("value"), 4).as("sv"))))
+        ev.unpersist()
+      }
+
       val docOps = Seq("q26_jaccard", "q52_capped", "q40_minhash",
         "q67_clusters", "q67_cluster_only", "q84_star_only", "q75_probe",
         "admit_batch", "q92_bloom")
