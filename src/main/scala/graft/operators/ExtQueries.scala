@@ -63,6 +63,15 @@ object ExtQueries {
     * three populations. */
   private val ApdexT: Double = 50.0
 
+  /** q98 segment width / q99 span width (words) and the q100 MAD
+    * multiplier — shared between the Spark entries and their generated
+    * oracles so the parameters cannot drift. 4 words keeps the synthetic
+    * corpus non-degenerate at both SFs (measured: ~11% of sf0.01 and
+    * ~18% of sf0.1 segment instances are cross-document duplicates). */
+  private val SegWidth: Int = 4
+  private val SpanN: Int = 4
+  private val AnomalyK: Double = 3.0
+
   /** The events table mapped onto the wide slow-log schema (digest,
     * fingerprint, query_time, rate_limit, rows, user, db, ts, query,
     * offset), so the QAN report operators — the Report CLI's code
@@ -662,6 +671,39 @@ object ExtQueries {
         .agg(count(lit(1)).as("cnt"), round(sum("value"), 4).as("sv"))
         .orderBy("band_id")
     }),
+
+    // CCNet-style segment-level dedup audit (Pipeline.segmentDedup):
+    // fixed 4-word positional segments, cross-document duplicates
+    // dropped, the cleaned rebuild pinned by md5 — the oracle recomputes
+    // segmentation, corpus document frequency, and the reassembled text
+    // fingerprint, so the whole boilerplate-removal pipeline is under
+    // the hash check.
+    "q98_segment_dedup" -> ((s, d) =>
+      Pipeline.segmentDedup(t(s, d, "documents"), "doc_id", "text", SegWidth)
+        .orderBy("doc_id")),
+
+    // Repeated-span audit (Pipeline.dupSpanStats, the Lee-et-al
+    // duplicated-n-gram signal): per-document count and fraction of
+    // 4-gram positions whose span occurs in more than one document.
+    "q99_dup_spans" -> ((s, d) =>
+      Pipeline.dupSpanStats(t(s, d, "documents"), "doc_id", "text", SpanN)
+        .orderBy("doc_id")),
+
+    // Robust QAN anomaly flags (Qan.latencyAnomaly): per-digest hourly
+    // load vs the digest's median ± k·MAD, median/MAD both exact
+    // percentiles over the rounded hourly frame (rule-6 determinism).
+    "q100_latency_anomaly" -> ((s, d) =>
+      Qan.latencyAnomaly(qanWide(s, d), AnomalyK)
+        .orderBy("digest", "hr")),
+
+    // Temperature mixture resampling (Pipeline.mixtureResample): lang
+    // strata rebalanced toward uniform with keep-rate (c_min/c)^(1-α),
+    // realized per-row by the 16-bit md5 bucket — the q54/q72 hash
+    // machinery with corpus-derived rates.
+    "q101_mixture_resample" -> ((s, d) =>
+      Pipeline.mixtureResample(t(s, d, "documents"), "doc_id", "lang",
+          "text")
+        .orderBy("lang")),
 
     // New-key detection (Qan.firstSeen — the review-table "which query
     // classes are NEW this window?" question) on the q51 composite key
@@ -1414,6 +1456,49 @@ object ExtQueries {
         "SELECT band_id, count(*) AS cnt, round(sum(value),4) AS sv " +
         "FROM events e JOIN bands b ON e.value >= b.lo AND e.value <= b.hi " +
         "GROUP BY band_id ORDER BY band_id"),
+    // q98: segmentation → corpus document frequency → per-doc rebuild,
+    // the kept text pinned by md5 (string_agg ORDER BY seg_id == Spark's
+    // array_sort-by-seg_id concat; both engines skip dropped segments)
+    "q98_segment_dedup" ->
+      (s"WITH words AS (SELECT doc_id, string_split(text,' ') ws FROM documents), " +
+        s"segs AS (SELECT doc_id, r['seg_id'] AS seg_id, r['seg'] AS seg FROM (SELECT doc_id, unnest([{'seg_id': i-1, 'seg': array_to_string(ws[(i-1)*$SegWidth+1:i*$SegWidth], ' ')} for i in range(1, CAST(ceil(len(ws)/$SegWidth.0) AS INT)+1)]) r FROM words) t), " +
+        "df AS (SELECT seg, count(DISTINCT doc_id) nd FROM segs GROUP BY 1) " +
+        "SELECT s.doc_id, count(*) AS n_seg, " +
+        "CAST(sum(CASE WHEN d.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup, " +
+        "CAST(sum(CASE WHEN d.nd <= 1 THEN len(string_split(s.seg,' ')) ELSE 0 END) AS BIGINT) AS kept_tokens, " +
+        "md5(coalesce(string_agg(CASE WHEN d.nd <= 1 THEN s.seg END, ' ' ORDER BY s.seg_id), '')) AS kept_md5 " +
+        "FROM segs s JOIN df d USING (seg) GROUP BY s.doc_id ORDER BY doc_id"),
+    // q99: all span positions (not distinct) → cross-doc document
+    // frequency → per-doc duplicated fraction; docs shorter than the
+    // span width carry no spans in either engine
+    "q99_dup_spans" ->
+      (s"WITH words AS (SELECT doc_id, string_split(text,' ') ws FROM documents), " +
+        s"sp AS (SELECT doc_id, unnest([array_to_string(ws[i:i+${SpanN - 1}],' ') for i in range(1, len(ws)-${SpanN - 2})]) AS span FROM words WHERE len(ws) >= $SpanN), " +
+        "df AS (SELECT span, count(DISTINCT doc_id) nd FROM sp GROUP BY 1) " +
+        "SELECT sp.doc_id, count(*) AS n_spans, " +
+        "CAST(sum(CASE WHEN df.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_spans, " +
+        "round(CAST(sum(CASE WHEN df.nd > 1 THEN 1 ELSE 0 END) AS DOUBLE)/count(*), 4) AS dup_ratio " +
+        "FROM sp JOIN df USING (span) GROUP BY sp.doc_id ORDER BY doc_id"),
+    // q100: hourly load rounded BEFORE the exact medians (rule 6:
+    // quantile_cont == Spark percentile on identical inputs), flag
+    // arithmetic over the rounded med/mad on both sides
+    "q100_latency_anomaly" ->
+      (s"WITH $qanWideSql, " +
+        "hourly AS (SELECT digest, date_trunc('hour', ts) AS hr, round(sum(query_time),4) AS ld FROM wide GROUP BY 1, 2), " +
+        "med AS (SELECT digest, round(quantile_cont(ld, 0.5),4) AS med FROM hourly GROUP BY 1), " +
+        "mad AS (SELECT h.digest, round(quantile_cont(abs(h.ld - m.med), 0.5),4) AS mad FROM hourly h JOIN med m USING (digest) GROUP BY h.digest) " +
+        s"SELECT h.digest, h.hr, h.ld AS load, m.med, d.mad, abs(h.ld - m.med) > $AnomalyK * d.mad AS is_anomaly " +
+        "FROM hourly h JOIN med m USING (digest) JOIN mad d USING (digest) ORDER BY digest, hr"),
+    // q101: stratum census → keep-rate (c_min/c)^(1-α) → 16-bit md5
+    // bucket cut (q54's engine-independent hash arithmetic)
+    "q101_mixture_resample" ->
+      ("WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1), " +
+        "m AS (SELECT min(n_docs) AS mn FROM c), " +
+        s"t AS (SELECT lang, n_docs, CAST(floor(power(CAST(mn AS DOUBLE)/n_docs, ${1.0 - Pipeline.MixtureAlpha}) * 65536) AS INT) AS thr FROM c, m), " +
+        "k AS (SELECT d.lang, count(*) AS kept_docs, CAST(sum(len(string_split(d.text,' '))) AS BIGINT) AS kept_tokens " +
+        "FROM documents d JOIN t USING (lang) WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)),1,4)) AS INTEGER) < t.thr GROUP BY 1) " +
+        "SELECT t.lang, t.n_docs, coalesce(k.kept_docs, 0) AS kept_docs, coalesce(k.kept_tokens, 0) AS kept_tokens " +
+        "FROM t LEFT JOIN k USING (lang) ORDER BY lang"),
     // first/last seen over the µs-truncated event time (epoch_us rule,
     // q85's midpoint); is_new = zero occurrences before the midpoint
     "q88_first_seen" ->

@@ -330,6 +330,132 @@ object Pipeline {
     }.mkString("(", " + ", ")")
 
   /**
+   * CCNet-style segment-level deduplication — the line-level dedup of
+   * the CommonCrawl pipelines (CCNet, RefinedWeb, Gopher's repetition
+   * filters) re-expressed over newline-free documents: the text is cut
+   * into fixed `segWords`-word positional segments, a segment is
+   * boilerplate when it occurs in more than one distinct document, and
+   * the cleaned document is the in-order concatenation of its surviving
+   * segments. Emits one audit row per document: segment counts, dropped
+   * (duplicated) segment count, surviving token count, and the md5 of
+   * the reassembled cleaned text — the fingerprint proves the CONTENT of
+   * the rebuild cross-engine without shipping the text (chunk_md5
+   * pattern, [[chunkDocuments]]).
+   *
+   * Scale shape (100 TB): segmenting is per-row array arithmetic inside
+   * the scan; the document-frequency count is one map-side-combined
+   * aggregation over (segment, doc) pairs whose exchange carries hashes
+   * of segments, not documents; the frequency join back is an equi-join
+   * on the segment key (AQE skew-splits the boilerplate keys — exactly
+   * the keys that ARE hot); the rebuild is one per-doc aggregation. No
+   * stage is all-pairs and nothing collects.
+   */
+  def segmentDedup(docs: DataFrame, idCol: String, textCol: String,
+                   segWords: Int): DataFrame = {
+    require(segWords >= 1, s"segWords must be >= 1, got $segWords")
+    val ws = split(col(textCol), " ")
+    // pos from posexplode over the stride-segWords start sequence IS the
+    // 0-based segment id; slice truncates the tail segment like the
+    // oracle's clamped list slice
+    val segs = docs
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(1), size(ws), lit(segWords)),
+        s => concat_ws(" ", slice(ws, s, lit(segWords))))))
+      .select(col(idCol), col("pos").cast("long").as("seg_id"),
+        col("col").as("seg"))
+    val df = segs.select(col("seg"), col(idCol)).distinct()
+      .groupBy("seg").agg(count(lit(1)).as("_nd"))
+    segs.join(df, Seq("seg"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_seg"),
+        sum(when(col("_nd") > 1, 1L).otherwise(0L)).as("n_dup"),
+        sum(when(col("_nd") <= 1, size(split(col("seg"), " ")).cast("long"))
+          .otherwise(0L)).as("kept_tokens"),
+        md5(concat_ws(" ", transform(
+          array_sort(collect_list(when(col("_nd") <= 1,
+            struct(col("seg_id"), col("seg"))))),
+          _.getField("seg")))).as("kept_md5"))
+  }
+
+  /**
+   * Repeated-span statistics — the corpus-level duplicated-n-gram audit
+   * of "Deduplicating Training Data Makes Language Models Better" (Lee
+   * et al., 2022), as a per-document data product: every word position
+   * contributes its `n`-gram span, a span is DUPLICATED when it occurs
+   * in more than one distinct document, and each document reports its
+   * span count, duplicated-span count, and duplicated fraction — the
+   * signal span-level dedup and repetition quality filters cut on.
+   * Documents shorter than `n` words carry no spans and drop out (same
+   * rule both engines).
+   *
+   * Same scale shape as [[segmentDedup]]: per-row span generation in the
+   * scan, one (span, doc) distinct + count aggregation, one equi-join
+   * back, one per-doc aggregation — never all-pairs, nothing collected.
+   */
+  def dupSpanStats(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int): DataFrame = {
+    require(n >= 2, s"span width must be >= 2, got $n")
+    val ws = split(col(textCol), " ")
+    val spans = docs.filter(size(ws) >= n)
+      .select(col(idCol), explode(transform(
+        sequence(lit(1), size(ws) - lit(n - 1)),
+        s => concat_ws(" ", slice(ws, s, lit(n))))).as("span"))
+    val df = spans.select(col("span"), col(idCol)).distinct()
+      .groupBy("span").agg(count(lit(1)).as("_nd"))
+    spans.join(df, Seq("span"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(when(col("_nd") > 1, 1L).otherwise(0L)).as("dup_spans"))
+      .withColumn("dup_ratio",
+        round(col("dup_spans").cast("double") / col("n_spans"), 4))
+  }
+
+  /** Temperature exponent for [[mixtureResample]] — single source of
+    * truth for the Spark plan AND the generated q101 oracle. */
+  val MixtureAlpha: Double = 0.5
+
+  /**
+   * Temperature-based mixture resampling — the multilingual/multi-source
+   * rebalancing rule of the mT5/XLM-R recipe: sampling a stratum with
+   * probability ∝ count^α flattens the size distribution (α = 1 keeps
+   * it, α = 0 makes it uniform). Deterministically realized per row: a
+   * stratum's keep-rate is `(c_min / c)^(1-α)` (the smallest stratum
+   * keeps everything), and a document survives iff its 16-bit md5
+   * bucket falls under `floor(rate × 65536)` — [[stratifiedSample]]'s
+   * arithmetic with the rates DERIVED from the corpus itself. Returns
+   * the per-stratum audit: original and kept document counts plus kept
+   * tokens.
+   *
+   * Scale shape: the stratum census is one map-side-combined count whose
+   * result is |strata| rows — broadcast back over the corpus — and the
+   * keep decision is per-row arithmetic; re-runs, repartitioning, and
+   * engine ports reproduce the same sample bit-for-bit.
+   */
+  def mixtureResample(docs: DataFrame, idCol: String, strataCol: String,
+                      textCol: String, alpha: Double = MixtureAlpha): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0,1], got $alpha")
+    val counts = docs.groupBy(strataCol).agg(count(lit(1)).as("n_docs"))
+    val thr = counts
+      .crossJoin(broadcast(counts.agg(min(col("n_docs")).as("_cmin"))))
+      .withColumn("_thr",
+        floor(pow(col("_cmin").cast("double") / col("n_docs"), 1.0 - alpha)
+          * 65536).cast("int"))
+    val kept = docs
+      .join(broadcast(thr.select(col(strataCol), col("_thr"))), Seq(strataCol))
+      .filter(hashBucket16(col(idCol)) < col("_thr"))
+      .groupBy(strataCol)
+      .agg(count(lit(1)).as("kept_docs"),
+        sum(size(split(col(textCol), " ")).cast("long")).as("kept_tokens"))
+    thr.select(col(strataCol), col("n_docs"))
+      .join(kept, Seq(strataCol), "left")
+      .select(col(strataCol), col("n_docs"),
+        coalesce(col("kept_docs"), lit(0L)).as("kept_docs"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
+  }
+
+  /**
    * Benchmark decontamination screen: corpus documents sharing at least
    * one distinct word `n`-gram with the probe (benchmark) set. The
    * probe shingle set is small by construction — broadcast — so the

@@ -201,4 +201,41 @@ object Qan {
         sum(col("query_time") * greatest(col("rate_limit"), lit(1L)))
           .as("total_time_scaled"))
       .orderBy(col("db").asc_nulls_first, col("user").asc_nulls_first)
+
+  /**
+   * Robust per-digest latency anomaly detection — the QAN alerting
+   * question ("which hours was this query abnormally slow?") answered
+   * with the median/MAD rule: an hour is anomalous when its load
+   * deviates from the digest's median hourly load by more than
+   * `k × MAD` (median absolute deviation). Median/MAD, not mean/stddev,
+   * because slow-log load is exactly the heavy-tailed signal that drags
+   * a mean toward its own outliers — the classic robust-statistics fix.
+   *
+   * Cross-engine determinism: the hourly load is rounded BEFORE the
+   * medians (so both engines feed identical doubles into the identical
+   * linear-interpolation percentile — SURVEY §2.3 rule 6), and the flag
+   * compares against the ROUNDED median/MAD, making the boundary
+   * arithmetic bit-identical in any IEEE engine.
+   *
+   * Scale shape: one (digest, hour) aggregation over the fact table,
+   * then two digest-keyed exact medians over the ALREADY-aggregated
+   * hourly frame — |digests| × |hours| rows, kilobytes per digest
+   * regardless of fact-table size — and two joins on the low-cardinality
+   * digest key (AQE broadcasts them). The fact table is scanned once.
+   */
+  def latencyAnomaly(wide: DataFrame, k: Double = 3.0): DataFrame = {
+    val hourly = wide
+      .groupBy(col("digest"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(round(sum("query_time"), 4).as("load"))
+    val med = hourly.groupBy("digest")
+      .agg(round(percentile(col("load"), lit(0.5)), 4).as("med"))
+    val mad = hourly.join(med, Seq("digest"))
+      .groupBy("digest")
+      .agg(round(percentile(abs(col("load") - col("med")), lit(0.5)), 4)
+        .as("mad"))
+    hourly.join(med, Seq("digest")).join(mad, Seq("digest"))
+      .select(col("digest"), col("hr"), col("load"), col("med"), col("mad"),
+        (abs(col("load") - col("med")) > lit(k) * col("mad"))
+          .as("is_anomaly"))
+  }
 }

@@ -358,4 +358,101 @@ class PipelineSpec extends AnyFunSuite with SparkTestSession {
       .collect().map(_.getLong(0)).toSet
     assert(hits == Set(100L))
   }
+
+  test("segmentDedup: drops planted boilerplate, keeps unique text byte-exact") {
+    import spark.implicits._
+    // docs 1 and 2 share their first 4-word segment (the boilerplate);
+    // everything else is unique. 8 words each → exactly 2 segments.
+    val corpus = Seq(
+      (1L, "all rights reserved worldwide alpha beta gamma delta"),
+      (2L, "all rights reserved worldwide epsilon zeta eta theta"),
+      (3L, "entirely original content here omega psi chi phi")
+    ).toDF("doc_id", "text")
+    val out = Pipeline.segmentDedup(corpus, "doc_id", "text", 4)
+      .orderBy("doc_id").collect()
+    assert(out.length == 3)
+    val d1 = out(0)
+    assert(d1.getAs[Long]("n_seg") == 2 && d1.getAs[Long]("n_dup") == 1)
+    assert(d1.getAs[Long]("kept_tokens") == 4)
+    // the rebuild is the kept segments in order — md5 of the tail half
+    def md5hex(s: String) =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    assert(d1.getAs[String]("kept_md5") == md5hex("alpha beta gamma delta"))
+    // a fully-unique doc reassembles to its original text exactly
+    // (segments partition the word stream; concat-with-space restores it)
+    val d3 = out(2)
+    assert(d3.getAs[Long]("n_dup") == 0)
+    assert(d3.getAs[String]("kept_md5") ==
+      md5hex("entirely original content here omega psi chi phi"))
+  }
+
+  test("segmentDedup: all segments duplicated yields the empty-string fingerprint") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "exact copy of this text"),
+      (2L, "exact copy of this text")
+    ).toDF("doc_id", "text")
+    val out = Pipeline.segmentDedup(corpus, "doc_id", "text", 4)
+      .orderBy("doc_id").collect()
+    assert(out.forall(_.getAs[Long]("kept_tokens") == 0))
+    val md5empty = "d41d8cd98f00b204e9800998ecf8427e"
+    assert(out.forall(_.getAs[String]("kept_md5") == md5empty))
+  }
+
+  test("dupSpanStats: planted shared span counted at every position, short docs absent") {
+    import spark.implicits._
+    val corpus = Seq(
+      // 6 words → 3 span positions; spans 1-3 unique to this doc
+      (1L, "one two three four five six"),
+      // shares no 4-gram with doc 1
+      (2L, "seven eight nine ten eleven twelve"),
+      // repeats doc 1's first span verbatim → both docs gain a dup span
+      (3L, "one two three four something else entirely"),
+      // 3 words: shorter than the span → no output row
+      (4L, "too short doc")
+    ).toDF("doc_id", "text")
+    val out = Pipeline.dupSpanStats(corpus, "doc_id", "text", 4)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getAs[Long]("n_spans") == 3)
+    assert(byId(1L).getAs[Long]("dup_spans") == 1)
+    assert(byId(1L).getAs[Double]("dup_ratio") == 0.3333)
+    assert(byId(2L).getAs[Long]("dup_spans") == 0)
+    assert(byId(3L).getAs[Long]("n_spans") == 4)
+    assert(byId(3L).getAs[Long]("dup_spans") == 1)
+  }
+
+  test("mixtureResample: smallest stratum keeps all, rates monotone, alpha=1 keeps everything") {
+    val out = Pipeline.mixtureResample(docs, "doc_id", "lang", "text")
+      .orderBy("lang").collect()
+    val byLang = out.map(r => r.getString(0) -> r).toMap
+    val counts = out.map(r => r.getString(0) -> r.getAs[Long]("n_docs")).toMap
+    val cmin = counts.values.min
+    // the smallest stratum's keep-rate is 1 — nothing dropped there
+    val smallest = counts.minBy(_._2)._1
+    assert(byLang(smallest).getAs[Long]("kept_docs") == cmin)
+    // every stratum keeps a subset, larger strata keep a smaller share
+    out.foreach { r =>
+      assert(r.getAs[Long]("kept_docs") <= r.getAs[Long]("n_docs"))
+    }
+    val shares = out.map(r =>
+      r.getAs[Long]("n_docs") ->
+        r.getAs[Long]("kept_docs").toDouble / r.getAs[Long]("n_docs"))
+    for (pair <- shares.sortBy(_._1).sliding(2) if pair.length == 2
+         if pair(0)._1 < pair(1)._1)
+      assert(pair(0)._2 >= pair(1)._2 - 0.15,
+        s"larger stratum (${pair(1)._1}) should not keep a materially larger share than smaller (${pair(0)._1})")
+    // alpha = 1 is "keep the natural mixture": every doc survives
+    val natural = Pipeline.mixtureResample(docs, "doc_id", "lang", "text",
+      alpha = 1.0).collect()
+    natural.foreach { r =>
+      assert(r.getAs[Long]("kept_docs") == r.getAs[Long]("n_docs"))
+    }
+    // deterministic: the same call keeps the same counts
+    val again = Pipeline.mixtureResample(docs, "doc_id", "lang", "text")
+      .orderBy("lang").collect()
+    assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
 }

@@ -298,4 +298,29 @@ class QanSpec extends AnyFunSuite with SparkTestSession {
       .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
     assert(sliced == directDay)
   }
+
+  test("latencyAnomaly: median/MAD flags the spike hour and nothing else") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, to_timestamp}
+    // one event per hour, load == query_time: hours 0-8 climb 10..18
+    // (median 14.5 over the ten hourly loads incl. the spike), hour 9
+    // is a 100-load spike. MAD = 2.5, so only |100 - 14.5| > 7.5 flags.
+    val rows = ((0 to 8).map(h => (h, 10.0 + h)) :+ (9, 100.0)).map {
+      case (h, qt) => ("qa", f"2024-01-15 $h%02d:10:00", qt)
+    }
+    val wideMini = rows.toDF("digest", "tss", "query_time")
+      .withColumn("ts", to_timestamp(col("tss"))).drop("tss")
+    val out = Qan.latencyAnomaly(wideMini).orderBy("hr").collect()
+    assert(out.length == 10)
+    assert(out.forall(_.getAs[Double]("med") == 14.5))
+    assert(out.forall(_.getAs[Double]("mad") == 2.5))
+    val flagged = out.filter(_.getAs[Boolean]("is_anomaly"))
+      .map(_.getAs[Double]("load")).toSeq
+    assert(flagged == Seq(100.0), s"only the spike should flag, got $flagged")
+    // a flat digest (MAD 0) flags nothing: zero deviation is not > 0
+    val flat = (0 to 5).map(h => ("qb", f"2024-01-15 $h%02d:00:00", 1.0))
+      .toDF("digest", "tss", "query_time")
+      .withColumn("ts", to_timestamp(col("tss"))).drop("tss")
+    assert(Qan.latencyAnomaly(flat).filter(col("is_anomaly")).count() == 0)
+  }
 }
