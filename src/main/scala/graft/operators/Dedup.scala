@@ -616,6 +616,83 @@ object Dedup {
   }
 
   /**
+   * Blocked edit-distance near-dup pairs: within each equality block
+   * (`blockCols`), every `a_id < b_id` pair whose comparison keys are
+   * within `maxDist` Levenshtein edits — the classic entity-resolution
+   * join, usable where shingle-set similarity is blind (short keys,
+   * transposition-heavy noise, fixed-width codes).
+   *
+   * Scale shape: the only join is an equi-join on the block columns —
+   * hash-partitioned, never all-pairs across blocks. Per-block cost is
+   * quadratic, so blocks are the skew unit: `maxBlock` drops blocks
+   * with more than that many rows via a broadcast anti-join (the same
+   * hot-key cap as [[ngramJaccardPairs]]'s shingle DF cap — at corpus
+   * scale a block that big is boilerplate, not a dup cluster, and its
+   * pairs are noise). `levenshtein` is codegen'd on both engines'
+   * standard unit-cost dynamic program, so the oracle can recompute
+   * distances exactly; keep the keys short (a prefix) — the DP is
+   * O(|a|·|b|) per pair.
+   */
+  def editDistancePairs(docs: DataFrame, idCol: String, keyCol: Column,
+                        blockCols: Seq[Column], maxDist: Int,
+                        maxBlock: Option[Long] = None): DataFrame = {
+    val bNames = blockCols.indices.map(i => s"_b$i")
+    val base = docs.select(
+      col(idCol) +: keyCol.as("_key") +:
+        blockCols.zip(bNames).map { case (c, n) => c.as(n) }: _*)
+    val blocked = maxBlock match {
+      case Some(cap) =>
+        val hot = base.groupBy(bNames.map(col): _*)
+          .agg(count(lit(1)).as("_n")).filter(col("_n") > cap)
+          .select(bNames.map(col): _*)
+        base.join(broadcast(hot), bNames, "left_anti")
+      case None => base
+    }
+    val a = blocked.select(col(idCol).as("a_id") +: col("_key").as("_ka") +:
+      bNames.map(col): _*)
+    val b = blocked.select(col(idCol).as("b_id") +: col("_key").as("_kb") +:
+      bNames.map(col): _*)
+    a.join(b, bNames)
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("dist", levenshtein(col("_ka"), col("_kb")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select("a_id", "b_id", "dist")
+  }
+
+  /**
+   * Sorted-neighborhood candidate pairs (Hernández–Stolfo): order the
+   * corpus by a blocking key, then pair every row with its `w` successors
+   * in that order — candidate generation that catches near-dups equality
+   * blocking misses (typo in the block key shifts a row a few positions,
+   * not into a different bucket). Emits `(a_id, b_id, gap)` with
+   * `gap = rank(b) - rank(a) ∈ [1, w]`; verification (edit distance,
+   * Jaccard) composes downstream.
+   *
+   * Scale shape: the global order comes from [[Pipeline.globalRank]]
+   * (range-exchange + zipWithIndex — no single-reducer window), and the
+   * neighbor join is an equi-join on `floor(rank/w)` buckets: a row in
+   * bucket k only meets buckets k and k+1, so cost is O(N·w) pairs out
+   * of one hash join, window boundaries handled without a self-cross.
+   */
+  def sortedNeighborhoodPairs(docs: DataFrame, idCol: String,
+                              keyCol: Column, w: Int): DataFrame = {
+    require(w >= 1, s"window must be >= 1, got $w")
+    val ranked = Pipeline.globalRank(
+      docs.select(col(idCol), keyCol.as("_snk")),
+      idCol, Seq(col("_snk"), col(idCol)))
+    val a = ranked.select(col(idCol).as("a_id"), col("rn").as("_ra"),
+      ((col("rn") - 1) / w).cast("long").as("_bk"))
+    val b = ranked.select(col(idCol).as("b_id"), col("rn").as("_rb"))
+      .withColumn("_bk", explode(array(
+        ((col("_rb") - 1) / w).cast("long"),
+        ((col("_rb") - 1) / w).cast("long") - 1)))
+    a.join(b, "_bk")
+      .withColumn("gap", col("_rb") - col("_ra"))
+      .filter(col("gap") >= 1 && col("gap") <= w)
+      .select("a_id", "b_id", "gap")
+  }
+
+  /**
    * 64-bit SimHash over a token array column: per-token xxhash64, per-bit
    * ±1 votes, fingerprint bit b set when the vote is positive. Pure
    * higher-order functions — stays inside whole-stage codegen.

@@ -72,6 +72,16 @@ object ExtQueries {
   private val SpanN: Int = 4
   private val AnomalyK: Double = 3.0
 
+  /** q102 comparison-prefix length / edit threshold, and the q104
+    * sorted-neighborhood key length / window — shared between the Spark
+    * entries and their generated oracles so the parameters cannot
+    * drift. Prefix 32 ≈ 5 words of this corpus; 8 edits separates
+    * shared-boilerplate prefixes from unrelated ones. */
+  private val EditPrefix: Int = 32
+  private val EditMaxDist: Int = 8
+  private val SnKeyLen: Int = 16
+  private val SnWindow: Int = 3
+
   /** The events table mapped onto the wide slow-log schema (digest,
     * fingerprint, query_time, rate_limit, rows, user, db, ts, query,
     * offset), so the QAN report operators — the Report CLI's code
@@ -704,6 +714,68 @@ object ExtQueries {
       Pipeline.mixtureResample(t(s, d, "documents"), "doc_id", "lang",
           "text")
         .orderBy("lang")),
+
+    // Blocked Levenshtein near-dup pairs (Dedup.editDistancePairs):
+    // block on (lang, first word), compare 32-char text prefixes, keep
+    // pairs within EditMaxDist edits. The 100-row hot-block cap is the
+    // skew guard — it never triggers on this corpus (max block 93 at
+    // sf0.1), so the oracle checks the uncapped semantics while the cap
+    // path is spec-pinned (DedupSpec synthetic hot block).
+    "q102_edit_pairs" -> ((s, d) =>
+      Dedup.editDistancePairs(t(s, d, "documents"), "doc_id",
+          substring(col("text"), 1, EditPrefix),
+          Seq(col("lang"), split(col("text"), " ").getItem(0)),
+          EditMaxDist, maxBlock = Some(100L))
+        .orderBy("a_id", "b_id")),
+
+    // Self-trained bigram LM document scoring
+    // (TextAnalysis.bigramLogLikelihood): mean log P(w2|w1) per doc
+    // under corpus MLE counts — the "how typical is this text" quality
+    // signal; both engines recompute the counts and the per-doc mean.
+    "q103_bigram_lm" -> ((s, d) =>
+      TextAnalysis.bigramLogLikelihood(t(s, d, "documents"), "doc_id",
+          "text")
+        .orderBy("doc_id")),
+
+    // Sorted-neighborhood candidate pairs (Dedup.sortedNeighborhoodPairs
+    // over Pipeline.globalRank): order by 16-char text prefix, pair each
+    // doc with its 3 successors. The oracle's single-reducer
+    // row_number() is exactly what the distributed rank replaces — same
+    // total order, so identical pairs.
+    "q104_sorted_neighborhood" -> ((s, d) =>
+      Dedup.sortedNeighborhoodPairs(t(s, d, "documents"), "doc_id",
+          substring(col("text"), 1, SnKeyLen), SnWindow)
+        .orderBy("a_id", "b_id")),
+
+    // Interval-overlap join (RangeJoin.overlapJoin): view sessions
+    // [v, v+20] × error windows [v, v+15] per user-ring key, binned at
+    // 25 — one equi-join, pair counted once at its ownership bin; the
+    // oracle runs the raw overlap predicate.
+    "q105_interval_overlap" -> ((s, d) => {
+      val ev = CoreQueries.events(s, d)
+        .withColumn("k", (col("user_id") % 8).cast("long"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("k"), col("value").as("v_lo"),
+          (col("value") + 20.0).as("v_hi"))
+      val errs = ev.filter(col("event_type") === "error")
+        .select(col("k"), col("value").as("e_lo"),
+          (col("value") + 15.0).as("e_hi"))
+      RangeJoin.overlapJoin(views, errs, Seq("k"),
+          "v_lo", "v_hi", "e_lo", "e_hi", binWidth = 25.0)
+        .groupBy("k")
+        .agg(count(lit(1)).as("n_pairs"), round(avg("v_lo"), 4).as("sv"))
+        .orderBy("k")
+    }),
+
+    // k-NN majority-vote labeling (Similarity.knnClassify): 20 probes,
+    // 5 exact neighbors each, label by vote (ties → smaller label) —
+    // the weak-annotation primitive; the oracle recomputes neighbors,
+    // votes, and the tie rule.
+    "q106_knn_classify" -> ((s, d) =>
+      Similarity.knnClassify(t(s, d, "embeddings"),
+          t(s, d, "embeddings").filter(col("vec_id") < 20),
+          "vec_id", "embedding", "label", k = 5)
+        .orderBy("probe_id")),
 
     // New-key detection (Qan.firstSeen — the review-table "which query
     // classes are NEW this window?" question) on the q51 composite key
@@ -1499,6 +1571,53 @@ object ExtQueries {
         "FROM documents d JOIN t USING (lang) WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)),1,4)) AS INTEGER) < t.thr GROUP BY 1) " +
         "SELECT t.lang, t.n_docs, coalesce(k.kept_docs, 0) AS kept_docs, coalesce(k.kept_tokens, 0) AS kept_tokens " +
         "FROM t LEFT JOIN k USING (lang) ORDER BY lang"),
+    // q102: same (lang, first word) blocks, same prefix, DuckDB's
+    // levenshtein is the identical unit-cost DP; the >100 hot-block
+    // filter mirrors the Spark cap (vacuous on this corpus)
+    "q102_edit_pairs" ->
+      (s"WITH b AS (SELECT doc_id, substr(text,1,$EditPrefix) AS k, lang, string_split(text,' ')[1] AS fw FROM documents), " +
+        "ok AS (SELECT lang, fw FROM b GROUP BY 1, 2 HAVING count(*) <= 100) " +
+        "SELECT a.doc_id AS a_id, c.doc_id AS b_id, CAST(levenshtein(a.k, c.k) AS BIGINT) AS dist " +
+        "FROM (SELECT b.* FROM b JOIN ok USING (lang, fw)) a " +
+        "JOIN (SELECT b.* FROM b JOIN ok USING (lang, fw)) c USING (lang, fw) " +
+        s"WHERE a.doc_id < c.doc_id AND levenshtein(a.k, c.k) <= $EditMaxDist " +
+        "ORDER BY a_id, b_id"),
+    // q103: bigram instances → (w1,w2) and left-context (w1) counts →
+    // per-doc mean log MLE probability, rounded after the aggregate
+    "q103_bigram_lm" ->
+      ("WITH words AS (SELECT doc_id, string_split(text,' ') ws FROM documents), " +
+        "bg AS (SELECT doc_id, r['w1'] AS w1, r['w2'] AS w2 FROM (SELECT doc_id, unnest([{'w1': ws[i], 'w2': ws[i+1]} for i in range(1, len(ws))]) r FROM words WHERE len(ws) >= 2) t), " +
+        "c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2), " +
+        "c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1) " +
+        "SELECT bg.doc_id, count(*) AS n_bigrams, round(avg(ln(c12.c12 * 1.0 / c1.c1)), 4) AS avg_ll " +
+        "FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) " +
+        "GROUP BY bg.doc_id ORDER BY doc_id"),
+    // q104: the oracle's one-reducer row_number IS the thing
+    // globalRank replaces — identical total order, identical pairs
+    "q104_sorted_neighborhood" ->
+      (s"WITH r AS (SELECT doc_id, row_number() OVER (ORDER BY substr(text,1,$SnKeyLen), doc_id) AS rn FROM documents) " +
+        "SELECT a.doc_id AS a_id, b.doc_id AS b_id, b.rn - a.rn AS gap " +
+        s"FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND $SnWindow " +
+        "ORDER BY a_id, b_id"),
+    // q105: raw closed-interval overlap predicate — the nested-loop
+    // semantics the binned ownership join reproduces exactly
+    "q105_interval_overlap" ->
+      ("WITH ev AS (SELECT event_type, value, CAST(user_id % 8 AS BIGINT) AS k FROM events), " +
+        "v AS (SELECT k, value AS v_lo, value + 20.0 AS v_hi FROM ev WHERE event_type = 'view'), " +
+        "e AS (SELECT k, value AS e_lo, value + 15.0 AS e_hi FROM ev WHERE event_type = 'error') " +
+        "SELECT v.k AS k, count(*) AS n_pairs, round(avg(v.v_lo), 4) AS sv " +
+        "FROM v JOIN e ON v.k = e.k AND v.v_lo <= e.e_hi AND e.e_lo <= v.v_hi " +
+        "GROUP BY v.k ORDER BY v.k"),
+    // q106: exact 5-NN per probe (q39's ranking), neighbor labels,
+    // majority vote with the smaller-label tie rule
+    "q106_knn_classify" ->
+      (s"WITH c AS (SELECT p.vec_id probe_id, e.vec_id nn_id, round($cosSql,4) sim " +
+        "FROM embeddings p CROSS JOIN embeddings e WHERE p.vec_id < 20 AND e.vec_id <> p.vec_id), " +
+        "nn AS (SELECT probe_id, nn_id FROM (SELECT probe_id, nn_id, row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, nn_id) rn FROM c) WHERE rn <= 5), " +
+        "v AS (SELECT nn.probe_id, e.label, count(*) AS votes FROM nn JOIN embeddings e ON e.vec_id = nn.nn_id GROUP BY 1, 2) " +
+        "SELECT probe_id, label AS pred_label, votes FROM " +
+        "(SELECT probe_id, label, votes, row_number() OVER (PARTITION BY probe_id ORDER BY votes DESC, label) vr FROM v) " +
+        "WHERE vr = 1 ORDER BY probe_id"),
     // first/last seen over the µs-truncated event time (epoch_us rule,
     // q85's midpoint); is_new = zero occurrences before the midpoint
     "q88_first_seen" ->

@@ -492,6 +492,42 @@ object Pipeline {
    * to equi-joins (SCALE.md §3), hand-placed here because the probe side
    * is an arbitrary frame, not a join build side.
    */
+  /**
+   * Distributed global row number: `(idCol, outCol)` with `outCol` the
+   * 1-based rank of each row in the TOTAL order given by `sortCols`
+   * (callers must include a unique tiebreaker — usually `idCol` — or
+   * ranks of ties are partition-dependent).
+   *
+   * The naive formulation — `row_number() OVER (ORDER BY …)` with no
+   * PARTITION BY — collapses the whole dataset onto ONE reducer, the
+   * classic 100 TB cliff. This instead range-partitions on the sort key
+   * (each partition holds a contiguous key range, in order), sorts
+   * within partitions, and zips a global index over the partition-
+   * ordered RDD: `zipWithIndex` assigns contiguous indices partition by
+   * partition, which under range partitioning IS the total order. Cost:
+   * one range-exchange + one count-per-partition job (zipWithIndex's
+   * internal action) — no single-reducer stage anywhere. The sampled
+   * range bounds vary run to run but cannot change the result: the
+   * order is total, so rank is bound-independent.
+   *
+   * Only `idCol` + sort keys travel through the RDD hop (row objects,
+   * not columnar) — project-then-join keeps wide corpora columnar:
+   * callers join the (id, rank) frame back by id.
+   */
+  def globalRank(df: DataFrame, idCol: String, sortCols: Seq[Column],
+                 outCol: String = "rn"): DataFrame = {
+    val spark = df.sparkSession
+    val narrow = df.select(col(idCol) +: sortCols: _*)
+      .repartitionByRange(sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val ranked = narrow.rdd.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row(r.get(0), i + 1L)
+    }
+    spark.createDataFrame(ranked, new org.apache.spark.sql.types.StructType()
+      .add(narrow.schema.head)
+      .add(outCol, org.apache.spark.sql.types.LongType, nullable = false))
+  }
+
   def contaminatedDocsBloom(corpus: DataFrame, probes: DataFrame,
                             idCol: String, textCol: String, n: Int,
                             fpp: Double = 0.01): DataFrame = {

@@ -60,4 +60,43 @@ object RangeJoin {
       .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop("_bin")
   }
+
+  /**
+   * Interval-OVERLAP join — [[rangeJoin]] generalized to intervals on
+   * BOTH sides: one output row per (left, right) pair on equal keys with
+   * `lLo <= rHi AND rLo <= lHi` (closed-interval overlap). The naive
+   * predicate is again a nested loop per key; here both sides explode
+   * into the integer bins they cover and equi-join on `(keys, bin)`.
+   *
+   * A pair overlapping k shared bins would surface k times; instead of a
+   * distinct pass (a second shuffle carrying the whole output), each
+   * pair is counted exactly once at its OWNERSHIP bin — the first bin
+   * both intervals cover, `max(floor(lLo/w), floor(rLo/w))`: overlap
+   * means `max(lLo,rLo) <= min(lHi,rHi)`, so that bin is inside both
+   * ranges, and `floor` is monotone so greatest-of-floors is
+   * floor-of-greatest. The post-filter is a per-row predicate — the
+   * only shuffle in the plan is the one equi-join exchange.
+   *
+   * Same skew calculus as [[rangeJoin]]: blow-up = len/binWidth + 1 per
+   * interval; degenerate long intervals fatten their bins and the dedup
+   * hot-key cap / salting patterns apply on the binned frames.
+   */
+  def overlapJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                  lLoCol: String, lHiCol: String,
+                  rLoCol: String, rHiCol: String,
+                  binWidth: Double): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    def binned(df: DataFrame, lo: String, hi: String): DataFrame = df
+      .filter(col(lo) <= col(hi))
+      .withColumn("_bin", explode(sequence(
+        floor(col(lo) / binWidth).cast("long"),
+        floor(col(hi) / binWidth).cast("long"))))
+    binned(left, lLoCol, lHiCol)
+      .join(binned(right, rLoCol, rHiCol), keys :+ "_bin")
+      .filter(col(lLoCol) <= col(rHiCol) && col(rLoCol) <= col(lHiCol))
+      .filter(col("_bin") === greatest(
+        floor(col(lLoCol) / binWidth).cast("long"),
+        floor(col(rLoCol) / binWidth).cast("long")))
+      .drop("_bin")
+  }
 }

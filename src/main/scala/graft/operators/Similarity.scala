@@ -66,6 +66,35 @@ object Similarity {
       .filter(col("rn") <= k)
   }
 
+  /**
+   * k-NN majority-vote classification: label each probe with the most
+   * common label among its k exact nearest neighbors ([[knnBatch]]'s
+   * ranking — rounded cosine DESC, neighbor id tiebreak), votes tied by
+   * the smaller label. The standard embedding-space label-propagation /
+   * weak-annotation primitive (tag unlabeled documents from a labeled
+   * seed set); returns `(probe_id, pred_label, votes)`.
+   *
+   * Scale shape: inherits [[knnBatch]]'s broadcast-probes scan (the
+   * corpus never shuffles; per-row k-rank via the probe-partitioned
+   * window on the tiny candidate frame), plus one equi-join back to the
+   * corpus for neighbor labels and one k-row-per-probe aggregate. For
+   * probe sets too big to broadcast, feed the IVF/LSH candidate paths
+   * into the same vote instead.
+   */
+  def knnClassify(corpus: DataFrame, probes: DataFrame, idCol: String,
+                  embCol: String, labelCol: String, k: Int): DataFrame = {
+    val nn = knnBatch(corpus, probes, idCol, embCol, k)
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("votes").desc, col(labelCol))
+    nn.join(corpus.select(col(idCol).as("nn_id"), col(labelCol)), "nn_id")
+      .groupBy(col("probe_id"), col(labelCol))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("_vr", row_number().over(w))
+      .filter(col("_vr") === 1)
+      .select(col("probe_id"), col(labelCol).as("pred_label"),
+        col("votes"))
+  }
+
   /** Deterministic random hyperplanes: `tables` hash tables, `bits`
     * planes each, components ~N(0,1) from a fixed seed. */
   private def planes(tables: Int, bits: Int, dim: Int, seed: Long): Seq[Seq[Seq[Double]]] = {

@@ -165,6 +165,45 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /**
+   * Per-document bigram language-model score: train a maximum-likelihood
+   * bigram LM on the corpus itself (P(w2|w1) = c(w1 w2) / c(w1 ·), the
+   * left-context count so probabilities sum to exactly 1 per history
+   * with no end-of-doc edge), then score each document by the mean log
+   * probability of its bigrams — the classic "how typical is this text
+   * of the corpus" quality signal (low scores: gibberish, boilerplate
+   * collisions, wrong-language fragments). Self-trained, so every bigram
+   * has count ≥ 1 and no smoothing is needed. Documents with fewer than
+   * two words carry no bigrams and drop out (same rule in the oracle).
+   *
+   * Returns `(idCol, n_bigrams, avg_ll)` with `avg_ll = round(avg(ln
+   * P), 4)` — rounded AFTER the aggregate like every float aggregate on
+   * the oracle surface.
+   *
+   * Scale shape: bigram extraction is per-row (zip_with over the word
+   * array, no shuffle); the model is two hash aggregates on (w1,w2) and
+   * (w1); scoring joins each bigram instance to its two counts —
+   * equi-joins on word keys, AQE-broadcastable when the vocabulary is
+   * small, hash-partitioned when it is web-scale. Nothing is collected:
+   * the "model" never leaves the cluster.
+   */
+  def bigramLogLikelihood(docs: DataFrame, idCol: String,
+                          textCol: String): DataFrame = {
+    val ws = split(col(textCol), " ")
+    val inst = docs.filter(size(ws) >= 2)
+      .select(col(idCol), explode(zip_with(
+        slice(ws, lit(1), size(ws) - 1), slice(ws, lit(2), size(ws) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col(idCol), col("bg.w1"), col("bg.w2"))
+    val c12 = inst.groupBy("w1", "w2").agg(count(lit(1)).as("_c12"))
+    val c1 = inst.groupBy("w1").agg(count(lit(1)).as("_c1"))
+    inst.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log(col("_c12").cast("double") / col("_c1"))), 4)
+          .as("avg_ll"))
+  }
+
   /** Rolling polynomial fingerprint over words: fold of
     * h → (h*31 + ascii(first char) + len(word)) mod 1e9+7. Order-sensitive
     * (unlike a bag-of-words hash) and O(words) per doc. */

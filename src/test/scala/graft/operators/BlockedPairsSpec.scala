@@ -1,0 +1,136 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Contracts for the round-10 candidate-generation operators: blocked
+  * edit-distance pairs (hot-block cap), the distributed global rank,
+  * sorted-neighborhood pairs (incl. bucket-boundary coverage), the
+  * bigram-LM document score, and kNN majority-vote classification. */
+class BlockedPairsSpec extends AnyFunSuite with SparkTestSession {
+
+  import spark.implicits._
+
+  // -- editDistancePairs -----------------------------------------------
+
+  private lazy val edocs = Seq(
+    (1L, "g1", "kitten in the yard"),
+    (2L, "g1", "sitten in the yard"),   // 1 edit from doc 1
+    (3L, "g1", "a completely different string"),
+    (4L, "g2", "kitten in the yard"),   // same text, OTHER block: no pair
+    (5L, "g2", "kitten in the yarn")    // 1 edit from doc 4
+  ).toDF("id", "blk", "txt")
+
+  test("editDistancePairs: within-block pairs under the threshold only") {
+    val got = Dedup.editDistancePairs(edocs, "id", col("txt"),
+        Seq(col("blk")), maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 2L, 1L), (4L, 5L, 1L)))
+  }
+
+  test("editDistancePairs: the hot-block cap drops oversized blocks") {
+    // block "hot" has 5 members (over cap 3) — all its pairs must drop,
+    // including exact duplicates; the small block survives
+    val docs = (1 to 5).map(i => (i.toLong, "hot", "same text")).toDF(
+        "id", "blk", "txt")
+      .union(Seq((10L, "cold", "abc"), (11L, "cold", "abd"))
+        .toDF("id", "blk", "txt"))
+    val got = Dedup.editDistancePairs(docs, "id", col("txt"),
+        Seq(col("blk")), maxDist = 3, maxBlock = Some(3L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((10L, 11L)))
+  }
+
+  // -- globalRank ------------------------------------------------------
+
+  test("globalRank equals the single-reducer window row_number") {
+    // enough rows to span several range partitions; key collides so the
+    // id tiebreaker matters
+    val df = spark.range(500).select(col("id"),
+      (col("id") % 7).cast("string").as("key"))
+    val expected = df.withColumn("rn",
+        row_number().over(Window.orderBy(col("key"), col("id"))).cast("long"))
+      .select("id", "rn")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = Pipeline.globalRank(df, "id", Seq(col("key"), col("id")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+
+  // -- sortedNeighborhoodPairs -----------------------------------------
+
+  test("sortedNeighborhoodPairs matches the rank-window self-join") {
+    val docs = spark.range(200).select(col("id"),
+      concat(lit("k"), col("id") % 13).as("key"))
+    val w = 3
+    val r = docs.withColumn("rn",
+      row_number().over(Window.orderBy(col("key"), col("id"))).cast("long"))
+    val a = r.select(col("id").as("xa"), col("rn").as("ra"))
+    val b = r.select(col("id").as("xb"), col("rn").as("rb"))
+    val expected = a.join(b,
+        col("rb") - col("ra") >= 1 && col("rb") - col("ra") <= w)
+      .select("xa", "xb").collect().map(_.toSeq).toSet
+    val got = Dedup.sortedNeighborhoodPairs(docs, "id", col("key"), w)
+      .select("a_id", "b_id").collect().map(_.toSeq)
+    assert(got.toSet == expected)
+    assert(got.length == got.toSet.size, "duplicate candidate pair")
+    // every row but the last w has exactly w successors
+    assert(got.length == (200 - w) * w + (w - 1) * w / 2)
+  }
+
+  // -- bigramLogLikelihood ---------------------------------------------
+
+  test("bigramLogLikelihood: hand-computed MLE scores") {
+    // corpus: "a b a b" + "a b c"; bigram instances: (a,b)x3? no —
+    // doc1: (a,b),(b,a),(a,b); doc2: (a,b),(b,c)
+    // c12: (a,b)=3, (b,a)=1, (b,c)=1; c1: a=3, b=2
+    // doc1 ll: [ln(3/3), ln(1/2), ln(3/3)] → avg = ln(1/2)/3
+    // doc2 ll: [ln(3/3), ln(1/2)] → avg = ln(1/2)/2
+    val docs = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bigramLogLikelihood(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    def r4(x: Double) = math.rint(x * 1e4) / 1e4
+    assert(got == Map(
+      1L -> ((3L, r4(math.log(0.5) / 3))),
+      2L -> ((2L, r4(math.log(0.5) / 2)))))
+    // the 1-word doc carries no bigrams and drops out
+    assert(!got.contains(3L))
+  }
+
+  // -- knnClassify -----------------------------------------------------
+
+  test("knnClassify: majority vote with smaller-label tie break") {
+    // 2D-ish embeddings in 4 dims; probe 0 sits near three label-1
+    // points and two label-2 points → majority 1; probe 1 is equidistant
+    // between one label-3 and one label-4 neighbor set (k=2, 1 vote
+    // each) → tie broken to 3
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f), 9),
+      (10L, Array(0.9f, 0.1f, 0.0f, 0.0f), 1),
+      (11L, Array(0.9f, 0.0f, 0.1f, 0.0f), 1),
+      (12L, Array(0.9f, 0.0f, 0.0f, 0.1f), 1),
+      (13L, Array(0.8f, 0.2f, 0.0f, 0.0f), 2),
+      (14L, Array(0.8f, 0.0f, 0.2f, 0.0f), 2),
+      (1L, Array(0.0f, 1.0f, 0.0f, 0.0f), 9),
+      (20L, Array(0.0f, 0.9f, 0.1f, 0.0f), 4),
+      (21L, Array(0.0f, 0.9f, 0.0f, 0.1f), 3)
+    ).toDF("vec_id", "embedding", "label")
+    val probes = emb.filter(col("vec_id") < 10)
+    val got5 = Similarity.knnClassify(emb, probes, "vec_id", "embedding",
+        "label", k = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2))))
+      .toMap
+    assert(got5(0L) == ((1, 3L)))
+    val got2 = Similarity.knnClassify(emb, probes, "vec_id", "embedding",
+        "label", k = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2))))
+      .toMap
+    // probe 1's two nearest are 20 (label 4) and 21 (label 3): one vote
+    // each, tie → smaller label 3
+    assert(got2(1L) == ((3, 1L)))
+  }
+}

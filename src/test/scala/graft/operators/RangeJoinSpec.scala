@@ -87,4 +87,52 @@ class RangeJoinSpec extends AnyFunSuite with SparkTestSession {
     assert(naiveKeyless.contains("BroadcastNestedLoopJoin") ||
       naiveKeyless.contains("CartesianProduct"))
   }
+
+  // -- interval-overlap join -------------------------------------------
+
+  // left intervals of width 40 at stride 11, right of width 17 at
+  // stride 7 — lengths straddle several 25-wide bins, so most pairs
+  // share >1 bin and the ownership-bin dedup is genuinely exercised
+  private lazy val lIv = spark.range(100)
+    .select(col("id").as("lid"), (col("id") % 3).as("k"),
+      (col("id") * 11.0).as("llo"), (col("id") * 11.0 + 40.0).as("lhi"))
+  private lazy val rIv = spark.range(150)
+    .select(col("id").as("rid"), (col("id") % 3).as("k"),
+      (col("id") * 7.0).as("rlo"), (col("id") * 7.0 + 17.0).as("rhi"))
+    // inverted interval: must match nothing
+    .union(Seq((999L, 0L, 300.0, 200.0)).toDF("rid", "k", "rlo", "rhi"))
+
+  test("overlap join returns exactly the naive overlap pairs, once each") {
+    val expected = lIv.join(rIv, Seq("k"))
+      .filter(col("llo") <= col("rhi") && col("rlo") <= col("lhi"))
+      .select("lid", "rid").collect().map(_.toSeq).toSet
+    val rows = RangeJoin.overlapJoin(lIv, rIv, Seq("k"),
+        "llo", "lhi", "rlo", "rhi", binWidth = 25.0)
+      .select("lid", "rid").collect().map(_.toSeq)
+    assert(rows.toSet == expected)
+    // ownership-bin dedup: each pair appears EXACTLY once, no distinct
+    assert(rows.length == rows.toSet.size,
+      "a pair surfaced in more than one shared bin")
+    // multi-bin pairs really occur (widths > binWidth)
+    assert(expected.nonEmpty && rows.nonEmpty)
+  }
+
+  test("overlap join: bin width does not change the answer") {
+    val a = RangeJoin.overlapJoin(lIv, rIv, Seq("k"),
+        "llo", "lhi", "rlo", "rhi", binWidth = 5.0)
+      .select("lid", "rid").collect().map(_.toSeq).toSet
+    val b = RangeJoin.overlapJoin(lIv, rIv, Seq("k"),
+        "llo", "lhi", "rlo", "rhi", binWidth = 400.0)
+      .select("lid", "rid").collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
+  test("overlap join plans as an equi-join, not a nested loop") {
+    val plan = RangeJoin.overlapJoin(lIv, rIv, Seq("k"),
+        "llo", "lhi", "rlo", "rhi", binWidth = 25.0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"overlap join fell back to a nested loop:\n$plan")
+  }
 }
