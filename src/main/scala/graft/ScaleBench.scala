@@ -29,17 +29,19 @@ import org.apache.spark.sql.functions._
  */
 object ScaleBench {
 
-  /** k× documents with per-replica token salting (linear pair growth). */
+  /** k× documents with per-replica token salting (linear pair growth);
+    * lang rides along for the block-keyed ops (q102). */
   def scaleDocs(spark: SparkSession, sf: String, k: Int): DataFrame = {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
-      .select("doc_id", "text")
+      .select("doc_id", "text", "lang")
     if (k == 1) docs
     else docs.crossJoin(spark.range(k).toDF("rep"))
       .select(
         (col("doc_id") + col("rep") * 10000000L).as("doc_id"),
         when(col("rep") === 0, col("text"))
           .otherwise(array_join(transform(split(col("text"), " "),
-            x => concat(x, lit("_"), col("rep"))), " ")).as("text"))
+            x => concat(x, lit("_"), col("rep"))), " ")).as("text"),
+        col("lang"))
   }
 
   /** k× embeddings with deterministic per-replica element noise. */
@@ -222,9 +224,32 @@ object ScaleBench {
         ev.unpersist()
       }
 
+      // interval-overlap join: BOTH sides are intervals grown k×; the
+      // day key (cardinality grows k× in scaleEvents) keeps true pair
+      // counts linear — keyless growth would square the OUTPUT and
+      // benchmark the pathology, not the operator
+      if (want("q105_overlap")) {
+        val ev = scaleEvents(spark, sf, k).persist()
+        val nEv = ev.count()
+        System.err.println(s"SCALE inputs ${k}x: $nEv events (overlap join)")
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("day"), col("value").as("v_lo"),
+            (col("value") + 20.0).as("v_hi"))
+        val errs = ev.filter(col("event_type") === "error")
+          .select(col("day"), col("value").as("e_lo"),
+            (col("value") + 15.0).as("e_hi"))
+        record("q105_overlap", k, time(
+          graft.operators.RangeJoin.overlapJoin(views, errs, Seq("day"),
+              "v_lo", "v_hi", "e_lo", "e_hi", binWidth = 25.0)
+            .groupBy("day")
+            .agg(count(lit(1)).as("n_pairs"),
+              round(avg("v_lo"), 4).as("sv"))))
+        ev.unpersist()
+      }
+
       val docOps = Seq("q26_jaccard", "q52_capped", "q40_minhash",
         "q67_clusters", "q67_cluster_only", "q84_star_only", "q75_probe",
-        "admit_batch", "q92_bloom")
+        "admit_batch", "q92_bloom", "q102_edit", "q103_bigram", "q104_sn")
       val embOps = Seq("q83_pq", "q41c_probe", "q41c_logbits",
         "ivf_append", "pq_append")
       if (!(docOps ++ embOps).exists(want)) {
@@ -234,6 +259,30 @@ object ScaleBench {
       val emb = scaleEmb(spark, sf, k).persist()
       val nDocs = docs.count(); val nEmb = emb.count()
       System.err.println(s"SCALE inputs ${k}x: $nDocs docs, $nEmb embeddings")
+
+      // blocked edit-distance pairs: token salting keeps first words
+      // per-replica, so blocks (and their quadratic innards) stay
+      // original-corpus-sized while block COUNT grows k× — the linear
+      // regime the blocking exists to buy
+      if (want("q102_edit")) record("q102_edit", k, time(
+        Dedup.editDistancePairs(docs, "doc_id",
+          substring(col("text"), 1, 32),
+          Seq(col("lang"), split(col("text"), " ").getItem(0)),
+          maxDist = 8, maxBlock = Some(100L))))
+
+      // bigram LM scoring: per-replica vocab keeps the model k× rows
+      // with original-corpus counts; instances grow k× — two hash
+      // aggregates + two word-key joins, all input-sized
+      if (want("q103_bigram")) record("q103_bigram", k, time(
+        graft.operators.TextAnalysis.bigramLogLikelihood(
+          docs, "doc_id", "text")))
+
+      // sorted-neighborhood pairs: what's timed is globalRank's
+      // range-exchange + zipWithIndex and the bucket neighbor join —
+      // output is O(N·w) by construction at every scale
+      if (want("q104_sn")) record("q104_sn", k, time(
+        Dedup.sortedNeighborhoodPairs(docs, "doc_id",
+          substring(col("text"), 1, 16), 3)))
 
       if (want("q26_jaccard")) record("q26_jaccard", k, time(
         Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.6)))

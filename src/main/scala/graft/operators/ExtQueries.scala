@@ -82,6 +82,10 @@ object ExtQueries {
   private val SnKeyLen: Int = 16
   private val SnWindow: Int = 3
 
+  /** q108 PSI bin width — ~10 populated bins over the events value
+    * range at every SF; shared with the generated oracle. */
+  private val PsiBinWidth: Double = 50.0
+
   /** The events table mapped onto the wide slow-log schema (digest,
     * fingerprint, query_time, rate_limit, rows, user, db, ts, query,
     * offset), so the QAN report operators — the Report CLI's code
@@ -776,6 +780,29 @@ object ExtQueries {
           t(s, d, "embeddings").filter(col("vec_id") < 20),
           "vec_id", "embedding", "label", k = 5)
         .orderBy("probe_id")),
+
+    // Character-entropy quality filter (TextAnalysis.charEntropy):
+    // per-doc Shannon entropy in nats over character counts, one
+    // rounding site via H = ln n − Σ c·ln c / n on both engines.
+    "q107_char_entropy" -> ((s, d) =>
+      TextAnalysis.charEntropy(t(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // Distribution-drift monitor (Qan.psiDrift): PSI of the value
+    // distribution per event_type between the first and second half of
+    // the time range (broadcast midpoint, q85/q88's no-collect ride),
+    // fixed-width bins + add-one smoothing over each type's observed
+    // bin set — both engines recompute masses, smoothing, and the sum.
+    "q108_psi_drift" -> ((s, d) => {
+      val ev = CoreQueries.events(s, d)
+        .withColumn("us", expr("ts_ns div 1000"))
+      val mid = ev.agg(expr("(min(us) + max(us)) div 2").as("_mid"))
+      Qan.psiDrift(
+          ev.crossJoin(broadcast(mid))
+            .withColumn("is_ref", col("us") <= col("_mid")),
+          "event_type", "value", "is_ref", binWidth = PsiBinWidth)
+        .orderBy("event_type")
+    }),
 
     // New-key detection (Qan.firstSeen — the review-table "which query
     // classes are NEW this window?" question) on the q51 composite key
@@ -1618,6 +1645,25 @@ object ExtQueries {
         "SELECT probe_id, label AS pred_label, votes FROM " +
         "(SELECT probe_id, label, votes, row_number() OVER (PARTITION BY probe_id ORDER BY votes DESC, label) vr FROM v) " +
         "WHERE vr = 1 ORDER BY probe_id"),
+    // q107: per-char counts → H = ln n − Σ c·ln c / n (one rounding
+    // site); DuckDB's '' splitter emits exactly the characters
+    "q107_char_entropy" ->
+      ("WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents), " +
+        "cnt AS (SELECT doc_id, c, count(*) AS n FROM ch GROUP BY 1, 2) " +
+        "SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_chars, " +
+        "round(ln(sum(n)) - sum(n * ln(n)) / sum(n), 4) AS entropy " +
+        "FROM cnt GROUP BY doc_id ORDER BY doc_id"),
+    // q108: µs-truncated midpoint split (q88's rule), fixed-width bins,
+    // add-one smoothing over each type's observed bin set, PSI sum
+    "q108_psi_drift" ->
+      ("WITH ev AS (SELECT event_type, value, epoch_us(ts) AS us FROM events), " +
+        "m AS (SELECT (min(us) + max(us)) // 2 AS mid FROM ev), " +
+        s"b AS (SELECT event_type, CAST(floor(value / $PsiBinWidth) AS BIGINT) AS bin, us <= (SELECT mid FROM m) AS is_ref FROM ev), " +
+        "cnt AS (SELECT event_type, bin, count(CASE WHEN is_ref THEN 1 END) AS cr, count(CASE WHEN NOT is_ref THEN 1 END) AS cc FROM b GROUP BY 1, 2), " +
+        "tot AS (SELECT event_type, sum(cr) AS nr, sum(cc) AS nc, count(*) AS nb FROM cnt GROUP BY 1) " +
+        "SELECT c.event_type, CAST(max(t.nr) AS BIGINT) AS n_ref, CAST(max(t.nc) AS BIGINT) AS n_cur, " +
+        "round(sum(((c.cr + 1.0) / (t.nr + t.nb) - (c.cc + 1.0) / (t.nc + t.nb)) * ln(((c.cr + 1.0) / (t.nr + t.nb)) / ((c.cc + 1.0) / (t.nc + t.nb)))), 4) AS psi " +
+        "FROM cnt c JOIN tot t USING (event_type) GROUP BY 1 ORDER BY 1"),
     // first/last seen over the µs-truncated event time (epoch_us rule,
     // q85's midpoint); is_new = zero occurrences before the midpoint
     "q88_first_seen" ->

@@ -238,4 +238,44 @@ object Qan {
         (abs(col("load") - col("med")) > lit(k) * col("mad"))
           .as("is_anomaly"))
   }
+
+  /**
+   * Population Stability Index between a reference and a current slice
+   * of a metric, per group — the standard "did this week's latency /
+   * value distribution drift from last week's" monitor (PSI < 0.1
+   * stable, 0.1–0.25 moderate, > 0.25 major shift). Values land in
+   * fixed-width bins (`floor(value/binWidth)` — data-independent edges,
+   * so two engines and two time windows bin identically); both slices'
+   * bin masses get add-one smoothing over the group's OBSERVED bin set
+   * (p = (c+1)/(n+B)), which keeps every log finite without dropping
+   * empty-on-one-side bins — exactly the bins where drift lives.
+   * `PSI = Σ (p−q)·ln(p/q)`. Returns `(groupCol, n_ref, n_cur, psi)`,
+   * psi rounded after the sum (rule 2; ≤ a few dozen bins per group, so
+   * accumulation order cannot reach the 4th decimal).
+   *
+   * Scale shape: one (group, bin) hash aggregate with map-side combine
+   * over the scan, one tiny per-group rollup, one broadcast-sized join
+   * back — bin cardinality is bounded by construction, so every frame
+   * after the first aggregate is group-space-sized, never event-sized.
+   */
+  def psiDrift(df: DataFrame, groupCol: String, valueCol: String,
+               isRefCol: String, binWidth: Double): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val cnt = df
+      .select(col(groupCol),
+        floor(col(valueCol) / binWidth).cast("long").as("_bin"),
+        col(isRefCol))
+      .groupBy(col(groupCol), col("_bin"))
+      .agg(sum(when(col(isRefCol), 1L).otherwise(0L)).as("_cr"),
+        sum(when(!col(isRefCol), 1L).otherwise(0L)).as("_cc"))
+    val tot = cnt.groupBy(col(groupCol))
+      .agg(sum("_cr").as("_nr"), sum("_cc").as("_nc"),
+        count(lit(1)).as("_nb"))
+    val p = (col("_cr") + 1).cast("double") / (col("_nr") + col("_nb"))
+    val q = (col("_cc") + 1).cast("double") / (col("_nc") + col("_nb"))
+    cnt.join(tot, Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(max("_nr").as("n_ref"), max("_nc").as("n_cur"),
+        round(sum((p - q) * log(p / q)), 4).as("psi"))
+  }
 }

@@ -204,6 +204,36 @@ object TextAnalysis {
           .as("avg_ll"))
   }
 
+  /**
+   * Per-document Shannon character entropy in nats — the
+   * alphabet-agnostic gibberish/compression-quality filter (base64
+   * blobs and repeated-char runs sit far from natural text's ~2.9–3.2):
+   * `H = ln n − (Σ c·ln c)/n` over per-document character counts (the
+   * algebraic form keeps ONE rounding site after the aggregate).
+   * Returns `(idCol, n_chars, entropy)`.
+   *
+   * Scale shape: character explode → one (doc, char) hash aggregate
+   * with map-side combine → one per-doc aggregate; the intermediate is
+   * bounded by docs × |alphabet|, and nothing is ever collected. The
+   * explode inflates the scan ~|text|×, which is what a distribution
+   * count over characters costs anywhere — for a cheaper scalar proxy
+   * compose [[qualityScore]] instead.
+   */
+  def charEntropy(docs: DataFrame, idCol: String,
+                  textCol: String): DataFrame = {
+    val cnt = docs
+      // Spark's split(-1 limit) keeps a trailing "" the oracle's
+      // splitter never emits — drop empties on this side
+      .select(col(idCol), explode(split(col(textCol), "")).as("_ch"))
+      .filter(length(col("_ch")) > 0)
+      .groupBy(col(idCol), col("_ch"))
+      .agg(count(lit(1)).as("_c"))
+    cnt.groupBy(col(idCol))
+      .agg(sum("_c").as("n_chars"),
+        round(log(sum("_c")) -
+          sum(col("_c") * log(col("_c"))) / sum("_c"), 4).as("entropy"))
+  }
+
   /** Rolling polynomial fingerprint over words: fold of
     * h → (h*31 + ascii(first char) + len(word)) mod 1e9+7. Order-sensitive
     * (unlike a bag-of-words hash) and O(words) per doc. */

@@ -430,6 +430,22 @@ class ExtOperatorsSpec extends AnyFunSuite with SparkTestSession {
     assert(got(0) > got(1), "punctuation noise must score below prose")
   }
 
+  test("charEntropy: hand values, uniform max, degenerate zero") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aaaa"),        // one symbol → H = 0
+      (2L, "abcd"),        // uniform over 4 → H = ln 4
+      (3L, "aab")          // p = (2/3, 1/3) → ln 3 − (2 ln 2)/3
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.charEntropy(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    def r4(x: Double) = math.rint(x * 1e4) / 1e4
+    assert(out(1L) == ((4L, 0.0)))
+    assert(out(2L) == ((4L, r4(math.log(4)))))
+    assert(out(3L) == ((3L, r4(math.log(3) - 2 * math.log(2) / 3))))
+  }
+
   test("tfIdfTopTerms matches a brute-force Scala computation") {
     import spark.implicits._
     val corpus = Seq(

@@ -323,4 +323,35 @@ class QanSpec extends AnyFunSuite with SparkTestSession {
       .withColumn("ts", to_timestamp(col("tss"))).drop("tss")
     assert(Qan.latencyAnomaly(flat).filter(col("is_anomaly")).count() == 0)
   }
+
+  test("psiDrift: identical halves score 0, a shifted half scores high") {
+    // group "same": ref and cur both uniform over bins {0,1} → p=q → 0
+    // group "shift": ref all in bin 0, cur all in bin 2 → large PSI
+    val rows =
+      (0 until 40).map(i => ("same", (i % 2) * 50.0 + 10.0, i < 20)) ++
+      (0 until 40).map(i => ("shift",
+        if (i < 20) 10.0 else 110.0, i < 20))
+    val df = rows.toDF("g", "value", "is_ref")
+    val out = Qan.psiDrift(df, "g", "value", "is_ref", binWidth = 50.0)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out("same") == ((20L, 20L, 0.0)))
+    val (nr, nc, psi) = out("shift")
+    assert(nr == 20L && nc == 20L)
+    // hand value: bins {0,2}, B=2; p=(21/22, 1/22), q=(1/22, 21/22)
+    // psi = 2 * (20/22) * ln 21 ≈ 5.5352
+    val expect = 2.0 * (20.0 / 22.0) * math.log(21.0)
+    assert(psi == math.rint(expect * 1e4) / 1e4, s"psi=$psi")
+  }
+
+  test("psiDrift: one-sided bins survive via add-one smoothing") {
+    // cur has an empty slice (all rows are ref in bin 0 plus one cur in
+    // bin 1): no log blows up, psi is finite
+    val df = ((0 until 10).map(i => ("g", 1.0, true)) :+ (("g", 60.0, false)))
+      .toDF("g", "value", "is_ref")
+    val out = Qan.psiDrift(df, "g", "value", "is_ref", binWidth = 50.0)
+      .collect()
+    assert(out.length == 1 && !out.head.getDouble(3).isNaN &&
+      !out.head.getDouble(3).isInfinite)
+  }
 }
