@@ -325,6 +325,7 @@ class QanSpec extends AnyFunSuite with SparkTestSession {
   }
 
   test("psiDrift: identical halves score 0, a shifted half scores high") {
+    import spark.implicits._
     // group "same": ref and cur both uniform over bins {0,1} → p=q → 0
     // group "shift": ref all in bin 0, cur all in bin 2 → large PSI
     val rows =
@@ -345,6 +346,7 @@ class QanSpec extends AnyFunSuite with SparkTestSession {
   }
 
   test("psiDrift: one-sided bins survive via add-one smoothing") {
+    import spark.implicits._
     // cur has an empty slice (all rows are ref in bin 0 plus one cur in
     // bin 1): no log blows up, psi is finite
     val df = ((0 until 10).map(i => ("g", 1.0, true)) :+ (("g", 60.0, false)))
