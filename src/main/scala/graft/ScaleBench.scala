@@ -249,7 +249,8 @@ object ScaleBench {
 
       val docOps = Seq("q26_jaccard", "q52_capped", "q40_minhash",
         "q67_clusters", "q67_cluster_only", "q84_star_only", "q75_probe",
-        "admit_batch", "q92_bloom", "q102_edit", "q103_bigram", "q104_sn")
+        "admit_batch", "q92_bloom", "q102_edit", "q103_bigram", "q104_sn",
+        "q107_entropy", "q107_exploded")
       val embOps = Seq("q83_pq", "q41c_probe", "q41c_logbits",
         "ivf_append", "pq_append")
       if (!(docOps ++ embOps).exists(want)) {
@@ -283,6 +284,16 @@ object ScaleBench {
       if (want("q104_sn")) record("q104_sn", k, time(
         Dedup.sortedNeighborhoodPairs(docs, "doc_id",
           substring(col("text"), 1, 16), 3)))
+
+      // char entropy: the codegen'd one-pass expression vs the
+      // explode → (doc, char) aggregate formulation it replaces — the
+      // exploded path shuffles ~|text|× the scan, the expression ships
+      // nothing (same answer, spec-proven)
+      if (want("q107_entropy")) record("q107_entropy", k, time(
+        graft.operators.TextAnalysis.charEntropy(docs, "doc_id", "text")))
+      if (want("q107_exploded")) record("q107_exploded", k, time(
+        graft.operators.TextAnalysis.charEntropyExploded(
+          docs, "doc_id", "text")))
 
       if (want("q26_jaccard")) record("q26_jaccard", k, time(
         Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.6)))

@@ -781,9 +781,11 @@ object ExtQueries {
           "vec_id", "embedding", "label", k = 5)
         .orderBy("probe_id")),
 
-    // Character-entropy quality filter (TextAnalysis.charEntropy):
-    // per-doc Shannon entropy in nats over character counts, one
-    // rounding site via H = ln n − Σ c·ln c / n on both engines.
+    // Character-entropy quality filter (TextAnalysis.charEntropy —
+    // the codegen'd one-pass CharEntropyExpr; the explode+aggregate
+    // formulation is the spec parity reference): per-doc Shannon
+    // entropy in nats, one rounding site via H = ln n − Σ c·ln c / n
+    // on both engines.
     "q107_char_entropy" -> ((s, d) =>
       TextAnalysis.charEntropy(t(s, d, "documents"), "doc_id", "text")
         .orderBy("doc_id")),

@@ -220,7 +220,27 @@ object TextAnalysis {
    * compose [[qualityScore]] instead.
    */
   def charEntropy(docs: DataFrame, idCol: String,
-                  textCol: String): DataFrame = {
+                  textCol: String): DataFrame =
+    docs.filter(length(col(textCol)) > 0)
+      .select(col(idCol),
+        length(col(textCol)).cast("long").as("n_chars"),
+        round(charEntropyCol(col(textCol)), 4).as("entropy"))
+
+  /** The native one-pass entropy kernel as a Column
+    * ([[graft.functions.CharEntropyExpr]]) — unrounded nats. */
+  def charEntropyCol(text: Column): Column =
+    org.apache.spark.sql.graftbridge.GraftColumnBridge.column(
+      graft.functions.CharEntropyExpr(
+        org.apache.spark.sql.graftbridge.GraftColumnBridge
+          .expression(text)))
+
+  /** The explode → two-aggregate formulation — retained as the
+    * pure-built-ins parity reference for [[charEntropy]]'s equality
+    * spec (it shuffles ~|text|× the scan; the expression ships
+    * nothing). Drops empty-text rows by construction, matching the
+    * expression path's `length > 0` filter. */
+  def charEntropyExploded(docs: DataFrame, idCol: String,
+                          textCol: String): DataFrame = {
     val cnt = docs
       // Spark's split(-1 limit) keeps a trailing "" the oracle's
       // splitter never emits — drop empties on this side

@@ -446,6 +446,37 @@ class ExtOperatorsSpec extends AnyFunSuite with SparkTestSession {
     assert(out(3L) == ((3L, r4(math.log(3) - 2 * math.log(2) / 3))))
   }
 
+  test("charEntropy: native expression equals the exploded formulation") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val alphabet = "abcdefg αβ九 ,."
+    val docs = ((1 to 60).map { i =>
+      (i.toLong, (0 until rnd.nextInt(200)).map(_ =>
+        alphabet(rnd.nextInt(alphabet.length))).mkString)
+    } :+ ((99L, ""))).toDF("doc_id", "text")
+    def key(r: org.apache.spark.sql.Row) =
+      r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))
+    val fast = TextAnalysis.charEntropy(docs, "doc_id", "text")
+      .collect().map(key).toMap
+    val slow = TextAnalysis.charEntropyExploded(docs, "doc_id", "text")
+      .collect().map(key).toMap
+    assert(fast == slow)
+    // empty text drops out of BOTH paths
+    assert(!fast.contains(99L))
+    // the expression stays inside whole-stage codegen (a non-local
+    // source — local relations constant-fold to LocalTableScan, which
+    // exercises the interpreted eval path instead)
+    val ranged = spark.range(100).select(col("id").as("doc_id"),
+      concat(lit("ab"), col("id")).as("text"))
+    val plan = TextAnalysis.charEntropy(ranged, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    // the `*(n)` prefix marks a whole-stage-codegen'd operator; the
+    // projection carrying char_entropy must sit inside one
+    val entropyLine = plan.linesIterator
+      .find(_.contains("char_entropy")).getOrElse("")
+    assert(entropyLine.trim.startsWith("*("), plan)
+  }
+
   test("tfIdfTopTerms matches a brute-force Scala computation") {
     import spark.implicits._
     val corpus = Seq(
