@@ -660,6 +660,46 @@ object Dedup {
   }
 
   /**
+   * Blocked Jaro-Winkler near-dup pairs — [[editDistancePairs]] with
+   * the record-linkage metric instead of edit distance: within each
+   * equality block, every `a_id < b_id` pair whose comparison keys
+   * score at least `minSim` under [[TextAnalysis.jaroWinkler]] (the
+   * native byte-parity expression). JW weights shared prefixes and
+   * tolerates transpositions, the classic choice for names/titles/
+   * codes where Levenshtein over-penalizes swaps. The threshold is
+   * compared on the ROUNDED similarity (and the rounded value is what
+   * ships) so the cross-engine boundary behavior is pinned to 4
+   * decimals. Same block-equi-join + broadcast hot-block-cap scale
+   * shape as [[editDistancePairs]].
+   */
+  def jaroWinklerPairs(docs: DataFrame, idCol: String, keyCol: Column,
+                       blockCols: Seq[Column], minSim: Double,
+                       maxBlock: Option[Long] = None): DataFrame = {
+    val bNames = blockCols.indices.map(i => s"_b$i")
+    val base = docs.select(
+      col(idCol) +: keyCol.as("_key") +:
+        blockCols.zip(bNames).map { case (c, n) => c.as(n) }: _*)
+    val blocked = maxBlock match {
+      case Some(cap) =>
+        val hot = base.groupBy(bNames.map(col): _*)
+          .agg(count(lit(1)).as("_n")).filter(col("_n") > cap)
+          .select(bNames.map(col): _*)
+        base.join(broadcast(hot), bNames, "left_anti")
+      case None => base
+    }
+    val a = blocked.select(col(idCol).as("a_id") +: col("_key").as("_ka") +:
+      bNames.map(col): _*)
+    val b = blocked.select(col(idCol).as("b_id") +: col("_key").as("_kb") +:
+      bNames.map(col): _*)
+    a.join(b, bNames)
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("sim",
+        round(TextAnalysis.jaroWinkler(col("_ka"), col("_kb")), 4))
+      .filter(col("sim") >= minSim)
+      .select("a_id", "b_id", "sim")
+  }
+
+  /**
    * Sorted-neighborhood candidate pairs (Hernández–Stolfo): order the
    * corpus by a blocking key, then pair every row with its `w` successors
    * in that order — candidate generation that catches near-dups equality

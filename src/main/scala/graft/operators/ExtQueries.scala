@@ -86,6 +86,9 @@ object ExtQueries {
     * range at every SF; shared with the generated oracle. */
   private val PsiBinWidth: Double = 50.0
 
+  /** q109 Jaro-Winkler keep threshold (on the 4-dp-rounded sim). */
+  private val JwMinSim: Double = 0.9
+
   /** The events table mapped onto the wide slow-log schema (digest,
     * fingerprint, query_time, rate_limit, rows, user, db, ts, query,
     * offset), so the QAN report operators — the Report CLI's code
@@ -780,6 +783,17 @@ object ExtQueries {
           t(s, d, "embeddings").filter(col("vec_id") < 20),
           "vec_id", "embedding", "label", k = 5)
         .orderBy("probe_id")),
+
+    // Blocked Jaro-Winkler near-dup pairs (Dedup.jaroWinklerPairs over
+    // the native JaroWinklerExpr — byte-parity with DuckDB's
+    // jaro_winkler_similarity, threshold on the rounded sim): q102's
+    // blocks with the record-linkage metric.
+    "q109_jw_pairs" -> ((s, d) =>
+      Dedup.jaroWinklerPairs(t(s, d, "documents"), "doc_id",
+          substring(col("text"), 1, EditPrefix),
+          Seq(col("lang"), split(col("text"), " ").getItem(0)),
+          JwMinSim, maxBlock = Some(100L))
+        .orderBy("a_id", "b_id")),
 
     // Character-entropy quality filter (TextAnalysis.charEntropy —
     // the codegen'd one-pass CharEntropyExpr; the explode+aggregate
@@ -1647,6 +1661,17 @@ object ExtQueries {
         "SELECT probe_id, label AS pred_label, votes FROM " +
         "(SELECT probe_id, label, votes, row_number() OVER (PARTITION BY probe_id ORDER BY votes DESC, label) vr FROM v) " +
         "WHERE vr = 1 ORDER BY probe_id"),
+    // q109: same blocks as q102, DuckDB's own jaro_winkler_similarity
+    // as the metric — the native expression matches it byte-for-byte;
+    // threshold on the rounded sim both sides
+    "q109_jw_pairs" ->
+      (s"WITH b AS (SELECT doc_id, substr(text,1,$EditPrefix) AS k, lang, string_split(text,' ')[1] AS fw FROM documents), " +
+        "ok AS (SELECT lang, fw FROM b GROUP BY 1, 2 HAVING count(*) <= 100) " +
+        "SELECT a.doc_id AS a_id, c.doc_id AS b_id, round(jaro_winkler_similarity(a.k, c.k), 4) AS sim " +
+        "FROM (SELECT b.* FROM b JOIN ok USING (lang, fw)) a " +
+        "JOIN (SELECT b.* FROM b JOIN ok USING (lang, fw)) c USING (lang, fw) " +
+        s"WHERE a.doc_id < c.doc_id AND round(jaro_winkler_similarity(a.k, c.k), 4) >= $JwMinSim " +
+        "ORDER BY a_id, b_id"),
     // q107: per-char counts → H = ln n − Σ c·ln c / n (one rounding
     // site); DuckDB's '' splitter emits exactly the characters
     "q107_char_entropy" ->

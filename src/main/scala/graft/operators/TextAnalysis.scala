@@ -226,6 +226,15 @@ object TextAnalysis {
         length(col(textCol)).cast("long").as("n_chars"),
         round(charEntropyCol(col(textCol)), 4).as("entropy"))
 
+  /** Jaro-Winkler similarity of two string columns — the native
+    * codegen'd [[graft.functions.JaroWinklerExpr]], byte-parity with
+    * DuckDB's `jaro_winkler_similarity` (spec- and oracle-proven). */
+  def jaroWinkler(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftbridge.GraftColumnBridge.column(
+      graft.functions.JaroWinklerExpr(
+        org.apache.spark.sql.graftbridge.GraftColumnBridge.expression(a),
+        org.apache.spark.sql.graftbridge.GraftColumnBridge.expression(b)))
+
   /** The native one-pass entropy kernel as a Column
     * ([[graft.functions.CharEntropyExpr]]) — unrounded nats. */
   def charEntropyCol(text: Column): Column =
