@@ -30,7 +30,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  * digest), `percentiles` (p50/p95/p99 per digest via the mergeable
  * HDR sketch — the path that reads a stored sketch table at scale),
  * `compare` (rate-scaled load before/after `-splitAt`, worst
- * regressions first).
+ * regressions first), `anomaly` (hourly loads outside each digest's
+ * median ± 3·MAD — the robust alert list), `drift` (PSI of each
+ * digest's latency distribution before/after `-splitAt`, biggest
+ * shifts first).
  *
  * A `parquet:` source reads the [[graft.sources.Warehouse]] layout the
  * ingest CLI writes (date-partitioned wide table), so
@@ -111,8 +114,27 @@ object Report {
         Qan.compareWindows(wide, "digest", "ts",
           col("query_time") * greatest(col("rate_limit"), lit(1L)),
           to_timestamp(lit(at))).limit(c.top)
+      case "anomaly" =>
+        // robust outlier flags: per-digest hourly load vs median ± 3·MAD
+        import org.apache.spark.sql.functions.col
+        Qan.latencyAnomaly(wide)
+          .filter(col("is_anomaly"))
+          .orderBy(col("load").desc, col("digest"), col("hr"))
+          .limit(c.top)
+      case "drift" =>
+        // "did the latency distribution shift?": PSI per digest between
+        // the windows before/after -splitAt (required), biggest first
+        import org.apache.spark.sql.functions.{col, lit, to_timestamp}
+        val at = c.splitAt.getOrElse(throw new IllegalArgumentException(
+          "-report drift needs -splitAt <YYYY-MM-DD[ HH:MM:SS]>"))
+        Qan.psiDrift(
+            wide.withColumn("is_ref",
+              col("ts") < to_timestamp(lit(at))),
+            "digest", "query_time", "is_ref", binWidth = 0.1)
+          .orderBy(col("psi").desc, col("digest"))
+          .limit(c.top)
       case other => throw new IllegalArgumentException(
-        s"unknown -report: $other (profile|sparkline|load|apdex|percentiles|compare)")
+        s"unknown -report: $other (profile|sparkline|load|apdex|percentiles|compare|anomaly|drift)")
     }
   }
 

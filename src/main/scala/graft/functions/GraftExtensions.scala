@@ -24,6 +24,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.CosineSimDescriptor)
     ext.injectFunction(GraftExtensions.FingerprintDescriptor)
+    ext.injectFunction(GraftExtensions.CharEntropyDescriptor)
+    ext.injectFunction(GraftExtensions.JaroWinklerDescriptor)
   }
 }
 
@@ -56,11 +58,41 @@ object GraftExtensions {
       new ExpressionInfo(classOf[FingerprintExpr].getName, "fingerprint_native"),
       fingerprintBuilder)
 
+  private def charEntropyBuilder(children: Seq[Expression]): Expression = {
+    require(children.length == 1,
+      s"char_entropy expects 1 argument, got ${children.length}")
+    CharEntropyExpr(children.head)
+  }
+
+  private def jaroWinklerBuilder(children: Seq[Expression]): Expression = {
+    require(children.length == 2,
+      s"jaro_winkler expects 2 arguments, got ${children.length}")
+    JaroWinklerExpr(children.head, children(1))
+  }
+
+  /** `char_entropy(text)` — per-row Shannon entropy, [[CharEntropyExpr]]. */
+  val CharEntropyDescriptor: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) =
+    (FunctionIdentifier("char_entropy"),
+      new ExpressionInfo(classOf[CharEntropyExpr].getName, "char_entropy"),
+      charEntropyBuilder)
+
+  /** `jaro_winkler(a, b)` — DuckDB-parity similarity, [[JaroWinklerExpr]]. */
+  val JaroWinklerDescriptor: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) =
+    (FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinklerExpr].getName, "jaro_winkler"),
+      jaroWinklerBuilder)
+
   /** Register on an already-built session. */
   def register(spark: SparkSession): Unit = {
     GraftColumnBridge.registerFunction(spark, "cosine_sim",
       CosineSimDescriptor._2, CosineSimDescriptor._3)
     GraftColumnBridge.registerFunction(spark, "fingerprint_native",
       FingerprintDescriptor._2, FingerprintDescriptor._3)
+    GraftColumnBridge.registerFunction(spark, "char_entropy",
+      CharEntropyDescriptor._2, CharEntropyDescriptor._3)
+    GraftColumnBridge.registerFunction(spark, "jaro_winkler",
+      JaroWinklerDescriptor._2, JaroWinklerDescriptor._3)
   }
 }

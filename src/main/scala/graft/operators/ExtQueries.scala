@@ -89,6 +89,9 @@ object ExtQueries {
   /** q109 Jaro-Winkler keep threshold (on the 4-dp-rounded sim). */
   private val JwMinSim: Double = 0.9
 
+  /** q110 fold count — shared with the generated oracle. */
+  private val KFolds: Int = 5
+
   /** The events table mapped onto the wide slow-log schema (digest,
     * fingerprint, query_time, rate_limit, rows, user, db, ts, query,
     * offset), so the QAN report operators — the Report CLI's code
@@ -783,6 +786,17 @@ object ExtQueries {
           t(s, d, "embeddings").filter(col("vec_id") < 20),
           "vec_id", "embedding", "label", k = 5)
         .orderBy("probe_id")),
+
+    // k-fold assignment audit (Pipeline.kfold): bucket16(id) mod 5 —
+    // per-fold doc/token census; the q54 hash machinery rotating
+    // instead of thresholding, so CV slices need no seed bookkeeping.
+    "q110_kfold" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(Pipeline.kfold(col("doc_id"), KFolds).as("fold"),
+          TextAnalysis.wordCount(col("text")).cast("long").as("_tok"))
+        .groupBy("fold")
+        .agg(count(lit(1)).as("n_docs"), sum("_tok").as("tokens"))
+        .orderBy("fold")),
 
     // Blocked Jaro-Winkler near-dup pairs (Dedup.jaroWinklerPairs over
     // the native JaroWinklerExpr — byte-parity with DuckDB's
@@ -1661,6 +1675,11 @@ object ExtQueries {
         "SELECT probe_id, label AS pred_label, votes FROM " +
         "(SELECT probe_id, label, votes, row_number() OVER (PARTITION BY probe_id ORDER BY votes DESC, label) vr FROM v) " +
         "WHERE vr = 1 ORDER BY probe_id"),
+    // q110: the q54 md5-bucket arithmetic, mod k instead of thresholds
+    "q110_kfold" ->
+      (s"SELECT CAST(h % $KFolds AS BIGINT) AS fold, count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS tokens " +
+        "FROM (SELECT CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),1,4)) AS INTEGER) h, len(string_split(text,' ')) tok FROM documents) t " +
+        "GROUP BY 1 ORDER BY fold"),
     // q109: same blocks as q102, DuckDB's own jaro_winkler_similarity
     // as the metric — the native expression matches it byte-for-byte;
     // threshold on the rounded sim both sides

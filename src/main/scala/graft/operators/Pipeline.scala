@@ -49,6 +49,16 @@ object Pipeline {
       .groupBy("split")
       .agg(count(lit(1)).as("n_docs"), sum("_tok").as("tokens"))
 
+  /** k-fold cross-validation assignment — [[splitLabel]]'s rotating
+    * sibling: `fold = bucket16(id) mod k`, pure per-row arithmetic
+    * (content-keyed, re-runnable, engine-reproducible), so fold i's
+    * validation slice is `fold === i` and its training slice is the
+    * complement — no shuffling state, no seed bookkeeping. */
+  def kfold(id: Column, k: Int): Column = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    pmod(hashBucket16(id), lit(k)).cast("long")
+  }
+
   /**
    * Contiguous sequence packing: within each `byCol` stream ordered by
    * id, documents are appended to the current pack until `capacity`

@@ -70,6 +70,16 @@ class JaroWinklerExprSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("jaro_winkler and char_entropy are first-class SQL functions") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT round(jaro_winkler('MARTHA', 'MARHTA'), 4) jw, " +
+        "round(char_entropy('abcd'), 4) h")
+      .collect().head
+    assert(r.getDouble(0) == 0.9611)
+    assert(r.getDouble(1) == math.rint(math.log(4) * 1e4) / 1e4)
+  }
+
   test("expression compiles into whole-stage codegen") {
     val ranged = SparkTestSession.session.range(50)
       .select(concat(lit("k"), col("id")).as("a"),

@@ -40,6 +40,24 @@ class ReportSpec extends AnyFunSuite with SparkTestSession {
       Report.run(spark, Report.Config(source = warehouse, report = "nope")))
   }
 
+  test("drift report: PSI per digest across -splitAt; anomaly runs clean") {
+    // split mid-window like the compare test: both halves populated
+    val rows = Report.run(spark, Report.Config(source = warehouse,
+      report = "drift", splitAt = Some("2024-01-15 10:00:02"))).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val psi = r.getAs[Double]("psi")
+      assert(!psi.isNaN && !psi.isInfinite && psi >= 0.0, r.toString)
+    }
+    intercept[IllegalArgumentException](Report.run(spark,
+      Report.Config(source = warehouse, report = "drift")))
+    // the 3-event fixture has no hourly outliers — anomaly must run and
+    // return an EMPTY alert list, not fail
+    val alerts = Report.run(spark, Report.Config(source = warehouse,
+      report = "anomaly")).collect()
+    assert(alerts.isEmpty)
+  }
+
   test("compare report splits rate-scaled load at -splitAt") {
     // fixture events land at 10:00:01-03 on 2024-01-15: split mid-window
     val rows = Report.run(spark, Report.Config(source = warehouse,
