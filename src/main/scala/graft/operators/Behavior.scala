@@ -1,0 +1,156 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Event-sequence (behavioral) analytics over an event stream table:
+ * ordered-funnel conversion, cohort retention, top navigation paths,
+ * and change-interval (SCD-2 style) history. These are the
+ * consumption-side reports a product/ops team runs on the same
+ * `events`-shaped table the QAN reports read — reference analog:
+ * the QAN UI's per-class drill-downs (SURVEY.md §2.2 "QAN query
+ * surface"), generalized to arbitrary event sequences.
+ *
+ * All four operators shuffle on the entity key exactly once per pass
+ * and aggregate before anything wide: state per entity is a handful of
+ * timestamps or run boundaries, never the event list, so the shapes
+ * hold at 100 TB where per-user event collections would not.
+ */
+object Behavior {
+
+  /**
+   * Ordered funnel — how many entities reached stage 1, then stage 2
+   * AFTER their stage-1 time, then stage 3 after that, … Strict
+   * ordering (a click before the first view does not count) is what
+   * separates a funnel from `count(distinct user) per type`.
+   *
+   * One aggregation pass per stage, each shuffling on `keyCol` — and
+   * because every pass groups on the SAME key, the sort-order from the
+   * first exchange is reusable (AQE coalesces; no re-partition between
+   * stages). Per-entity state is ONE timestamp per stage. The
+   * alternative single-pass formulation (collect_list + sequential
+   * scan per user) holds the whole event history per entity in memory
+   * and is exactly what this avoids.
+   *
+   * Returns one row per stage: `(stage_ord, stage, n_entities)` with
+   * entities counted while they are still converting.
+   */
+  def funnel(events: DataFrame, keyCol: String, tsCol: Column,
+             typeCol: Column, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    // reached(i): per-entity earliest time of stage i AFTER reached(i-1).
+    // Start: earliest stage-0 event per entity.
+    var reached = events.filter(typeCol === stages.head)
+      .groupBy(col(keyCol)).agg(min(tsCol).as("_t"))
+    val counts = Seq.newBuilder[DataFrame]
+    counts += reached.agg(count(lit(1)).as("n_entities"))
+      .select(lit(1L).as("stage_ord"), lit(stages.head).as("stage"),
+        col("n_entities"))
+    stages.zipWithIndex.drop(1).foreach { case (stage, i) =>
+      reached = events.filter(typeCol === stage)
+        .join(reached, keyCol)
+        .filter(tsCol > col("_t"))
+        .groupBy(col(keyCol)).agg(min(tsCol).as("_t"))
+      counts += reached.agg(count(lit(1)).as("n_entities"))
+        .select(lit(i + 1L).as("stage_ord"), lit(stage).as("stage"),
+          col("n_entities"))
+    }
+    counts.result().reduce(_ union _).orderBy("stage_ord")
+  }
+
+  /**
+   * Cohort retention — entities grouped by their first-activity bucket
+   * (the cohort), counted at each later activity offset: the classic
+   * "day-N retention" triangle. `bucketCol` is a caller expression
+   * (day number, week, release id), so calendar rules stay out of the
+   * operator.
+   *
+   * Two aggregations: distinct (entity, bucket) activity — map-side
+   * partial distinct, bucket count per entity is calendar-bounded —
+   * then a min-bucket cohort per entity derived from the SAME frame
+   * (no second scan of the raw events), a self-join on the entity key
+   * (one shuffle, both sides already entity-keyed), and a final
+   * cohort×offset rollup whose key space is offsets², tiny at any
+   * data size.
+   */
+  def retention(events: DataFrame, keyCol: String, bucketCol: Column): DataFrame = {
+    val active = events.select(col(keyCol), bucketCol.as("_b")).distinct()
+    val cohort = active.groupBy(col(keyCol)).agg(min("_b").as("_cohort"))
+    active.join(cohort, keyCol)
+      .groupBy(col("_cohort").as("cohort"),
+        (col("_b") - col("_cohort")).as("offset"))
+      .agg(count(lit(1)).as("n_entities"))
+      .orderBy("cohort", "offset")
+  }
+
+  /**
+   * Top navigation paths — the first `depth` events per entity,
+   * concatenated in time order, counted across entities: "what do the
+   * first five things a user does look like?". Ties inside one
+   * timestamp break on `idCol` so the path string is deterministic.
+   *
+   * One window (rank within entity — shuffle on the entity key, state
+   * is the running rank, not the event list), a `collect_list` BOUNDED
+   * at `depth` rows per entity (filtered BEFORE the aggregation, so
+   * the per-group state is ≤ depth strings — this is the one
+   * collect_list in the codebase and it is bounded by construction),
+   * and a path-count rollup whose cardinality is |types|^depth at
+   * worst but Zipf-concentrated in practice.
+   */
+  def topPaths(events: DataFrame, keyCol: String, tsCol: Column,
+               idCol: Column, typeCol: Column, depth: Int,
+               topK: Int): DataFrame = {
+    val ranked = events
+      .select(col(keyCol), tsCol.as("_ts"), idCol.as("_id"),
+        typeCol.as("_ty"))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col(keyCol)).orderBy(col("_ts"), col("_id"))))
+      .filter(col("_rn") <= depth)
+    val paths = ranked.groupBy(col(keyCol))
+      .agg(concat_ws(">", transform(
+        array_sort(collect_list(struct(col("_rn"), col("_ty")))),
+        s => s.getField("_ty"))).as("path"))
+    paths.groupBy("path").agg(count(lit(1)).as("n_entities"))
+      .orderBy(col("n_entities").desc, col("path"))
+      .limit(topK)
+  }
+
+  /**
+   * Change intervals (gaps-and-islands → SCD-2 history): collapse each
+   * entity's event sequence into maximal runs of an unchanged value,
+   * emitting `[valid_from, valid_to)` rows with `valid_to` open (null)
+   * on the current run — the slowly-changing-dimension type-2 shape,
+   * built from an append-only log.
+   *
+   * Two stacked windows over ONE partitioning (lag to flag changes,
+   * running sum to number runs — Catalyst evaluates both in a single
+   * Window node chain on one shuffle of the entity key) and a run-key
+   * aggregation. Per-entity window state is a lag buffer and a counter;
+   * the output is runs, which is ≤ events and typically far smaller.
+   */
+  def changeIntervals(events: DataFrame, keyCol: String, tsCol: Column,
+                      idCol: Column, valueCol: Column): DataFrame = {
+    val ord = Window.partitionBy(col(keyCol)).orderBy(col("_ts"), col("_id"))
+    val flagged = events
+      .select(col(keyCol), tsCol.as("_ts"), idCol.as("_id"),
+        valueCol.as("_v"))
+      .withColumn("_chg",
+        when(lag(col("_v"), 1).over(ord).isNull ||
+             lag(col("_v"), 1).over(ord) =!= col("_v"), 1L).otherwise(0L))
+      .withColumn("_run", sum(col("_chg")).over(
+        Window.partitionBy(col(keyCol)).orderBy(col("_ts"), col("_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val runs = flagged.groupBy(col(keyCol), col("_run"))
+      .agg(min(col("_v")).as("value"), // constant within a run
+        min("_ts").as("valid_from"), count(lit(1)).as("n_events"),
+        max("_ts").as("_last"))
+    val nxt = Window.partitionBy(col(keyCol)).orderBy(col("_run"))
+    runs
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(nxt))
+      .select(col(keyCol), col("_run").as("run_id"), col("value"),
+        col("valid_from"), col("valid_to"), col("n_events"))
+      .orderBy(col(keyCol), col("run_id"))
+  }
+}

@@ -92,6 +92,23 @@ object ExtQueries {
   /** q110 fold count — shared with the generated oracle. */
   private val KFolds: Int = 5
 
+  /** q111/q112 query terms (mid-df corpus vocabulary — each matches
+    * ~80% of docs alone, all three together ~half, so both the ranked
+    * and conjunctive results are data-bearing at every SF) and the
+    * q111 BM25 shape parameters — shared with the generated oracles. */
+  private val SearchTerms: Seq[String] = Seq("hash", "merge", "vector")
+  private val Bm25K1: Double = 1.2
+  private val Bm25B: Double = 0.75
+  private val Bm25TopK: Int = 10
+
+  /** q113 funnel stages (strictly ordered), q114 cohort bucket width
+    * (µs/day), q116 path depth / board size — shared with the
+    * generated oracles. */
+  private val FunnelStages: Seq[String] = Seq("view", "click", "purchase")
+  private val DayUs: Long = 86400000000L
+  private val PathDepth: Int = 5
+  private val PathTopK: Int = 20
+
   /** The events table mapped onto the wide slow-log schema (digest,
     * fingerprint, query_time, rate_limit, rows, user, db, ts, query,
     * offset), so the QAN report operators — the Report CLI's code
@@ -786,6 +803,52 @@ object ExtQueries {
           t(s, d, "embeddings").filter(col("vec_id") < 20),
           "vec_id", "embedding", "label", k = 5)
         .orderBy("probe_id")),
+
+    // BM25 top-10 (Search.bm25TopK): Lucene-shape ranked retrieval of
+    // documents against the 3-term query, rank on the rounded score —
+    // the keyword half of a RAG stack; the oracle recomputes idf/tf
+    // normalization from the same constants.
+    "q111_bm25" -> ((s, d) =>
+      Search.bm25TopK(t(s, d, "documents"), "doc_id", "text",
+        SearchTerms, Bm25TopK, Bm25K1, Bm25B)),
+
+    // Conjunctive (all-terms) search (Search.conjunctiveSearch):
+    // posting intersection as ONE count-matching aggregation instead
+    // of a semi-join chain — n query terms, one shuffle.
+    "q112_conj_search" -> ((s, d) =>
+      Search.conjunctiveSearch(
+        Search.postings(t(s, d, "documents"), "doc_id", "text"),
+        SearchTerms)),
+
+    // Ordered funnel (Behavior.funnel): view → click-after-view →
+    // purchase-after-that per user, one timestamp of state per stage;
+    // the oracle chains the same min-after-previous CTEs.
+    "q113_funnel" -> ((s, d) =>
+      Behavior.funnel(CoreQueries.events(s, d), "user_id",
+        expr("ts_ns div 1000"), col("event_type"), FunnelStages)),
+
+    // Cohort retention triangle (Behavior.retention): first-active-day
+    // cohorts × day offsets over distinct (user, day) activity.
+    "q114_retention" -> ((s, d) =>
+      Behavior.retention(CoreQueries.events(s, d), "user_id",
+          expr(s"(ts_ns div 1000) div $DayUs"))
+        .withColumnRenamed("offset", "day_offset")),
+
+    // Gaps-and-islands → SCD-2 change history (Behavior
+    // .changeIntervals): maximal same-type runs per user as
+    // [valid_from, valid_to) rows, valid_to open on the current run.
+    "q115_change_intervals" -> ((s, d) =>
+      Behavior.changeIntervals(CoreQueries.events(s, d), "user_id",
+        expr("ts_ns div 1000"), col("event_id"), col("event_type"))),
+
+    // Top navigation paths (Behavior.topPaths): first-5 event-type
+    // sequences per user, counted across users — the one bounded
+    // collect_list in the codebase (≤ depth rows per group, filtered
+    // before the aggregation).
+    "q116_top_paths" -> ((s, d) =>
+      Behavior.topPaths(CoreQueries.events(s, d), "user_id",
+        expr("ts_ns div 1000"), col("event_id"), col("event_type"),
+        PathDepth, PathTopK)),
 
     // k-fold assignment audit (Pipeline.kfold): bucket16(id) mod 5 —
     // per-fold doc/token census; the q54 hash machinery rotating
@@ -1680,6 +1743,64 @@ object ExtQueries {
       (s"SELECT CAST(h % $KFolds AS BIGINT) AS fold, count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS tokens " +
         "FROM (SELECT CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),1,4)) AS INTEGER) h, len(string_split(text,' ')) tok FROM documents) t " +
         "GROUP BY 1 ORDER BY fold"),
+    // q111: same BM25 shape from the same constants; rank on the
+    // 4-dp-rounded sum (one rounding site both engines)
+    "q111_bm25" -> {
+      val termList = SearchTerms.map(t => s"'$t'").mkString(", ")
+      s"WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents), " +
+        "dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1), " +
+        "st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl), " +
+        s"tf AS (SELECT doc_id, token, count(*) AS tf FROM tok WHERE token IN ($termList) GROUP BY 1, 2), " +
+        "df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1), " +
+        "sc AS (SELECT tf.doc_id, round(sum(ln(1 + (st.n - df.df + 0.5) / (df.df + 0.5)) " +
+        s"* tf.tf * ($Bm25K1 + 1) / (tf.tf + $Bm25K1 * (1 - $Bm25B + $Bm25B * dl.dl / st.avgdl))), 4) AS score, " +
+        "count(*) AS n_terms FROM tf JOIN df USING (token) JOIN dl USING (doc_id) CROSS JOIN st GROUP BY 1) " +
+        "SELECT rn, doc_id, score, n_terms FROM " +
+        "(SELECT doc_id, score, n_terms, row_number() OVER (ORDER BY score DESC, doc_id) AS rn FROM sc) " +
+        s"WHERE rn <= $Bm25TopK ORDER BY rn"
+    },
+    // q112: distinct postings → count-matching intersection
+    "q112_conj_search" -> {
+      val termList = SearchTerms.map(t => s"'$t'").mkString(", ")
+      s"SELECT doc_id, count(*) AS n_matched FROM " +
+        "(SELECT DISTINCT doc_id, token FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)) " +
+        s"WHERE token IN ($termList) GROUP BY 1 HAVING count(*) = ${SearchTerms.size} ORDER BY doc_id"
+    },
+    // q113: min-after-previous CTE chain over epoch-µs (q88's time rule)
+    "q113_funnel" -> {
+      val Seq(s1, s2, s3) = FunnelStages
+      "WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events), " +
+        s"f1 AS (SELECT user_id, min(us) AS t FROM e WHERE event_type = '$s1' GROUP BY 1), " +
+        s"f2 AS (SELECT e.user_id, min(us) AS t FROM e JOIN f1 USING (user_id) WHERE event_type = '$s2' AND us > f1.t GROUP BY 1), " +
+        s"f3 AS (SELECT e.user_id, min(us) AS t FROM e JOIN f2 USING (user_id) WHERE event_type = '$s3' AND us > f2.t GROUP BY 1) " +
+        s"SELECT * FROM (SELECT CAST(1 AS BIGINT) AS stage_ord, '$s1' AS stage, (SELECT count(*) FROM f1) AS n_entities " +
+        s"UNION ALL SELECT 2, '$s2', (SELECT count(*) FROM f2) " +
+        s"UNION ALL SELECT 3, '$s3', (SELECT count(*) FROM f3)) ORDER BY stage_ord"
+    },
+    // q114: distinct (user, day) activity joined to min-day cohorts
+    "q114_retention" ->
+      (s"WITH a AS (SELECT DISTINCT user_id, epoch_us(ts) // $DayUs AS b FROM events), " +
+        "c AS (SELECT user_id, min(b) AS cohort FROM a GROUP BY 1) " +
+        "SELECT c.cohort, a.b - c.cohort AS day_offset, count(*) AS n_entities " +
+        "FROM a JOIN c USING (user_id) GROUP BY 1, 2 ORDER BY 1, 2"),
+    // q115: lag-flag + running-sum run ids (sum cast: DuckDB sums
+    // integers to HUGEINT, Spark to BIGINT), lead() opens valid_to
+    "q115_change_intervals" ->
+      ("WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events), " +
+        "f AS (SELECT *, CASE WHEN lag(event_type) OVER w IS NULL OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg " +
+        "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)), " +
+        "r AS (SELECT *, CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run FROM f), " +
+        "runs AS (SELECT user_id, run AS run_id, min(event_type) AS value, min(us) AS valid_from, count(*) AS n_events FROM r GROUP BY 1, 2) " +
+        "SELECT user_id, run_id, value, valid_from, " +
+        "lead(valid_from) OVER (PARTITION BY user_id ORDER BY run_id) AS valid_to, n_events " +
+        "FROM runs ORDER BY user_id, run_id"),
+    // q116: ordered string_agg over the first-depth ranks
+    "q116_top_paths" ->
+      ("WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events), " +
+        "r AS (SELECT user_id, event_type, row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) AS rn FROM e), " +
+        s"p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path FROM r WHERE rn <= $PathDepth GROUP BY 1) " +
+        "SELECT path, count(*) AS n_entities FROM p GROUP BY 1 " +
+        s"ORDER BY n_entities DESC, path LIMIT $PathTopK"),
     // q109: same blocks as q102, DuckDB's own jaro_winkler_similarity
     // as the metric — the native expression matches it byte-for-byte;
     // threshold on the rounded sim both sides

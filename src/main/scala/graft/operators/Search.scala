@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Lexical retrieval over the document corpus: BM25 ranking and
+ * conjunctive (all-terms) search — the keyword half of a RAG stack,
+ * next to [[Similarity]]'s embedding half. Reference analog: the QAN
+ * UI's fingerprint search box (SURVEY.md §2.2 "QAN query surface"),
+ * generalized from substring match to ranked retrieval.
+ *
+ * Both operators run off the exploded token frame and aggregate to
+ * vocabulary- or hit-bounded key spaces before any join, so nothing
+ * here materializes per-document token lists. The query-term filter is
+ * applied BEFORE the document-keyed aggregation — at 100 TB the frame
+ * that shuffles is |matching postings|, not |corpus tokens|.
+ */
+object Search {
+
+  /**
+   * BM25 top-k — Robertson/Spärck-Jones ranking of documents against a
+   * bag of query terms, the Lucene-default scoring shape:
+   * `idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))`,
+   * `score = Σ_t idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))`.
+   * Ranked on the ROUNDED score (4 dp) with the doc id as tiebreaker —
+   * same cross-engine determinism rule as [[TextAnalysis.tfIdfTopTerms]].
+   *
+   * Scale shape: one pass over the exploded tokens feeding two
+   * aggregates — per-document length (doc-keyed, map-side partials)
+   * and per-(doc, query-term) tf, where the term filter is a broadcast
+   * `isin` BEFORE the shuffle so the tf frame carries only matching
+   * postings. df per query term and the (N, avgdl) pair are
+   * |terms|-row and 1-row frames, broadcast into the scoring join.
+   * The only corpus-sized shuffle is the doc-length aggregation.
+   */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               terms: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25TopK needs at least one query term")
+    val tok = docs.select(col(idCol).as("doc_id"),
+      explode(split(col(textCol), " ")).as("token"))
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("_n"),
+      avg("dl").as("_avgdl"))
+    val tf = tok.filter(col("token").isin(terms: _*))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), "token")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("_idf",
+        log(lit(1.0) + (col("_n") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("_w",
+        col("_idf") * col("tf") * (lit(k1) + 1.0) /
+          (col("tf") + lit(k1) *
+            (lit(1.0) - lit(b) + lit(b) * col("dl") / col("_avgdl"))))
+      .groupBy("doc_id")
+      .agg(round(sum("_w"), 4).as("score"),
+        count(lit(1)).as("n_terms"))
+      // top-k FIRST (TakeOrderedAndProject — distributed heap, no
+      // single-partition exchange of the full hit set), then the rank
+      // window runs over k rows only.
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .select("rn", "doc_id", "score", "n_terms")
+  }
+
+  /**
+   * Conjunctive search — documents containing ALL query terms, the
+   * posting-list-intersection primitive of an inverted index expressed
+   * as one aggregation: distinct (doc, term) postings filtered to the
+   * query terms, grouped by doc, kept when the distinct-term count
+   * equals |terms|. No join chain — an n-way intersection is a single
+   * shuffle regardless of term count, where the textbook
+   * semi-join-per-term plan pays n−1 shuffles.
+   *
+   * Works identically against the live corpus or a persisted postings
+   * table (see [[graft.sources.Warehouse.saveInvertedIndex]]) — the
+   * stored probe prunes on the term filter at the scan.
+   */
+  def conjunctiveSearch(postings: DataFrame, terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "conjunctiveSearch needs at least one term")
+    postings.filter(col("token").isin(terms: _*))
+      .select("doc_id", "token").distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("n_matched"))
+      .filter(col("n_matched") === terms.size)
+      .select(col("doc_id"), col("n_matched"))
+      .orderBy("doc_id")
+  }
+
+  /** The posting frame [[conjunctiveSearch]] consumes, from raw text:
+    * distinct (token, doc_id) pairs. Split out so the same searcher
+    * runs on the live corpus and on the at-rest index table. */
+  def postings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("token"))
+      .distinct()
+}

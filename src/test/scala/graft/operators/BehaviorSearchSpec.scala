@@ -1,0 +1,119 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Operator-level tests for the behavioral-analytics ([[Behavior]]) and
+  * lexical-retrieval ([[Search]]) operators — the invariants the SQL
+  * oracle can't state: funnel monotonicity and strict ordering,
+  * retention mass conservation, SCD-2 run reconstruction, BM25 rank
+  * behavior on hand-built corpora. */
+class BehaviorSearchSpec extends AnyFunSuite with SparkTestSession {
+
+  import spark.implicits._
+
+  // (user, ts, id, type) — user 1 converts fully in order; user 2 has
+  // the click BEFORE any view (must NOT count past stage 1); user 3
+  // views only.
+  private lazy val ev = Seq(
+    (1L, 10L, 1L, "view"), (1L, 20L, 2L, "click"), (1L, 30L, 3L, "buy"),
+    (2L, 10L, 4L, "click"), (2L, 20L, 5L, "view"), (2L, 30L, 6L, "buy"),
+    (3L, 10L, 7L, "view")
+  ).toDF("user_id", "ts", "event_id", "event_type")
+
+  test("funnel: strict ordering — out-of-order stages do not convert") {
+    val got = Behavior.funnel(ev, "user_id", col("ts"), col("event_type"),
+        Seq("view", "click", "buy"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // user 2's click precedes its view, so only user 1 passes stage 2;
+    // user 2's buy AFTER its view still can't count without the click
+    assert(got.toSeq == Seq((1L, "view", 3L), (2L, "click", 1L),
+      (3L, "buy", 1L)))
+  }
+
+  test("funnel: stage counts are monotone non-increasing on real data") {
+    val events = graft.operators.CoreQueries.events(
+      spark, "/root/testdata/sf0.001")
+    val counts = Behavior.funnel(events, "user_id",
+        expr("ts_ns div 1000"), col("event_type"),
+        Seq("view", "click", "purchase"))
+      .orderBy("stage_ord").collect().map(_.getLong(2))
+    assert(counts.length == 3)
+    assert(counts.zip(counts.tail).forall { case (a, b) => b <= a })
+  }
+
+  test("retention: day-0 row carries every cohort member; mass conserved") {
+    val events = graft.operators.CoreQueries.events(
+      spark, "/root/testdata/sf0.001")
+    val day = expr("(ts_ns div 1000) div 86400000000")
+    val r = Behavior.retention(events, "user_id", day)
+    val rows = r.collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    assert(rows.forall(_._2 >= 0), "offsets must be non-negative")
+    // Σ over a cohort's day-0 rows = cohort sizes = distinct users
+    val day0 = rows.filter(_._2 == 0L).map(_._3).sum
+    val users = events.select("user_id").distinct().count()
+    assert(day0 == users, s"day-0 mass $day0 != $users users")
+  }
+
+  test("changeIntervals: runs reconstruct the event count and tile time") {
+    val got = Behavior.changeIntervals(ev, "user_id", col("ts"),
+      col("event_id"), col("event_type"))
+    val rows = got.collect()
+    assert(rows.map(_.getLong(5)).sum == ev.count()) // n_events conserved
+    // per user: valid_to of run k equals valid_from of run k+1; the
+    // last run is open (null)
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a.getLong(4) == b.getLong(3))
+        case _ =>
+      }
+      assert(sorted.last.isNullAt(4), "last run must be open")
+    }
+  }
+
+  test("topPaths: paths are depth-bounded and counts sum to entities") {
+    val got = Behavior.topPaths(ev, "user_id", col("ts"), col("event_id"),
+      col("event_type"), depth = 2, topK = 10).collect()
+    val paths = got.map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(paths == Map("view>click" -> 1L, "click>view" -> 1L,
+      "view" -> 1L))
+  }
+
+  test("bm25: more matched terms and rarer terms rank higher") {
+    val docs = Seq(
+      (1L, "alpha beta gamma pad pad pad"),
+      (2L, "alpha pad pad pad pad pad"),
+      (3L, "pad pad pad pad pad pad")
+    ).toDF("doc_id", "text")
+    val got = Search.bm25TopK(docs, "doc_id", "text",
+        Seq("alpha", "beta"), k = 10)
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    // doc 1 matches both terms → strictly above doc 2 (one term);
+    // doc 3 matches none → absent
+    assert(got.map(_._1).toSeq == Seq(1L, 2L))
+    assert(got(0)._2 > got(1)._2)
+  }
+
+  test("bm25: length normalization — same tf, shorter doc wins") {
+    val docs = Seq(
+      (1L, "alpha " + Seq.fill(3)("pad").mkString(" ")),
+      (2L, "alpha " + Seq.fill(30)("pad").mkString(" "))
+    ).toDF("doc_id", "text")
+    val got = Search.bm25TopK(docs, "doc_id", "text", Seq("alpha"), 10)
+      .collect().map(_.getLong(1))
+    assert(got.toSeq == Seq(1L, 2L))
+  }
+
+  test("conjunctiveSearch: equals the intersection of per-term hits") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val post = Search.postings(docs, "doc_id", "text")
+    val both = Search.conjunctiveSearch(post, Seq("hash", "merge"))
+      .select("doc_id").as[Long].collect().toSet
+    def hits(t: String) = Search.conjunctiveSearch(post, Seq(t))
+      .select("doc_id").as[Long].collect().toSet
+    assert(both == (hits("hash") intersect hits("merge")))
+    assert(both.nonEmpty)
+  }
+}
