@@ -77,6 +77,28 @@ object ScaleBench {
         (col("day") + col("rep") * 40L).as("day"))
   }
 
+  /** k× events keyed for the behavioral operators: user population
+    * grows k× (fresh user ids per replica), per-user history length
+    * stays FIXED — the realistic scale axis for funnel/retention/path
+    * workloads (more entities, not longer entities), so per-key window
+    * state stays constant while the shuffled volume grows. Handles both
+    * shipped ts layouts; time as epoch-µs. */
+  def scaleUserEvents(spark: SparkSession, sf: String, k: Int): DataFrame = {
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+    val base = (raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("us", expr("ts div 1000"))
+      case _ =>
+        raw.withColumn("us", expr("unix_micros(cast(ts as timestamp))"))
+    }).select("user_id", "event_id", "event_type", "us")
+    if (k == 1) base
+    else base.crossJoin(spark.range(k).toDF("rep"))
+      .select(
+        (col("user_id") + col("rep") * 10000000L).as("user_id"),
+        (col("event_id") + col("rep") * 1000000000L).as("event_id"),
+        col("event_type"), col("us"))
+  }
+
   def main(args: Array[String]): Unit = {
     val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val scales = args.headOption.map(_.split(",").map(_.toInt).toSeq)
@@ -245,6 +267,41 @@ object ScaleBench {
             .agg(count(lit(1)).as("n_pairs"),
               round(avg("v_lo"), 4).as("sv"))))
         ev.unpersist()
+      }
+
+      // behavioral ops over a k× USER population (per-user history
+      // fixed): funnel is three same-key aggregation passes (state = one
+      // timestamp/stage), retention two aggregates + a user-key join,
+      // paths one window + a depth-bounded collect — all should track
+      // the scan (≈ linear), with no per-entity state growth
+      if (want("q113_funnel") || want("q114_retention") || want("q116_paths")) {
+        val ev = scaleUserEvents(spark, sf, k).persist()
+        val nEv = ev.count()
+        System.err.println(s"SCALE inputs ${k}x: $nEv user events")
+        if (want("q113_funnel")) record("q113_funnel", k, time(
+          graft.operators.Behavior.funnel(ev, "user_id", col("us"),
+            col("event_type"), Seq("view", "click", "purchase"))))
+        if (want("q114_retention")) record("q114_retention", k, time(
+          graft.operators.Behavior.retention(ev, "user_id",
+            expr("us div 86400000000"))))
+        if (want("q116_paths")) record("q116_paths", k, time(
+          graft.operators.Behavior.topPaths(ev, "user_id", col("us"),
+            col("event_id"), col("event_type"), depth = 5, topK = 20)))
+        ev.unpersist()
+      }
+
+      // BM25 over a k× corpus: replica tokens are suffixed, so the
+      // query-term posting set stays FIXED while the corpus grows —
+      // isolating the claim that the only corpus-sized stage is the
+      // doc-length aggregate (the tf shuffle carries matches only)
+      if (want("q111_bm25")) {
+        val docs = scaleDocs(spark, sf, k).persist()
+        val nDocs = docs.count()
+        System.err.println(s"SCALE inputs ${k}x: $nDocs docs (bm25)")
+        record("q111_bm25", k, time(
+          graft.operators.Search.bm25TopK(docs, "doc_id", "text",
+            Seq("hash", "merge", "vector"), k = 10)))
+        docs.unpersist()
       }
 
       val docOps = Seq("q26_jaccard", "q52_capped", "q40_minhash",

@@ -1111,6 +1111,32 @@ object ExtQueries {
         .orderBy("probe_id", "rn")
     }),
 
+    // SQ8 scalar-quantized ANN against the exact top-3 (q53's
+    // persist-and-probe contract, training-free member of the
+    // quantized family): per-dimension 255-level codes stored +
+    // dequantized-midpoint candidate scan, exact re-rank of 20.
+    // 255 levels/dim at dim 64 leaves reconstruction error far under
+    // neighbor gaps — measured 3/3 recall for every probe at both
+    // oracle SFs, so the ≥2-of-3 floor has one-hit margin.
+    "q117_sq8_recall" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val probes = emb.filter(col("vec_id") < 5)
+      val exact = Similarity.knnBatch(emb, probes, "vec_id", "embedding", k = 3)
+        .select(col("probe_id"), col("rn"), col("nn_id"), col("sim"))
+      val (codes, params) = Similarity.sq8Index(emb, "vec_id", "embedding")
+      graft.sources.Warehouse.saveSq8Index(codes, params, "graft_bench_sq8_q117")
+      val sq = Similarity.sq8CosineTopKFrom(s.table("graft_bench_sq8_q117"),
+          s.table("graft_bench_sq8_q117_params"), emb, probes,
+          "vec_id", "embedding", k = 3, candidates = 20)
+        .select(col("probe_id"), col("nn_id"))
+      val hits = exact.join(sq, Seq("probe_id", "nn_id"))
+        .groupBy("probe_id").agg(count(lit(1)).as("hits"))
+      exact.join(hits, Seq("probe_id"), "left")
+        .select(col("probe_id"), col("rn"), col("nn_id"), col("sim"),
+          (coalesce(col("hits"), lit(0L)) >= 2).as("ok"))
+        .orderBy("probe_id", "rn")
+    }),
+
     // PQ ANN against the exact top-3, data-bearing oracle (q53 pattern,
     // round 10): exact neighbor rows checked as values, ≥2-of-3 PQ
     // recall floor as `ok`. candidates=150 (cut from the round-5
@@ -1355,6 +1381,10 @@ object ExtQueries {
   private val simhashIndexBuilt =
     scala.collection.concurrent.TrieMap.empty[String, Unit]
 
+  /** Same stored-table guard for the q112b inverted-index probe. */
+  private val invertedIndexBuilt =
+    scala.collection.concurrent.TrieMap.empty[String, Unit]
+
   /** Same stored-table guards for the IVF / PQ probe-only bench splits
     * (q53b reuses q53's tables; q83b owns its own PQ pair). */
   private val ivfIndexBuilt =
@@ -1485,6 +1515,19 @@ object ExtQueries {
       Dedup.simHashNearDupPairsFrom(s.table("graft_bench_simhash_q75"),
           "doc_id", maxHamming = 16)
         .orderBy("da", "db")
+    }),
+    // Conjunctive search over the STORED inverted index (q112's twin of
+    // q75/q75b): the postings table is built once per JVM, the timed
+    // probe is the term-bucket-pruned intersection alone — the
+    // recurring cost of keyword search once the index is at rest.
+    "q112b_conj_probe" -> ((s, d) => {
+      invertedIndexBuilt.getOrElseUpdate(d, {
+        graft.sources.Warehouse.saveInvertedIndex(
+          Search.postings(t(s, d, "documents"), "doc_id", "text"),
+          "graft_bench_inverted_q112")
+      })
+      Search.conjunctiveSearch(s.table("graft_bench_inverted_q112"),
+        SearchTerms)
     })
   )
 
@@ -1555,6 +1598,7 @@ object ExtQueries {
     "q41_ann_topk" -> exactTop3FloorSql,
     "q53_ivf_recall" -> exactTop3FloorSql,
     "q83_pq_recall" -> exactTop3FloorSql,
+    "q117_sq8_recall" -> exactTop3FloorSql,
     "q54_hash_split" -> {
       // CASE generated from Pipeline.SplitThresholds — one source of truth
       val whens = Pipeline.SplitThresholds

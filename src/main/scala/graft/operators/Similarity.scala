@@ -800,4 +800,89 @@ object Similarity {
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
   }
+
+  /**
+   * SQ8 scalar quantization — the simplest member of the quantized-ANN
+   * family (next to IVF's partition pruning and PQ's subspace codes):
+   * each dimension is mapped onto 256 uniform levels between its
+   * corpus-wide min and max, shrinking a float vector 4× with no
+   * training fit at all. Returns `(codes, params)`: codes `(id, code:
+   * array<int>)` for the at-rest table, params ONE row `(mins, scales:
+   * array<double>)` — dim-sized, broadcast-sized by construction.
+   *
+   * Scale shape: the per-dimension min/max is a posexplode feeding ONE
+   * aggregation keyed by position — map-side combine reduces every
+   * partition to `dim` rows, so the exchange carries partitions×dim
+   * rows, never corpus×dim. Encoding is a broadcast of the one-row
+   * params frame + per-row `transform` arithmetic inside codegen; the
+   * corpus is scanned twice (stats, encode) and shuffled never.
+   */
+  def sq8Index(corpus: DataFrame, idCol: String, embCol: String): (DataFrame, DataFrame) = {
+    val stats = corpus
+      .select(posexplode(col(embCol)).as(Seq("_pos", "_x")))
+      .groupBy("_pos")
+      .agg(min(col("_x").cast("double")).as("_mn"),
+        max(col("_x").cast("double")).as("_mx"))
+    // one row of dim-aligned arrays (collect_list bounded by dim)
+    val params = stats.agg(
+      transform(array_sort(collect_list(struct(col("_pos"), col("_mn")))),
+        s => s.getField("_mn")).as("mins"),
+      transform(array_sort(collect_list(struct(col("_pos"), col("_mn"), col("_mx")))),
+        // 255 levels; a constant dimension gets scale 0 (code 0 for all)
+        s => when(s.getField("_mx") > s.getField("_mn"),
+          lit(255.0) / (s.getField("_mx") - s.getField("_mn")))
+          .otherwise(lit(0.0))).as("scales"))
+    val codes = corpus
+      .crossJoin(broadcast(params))
+      .select(col(idCol).as("id"),
+        zip_with(col(embCol),
+          zip_with(col("mins"), col("scales"), (m, s) => struct(m.as("m"), s.as("s"))),
+          (x, ms) => least(lit(255), greatest(lit(0),
+            floor((x.cast("double") - ms.getField("m")) * ms.getField("s"))
+              .cast("int")))).as("code"))
+    (codes, params)
+  }
+
+  /**
+   * SQ8 ANN probe against an already-built code table ([[sq8Index]]
+   * layout, fresh or read back from
+   * [[graft.sources.Warehouse.saveSq8Index]]): candidates ranked by
+   * cosine over the DEQUANTIZED codes (`mn + (c + 0.5)/scale` — the
+   * level midpoint halves the worst-case reconstruction error), then
+   * the exact re-rank of `candidates` rows only against the raw
+   * corpus — the same candidate-then-verify contract as IVF/PQ. The
+   * params frame broadcasts; codes never carry floats.
+   */
+  def sq8CosineTopKFrom(codes: DataFrame, params: DataFrame,
+                        corpus: DataFrame, probes: DataFrame,
+                        idCol: String, embCol: String, k: Int,
+                        candidates: Int = 20): DataFrame = {
+    val dq = codes
+      .crossJoin(broadcast(params))
+      .select(col("id").as("nn_id"),
+        zip_with(col("code"),
+          zip_with(col("mins"), col("scales"), (m, s) => struct(m.as("m"), s.as("s"))),
+          (c, ms) => when(ms.getField("s") > 0.0,
+            ms.getField("m") + (c.cast("double") + 0.5) / ms.getField("s"))
+            .otherwise(ms.getField("m"))).as("_dq"))
+    val cw = Window.partitionBy("probe_id").orderBy(col("_asim").desc, col("nn_id"))
+    val cand = dq
+      .crossJoin(broadcast(probes.select(col(idCol).as("probe_id"),
+        col(embCol).as("_e_p"))))
+      .filter(col("nn_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("nn_id"),
+        cosine(col("_e_p"), col("_dq")).as("_asim"))
+      .withColumn("_cr", row_number().over(cw))
+      .filter(col("_cr") <= candidates)
+      .select("probe_id", "nn_id")
+    val w = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("nn_id"))
+    cand
+      .join(corpus.select(col(idCol).as("nn_id"), col(embCol).as("_e_nn")), "nn_id")
+      .join(broadcast(probes.select(col(idCol).as("probe_id"),
+        col(embCol).as("_e_p"))), "probe_id")
+      .select(col("probe_id"), col("nn_id"),
+        round(cosine(col("_e_p"), col("_e_nn")), 4).as("sim"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+  }
 }

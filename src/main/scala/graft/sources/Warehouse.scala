@@ -128,6 +128,27 @@ object Warehouse {
   }
 
   /**
+   * Persist a posting frame ([[graft.operators.Search.postings]]:
+   * distinct `(doc_id, token)`) bucketed by `token` — the inverted
+   * index at rest, the lexical twin of [[saveSimHashIndex]]: a search
+   * touching k query terms scans only those terms' file buckets
+   * (`SelectedBucketsCount`), never the corpus postings, and
+   * [[graft.operators.Search.conjunctiveSearch]] consumes the stored
+   * table unchanged. `sortBy(token)` keeps each term's posting run
+   * contiguous inside its bucket.
+   */
+  def saveInvertedIndex(postings: DataFrame, table: String, buckets: Int = 32,
+                        mode: SaveMode = SaveMode.Overwrite): Unit = {
+    if (mode == SaveMode.Overwrite)
+      dropWithLocation(postings.sparkSession, table)
+    postings.write.mode(mode)
+      .bucketBy(buckets, "token")
+      .sortBy("token")
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
+  /**
    * Persist an IVF cell frame
    * ([[graft.operators.Similarity.ivfIndex]]: `(id, emb, cell)`)
    * bucketed by `cell` — the inverted file at rest: a probe touching
@@ -176,6 +197,39 @@ object Warehouse {
       .saveAsTable(table)
     codebook.write.mode(mode).format("parquet")
       .saveAsTable(s"${table}_codebook")
+  }
+
+  /**
+   * Persist an SQ8 scalar-quantized index
+   * ([[graft.operators.Similarity.sq8Index]]: codes `(id, code)` +
+   * a ONE-ROW params table `(mins, scales)`, `<table>_params`) — the
+   * PQ layout's training-free sibling: no pruning key (a probe scans
+   * every code row by design), the at-rest win is SIZE (one int per
+   * dimension vs a float — and int codes ≤255 dictionary/bit-pack far
+   * below 4 bytes in parquet). Codes bucket by `id` for the exact
+   * re-rank co-location, like [[savePqIndex]]. Appending new rows
+   * needs no helper: encode against the stored params
+   * (`sq8Index`'s arithmetic is stateless given params) and
+   * `saveSq8Index(..., SaveMode.Append)` leaves the params table
+   * untouched only when told to — use mode Append and skip the params
+   * write via `writeParams = false`.
+   */
+  def saveSq8Index(codes: DataFrame, params: DataFrame, table: String,
+                   buckets: Int = 32,
+                   mode: SaveMode = SaveMode.Overwrite,
+                   writeParams: Boolean = true): Unit = {
+    if (mode == SaveMode.Overwrite) {
+      dropWithLocation(codes.sparkSession, table)
+      if (writeParams) dropWithLocation(codes.sparkSession, s"${table}_params")
+    }
+    codes.write.mode(mode)
+      .bucketBy(buckets, "id")
+      .sortBy("id")
+      .format("parquet")
+      .saveAsTable(table)
+    if (writeParams)
+      params.write.mode(mode).format("parquet")
+        .saveAsTable(s"${table}_params")
   }
 
   // ── Incremental index maintenance ─────────────────────────────────────

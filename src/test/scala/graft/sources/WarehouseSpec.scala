@@ -419,6 +419,75 @@ class WarehouseSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("persisted SQ8 index: codes in range, dequant error bounded, stored probe recalls exact top-3") {
+    import graft.operators.Similarity
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val (codes, params) = Similarity.sq8Index(emb, "vec_id", "embedding")
+    Warehouse.saveSq8Index(codes, params, "sq8_idx", buckets = 8)
+    try {
+      // every code is an 8-bit level
+      val bad = spark.table("sq8_idx")
+        .filter(exists(col("code"), c => c < 0 || c > 255)).count()
+      assert(bad == 0)
+      // midpoint dequantization reconstructs each element within half a
+      // level: |x − dq(x)| ≤ (mx − mn)/255/2 + ulp slack
+      val p = spark.table("sq8_idx_params").collect().head
+      val mins = p.getSeq[Double](0)
+      val scales = p.getSeq[Double](1)
+      val orig = emb.orderBy("vec_id").limit(5).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+      val stored = spark.table("sq8_idx").filter(col("id") < 5).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      for ((id, cs) <- stored; (c, i) <- cs.zipWithIndex) {
+        val dq = if (scales(i) > 0) mins(i) + (c + 0.5) / scales(i) else mins(i)
+        val bound = (if (scales(i) > 0) 0.5 / scales(i) else 0.0) + 1e-9
+        assert(math.abs(orig(id)(i) - dq) <= bound,
+          s"id=$id dim=$i code=$c dq=$dq x=${orig(id)(i)}")
+      }
+      // the stored probe path recovers the exact top-3 (3/3 here — the
+      // q117 contract floor is ≥2-of-3 with this as its margin)
+      val probes = emb.filter(col("vec_id") < 5)
+      val exact = Similarity.knnBatch(emb, probes, "vec_id", "embedding", 3)
+        .select("probe_id", "nn_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val sq = Similarity.sq8CosineTopKFrom(spark.table("sq8_idx"),
+          spark.table("sq8_idx_params"), emb, probes,
+          "vec_id", "embedding", k = 3, candidates = 20)
+        .select("probe_id", "nn_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(sq == exact, s"missed: ${exact -- sq}")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS sq8_idx")
+      spark.sql("DROP TABLE IF EXISTS sq8_idx_params")
+    }
+  }
+
+  test("persisted inverted index: term lookups bucket-prune, stored search equals direct") {
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val post = graft.operators.Search.postings(docs, "doc_id", "text")
+    Warehouse.saveInvertedIndex(post, "inverted_idx", buckets = 8)
+    try {
+      // a single-term lookup scans only that term's bucket
+      val lookup = spark.table("inverted_idx").filter(col("token") === "hash")
+      val plan = lookup.queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount: 1 out of 8"),
+        s"term lookup did not bucket-prune:\n$plan")
+      // the stored searcher returns exactly the direct-path hits
+      def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+        df.select("doc_id").collect().map(_.getLong(0)).toSet
+      val stored = ids(graft.operators.Search.conjunctiveSearch(
+        spark.table("inverted_idx"), Seq("hash", "merge")))
+      val direct = ids(graft.operators.Search.conjunctiveSearch(
+        post, Seq("hash", "merge")))
+      assert(stored == direct && stored.nonEmpty)
+    } finally {
+      spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+      spark.sql("DROP TABLE IF EXISTS inverted_idx")
+    }
+  }
+
   test("digest-bucketed table aggregates per digest without an exchange") {
     spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
     Warehouse.saveBucketed(wide, "queries_bucketed", buckets = 4)
