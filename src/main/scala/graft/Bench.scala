@@ -66,15 +66,20 @@ object Bench {
         graft.slowlog.SlowLogTable.flatten(
           graft.slowlog.SlowLogSource.readRaw(spark, dir.toString))
           .write.format("noop").mode("overwrite").save()
+      // ingest runs LAST, after the whole query board: the heap is full
+      // of 100+ queries' session state and an un-collected old gen —
+      // standalone the same flatten measures ~2× faster (FpProfile
+      // 247 k eps vs 128 k in-bench, round 10). Collect once before
+      // timing and take best-of-three so the reading reflects the
+      // operator, not the board's garbage.
+      System.gc()
       run() // warm-up
-      // min-of-two, same as the query timings: a single pass right
-      // after 80+ queries reads low from residual GC/page-cache churn
       def timed(): Double = {
         val t0 = System.nanoTime()
         run()
         written / ((System.nanoTime() - t0) / 1e9)
       }
-      math.max(timed(), timed())
+      Seq(timed(), timed(), timed()).max
     } finally {
       val entries = java.nio.file.Files.list(dir)
       try entries.forEach(p => java.nio.file.Files.deleteIfExists(p))

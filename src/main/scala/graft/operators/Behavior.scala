@@ -36,10 +36,21 @@ object Behavior {
    *
    * Returns one row per stage: `(stage_ord, stage, n_entities)` with
    * entities counted while they are still converting.
+   *
+   * `maxGap` (same unit as `tsCol`) bounds each stage transition: the
+   * stage-k event must land within `maxGap` of the stage-(k−1) time —
+   * the "conversion window" every production funnel carries (a click
+   * three weeks after the view is not a conversion). The bound is a
+   * row predicate on the same join; the shape is unchanged.
    */
   def funnel(events: DataFrame, keyCol: String, tsCol: Column,
-             typeCol: Column, stages: Seq[String]): DataFrame = {
+             typeCol: Column, stages: Seq[String],
+             maxGap: Option[Long] = None): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
+    def withinGap: Column = maxGap match {
+      case Some(g) => tsCol > col("_t") && tsCol <= col("_t") + g
+      case None    => tsCol > col("_t")
+    }
     // reached(i): per-entity earliest time of stage i AFTER reached(i-1).
     // Start: earliest stage-0 event per entity.
     var reached = events.filter(typeCol === stages.head)
@@ -51,7 +62,7 @@ object Behavior {
     stages.zipWithIndex.drop(1).foreach { case (stage, i) =>
       reached = events.filter(typeCol === stage)
         .join(reached, keyCol)
-        .filter(tsCol > col("_t"))
+        .filter(withinGap)
         .groupBy(col(keyCol)).agg(min(tsCol).as("_t"))
       counts += reached.agg(count(lit(1)).as("n_entities"))
         .select(lit(i + 1L).as("stage_ord"), lit(stage).as("stage"),
@@ -115,6 +126,41 @@ object Behavior {
     paths.groupBy("path").agg(count(lit(1)).as("n_entities"))
       .orderBy(col("n_entities").desc, col("path"))
       .limit(topK)
+  }
+
+  /**
+   * Inter-event gap census — per entity, the distribution of waiting
+   * times between consecutive events (count, mean, min/max): the
+   * dwell-time/liveness profile read next to [[retention]], and the
+   * input a session-timeout choice is calibrated from. One lag window
+   * and one aggregation on the same entity-key shuffle; per-entity
+   * state is the lag buffer, never the event list. Entities with a
+   * single event carry zero gaps and null stats (kept — absence of
+   * gaps IS the signal).
+   */
+  def interEventGaps(events: DataFrame, keyCol: String, tsCol: Column,
+                     idCol: Column): DataFrame = {
+    val ord = Window.partitionBy(col(keyCol)).orderBy(col("_ts"), col("_id"))
+    events
+      .select(col(keyCol), tsCol.as("_ts"), idCol.as("_id"))
+      .withColumn("_gap", col("_ts") - lag(col("_ts"), 1).over(ord))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+        count(col("_gap")).as("n_gaps"),
+        sum(col("_gap")).as("_gsum"),
+        min(col("_gap")).as("min_gap"),
+        max(col("_gap")).as("max_gap"))
+      // NOT avg(), and not even round(sum/count, 4): both flip the 4th
+      // decimal between engines at ~1e10 magnitudes (double-rounding at
+      // a half boundary — hit live at sf0.1). The mean of an integer
+      // gap is reported as INTEGER µs: exact arithmetic end to end,
+      // nothing to round. Gaps are non-negative, so floor (DuckDB //)
+      // and truncation (Spark div) agree.
+      .withColumn("avg_gap",
+        when(col("n_gaps") > 0, expr("_gsum div n_gaps")))
+      .select(col(keyCol), col("n_events"), col("n_gaps"), col("avg_gap"),
+        col("min_gap"), col("max_gap"))
+      .orderBy(col(keyCol))
   }
 
   /**

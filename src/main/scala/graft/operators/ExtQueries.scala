@@ -109,6 +109,14 @@ object ExtQueries {
   private val PathDepth: Int = 5
   private val PathTopK: Int = 20
 
+  /** q118 PageRank iteration count / damping / board size, and the
+    * q120 funnel conversion window (1 day, in µs) — shared with the
+    * generated oracles. */
+  private val PrIters: Int = 3
+  private val PrDamping: Double = 0.85
+  private val PrTopK: Int = 20
+  private val FunnelGapUs: Long = DayUs
+
   /** The events table mapped onto the wide slow-log schema (digest,
     * fingerprint, query_time, rate_limit, rows, user, db, ts, query,
     * offset), so the QAN report operators — the Report CLI's code
@@ -849,6 +857,37 @@ object ExtQueries {
       Behavior.topPaths(CoreQueries.events(s, d), "user_id",
         expr("ts_ns div 1000"), col("event_id"), col("event_type"),
         PathDepth, PathTopK)),
+
+    // Fixed-iteration PageRank (Graph.pageRankTopK) over the
+    // UNDIRECTED customer↔supplier trade graph (each distinct
+    // (cust, supp) pair as two directed edges, 'c'/'s' namespacing so
+    // key spaces can't collide): 3 contribute-and-sum rounds, a finite
+    // join chain with no driver convergence probe; the oracle unrolls
+    // the identical iterations as CTEs.
+    "q118_pagerank" -> ((s, d) => {
+      val pairs = t(s, d, "orders").select("o_orderkey", "o_custkey")
+        .join(t(s, d, "lineitem").select("l_orderkey", "l_suppkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("a"),
+          concat(lit("s"), col("l_suppkey")).as("b"))
+      val edges = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
+      Graph.pageRankTopK(edges, "a", "b", PrIters, PrTopK, PrDamping)
+    }),
+
+    // Inter-event gap census (Behavior.interEventGaps): waiting-time
+    // distribution per user — one lag window + one aggregation on the
+    // same entity-key shuffle; single-event users keep null stats.
+    "q119_event_gaps" -> ((s, d) =>
+      Behavior.interEventGaps(CoreQueries.events(s, d), "user_id",
+        expr("ts_ns div 1000"), col("event_id"))),
+
+    // q113's funnel under a 1-day conversion window (the production
+    // shape: a click a week after the view is not a conversion) — the
+    // bound is a row predicate on the same stage join.
+    "q120_funnel_window" -> ((s, d) =>
+      Behavior.funnel(CoreQueries.events(s, d), "user_id",
+        expr("ts_ns div 1000"), col("event_type"), FunnelStages,
+        maxGap = Some(FunnelGapUs))),
 
     // k-fold assignment audit (Pipeline.kfold): bucket16(id) mod 5 —
     // per-fold doc/token census; the q54 hash machinery rotating
@@ -1845,6 +1884,45 @@ object ExtQueries {
         s"p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path FROM r WHERE rn <= $PathDepth GROUP BY 1) " +
         "SELECT path, count(*) AS n_entities FROM p GROUP BY 1 " +
         s"ORDER BY n_entities DESC, path LIMIT $PathTopK"),
+    // q118: the identical contribute-and-sum iterations unrolled as
+    // CTEs; (1−d) interpolated from the SAME Scala double both sides
+    "q118_pagerank" -> {
+      val iters = (1 to PrIters).map { i =>
+        s"r$i AS (SELECT n.node, ${1.0 - PrDamping} + $PrDamping * coalesce(c.m, 0) AS rank " +
+          s"FROM nodes n LEFT JOIN (SELECT e.dst AS node, sum(r.rank / d.deg) AS m " +
+          s"FROM e JOIN r${i - 1} r ON r.node = e.src JOIN deg d ON d.src = e.src GROUP BY 1) c ON c.node = n.node)"
+      }.mkString(", ")
+      "WITH p AS (SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst " +
+        "FROM orders JOIN lineitem ON l_orderkey = o_orderkey), " +
+        "e AS (SELECT src, dst FROM p UNION SELECT dst, src FROM p), " +
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e), " +
+        "deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1), " +
+        s"r0 AS (SELECT node, 1.0 AS rank FROM nodes), $iters " +
+        s"SELECT rn, node, rank FROM (SELECT node, round(rank, 4) AS rank, " +
+        s"row_number() OVER (ORDER BY round(rank, 4) DESC, node) AS rn FROM r$PrIters) " +
+        s"WHERE rn <= $PrTopK ORDER BY rn"
+    },
+    // q119: lag gap per entity over epoch-µs, null stats preserved;
+    // the mean gap is INTEGER µs (exact sum // count — any 4-dp float
+    // formulation flips at a half boundary at these magnitudes)
+    "q119_event_gaps" ->
+      ("SELECT user_id, count(*) AS n_events, count(g) AS n_gaps, " +
+        "CASE WHEN count(g) > 0 THEN CAST(sum(g) // count(g) AS BIGINT) END AS avg_gap, " +
+        "min(g) AS min_gap, max(g) AS max_gap " +
+        "FROM (SELECT user_id, epoch_us(ts) - lag(epoch_us(ts)) OVER " +
+        "(PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS g FROM events) t " +
+        "GROUP BY 1 ORDER BY user_id"),
+    // q120: q113's chain with the conversion-window bound on each hop
+    "q120_funnel_window" -> {
+      val Seq(s1, s2, s3) = FunnelStages
+      "WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events), " +
+        s"f1 AS (SELECT user_id, min(us) AS t FROM e WHERE event_type = '$s1' GROUP BY 1), " +
+        s"f2 AS (SELECT e.user_id, min(us) AS t FROM e JOIN f1 USING (user_id) WHERE event_type = '$s2' AND us > f1.t AND us <= f1.t + $FunnelGapUs GROUP BY 1), " +
+        s"f3 AS (SELECT e.user_id, min(us) AS t FROM e JOIN f2 USING (user_id) WHERE event_type = '$s3' AND us > f2.t AND us <= f2.t + $FunnelGapUs GROUP BY 1) " +
+        s"SELECT * FROM (SELECT CAST(1 AS BIGINT) AS stage_ord, '$s1' AS stage, (SELECT count(*) FROM f1) AS n_entities " +
+        s"UNION ALL SELECT 2, '$s2', (SELECT count(*) FROM f2) " +
+        s"UNION ALL SELECT 3, '$s3', (SELECT count(*) FROM f3)) ORDER BY stage_ord"
+    },
     // q109: same blocks as q102, DuckDB's own jaro_winkler_similarity
     // as the metric — the native expression matches it byte-for-byte;
     // threshold on the rounded sim both sides

@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Graph measures over an edge frame — the centrality/degree half of the
+ * graph toolbox next to [[Dedup]]'s connected components. Edges are any
+ * `(src, dst)` DataFrame; the operators are shape-agnostic (the oracle
+ * derives a bipartite customer→supplier graph from the TPC-H tables).
+ *
+ * PageRank here is the fixed-iteration batch variant: at 100 TB rank
+ * jobs run a BOUNDED iteration count on a schedule (convergence-loop
+ * driver barriers are the q67-propagation lesson — [[Dedup
+ * .dedupClusters]]' O(rounds) barrier is why q84's star alternation
+ * exists), and a fixed count keeps the plan a finite join chain Spark
+ * executes without any driver-side convergence probe.
+ */
+object Graph {
+
+  /**
+   * Fixed-iteration PageRank, the classic unnormalized formulation
+   * (`r'(v) = (1−d) + d·Σ_{u→v} r(u)/outdeg(u)`, ranks seeded at 1):
+   * `iterations` rounds of contribute-and-sum over a DISTINCT edge
+   * set, nodes with no in-links held at `1−d`; dangling nodes keep
+   * their rank but contribute nothing (the standard batch-PageRank
+   * mass leak, mirrored exactly by the oracle).
+   *
+   * Scale shape: per iteration ONE shuffle join of the edge frame
+   * against the node-keyed rank frame plus one dst-keyed aggregation
+   * (map-side partials) — the textbook distributed PageRank step. The
+   * out-degree rides the edge frame (joined once, before the loop), so
+   * iterations never recompute it. Lineage grows linearly in the
+   * (small, fixed) iteration count; no driver-side collect anywhere.
+   *
+   * Returns `(node, rank)` — callers order/limit.
+   */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iterations: Int, damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1, "pageRank needs at least one iteration")
+    val e = edges.select(col(srcCol).as("_src"), col(dstCol).as("_dst"))
+      .distinct()
+    val nodes = e.select(col("_src").as("node"))
+      .union(e.select(col("_dst").as("node"))).distinct()
+    val outDeg = e.groupBy("_src").agg(count(lit(1)).as("_deg"))
+    // degree attached once; every iteration reuses this frame
+    val eDeg = e.join(outDeg, "_src")
+    var ranks = nodes.withColumn("rank", lit(1.0))
+    for (_ <- 1 to iterations) {
+      val contribs = eDeg
+        .join(ranks.withColumnRenamed("node", "_src"), "_src")
+        .groupBy(col("_dst").as("node"))
+        .agg(sum(col("rank") / col("_deg")).as("_c"))
+      ranks = nodes.join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (lit(1.0 - damping) + lit(damping) * coalesce(col("_c"), lit(0.0)))
+            .as("rank"))
+    }
+    ranks
+  }
+
+  /** Top-k nodes by PageRank, ranked on the ROUNDED score with the node
+    * as tiebreaker (the cross-engine determinism rule) — distributed
+    * top-k first, rank window over k rows only. */
+  def pageRankTopK(edges: DataFrame, srcCol: String, dstCol: String,
+                   iterations: Int, k: Int,
+                   damping: Double = 0.85): DataFrame =
+    pageRank(edges, srcCol, dstCol, iterations, damping)
+      .select(col("node"), round(col("rank"), 4).as("rank"))
+      .orderBy(col("rank").desc, col("node"))
+      .limit(k)
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("rank").desc, col("node"))).cast("long"))
+      .select("rn", "node", "rank")
+
+  /**
+   * Degree census — in/out/total degree per node over the distinct
+   * edge set, the profile read before any graph algorithm is tuned
+   * (skew here decides salting and AQE posture downstream). Two
+   * node-keyed aggregates and one outer join; never materializes
+   * neighbor lists.
+   */
+  def degrees(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = edges.select(col(srcCol).as("_src"), col(dstCol).as("_dst"))
+      .distinct()
+    val out = e.groupBy(col("_src").as("node"))
+      .agg(count(lit(1)).as("out_deg"))
+    val in = e.groupBy(col("_dst").as("node"))
+      .agg(count(lit(1)).as("in_deg"))
+    out.join(in, Seq("node"), "full_outer")
+      .select(col("node"),
+        coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"))
+      .withColumn("degree", col("out_deg") + col("in_deg"))
+      .orderBy("node")
+  }
+}

@@ -106,6 +106,63 @@ class BehaviorSearchSpec extends AnyFunSuite with SparkTestSession {
     assert(got.toSeq == Seq(1L, 2L))
   }
 
+  test("funnel: conversion window drops late transitions") {
+    // user 1 clicks 5 ticks after the view; user 4 clicks 100 after
+    val ev2 = ev.union(Seq((4L, 10L, 8L, "view"), (4L, 110L, 9L, "click"))
+      .toDF("user_id", "ts", "event_id", "event_type"))
+    def stage2(gap: Option[Long]) =
+      Behavior.funnel(ev2, "user_id", col("ts"), col("event_type"),
+          Seq("view", "click"), maxGap = gap)
+        .filter(col("stage_ord") === 2).collect().head.getLong(2)
+    assert(stage2(None) == 2L)       // users 1 and 4
+    assert(stage2(Some(50L)) == 1L)  // user 4's click is outside the window
+  }
+
+  test("interEventGaps: gap stats per entity; single-event entity keeps nulls") {
+    val got = Behavior.interEventGaps(ev, "user_id", col("ts"), col("event_id"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3)))
+      .toMap
+    assert(got(1L) == ((3L, 2L, 10L))) // gaps 10, 10
+    assert(got(3L) == ((1L, 0L, -1L))) // one event → zero gaps, null avg
+  }
+
+  test("pageRank: matches an in-test reference on a hand graph; ranks sum to N under full links") {
+    // a 3-cycle plus a dangler: a→b→c→a, a→d
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("a", "d"))
+      .toDF("src", "dst")
+    val got = Graph.pageRank(edges, "src", "dst", iterations = 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // reference: same formulation, driver-side
+    val e = Seq("a" -> "b", "b" -> "c", "c" -> "a", "a" -> "d")
+    val nodes = e.flatMap(p => Seq(p._1, p._2)).distinct
+    val deg = e.groupBy(_._1).view.mapValues(_.size.toDouble).toMap
+    var r = nodes.map(_ -> 1.0).toMap
+    for (_ <- 1 to 3) {
+      val contrib = e.groupBy(_._2).view.mapValues(
+        _.map { case (s, _) => r(s) / deg(s) }.sum).toMap
+      r = nodes.map(n => n -> (0.15 + 0.85 * contrib.getOrElse(n, 0.0))).toMap
+    }
+    nodes.foreach(n => assert(math.abs(got(n) - r(n)) < 1e-12,
+      s"$n: got ${got(n)}, want ${r(n)}"))
+    // a receives c's FULL rank (deg 1) while d only gets half of a's —
+    // the cycle head outranks the sink (b ties d exactly: same single
+    // half-of-a in-flow, a genuine structural tie)
+    assert(got("a") > got("d"))
+  }
+
+  test("degrees: in/out/total census over the distinct edge set") {
+    val edges = Seq(("a", "b"), ("a", "b"), ("b", "a"), ("a", "c"))
+      .toDF("src", "dst")
+    val got = Graph.degrees(edges, "src", "dst")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == Map(
+      "a" -> ((2L, 1L, 3L)), // out: b,c; in: b
+      "b" -> ((1L, 1L, 2L)),
+      "c" -> ((0L, 1L, 1L))))
+  }
+
   test("conjunctiveSearch: equals the intersection of per-term hits") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val post = Search.postings(docs, "doc_id", "text")
