@@ -290,6 +290,25 @@ object ScaleBench {
         ev.unpersist()
       }
 
+      // PageRank over a k× random graph (constant average degree 10,
+      // hash-derived edges — node AND edge count grow k×): each of the
+      // 3 iterations is one edge⋈rank join + one dst-keyed aggregate,
+      // so cost should track the edge scan (≈ linear per iteration)
+      // with no driver-side convergence probe to grow with k
+      if (want("q118_pagerank")) {
+        val nEdges = 100000L * k
+        val nNodes = math.max(1L, nEdges / 10)
+        val edges = spark.range(nEdges).select(
+          pmod(xxhash64(col("id")), lit(nNodes)).as("src"),
+          pmod(xxhash64(col("id") + 1000000007L), lit(nNodes)).as("dst"))
+          .persist()
+        val nE = edges.count()
+        System.err.println(s"SCALE inputs ${k}x: $nE edges (pagerank)")
+        record("q118_pagerank", k, time(
+          graft.operators.Graph.pageRank(edges, "src", "dst", iterations = 3)))
+        edges.unpersist()
+      }
+
       // BM25 over a k× corpus: replica tokens are suffixed, so the
       // query-term posting set stays FIXED while the corpus grows —
       // isolating the claim that the only corpus-sized stage is the

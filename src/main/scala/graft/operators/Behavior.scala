@@ -129,6 +129,32 @@ object Behavior {
   }
 
   /**
+   * First-order transition matrix — `P(next = b | current = a)` over
+   * each entity's time-ordered event sequence: the Markov summary of
+   * [[topPaths]]' raw sequences (paths enumerate, this generalizes).
+   * One lead window on the entity-key shuffle, one pair-keyed count
+   * (key space |types|², tiny at any data size), and a window-free
+   * probability: `cnt / total(from)` is ONE division of two exact
+   * counts — identical doubles on every engine, nothing accumulates.
+   */
+  def transitionMatrix(events: DataFrame, keyCol: String, tsCol: Column,
+                       idCol: Column, typeCol: Column): DataFrame = {
+    val ord = Window.partitionBy(col(keyCol)).orderBy(col("_ts"), col("_id"))
+    val pairs = events
+      .select(col(keyCol), tsCol.as("_ts"), idCol.as("_id"),
+        typeCol.as("_ty"))
+      .withColumn("_next", lead(col("_ty"), 1).over(ord))
+      .filter(col("_next").isNotNull)
+      .groupBy(col("_ty").as("from_type"), col("_next").as("to_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val totals = pairs.groupBy("from_type").agg(sum("cnt").as("_tot"))
+    pairs.join(totals, "from_type")
+      .select(col("from_type"), col("to_type"), col("cnt"),
+        round(col("cnt") / col("_tot"), 4).as("prob"))
+      .orderBy("from_type", "to_type")
+  }
+
+  /**
    * Inter-event gap census — per entity, the distribution of waiting
    * times between consecutive events (count, mean, min/max): the
    * dwell-time/liveness profile read next to [[retention]], and the

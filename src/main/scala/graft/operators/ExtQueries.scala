@@ -117,6 +117,11 @@ object ExtQueries {
   private val PrTopK: Int = 20
   private val FunnelGapUs: Long = DayUs
 
+  /** q122 profiled columns (string + integer only: float min/max
+    * STRINGIFY differently across engines) — the oracle's UNION ALL
+    * branches generate from this list. */
+  private val ProfileCols: Seq[String] = Seq("event_id", "event_type", "user_id")
+
   /** The events table mapped onto the wide slow-log schema (digest,
     * fingerprint, query_time, rate_limit, rows, user, db, ts, query,
     * offset), so the QAN report operators — the Report CLI's code
@@ -888,6 +893,21 @@ object ExtQueries {
       Behavior.funnel(CoreQueries.events(s, d), "user_id",
         expr("ts_ns div 1000"), col("event_type"), FunnelStages,
         maxGap = Some(FunnelGapUs))),
+
+    // First-order Markov transition matrix (Behavior.transitionMatrix):
+    // P(next | current) over each user's time-ordered sequence — one
+    // lead window + a |types|²-keyed count; the probability is ONE
+    // division of exact counts (identical doubles on every engine).
+    "q121_transitions" -> ((s, d) =>
+      Behavior.transitionMatrix(CoreQueries.events(s, d), "user_id",
+        expr("ts_ns div 1000"), col("event_id"), col("event_type"))),
+
+    // Column-profile report (Pipeline.profileColumns): row/non-null/
+    // distinct counts + stringified min/max for k columns in ONE scan
+    // (single aggregation + explode unpivot); the oracle recomputes
+    // per column with UNION ALL branches generated from the same list.
+    "q122_profile" -> ((s, d) =>
+      Pipeline.profileColumns(t(s, d, "events"), ProfileCols)),
 
     // k-fold assignment audit (Pipeline.kfold): bucket16(id) mod 5 —
     // per-fold doc/token census; the q54 hash machinery rotating
@@ -1922,6 +1942,23 @@ object ExtQueries {
         s"SELECT * FROM (SELECT CAST(1 AS BIGINT) AS stage_ord, '$s1' AS stage, (SELECT count(*) FROM f1) AS n_entities " +
         s"UNION ALL SELECT 2, '$s2', (SELECT count(*) FROM f2) " +
         s"UNION ALL SELECT 3, '$s3', (SELECT count(*) FROM f3)) ORDER BY stage_ord"
+    },
+    // q121: lead pairs → counts → one exact-count division
+    "q121_transitions" ->
+      ("WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events), " +
+        "p AS (SELECT event_type AS from_type, lead(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS to_type FROM e), " +
+        "c AS (SELECT from_type, to_type, count(*) AS cnt FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2), " +
+        "t AS (SELECT from_type, sum(cnt) AS tot FROM c GROUP BY 1) " +
+        "SELECT c.from_type, c.to_type, c.cnt, round(CAST(c.cnt AS DOUBLE) / t.tot, 4) AS prob " +
+        "FROM c JOIN t USING (from_type) ORDER BY 1, 2"),
+    // q122: per-column branches generated from ProfileCols
+    "q122_profile" -> {
+      val branches = ProfileCols.map { c =>
+        s"SELECT '$c' AS \"column\", count(*) AS n_rows, count($c) AS n_nonnull, " +
+          s"count(DISTINCT $c) AS n_distinct, CAST(min($c) AS VARCHAR) AS min_val, " +
+          s"CAST(max($c) AS VARCHAR) AS max_val FROM events"
+      }.mkString(" UNION ALL ")
+      s"SELECT * FROM ($branches) ORDER BY \"column\""
     },
     // q109: same blocks as q102, DuckDB's own jaro_winkler_similarity
     // as the metric — the native expression matches it byte-for-byte;

@@ -163,6 +163,20 @@ class BehaviorSearchSpec extends AnyFunSuite with SparkTestSession {
       "c" -> ((0L, 1L, 1L))))
   }
 
+  test("transitionMatrix: rows are per-entity consecutive pairs, probs sum to 1 per source") {
+    val got = Behavior.transitionMatrix(ev, "user_id", col("ts"),
+        col("event_id"), col("event_type"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    // sequences: u1 view>click>buy, u2 click>view>buy, u3 view (no pair)
+    val cnt = got.map(t => (t._1, t._2) -> t._3).toMap
+    assert(cnt == Map(("view", "click") -> 1L, ("click", "buy") -> 1L,
+      ("click", "view") -> 1L, ("view", "buy") -> 1L))
+    got.groupBy(_._1).foreach { case (_, rs) =>
+      assert(math.abs(rs.map(_._4).sum - 1.0) < 1e-9)
+    }
+  }
+
   test("conjunctiveSearch: equals the intersection of per-term hits") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val post = Search.postings(docs, "doc_id", "text")

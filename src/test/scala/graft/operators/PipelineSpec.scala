@@ -455,4 +455,20 @@ class PipelineSpec extends AnyFunSuite with SparkTestSession {
       .orderBy("lang").collect()
     assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
+
+  test("profileColumns: one row per column with null-aware counts and stringified extremes") {
+    import spark.implicits._
+    val df = Seq((1L, Some("a")), (2L, None), (3L, Some("a")), (4L, Some("b")))
+      .toDF("id", "tag")
+    val got = Pipeline.profileColumns(df, Seq("id", "tag"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5)))
+      .toMap
+    assert(got("id") == ((4L, 4L, 4L, "1", "4")))
+    assert(got("tag") == ((4L, 3L, 2L, "a", "b"))) // null excluded everywhere
+    // one scan: the plan carries exactly one FileScan/LocalTableScan leaf
+    val plan = Pipeline.profileColumns(df, Seq("id", "tag"))
+      .queryExecution.executedPlan.toString
+    assert(plan.split("LocalTableScan").length - 1 == 1, plan)
+  }
 }
