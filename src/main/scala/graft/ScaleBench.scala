@@ -323,7 +323,7 @@ object ScaleBench {
         docs.unpersist()
       }
 
-      val docOps = Seq("q26_jaccard", "q52_capped", "q40_minhash",
+      val docOps = Seq("q123_prefix", "q26_jaccard", "q52_capped", "q40_minhash",
         "q67_clusters", "q67_cluster_only", "q84_star_only", "q75_probe",
         "admit_batch", "q92_bloom", "q102_edit", "q103_bigram", "q104_sn",
         "q107_entropy", "q107_exploded")
@@ -380,6 +380,11 @@ object ScaleBench {
       // from banded signatures, exact Jaccard only on candidates
       if (want("q40_minhash")) record("q40_minhash", k, time(
         Dedup.minHashDedupPairs(docs, "doc_id", "text")))
+      // the prefix-filtering EXACT path for the same pair semantics:
+      // candidates from rare-shingle prefix collisions only — compare
+      // directly against q26 (all shared shingles) and q40 (LSH)
+      if (want("q123_prefix")) record("q123_prefix", k, time(
+        Dedup.prefixFilterJaccardPairs(docs, "doc_id", "text", 3, 0.6)))
       // bloom contamination: probe set FIXED (the unscaled benchmark),
       // corpus grows k× — the bitset broadcast is constant, the corpus
       // shingle stream is killed map-side, so cost must stay ≈ the scan

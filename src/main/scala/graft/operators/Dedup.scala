@@ -98,6 +98,80 @@ object Dedup {
                         n: Int, numHashes: Int): DataFrame =
     signaturesFromShingles(shingles(docs, idCol, textCol, n), idCol, numHashes)
 
+  /**
+   * Exact Jaccard pairs via PREFIX FILTERING (the AllPairs/PPJoin
+   * candidate rule, Bayardo et al. / Xiao et al. — public algorithm):
+   * order every document's shingles by global rarity (document
+   * frequency asc, shingle tiebreak), keep only the first
+   * `|d| − ⌈t·|d|⌉ + 1` as the document's PREFIX, and generate
+   * candidates from prefix-token collisions only. The prefix lemma
+   * guarantees two sets with Jaccard ≥ t collide in their prefixes, so
+   * — unlike MinHash-LSH — recall 1.0 is a THEOREM, not a tuning
+   * outcome, while the join load drops from every shared shingle to
+   * only the rare ones (exactly the shingles with small buckets: the
+   * hot head that drives q26's skew is never joined on).
+   *
+   * Output contract identical to [[ngramJaccardPairs]] (same oracle).
+   * Scale shape: one df aggregate, one per-doc rank window, a
+   * prefix×prefix equi-join on rare shingles, then exact verification
+   * restricted to candidate pairs (candidates ⋈ both shingle sets —
+   * |cand|-proportional, never all-pairs). The ⌈t·|d|⌉ is computed
+   * with an epsilon inside the ceil: binary 0.6·10 = 6.000…001 would
+   * otherwise ceil to 7 and silently SHRINK the prefix below the
+   * lemma's bound — an unsound direction (too-long prefixes only cost
+   * time).
+   */
+  def prefixFilterJaccardPairs(docs: DataFrame, idCol: String,
+                               textCol: String, n: Int,
+                               threshold: Double): DataFrame = {
+    val sh = shingles(docs, idCol, textCol, n)
+    val counts = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    val freq = sh.groupBy("shingle").agg(count(lit(1)).as("_df"))
+    val ranked = sh.join(freq, "shingle")
+      .withColumn("_pos", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
+          .orderBy(col("_df"), col("shingle"))))
+    val pref = ranked.join(counts, idCol)
+      .filter(col("_pos") <=
+        col("n_sh") - ceil(lit(threshold) * col("n_sh") - lit(1e-9)) + 1)
+      .select(col(idCol), col("shingle"), col("_pos"), col("n_sh"))
+    // Candidate scoring with the PPJoin POSITIONAL filter: per pair,
+    // every common token earlier (in the global rarity order) than the
+    // LAST prefix collision is itself a prefix collision on both sides
+    // (positions are order-ranks), so
+    //   overlap ≤ m + min(na − pa_last, nb − pb_last)
+    // with m the collision count and (pa,pb)_last = max positions (the
+    // last collision maximizes both). Require that bound to reach
+    // α = ⌈t/(1+t)·(na+nb)⌉ (the Jaccard-overlap equivalence), plus the
+    // symmetric length filter t·na ≤ nb ≤ na/t. Without this, a single
+    // incidental deep-prefix collision survives to verification — the
+    // measured difference at 10× sf0.1 is 3.0 M candidates → thousands.
+    val alpha = ceil(lit(threshold) / (1 + threshold) *
+      (col("na") + col("nb")) - lit(1e-9))
+    val cand = pref.select(col(idCol).as("da"), col("shingle"),
+        col("_pos").as("_pa"), col("n_sh").as("na"))
+      .join(pref.select(col(idCol).as("db"), col("shingle"),
+        col("_pos").as("_pb"), col("n_sh").as("nb")), Seq("shingle"))
+      .filter(col("da") < col("db") &&
+        col("nb") >= lit(threshold) * col("na") - lit(1e-9) &&
+        col("na") >= lit(threshold) * col("nb") - lit(1e-9))
+      .groupBy("da", "db", "na", "nb")
+      .agg(count(lit(1)).as("_m"), max("_pa").as("_pa"), max("_pb").as("_pb"))
+      .filter(col("_m") + least(col("na") - col("_pa"), col("nb") - col("_pb"))
+        >= alpha)
+      .select("da", "db")
+    val overlap = cand
+      .join(sh.select(col(idCol).as("da"), col("shingle")), Seq("da"))
+      .join(sh.select(col(idCol).as("db"), col("shingle")), Seq("db", "shingle"))
+      .groupBy("da", "db").agg(count(lit(1)).as("overlap"))
+    val jac = col("overlap") / (col("na") + col("nb") - col("overlap"))
+    overlap
+      .join(counts.select(col(idCol).as("da"), col("n_sh").as("na")), "da")
+      .join(counts.select(col(idCol).as("db"), col("n_sh").as("nb")), "db")
+      .filter(jac >= threshold)
+      .select(col("da"), col("db"), round(jac, 4).as("jac"))
+  }
+
   private def signaturesFromShingles(sh: DataFrame, idCol: String,
                                      numHashes: Int): DataFrame =
     sh.groupBy(col(idCol))

@@ -894,6 +894,34 @@ object ExtQueries {
         expr("ts_ns div 1000"), col("event_type"), FunnelStages,
         maxGap = Some(FunnelGapUs))),
 
+    // Prefix-filtering exact Jaccard pairs (Dedup
+    // .prefixFilterJaccardPairs, the AllPairs/PPJoin rule): candidates
+    // from RARE-shingle prefix collisions only — recall 1.0 is the
+    // prefix lemma, not a tuning outcome, so the oracle is the same
+    // brute-force result as q26/q40.
+    "q123_prefix_jaccard" -> ((s, d) =>
+      Dedup.prefixFilterJaccardPairs(t(s, d, "documents"), "doc_id", "text",
+          n = 3, threshold = 0.6)
+        .orderBy("da", "db")),
+
+    // Series densification (Qan.densify): hourly event counts with
+    // silent hours filled as ZERO over the series' own range — spine
+    // from a broadcast bounds row + sequence explode, no driver range.
+    "q124_densify" -> ((s, d) =>
+      Qan.densify(
+        CoreQueries.events(s, d)
+          .withColumn("hb", expr("(ts_ns div 1000) div 3600000000"))
+          .groupBy("event_type", "hb").agg(count(lit(1)).as("cnt")),
+        "event_type", "hb", "cnt")),
+
+    // A/B readout with Welch t (Qan.abWelch): arms hash-assigned by
+    // the q54 bucket16 machinery (engine-reproducible), both arms'
+    // moments as conditional aggregates of ONE groupBy, rounding only
+    // at the output.
+    "q125_ab_welch" -> ((s, d) =>
+      Qan.abWelch(CoreQueries.events(s, d), "event_type",
+        Pipeline.hashBucket16(col("user_id")) < 32768, col("value"))),
+
     // First-order Markov transition matrix (Behavior.transitionMatrix):
     // P(next | current) over each user's time-ordered sequence — one
     // lead window + a |types|²-keyed count; the probability is ONE
@@ -1943,6 +1971,28 @@ object ExtQueries {
         s"UNION ALL SELECT 2, '$s2', (SELECT count(*) FROM f2) " +
         s"UNION ALL SELECT 3, '$s3', (SELECT count(*) FROM f3)) ORDER BY stage_ord"
     },
+    // q123: recall 1.0 by the prefix lemma → same oracle as q26/q40
+    "q123_prefix_jaccard" -> jaccardPairsSql,
+    // q124: generate_series spine × distinct keys, silence = 0
+    "q124_densify" ->
+      ("WITH e AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hb FROM events), " +
+        "c AS (SELECT event_type, hb, count(*) AS cnt FROM e GROUP BY 1, 2), " +
+        "b AS (SELECT min(hb) AS lo, max(hb) AS hi FROM e), " +
+        "types AS (SELECT DISTINCT event_type FROM e), " +
+        "spine AS (SELECT event_type, gs.hb FROM types CROSS JOIN " +
+        "(SELECT unnest(generate_series((SELECT lo FROM b), (SELECT hi FROM b))) AS hb) gs) " +
+        "SELECT s.event_type, s.hb, coalesce(c.cnt, 0) AS cnt " +
+        "FROM spine s LEFT JOIN c USING (event_type, hb) ORDER BY 1, 2"),
+    // q125: same md5-bucket arm rule as q54, conditional moments in
+    // one aggregation, Welch t rounded once at the end
+    "q125_ab_welch" ->
+      ("WITH e AS (SELECT event_type, value, CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)),1,4)) AS INTEGER) < 32768 AS arm_a FROM events) " +
+        "SELECT event_type, count(CASE WHEN arm_a THEN 1 END) AS n_a, count(CASE WHEN NOT arm_a THEN 1 END) AS n_b, " +
+        "round(avg(CASE WHEN arm_a THEN value END), 4) AS mean_a, round(avg(CASE WHEN NOT arm_a THEN value END), 4) AS mean_b, " +
+        "round((avg(CASE WHEN arm_a THEN value END) - avg(CASE WHEN NOT arm_a THEN value END)) / " +
+        "sqrt(var_samp(CASE WHEN arm_a THEN value END) / count(CASE WHEN arm_a THEN 1 END) + " +
+        "var_samp(CASE WHEN NOT arm_a THEN value END) / count(CASE WHEN NOT arm_a THEN 1 END)), 4) AS t_stat " +
+        "FROM e GROUP BY event_type ORDER BY event_type"),
     // q121: lead pairs → counts → one exact-count division
     "q121_transitions" ->
       ("WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events), " +

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -139,6 +139,56 @@ object Qan {
       .withColumn("apdex",
         round((col("satisfied") + col("tolerating") / lit(2.0)) / col("cnt"), 4))
       .orderBy(col("apdex").asc, col(keyCol))
+
+  /**
+   * Series densification — fill the missing buckets of an aggregated
+   * time series with zeros over the series' own [min, max] bucket
+   * range: sparklines and rate charts read wrong when silence is
+   * absent instead of zero. The spine is |keys| × |buckets| rows built
+   * from a one-row broadcast bounds frame + a `sequence` explode — no
+   * driver-side range materialization — and the original series joins
+   * back by (key, bucket). Calendar-bounded output; the fact table is
+   * scanned only by the aggregation that produced `series`.
+   */
+  def densify(series: DataFrame, keyCol: String, bucketCol: String,
+              cntCol: String): DataFrame = {
+    val bounds = series.agg(min(col(bucketCol)).as("_lo"),
+      max(col(bucketCol)).as("_hi"))
+    val spine = series.select(keyCol).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col(keyCol),
+        explode(sequence(col("_lo"), col("_hi"))).as(bucketCol))
+    spine.join(series, Seq(keyCol, bucketCol), "left")
+      .withColumn(cntCol, coalesce(col(cntCol), lit(0L)))
+      .orderBy(keyCol, bucketCol)
+  }
+
+  /**
+   * A/B comparison with a Welch t statistic per key — the experiment
+   * readout over hash-assigned arms ([[Pipeline.hashBucket16]] gives
+   * deterministic, engine-reproducible assignment): per key, both
+   * arms' n/mean/sample-variance as CONDITIONAL aggregates of one
+   * `groupBy` (one scan, one shuffle — the [[compareWindows]] shape),
+   * then `t = (m_a − m_b) / √(v_a/n_a + v_b/n_b)`. Rounding happens
+   * once, at the output — intermediate moments stay full-precision.
+   */
+  def abWelch(df: DataFrame, keyCol: String, armACol: Column,
+              valueCol: Column): DataFrame =
+    df.groupBy(keyCol)
+      .agg(
+        count(when(armACol, lit(1))).as("n_a"),
+        count(when(!armACol, lit(1))).as("n_b"),
+        avg(when(armACol, valueCol)).as("_m_a"),
+        avg(when(!armACol, valueCol)).as("_m_b"),
+        var_samp(when(armACol, valueCol)).as("_v_a"),
+        var_samp(when(!armACol, valueCol)).as("_v_b"))
+      .select(col(keyCol), col("n_a"), col("n_b"),
+        round(col("_m_a"), 4).as("mean_a"),
+        round(col("_m_b"), 4).as("mean_b"),
+        round((col("_m_a") - col("_m_b")) /
+          sqrt(col("_v_a") / col("n_a") + col("_v_b") / col("n_b")), 4)
+          .as("t_stat"))
+      .orderBy(keyCol)
 
   /**
    * New-query detection — the review-table question ("which query

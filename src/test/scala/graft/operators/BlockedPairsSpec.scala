@@ -45,6 +45,18 @@ class BlockedPairsSpec extends AnyFunSuite with SparkTestSession {
 
   // -- globalRank ------------------------------------------------------
 
+  test("prefixFilterJaccardPairs equals the brute-force blocked result (prefix lemma)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = pairs(Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.6))
+    val viaPrefix = pairs(
+      Dedup.prefixFilterJaccardPairs(docs, "doc_id", "text", 3, 0.6))
+    assert(exact.nonEmpty)
+    assert(viaPrefix == exact,
+      s"missed: ${exact -- viaPrefix}; extra: ${viaPrefix -- exact}")
+  }
+
   test("globalRank equals the single-reducer window row_number") {
     // enough rows to span several range partitions; key collides so the
     // id tiebreaker matters
