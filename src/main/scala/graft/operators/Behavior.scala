@@ -190,6 +190,40 @@ object Behavior {
   }
 
   /**
+   * Association pairs (market-basket lift): for items co-occurring in
+   * the same transaction, `lift = P(a,b) / (P(a)·P(b))` with a support
+   * floor — the "bought together" readout over any (transaction, item)
+   * frame. Pair generation is a transaction-keyed self-join, so the
+   * work is Σ_tx |items|² — bounded by the basket size (single-digit
+   * in order data), NEVER |items|² corpus-wide; the transaction count
+   * rides in as a broadcast one-row frame and lift is two integer
+   * products and one division of exact counts (deterministic on every
+   * engine). Top pairs by (rounded lift, pair) — a total order.
+   */
+  def associationPairs(transactions: DataFrame, txCol: String,
+                       itemCol: String, minSupport: Long,
+                       topK: Int): DataFrame = {
+    val it = transactions.select(col(txCol).as("_tx"), col(itemCol).as("_it"))
+      .distinct()
+    val nTx = it.agg(countDistinct(col("_tx")).as("_n"))
+    val ci = it.groupBy("_it").agg(count(lit(1)).as("_c"))
+    val cp = it.select(col("_tx"), col("_it").as("ia"))
+      .join(it.select(col("_tx"), col("_it").as("ib")), Seq("_tx"))
+      .filter(col("ia") < col("ib"))
+      .groupBy("ia", "ib").agg(count(lit(1)).as("cp"))
+      .filter(col("cp") >= minSupport)
+    cp
+      .join(ci.select(col("_it").as("ia"), col("_c").as("_ca")), "ia")
+      .join(ci.select(col("_it").as("ib"), col("_c").as("_cb")), "ib")
+      .crossJoin(broadcast(nTx))
+      .select(col("ia"), col("ib"), col("cp"),
+        round(col("cp").cast("double") * col("_n") / (col("_ca") * col("_cb")), 4)
+          .as("lift"))
+      .orderBy(col("lift").desc, col("ia"), col("ib"))
+      .limit(topK)
+  }
+
+  /**
    * Change intervals (gaps-and-islands → SCD-2 history): collapse each
    * entity's event sequence into maximal runs of an unchanged value,
    * emitting `[valid_from, valid_to)` rows with `valid_to` open (null)

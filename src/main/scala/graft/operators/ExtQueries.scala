@@ -894,6 +894,14 @@ object ExtQueries {
         expr("ts_ns div 1000"), col("event_type"), FunnelStages,
         maxGap = Some(FunnelGapUs))),
 
+    // Market-basket association (Behavior.associationPairs): top part
+    // pairs by lift over orders-as-transactions — basket-bounded
+    // self-join (Σ_tx |items|², never corpus²), lift from exact counts.
+    "q126_basket_lift" -> ((s, d) =>
+      Behavior.associationPairs(
+        t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey")),
+        "l_orderkey", "l_partkey", minSupport = 2L, topK = 20)),
+
     // Prefix-filtering exact Jaccard pairs (Dedup
     // .prefixFilterJaccardPairs, the AllPairs/PPJoin rule): candidates
     // from RARE-shingle prefix collisions only — recall 1.0 is the
@@ -1971,6 +1979,15 @@ object ExtQueries {
         s"UNION ALL SELECT 2, '$s2', (SELECT count(*) FROM f2) " +
         s"UNION ALL SELECT 3, '$s3', (SELECT count(*) FROM f3)) ORDER BY stage_ord"
     },
+    // q126: distinct basket items, tx-keyed pair join, exact-count lift
+    "q126_basket_lift" ->
+      ("WITH it AS (SELECT DISTINCT l_orderkey AS tx, l_partkey AS itm FROM lineitem), " +
+        "n AS (SELECT count(DISTINCT tx) AS n_tx FROM it), " +
+        "ci AS (SELECT itm, count(*) AS c FROM it GROUP BY 1), " +
+        "cp AS (SELECT a.itm AS ia, b.itm AS ib, count(*) AS cp FROM it a JOIN it b ON a.tx = b.tx AND a.itm < b.itm GROUP BY 1, 2) " +
+        "SELECT ia, ib, cp, round(CAST(cp AS DOUBLE) * (SELECT n_tx FROM n) / (ca.c * cb.c), 4) AS lift " +
+        "FROM cp JOIN ci ca ON ca.itm = cp.ia JOIN ci cb ON cb.itm = cp.ib " +
+        "WHERE cp >= 2 ORDER BY lift DESC, ia, ib LIMIT 20"),
     // q123: recall 1.0 by the prefix lemma → same oracle as q26/q40
     "q123_prefix_jaccard" -> jaccardPairsSql,
     // q124: generate_series spine × distinct keys, silence = 0

@@ -177,6 +177,19 @@ class BehaviorSearchSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("associationPairs: lift from exact counts, support floor, basket-bounded") {
+    // 4 tx: {1,2} {1,2} {1,3} {3}; n=4, c1=3 c2=2 c3=2
+    val tx = Seq((10L, 1L), (10L, 2L), (11L, 1L), (11L, 2L),
+      (12L, 1L), (12L, 3L), (13L, 3L), (12L, 3L)) // dup row: distinct-ed
+      .toDF("tx", "item")
+    val got = Behavior.associationPairs(tx, "tx", "item",
+        minSupport = 2L, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    // only (1,2) reaches support 2: lift = 2*4/(3*2) = 1.3333
+    assert(got.toSeq == Seq((1L, 2L, 2L, 1.3333)))
+  }
+
   test("conjunctiveSearch: equals the intersection of per-term hits") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val post = Search.postings(docs, "doc_id", "text")
