@@ -894,6 +894,31 @@ object ExtQueries {
         expr("ts_ns div 1000"), col("event_type"), FunnelStages,
         maxGap = Some(FunnelGapUs))),
 
+    // Chi-square contingency cells (Qan.chiSquareCells): event mix ×
+    // user ring independence — observed, independence-expected, and
+    // per-cell χ² contribution, all arithmetic on exact counts.
+    "q127_chi_square" -> ((s, d) =>
+      Qan.chiSquareCells(CoreQueries.events(s, d),
+        col("event_type"), col("user_id") % 4)),
+
+    // Triangle census (Graph.triangleCount) over the basket-pair graph
+    // (part pairs with support ≥ 2): degree-ORIENTED wedge join (the
+    // compact-forward trick — per-node wedge work bounded by oriented
+    // out-degree ≤ √(2|E|), hub-proof) + one closure semi-join; the
+    // oracle brute-forces the triple join and the Σ C(d,2) wedge count.
+    "q128_triangles" -> ((s, d) => {
+      val it = t(s, d, "lineitem")
+        .select(col("l_orderkey").as("tx"), col("l_partkey").as("itm"))
+        .distinct()
+      val e = it.select(col("tx"), col("itm").as("u"))
+        .join(it.select(col("tx"), col("itm").as("v")), Seq("tx"))
+        .filter(col("u") < col("v"))
+        .groupBy("u", "v").agg(count(lit(1)).as("_cp"))
+        .filter(col("_cp") >= 2)
+        .select("u", "v")
+      Graph.triangleCount(e, "u", "v")
+    }),
+
     // Market-basket association (Behavior.associationPairs): top part
     // pairs by lift over orders-as-transactions — basket-bounded
     // self-join (Σ_tx |items|², never corpus²), lift from exact counts.
@@ -1979,6 +2004,23 @@ object ExtQueries {
         s"UNION ALL SELECT 2, '$s2', (SELECT count(*) FROM f2) " +
         s"UNION ALL SELECT 3, '$s3', (SELECT count(*) FROM f3)) ORDER BY stage_ord"
     },
+    // q127: margins derived from the observed cells, one rounding site
+    "q127_chi_square" ->
+      ("WITH obs AS (SELECT event_type AS a, user_id % 4 AS b, count(*) AS o FROM events GROUP BY 1, 2), " +
+        "r AS (SELECT a, sum(o) AS ra FROM obs GROUP BY 1), " +
+        "c AS (SELECT b, sum(o) AS cb FROM obs GROUP BY 1), " +
+        "n AS (SELECT sum(o) AS n FROM obs) " +
+        "SELECT obs.a, obs.b, obs.o, round(CAST(ra AS DOUBLE) * cb / n.n, 4) AS expected, " +
+        "round(pow(o - CAST(ra AS DOUBLE) * cb / n.n, 2) / (CAST(ra AS DOUBLE) * cb / n.n), 4) AS contrib " +
+        "FROM obs JOIN r USING (a) JOIN c USING (b) CROSS JOIN n ORDER BY a, b"),
+    // q128: brute-force triple join + orientation-free ΣC(d,2) wedges
+    "q128_triangles" ->
+      ("WITH it AS (SELECT DISTINCT l_orderkey AS tx, l_partkey AS itm FROM lineitem), " +
+        "e AS (SELECT a.itm AS u, b.itm AS v FROM it a JOIN it b ON a.tx = b.tx AND a.itm < b.itm GROUP BY 1, 2 HAVING count(*) >= 2), " +
+        "deg AS (SELECT node, count(*) AS d FROM (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e) GROUP BY 1) " +
+        "SELECT (SELECT count(*) FROM e) AS n_edges, " +
+        "CAST((SELECT sum(d * (d - 1)) // 2 FROM deg) AS BIGINT) AS n_wedges, " +
+        "(SELECT count(*) FROM e e1, e e2, e e3 WHERE e1.u = e2.u AND e1.v < e2.v AND e3.u = e1.v AND e3.v = e2.v) AS n_triangles"),
     // q126: distinct basket items, tx-keyed pair join, exact-count lift
     "q126_basket_lift" ->
       ("WITH it AS (SELECT DISTINCT l_orderkey AS tx, l_partkey AS itm FROM lineitem), " +

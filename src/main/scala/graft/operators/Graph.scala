@@ -75,6 +75,55 @@ object Graph {
       .select("rn", "node", "rank")
 
   /**
+   * Triangle count over an UNDIRECTED graph — the clustering/community
+   * density primitive. Edges are normalized (both directions collapse
+   * to one undirected edge), then ORIENTED from the lower to the
+   * higher endpoint in the (degree, node) total order — the classic
+   * compact-forward trick: every triangle has exactly one "apex" from
+   * which both oriented edges leave, so each is counted ONCE, and
+   * wedge-join work per node is bounded by its ORIENTED out-degree
+   * (≤ √(2|E|) for any graph — hubs stop generating wedges because
+   * high-degree nodes receive edges instead of emitting them; the
+   * unoriented wedge join is Σ d(v)² and dies on any skewed graph).
+   * Wedges check closure with one left-semi join against the oriented
+   * edge set. Returns a ONE-row frame `(n_edges, n_wedges,
+   * n_triangles)` — wedge count rides along since transitivity
+   * `3·Δ/wedges` is the usual readout.
+   */
+  def triangleCount(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val deg = und.select(col("u").as("node"))
+      .union(und.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("_d"))
+    // orient by (degree, node): lower endpoint emits the edge
+    val withDeg = und
+      .join(deg.select(col("node").as("u"), col("_d").as("_du")), "u")
+      .join(deg.select(col("node").as("v"), col("_d").as("_dv")), "v")
+    val oriented = withDeg.select(
+      when(struct(col("_du"), col("u")) < struct(col("_dv"), col("v")),
+        struct(col("u").as("a"), col("v").as("b")))
+        .otherwise(struct(col("v").as("a"), col("u").as("b"))).as("_e"))
+      .select(col("_e.a").as("a"), col("_e.b").as("b"))
+    val wedges = oriented.select(col("a"), col("b").as("x"))
+      .join(oriented.select(col("a"), col("b").as("y")), Seq("a"))
+      .filter(col("x") < col("y"))
+    val closed = wedges
+      .join(und.select(col("u").as("x"), col("v").as("y")),
+        Seq("x", "y"), "left_semi")
+    val e = und.agg(count(lit(1)).as("n_edges"))
+    // graph-theoretic wedge count Σ C(d,2) — orientation-free, so an
+    // independent oracle can reproduce it without mirroring our
+    // orientation; d(d−1) is even, the halving is exact
+    val w = deg.agg(sum(col("_d") * (col("_d") - lit(1L))).as("_s"))
+      .select((col("_s") / 2).cast("long").as("n_wedges"))
+    val t = closed.agg(count(lit(1)).as("n_triangles"))
+    e.crossJoin(w).crossJoin(t)
+  }
+
+  /**
    * Degree census — in/out/total degree per node over the distinct
    * edge set, the profile read before any graph algorithm is tuned
    * (skew here decides salting and AQE posture downstream). Two

@@ -191,6 +191,32 @@ object Qan {
       .orderBy(keyCol)
 
   /**
+   * Chi-square contingency cells — the independence test between two
+   * categorical dimensions (is latency class independent of schema?
+   * does event mix differ by user ring?): per (a, b) cell the observed
+   * count, the independence-expected count `rowTot·colTot/n`, and the
+   * cell's χ² contribution `(o−e)²/e`; `Σ contrib` against the
+   * χ²((|a|−1)(|b|−1)) table is the test. One observed aggregation
+   * plus two margin aggregates DERIVED from it (category-sized, never
+   * rescanning the input) and a broadcast one-row total; every number
+   * is arithmetic on exact counts, rounded once at the output.
+   */
+  def chiSquareCells(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
+    val obs = df.groupBy(aCol.as("a"), bCol.as("b"))
+      .agg(count(lit(1)).as("o"))
+    val rowTot = obs.groupBy("a").agg(sum("o").as("_ra"))
+    val colTot = obs.groupBy("b").agg(sum("o").as("_cb"))
+    val n = obs.agg(sum("o").as("_n"))
+    val e = col("_ra").cast("double") * col("_cb") / col("_n")
+    obs.join(rowTot, "a").join(colTot, "b")
+      .crossJoin(broadcast(n))
+      .select(col("a"), col("b"), col("o"),
+        round(e, 4).as("expected"),
+        round(pow(col("o") - e, 2) / e, 4).as("contrib"))
+      .orderBy("a", "b")
+  }
+
+  /**
    * New-query detection — the review-table question ("which query
    * classes appeared for the first time in this window?"): per key,
    * first/last seen and call count, flagged `is_new` when the key has

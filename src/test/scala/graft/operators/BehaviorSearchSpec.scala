@@ -151,6 +151,31 @@ class BehaviorSearchSpec extends AnyFunSuite with SparkTestSession {
     assert(got("a") > got("d"))
   }
 
+  test("triangleCount: K4 has 4 triangles; counts orientation-independent") {
+    // K4 on {1..4}: 6 edges (one duplicated + one reversed — normalized
+    // away), C(4,3)=4 triangles, wedges Σ C(3,2)=12
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (1L, 4L), (2L, 3L),
+      (2L, 4L), (3L, 4L), (3L, 4L)).toDF("s", "d")
+    val r = Graph.triangleCount(edges, "s", "d").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((6L, 12L, 4L)))
+    // path graph: wedges but zero triangles
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("s", "d")
+    val p = Graph.triangleCount(path, "s", "d").collect().head
+    assert((p.getLong(0), p.getLong(1), p.getLong(2)) == ((3L, 2L, 0L)))
+  }
+
+  test("chiSquareCells: independent uniform table has zero contributions") {
+    val df = (for (a <- Seq("x", "y"); b <- 0 to 1; _ <- 1 to 5)
+      yield (a, b)).toDF("a", "b")
+    val got = Qan.chiSquareCells(df, col("a"), col("b")).collect()
+    assert(got.length == 4)
+    got.foreach { r =>
+      assert(r.getLong(2) == 5L)
+      assert(r.getDouble(3) == 5.0)   // expected = 10*10/20
+      assert(r.getDouble(4) == 0.0)   // perfectly independent
+    }
+  }
+
   test("degrees: in/out/total census over the distinct edge set") {
     val edges = Seq(("a", "b"), ("a", "b"), ("b", "a"), ("a", "c"))
       .toDF("src", "dst")
