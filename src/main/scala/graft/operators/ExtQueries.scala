@@ -122,6 +122,10 @@ object ExtQueries {
     * branches generate from this list. */
   private val ProfileCols: Seq[String] = Seq("event_id", "event_type", "user_id")
 
+  /** q130 anonymity floor — flags a real subset at every SF
+    * ((lang, source) group sizes: 1–16 at sf0.01, 24–112 at sf0.1). */
+  private val KAnonK: Long = 30L
+
   /** The events table mapped onto the wide slow-log schema (digest,
     * fingerprint, query_time, rate_limit, rows, user, db, ts, query,
     * offset), so the QAN report operators — the Report CLI's code
@@ -893,6 +897,31 @@ object ExtQueries {
       Behavior.funnel(CoreQueries.events(s, d), "user_id",
         expr("ts_ns div 1000"), col("event_type"), FunnelStages,
         maxGap = Some(FunnelGapUs))),
+
+    // Snapshot diff (Pipeline.snapshotDiff): per-user latest-state CDC
+    // between the half-range snapshot and now (broadcast midpoint
+    // ride) — added/removed/changed/unchanged per key, one full-outer
+    // join of two key-unique states.
+    "q129_snapshot_diff" -> ((s, d) => {
+      val ev = CoreQueries.events(s, d).withColumn("us", expr("ts_ns div 1000"))
+      val mid = ev.agg(expr("(min(us) + max(us)) div 2").as("_mid"))
+      val evM = ev.crossJoin(broadcast(mid))
+      def latest(df: DataFrame): DataFrame = df
+        .withColumn("_rn", row_number().over(
+          Window.partitionBy("user_id")
+            .orderBy(col("us").desc, col("event_id").desc)))
+        .filter(col("_rn") === 1)
+        .select(col("user_id"), col("event_type"))
+      Pipeline.snapshotDiff(latest(evM.filter(col("us") <= col("_mid"))),
+        latest(evM), "user_id", "event_type")
+    }),
+
+    // k-anonymity audit (Pipeline.kAnonymityViolations): quasi-id
+    // combinations carried by fewer than k documents — the governance
+    // gate; one combination-keyed aggregation.
+    "q130_k_anonymity" -> ((s, d) =>
+      Pipeline.kAnonymityViolations(t(s, d, "documents"),
+        Seq("lang", "source"), KAnonK)),
 
     // Chi-square contingency cells (Qan.chiSquareCells): event mix ×
     // user ring independence — observed, independence-expected, and
@@ -2004,6 +2033,18 @@ object ExtQueries {
         s"UNION ALL SELECT 2, '$s2', (SELECT count(*) FROM f2) " +
         s"UNION ALL SELECT 3, '$s3', (SELECT count(*) FROM f3)) ORDER BY stage_ord"
     },
+    // q129: same midpoint rule as q88; latest-wins rank per snapshot
+    "q129_snapshot_diff" ->
+      ("WITH m AS (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid FROM events), " +
+        "a AS (SELECT user_id, event_type AS v FROM (SELECT user_id, event_type, row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn FROM events WHERE epoch_us(ts) <= (SELECT mid FROM m)) t WHERE rn = 1), " +
+        "b AS (SELECT user_id, event_type AS v FROM (SELECT user_id, event_type, row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn FROM events) t WHERE rn = 1) " +
+        "SELECT coalesce(a.user_id, b.user_id) AS user_id, " +
+        "CASE WHEN a.v IS NULL THEN 'added' WHEN b.v IS NULL THEN 'removed' WHEN a.v = b.v THEN 'unchanged' ELSE 'changed' END AS status " +
+        "FROM a FULL OUTER JOIN b ON a.user_id = b.user_id ORDER BY user_id"),
+    // q130: combination census under the shared floor
+    "q130_k_anonymity" ->
+      (s"SELECT lang, source, count(*) AS group_size FROM documents " +
+        s"GROUP BY 1, 2 HAVING count(*) < $KAnonK ORDER BY group_size, lang, source"),
     // q127: margins derived from the observed cells, one rounding site
     "q127_chi_square" ->
       ("WITH obs AS (SELECT event_type AS a, user_id % 4 AS b, count(*) AS o FROM events GROUP BY 1, 2), " +

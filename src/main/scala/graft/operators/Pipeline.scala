@@ -565,6 +565,46 @@ object Pipeline {
   }
 
   /**
+   * Snapshot diff — the CDC question between two keyed states: which
+   * keys were `added`, `removed`, or `changed` (value differs), with
+   * `unchanged` kept for the audit total. One full-outer join on the
+   * key — both sides are already latest-wins states (e.g.
+   * [[latestWins]]' output at two times), so the frames are key-unique
+   * and the join is the whole cost. `valueCol` is a caller expression
+   * (a single column, a struct of several) compared null-safely.
+   */
+  def snapshotDiff(before: DataFrame, after: DataFrame, keyCol: String,
+                   valueCol: String): DataFrame = {
+    val a = before.select(col(keyCol).as("_k"), col(valueCol).as("_va"))
+    val b = after.select(col(keyCol).as("_k"), col(valueCol).as("_vb"))
+    a.join(b, Seq("_k"), "full_outer")
+      .select(col("_k").as(keyCol),
+        when(col("_va").isNull, "added")
+          .when(col("_vb").isNull, "removed")
+          .when(col("_va") <=> col("_vb"), "unchanged")
+          .otherwise("changed").as("status"))
+      .orderBy(keyCol)
+  }
+
+  /**
+   * k-anonymity audit — the governance gate before a dataset release:
+   * every quasi-identifier combination carried by fewer than k rows
+   * re-identifies its members and must be suppressed or generalized.
+   * Returns the violating combinations with their sizes (smallest
+   * first — the worst leaks lead). One aggregation on the
+   * quasi-identifier tuple; the key space is the combination count,
+   * not the row count.
+   */
+  def kAnonymityViolations(df: DataFrame, quasiCols: Seq[String],
+                           k: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("group_size"))
+      .filter(col("group_size") < k)
+      .orderBy(col("group_size") +: quasiCols.map(col): _*)
+  }
+
+  /**
    * Column-profile report — per column: row/non-null/distinct counts
    * and min/max (stringified into one uniform schema): the
    * data-quality summary a warehouse publishes next to each table, and

@@ -456,6 +456,25 @@ class PipelineSpec extends AnyFunSuite with SparkTestSession {
     assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
+  test("snapshotDiff: added/removed/changed/unchanged partition the key union") {
+    import spark.implicits._
+    val before = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val after = Seq((1L, "a"), (2L, "B"), (4L, "d")).toDF("k", "v")
+    val got = Pipeline.snapshotDiff(before, after, "k", "v")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"))
+  }
+
+  test("kAnonymityViolations: flags exactly the under-k combinations, smallest first") {
+    import spark.implicits._
+    val df = (Seq.fill(5)(("en", "web")) ++ Seq.fill(2)(("en", "pdf")) ++
+      Seq(("fr", "web"))).toDF("lang", "src")
+    val got = Pipeline.kAnonymityViolations(df, Seq("lang", "src"), k = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("fr", "web", 1L), ("en", "pdf", 2L)))
+  }
+
   test("profileColumns: one row per column with null-aware counts and stringified extremes") {
     import spark.implicits._
     val df = Seq((1L, Some("a")), (2L, None), (3L, Some("a")), (4L, Some("b")))
