@@ -309,6 +309,35 @@ object ScaleBench {
         edges.unpersist()
       }
 
+      // basket ops over k× transactions with a k×-REGIONED catalog
+      // (baskets draw items from their replica's region, so pair
+      // support distribution and node degrees stay 1×-like while
+      // transactions, edges, and triangles grow k× — keyless catalog
+      // growth would dilute support to nothing, a shared catalog would
+      // densify degrees quadratically; both benchmark a pathology)
+      if (want("q126_basket") || want("q128_tri")) {
+        val nTx = 20000L * k
+        val it = spark.range(nTx).select(col("id").as("tx"))
+          .select(col("tx"), explode(sequence(lit(0), lit(5))).as("_j"))
+          .select(col("tx"),
+            (pmod(col("tx"), lit(k.toLong)) * 2000L +
+              pmod(xxhash64(col("tx"), col("_j")), lit(2000L))).as("itm"))
+          .persist()
+        val nIt = it.count()
+        System.err.println(s"SCALE inputs ${k}x: $nIt basket items")
+        if (want("q126_basket")) record("q126_basket", k, time(
+          graft.operators.Behavior.associationPairs(it, "tx", "itm", 2L, 20)))
+        if (want("q128_tri")) record("q128_tri", k, time {
+          val e = it.select(col("tx"), col("itm").as("u"))
+            .join(it.select(col("tx"), col("itm").as("v")), Seq("tx"))
+            .filter(col("u") < col("v"))
+            .groupBy("u", "v").agg(count(lit(1)).as("_cp"))
+            .filter(col("_cp") >= 2).select("u", "v")
+          graft.operators.Graph.triangleCount(e, "u", "v")
+        })
+        it.unpersist()
+      }
+
       // BM25 over a k× corpus: replica tokens are suffixed, so the
       // query-term posting set stays FIXED while the corpus grows —
       // isolating the claim that the only corpus-sized stage is the
