@@ -126,6 +126,27 @@ object ExtQueries {
     * ((lang, source) group sizes: 1–16 at sf0.01, 24–112 at sf0.1). */
   private val KAnonK: Long = 30L
 
+  /** q131 E2LSH config — w sized at the measured NN-distance scale
+    * (exact NN ≈ 1.12, median stranger ≈ 1.41 on this corpus); 16
+    * tables × 4 projections holds the ≥2-of-3 floor at both oracle
+    * SFs (16 tables missed one sf0.01 probe — its NN sits at 1.17,
+    * the far tail). */
+  private val L2Tables: Int = 32
+  private val L2Bits: Int = 4
+  private val L2W: Double = 2.0
+
+  /** q131 oracle: exact Euclidean top-3 rows + the recall floor as a
+    * literal — the L2 twin of [[exactTop3FloorSql]]. */
+  private lazy val exactTop3L2FloorSql: String = {
+    val l2 = "sqrt(list_sum(list_apply(list_zip(p.embedding, e.embedding), " +
+      "x -> pow(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE), 2))))"
+    s"WITH c AS (SELECT p.vec_id probe_id, e.vec_id nn_id, round($l2, 4) dist " +
+      "FROM embeddings p CROSS JOIN embeddings e WHERE p.vec_id < 5 AND e.vec_id <> p.vec_id) " +
+      "SELECT probe_id, rn, nn_id, dist, true AS ok FROM " +
+      "(SELECT probe_id, nn_id, dist, row_number() OVER (PARTITION BY probe_id ORDER BY dist, nn_id) rn FROM c) " +
+      "WHERE rn <= 3 ORDER BY probe_id, rn"
+  }
+
   /** The events table mapped onto the wide slow-log schema (digest,
     * fingerprint, query_time, rate_limit, rows, user, db, ts, query,
     * offset), so the QAN report operators — the Report CLI's code
@@ -897,6 +918,36 @@ object ExtQueries {
       Behavior.funnel(CoreQueries.events(s, d), "user_id",
         expr("ts_ns div 1000"), col("event_type"), FunnelStages,
         maxGap = Some(FunnelGapUs))),
+
+    // E2LSH Euclidean ANN (Similarity.l2LshTopK — the p-stable third
+    // hash family next to sign-LSH/cosine and MinHash/Jaccard):
+    // quantized Gaussian projections bucket the corpus, exact-distance
+    // re-rank of colliding candidates; q53's data-bearing contract
+    // with the exact L2 top-3 + the ≥2-of-3 floor.
+    "q131_l2_lsh" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val probes = emb.filter(col("vec_id") < 5)
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy("probe_id").orderBy(col("dist").asc, col("nn_id"))
+      val exact = emb
+        .select(col("vec_id").as("nn_id"), col("embedding").as("_e_nn"))
+        .crossJoin(broadcast(probes.select(col("vec_id").as("probe_id"),
+          col("embedding").as("_e_p"))))
+        .filter(col("nn_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("nn_id"),
+          round(Similarity.euclidean(col("_e_p"), col("_e_nn")), 4).as("dist"))
+        .withColumn("rn", row_number().over(win).cast("long"))
+        .filter(col("rn") <= 3)
+      val ann = Similarity.l2LshTopK(emb, probes, "vec_id", "embedding",
+          k = 3, tables = L2Tables, bits = L2Bits, w = L2W)
+        .select(col("probe_id"), col("nn_id"))
+      val hits = exact.join(ann, Seq("probe_id", "nn_id"))
+        .groupBy("probe_id").agg(count(lit(1)).as("hits"))
+      exact.join(hits, Seq("probe_id"), "left")
+        .select(col("probe_id"), col("rn"), col("nn_id"), col("dist"),
+          (coalesce(col("hits"), lit(0L)) >= 2).as("ok"))
+        .orderBy("probe_id", "rn")
+    }),
 
     // Snapshot diff (Pipeline.snapshotDiff): per-user latest-state CDC
     // between the half-range snapshot and now (broadcast midpoint
@@ -2033,6 +2084,7 @@ object ExtQueries {
         s"UNION ALL SELECT 2, '$s2', (SELECT count(*) FROM f2) " +
         s"UNION ALL SELECT 3, '$s3', (SELECT count(*) FROM f3)) ORDER BY stage_ord"
     },
+    "q131_l2_lsh" -> exactTop3L2FloorSql,
     // q129: same midpoint rule as q88; latest-wins rank per snapshot
     "q129_snapshot_diff" ->
       ("WITH m AS (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid FROM events), " +

@@ -349,6 +349,100 @@ object Similarity {
       .filter(col("rn") <= k)
   }
 
+  /** Euclidean distance of two float-array columns in double precision
+    * (sequential fold — deterministic order, like [[cosine]]'s HOF
+    * reference). */
+  def euclidean(a: Column, b: Column): Column =
+    sqrt(sumArr(zip_with(a, b,
+      (x, y) => (x.cast("double") - y.cast("double")) *
+        (x.cast("double") - y.cast("double")))))
+
+  /**
+   * E2LSH bucket keys for EUCLIDEAN distance (Datar et al., p-stable
+   * LSH, SoCG 2004) — the third hash family next to sign-LSH (cosine)
+   * and MinHash (Jaccard): per table, `bits` Gaussian projections each
+   * quantized to `⌊(a·v + b)/w⌋` (offsets b ~ U[0, w)), the quantized
+   * cells mixed into one long key. Points within distance ≪ w mostly
+   * share every cell; `w` is the distance scale the family
+   * discriminates at — size it near the expected NN distance.
+   * Same compiled-closure rationale and null contract as
+   * [[lshKeysArray]] (the HOF route would embed tables×bits×dim
+   * literals in the plan).
+   */
+  def l2LshKeysArray(tables: Int, bits: Int, dim: Int, w: Double,
+                     seed: Long = 42L): Column => Column = {
+    require(w > 0, "bucket width must be positive")
+    val ps: Array[Array[Array[Double]]] =
+      planes(tables, bits, dim, seed).map(_.map(_.toArray).toArray).toArray
+    val rnd = new Random(seed + 1)
+    val offs: Array[Array[Double]] =
+      Array.fill(tables)(Array.fill(bits)(rnd.nextDouble() * w))
+    val f = udf { (emb: Seq[Float]) =>
+      if (emb == null) null
+      else {
+        val v = emb.toArray
+        val out = new Array[Long](tables)
+        var t = 0
+        while (t < tables) {
+          val tp = ps(t)
+          var key = 1125899906842597L
+          var b = 0
+          while (b < bits) {
+            val plane = tp(b)
+            var dot = 0.0
+            var i = 0
+            val n = math.min(plane.length, v.length)
+            while (i < n) { dot += v(i) * plane(i); i += 1 }
+            val cell = math.floor((dot + offs(t)(b)) / w).toLong
+            key = key * 31 + cell
+            b += 1
+          }
+          out(t) = key
+          t += 1
+        }
+        out
+      }
+    }
+    (emb: Column) => f(emb)
+  }
+
+  /** The [[annBucketFrame]] twin for the L2 family — `(id, emb, table,
+    * key)`, persistable through the same
+    * [[graft.sources.Warehouse.saveAnnIndex]] layout. */
+  def l2BucketFrame(corpus: DataFrame, idCol: String, embCol: String,
+                    tables: Int, bits: Int, dim: Int = 64,
+                    w: Double = 2.0, seed: Long = 42L): DataFrame = {
+    val keys = l2LshKeysArray(tables, bits, dim, w, seed)(col(embCol))
+    corpus.select(col(idCol).as("id"), col(embCol).as("emb"),
+      posexplode(keys).as(Seq("table", "key")))
+  }
+
+  /**
+   * Approximate EUCLIDEAN top-k via E2LSH: candidates share ≥1 cell
+   * key with the probe in any table, then the exact-distance re-rank
+   * of candidates only — [[annCosineTopK]]'s shape with ascending
+   * rounded distance (nn_id tiebreak) instead of descending cosine.
+   */
+  def l2LshTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
+                embCol: String, k: Int, tables: Int = 16, bits: Int = 4,
+                dim: Int = 64, w: Double = 2.0, seed: Long = 42L): DataFrame = {
+    val cb = l2BucketFrame(corpus, idCol, embCol, tables, bits, dim, w, seed)
+    val pb = l2BucketFrame(probes, idCol, embCol, tables, bits, dim, w, seed)
+      .select(col("id").as("probe_id"), col("emb").as("_e_p"),
+        col("table"), col("key"))
+    val win = Window.partitionBy("probe_id")
+      .orderBy(col("dist").asc, col("nn_id"))
+    cb.select(col("id").as("nn_id"), col("emb").as("_e_nn"),
+        col("table"), col("key"))
+      .join(broadcast(pb), Seq("table", "key"))
+      .filter(col("nn_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("nn_id"),
+        round(euclidean(col("_e_p"), col("_e_nn")), 4).as("dist"))
+      .distinct()
+      .withColumn("rn", row_number().over(win).cast("long"))
+      .filter(col("rn") <= k)
+  }
+
   /** L2-normalized double array from a float-array column. */
   private def unitArray(emb: Column): Column = {
     val vd = transform(emb, x => x.cast("double"))

@@ -638,6 +638,44 @@ class ExtOperatorsSpec extends AnyFunSuite with SparkTestSession {
     assert(ex.getMessage.contains("unsupported type"))
   }
 
+  test("l2LshTopK: E2LSH recall against the exact Euclidean top-3 at the q131 config") {
+    import org.apache.spark.sql.expressions.Window
+    val probes = emb.filter(col("vec_id") < 10)
+    val win = Window.partitionBy("probe_id").orderBy(col("dist").asc, col("nn_id"))
+    val exact = emb.select(col("vec_id").as("nn_id"), col("embedding").as("_n"))
+      .crossJoin(broadcast(probes.select(col("vec_id").as("probe_id"),
+        col("embedding").as("_p"))))
+      .filter(col("nn_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("nn_id"),
+        round(Similarity.euclidean(col("_p"), col("_n")), 4).as("dist"))
+      .withColumn("rn", row_number().over(win)).filter(col("rn") <= 3)
+      .select("probe_id", "nn_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.l2LshTopK(emb, probes, "vec_id", "embedding",
+        k = 3, tables = 32, bits = 4, w = 2.0)
+      .select("probe_id", "nn_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // per-probe ≥2-of-3 (the q131 floor) across 10 probes
+    (0L until 10L).foreach { p =>
+      val hit = (exact.filter(_._1 == p) intersect ann).size
+      assert(hit >= 2, s"probe $p recalled only $hit of 3")
+    }
+  }
+
+  test("l2LshKeysArray: identical vectors share every key; null stays null") {
+    import spark.implicits._
+    val keys = Similarity.l2LshKeysArray(tables = 8, bits = 4, dim = 4, w = 1.0)
+    val df = Seq(
+      (1L, Seq(0.1f, 0.2f, 0.3f, 0.4f)),
+      (2L, Seq(0.1f, 0.2f, 0.3f, 0.4f)),
+      (3L, null.asInstanceOf[Seq[Float]])
+    ).toDF("id", "e").withColumn("k", keys(col("e")))
+    val rows = df.collect().map(r => r.getLong(0) ->
+      (if (r.isNullAt(2)) null else r.getSeq[Long](2))).toMap
+    assert(rows(1L) == rows(2L) && rows(1L) != null)
+    assert(rows(3L) == null)
+  }
+
   test("rollingFingerprint uses code points (ascii parity with DuckDB)") {
     import spark.implicits._
     // 'é' = U+00E9 = 233 in BOTH Spark ascii() and DuckDB ascii()
