@@ -126,6 +126,11 @@ object ExtQueries {
     * ((lang, source) group sizes: 1–16 at sf0.01, 24–112 at sf0.1). */
   private val KAnonK: Long = 30L
 
+  /** q132 per-group sample size — below every lang's sf0.1 count,
+    * above some sf0.01 ones, so both the cap and the keep-all branch
+    * are exercised. */
+  private val GroupSampleK: Int = 40
+
   /** q131 E2LSH config — w sized at the measured NN-distance scale
     * (exact NN ≈ 1.12, median stranger ≈ 1.41 on this corpus); 16
     * tables × 4 projections holds the ≥2-of-3 floor at both oracle
@@ -918,6 +923,16 @@ object ExtQueries {
       Behavior.funnel(CoreQueries.events(s, d), "user_id",
         expr("ts_ns div 1000"), col("event_type"), FunnelStages,
         maxGap = Some(FunnelGapUs))),
+
+    // Deterministic exact-k per-group sample (Pipeline
+    // .deterministicGroupSample): md5-ordered rank within lang, first
+    // 40 docs kept — reproducible balanced subset, exact counts.
+    "q132_group_sample" -> ((s, d) =>
+      Pipeline.deterministicGroupSample(t(s, d, "documents"), "lang",
+          "doc_id", k = GroupSampleK)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("id_sum"))
+        .orderBy("lang")),
 
     // E2LSH Euclidean ANN (Similarity.l2LshTopK — the p-stable third
     // hash family next to sign-LSH/cosine and MinHash/Jaccard):
@@ -2085,6 +2100,12 @@ object ExtQueries {
         s"UNION ALL SELECT 3, '$s3', (SELECT count(*) FROM f3)) ORDER BY stage_ord"
     },
     "q131_l2_lsh" -> exactTop3L2FloorSql,
+    // q132: the sampled ids are pinned by the id_sum checksum (exact
+    // longs) — the md5 rank must agree byte-for-byte across engines
+    "q132_group_sample" ->
+      (s"SELECT lang, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum FROM " +
+        "(SELECT lang, doc_id, row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk FROM documents) t " +
+        s"WHERE rk <= $GroupSampleK GROUP BY lang ORDER BY lang"),
     // q129: same midpoint rule as q88; latest-wins rank per snapshot
     "q129_snapshot_diff" ->
       ("WITH m AS (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid FROM events), " +

@@ -565,6 +565,25 @@ object Pipeline {
   }
 
   /**
+   * Deterministic EXACT-k per-group sample — the balanced-subset
+   * primitive ([[stratifiedSample]]'s rate twin): within each group,
+   * rank rows by `(md5(id), id)` and keep the first k. The hash order
+   * is content-keyed, so the sample is reproducible across runs,
+   * engines, and partitionings (no seed bookkeeping), groups smaller
+   * than k keep everything, and — unlike a rate — the count is exact.
+   * One rank window on the group key; state is the running rank.
+   */
+  def deterministicGroupSample(df: DataFrame, groupCol: String,
+                               idCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    df.withColumn("_rk", row_number().over(
+        Window.partitionBy(col(groupCol))
+          .orderBy(md5(col(idCol).cast("string")), col(idCol))))
+      .filter(col("_rk") <= k)
+      .drop("_rk")
+  }
+
+  /**
    * Snapshot diff — the CDC question between two keyed states: which
    * keys were `added`, `removed`, or `changed` (value differs), with
    * `unchanged` kept for the audit total. One full-outer join on the

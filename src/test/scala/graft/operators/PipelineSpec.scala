@@ -456,6 +456,23 @@ class PipelineSpec extends AnyFunSuite with SparkTestSession {
     assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
+  test("deterministicGroupSample: exact k per big group, keep-all for small, repartition-invariant") {
+    val got = Pipeline.deterministicGroupSample(docs, "lang", "doc_id", 40)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    full.foreach { case (lang, n) =>
+      assert(got(lang) == math.min(n, 40L), s"$lang: ${got(lang)} of $n")
+    }
+    val ids = Pipeline.deterministicGroupSample(docs, "lang", "doc_id", 40)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val again = Pipeline.deterministicGroupSample(docs.repartition(7), "lang",
+        "doc_id", 40)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == again)
+  }
+
   test("snapshotDiff: added/removed/changed/unchanged partition the key union") {
     import spark.implicits._
     val before = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
