@@ -354,7 +354,7 @@ object ScaleBench {
 
       val docOps = Seq("q123_prefix", "q26_jaccard", "q52_capped", "q40_minhash",
         "q67_clusters", "q67_cluster_only", "q84_star_only", "q75_probe",
-        "admit_batch", "q92_bloom", "q102_edit", "q103_bigram", "q104_sn",
+        "admit_batch", "q92_bloom", "q99_spans", "q102_edit", "q103_bigram", "q104_sn",
         "q107_entropy", "q107_exploded")
       val embOps = Seq("q83_pq", "q41c_probe", "q41c_logbits",
         "ivf_append", "pq_append")
@@ -389,6 +389,12 @@ object ScaleBench {
       if (want("q104_sn")) record("q104_sn", k, time(
         Dedup.sortedNeighborhoodPairs(docs, "doc_id",
           substring(col("text"), 1, 16), 3)))
+
+      // dup-span audit after the round-10 rewrite: the span stream
+      // crosses ONE exchange (to the (span, doc) level, map-side
+      // combined) — cost should track the explode/scan ≈ linearly
+      if (want("q99_spans")) record("q99_spans", k, time(
+        graft.operators.Pipeline.dupSpanStats(docs, "doc_id", "text", 4)))
 
       // char entropy: the codegen'd one-pass expression vs the
       // explode → (doc, char) aggregate formulation it replaces — the
