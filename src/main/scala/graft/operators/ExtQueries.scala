@@ -924,6 +924,24 @@ object ExtQueries {
         expr("ts_ns div 1000"), col("event_type"), FunnelStages,
         maxGap = Some(FunnelGapUs))),
 
+    // PER-GROUP heavy hitters (the TopKSketch UDAF grouped — q51's
+    // global sketch becomes "top users per event class" with one
+    // groupBy; capacity ≥ per-group cardinality here, so counts are
+    // exact, err 0, and the sketch's (count desc, item) selection rule
+    // equals the oracle's ranking).
+    "q133_group_topk" -> ((s, d) => {
+      val topk = udaf(new graft.functions.TopKSketch(3, 4096))
+      CoreQueries.events(s, d)
+        .select(col("event_type"), concat(lit("u"), col("user_id")).as("item"))
+        .groupBy("event_type")
+        .agg(topk(col("item")).as("tk"))
+        .select(col("event_type"), posexplode(col("tk")).as(Seq("pos", "t")))
+        .select(col("event_type"), (col("pos") + 1).cast("long").as("rn"),
+          col("t.item").as("item"), col("t.count").as("cnt"),
+          col("t.err").as("err"))
+        .orderBy("event_type", "rn")
+    }),
+
     // Deterministic exact-k per-group sample (Pipeline
     // .deterministicGroupSample): md5-ordered rank within lang, first
     // 40 docs kept — reproducible balanced subset, exact counts.
@@ -2100,6 +2118,13 @@ object ExtQueries {
         s"UNION ALL SELECT 3, '$s3', (SELECT count(*) FROM f3)) ORDER BY stage_ord"
     },
     "q131_l2_lsh" -> exactTop3L2FloorSql,
+    // q133: exact per-group ranking under the same (cnt desc, item)
+    // rule the sketch selects by
+    "q133_group_topk" ->
+      ("SELECT event_type, rn, item, cnt, CAST(0 AS BIGINT) AS err FROM " +
+        "(SELECT event_type, 'u' || CAST(user_id AS VARCHAR) AS item, count(*) AS cnt, " +
+        "row_number() OVER (PARTITION BY event_type ORDER BY count(*) DESC, 'u' || CAST(user_id AS VARCHAR)) AS rn " +
+        "FROM events GROUP BY 1, 2) t WHERE rn <= 3 ORDER BY event_type, rn"),
     // q132: the sampled ids are pinned by the id_sum checksum (exact
     // longs) — the md5 rank must agree byte-for-byte across engines
     "q132_group_sample" ->
