@@ -924,6 +924,17 @@ object ExtQueries {
         expr("ts_ns div 1000"), col("event_type"), FunnelStages,
         maxGap = Some(FunnelGapUs))),
 
+    // Pareto load concentration (Qan.paretoLoad): the classes carrying
+    // the first 80% of load over the q51 composite key — per-class
+    // loads rounded BEFORE the running sum so both engines accumulate
+    // identical values in the identical order.
+    "q134_pareto" -> ((s, d) =>
+      Qan.paretoLoad(
+        CoreQueries.events(s, d)
+          .withColumn("item",
+            concat_ws("|", col("event_type"), col("user_id") % 500)),
+        "item", col("value"), threshold = 0.8)),
+
     // PER-GROUP heavy hitters (the TopKSketch UDAF grouped — q51's
     // global sketch becomes "top users per event class" with one
     // groupBy; capacity ≥ per-group cardinality here, so counts are
@@ -2118,6 +2129,14 @@ object ExtQueries {
         s"UNION ALL SELECT 3, '$s3', (SELECT count(*) FROM f3)) ORDER BY stage_ord"
     },
     "q131_l2_lsh" -> exactTop3L2FloorSql,
+    // q134: rounded per-class loads summed in the same total order
+    "q134_pareto" ->
+      ("WITH a AS (SELECT event_type || '|' || CAST(user_id % 500 AS VARCHAR) AS item, round(sum(value), 4) AS load FROM events GROUP BY 1), " +
+        "t AS (SELECT sum(load) AS tot FROM a), " +
+        "c AS (SELECT item, load, row_number() OVER (ORDER BY load DESC, item) AS rn, " +
+        "sum(load) OVER (ORDER BY load DESC, item ROWS UNBOUNDED PRECEDING) AS cum FROM a) " +
+        "SELECT item, rn, load, round(cum / (SELECT tot FROM t), 4) AS cum_share FROM c " +
+        "WHERE round(cum / (SELECT tot FROM t), 4) <= 0.8 ORDER BY rn"),
     // q133: exact per-group ranking under the same (cnt desc, item)
     // rule the sketch selects by
     "q133_group_topk" ->

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -189,6 +190,33 @@ object Qan {
           sqrt(col("_v_a") / col("n_a") + col("_v_b") / col("n_b")), 4)
           .as("t_stat"))
       .orderBy(keyCol)
+
+  /**
+   * Pareto load concentration — "which query classes make up the first
+   * `threshold` of total load?": classes ranked by load, cumulative
+   * share computed over that (deterministic) order, rows kept while
+   * the ROUNDED share stays under the threshold. The capacity-planning
+   * readout next to [[profile]]: the head you optimize, the tail you
+   * rate-limit. Per-class loads round BEFORE the running sum so both
+   * engines accumulate identical values in the identical (load desc,
+   * key) order; the rank window runs over the class-aggregated frame —
+   * vocabulary-sized at any data scale, the same contract as
+   * [[profile]]'s top-N.
+   */
+  def paretoLoad(df: DataFrame, keyCol: String, loadCol: Column,
+                 threshold: Double): DataFrame = {
+    val agg = df.groupBy(keyCol).agg(round(sum(loadCol), 4).as("load"))
+    val w = Window.orderBy(col("load").desc, col(keyCol))
+    agg
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("_cum", sum("load").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(agg.agg(sum("load").as("_tot"))))
+      .withColumn("cum_share", round(col("_cum") / col("_tot"), 4))
+      .filter(col("cum_share") <= threshold)
+      .select(col(keyCol), col("rn"), col("load"), col("cum_share"))
+      .orderBy("rn")
+  }
 
   /**
    * Chi-square contingency cells — the independence test between two
