@@ -924,6 +924,13 @@ object ExtQueries {
         expr("ts_ns div 1000"), col("event_type"), FunnelStages,
         maxGap = Some(FunnelGapUs))),
 
+    // Gini load concentration (Qan.giniConcentration): per event
+    // class, inequality of load across its users — q134's scalar
+    // companion, same round-before-rank determinism rule.
+    "q135_gini" -> ((s, d) =>
+      Qan.giniConcentration(CoreQueries.events(s, d),
+        "event_type", "user_id", col("value"))),
+
     // Pareto load concentration (Qan.paretoLoad): the classes carrying
     // the first 80% of load over the q51 composite key — per-class
     // loads rounded BEFORE the running sum so both engines accumulate
@@ -2129,6 +2136,13 @@ object ExtQueries {
         s"UNION ALL SELECT 3, '$s3', (SELECT count(*) FROM f3)) ORDER BY stage_ord"
     },
     "q131_l2_lsh" -> exactTop3L2FloorSql,
+    // q135: same rounded loads, rank-weighted sum, one rounding site
+    "q135_gini" ->
+      ("WITH l AS (SELECT event_type, user_id, round(sum(value), 4) AS lo FROM events GROUP BY 1, 2), " +
+        "r AS (SELECT event_type, lo, row_number() OVER (PARTITION BY event_type ORDER BY lo, user_id) AS rn FROM l) " +
+        "SELECT event_type, count(*) AS n_classes, " +
+        "round(2.0 * sum(lo * rn) / (count(*) * sum(lo)) - (count(*) + 1.0) / count(*), 4) AS gini " +
+        "FROM r GROUP BY event_type ORDER BY event_type"),
     // q134: rounded per-class loads summed in the same total order
     "q134_pareto" ->
       ("WITH a AS (SELECT event_type || '|' || CAST(user_id % 500 AS VARCHAR) AS item, round(sum(value), 4) AS load FROM events GROUP BY 1), " +

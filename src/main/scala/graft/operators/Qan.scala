@@ -219,6 +219,32 @@ object Qan {
   }
 
   /**
+   * Gini concentration — [[paretoLoad]]'s scalar companion: per group,
+   * the inequality coefficient of load across its classes
+   * (`G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n` over ascending-sorted loads;
+   * 0 = uniform, →1 = one class carries everything). The one number a
+   * dashboard trends to see load concentrating before the Pareto head
+   * visibly shifts. Class loads round before ranking (the q134
+   * determinism rule); one rank window per group over the
+   * class-aggregated frame, then a group rollup.
+   */
+  def giniConcentration(df: DataFrame, groupCol: String, keyCol: String,
+                        loadCol: Column): DataFrame = {
+    val loads = df.groupBy(col(groupCol), col(keyCol))
+      .agg(round(sum(loadCol), 4).as("_l"))
+    val w = Window.partitionBy(groupCol).orderBy(col("_l"), col(keyCol))
+    loads.withColumn("_rn", row_number().over(w))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_classes"),
+        sum(col("_l")).as("_tot"),
+        sum(col("_l") * col("_rn")).as("_ws"))
+      .select(col(groupCol), col("n_classes"),
+        round(lit(2.0) * col("_ws") / (col("n_classes") * col("_tot")) -
+          (col("n_classes") + lit(1.0)) / col("n_classes"), 4).as("gini"))
+      .orderBy(groupCol)
+  }
+
+  /**
    * Chi-square contingency cells — the independence test between two
    * categorical dimensions (is latency class independent of schema?
    * does event mix differ by user ring?): per (a, b) cell the observed
