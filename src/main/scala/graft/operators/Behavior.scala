@@ -72,6 +72,36 @@ object Behavior {
   }
 
   /**
+   * Per-entity conversion times — [[funnel]]'s row-level companion:
+   * for every entity that completes the WHOLE stage chain, its
+   * stage-one time, final-stage time, and elapsed duration. Same
+   * min-after-previous fold and same one-timestamp-per-stage state;
+   * the first-stage time rides the chain as a carried group key
+   * (functionally dependent on the entity — no extra cardinality).
+   */
+  def conversionTimes(events: DataFrame, keyCol: String, tsCol: Column,
+                      typeCol: Column, stages: Seq[String],
+                      maxGap: Option[Long] = None): DataFrame = {
+    require(stages.size >= 2, "conversionTimes needs at least two stages")
+    def withinGap: Column = maxGap match {
+      case Some(g) => tsCol > col("_t") && tsCol <= col("_t") + g
+      case None    => tsCol > col("_t")
+    }
+    var reached = events.filter(typeCol === stages.head)
+      .groupBy(col(keyCol)).agg(min(tsCol).as("_t"))
+      .withColumn("_t1", col("_t"))
+    stages.drop(1).foreach { stage =>
+      reached = events.filter(typeCol === stage)
+        .join(reached, keyCol)
+        .filter(withinGap)
+        .groupBy(col(keyCol), col("_t1")).agg(min(tsCol).as("_t"))
+    }
+    reached.select(col(keyCol), col("_t1").as("t_first"),
+        col("_t").as("t_last"), (col("_t") - col("_t1")).as("elapsed"))
+      .orderBy(keyCol)
+  }
+
+  /**
    * Cohort retention — entities grouped by their first-activity bucket
    * (the cohort), counted at each later activity offset: the classic
    * "day-N retention" triangle. `bucketCol` is a caller expression

@@ -924,6 +924,50 @@ object ExtQueries {
         expr("ts_ns div 1000"), col("event_type"), FunnelStages,
         maxGap = Some(FunnelGapUs))),
 
+    // Time-to-convert statistics (Behavior.conversionTimes): elapsed
+    // from first view to the purchase completing the chain, for fully
+    // converting users — mean as exact integer µs (the q119 rule),
+    // median as an exact ELEMENT (percentile_approx at huge accuracy ≡
+    // DuckDB quantile_disc, the q94 trick — interpolated medians at
+    // 1e10 µs magnitudes flip the 4th decimal).
+    "q137_conversion_time" -> ((s, d) => {
+      val ct = Behavior.conversionTimes(CoreQueries.events(s, d), "user_id",
+        expr("ts_ns div 1000"), col("event_type"), FunnelStages)
+      ct.agg(count(lit(1)).as("n_converted"),
+          sum("elapsed").as("_s"),
+          percentile_approx(col("elapsed"), lit(0.5), lit(1000000))
+            .as("med_elapsed"),
+          max("elapsed").as("max_elapsed"))
+        .select(col("n_converted"),
+          expr("_s div n_converted").as("avg_elapsed"),
+          col("med_elapsed"), col("max_elapsed"))
+    }),
+
+    // Decayed-load "current hotness" ranking: per class, load weighted
+    // by 2^(−age_days) — yesterday counts half. The decay base is 2
+    // with an INTEGER exponent, so the weight is an exact dyadic on
+    // every engine (pow(2, −n) is exactly representable; an e-based
+    // half-life would differ in the last ulp between libms). Age rides
+    // the broadcast-max, no driver collect.
+    "q136_decayed_load" -> ((s, d) => {
+      val ev = CoreQueries.events(s, d)
+        .withColumn("us", expr("ts_ns div 1000"))
+        .withColumn("item",
+          concat_ws("|", col("event_type"), col("user_id") % 500))
+      val mx = ev.agg(max("us").as("_mx"))
+      ev.crossJoin(broadcast(mx))
+        .withColumn("_age", expr(s"(_mx - us) div $DayUs"))
+        .groupBy("item")
+        .agg(round(sum(col("value") * pow(lit(2.0), -col("_age"))), 4)
+          .as("hot"), count(lit(1)).as("cnt"))
+        .orderBy(col("hot").desc, col("item"))
+        .limit(20)
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("hot").desc, col("item"))).cast("long"))
+        .select("rn", "item", "hot", "cnt")
+    }),
+
     // Gini load concentration (Qan.giniConcentration): per event
     // class, inequality of load across its users — q134's scalar
     // companion, same round-before-rank determinism rule.
@@ -2136,6 +2180,23 @@ object ExtQueries {
         s"UNION ALL SELECT 3, '$s3', (SELECT count(*) FROM f3)) ORDER BY stage_ord"
     },
     "q131_l2_lsh" -> exactTop3L2FloorSql,
+    // q137: the q113 chain carrying t1; integer mean, element median
+    "q137_conversion_time" -> {
+      val Seq(s1, s2, s3) = FunnelStages
+      "WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events), " +
+        s"f1 AS (SELECT user_id, min(us) AS t FROM e WHERE event_type = '$s1' GROUP BY 1), " +
+        s"f2 AS (SELECT e.user_id, f1.t AS t1, min(us) AS t FROM e JOIN f1 USING (user_id) WHERE event_type = '$s2' AND us > f1.t GROUP BY 1, 2), " +
+        s"f3 AS (SELECT e.user_id, f2.t1, min(us) AS t FROM e JOIN f2 USING (user_id) WHERE event_type = '$s3' AND us > f2.t GROUP BY 1, 2), " +
+        "c AS (SELECT t - t1 AS elapsed FROM f3) " +
+        "SELECT count(*) AS n_converted, CAST(sum(elapsed) // count(*) AS BIGINT) AS avg_elapsed, " +
+        "CAST(quantile_disc(elapsed, 0.5) AS BIGINT) AS med_elapsed, max(elapsed) AS max_elapsed FROM c"
+    },
+    // q136: integer-exponent dyadic decay — exact weights both engines
+    "q136_decayed_load" ->
+      (s"WITH m AS (SELECT max(epoch_us(ts)) AS mx FROM events), " +
+        s"e AS (SELECT event_type || '|' || CAST(user_id % 500 AS VARCHAR) AS item, value, ((SELECT mx FROM m) - epoch_us(ts)) // $DayUs AS age FROM events), " +
+        "h AS (SELECT item, round(sum(value * power(2.0, -age)), 4) AS hot, count(*) AS cnt FROM e GROUP BY 1) " +
+        "SELECT rn, item, hot, cnt FROM (SELECT item, hot, cnt, row_number() OVER (ORDER BY hot DESC, item) AS rn FROM h) WHERE rn <= 20 ORDER BY rn"),
     // q135: same rounded loads, rank-weighted sum, one rounding site
     "q135_gini" ->
       ("WITH l AS (SELECT event_type, user_id, round(sum(value), 4) AS lo FROM events GROUP BY 1, 2), " +

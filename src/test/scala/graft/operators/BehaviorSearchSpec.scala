@@ -202,6 +202,15 @@ class BehaviorSearchSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("conversionTimes: only full converters, elapsed = strict chain span") {
+    val got = Behavior.conversionTimes(ev, "user_id", col("ts"),
+        col("event_type"), Seq("view", "click", "buy"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    // only user 1 completes view→click→buy in order: 10 → 30
+    assert(got.toSeq == Seq((1L, 10L, 30L, 20L)))
+  }
+
   test("associationPairs: lift from exact counts, support floor, basket-bounded") {
     // 4 tx: {1,2} {1,2} {1,3} {3}; n=4, c1=3 c2=2 c3=2
     val tx = Seq((10L, 1L), (10L, 2L), (11L, 1L), (11L, 2L),
