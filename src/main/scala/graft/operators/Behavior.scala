@@ -127,6 +127,36 @@ object Behavior {
   }
 
   /**
+   * Session statistics — gaps-and-islands with an inactivity timeout:
+   * events separated by more than `maxGap` start a new session; each
+   * session reports its event count and exact-integer span. The
+   * per-session row set q24's start-count summarizes — duration
+   * percentiles, events-per-session, and bounce analysis all read
+   * from this frame. Same single entity-key shuffle as
+   * [[changeIntervals]] (lag flag + running sum share one window
+   * chain); all outputs are exact integers.
+   */
+  def sessionStats(events: DataFrame, keyCol: String, tsCol: Column,
+                   idCol: Column, maxGap: Long): DataFrame = {
+    require(maxGap > 0, "session timeout must be positive")
+    val ord = Window.partitionBy(col(keyCol)).orderBy(col("_ts"), col("_id"))
+    events
+      .select(col(keyCol), tsCol.as("_ts"), idCol.as("_id"))
+      .withColumn("_new",
+        when(lag(col("_ts"), 1).over(ord).isNull ||
+          col("_ts") - lag(col("_ts"), 1).over(ord) > maxGap, 1L)
+          .otherwise(0L))
+      .withColumn("_sid", sum(col("_new")).over(
+        Window.partitionBy(col(keyCol)).orderBy(col("_ts"), col("_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(keyCol), col("_sid").as("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min("_ts").as("t_start"), max("_ts").as("t_end"))
+      .withColumn("duration", col("t_end") - col("t_start"))
+      .orderBy(col(keyCol), col("session_id"))
+  }
+
+  /**
    * Top navigation paths — the first `depth` events per entity,
    * concatenated in time order, counted across entities: "what do the
    * first five things a user does look like?". Ties inside one

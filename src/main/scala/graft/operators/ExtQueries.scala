@@ -924,6 +924,27 @@ object ExtQueries {
         expr("ts_ns div 1000"), col("event_type"), FunnelStages,
         maxGap = Some(FunnelGapUs))),
 
+    // Per-session statistics (Behavior.sessionStats): q24's sessions
+    // as ROWS — 30-minute inactivity timeout, exact-integer spans;
+    // the frame duration percentiles and bounce analysis read from.
+    "q138_session_stats" -> ((s, d) =>
+      Behavior.sessionStats(CoreQueries.events(s, d), "user_id",
+        expr("ts_ns div 1000"), col("event_id"), maxGap = 1800000000L)),
+
+    // Retention RATES (q114 normalized): day-offset survival as an
+    // exact-count division against the cohort's day-0 size.
+    "q139_retention_rate" -> ((s, d) => {
+      val r = Behavior.retention(CoreQueries.events(s, d), "user_id",
+        expr(s"(ts_ns div 1000) div $DayUs"))
+      val base = r.filter(col("offset") === 0)
+        .select(col("cohort"), col("n_entities").as("_c0"))
+      r.join(base, "cohort")
+        .select(col("cohort"), col("offset").as("day_offset"),
+          col("n_entities"),
+          round(col("n_entities").cast("double") / col("_c0"), 4).as("rate"))
+        .orderBy("cohort", "day_offset")
+    }),
+
     // Time-to-convert statistics (Behavior.conversionTimes): elapsed
     // from first view to the purchase completing the chain, for fully
     // converting users — mean as exact integer µs (the q119 rule),
@@ -2180,6 +2201,22 @@ object ExtQueries {
         s"UNION ALL SELECT 3, '$s3', (SELECT count(*) FROM f3)) ORDER BY stage_ord"
     },
     "q131_l2_lsh" -> exactTop3L2FloorSql,
+    // q138: q115's lag-flag/run-sum shape with the gap trigger
+    "q138_session_stats" ->
+      ("WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events), " +
+        "f AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS nw " +
+        "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)), " +
+        "r AS (SELECT *, CAST(sum(nw) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid FROM f) " +
+        "SELECT user_id, sid AS session_id, count(*) AS n_events, min(us) AS t_start, max(us) AS t_end, max(us) - min(us) AS duration " +
+        "FROM r GROUP BY 1, 2 ORDER BY user_id, session_id"),
+    // q139: q114's triangle joined to its own day-0 column
+    "q139_retention_rate" ->
+      (s"WITH a AS (SELECT DISTINCT user_id, epoch_us(ts) // $DayUs AS b FROM events), " +
+        "c AS (SELECT user_id, min(b) AS cohort FROM a GROUP BY 1), " +
+        "r AS (SELECT c.cohort, a.b - c.cohort AS day_offset, count(*) AS n_entities FROM a JOIN c USING (user_id) GROUP BY 1, 2), " +
+        "b0 AS (SELECT cohort, n_entities AS c0 FROM r WHERE day_offset = 0) " +
+        "SELECT r.cohort, r.day_offset, r.n_entities, round(CAST(r.n_entities AS DOUBLE) / b0.c0, 4) AS rate " +
+        "FROM r JOIN b0 USING (cohort) ORDER BY cohort, day_offset"),
     // q137: the q113 chain carrying t1; integer mean, element median
     "q137_conversion_time" -> {
       val Seq(s1, s2, s3) = FunnelStages

@@ -202,6 +202,18 @@ class BehaviorSearchSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("sessionStats: gap splits sessions, spans exact, events conserved") {
+    // user 1: events at 10, 20, then 1000 (gap 980 > 100 → new session)
+    val evs = Seq((1L, 10L, 1L), (1L, 20L, 2L), (1L, 1000L, 3L),
+      (2L, 5L, 4L)).toDF("user_id", "ts", "event_id")
+    val got = Behavior.sessionStats(evs, "user_id", col("ts"),
+        col("event_id"), maxGap = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(5)))
+    assert(got.toSeq == Seq((1L, 1L, 2L, 10L), (1L, 2L, 1L, 0L),
+      (2L, 1L, 1L, 0L)))
+  }
+
   test("conversionTimes: only full converters, elapsed = strict chain span") {
     val got = Behavior.conversionTimes(ev, "user_id", col("ts"),
         col("event_type"), Seq("view", "click", "buy"))
