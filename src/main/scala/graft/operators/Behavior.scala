@@ -157,6 +157,43 @@ object Behavior {
   }
 
   /**
+   * Segmented funnel — [[funnel]] split by an entity-constant segment
+   * (experiment arm, acquisition channel, plan tier): one count row
+   * per (stage, segment), the "did arm B convert better?" readout that
+   * pairs with [[Qan.abWelch]]. The segment rides each fold stage as a
+   * dependent group key (entity-constant by contract — no added
+   * cardinality); stage counts aggregate per segment instead of
+   * globally. Same shapes, same one-timestamp state.
+   */
+  def funnelBySegment(events: DataFrame, keyCol: String, segCol: Column,
+                      tsCol: Column, typeCol: Column,
+                      stages: Seq[String],
+                      maxGap: Option[Long] = None): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    def withinGap: Column = maxGap match {
+      case Some(g) => tsCol > col("_t") && tsCol <= col("_t") + g
+      case None    => tsCol > col("_t")
+    }
+    var reached = events.filter(typeCol === stages.head)
+      .groupBy(col(keyCol), segCol.as("segment"))
+      .agg(min(tsCol).as("_t"))
+    val counts = Seq.newBuilder[DataFrame]
+    def stageCounts(ord: Int, stage: String): DataFrame =
+      reached.groupBy("segment").agg(count(lit(1)).as("n_entities"))
+        .select(lit(ord.toLong).as("stage_ord"), lit(stage).as("stage"),
+          col("segment"), col("n_entities"))
+    counts += stageCounts(1, stages.head)
+    stages.zipWithIndex.drop(1).foreach { case (stage, i) =>
+      reached = events.filter(typeCol === stage)
+        .join(reached, keyCol)
+        .filter(withinGap)
+        .groupBy(col(keyCol), col("segment")).agg(min(tsCol).as("_t"))
+      counts += stageCounts(i + 1, stage)
+    }
+    counts.result().reduce(_ union _).orderBy("stage_ord", "segment")
+  }
+
+  /**
    * Top navigation paths — the first `depth` events per entity,
    * concatenated in time order, counted across entities: "what do the
    * first five things a user does look like?". Ties inside one

@@ -924,6 +924,27 @@ object ExtQueries {
         expr("ts_ns div 1000"), col("event_type"), FunnelStages,
         maxGap = Some(FunnelGapUs))),
 
+    // Bounce analysis (q138's sessions rolled up): per user, sessions
+    // vs single-event sessions and the exact-division bounce rate.
+    "q140_bounce" -> ((s, d) =>
+      Behavior.sessionStats(CoreQueries.events(s, d), "user_id",
+          expr("ts_ns div 1000"), col("event_id"), maxGap = 1800000000L)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"),
+          count(when(col("n_events") === 1, lit(1))).as("n_bounces"))
+        .withColumn("bounce_rate",
+          round(col("n_bounces").cast("double") / col("n_sessions"), 4))
+        .orderBy("user_id")),
+
+    // Segmented funnel (Behavior.funnelBySegment): q113 split by the
+    // q125 hash arm — the experiment × conversion readout; the segment
+    // rides the fold as an entity-constant dependent key.
+    "q141_funnel_segment" -> ((s, d) =>
+      Behavior.funnelBySegment(CoreQueries.events(s, d), "user_id",
+        when(Pipeline.hashBucket16(col("user_id")) < 32768, "A")
+          .otherwise("B"),
+        expr("ts_ns div 1000"), col("event_type"), FunnelStages)),
+
     // Per-session statistics (Behavior.sessionStats): q24's sessions
     // as ROWS — 30-minute inactivity timeout, exact-integer spans;
     // the frame duration percentiles and bounce analysis read from.
@@ -2201,6 +2222,28 @@ object ExtQueries {
         s"UNION ALL SELECT 3, '$s3', (SELECT count(*) FROM f3)) ORDER BY stage_ord"
     },
     "q131_l2_lsh" -> exactTop3L2FloorSql,
+    // q140: q138's islands rolled up per user, one exact division
+    "q140_bounce" ->
+      ("WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events), " +
+        "f AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS nw " +
+        "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)), " +
+        "r AS (SELECT *, sum(nw) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM f), " +
+        "sess AS (SELECT user_id, sid, count(*) AS ne FROM r GROUP BY 1, 2) " +
+        "SELECT user_id, count(*) AS n_sessions, count(CASE WHEN ne = 1 THEN 1 END) AS n_bounces, " +
+        "round(CAST(count(CASE WHEN ne = 1 THEN 1 END) AS DOUBLE) / count(*), 4) AS bounce_rate " +
+        "FROM sess GROUP BY user_id ORDER BY user_id"),
+    // q141: the q113 chain with the q125 arm carried per stage
+    "q141_funnel_segment" -> {
+      val Seq(s1, s2, s3) = FunnelStages
+      val arm = "CASE WHEN CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)),1,4)) AS INTEGER) < 32768 THEN 'A' ELSE 'B' END"
+      s"WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us, $arm AS segment FROM events), " +
+        s"f1 AS (SELECT user_id, segment, min(us) AS t FROM e WHERE event_type = '$s1' GROUP BY 1, 2), " +
+        s"f2 AS (SELECT e.user_id, f1.segment, min(us) AS t FROM e JOIN f1 USING (user_id) WHERE event_type = '$s2' AND us > f1.t GROUP BY 1, 2), " +
+        s"f3 AS (SELECT e.user_id, f2.segment, min(us) AS t FROM e JOIN f2 USING (user_id) WHERE event_type = '$s3' AND us > f2.t GROUP BY 1, 2) " +
+        s"SELECT * FROM (SELECT CAST(1 AS BIGINT) AS stage_ord, '$s1' AS stage, segment, count(*) AS n_entities FROM f1 GROUP BY 3 " +
+        s"UNION ALL SELECT 2, '$s2', segment, count(*) FROM f2 GROUP BY 3 " +
+        s"UNION ALL SELECT 3, '$s3', segment, count(*) FROM f3 GROUP BY 3) ORDER BY stage_ord, segment"
+    },
     // q138: q115's lag-flag/run-sum shape with the gap trigger
     "q138_session_stats" ->
       ("WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events), " +
