@@ -924,6 +924,26 @@ object ExtQueries {
         expr("ts_ns div 1000"), col("event_type"), FunnelStages,
         maxGap = Some(FunnelGapUs))),
 
+    // Embedding feature audit: per-dimension n/mean/stddev/min/max —
+    // the drift monitor an embedding pipeline publishes (dead or
+    // exploding dimensions surface here before recall decays). One
+    // posexplode + a dim-keyed aggregate (map-side combined: the
+    // exchange carries partitions×dim rows).
+    "q142_dim_stats" -> ((s, d) =>
+      t(s, d, "embeddings")
+        .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+        .select(col("pos").cast("long").as("pos"),
+          col("x").cast("double").as("x"))
+        .groupBy("pos")
+        // + 0.0 normalizes IEEE −0.0 → 0.0: a near-zero mean's SIGN is
+        // accumulation-order noise, and the engines disagree on it
+        .agg(count(lit(1)).as("n"),
+          (round(avg("x"), 4) + lit(0.0)).as("mean"),
+          round(stddev_samp(col("x")), 4).as("sd"),
+          (round(min("x"), 4) + lit(0.0)).as("mn"),
+          (round(max("x"), 4) + lit(0.0)).as("mx"))
+        .orderBy("pos")),
+
     // Bounce analysis (q138's sessions rolled up): per user, sessions
     // vs single-event sessions and the exact-division bounce rate.
     "q140_bounce" -> ((s, d) =>
@@ -2222,6 +2242,12 @@ object ExtQueries {
         s"UNION ALL SELECT 3, '$s3', (SELECT count(*) FROM f3)) ORDER BY stage_ord"
     },
     "q131_l2_lsh" -> exactTop3L2FloorSql,
+    // q142: posexplode via the struct-comprehension trick (q65 rule)
+    "q142_dim_stats" ->
+      ("SELECT r['p'] AS pos, count(*) AS n, round(avg(r['v']), 4) + 0.0 AS mean, " +
+        "round(stddev_samp(r['v']), 4) AS sd, round(min(r['v']), 4) + 0.0 AS mn, round(max(r['v']), 4) + 0.0 AS mx " +
+        "FROM (SELECT unnest([{'p': i-1, 'v': CAST(embedding[i] AS DOUBLE)} for i in range(1, len(embedding)+1)]) AS r FROM embeddings) t " +
+        "GROUP BY 1 ORDER BY pos"),
     // q140: q138's islands rolled up per user, one exact division
     "q140_bounce" ->
       ("WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events), " +
