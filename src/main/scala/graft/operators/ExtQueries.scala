@@ -924,6 +924,20 @@ object ExtQueries {
         expr("ts_ns div 1000"), col("event_type"), FunnelStages,
         maxGap = Some(FunnelGapUs))),
 
+    // Dup-cluster size census: the q67 closure rolled to "how many
+    // clusters of each size" — the audit read before a dedup pass
+    // ships (one giant cluster usually means boilerplate, not dups).
+    "q143_cluster_sizes" -> ((s, d) => {
+      val pairs = Dedup.ngramJaccardPairs(t(s, d, "documents"),
+        "doc_id", "text", n = 3, threshold = 0.6)
+      Dedup.dedupClusters(pairs, "da", "db")
+        .groupBy(col("lbl"))
+        .agg(count(lit(1)).as("_sz"))
+        .groupBy(col("_sz").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+        .orderBy("cluster_size")
+    }),
+
     // Embedding feature audit: per-dimension n/mean/stddev/min/max —
     // the drift monitor an embedding pipeline publishes (dead or
     // exploding dimensions surface here before recall decays). One
@@ -2242,6 +2256,13 @@ object ExtQueries {
         s"UNION ALL SELECT 3, '$s3', (SELECT count(*) FROM f3)) ORDER BY stage_ord"
     },
     "q131_l2_lsh" -> exactTop3L2FloorSql,
+    // q143: the q67/q80 recursive closure rolled to size counts
+    "q143_cluster_sizes" ->
+      (s"WITH RECURSIVE $dedupClosureCtes, " +
+        "lbls AS (SELECT node, min(lbl) AS lbl FROM reach GROUP BY node), " +
+        "sz AS (SELECT lbl, count(*) AS s FROM lbls GROUP BY 1) " +
+        "SELECT s AS cluster_size, count(*) AS n_clusters FROM sz " +
+        "GROUP BY 1 ORDER BY cluster_size"),
     // q142: posexplode via the struct-comprehension trick (q65 rule)
     "q142_dim_stats" ->
       ("SELECT r['p'] AS pos, count(*) AS n, round(avg(r['v']), 4) + 0.0 AS mean, " +
