@@ -774,6 +774,58 @@ object Dedup {
   }
 
   /**
+   * Weighted (multiset) Jaccard pairs — the frequency-aware third
+   * metric over the q102/q109 equality blocks:
+   * `sim = Σ_t min(tfₐ, tf_b) / Σ_t max(tfₐ, tf_b)` over TOKEN
+   * multisets, which separates "same words, same emphasis" from
+   * set-Jaccard's membership-only view (a document repeating one
+   * boilerplate line scores high on sets, low here). Only the
+   * INTERSECTION joins: `Σ max = Σₐ + Σ_b − Σ min(common)`, so the
+   * per-pair work is the common-token join plus two broadcast-sized
+   * per-doc total lookups — never a full outer join of vocabularies.
+   * All arithmetic on exact counts; one rounding site.
+   */
+  def weightedJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                           blockCols: Seq[Column], minSim: Double,
+                           maxBlock: Option[Long] = None): DataFrame = {
+    val bNames = blockCols.indices.map(i => s"_b$i")
+    val base = docs.select(
+      col(idCol) +: col(textCol).as("_txt") +:
+        blockCols.zip(bNames).map { case (c, n) => c.as(n) }: _*)
+    val blocked = maxBlock match {
+      case Some(cap) =>
+        val hot = base.groupBy(bNames.map(col): _*)
+          .agg(count(lit(1)).as("_n")).filter(col("_n") > cap)
+          .select(bNames.map(col): _*)
+        base.join(broadcast(hot), bNames, "left_anti")
+      case None => base
+    }
+    val pairs = blocked.select(col(idCol).as("a_id") +: bNames.map(col): _*)
+      .join(blocked.select(col(idCol).as("b_id") +: bNames.map(col): _*),
+        bNames)
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id")
+    val tf = blocked
+      .select(col(idCol), explode(split(col("_txt"), " ")).as("_t"))
+      .groupBy(col(idCol), col("_t")).agg(count(lit(1)).as("_tf"))
+    val tot = tf.groupBy(col(idCol)).agg(sum("_tf").as("_tot"))
+    val common = pairs
+      .join(tf.select(col(idCol).as("a_id"), col("_t"), col("_tf").as("_ca")),
+        Seq("a_id"))
+      .join(tf.select(col(idCol).as("b_id"), col("_t"), col("_tf").as("_cb")),
+        Seq("b_id", "_t"))
+      .groupBy("a_id", "b_id")
+      .agg(sum(least(col("_ca"), col("_cb"))).as("_minsum"))
+    val sim = col("_minsum") / (col("_ta") + col("_tb") - col("_minsum"))
+    common
+      .join(tot.select(col(idCol).as("a_id"), col("_tot").as("_ta")), "a_id")
+      .join(tot.select(col(idCol).as("b_id"), col("_tot").as("_tb")), "b_id")
+      .filter(sim >= minSim)
+      .select(col("a_id"), col("b_id"), round(sim, 4).as("sim"))
+      .orderBy("a_id", "b_id")
+  }
+
+  /**
    * Sorted-neighborhood candidate pairs (Hernández–Stolfo): order the
    * corpus by a blocking key, then pair every row with its `w` successors
    * in that order — candidate generation that catches near-dups equality

@@ -89,6 +89,9 @@ object ExtQueries {
   /** q109 Jaro-Winkler keep threshold (on the 4-dp-rounded sim). */
   private val JwMinSim: Double = 0.9
 
+  /** q144 weighted-Jaccard keep threshold (on the exact ratio). */
+  private val WjMinSim: Double = 0.8
+
   /** q110 fold count — shared with the generated oracle. */
   private val KFolds: Int = 5
 
@@ -923,6 +926,15 @@ object ExtQueries {
       Behavior.funnel(CoreQueries.events(s, d), "user_id",
         expr("ts_ns div 1000"), col("event_type"), FunnelStages,
         maxGap = Some(FunnelGapUs))),
+
+    // Weighted (multiset) Jaccard near-dup pairs (Dedup
+    // .weightedJaccardPairs): q102/q109's blocks with the
+    // frequency-aware metric — Σmin(tf)/Σmax(tf) over token multisets,
+    // intersection-only join arithmetic on exact counts.
+    "q144_weighted_jaccard" -> ((s, d) =>
+      Dedup.weightedJaccardPairs(t(s, d, "documents"), "doc_id", "text",
+        Seq(col("lang"), split(col("text"), " ").getItem(0)),
+        WjMinSim, maxBlock = Some(100L))),
 
     // Dup-cluster size census: the q67 closure rolled to "how many
     // clusters of each size" — the audit read before a dedup pass
@@ -2256,6 +2268,18 @@ object ExtQueries {
         s"UNION ALL SELECT 3, '$s3', (SELECT count(*) FROM f3)) ORDER BY stage_ord"
     },
     "q131_l2_lsh" -> exactTop3L2FloorSql,
+    // q144: q109's blocks, intersection-only multiset arithmetic
+    "q144_weighted_jaccard" ->
+      ("WITH b AS (SELECT doc_id, text, lang, string_split(text,' ')[1] AS fw FROM documents), " +
+        "ok AS (SELECT lang, fw FROM b GROUP BY 1, 2 HAVING count(*) <= 100), " +
+        "kept AS (SELECT b.* FROM b JOIN ok USING (lang, fw)), " +
+        "p AS (SELECT a.doc_id AS a_id, c.doc_id AS b_id FROM kept a JOIN kept c USING (lang, fw) WHERE a.doc_id < c.doc_id), " +
+        "tf AS (SELECT doc_id, t, count(*) AS c FROM (SELECT doc_id, unnest(string_split(text,' ')) AS t FROM kept) GROUP BY 1, 2), " +
+        "tot AS (SELECT doc_id, sum(c) AS tot FROM tf GROUP BY 1), " +
+        "m AS (SELECT p.a_id, p.b_id, sum(least(ta.c, tb.c)) AS minsum FROM p JOIN tf ta ON ta.doc_id = p.a_id JOIN tf tb ON tb.doc_id = p.b_id AND tb.t = ta.t GROUP BY 1, 2) " +
+        "SELECT a_id, b_id, round(CAST(minsum AS DOUBLE) / (ta.tot + tb.tot - minsum), 4) AS sim " +
+        "FROM m JOIN tot ta ON ta.doc_id = m.a_id JOIN tot tb ON tb.doc_id = m.b_id " +
+        s"WHERE CAST(minsum AS DOUBLE) / (ta.tot + tb.tot - minsum) >= $WjMinSim ORDER BY a_id, b_id"),
     // q143: the q67/q80 recursive closure rolled to size counts
     "q143_cluster_sizes" ->
       (s"WITH RECURSIVE $dedupClosureCtes, " +

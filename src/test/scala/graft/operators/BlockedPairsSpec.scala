@@ -45,6 +45,20 @@ class BlockedPairsSpec extends AnyFunSuite with SparkTestSession {
 
   // -- globalRank ------------------------------------------------------
 
+  test("weightedJaccardPairs: frequency-aware — repetition lowers sim where sets agree") {
+    val docs = Seq(
+      (1L, "g", "w a b c"), (2L, "g", "w a b c"),      // identical: 1.0
+      (3L, "g", "w a a a b c")                          // same SET as 1
+    ).toDF("id", "blk", "txt")
+    val got = Dedup.weightedJaccardPairs(docs, "id", "txt",
+        Seq(col("blk")), minSim = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(got((1L, 2L)) == 1.0)
+    // multisets: min-sum 4 (w,a,b,c), max-sum 6 → 0.6667 < set-jaccard 1.0
+    assert(got((1L, 3L)) == 0.6667)
+  }
+
   test("prefixFilterJaccardPairs equals the brute-force blocked result (prefix lemma)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
