@@ -927,6 +927,35 @@ object ExtQueries {
         expr("ts_ns div 1000"), col("event_type"), FunnelStages,
         maxGap = Some(FunnelGapUs))),
 
+    // Load trend slope per class: least-squares slope of the hourly
+    // load series — "is this query class growing?" as one number. The
+    // time axis NORMALIZES to hours-since-start (broadcast min ride)
+    // before the moment sums: raw epoch-hours (~5e5) make
+    // nΣx²−(Σx)² cancel eight orders of magnitude and eat the double
+    // mantissa; relative hours keep every term small. Slope from the
+    // closed form over rounded hourly loads — same aggregates, same
+    // formula, both engines.
+    "q145_trend_slope" -> ((s, d) => {
+      val hourly = CoreQueries.events(s, d)
+        .withColumn("hb", expr("(ts_ns div 1000) div 3600000000"))
+        .groupBy("event_type", "hb")
+        .agg(round(sum("value"), 4).as("load"))
+      val mn = hourly.agg(min("hb").as("_h0"))
+      hourly.crossJoin(broadcast(mn))
+        .withColumn("x", (col("hb") - col("_h0")).cast("double"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_hours"),
+          sum("x").as("_sx"), sum("load").as("_sy"),
+          sum(col("x") * col("x")).as("_sxx"),
+          sum(col("x") * col("load")).as("_sxy"))
+        .select(col("event_type"), col("n_hours"),
+          round((col("n_hours") * col("_sxy") - col("_sx") * col("_sy")) /
+            (col("n_hours") * col("_sxx") - col("_sx") * col("_sx")), 4)
+            .as("slope"),
+          round(col("_sy") / col("n_hours"), 4).as("mean_load"))
+        .orderBy("event_type")
+    }),
+
     // Weighted (multiset) Jaccard near-dup pairs (Dedup
     // .weightedJaccardPairs): q102/q109's blocks with the
     // frequency-aware metric — Σmin(tf)/Σmax(tf) over token multisets,
@@ -2268,6 +2297,14 @@ object ExtQueries {
         s"UNION ALL SELECT 3, '$s3', (SELECT count(*) FROM f3)) ORDER BY stage_ord"
     },
     "q131_l2_lsh" -> exactTop3L2FloorSql,
+    // q145: same closed-form slope over the same rounded hourly loads
+    "q145_trend_slope" ->
+      ("WITH h AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hb, round(sum(value), 4) AS load FROM events GROUP BY 1, 2), " +
+        "m AS (SELECT min(hb) AS h0 FROM h), " +
+        "x AS (SELECT event_type, CAST(hb - (SELECT h0 FROM m) AS DOUBLE) AS x, load FROM h), " +
+        "agg AS (SELECT event_type, count(*) AS n, sum(x) AS sx, sum(load) AS sy, sum(x * x) AS sxx, sum(x * load) AS sxy FROM x GROUP BY 1) " +
+        "SELECT event_type, n AS n_hours, round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS slope, " +
+        "round(sy / n, 4) AS mean_load FROM agg ORDER BY event_type"),
     // q144: q109's blocks, intersection-only multiset arithmetic
     "q144_weighted_jaccard" ->
       ("WITH b AS (SELECT doc_id, text, lang, string_split(text,' ')[1] AS fw FROM documents), " +
