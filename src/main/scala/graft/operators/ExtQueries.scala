@@ -927,6 +927,37 @@ object ExtQueries {
         expr("ts_ns div 1000"), col("event_type"), FunnelStages,
         maxGap = Some(FunnelGapUs))),
 
+    // Lag-1 autocorrelation of the hourly load per class — burst
+    // persistence ("does a hot hour predict the next?"). The series
+    // DENSIFIES first (q124's operator): silent hours must be zeros or
+    // the lag pairs skip them and the statistic lies; then one lead
+    // window per class and the closed-form correlation over the
+    // rounded series.
+    "q146_autocorr" -> ((s, d) => {
+      val hourly = CoreQueries.events(s, d)
+        .withColumn("hb", expr("(ts_ns div 1000) div 3600000000"))
+        .groupBy("event_type", "hb")
+        .agg(round(sum("value"), 4).as("cnt"))
+      val dense = Qan.densify(hourly, "event_type", "hb", "cnt")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("hb")
+      dense
+        .withColumn("_nx", lead(col("cnt"), 1).over(w))
+        .filter(col("_nx").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum("cnt").as("_sy"), sum("_nx").as("_sz"),
+          sum(col("cnt") * col("cnt")).as("_syy"),
+          sum(col("_nx") * col("_nx")).as("_szz"),
+          sum(col("cnt") * col("_nx")).as("_syz"))
+        .select(col("event_type"), col("n_pairs"),
+          round((col("n_pairs") * col("_syz") - col("_sy") * col("_sz")) /
+            sqrt((col("n_pairs") * col("_syy") - col("_sy") * col("_sy")) *
+              (col("n_pairs") * col("_szz") - col("_sz") * col("_sz"))), 4)
+            .as("autocorr"))
+        .orderBy("event_type")
+    }),
+
     // Load trend slope per class: least-squares slope of the hourly
     // load series — "is this query class growing?" as one number. The
     // time axis NORMALIZES to hours-since-start (broadcast min ride)
@@ -2297,6 +2328,17 @@ object ExtQueries {
         s"UNION ALL SELECT 3, '$s3', (SELECT count(*) FROM f3)) ORDER BY stage_ord"
     },
     "q131_l2_lsh" -> exactTop3L2FloorSql,
+    // q146: generate_series densification, lead pairs, closed form
+    "q146_autocorr" ->
+      ("WITH h AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hb, round(sum(value), 4) AS cnt FROM events GROUP BY 1, 2), " +
+        "b AS (SELECT min(hb) AS lo, max(hb) AS hi FROM h), " +
+        "ty AS (SELECT DISTINCT event_type FROM h), " +
+        "spine AS (SELECT event_type, gs.hb FROM ty CROSS JOIN (SELECT unnest(generate_series((SELECT lo FROM b), (SELECT hi FROM b))) AS hb) gs), " +
+        "dn AS (SELECT s.event_type, s.hb, coalesce(h.cnt, 0) AS cnt FROM spine s LEFT JOIN h USING (event_type, hb)), " +
+        "p AS (SELECT event_type, cnt AS y, lead(cnt) OVER (PARTITION BY event_type ORDER BY hb) AS z FROM dn), " +
+        "agg AS (SELECT event_type, count(*) AS n, sum(y) AS sy, sum(z) AS sz, sum(y*y) AS syy, sum(z*z) AS szz, sum(y*z) AS syz FROM p WHERE z IS NOT NULL GROUP BY 1) " +
+        "SELECT event_type, n AS n_pairs, round((n * syz - sy * sz) / sqrt((n * syy - sy * sy) * (n * szz - sz * sz)), 4) AS autocorr " +
+        "FROM agg ORDER BY event_type"),
     // q145: same closed-form slope over the same rounded hourly loads
     "q145_trend_slope" ->
       ("WITH h AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hb, round(sum(value), 4) AS load FROM events GROUP BY 1, 2), " +
