@@ -927,6 +927,42 @@ object ExtQueries {
         expr("ts_ns div 1000"), col("event_type"), FunnelStages,
         maxGap = Some(FunnelGapUs))),
 
+    // Leading-digit (Benford) audit — the data-forensics screen for
+    // fabricated or truncated numeric columns: observed leading-digit
+    // frequencies next to Benford's log10(1+1/d) expectation. The
+    // digit extracts ARITHMETICALLY (v / 10^⌊log10 v⌋) — printf-style
+    // string formatting differs between Java (half-up) and C
+    // (half-even) and is banned from oracle surfaces.
+    "q147_benford" -> ((s, d) =>
+      CoreQueries.events(s, d)
+        .filter(col("value") >= 1.0)
+        .withColumn("_d",
+          floor(col("value") / pow(lit(10.0), floor(log10(col("value")))))
+            .cast("long"))
+        .groupBy(col("_d").as("digit"))
+        .agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(CoreQueries.events(s, d)
+          .filter(col("value") >= 1.0).agg(count(lit(1)).as("_n"))))
+        .select(col("digit"), col("cnt"),
+          round(col("cnt").cast("double") / col("_n"), 4).as("freq"),
+          round(log10(lit(1.0) + lit(1.0) / col("digit")), 4).as("benford"))
+        .orderBy("digit")),
+
+    // Cumulative user-growth curve: new users per day (first-activity
+    // day) and the running total — the adoption curve next to q114's
+    // retention triangle; window over calendar-bounded rows.
+    "q148_user_growth" -> ((s, d) => {
+      val firstDay = CoreQueries.events(s, d)
+        .groupBy("user_id")
+        .agg(min(expr(s"(ts_ns div 1000) div $DayUs")).as("day"))
+      firstDay.groupBy("day").agg(count(lit(1)).as("new_users"))
+        .withColumn("total_users", sum("new_users").over(
+          org.apache.spark.sql.expressions.Window.orderBy("day")
+            .rowsBetween(org.apache.spark.sql.expressions.Window
+              .unboundedPreceding, 0)))
+        .orderBy("day")
+    }),
+
     // Lag-1 autocorrelation of the hourly load per class — burst
     // persistence ("does a hot hour predict the next?"). The series
     // DENSIFIES first (q124's operator): silent hours must be zeros or
@@ -2328,6 +2364,19 @@ object ExtQueries {
         s"UNION ALL SELECT 3, '$s3', (SELECT count(*) FROM f3)) ORDER BY stage_ord"
     },
     "q131_l2_lsh" -> exactTop3L2FloorSql,
+    // q147: arithmetic digit extraction, one division, log10 rounded
+    "q147_benford" ->
+      ("WITH e AS (SELECT value FROM events WHERE value >= 1.0), " +
+        "n AS (SELECT count(*) AS n FROM e), " +
+        "dg AS (SELECT CAST(floor(value / power(10.0, floor(log10(value)))) AS BIGINT) AS digit FROM e) " +
+        "SELECT digit, count(*) AS cnt, round(CAST(count(*) AS DOUBLE) / (SELECT n FROM n), 4) AS freq, " +
+        "round(log10(1.0 + 1.0 / digit), 4) AS benford FROM dg GROUP BY digit ORDER BY digit"),
+    // q148: first-activity days + a calendar-bounded running sum
+    "q148_user_growth" ->
+      (s"WITH f AS (SELECT user_id, min(epoch_us(ts) // $DayUs) AS day FROM events GROUP BY 1), " +
+        "d AS (SELECT day, count(*) AS new_users FROM f GROUP BY 1) " +
+        "SELECT day, new_users, CAST(sum(new_users) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS total_users " +
+        "FROM d ORDER BY day"),
     // q146: generate_series densification, lead pairs, closed form
     "q146_autocorr" ->
       ("WITH h AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hb, round(sum(value), 4) AS cnt FROM events GROUP BY 1, 2), " +
