@@ -927,6 +927,42 @@ object ExtQueries {
         expr("ts_ns div 1000"), col("event_type"), FunnelStages,
         maxGap = Some(FunnelGapUs))),
 
+    // RFM segmentation — the classic customer-value grid: per user,
+    // recency (last activity), frequency (events), monetary (value
+    // sum) each quartiled by ntile(4), concatenated to a segment code,
+    // segments counted. Every ntile orders on (metric, user_id) so
+    // ties split identically on both engines.
+    "q149_rfm" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+      val byUser = CoreQueries.events(s, d)
+        .groupBy("user_id")
+        .agg(max(expr("ts_ns div 1000")).as("_last"),
+          count(lit(1)).as("_freq"),
+          round(sum("value"), 4).as("_mon"))
+      byUser
+        .withColumn("_r", ntile(4).over(
+          w.orderBy(col("_last").desc, col("user_id"))))
+        .withColumn("_f", ntile(4).over(
+          w.orderBy(col("_freq").desc, col("user_id"))))
+        .withColumn("_m", ntile(4).over(
+          w.orderBy(col("_mon").desc, col("user_id"))))
+        .groupBy(concat(col("_r"), col("_f"), col("_m")).as("rfm"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("rfm")
+    }),
+
+    // Daily latency bands — exact p50/p95 of value per (class, day):
+    // the band chart a latency dashboard draws; exact interpolating
+    // percentile (q23's contract) over small-magnitude values.
+    "q150_daily_bands" -> ((s, d) =>
+      CoreQueries.events(s, d)
+        .withColumn("day", expr(s"(ts_ns div 1000) div $DayUs"))
+        .groupBy("event_type", "day")
+        .agg(count(lit(1)).as("cnt"),
+          round(expr("percentile(value, 0.5)"), 4).as("p50"),
+          round(expr("percentile(value, 0.95)"), 4).as("p95"))
+        .orderBy("event_type", "day")),
+
     // Leading-digit (Benford) audit — the data-forensics screen for
     // fabricated or truncated numeric columns: observed leading-digit
     // frequencies next to Benford's log10(1+1/d) expectation. The
@@ -2364,6 +2400,19 @@ object ExtQueries {
         s"UNION ALL SELECT 3, '$s3', (SELECT count(*) FROM f3)) ORDER BY stage_ord"
     },
     "q131_l2_lsh" -> exactTop3L2FloorSql,
+    // q149: identical (metric, user) ntile orderings both engines
+    "q149_rfm" ->
+      ("WITH u AS (SELECT user_id, max(epoch_us(ts)) AS lst, count(*) AS freq, round(sum(value), 4) AS mon FROM events GROUP BY 1), " +
+        "q AS (SELECT user_id, ntile(4) OVER (ORDER BY lst DESC, user_id) AS r, " +
+        "ntile(4) OVER (ORDER BY freq DESC, user_id) AS f, " +
+        "ntile(4) OVER (ORDER BY mon DESC, user_id) AS m FROM u) " +
+        "SELECT CAST(r AS VARCHAR) || CAST(f AS VARCHAR) || CAST(m AS VARCHAR) AS rfm, count(*) AS n_users " +
+        "FROM q GROUP BY 1 ORDER BY rfm"),
+    // q150: exact interpolating percentile per (class, day) — q23 rule
+    "q150_daily_bands" ->
+      (s"SELECT event_type, epoch_us(ts) // $DayUs AS day, count(*) AS cnt, " +
+        "round(quantile_cont(value, 0.5), 4) AS p50, round(quantile_cont(value, 0.95), 4) AS p95 " +
+        "FROM events GROUP BY 1, 2 ORDER BY event_type, day"),
     // q147: arithmetic digit extraction, one division, log10 rounded
     "q147_benford" ->
       ("WITH e AS (SELECT value FROM events WHERE value >= 1.0), " +
