@@ -274,7 +274,8 @@ object ScaleBench {
       // timestamp/stage), retention two aggregates + a user-key join,
       // paths one window + a depth-bounded collect — all should track
       // the scan (≈ linear), with no per-entity state growth
-      if (want("q113_funnel") || want("q114_retention") || want("q116_paths")) {
+      if (want("q113_funnel") || want("q114_retention") || want("q116_paths") ||
+          want("q115_intervals") || want("q121_transitions")) {
         val ev = scaleUserEvents(spark, sf, k).persist()
         val nEv = ev.count()
         System.err.println(s"SCALE inputs ${k}x: $nEv user events")
@@ -287,6 +288,16 @@ object ScaleBench {
         if (want("q116_paths")) record("q116_paths", k, time(
           graft.operators.Behavior.topPaths(ev, "user_id", col("us"),
             col("event_id"), col("event_type"), depth = 5, topK = 20)))
+        // gaps-and-islands: stacked lag/run-sum windows on one shuffle,
+        // output ∝ runs — should track the scan like the others
+        if (want("q115_intervals")) record("q115_intervals", k, time(
+          graft.operators.Behavior.changeIntervals(ev, "user_id",
+            col("us"), col("event_id"), col("event_type"))))
+        // one lead window + a |types|²-keyed count — the cheapest
+        // possible behavioral shape; confirms no hidden state growth
+        if (want("q121_transitions")) record("q121_transitions", k, time(
+          graft.operators.Behavior.transitionMatrix(ev, "user_id",
+            col("us"), col("event_id"), col("event_type"))))
         ev.unpersist()
       }
 

@@ -927,6 +927,27 @@ object ExtQueries {
         expr("ts_ns div 1000"), col("event_type"), FunnelStages,
         maxGap = Some(FunnelGapUs))),
 
+    // Second-order transitions — q121 one step deeper: top (a→b→c)
+    // trigram counts with P(c | a,b) — the context-sensitive Markov
+    // summary (two stacked leads on ONE entity-key shuffle, a
+    // |types|³-keyed count, one exact-count division).
+    "q151_trigrams" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(expr("ts_ns div 1000"), col("event_id"))
+      val tri = CoreQueries.events(s, d)
+        .withColumn("_b", lead(col("event_type"), 1).over(w))
+        .withColumn("_c", lead(col("event_type"), 2).over(w))
+        .filter(col("_c").isNotNull)
+        .groupBy(col("event_type").as("t1"), col("_b").as("t2"),
+          col("_c").as("t3"))
+        .agg(count(lit(1)).as("cnt"))
+      val ctx = tri.groupBy("t1", "t2").agg(sum("cnt").as("_ctx"))
+      tri.join(ctx, Seq("t1", "t2"))
+        .select(col("t1"), col("t2"), col("t3"), col("cnt"),
+          round(col("cnt").cast("double") / col("_ctx"), 4).as("prob"))
+        .orderBy("t1", "t2", "t3")
+    }),
+
     // RFM segmentation — the classic customer-value grid: per user,
     // recency (last activity), frequency (events), monetary (value
     // sum) each quartiled by ntile(4), concatenated to a segment code,
@@ -2400,6 +2421,15 @@ object ExtQueries {
         s"UNION ALL SELECT 3, '$s3', (SELECT count(*) FROM f3)) ORDER BY stage_ord"
     },
     "q131_l2_lsh" -> exactTop3L2FloorSql,
+    // q151: two leads, one context division
+    "q151_trigrams" ->
+      ("WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events), " +
+        "t AS (SELECT event_type AS t1, lead(event_type, 1) OVER w AS t2, lead(event_type, 2) OVER w AS t3 " +
+        "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)), " +
+        "c AS (SELECT t1, t2, t3, count(*) AS cnt FROM t WHERE t3 IS NOT NULL GROUP BY 1, 2, 3), " +
+        "x AS (SELECT t1, t2, sum(cnt) AS ctx FROM c GROUP BY 1, 2) " +
+        "SELECT c.t1, c.t2, c.t3, c.cnt, round(CAST(c.cnt AS DOUBLE) / x.ctx, 4) AS prob " +
+        "FROM c JOIN x USING (t1, t2) ORDER BY t1, t2, t3"),
     // q149: identical (metric, user) ntile orderings both engines
     "q149_rfm" ->
       ("WITH u AS (SELECT user_id, max(epoch_us(ts)) AS lst, count(*) AS freq, round(sum(value), 4) AS mon FROM events GROUP BY 1), " +
