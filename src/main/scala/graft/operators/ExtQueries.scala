@@ -927,6 +927,51 @@ object ExtQueries {
         expr("ts_ns div 1000"), col("event_type"), FunnelStages,
         maxGap = Some(FunnelGapUs))),
 
+    // Box-plot outlier census — per class, Tukey fences at Q1/Q3 ±
+    // 1.5·IQR (exact interpolating quartiles, q23's contract) and the
+    // count outside them; quartiles and fences are identical doubles
+    // on both engines, so the comparisons agree exactly.
+    "q152_iqr_outliers" -> ((s, d) => {
+      val q = CoreQueries.events(s, d)
+        .groupBy("event_type")
+        .agg(expr("percentile(value, 0.25)").as("_q1"),
+          expr("percentile(value, 0.75)").as("_q3"))
+        .withColumn("_lo", col("_q1") - (col("_q3") - col("_q1")) * 1.5)
+        .withColumn("_hi", col("_q3") + (col("_q3") - col("_q1")) * 1.5)
+      CoreQueries.events(s, d)
+        .join(broadcast(q), "event_type")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"),
+          count(when(col("value") < col("_lo") || col("value") > col("_hi"),
+            lit(1))).as("n_outliers"),
+          round(first("_lo"), 4).as("lo_fence"),
+          round(first("_hi"), 4).as("hi_fence"))
+        .orderBy("event_type")
+    }),
+
+    // Session-level co-occurrence — which event types happen in the
+    // SAME session (q138's islands as transactions, q126's association
+    // machinery): the composition capstone of the behavioral family.
+    "q153_session_cooccur" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("_us", "event_id")
+      val sess = CoreQueries.events(s, d)
+        .withColumn("_us", expr("ts_ns div 1000"))
+        .withColumn("_new",
+          when(lag(col("_us"), 1).over(w).isNull ||
+            col("_us") - lag(col("_us"), 1).over(w) > 1800000000L, 1L)
+            .otherwise(0L))
+        .withColumn("_sid", sum("_new").over(
+          org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+            .orderBy("_us", "event_id")
+            .rowsBetween(org.apache.spark.sql.expressions.Window
+              .unboundedPreceding, 0)))
+        .select(concat_ws("#", col("user_id"), col("_sid")).as("tx"),
+          col("event_type").as("item"))
+      Behavior.associationPairs(sess, "tx", "item", minSupport = 2L,
+        topK = 20)
+    }),
+
     // Second-order transitions — q121 one step deeper: top (a→b→c)
     // trigram counts with P(c | a,b) — the context-sensitive Markov
     // summary (two stacked leads on ONE entity-key shuffle, a
@@ -2421,6 +2466,26 @@ object ExtQueries {
         s"UNION ALL SELECT 3, '$s3', (SELECT count(*) FROM f3)) ORDER BY stage_ord"
     },
     "q131_l2_lsh" -> exactTop3L2FloorSql,
+    // q152: identical interpolated quartiles → identical fences
+    "q152_iqr_outliers" ->
+      ("WITH q AS (SELECT event_type, quantile_cont(value, 0.25) AS q1, quantile_cont(value, 0.75) AS q3 FROM events GROUP BY 1), " +
+        "f AS (SELECT event_type, q1 - (q3 - q1) * 1.5 AS lo, q3 + (q3 - q1) * 1.5 AS hi FROM q) " +
+        "SELECT e.event_type, count(*) AS cnt, count(CASE WHEN value < lo OR value > hi THEN 1 END) AS n_outliers, " +
+        "round(min(lo), 4) AS lo_fence, round(min(hi), 4) AS hi_fence " +
+        "FROM events e JOIN f USING (event_type) GROUP BY 1 ORDER BY 1"),
+    // q153: q138's islands as transactions through the q126 machinery
+    "q153_session_cooccur" ->
+      ("WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events), " +
+        "fg AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS nw " +
+        "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)), " +
+        "r AS (SELECT *, sum(nw) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM fg), " +
+        "it AS (SELECT DISTINCT CAST(user_id AS VARCHAR) || '#' || CAST(sid AS VARCHAR) AS tx, event_type AS itm FROM r), " +
+        "n AS (SELECT count(DISTINCT tx) AS n_tx FROM it), " +
+        "ci AS (SELECT itm, count(*) AS c FROM it GROUP BY 1), " +
+        "cp AS (SELECT a.itm AS ia, b.itm AS ib, count(*) AS cp FROM it a JOIN it b ON a.tx = b.tx AND a.itm < b.itm GROUP BY 1, 2) " +
+        "SELECT ia, ib, cp, round(CAST(cp AS DOUBLE) * (SELECT n_tx FROM n) / (ca.c * cb.c), 4) AS lift " +
+        "FROM cp JOIN ci ca ON ca.itm = cp.ia JOIN ci cb ON cb.itm = cp.ib " +
+        "WHERE cp >= 2 ORDER BY lift DESC, ia, ib LIMIT 20"),
     // q151: two leads, one context division
     "q151_trigrams" ->
       ("WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events), " +
