@@ -927,6 +927,18 @@ object ExtQueries {
         expr("ts_ns div 1000"), col("event_type"), FunnelStages,
         maxGap = Some(FunnelGapUs))),
 
+    // Diurnal profile — per class, the hour-of-day load shape (UTC
+    // hours from pure epoch arithmetic — no calendar functions, so
+    // both engines bucket identically); the seasonality read behind
+    // capacity planning and the q100 anomaly baselines.
+    "q154_diurnal" -> ((s, d) =>
+      CoreQueries.events(s, d)
+        .withColumn("hod",
+          expr("((ts_ns div 1000) div 3600000000) % 24").cast("long"))
+        .groupBy("event_type", "hod")
+        .agg(count(lit(1)).as("cnt"), round(sum("value"), 4).as("load"))
+        .orderBy("event_type", "hod")),
+
     // Box-plot outlier census — per class, Tukey fences at Q1/Q3 ±
     // 1.5·IQR (exact interpolating quartiles, q23's contract) and the
     // count outside them; quartiles and fences are identical doubles
@@ -2466,6 +2478,11 @@ object ExtQueries {
         s"UNION ALL SELECT 3, '$s3', (SELECT count(*) FROM f3)) ORDER BY stage_ord"
     },
     "q131_l2_lsh" -> exactTop3L2FloorSql,
+    // q154: pure epoch arithmetic — no calendar functions either side
+    "q154_diurnal" ->
+      ("SELECT event_type, (epoch_us(ts) // 3600000000) % 24 AS hod, " +
+        "count(*) AS cnt, round(sum(value), 4) AS load " +
+        "FROM events GROUP BY 1, 2 ORDER BY event_type, hod"),
     // q152: identical interpolated quartiles → identical fences
     "q152_iqr_outliers" ->
       ("WITH q AS (SELECT event_type, quantile_cont(value, 0.25) AS q1, quantile_cont(value, 0.75) AS q3 FROM events GROUP BY 1), " +
