@@ -927,6 +927,64 @@ object ExtQueries {
         expr("ts_ns div 1000"), col("event_type"), FunnelStages,
         maxGap = Some(FunnelGapUs))),
 
+    // Funnel drop-off table — q113's counts with stage-to-stage
+    // conversion ratios (lag over the 3-row stage frame): the rate
+    // column a funnel chart is actually labeled with.
+    "q155_funnel_dropoff" -> ((s, d) => {
+      val f = Behavior.funnel(CoreQueries.events(s, d), "user_id",
+        expr("ts_ns div 1000"), col("event_type"), FunnelStages)
+      val w = org.apache.spark.sql.expressions.Window.orderBy("stage_ord")
+      f.withColumn("_prev", lag(col("n_entities"), 1).over(w))
+        .withColumn("conv_rate",
+          when(col("_prev").isNotNull,
+            round(col("n_entities").cast("double") / col("_prev"), 4)))
+        .select("stage_ord", "stage", "n_entities", "conv_rate")
+        .orderBy("stage_ord")
+    }),
+
+    // Weekday/weekend load split — day-of-week from pure epoch
+    // arithmetic ((days + 4) % 7, epoch day 0 = Thursday; no calendar
+    // functions): per class, both loads and their ratio.
+    "q156_weekpart" -> ((s, d) =>
+      CoreQueries.events(s, d)
+        .withColumn("_dow", expr(s"((ts_ns div 1000) div $DayUs + 4) % 7"))
+        .withColumn("_we", col("_dow") >= 5)
+        .groupBy("event_type")
+        .agg(count(when(!col("_we"), lit(1))).as("wd_cnt"),
+          count(when(col("_we"), lit(1))).as("we_cnt"),
+          round(sum(when(!col("_we"), col("value"))), 4).as("wd_load"),
+          round(sum(when(col("_we"), col("value"))), 4).as("we_load"))
+        .withColumn("we_share",
+          round(col("we_cnt").cast("double") /
+            (col("wd_cnt") + col("we_cnt")), 4))
+        .orderBy("event_type")),
+
+    // Share-of-voice series — each class's share of daily events
+    // (exact-count division against the day total): the stacked-area
+    // view of workload mix over time.
+    "q157_share_of_voice" -> ((s, d) => {
+      val daily = CoreQueries.events(s, d)
+        .withColumn("day", expr(s"(ts_ns div 1000) div $DayUs"))
+        .groupBy("day", "event_type").agg(count(lit(1)).as("cnt"))
+      val tot = daily.groupBy("day").agg(sum("cnt").as("_tot"))
+      daily.join(tot, "day")
+        .select(col("day"), col("event_type"), col("cnt"),
+          round(col("cnt").cast("double") / col("_tot"), 4).as("share"))
+        .orderBy("day", "event_type")
+    }),
+
+    // Dedup economics — what exact dedup would buy: per lang, the
+    // non-canonical copies and the bytes they hold (q25's groups
+    // rolled to the cost ledger a storage owner reads).
+    "q158_dedup_savings" -> ((s, d) =>
+      t(s, d, "documents")
+        .groupBy("lang", "text")
+        .agg(count(lit(1)).as("_copies"), min("doc_id").as("_canon"))
+        .groupBy("lang")
+        .agg(sum(col("_copies") - 1).as("dup_docs"),
+          sum((col("_copies") - 1) * length(col("text"))).as("bytes_saved"))
+        .orderBy("lang")),
+
     // Diurnal profile — per class, the hour-of-day load shape (UTC
     // hours from pure epoch arithmetic — no calendar functions, so
     // both engines bucket identically); the seasonality read behind
@@ -2478,6 +2536,38 @@ object ExtQueries {
         s"UNION ALL SELECT 3, '$s3', (SELECT count(*) FROM f3)) ORDER BY stage_ord"
     },
     "q131_l2_lsh" -> exactTop3L2FloorSql,
+    // q155: the q113 chain + a lag over the 3-row stage frame
+    "q155_funnel_dropoff" -> {
+      val Seq(s1, s2, s3) = FunnelStages
+      "WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events), " +
+        s"f1 AS (SELECT user_id, min(us) AS t FROM e WHERE event_type = '$s1' GROUP BY 1), " +
+        s"f2 AS (SELECT e.user_id, min(us) AS t FROM e JOIN f1 USING (user_id) WHERE event_type = '$s2' AND us > f1.t GROUP BY 1), " +
+        s"f3 AS (SELECT e.user_id, min(us) AS t FROM e JOIN f2 USING (user_id) WHERE event_type = '$s3' AND us > f2.t GROUP BY 1), " +
+        s"s AS (SELECT CAST(1 AS BIGINT) AS stage_ord, '$s1' AS stage, (SELECT count(*) FROM f1) AS n_entities " +
+        s"UNION ALL SELECT 2, '$s2', (SELECT count(*) FROM f2) UNION ALL SELECT 3, '$s3', (SELECT count(*) FROM f3)) " +
+        "SELECT stage_ord, stage, n_entities, " +
+        "round(CAST(n_entities AS DOUBLE) / lag(n_entities) OVER (ORDER BY stage_ord), 4) AS conv_rate " +
+        "FROM s ORDER BY stage_ord"
+    },
+    // q156: (days + 4) % 7 — epoch day 0 is a Thursday, no calendars
+    "q156_weekpart" ->
+      (s"WITH e AS (SELECT event_type, value, (epoch_us(ts) // $DayUs + 4) % 7 >= 5 AS we FROM events) " +
+        "SELECT event_type, count(CASE WHEN NOT we THEN 1 END) AS wd_cnt, count(CASE WHEN we THEN 1 END) AS we_cnt, " +
+        "round(sum(CASE WHEN NOT we THEN value END), 4) AS wd_load, round(sum(CASE WHEN we THEN value END), 4) AS we_load, " +
+        "round(CAST(count(CASE WHEN we THEN 1 END) AS DOUBLE) / count(*), 4) AS we_share " +
+        "FROM e GROUP BY 1 ORDER BY 1"),
+    // q157: one exact division against the day total
+    "q157_share_of_voice" ->
+      (s"WITH d AS (SELECT epoch_us(ts) // $DayUs AS day, event_type, count(*) AS cnt FROM events GROUP BY 1, 2), " +
+        "t AS (SELECT day, sum(cnt) AS tot FROM d GROUP BY 1) " +
+        "SELECT d.day, d.event_type, d.cnt, round(CAST(d.cnt AS DOUBLE) / t.tot, 4) AS share " +
+        "FROM d JOIN t USING (day) ORDER BY day, event_type"),
+    // q158: q25's exact groups rolled to the storage ledger
+    "q158_dedup_savings" ->
+      ("SELECT lang, CAST(sum(copies - 1) AS BIGINT) AS dup_docs, " +
+        "CAST(sum((copies - 1) * len) AS BIGINT) AS bytes_saved FROM " +
+        "(SELECT lang, count(*) AS copies, length(text) AS len FROM documents GROUP BY lang, text) t " +
+        "GROUP BY lang ORDER BY lang"),
     // q154: pure epoch arithmetic — no calendar functions either side
     "q154_diurnal" ->
       ("SELECT event_type, (epoch_us(ts) // 3600000000) % 24 AS hod, " +
