@@ -129,6 +129,11 @@ object ExtQueries {
     * ((lang, source) group sizes: 1–16 at sf0.01, 24–112 at sf0.1). */
   private val KAnonK: Long = 30L
 
+  /** q160 per-lang vocabulary size (both engines rank (count desc,
+    * token) — each lang has ≥ 50 distinct tokens at every SF, so the
+    * set size is exactly N and the union is 2N − common). */
+  private val VocabTopN: Int = 50
+
   /** q132 per-group sample size — below every lang's sf0.1 count,
     * above some sf0.01 ones, so both the cap and the keep-all branch
     * are exercised. */
@@ -926,6 +931,50 @@ object ExtQueries {
       Behavior.funnel(CoreQueries.events(s, d), "user_id",
         expr("ts_ns div 1000"), col("event_type"), FunnelStages,
         maxGap = Some(FunnelGapUs))),
+
+    // Longest activity streak — per user, the maximum run of
+    // CONSECUTIVE active days (gaps-and-islands on the distinct day
+    // set: day − row_number is constant within a run): the engagement
+    // metric next to q114's retention. Exact integers end to end.
+    "q159_streaks" -> ((s, d) => {
+      val days = CoreQueries.events(s, d)
+        .select(col("user_id"),
+          expr(s"(ts_ns div 1000) div $DayUs").as("day"))
+        .distinct()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("day")
+      days.withColumn("_grp", col("day") - row_number().over(w))
+        .groupBy("user_id", "_grp")
+        .agg(count(lit(1)).as("_len"))
+        .groupBy("user_id")
+        .agg(max("_len").as("longest_streak"),
+          count(lit(1)).as("n_streaks"))
+        .orderBy("user_id")
+    }),
+
+    // Cross-language vocabulary overlap — Jaccard of each lang pair's
+    // top-50 token sets (deterministic (count desc, token) ranking):
+    // the contamination/borrowing screen between corpus slices; the
+    // pair join runs over 5×50 rows.
+    "q160_vocab_overlap" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(col("_c").desc, col("token"))
+      val top = t(s, d, "documents")
+        .select(col("lang"), explode(split(col("text"), " ")).as("token"))
+        .groupBy("lang", "token").agg(count(lit(1)).as("_c"))
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") <= VocabTopN)
+        .select("lang", "token")
+      val inter = top.select(col("lang").as("la"), col("token"))
+        .join(top.select(col("lang").as("lb"), col("token")), Seq("token"))
+        .filter(col("la") < col("lb"))
+        .groupBy("la", "lb").agg(count(lit(1)).as("common"))
+      inter
+        .withColumn("jaccard",
+          round(col("common").cast("double") /
+            (lit(2 * VocabTopN) - col("common")), 4))
+        .orderBy("la", "lb")
+    }),
 
     // Funnel drop-off table — q113's counts with stage-to-stage
     // conversion ratios (lag over the 3-row stage frame): the rate
@@ -2536,6 +2585,22 @@ object ExtQueries {
         s"UNION ALL SELECT 3, '$s3', (SELECT count(*) FROM f3)) ORDER BY stage_ord"
     },
     "q131_l2_lsh" -> exactTop3L2FloorSql,
+    // q159: day − row_number is constant within a consecutive run
+    "q159_streaks" ->
+      (s"WITH d AS (SELECT DISTINCT user_id, epoch_us(ts) // $DayUs AS day FROM events), " +
+        "g AS (SELECT user_id, day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp FROM d), " +
+        "runs AS (SELECT user_id, grp, count(*) AS len FROM g GROUP BY 1, 2) " +
+        "SELECT user_id, max(len) AS longest_streak, count(*) AS n_streaks " +
+        "FROM runs GROUP BY 1 ORDER BY user_id"),
+    // q160: identical top-N ranking, |union| = 2N − |common|
+    "q160_vocab_overlap" -> {
+      val n = VocabTopN
+      s"WITH tf AS (SELECT lang, token, count(*) AS c FROM (SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents) GROUP BY 1, 2), " +
+        s"top AS (SELECT lang, token FROM (SELECT lang, token, row_number() OVER (PARTITION BY lang ORDER BY c DESC, token) AS rn FROM tf) WHERE rn <= $n), " +
+        "i AS (SELECT a.lang AS la, b.lang AS lb, count(*) AS common FROM top a JOIN top b USING (token) WHERE a.lang < b.lang GROUP BY 1, 2) " +
+        s"SELECT la, lb, common, round(CAST(common AS DOUBLE) / (${2 * n} - common), 4) AS jaccard " +
+        "FROM i ORDER BY la, lb"
+    },
     // q155: the q113 chain + a lag over the 3-row stage frame
     "q155_funnel_dropoff" -> {
       val Seq(s1, s2, s3) = FunnelStages
