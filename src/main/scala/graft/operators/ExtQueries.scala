@@ -932,6 +932,26 @@ object ExtQueries {
         expr("ts_ns div 1000"), col("event_type"), FunnelStages,
         maxGap = Some(FunnelGapUs))),
 
+    // Local-supplier volume (the TPC-H Q5 shape): revenue from
+    // lineitems where customer and supplier share a nation — the
+    // 5-table star join exercised as one declarative plan (fact scans
+    // once; every dimension broadcasts; the c_nationkey = s_nationkey
+    // predicate rides the join, never a cross product).
+    "q161_local_volume" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, d, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, d, "supplier")),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(t(s, d, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+          .as("revenue"), count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("n_name"))),
+
     // Longest activity streak — per user, the maximum run of
     // CONSECUTIVE active days (gaps-and-islands on the distinct day
     // set: day − row_number is constant within a run): the engagement
@@ -2585,6 +2605,14 @@ object ExtQueries {
         s"UNION ALL SELECT 3, '$s3', (SELECT count(*) FROM f3)) ORDER BY stage_ord"
     },
     "q131_l2_lsh" -> exactTop3L2FloorSql,
+    // q161: same star join, revenue rounded once
+    "q161_local_volume" ->
+      ("SELECT n_name, round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue, count(*) AS n_items " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey " +
+        "JOIN nation ON c_nationkey = n_nationkey " +
+        "GROUP BY 1 ORDER BY revenue DESC, n_name"),
     // q159: day − row_number is constant within a consecutive run
     "q159_streaks" ->
       (s"WITH d AS (SELECT DISTINCT user_id, epoch_us(ts) // $DayUs AS day FROM events), " +
