@@ -932,6 +932,42 @@ object ExtQueries {
         expr("ts_ns div 1000"), col("event_type"), FunnelStages,
         maxGap = Some(FunnelGapUs))),
 
+    // Late-order census (the TPC-H Q4 shape): orders per priority
+    // class with AT LEAST ONE lineitem shipped after the order date —
+    // the EXISTS predicate as a left-semi join whose condition spans
+    // both sides; date comparisons are exact on every engine.
+    "q162_late_orders" -> ((s, d) =>
+      t(s, d, "orders")
+        .join(t(s, d, "lineitem"),
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > col("o_orderdate"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_late_orders"))
+        .orderBy("o_orderpriority")),
+
+    // Workload-mix shift — each class's share of events before vs
+    // after the broadcast midpoint, with the delta: the one-screen
+    // "what changed in the mix" readout (exact-count divisions).
+    "q163_mix_shift" -> ((s, d) => {
+      val ev = CoreQueries.events(s, d).withColumn("us", expr("ts_ns div 1000"))
+      val mid = ev.agg(expr("(min(us) + max(us)) div 2").as("_mid"))
+      ev.crossJoin(broadcast(mid))
+        .withColumn("_ref", col("us") <= col("_mid"))
+        .groupBy("event_type")
+        .agg(count(when(col("_ref"), lit(1))).as("n_before"),
+          count(when(!col("_ref"), lit(1))).as("n_after"))
+        .crossJoin(broadcast(
+          ev.crossJoin(broadcast(mid))
+            .agg(count(when(col("us") <= col("_mid"), lit(1))).as("_tb"),
+              count(when(col("us") > col("_mid"), lit(1))).as("_ta"))))
+        .select(col("event_type"), col("n_before"), col("n_after"),
+          round(col("n_before").cast("double") / col("_tb"), 4).as("share_before"),
+          round(col("n_after").cast("double") / col("_ta"), 4).as("share_after"),
+          round(col("n_after").cast("double") / col("_ta") -
+            col("n_before").cast("double") / col("_tb"), 4).as("share_delta"))
+        .orderBy("event_type")
+    }),
+
     // Local-supplier volume (the TPC-H Q5 shape): revenue from
     // lineitems where customer and supplier share a nation — the
     // 5-table star join exercised as one declarative plan (fact scans
@@ -2605,6 +2641,21 @@ object ExtQueries {
         s"UNION ALL SELECT 3, '$s3', (SELECT count(*) FROM f3)) ORDER BY stage_ord"
     },
     "q131_l2_lsh" -> exactTop3L2FloorSql,
+    // q162: EXISTS as a semi join spanning both sides
+    "q162_late_orders" ->
+      ("SELECT o_orderpriority, count(*) AS n_late_orders FROM orders " +
+        "WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate) " +
+        "GROUP BY 1 ORDER BY 1"),
+    // q163: midpoint halves, exact-count shares and their delta
+    "q163_mix_shift" ->
+      ("WITH m AS (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid FROM events), " +
+        "e AS (SELECT event_type, epoch_us(ts) <= (SELECT mid FROM m) AS ref FROM events), " +
+        "t AS (SELECT count(CASE WHEN ref THEN 1 END) AS tb, count(CASE WHEN NOT ref THEN 1 END) AS ta FROM e) " +
+        "SELECT event_type, count(CASE WHEN ref THEN 1 END) AS n_before, count(CASE WHEN NOT ref THEN 1 END) AS n_after, " +
+        "round(CAST(count(CASE WHEN ref THEN 1 END) AS DOUBLE) / (SELECT tb FROM t), 4) AS share_before, " +
+        "round(CAST(count(CASE WHEN NOT ref THEN 1 END) AS DOUBLE) / (SELECT ta FROM t), 4) AS share_after, " +
+        "round(CAST(count(CASE WHEN NOT ref THEN 1 END) AS DOUBLE) / (SELECT ta FROM t) - CAST(count(CASE WHEN ref THEN 1 END) AS DOUBLE) / (SELECT tb FROM t), 4) AS share_delta " +
+        "FROM e GROUP BY 1 ORDER BY 1"),
     // q161: same star join, revenue rounded once
     "q161_local_volume" ->
       ("SELECT n_name, round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue, count(*) AS n_items " +
