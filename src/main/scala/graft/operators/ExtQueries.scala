@@ -932,6 +932,26 @@ object ExtQueries {
         expr("ts_ns div 1000"), col("event_type"), FunnelStages,
         maxGap = Some(FunnelGapUs))),
 
+    // Shipping-delay distribution — days from order to ship per
+    // priority class: the logistics SLA readout. Day differences are
+    // exact integers; the mean is exact integer division (q119 rule)
+    // and the p95 an exact ELEMENT (q94/q137 trick).
+    "q164_ship_delay" -> ((s, d) =>
+      t(s, d, "orders")
+        .join(t(s, d, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+        .withColumn("_delay", datediff(col("l_shipdate"), col("o_orderdate"))
+          .cast("long"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          sum("_delay").as("_s"),
+          percentile_approx(col("_delay"), lit(0.95), lit(1000000))
+            .as("p95_delay"),
+          max("_delay").as("max_delay"))
+        .select(col("o_orderpriority"), col("n_items"),
+          expr("_s div n_items").as("avg_delay"),
+          col("p95_delay"), col("max_delay"))
+        .orderBy("o_orderpriority")),
+
     // Late-order census (the TPC-H Q4 shape): orders per priority
     // class with AT LEAST ONE lineitem shipped after the order date —
     // the EXISTS predicate as a left-semi join whose condition spans
@@ -2641,6 +2661,14 @@ object ExtQueries {
         s"UNION ALL SELECT 3, '$s3', (SELECT count(*) FROM f3)) ORDER BY stage_ord"
     },
     "q131_l2_lsh" -> exactTop3L2FloorSql,
+    // q164: integer day diffs — exact mean, element p95
+    "q164_ship_delay" ->
+      ("SELECT o_orderpriority, count(*) AS n_items, " +
+        "CAST(sum(dl) // count(*) AS BIGINT) AS avg_delay, " +
+        "CAST(quantile_disc(dl, 0.95) AS BIGINT) AS p95_delay, max(dl) AS max_delay FROM " +
+        "(SELECT o_orderpriority, CAST(date_diff('day', o_orderdate, l_shipdate) AS BIGINT) AS dl " +
+        "FROM orders JOIN lineitem ON l_orderkey = o_orderkey) t " +
+        "GROUP BY 1 ORDER BY 1"),
     // q162: EXISTS as a semi join spanning both sides
     "q162_late_orders" ->
       ("SELECT o_orderpriority, count(*) AS n_late_orders FROM orders " +
