@@ -301,6 +301,38 @@ object ScaleBench {
         ev.unpersist()
       }
 
+      // the relational star at k× the FACT side (orderkeys offset per
+      // replica; dimension keys unchanged, so dims stay broadcast-sized
+      // — exactly how a 100 TB fact table meets its fixed dimensions):
+      // one fact scan, broadcast joins, one nation-keyed aggregate —
+      // cost must track the fact scan
+      if (want("q161_star")) {
+        val li = spark.read.parquet(s"$sf/lineitem.parquet")
+        val or = spark.read.parquet(s"$sf/orders.parquet")
+        def grow(df: DataFrame, keyCol: String): DataFrame =
+          if (k == 1) df
+          else df.crossJoin(spark.range(k).toDF("rep"))
+            .withColumn(keyCol, col(keyCol) + col("rep") * 1000000000L)
+            .drop("rep")
+        val liK = grow(li, "l_orderkey").persist()
+        val orK = grow(or, "o_orderkey").persist()
+        val n = liK.count(); orK.count()
+        System.err.println(s"SCALE inputs ${k}x: $n lineitems (star)")
+        record("q161_star", k, time(
+          liK.join(orK, col("l_orderkey") === col("o_orderkey"))
+            .join(broadcast(spark.read.parquet(s"$sf/customer.parquet")),
+              col("o_custkey") === col("c_custkey"))
+            .join(broadcast(spark.read.parquet(s"$sf/supplier.parquet")),
+              col("l_suppkey") === col("s_suppkey") &&
+                col("c_nationkey") === col("s_nationkey"))
+            .join(broadcast(spark.read.parquet(s"$sf/nation.parquet")),
+              col("c_nationkey") === col("n_nationkey"))
+            .groupBy(col("n_name"))
+            .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+              .as("revenue"), count(lit(1)).as("n_items"))))
+        liK.unpersist(); orK.unpersist()
+      }
+
       // PageRank over a k× random graph (constant average degree 10,
       // hash-derived edges — node AND edge count grow k×): each of the
       // 3 iterations is one edge⋈rank join + one dst-keyed aggregate,
