@@ -932,6 +932,31 @@ object ExtQueries {
         expr("ts_ns div 1000"), col("event_type"), FunnelStages,
         maxGap = Some(FunnelGapUs))),
 
+    // Market-segment revenue mix — revenue and order count per
+    // customer segment with each segment's share: the remaining
+    // customer dimension exercised through the same broadcast-star
+    // shape; share from one division of the unrounded sums, rounded
+    // once.
+    "q165_segment_revenue" -> ((s, d) => {
+      val rev = t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, d, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("_rev"),
+          countDistinct(col("o_orderkey")).as("n_orders"))
+      // revenue ships as PER-ORDER average, not the raw sum: a ~6e9
+      // sum disagrees between engines in the 4th decimal (the q105
+      // magnitude rule, hit live at sf0.1 — .3999 vs .4000); the
+      // division collapses the accumulation error
+      rev.crossJoin(broadcast(rev.agg(sum("_rev").as("_tot"))))
+        .select(col("c_mktsegment"), col("n_orders"),
+          round(col("_rev") / col("n_orders"), 4).as("avg_order_rev"),
+          round(col("_rev") / col("_tot"), 4).as("rev_share"))
+        .orderBy("c_mktsegment")
+    }),
+
     // Shipping-delay distribution — days from order to ship per
     // priority class: the logistics SLA readout. Day differences are
     // exact integers; the mean is exact integer division (q119 rule)
@@ -2661,6 +2686,14 @@ object ExtQueries {
         s"UNION ALL SELECT 3, '$s3', (SELECT count(*) FROM f3)) ORDER BY stage_ord"
     },
     "q131_l2_lsh" -> exactTop3L2FloorSql,
+    // q165: the same star, share from the unrounded sum ratio
+    "q165_segment_revenue" ->
+      ("WITH r AS (SELECT c_mktsegment, sum(l_extendedprice * (1.0 - l_discount)) AS rev, " +
+        "count(DISTINCT o_orderkey) AS n_orders FROM lineitem " +
+        "JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey GROUP BY 1), " +
+        "t AS (SELECT sum(rev) AS tot FROM r) " +
+        "SELECT c_mktsegment, n_orders, round(rev / n_orders, 4) AS avg_order_rev, " +
+        "round(rev / (SELECT tot FROM t), 4) AS rev_share FROM r ORDER BY 1"),
     // q164: integer day diffs — exact mean, element p95
     "q164_ship_delay" ->
       ("SELECT o_orderpriority, count(*) AS n_items, " +
