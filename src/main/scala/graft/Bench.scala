@@ -91,6 +91,16 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.build("graft-bench")
+    // Every unpartitioned window on the board runs over a frame BOUNDED
+    // before the window (top-k ranks, vocabulary/calendar-sized frames —
+    // audited in the r10 verdict), so WindowExec's single-partition
+    // warning is noise here: hundreds of repeats buried real warnings in
+    // the bench tail. Scoped to the bench JVM only — Verify and user
+    // sessions keep the default so a genuinely unbounded window still
+    // announces itself where correctness work happens.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
 
     // correctness inventory + bench-only timings (q41b ANN-only etc.);
     // core-24 and total_all sums below exclude the bench-only names so

@@ -172,6 +172,69 @@ object Dedup {
       .select(col("da"), col("db"), round(jac, 4).as("jac"))
   }
 
+  /**
+   * Shingle-skew statistic for the exact-Jaccard strategy choice: the
+   * ratio of the blocking join's real candidate load `Σ df·(df−1)/2`
+   * to the load a perfectly uniform corpus with the same shingle mass
+   * would generate (`s·u·(u−1)/2` with `u = Σdf / s` the mean bucket).
+   * 1.0 = uniform; a hot-headed (Zipfian/stop-shingle) corpus scores
+   * orders of magnitude higher, because Σdf² is dominated by the head
+   * buckets that [[prefixFilterJaccardPairs]] never joins on.
+   *
+   * Cost: ONE aggregate pass over the shingle frame collapsing to a
+   * single row (partial aggregation makes even the hot shingles
+   * map-side-cheap) — the `.first()` is a 3-column scalar, bounded at
+   * any corpus size.
+   */
+  def shingleSkewRatio(sh: DataFrame): Double = {
+    val r = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .agg(sum(col("df") * (col("df") - 1) / 2).as("pairs"),
+        sum("df").as("mass"),
+        count(lit(1)).as("s"))
+      .first()
+    val (pairs, mass, s) =
+      (r.getAs[Number](0).doubleValue(), r.getAs[Number](1).doubleValue(),
+        r.getAs[Number](2).doubleValue())
+    if (s == 0) 1.0
+    else {
+      val u = mass / s
+      val uniformPairs = s * u * (u - 1) / 2
+      if (uniformPairs <= 0) 1.0 else pairs / uniformPairs
+    }
+  }
+
+  /** Skew-ratio threshold above which [[jaccardPairsAuto]] dispatches to
+    * the prefix filter. Calibrated from measurement (SCALE.md §12): on
+    * the uniform bench corpus the ratio is ~1–3 and the direct join is
+    * 1.56× FASTER than PPJoin's extra df-rank pass; a single stop-shingle
+    * shared by every document already pushes the ratio ∝ ndocs/u² (tens
+    * to thousands), where the direct join degenerates to all-pairs and
+    * the prefix filter's head-avoidance wins by construction. The band
+    * between is shallow — both paths are within 2× of each other — so
+    * one conservative constant suffices.
+    */
+  val PrefixFilterSkewThreshold: Double = 10.0
+
+  /**
+   * Exact Jaccard pairs with COST-BASED strategy choice — the q67/q84
+   * selection-rule pattern applied to the direct-vs-PPJoin measurement
+   * (round 10: direct 1.56× faster on the uniform corpus, PPJoin the
+   * designated winner on hot-head skew): one cheap shingle-DF aggregate
+   * computes [[shingleSkewRatio]], and the corpus dispatches to
+   * [[ngramJaccardPairs]] (uniform — candidate load is already near its
+   * information floor, skip PPJoin's df-rank pass) or
+   * [[prefixFilterJaccardPairs]] (hot-headed — never join on the head
+   * buckets). Both paths are EXACT with identical output contracts, so
+   * the dispatch can never change results, only cost.
+   */
+  def jaccardPairsAuto(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int, threshold: Double): DataFrame =
+    if (shingleSkewRatio(shingles(docs, idCol, textCol, n))
+        >= PrefixFilterSkewThreshold)
+      prefixFilterJaccardPairs(docs, idCol, textCol, n, threshold)
+    else
+      ngramJaccardPairs(docs, idCol, textCol, n, threshold)
+
   private def signaturesFromShingles(sh: DataFrame, idCol: String,
                                      numHashes: Int): DataFrame =
     sh.groupBy(col(idCol))
@@ -190,19 +253,114 @@ object Dedup {
     candidatesFromShingles(shingles(docs, idCol, textCol, n), idCol,
       numHashes, rowsPerBand)
 
-  private def candidatesFromShingles(sh: DataFrame, idCol: String,
-                                     numHashes: Int, rowsPerBand: Int): DataFrame = {
+  /**
+   * Banded MinHash signature frame `(idCol, band, key)` — the
+   * persistable MinHash-LSH index, the Jaccard twin of
+   * [[simHashBandFrame]]. At rest, write it (together with the shingle
+   * frame the exact-Jaccard verification needs) via
+   * [[graft.sources.Warehouse.saveMinHashIndex]] (`bucketBy(key)`): a
+   * probe document's band keys become a bucket-pruned lookup instead of
+   * re-signing the corpus, and the banded self-join reads both sides
+   * already hash-distributed on `key`. The signature model is stateless
+   * (component i is `min(xxhash64(shingle, i))` — seed-derived, no fit),
+   * so new batches encode against nothing and append rows that can
+   * never drift from the stored ones.
+   */
+  def minHashBandFrame(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3, numHashes: Int = 32,
+                       rowsPerBand: Int = 2): DataFrame =
+    bandedFromShingles(shingles(docs, idCol, textCol, n), idCol,
+      numHashes, rowsPerBand)
+
+  private def bandedFromShingles(sh: DataFrame, idCol: String,
+                                 numHashes: Int, rowsPerBand: Int): DataFrame = {
     val bands = numHashes / rowsPerBand
     val sigs = signaturesFromShingles(sh, idCol, numHashes)
-    val banded = sigs.select(col(idCol), explode(array((0 until bands).map(bnd =>
+    sigs.select(col(idCol), explode(array((0 until bands).map(bnd =>
       struct(lit(bnd).as("band"),
         xxhash64(lit(bnd), slice(col("sig"), bnd * rowsPerBand + 1, rowsPerBand))
           .as("key"))): _*)).as("bk"))
       .select(col(idCol), col("bk.band"), col("bk.key"))
+  }
+
+  /** LSH candidate pairs over an already-built band frame (fresh or read
+    * back from the warehouse index table). */
+  def minHashCandidatePairsFrom(bandFrame: DataFrame,
+                                idCol: String): DataFrame = {
+    val banded = bandFrame.select(col(idCol), col("band"), col("key"))
     banded.as("x").join(banded.as("y"), Seq("band", "key"))
       .filter(col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("da"), col(s"y.$idCol").as("db"))
       .distinct()
+  }
+
+  private def candidatesFromShingles(sh: DataFrame, idCol: String,
+                                     numHashes: Int, rowsPerBand: Int): DataFrame =
+    minHashCandidatePairsFrom(
+      bandedFromShingles(sh, idCol, numHashes, rowsPerBand), idCol)
+
+  /** Exact-Jaccard verification of candidate pairs `(da, db)` against
+    * per-side shingle frames — the shared tail of every candidate
+    * generator (LSH bands, prefix filter, cross-corpus probe): overlap
+    * is computed ONLY for candidates (candidate ⋈ shingles, grouped per
+    * pair — |cand|-proportional, never all-pairs), set sizes join in
+    * from per-side aggregates, survivors carry `jac ≥ threshold`. */
+  private def verifiedJaccardPairs(cand: DataFrame, shA: DataFrame,
+                                   shB: DataFrame, idCol: String,
+                                   threshold: Double): DataFrame = {
+    val overlap = cand
+      .join(shA.select(col(idCol).as("da"), col("shingle")), Seq("da"))
+      .join(shB.select(col(idCol).as("db"), col("shingle")), Seq("db", "shingle"))
+      .groupBy("da", "db").agg(count(lit(1)).as("overlap"))
+    val jac = col("overlap") / (col("na") + col("nb") - col("overlap"))
+    overlap
+      .join(shA.groupBy(col(idCol)).agg(count(lit(1)).as("na"))
+        .select(col(idCol).as("da"), col("na")), "da")
+      .join(shB.groupBy(col(idCol)).agg(count(lit(1)).as("nb"))
+        .select(col(idCol).as("db"), col("nb")), "db")
+      .filter(jac >= threshold)
+      .select(col("da"), col("db"), round(jac, 4).as("jac"))
+  }
+
+  /**
+   * Fuzzy-dedup pairs over an already-built MinHash index — the stored
+   * half of [[minHashDedupPairs]]: `bandFrame` and `shingleFrame` come
+   * back from [[graft.sources.Warehouse.saveMinHashIndex]]'s two tables
+   * (or are fresh frames — the result is identical either way, which is
+   * what the WarehouseSpec equality proves). The banded self-join reads
+   * a `bucketBy(key)` table pre-distributed on its join key; the exact
+   * verification joins the candidate pairs against the stored shingles.
+   */
+  def minHashDedupPairsFrom(bandFrame: DataFrame, shingleFrame: DataFrame,
+                            idCol: String,
+                            threshold: Double = 0.6): DataFrame =
+    verifiedJaccardPairs(minHashCandidatePairsFrom(bandFrame, idCol),
+      shingleFrame, shingleFrame, idCol, threshold)
+
+  /**
+   * Cross-corpus MinHash probe — the INCREMENTAL fuzzy-dedup primitive,
+   * [[simHashMatchesAgainst]]'s Jaccard twin: which ids in `probeBands`
+   * have exact Jaccard ≥ `threshold` with ANY id in the stored index?
+   * Candidates come from the banded probe⋈index join (no `da < db`
+   * guard — the sides are different corpora), verification joins each
+   * side's own shingle frame. Output: one row per matched probe id,
+   * distinct.
+   *
+   * Scale shape: with the index stored `bucketBy(key)` the band join
+   * reads only the probe batch's buckets and the probe side broadcasts
+   * under AQE; the verify join touches only candidate ids' shingles
+   * (id-bucketed at rest). Cost ∝ batch, not corpus.
+   */
+  def minHashMatchesAgainst(probeBands: DataFrame, probeShingles: DataFrame,
+                            indexBands: DataFrame, indexShingles: DataFrame,
+                            idCol: String,
+                            threshold: Double = 0.6): DataFrame = {
+    val cand = probeBands.select(col(idCol).as("da"), col("band"), col("key"))
+      .join(indexBands.select(col(idCol).as("db"), col("band"), col("key")),
+        Seq("band", "key"))
+      .select("da", "db").distinct()
+    verifiedJaccardPairs(cand, probeShingles, indexShingles, idCol, threshold)
+      .select(col("da").as(idCol)).distinct()
   }
 
   /**
@@ -221,18 +379,9 @@ object Dedup {
     // one shingle frame feeds signatures, counts, AND overlap — the
     // candidate path must not re-shingle the corpus per branch
     val sh = shingles(docs, idCol, textCol, n)
-    val counts = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
-    val cand = candidatesFromShingles(sh, idCol, numHashes, rowsPerBand)
-    val overlap = cand
-      .join(sh.select(col(idCol).as("da"), col("shingle")), "da")
-      .join(sh.select(col(idCol).as("db"), col("shingle")), Seq("db", "shingle"))
-      .groupBy("da", "db").agg(count(lit(1)).as("overlap"))
-    val jac = col("overlap") / (col("na") + col("nb") - col("overlap"))
-    overlap
-      .join(counts.select(col(idCol).as("da"), col("n_sh").as("na")), "da")
-      .join(counts.select(col(idCol).as("db"), col("n_sh").as("nb")), "db")
-      .filter(jac >= threshold)
-      .select(col("da"), col("db"), round(jac, 4).as("jac"))
+    verifiedJaccardPairs(
+      candidatesFromShingles(sh, idCol, numHashes, rowsPerBand),
+      sh, sh, idCol, threshold)
   }
 
   /**

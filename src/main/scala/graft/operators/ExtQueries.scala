@@ -290,14 +290,33 @@ object ExtQueries {
       Dedup.exactDedup(t(s, d, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // Exact Jaccard with the cost-based strategy choice (round-11): a
+    // one-row shingle-skew aggregate dispatches direct-blocking vs
+    // prefix-filter — identical exact output either way, so the oracle
+    // is unchanged; on this uniform corpus the statistic picks direct.
     "q26_jaccard_pairs" -> ((s, d) =>
-      Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
+      Dedup.jaccardPairsAuto(t(s, d, "documents"), "doc_id", "text",
           n = 3, threshold = 0.6)
         .orderBy("da", "db")),
 
-    "q40_minhash_dedup" -> ((s, d) =>
-      Dedup.minHashDedupPairs(t(s, d, "documents"), "doc_id", "text")
-        .orderBy("da", "db")),
+    // MinHash-LSH fuzzy dedup THROUGH the at-rest index (the q75
+    // pattern, closing round 10's one missing index family): bands +
+    // shingles are persisted bucketed (Warehouse.saveMinHashIndex) and
+    // the banded self-join + exact-Jaccard verify consume the STORED
+    // tables — the band join reads both sides pre-distributed on `key`,
+    // and future probes (q40b) never re-sign the corpus. Output (and
+    // oracle) unchanged vs the direct path.
+    "q40_minhash_dedup" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.sources.Warehouse.saveMinHashIndex(
+        Dedup.minHashBandFrame(docs, "doc_id", "text"),
+        Dedup.shingles(docs, "doc_id", "text", n = 3),
+        "graft_bench_minhash_q40")
+      Dedup.minHashDedupPairsFrom(
+          s.table("graft_bench_minhash_q40"),
+          s.table("graft_bench_minhash_q40_shingles"), "doc_id")
+        .orderBy("da", "db")
+    }),
 
     // -- built-in inventory gaps --------------------------------------
     "q27_arg_minmax" -> ((s, d) => {
@@ -1093,11 +1112,12 @@ object ExtQueries {
     }),
 
     // Weekday/weekend load split — day-of-week from pure epoch
-    // arithmetic ((days + 4) % 7, epoch day 0 = Thursday; no calendar
+    // arithmetic ((days + 3) % 7 maps epoch day 0 (a Thursday) to 3 in
+    // a Mon=0..Sun=6 week, so >= 5 selects Saturday+Sunday; no calendar
     // functions): per class, both loads and their ratio.
     "q156_weekpart" -> ((s, d) =>
       CoreQueries.events(s, d)
-        .withColumn("_dow", expr(s"((ts_ns div 1000) div $DayUs + 4) % 7"))
+        .withColumn("_dow", expr(s"((ts_ns div 1000) div $DayUs + 3) % 7"))
         .withColumn("_we", col("_dow") >= 5)
         .groupBy("event_type")
         .agg(count(when(!col("_we"), lit(1))).as("wd_cnt"),
@@ -2186,6 +2206,10 @@ object ExtQueries {
   private val invertedIndexBuilt =
     scala.collection.concurrent.TrieMap.empty[String, Unit]
 
+  /** Same stored-table guard for the q40b MinHash-index probe. */
+  private val minhashIndexBuilt =
+    scala.collection.concurrent.TrieMap.empty[String, Unit]
+
   /** Same stored-table guards for the IVF / PQ probe-only bench splits
     * (q53b reuses q53's tables; q83b owns its own PQ pair). */
   private val ivfIndexBuilt =
@@ -2307,6 +2331,25 @@ object ExtQueries {
     // oracle entry keeps timing build+store+join (its contract); in a
     // bench run q75 has already (re)written the table, so the guarded
     // build here only fires standalone, during the untimed first call.
+    // MinHash fuzzy dedup with the band+shingle index PREBUILT: times
+    // the banded self-join + exact-Jaccard verify over the STORED
+    // tables alone — the recurring cost once the index is at rest
+    // (q75b's Jaccard twin). q40's oracle entry keeps timing
+    // build+store+join; in a bench run q40 has already (re)written the
+    // tables, so the guarded build here only fires standalone.
+    "q40b_minhash_probe" -> ((s, d) => {
+      minhashIndexBuilt.getOrElseUpdate(d, {
+        val docs = t(s, d, "documents")
+        graft.sources.Warehouse.saveMinHashIndex(
+          Dedup.minHashBandFrame(docs, "doc_id", "text"),
+          Dedup.shingles(docs, "doc_id", "text", n = 3),
+          "graft_bench_minhash_q40")
+      })
+      Dedup.minHashDedupPairsFrom(
+          s.table("graft_bench_minhash_q40"),
+          s.table("graft_bench_minhash_q40_shingles"), "doc_id")
+        .orderBy("da", "db")
+    }),
     "q75b_neardup_probe" -> ((s, d) => {
       simhashIndexBuilt.getOrElseUpdate(d, {
         val bands = Dedup.simHashBandFrame(t(s, d, "documents"), "doc_id",
@@ -2754,9 +2797,10 @@ object ExtQueries {
         "round(CAST(n_entities AS DOUBLE) / lag(n_entities) OVER (ORDER BY stage_ord), 4) AS conv_rate " +
         "FROM s ORDER BY stage_ord"
     },
-    // q156: (days + 4) % 7 — epoch day 0 is a Thursday, no calendars
+    // q156: (days + 3) % 7 → Mon=0..Sun=6 (epoch day 0 is a Thursday),
+    // so >= 5 is Saturday+Sunday; no calendars either side
     "q156_weekpart" ->
-      (s"WITH e AS (SELECT event_type, value, (epoch_us(ts) // $DayUs + 4) % 7 >= 5 AS we FROM events) " +
+      (s"WITH e AS (SELECT event_type, value, (epoch_us(ts) // $DayUs + 3) % 7 >= 5 AS we FROM events) " +
         "SELECT event_type, count(CASE WHEN NOT we THEN 1 END) AS wd_cnt, count(CASE WHEN we THEN 1 END) AS we_cnt, " +
         "round(sum(CASE WHEN NOT we THEN value END), 4) AS wd_load, round(sum(CASE WHEN we THEN value END), 4) AS we_load, " +
         "round(CAST(count(CASE WHEN we THEN 1 END) AS DOUBLE) / count(*), 4) AS we_share " +
@@ -2939,14 +2983,17 @@ object ExtQueries {
         "SELECT event_type, count(*) AS n_classes, " +
         "round(2.0 * sum(lo * rn) / (count(*) * sum(lo)) - (count(*) + 1.0) / count(*), 4) AS gini " +
         "FROM r GROUP BY event_type ORDER BY event_type"),
-    // q134: rounded per-class loads summed in the same total order
+    // q134: rounded per-class loads summed in the same total order;
+    // the row CROSSING the threshold is kept (previous cum_share < 0.8)
+    // so the head always covers at least the threshold
     "q134_pareto" ->
       ("WITH a AS (SELECT event_type || '|' || CAST(user_id % 500 AS VARCHAR) AS item, round(sum(value), 4) AS load FROM events GROUP BY 1), " +
         "t AS (SELECT sum(load) AS tot FROM a), " +
         "c AS (SELECT item, load, row_number() OVER (ORDER BY load DESC, item) AS rn, " +
-        "sum(load) OVER (ORDER BY load DESC, item ROWS UNBOUNDED PRECEDING) AS cum FROM a) " +
-        "SELECT item, rn, load, round(cum / (SELECT tot FROM t), 4) AS cum_share FROM c " +
-        "WHERE round(cum / (SELECT tot FROM t), 4) <= 0.8 ORDER BY rn"),
+        "round(sum(load) OVER (ORDER BY load DESC, item ROWS UNBOUNDED PRECEDING) / (SELECT tot FROM t), 4) AS cum_share FROM a) " +
+        "SELECT item, rn, load, cum_share FROM " +
+        "(SELECT item, rn, load, cum_share, lag(cum_share) OVER (ORDER BY rn) AS prev FROM c) x " +
+        "WHERE coalesce(prev, 0) < 0.8 ORDER BY rn"),
     // q133: exact per-group ranking under the same (cnt desc, item)
     // rule the sketch selects by
     "q133_group_topk" ->

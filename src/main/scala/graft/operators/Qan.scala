@@ -195,7 +195,10 @@ object Qan {
    * Pareto load concentration — "which query classes make up the first
    * `threshold` of total load?": classes ranked by load, cumulative
    * share computed over that (deterministic) order, rows kept while
-   * the ROUNDED share stays under the threshold. The capacity-planning
+   * the PREVIOUS row's rounded share is still under the threshold —
+   * i.e. the row that CROSSES the threshold is included, so the head
+   * returned always covers at least `threshold` of total load (and is
+   * never empty when the top class alone exceeds it). The capacity-planning
    * readout next to [[profile]]: the head you optimize, the tail you
    * rate-limit. Per-class loads round BEFORE the running sum so both
    * engines accumulate identical values in the identical (load desc,
@@ -213,7 +216,9 @@ object Qan {
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .crossJoin(broadcast(agg.agg(sum("load").as("_tot"))))
       .withColumn("cum_share", round(col("_cum") / col("_tot"), 4))
-      .filter(col("cum_share") <= threshold)
+      .withColumn("_prev_share",
+        lag(col("cum_share"), 1).over(Window.orderBy(col("rn"))))
+      .filter(col("_prev_share").isNull || col("_prev_share") < threshold)
       .select(col(keyCol), col("rn"), col("load"), col("cum_share"))
       .orderBy("rn")
   }

@@ -194,7 +194,11 @@ object Fingerprint {
           val start = i
           while (i < n && isIdentChar(trimmed.charAt(i))) i += 1
           val word = trimmed.substring(start, i).toLowerCase(Locale.ROOT)
-          if (word == "null") sb.append('?') else sb.append(word)
+          // pt rule: NULL and boolean literals abstract to ? (whole-word
+          // only — `true_flag` is an identifier and passes through)
+          if (word == "null" || word == "true" || word == "false")
+            sb.append('?')
+          else sb.append(word)
 
         case other =>
           sb.append(other.toLower); i += 1
@@ -225,9 +229,13 @@ object Fingerprint {
     out = stripTrailingSemis(out)
     if (out.startsWith("call "))
       out = CallStmt.replaceAllIn(out, m => "call " + java.util.regex.Matcher.quoteReplacement(m.group(1)))
-    // any USE statement (with space or backtick-glued db name) → use ?
-    if (out == "use" || out.startsWith("use ") || out.startsWith("use`")) "use ?"
-    else out
+    // USE statement → use ? — anchored like pt's `\Ause \S+\Z`: the
+    // WHOLE statement must be `use <name>` (a multi-statement line
+    // `use db1; select ?` keeps its tail; pt leaves it un-rewritten too)
+    val useRewrite =
+      (out.startsWith("use ") && out.indexOf(' ', 4) < 0) ||
+      (out.startsWith("use`") && out.indexOf(' ') < 0)
+    if (useRewrite) "use ?" else out
   }
 
   private def stripTrailingSemis(s: String): String = {

@@ -128,6 +128,41 @@ object Warehouse {
   }
 
   /**
+   * Persist a MinHash-LSH index
+   * ([[graft.operators.Dedup.minHashBandFrame]]: `(id, band, key)`, plus
+   * the shingle frame [[graft.operators.Dedup.shingles]] the exact
+   * Jaccard verification consumes) — the fuzzy-dedup twin of
+   * [[saveSimHashIndex]]: bands bucket by `key` so a probe document's
+   * band keys become a bucket-pruned scan (`SelectedBucketsCount`) and
+   * the banded self-join reads both sides pre-distributed on `key`;
+   * shingles land in `<table>_shingles` bucketed by the id so the
+   * verify joins co-locate on their id keys. The signature model is
+   * stateless (seed-derived xxhash64 mins — no fit, no params table),
+   * so `SaveMode.Append` with batch-encoded frames is the entire
+   * incremental-maintenance story: nothing can drift, nothing can
+   * corrupt. Index once, probe forever.
+   */
+  def saveMinHashIndex(bandFrame: DataFrame, shingles: DataFrame,
+                       table: String, idCol: String = "doc_id",
+                       buckets: Int = 32,
+                       mode: SaveMode = SaveMode.Overwrite): Unit = {
+    if (mode == SaveMode.Overwrite) {
+      dropWithLocation(bandFrame.sparkSession, table)
+      dropWithLocation(bandFrame.sparkSession, s"${table}_shingles")
+    }
+    bandFrame.write.mode(mode)
+      .bucketBy(buckets, "key")
+      .sortBy("key")
+      .format("parquet")
+      .saveAsTable(table)
+    shingles.write.mode(mode)
+      .bucketBy(buckets, idCol)
+      .sortBy(idCol)
+      .format("parquet")
+      .saveAsTable(s"${table}_shingles")
+  }
+
+  /**
    * Persist a posting frame ([[graft.operators.Search.postings]]:
    * distinct `(doc_id, token)`) bucketed by `token` — the inverted
    * index at rest, the lexical twin of [[saveSimHashIndex]]: a search
@@ -218,6 +253,12 @@ object Warehouse {
                    buckets: Int = 32,
                    mode: SaveMode = SaveMode.Overwrite,
                    writeParams: Boolean = true): Unit = {
+    // An Append that also appends params would leave a 2-row params
+    // table; sq8CosineTopKFrom crossJoins it, silently duplicating every
+    // candidate. Fail fast instead of relying on the docstring.
+    require(mode != SaveMode.Append || !writeParams,
+      "saveSq8Index: Append must pass writeParams = false (the params " +
+        "table is one-row by contract; appending would corrupt probes)")
     if (mode == SaveMode.Overwrite) {
       dropWithLocation(codes.sparkSession, table)
       if (writeParams) dropWithLocation(codes.sparkSession, s"${table}_params")

@@ -102,4 +102,77 @@ object StreamingDedup {
       } finally bands.unpersist()
     } finally b.unpersist()
   }
+
+  /**
+   * MinHash-LSH admission — [[simHashAdmission]]'s Jaccard twin over the
+   * at-rest MinHash index ([[graft.sources.Warehouse.saveMinHashIndex]]):
+   * a document is admitted only if no already-admitted document has
+   * word-n-gram Jaccard ≥ `threshold` with it. Same four-step batch
+   * shape (stateless encode → within-batch dedup → index probe → append
+   * bands+shingles+output), same exactly-once caveats.
+   */
+  def minHashAdmission(docs: DataFrame, idCol: String, textCol: String,
+                       indexTable: String, outPath: String,
+                       checkpointDir: String,
+                       n: Int = 3, threshold: Double = 0.6,
+                       indexBuckets: Int = 32): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        admitBatchMinHash(batch, idCol, textCol, indexTable, outPath,
+          n, threshold, indexBuckets)
+      }
+      .start()
+
+  /** One MinHash admission round — also the BATCH incremental
+    * fuzzy-dedup API (ship a day's partition against the standing index
+    * without a stream). */
+  def admitBatchMinHash(batch: DataFrame, idCol: String, textCol: String,
+                        indexTable: String, outPath: String,
+                        n: Int = 3, threshold: Double = 0.6,
+                        indexBuckets: Int = 32): Unit = {
+    val spark = batch.sparkSession
+    val b = batch.persist()
+    try {
+      val sh = Dedup.shingles(b, idCol, textCol, n).persist()
+      val bands = Dedup.minHashBandFrame(b, idCol, textCol, n).persist()
+      try {
+        // within-batch: one representative per fuzzy-dup cluster
+        val within = Dedup.minHashDedupPairsFrom(bands, sh, idCol, threshold)
+        val dropWithin = Dedup.dedupClustersStar(within, "da", "db")
+          .filter(col("node") =!= col("lbl"))
+          .select(col("node").as(idCol))
+        val repBands = bands.join(dropWithin, Seq(idCol), "left_anti")
+        val repSh = sh.join(dropWithin, Seq(idCol), "left_anti")
+        // vs the standing index. Rejection is tracked by ID (not by
+        // surviving band rows): a document with fewer than n words has
+        // NO shingles and therefore no band rows, but it is not a
+        // duplicate of anything and must still be admitted.
+        // localCheckpoint SEVERS the rejected-id plan from the index
+        // tables before the append below, exactly as the SimHash path
+        // documents (a lazy plan would re-probe the tables post-append
+        // and self-reject every admitted document); the frame is an id
+        // list, batch-bounded, never corpus-sized.
+        val rejectedIds = (
+          if (spark.catalog.tableExists(indexTable)) {
+            val hit = Dedup.minHashMatchesAgainst(
+              repBands, repSh,
+              spark.table(indexTable), spark.table(s"${indexTable}_shingles"),
+              idCol, threshold)
+            dropWithin.union(hit)
+          } else dropWithin
+        ).localCheckpoint()
+        val survivorBands = bands.join(rejectedIds, Seq(idCol), "left_anti")
+        val survivorSh = sh.join(rejectedIds, Seq(idCol), "left_anti")
+        val survivors = b.join(rejectedIds, Seq(idCol), "left_anti")
+        // admit: index first (later batches must see these rows even if
+        // the output write below fails and the batch replays)
+        Warehouse.saveMinHashIndex(survivorBands, survivorSh, indexTable,
+          idCol = idCol, buckets = indexBuckets,
+          mode = if (spark.catalog.tableExists(indexTable)) SaveMode.Append
+                 else SaveMode.ErrorIfExists)
+        survivors.write.mode(SaveMode.Append).parquet(outPath)
+      } finally { bands.unpersist(); sh.unpersist() }
+    } finally b.unpersist()
+  }
 }

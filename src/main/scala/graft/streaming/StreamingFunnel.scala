@@ -71,4 +71,33 @@ object StreamingFunnel {
           out.result().iterator
       }
   }
+
+  /**
+   * Roll an at-rest conversion log (appended [[FunnelProgress]] rows)
+   * up to [[graft.operators.Behavior.funnel]]'s exact output shape
+   * `(stage_ord, stage, n_entities)` — the reconciliation surface the
+   * stream/batch split documents: over an in-order log the streamed
+   * log rolled up here EQUALS the batch operator's result
+   * (spec-proven), and over a disordered log the batch operator is the
+   * backfill that revises it. `n_entities` is a distinct count per
+   * stage: a crash-replayed micro-batch may append duplicate progress
+   * rows (the documented exactly-once caveat), and the distinct makes
+   * the rollup immune to them. Every stage gets a row (zero when
+   * nothing reached it), like the batch operator — the spine is the
+   * |stages|-row literal array, broadcast by construction.
+   */
+  def funnelTable(progress: DataFrame, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val spine = progress.sparkSession.range(1, stages.size + 1)
+      .select(col("id").as("stage_ord"),
+        element_at(array(stages.map(lit): _*), col("id").cast("int"))
+          .as("stage"))
+    val counts = progress
+      .groupBy(col("stage_ord").cast("long").as("stage_ord"))
+      .agg(count_distinct(col("key")).as("_n"))
+    spine.join(counts, Seq("stage_ord"), "left")
+      .select(col("stage_ord"), col("stage"),
+        coalesce(col("_n"), lit(0L)).as("n_entities"))
+      .orderBy("stage_ord")
+  }
 }

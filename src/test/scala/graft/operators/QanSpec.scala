@@ -356,4 +356,22 @@ class QanSpec extends AnyFunSuite with SparkTestSession {
     assert(out.length == 1 && !out.head.getDouble(3).isNaN &&
       !out.head.getDouble(3).isInfinite)
   }
+
+  test("paretoLoad includes the class that crosses the threshold") {
+    import spark.implicits._
+    // loads 50/30/15/5: cum shares 0.5, 0.8, 0.95, 1.0 — at t=0.9 the
+    // crossing class is c (prev share 0.8 < 0.9), d is out
+    val df = Seq(("a", 50.0), ("b", 30.0), ("c", 15.0), ("d", 5.0))
+      .toDF("cls", "load")
+    val out = Qan.paretoLoad(df, "cls", org.apache.spark.sql.functions.col("load"),
+      threshold = 0.9).collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("a", "b", "c"))
+    assert(out.last.getDouble(3) == 0.95) // head covers ≥ threshold
+    // a single dominant class still returns itself, never an empty head
+    val one = Qan.paretoLoad(
+      Seq(("big", 99.0), ("small", 1.0)).toDF("cls", "load"),
+      "cls", org.apache.spark.sql.functions.col("load"), threshold = 0.8)
+      .collect()
+    assert(one.map(_.getString(0)).toSeq == Seq("big"))
+  }
 }

@@ -114,7 +114,26 @@ class FingerprintSpec extends AnyFunSuite {
     ("SELECT a FROM t LIMIT 0", "select a from t limit ?"),
     // VALUES collapse leaves the ON DUPLICATE KEY tail intact
     ("insert into t (a) values (1) on duplicate key update a = 2",
-     "insert into t (a) values(?+) on duplicate key update a = ?")
+     "insert into t (a) values(?+) on duplicate key update a = ?"),
+    // pt rule: boolean literals abstract like NULL (whole-word only)
+    ("select * from t where active = TRUE and deleted = false",
+     "select * from t where active = ? and deleted = ?"),
+    ("SELECT true, FALSE", "select ?, ?"),
+    // ...but identifiers merely containing them pass through
+    ("select true_flag from t where istrue = 1",
+     "select true_flag from t where istrue = ?"),
+    // multi-statement line: each statement's literals abstract; the
+    // interior semicolon survives (pt has no special rule either)
+    ("SELECT 1; SELECT 2;", "select ?; select ?"),
+    // LOAD DATA: the filename and delimiters are plain string literals
+    ("LOAD DATA LOCAL INFILE '/tmp/x.csv' INTO TABLE t FIELDS TERMINATED BY ',' IGNORE 1 LINES",
+     "load data local infile ? into table t fields terminated by ? ignore ? lines"),
+    // nested block comment: comments end at the FIRST */ (pt's
+    // non-greedy strip) — the dangling tail is kept verbatim
+    ("select /* a /* b */ c */ 1", "select c */ ?"),
+    // USE is anchored (pt `\Ause \S+\Z`): a multi-statement line keeps
+    // its tail instead of collapsing the whole line to use ?
+    ("use db1; SELECT 1", "use db1; select ?")
   )
 
   golden.zipWithIndex.foreach { case ((in, want), idx) =>

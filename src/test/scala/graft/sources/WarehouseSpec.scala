@@ -121,6 +121,75 @@ class WarehouseSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("persisted MinHash index: probe prunes buckets, stored pairs equal direct, append is stateless") {
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    import graft.operators.Dedup
+    val bands = Dedup.minHashBandFrame(docs, "doc_id", "text")
+    val sh = Dedup.shingles(docs, "doc_id", "text", n = 3)
+    Warehouse.saveMinHashIndex(bands, sh, "minhash_idx", buckets = 8)
+    try {
+      // probe: one document's band-0 key, computed from the same
+      // stateless seed-derived signature math the index was built with
+      val probeKey = bands
+        .filter(col("doc_id") === 0L && col("band") === 0).collect().head
+        .getAs[Long]("key")
+      val lookup = spark.table("minhash_idx")
+        .filter(col("band") === 0 && col("key") === probeKey)
+      val plan = lookup.queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount: 1 out of 8"),
+        s"probe lookup did not bucket-prune:\n$plan")
+      // the banded self-join over the STORED table: both sides already
+      // hash-distributed on key, so the candidate join needs no exchange
+      val stored = spark.table("minhash_idx")
+      val joined = stored.select(col("doc_id").as("da"), col("band"), col("key"))
+        .join(stored.select(col("doc_id").as("db"), col("band"), col("key")),
+          Seq("band", "key"))
+        .filter(col("da") < col("db"))
+      assert(!joined.queryExecution.executedPlan.toString
+          .contains("Exchange hashpartitioning"),
+        s"bucketed self-join still shuffles:\n${joined.queryExecution.executedPlan}")
+      // full persist-and-probe operator equals the direct path — same
+      // pairs, same exact Jaccard
+      def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+        df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val viaStore = pairs(Dedup.minHashDedupPairsFrom(
+        stored, spark.table("minhash_idx_shingles"), "doc_id"))
+      val direct = pairs(Dedup.minHashDedupPairs(docs, "doc_id", "text"))
+      assert(viaStore == direct && viaStore.nonEmpty)
+      // append is stateless: a split build + append equals the full build
+      val (docA, docB) =
+        (docs.filter(col("doc_id") < 250), docs.filter(col("doc_id") >= 250))
+      Warehouse.saveMinHashIndex(
+        Dedup.minHashBandFrame(docA, "doc_id", "text"),
+        Dedup.shingles(docA, "doc_id", "text", n = 3), "mh_app", buckets = 8)
+      Warehouse.saveMinHashIndex(
+        Dedup.minHashBandFrame(docB, "doc_id", "text"),
+        Dedup.shingles(docB, "doc_id", "text", n = 3), "mh_app", buckets = 8,
+        mode = org.apache.spark.sql.SaveMode.Append)
+      val viaAppended = pairs(Dedup.minHashDedupPairsFrom(
+        spark.table("mh_app"), spark.table("mh_app_shingles"), "doc_id"))
+      assert(viaAppended == direct)
+      // the cross-corpus probe: every docB id near-dup of a docA id is
+      // exactly the (da < db)-split pairs crossing the 250 boundary
+      val crossing = direct.collect { case (a, b, _) if a < 250 && b >= 250 => b }
+      val matched = Dedup.minHashMatchesAgainst(
+          Dedup.minHashBandFrame(docB, "doc_id", "text"),
+          Dedup.shingles(docB, "doc_id", "text", n = 3),
+          Dedup.minHashBandFrame(docA, "doc_id", "text"),
+          Dedup.shingles(docA, "doc_id", "text", n = 3), "doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(matched == crossing.toSet, s"probe matched $matched, expected $crossing")
+    } finally {
+      spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+      spark.sql("DROP TABLE IF EXISTS minhash_idx")
+      spark.sql("DROP TABLE IF EXISTS minhash_idx_shingles")
+      spark.sql("DROP TABLE IF EXISTS mh_app")
+      spark.sql("DROP TABLE IF EXISTS mh_app_shingles")
+    }
+  }
+
   test("persisted IVF index: cell lookups bucket-prune, stored probe equals direct") {
     spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
     spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")

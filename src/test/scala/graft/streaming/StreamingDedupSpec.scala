@@ -63,6 +63,49 @@ class StreamingDedupSpec extends AnyFunSuite with SparkTestSession {
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  test("minHash admission: streamed batches dedup by Jaccard through the stored index") {
+    import spark.implicits._
+    val srcDir = Files.createTempDirectory("graft-mhx-src").toString
+    val outDir = Files.createTempDirectory("graft-mhx-out").toString + "/out"
+    val ckpt = Files.createTempDirectory("graft-mhx-ckpt").toString
+    val tbl = "graft_bench_stream_mhx"
+    Warehouse.dropWithLocation(spark, tbl)
+    Warehouse.dropWithLocation(spark, s"${tbl}_shingles")
+
+    // a one-token mutation of a 40-token doc keeps Jaccard ≈ 0.85 on
+    // 3-gram shingles (near-dup at threshold 0.6); disjoint vocab → 0
+    val base = doc("alpha")
+    def runOnce(): Unit = {
+      val q = StreamingDedup.minHashAdmission(
+        spark.readStream.schema(schema).parquet(srcDir),
+        "doc_id", "text", tbl, outDir, ckpt)
+      q.processAllAvailable(); q.stop()
+    }
+
+    // batch 1: 1 and 2 are fuzzy dups of each other (min-id 1 survives),
+    // 3 is a stranger, 6 is too short to shingle (must still be admitted)
+    Seq((1L, base), (2L, mutate(base, 5)), (3L, doc("beta")), (6L, "hi"))
+      .toDF("doc_id", "text").write.mode("append").parquet(srcDir)
+    runOnce()
+    // batch 2: 4 is a fuzzy dup of ADMITTED 1 (only the stored index can
+    // reject it); 5 is a stranger
+    Seq((4L, mutate(base, 7)), (5L, doc("gamma")))
+      .toDF("doc_id", "text").write.mode("append").parquet(srcDir)
+    runOnce()
+
+    val admitted = spark.read.parquet(outDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(admitted == Set(1L, 3L, 5L, 6L), s"admitted $admitted")
+    // the index holds exactly the shingled survivors' rows (16 bands
+    // each; doc 6 has no shingles so no index rows — by construction)
+    val idx = spark.table(tbl)
+    assert(idx.select("doc_id").distinct().collect()
+      .map(_.getLong(0)).toSet == Set(1L, 3L, 5L))
+    assert(idx.count() == 48L)
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"DROP TABLE IF EXISTS ${tbl}_shingles")
+  }
+
   test("admitBatch is the batch API: day-2 partition against a standing index") {
     import spark.implicits._
     val outDir = Files.createTempDirectory("graft-sdx-b-out").toString + "/o"

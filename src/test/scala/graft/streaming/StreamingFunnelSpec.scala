@@ -64,6 +64,38 @@ class StreamingFunnelSpec extends AnyFunSuite with SparkTestSession {
       (2L, 1, 10L), (2L, 2, 40L)))
   }
 
+  test("at-rest rollup of the streamed log equals the batch funnel") {
+    import spark.implicits._
+    val srcDir = Files.createTempDirectory("graft-sfr-src").toString
+    val outDir = Files.createTempDirectory("graft-sfr-out").toString + "/out"
+    val ckpt = Files.createTempDirectory("graft-sfr-ckpt").toString
+    // an in-order log (the reconciliation contract's premise): 3 users
+    // reach view, 2 click, 1 purchases; plus a duplicated progress
+    // append (the replay caveat) that the distinct count must absorb
+    val log = Seq(
+      (1L, 10L, "view"), (1L, 20L, "click"), (1L, 30L, "purchase"),
+      (2L, 11L, "view"), (2L, 25L, "click"),
+      (3L, 12L, "view"), (3L, 13L, "browse"))
+    log.toDF("user_id", "ts", "event_type")
+      .write.mode("append").parquet(srcDir)
+    run(srcDir, ckpt, outDir)
+    // simulate a crash-replayed micro-batch: re-append one emitted row
+    spark.read.parquet(outDir).limit(1)
+      .write.mode("append").parquet(outDir)
+    val stages = Seq("view", "click", "purchase")
+    val streamed = StreamingFunnel.funnelTable(
+        spark.read.parquet(outDir), stages)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val batch = graft.operators.Behavior.funnel(
+        log.toDF("user_id", "ts", "event_type"),
+        "user_id", org.apache.spark.sql.functions.col("ts"),
+        org.apache.spark.sql.functions.col("event_type"), stages)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(streamed == batch, s"streamed $streamed vs batch $batch")
+    assert(batch == Seq((1L, "view", 3L), (2L, "click", 2L),
+      (3L, "purchase", 1L)))
+  }
+
   test("funnel progress: conversion window rejects late transitions") {
     import spark.implicits._
     val srcDir = Files.createTempDirectory("graft-sfw-src").toString
