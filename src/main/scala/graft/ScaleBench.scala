@@ -90,13 +90,13 @@ object ScaleBench {
         raw.withColumn("us", expr("ts div 1000"))
       case _ =>
         raw.withColumn("us", expr("unix_micros(cast(ts as timestamp))"))
-    }).select("user_id", "event_id", "event_type", "us")
+    }).select("user_id", "event_id", "event_type", "us", "value")
     if (k == 1) base
     else base.crossJoin(spark.range(k).toDF("rep"))
       .select(
         (col("user_id") + col("rep") * 10000000L).as("user_id"),
         (col("event_id") + col("rep") * 1000000000L).as("event_id"),
-        col("event_type"), col("us"))
+        col("event_type"), col("us"), col("value"))
   }
 
   def main(args: Array[String]): Unit = {
@@ -275,7 +275,8 @@ object ScaleBench {
       // paths one window + a depth-bounded collect — all should track
       // the scan (≈ linear), with no per-entity state growth
       if (want("q113_funnel") || want("q114_retention") || want("q116_paths") ||
-          want("q115_intervals") || want("q121_transitions")) {
+          want("q115_intervals") || want("q121_transitions") ||
+          want("q149_rfm") || want("q153_cooccur")) {
         val ev = scaleUserEvents(spark, sf, k).persist()
         val nEv = ev.count()
         System.err.println(s"SCALE inputs ${k}x: $nEv user events")
@@ -298,6 +299,32 @@ object ScaleBench {
         if (want("q121_transitions")) record("q121_transitions", k, time(
           graft.operators.Behavior.transitionMatrix(ev, "user_id",
             col("us"), col("event_id"), col("event_type"))))
+        // RFM grid after the round-11 rewrite: one entity aggregate +
+        // three globalRank passes (range exchange + zipWithIndex) +
+        // three id-keyed tile joins — the old unpartitioned ntile
+        // windows would have put the whole k×-user frame on ONE reducer
+        if (want("q149_rfm")) record("q149_rfm", k, time(
+          graft.operators.Behavior.rfmSegments(ev, "user_id",
+            col("us"), col("value"))))
+        // sessionization (two stacked windows on one user-key shuffle)
+        // composed into the q126 association machinery: transactions
+        // grow k×, the item vocabulary stays |types| — pair space fixed,
+        // so cost should track the session windows ≈ linearly
+        if (want("q153_cooccur")) record("q153_cooccur", k, {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy("user_id").orderBy("us", "event_id")
+          time(graft.operators.Behavior.associationPairs(
+            ev.withColumn("_new",
+                when(lag(col("us"), 1).over(w).isNull ||
+                  col("us") - lag(col("us"), 1).over(w) > 1800000000L, 1L)
+                  .otherwise(0L))
+              .withColumn("_sid", sum("_new").over(
+                w.rowsBetween(org.apache.spark.sql.expressions.Window
+                  .unboundedPreceding, 0)))
+              .select(concat_ws("#", col("user_id"), col("_sid")).as("tx"),
+                col("event_type").as("item")),
+            "tx", "item", minSupport = 2L, topK = 20))
+        })
         ev.unpersist()
       }
 
@@ -398,7 +425,7 @@ object ScaleBench {
       val docOps = Seq("q123_prefix", "q26_jaccard", "q52_capped", "q40_minhash",
         "q67_clusters", "q67_cluster_only", "q84_star_only", "q75_probe",
         "admit_batch", "q92_bloom", "q99_spans", "q102_edit", "q103_bigram", "q104_sn",
-        "q107_entropy", "q107_exploded")
+        "q107_entropy", "q107_exploded", "q160_vocab")
       val embOps = Seq("q83_pq", "q41c_probe", "q41c_logbits",
         "ivf_append", "pq_append")
       if (!(docOps ++ embOps).exists(want)) {
@@ -448,6 +475,28 @@ object ScaleBench {
       if (want("q107_exploded")) record("q107_exploded", k, time(
         graft.operators.TextAnalysis.charEntropyExploded(
           docs, "doc_id", "text")))
+
+      // per-lang top-50 vocabulary overlap: the token aggregate is the
+      // corpus-sized stage (map-side combined); the rank window runs
+      // per-lang over the VOCABULARY (salted tokens grow it k× here —
+      // the worst case for the window), and the overlap join touches
+      // only 50·|langs| rows — cost must track the token aggregate
+      if (want("q160_vocab")) record("q160_vocab", k, {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("lang").orderBy(col("_c").desc, col("token"))
+        time {
+          val top = docs
+            .select(col("lang"), explode(split(col("text"), " ")).as("token"))
+            .groupBy("lang", "token").agg(count(lit(1)).as("_c"))
+            .withColumn("_rn", row_number().over(w))
+            .filter(col("_rn") <= 50)
+            .select("lang", "token")
+          top.select(col("lang").as("la"), col("token"))
+            .join(top.select(col("lang").as("lb"), col("token")), Seq("token"))
+            .filter(col("la") < col("lb"))
+            .groupBy("la", "lb").agg(count(lit(1)).as("common"))
+        }
+      })
 
       if (want("q26_jaccard")) record("q26_jaccard", k, time(
         Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.6)))

@@ -356,4 +356,53 @@ object Behavior {
         col("valid_from"), col("valid_to"), col("n_events"))
       .orderBy(col(keyCol), col("run_id"))
   }
+
+  /**
+   * RFM segmentation — the customer-value grid: per entity, recency
+   * (last activity), frequency (event count), monetary (value sum),
+   * each quartiled into `buckets` tiles, concatenated to a segment
+   * code, segments counted: `(rfm, n_users)`.
+   *
+   * Scale shape: `ntile` over an UNPARTITIONED window moves the entire
+   * entity frame to one reducer — the single-partition cliff
+   * [[graft.operators.Pipeline.globalRank]] exists to remove — so each
+   * metric ranks through globalRank's range-partitioned zipWithIndex
+   * instead, and the tile is recovered ARITHMETICALLY from (rank, n):
+   * with q = n/k and r = n%k, the first r tiles carry q+1 rows —
+   * exactly SQL ntile's remainder rule — so
+   * `tile = rn ≤ r(q+1) ? ⌈rn/(q+1)⌉ : r + ⌈(rn − r(q+1))/q⌉`,
+   * bit-identical to the window function at any n (spec-proven against
+   * it). Descending metrics rank ascending on the NEGATED value with
+   * the entity id as unique tiebreak (the q104 determinism rule); n
+   * rides in as a broadcast one-row count frame so the plan stays
+   * fully lazy. Cost: one entity aggregate + three range-partitioned
+   * rank passes + three id-keyed equi-joins of (id, tile) frames —
+   * everything partitioned, nothing entity-frame-sized on one node.
+   */
+  def rfmSegments(events: DataFrame, keyCol: String, tsCol: Column,
+                  valueCol: Column, buckets: Int = 4): DataFrame = {
+    val byUser = events.groupBy(col(keyCol))
+      .agg(max(tsCol).as("_last"), count(lit(1)).as("_freq"),
+        round(sum(valueCol), 4).as("_mon"))
+    val n = byUser.agg(count(lit(1)).as("_n"))
+    def tiles(metric: Column, out: String): DataFrame = {
+      val ranked = graft.operators.Pipeline.globalRank(
+        byUser.withColumn("_neg", -metric), keyCol,
+        Seq(col("_neg"), col(keyCol)))
+      val q = expr(s"_n div $buckets")
+      val r = expr(s"_n % $buckets")
+      ranked.crossJoin(broadcast(n))
+        .select(col(keyCol),
+          when(col("rn") <= r * (q + 1),
+            ceil(col("rn") / (q + 1)))
+            .otherwise(r + ceil((col("rn") - r * (q + 1)) / q))
+            .cast("int").as(out))
+    }
+    byUser.select(col(keyCol))
+      .join(tiles(col("_last"), "_r"), keyCol)
+      .join(tiles(col("_freq"), "_f"), keyCol)
+      .join(tiles(col("_mon"), "_m"), keyCol)
+      .groupBy(concat(col("_r"), col("_f"), col("_m")).as("rfm"))
+      .agg(count(lit(1)).as("n_users"))
+  }
 }

@@ -1233,29 +1233,18 @@ object ExtQueries {
         .orderBy("t1", "t2", "t3")
     }),
 
-    // RFM segmentation — the classic customer-value grid: per user,
-    // recency (last activity), frequency (events), monetary (value
-    // sum) each quartiled by ntile(4), concatenated to a segment code,
-    // segments counted. Every ntile orders on (metric, user_id) so
-    // ties split identically on both engines.
-    "q149_rfm" -> ((s, d) => {
-      val w = org.apache.spark.sql.expressions.Window
-      val byUser = CoreQueries.events(s, d)
-        .groupBy("user_id")
-        .agg(max(expr("ts_ns div 1000")).as("_last"),
-          count(lit(1)).as("_freq"),
-          round(sum("value"), 4).as("_mon"))
-      byUser
-        .withColumn("_r", ntile(4).over(
-          w.orderBy(col("_last").desc, col("user_id"))))
-        .withColumn("_f", ntile(4).over(
-          w.orderBy(col("_freq").desc, col("user_id"))))
-        .withColumn("_m", ntile(4).over(
-          w.orderBy(col("_mon").desc, col("user_id"))))
-        .groupBy(concat(col("_r"), col("_f"), col("_m")).as("rfm"))
-        .agg(count(lit(1)).as("n_users"))
-        .orderBy("rfm")
-    }),
+    // RFM segmentation — the classic customer-value grid
+    // (Behavior.rfmSegments): recency/frequency/monetary each
+    // quartiled, concatenated to a segment code, segments counted.
+    // Round 11 replaced the three unpartitioned ntile windows (an
+    // entity-frame-sized single-reducer cliff) with globalRank +
+    // arithmetic tile recovery — bit-identical output (the remainder
+    // rule is ntile's own), so the oracle's ntile formulation stands.
+    // Ties split on (metric desc, user_id) on both engines.
+    "q149_rfm" -> ((s, d) =>
+      Behavior.rfmSegments(CoreQueries.events(s, d), "user_id",
+          expr("ts_ns div 1000"), col("value"))
+        .orderBy("rfm")),
 
     // Daily latency bands — exact p50/p95 of value per (class, day):
     // the band chart a latency dashboard draws; exact interpolating

@@ -246,4 +246,29 @@ class BehaviorSearchSpec extends AnyFunSuite with SparkTestSession {
     assert(both == (hits("hash") intersect hits("merge")))
     assert(both.nonEmpty)
   }
+
+  test("rfmSegments: arithmetic tiles equal the unpartitioned ntile windows") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.{Window => W}
+    // 103 users (n % 4 = 3 exercises ntile's remainder rule: first 3
+    // tiles carry 26 rows, the last 25), synthetic skewed metrics with
+    // deliberate ties so the user_id tiebreak is load-bearing
+    val ev = (0 until 1030).map { i =>
+      (i % 103L, (i * 37 % 500).toLong, 1.0 + (i % 7))
+    }.toDF("user_id", "us", "value")
+    val got = Behavior.rfmSegments(ev, "user_id", col("us"), col("value"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val byUser = ev.groupBy("user_id")
+      .agg(max("us").as("_last"), count(lit(1)).as("_freq"),
+        round(sum("value"), 4).as("_mon"))
+    val want = byUser
+      .withColumn("_r", ntile(4).over(W.orderBy(col("_last").desc, col("user_id"))))
+      .withColumn("_f", ntile(4).over(W.orderBy(col("_freq").desc, col("user_id"))))
+      .withColumn("_m", ntile(4).over(W.orderBy(col("_mon").desc, col("user_id"))))
+      .groupBy(concat(col("_r"), col("_f"), col("_m")).as("rfm"))
+      .agg(count(lit(1)).as("n_users"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == want)
+    assert(got.values.sum == 103L)
+  }
 }
