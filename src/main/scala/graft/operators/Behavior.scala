@@ -381,9 +381,16 @@ object Behavior {
    */
   def rfmSegments(events: DataFrame, keyCol: String, tsCol: Column,
                   valueCol: Column, buckets: Int = 4): DataFrame = {
+    // Eager localCheckpoint (the dedupClusters precedent): four
+    // consumers read this frame (three rank passes — each a separate
+    // zipWithIndex job — plus the final key projection), and without
+    // materialization EACH re-aggregates the full event corpus. The
+    // frame is one row per entity — the bounded shape an entity
+    // aggregate always has, never corpus-sized.
     val byUser = events.groupBy(col(keyCol))
       .agg(max(tsCol).as("_last"), count(lit(1)).as("_freq"),
         round(sum(valueCol), 4).as("_mon"))
+      .localCheckpoint()
     val n = byUser.agg(count(lit(1)).as("_n"))
     def tiles(metric: Column, out: String): DataFrame = {
       val ranked = graft.operators.Pipeline.globalRank(

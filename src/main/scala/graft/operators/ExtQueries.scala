@@ -976,6 +976,97 @@ object ExtQueries {
         .orderBy("c_mktsegment")
     }),
 
+    // Unshipped-order revenue (the TPC-H Q3 shape): top-10 orders by
+    // outstanding revenue for one market segment — both date filters
+    // push below the join, the segment filter prunes the broadcast
+    // dimension, and the rank runs on the ROUNDED per-order sum (both
+    // engines order identical 4-dp values; ≤7 items per order keeps
+    // the sum exact at that precision).
+    "q166_unshipped_orders" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") > lit("1998-07-01"))
+        .join(t(s, d, "orders")
+          .filter(col("o_orderdate") < lit("1998-07-01")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, d, "customer")
+          .filter(col("c_mktsegment") === "BUILDING")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+          .as("revenue"))
+        .select(col("o_orderkey"), col("revenue"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)),
+
+    // Forecast-revenue delta (the TPC-H Q6 shape): one filtered scan,
+    // no joins — the predicate-pushdown workhorse. Ships the AVERAGE
+    // discounted revenue (q105 magnitude rule: the raw sum's
+    // accumulation error crosses the 4th decimal; the division
+    // collapses it) next to the exact count.
+    "q167_forecast_revenue" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01") &&
+          col("l_shipdate") < lit("1998-01-01") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(count(lit(1)).as("n_items"),
+          round(avg(col("l_extendedprice") * col("l_discount")), 4)
+            .as("avg_disc_rev"))),
+
+    // Promotion revenue share (the TPC-H Q14 shape): one month of
+    // lineitems against the broadcast part dimension, share as a ratio
+    // of two sums over the SAME rows (the accumulation error divides
+    // out, q134/q165 family).
+    "q168_promo_share" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-09-01") &&
+          col("l_shipdate") < lit("1997-10-01"))
+        .join(broadcast(t(s, d, "part")),
+          col("l_partkey") === col("p_partkey"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(when(col("p_type") === "PROMO",
+              col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+              .otherwise(lit(0.0))) /
+            sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))) * 100,
+            4).as("promo_share"))),
+
+    // Returned-item customers (the TPC-H Q10 shape): top-20 customers
+    // by revenue lost to returns — the returnflag filter pushes to the
+    // fact scan, customers broadcast, rank on the rounded per-customer
+    // sum with the key tiebreak.
+    "q169_returned_revenue" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, d, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+          .as("lost_revenue"),
+          countDistinct(col("o_orderkey")).as("n_orders"))
+        .orderBy(col("lost_revenue").desc, col("c_custkey"))
+        .limit(20)),
+
+    // Disjunctive-predicate revenue (the TPC-H Q19 shape): an OR of
+    // three (brand × size-range × quantity-range) conjunction groups
+    // spanning both join sides — the boolean-pushdown stress shape;
+    // average-based output (q167 rule).
+    "q170_brand_quantity" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "part")),
+          col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#11" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#19" && col("p_size").between(1, 25) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 35) &&
+            col("l_quantity").between(20, 30)))
+        .agg(count(lit(1)).as("n_items"),
+          round(avg(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+            .as("avg_rev"))),
+
     // Shipping-delay distribution — days from order to ship per
     // priority class: the logistics SLA readout. Day differences are
     // exact integers; the mean is exact integer division (q119 rule)
@@ -2726,6 +2817,37 @@ object ExtQueries {
         "t AS (SELECT sum(rev) AS tot FROM r) " +
         "SELECT c_mktsegment, n_orders, round(rev / n_orders, 4) AS avg_order_rev, " +
         "round(rev / (SELECT tot FROM t), 4) AS rev_share FROM r ORDER BY 1"),
+    // q166: rank on the rounded per-order sum, key tiebreak
+    "q166_unshipped_orders" ->
+      ("SELECT o_orderkey, round(sum(l_extendedprice*(1.0-l_discount)),4) AS revenue, " +
+        "strftime(o_orderdate,'%Y-%m-%d') AS o_date " +
+        "FROM lineitem JOIN orders ON l_orderkey=o_orderkey JOIN customer ON o_custkey=c_custkey " +
+        "WHERE c_mktsegment='BUILDING' AND o_orderdate < TIMESTAMP '1998-07-01' AND l_shipdate > TIMESTAMP '1998-07-01' " +
+        "GROUP BY o_orderkey, o_orderdate ORDER BY revenue DESC, o_orderkey LIMIT 10"),
+    // q167: average-based (the raw sum's accumulation error crosses 4dp)
+    "q167_forecast_revenue" ->
+      ("SELECT count(*) AS n_items, round(avg(l_extendedprice*l_discount),4) AS avg_disc_rev FROM lineitem " +
+        "WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01' " +
+        "AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24"),
+    // q168: ratio of two sums over the same rows — error divides out
+    "q168_promo_share" ->
+      ("SELECT count(*) AS n_items, round(100.0 * sum(CASE WHEN p_type='PROMO' THEN l_extendedprice*(1.0-l_discount) ELSE 0.0 END) " +
+        "/ sum(l_extendedprice*(1.0-l_discount)), 4) AS promo_share " +
+        "FROM lineitem JOIN part ON l_partkey=p_partkey " +
+        "WHERE l_shipdate >= TIMESTAMP '1997-09-01' AND l_shipdate < TIMESTAMP '1997-10-01'"),
+    // q169: rank on the rounded per-customer sum, key tiebreak
+    "q169_returned_revenue" ->
+      ("SELECT c_custkey, c_name, round(sum(l_extendedprice*(1.0-l_discount)),4) AS lost_revenue, " +
+        "CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders " +
+        "FROM lineitem JOIN orders ON l_orderkey=o_orderkey JOIN customer ON o_custkey=c_custkey " +
+        "WHERE l_returnflag='R' GROUP BY 1,2 ORDER BY lost_revenue DESC, c_custkey LIMIT 20"),
+    // q170: OR of conjunction groups spanning both join sides
+    "q170_brand_quantity" ->
+      ("SELECT count(*) AS n_items, round(avg(l_extendedprice*(1.0-l_discount)),4) AS avg_rev " +
+        "FROM lineitem JOIN part ON l_partkey=p_partkey " +
+        "WHERE (p_brand='Brand#11' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11) " +
+        "OR (p_brand='Brand#19' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20) " +
+        "OR (p_brand='Brand#23' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)"),
     // q164: integer day diffs — exact mean, element p95
     "q164_ship_delay" ->
       ("SELECT o_orderpriority, count(*) AS n_items, " +
