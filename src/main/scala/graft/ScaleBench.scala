@@ -424,7 +424,8 @@ object ScaleBench {
 
       val docOps = Seq("q123_prefix", "q26_jaccard", "q52_capped", "q40_minhash",
         "q67_clusters", "q67_cluster_only", "q84_star_only", "q75_probe",
-        "admit_batch", "q92_bloom", "q99_spans", "q102_edit", "q103_bigram", "q104_sn",
+        "admit_batch", "q40_probe", "minhash_admit",
+        "q92_bloom", "q99_spans", "q102_edit", "q103_bigram", "q104_sn",
         "q107_entropy", "q107_exploded", "q160_vocab")
       val embOps = Seq("q83_pq", "q41c_probe", "q41c_logbits",
         "ivf_append", "pq_append")
@@ -582,6 +583,47 @@ object ScaleBench {
         }
         record("admit_batch", k, math.min(once(1), once(2)))
         Warehouse.dropWithLocation(spark, tbl)
+      }
+      // MinHash probe path (q40b's scale evidence): band + shingle
+      // frames prebuilt (excluded, like every index above), timed =
+      // banded self-join + exact-Jaccard verification of candidates —
+      // the recurring cost once the index is at rest
+      if (want("q40_probe")) {
+        val mhBands = Dedup.minHashBandFrame(docs, "doc_id", "text").persist()
+        val mhSh = Dedup.shingles(docs, "doc_id", "text", 3).persist()
+        mhBands.count(); mhSh.count()
+        record("q40_probe", k, time(
+          Dedup.minHashDedupPairsFrom(mhBands, mhSh, "doc_id")))
+        mhBands.unpersist(); mhSh.unpersist()
+      }
+      // MinHash admission at scale (admit_batch's Jaccard twin): the
+      // standing band+shingle index grows k×, the admitted batch stays
+      // FIXED 1×-sized with fresh vocabulary — admission cost ∝ batch,
+      // ideal exponent 0. Two DIFFERENT fresh batches for min-of-2
+      // (re-admitting the same batch self-rejects and skips the append).
+      if (want("minhash_admit")) {
+        val tbl = "graft_bench_scale_mh_admit"
+        Warehouse.dropWithLocation(spark, tbl)
+        Warehouse.dropWithLocation(spark, s"${tbl}_shingles")
+        Warehouse.saveMinHashIndex(
+          Dedup.minHashBandFrame(docs, "doc_id", "text"),
+          Dedup.shingles(docs, "doc_id", "text", 3), tbl)
+        val outDir = java.nio.file.Files
+          .createTempDirectory("graft-scale-mh-admit").toString + "/out"
+        def freshBatch(tag: Int): DataFrame = scaleDocs(spark, sf, 1)
+          .select((col("doc_id") + 900000000L + tag * 1000000L).as("doc_id"),
+            array_join(transform(split(col("text"), " "),
+              x => concat(x, lit("_m"), lit(tag))), " ").as("text"))
+        def onceMh(tag: Int): Double = {
+          val b = freshBatch(tag)
+          val t0 = System.nanoTime()
+          graft.streaming.StreamingDedup.admitBatchMinHash(
+            b, "doc_id", "text", tbl, outDir)
+          (System.nanoTime() - t0) / 1e9
+        }
+        record("minhash_admit", k, math.min(onceMh(1), onceMh(2)))
+        Warehouse.dropWithLocation(spark, tbl)
+        Warehouse.dropWithLocation(spark, s"${tbl}_shingles")
       }
       if (want("q83_pq")) {
         // q83: full PQ pipeline at the oracle config (fit+encode+ADC+re-rank)

@@ -1067,6 +1067,54 @@ object ExtQueries {
           round(avg(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
             .as("avg_rev"))),
 
+    // Large-volume orders (the TPC-H Q18 shape): GROUP-BY-HAVING as a
+    // pre-aggregated join side — the quantity filter collapses the
+    // fact table BEFORE any dimension joins it, and the rank runs on
+    // EXACT integer quantity sums (l_quantity is integral-valued, so
+    // the double sum is exact and casts cleanly).
+    "q171_big_orders" -> ((s, d) => {
+      val big = t(s, d, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(sum("l_quantity").as("_q"))
+        .filter(col("_q") > 250)
+      t(s, d, "orders")
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(t(s, d, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+          col("_q").cast("long").as("total_qty"))
+        .orderBy(col("total_qty").desc, col("o_orderkey"))
+        .limit(20)
+    }),
+
+    // Sole-late-supplier census (the TPC-H Q21 shape): suppliers who
+    // were the ONLY late shipper on multi-supplier orders — Q21's
+    // exists/not-exists pair expressed as exact distinct-count
+    // predicates over one shared late-pair frame (the set of late
+    // suppliers per order must equal {s} while the order has ≥2
+    // suppliers): three aggregates of the same fact scan, two
+    // key-equi-joins, everything integer-exact.
+    "q172_sole_late_supplier" -> ((s, d) => {
+      val li = t(s, d, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+      val late = li
+        .join(t(s, d, "orders").select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate"))
+        .select("l_orderkey", "l_suppkey").distinct()
+      val multi = li.groupBy("l_orderkey")
+        .agg(countDistinct("l_suppkey").as("_ns")).filter(col("_ns") >= 2)
+        .select("l_orderkey")
+      val solo = late.groupBy("l_orderkey")
+        .agg(count(lit(1)).as("_nl")).filter(col("_nl") === 1)
+        .select("l_orderkey")
+      late.join(multi, "l_orderkey").join(solo, "l_orderkey")
+        .groupBy("l_suppkey")
+        .agg(count(lit(1)).as("n_waits"))
+        .orderBy(col("n_waits").desc, col("l_suppkey"))
+        .limit(20)
+    }),
+
     // Shipping-delay distribution — days from order to ship per
     // priority class: the logistics SLA readout. Day differences are
     // exact integers; the mean is exact integer division (q119 rule)
@@ -2848,6 +2896,21 @@ object ExtQueries {
         "WHERE (p_brand='Brand#11' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11) " +
         "OR (p_brand='Brand#19' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20) " +
         "OR (p_brand='Brand#23' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)"),
+    // q171: HAVING pre-aggregation, exact integer quantity rank
+    "q171_big_orders" ->
+      ("SELECT c_custkey, c_name, o_orderkey, strftime(o_orderdate,'%Y-%m-%d') AS o_date, CAST(q AS BIGINT) AS total_qty " +
+        "FROM (SELECT l_orderkey, sum(l_quantity) AS q FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 250) b " +
+        "JOIN orders ON o_orderkey = l_orderkey JOIN customer ON o_custkey = c_custkey " +
+        "ORDER BY total_qty DESC, o_orderkey LIMIT 20"),
+    // q172: Q21's exists/not-exists as exact count predicates over one
+    // shared late-pair frame
+    "q172_sole_late_supplier" ->
+      ("WITH late AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem JOIN orders ON l_orderkey=o_orderkey WHERE l_shipdate > o_orderdate), " +
+        "multi AS (SELECT l_orderkey FROM lineitem GROUP BY 1 HAVING count(DISTINCT l_suppkey) >= 2), " +
+        "solo AS (SELECT l_orderkey FROM late GROUP BY 1 HAVING count(*) = 1) " +
+        "SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_waits FROM late " +
+        "JOIN multi USING (l_orderkey) JOIN solo USING (l_orderkey) " +
+        "GROUP BY 1 ORDER BY n_waits DESC, l_suppkey LIMIT 20"),
     // q164: integer day diffs — exact mean, element p95
     "q164_ship_delay" ->
       ("SELECT o_orderpriority, count(*) AS n_items, " +
