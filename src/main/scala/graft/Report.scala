@@ -33,7 +33,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  * regressions first), `anomaly` (hourly loads outside each digest's
  * median ± 3·MAD — the robust alert list), `drift` (PSI of each
  * digest's latency distribution before/after `-splitAt`, biggest
- * shifts first).
+ * shifts first), `pareto` (the digests carrying the first `-threshold`
+ * of rate-scaled load, crossing class included — the capacity-planning
+ * head next to `profile`).
  *
  * A `parquet:` source reads the [[graft.sources.Warehouse]] layout the
  * ingest CLI writes (date-partitioned wide table), so
@@ -50,7 +52,8 @@ object Report {
       apdexT: Double = 0.5,
       splitAt: Option[String] = None,
       since: Option[String] = None,
-      until: Option[String] = None)
+      until: Option[String] = None,
+      threshold: Double = 0.8)
 
   def parseArgs(args: Array[String]): Config = {
     @annotation.tailrec
@@ -63,6 +66,7 @@ object Report {
       case "-splitAt" :: v :: t => loop(t, c.copy(splitAt = Some(v)))
       case "-since" :: v :: t => loop(t, c.copy(since = Some(v)))
       case "-until" :: v :: t => loop(t, c.copy(until = Some(v)))
+      case "-threshold" :: v :: t => loop(t, c.copy(threshold = v.toDouble))
       case Nil => c
       case other :: _ =>
         throw new IllegalArgumentException(s"unknown flag: $other")
@@ -133,8 +137,16 @@ object Report {
             "digest", "query_time", "is_ref", binWidth = 0.1)
           .orderBy(col("psi").desc, col("digest"))
           .limit(c.top)
+      case "pareto" =>
+        // "which digests make up the first -threshold of load?" — the
+        // q134 concentration head over the rate-scaled load, crossing
+        // class included so the head always covers ≥ threshold
+        import org.apache.spark.sql.functions.{col, greatest, lit}
+        Qan.paretoLoad(wide, "digest",
+          col("query_time") * greatest(col("rate_limit"), lit(1L)),
+          c.threshold)
       case other => throw new IllegalArgumentException(
-        s"unknown -report: $other (profile|sparkline|load|apdex|percentiles|compare|anomaly|drift)")
+        s"unknown -report: $other (profile|sparkline|load|apdex|percentiles|compare|anomaly|drift|pareto)")
     }
   }
 

@@ -271,4 +271,29 @@ class BehaviorSearchSpec extends AnyFunSuite with SparkTestSession {
     assert(got == want)
     assert(got.values.sum == 103L)
   }
+
+  test("rfmSegments: remainder rule holds at every n mod k, including n < k") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.{Window => W}
+    // n = 2 (< k), 4 (= k), 5..7 (each n % 4), 9 — the ntile remainder
+    // boundary cases the arithmetic must reproduce exactly
+    for (n <- Seq(2, 4, 5, 6, 7, 9)) {
+      val ev = (0 until n * 3).map { i =>
+        (i % n.toLong, (i * 13 % 40).toLong, 1.0 + (i % 3))
+      }.toDF("user_id", "us", "value")
+      val got = Behavior.rfmSegments(ev, "user_id", col("us"), col("value"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      val byUser = ev.groupBy("user_id")
+        .agg(max("us").as("_last"), count(lit(1)).as("_freq"),
+          round(sum("value"), 4).as("_mon"))
+      val want = byUser
+        .withColumn("_r", ntile(4).over(W.orderBy(col("_last").desc, col("user_id"))))
+        .withColumn("_f", ntile(4).over(W.orderBy(col("_freq").desc, col("user_id"))))
+        .withColumn("_m", ntile(4).over(W.orderBy(col("_mon").desc, col("user_id"))))
+        .groupBy(concat(col("_r"), col("_f"), col("_m")).as("rfm"))
+        .agg(count(lit(1)).as("n_users"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(got == want, s"n=$n: got $got want $want")
+    }
+  }
 }

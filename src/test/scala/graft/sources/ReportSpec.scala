@@ -30,6 +30,17 @@ class ReportSpec extends AnyFunSuite with SparkTestSession {
     intercept[IllegalArgumentException](Report.parseArgs(Array.empty))
   }
 
+  test("pareto report: head covers the threshold, crossing digest included") {
+    val rows = Report.run(spark, Report.Config(source = warehouse,
+      report = "pareto", threshold = 0.5)).collect()
+    assert(rows.nonEmpty)
+    // the last row CROSSES the threshold: its cum_share ≥ 0.5, and
+    // every earlier row is strictly below it
+    val shares = rows.map(_.getAs[Double]("cum_share"))
+    assert(shares.last >= 0.5)
+    assert(shares.dropRight(1).forall(_ < 0.5))
+  }
+
   test("every report type returns rows over the ingested warehouse") {
     for (rep <- Seq("profile", "sparkline", "load", "apdex", "percentiles")) {
       val rows = Report.run(spark,
