@@ -359,7 +359,19 @@ object Dedup {
       .join(indexBands.select(col(idCol).as("db"), col("band"), col("key")),
         Seq("band", "key"))
       .select("da", "db").distinct()
-    verifiedJaccardPairs(cand, probeShingles, indexShingles, idCol, threshold)
+    // Restrict the index shingles to CANDIDATE ids before verification:
+    // without this, the per-doc set-size aggregate inside the verify
+    // groups the ENTIRE corpus shingle table per admission (measured:
+    // the third-decade minhash_admit exponent was 0.78 from exactly
+    // this shuffle). The candidate id list is batch-bounded, so AQE
+    // broadcasts it and the corpus table crosses the semi-join map-side
+    // — the only remaining corpus-proportional cost is the columnar
+    // scan itself. The self-join dedup path ([[minHashDedupPairsFrom]])
+    // deliberately does NOT do this: there nearly every doc is a
+    // candidate and the semi-join would only add a pass.
+    val candIndexSh = indexShingles.join(
+      cand.select(col("db").as(idCol)).distinct(), Seq(idCol), "left_semi")
+    verifiedJaccardPairs(cand, probeShingles, candIndexSh, idCol, threshold)
       .select(col("da").as(idCol)).distinct()
   }
 
