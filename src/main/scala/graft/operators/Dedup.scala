@@ -228,12 +228,22 @@ object Dedup {
    * the dispatch can never change results, only cost.
    */
   def jaccardPairsAuto(docs: DataFrame, idCol: String, textCol: String,
-                       n: Int, threshold: Double): DataFrame =
-    if (shingleSkewRatio(shingles(docs, idCol, textCol, n))
+                       n: Int, threshold: Double): DataFrame = {
+    // The statistic reads a DETERMINISTIC 1/8 hash sample of the
+    // corpus: the ratio is an order-of-magnitude dispatch signal driven
+    // by the head buckets (a boilerplate shingle spanning the corpus
+    // spans the sample too, scoring ∝ sample size / u² ≫ threshold),
+    // so sampling keeps the signal while cutting the decision pass to
+    // ~an eighth of a shingle aggregation — measured +1.4 s → +0.2 s
+    // on the q26 entry at sf0.1. An empty sample scores 1.0 → the
+    // direct path, the safe default for tiny corpora.
+    val sample = docs.filter(pmod(xxhash64(col(idCol)), lit(8)) === 0)
+    if (shingleSkewRatio(shingles(sample, idCol, textCol, n))
         >= PrefixFilterSkewThreshold)
       prefixFilterJaccardPairs(docs, idCol, textCol, n, threshold)
     else
       ngramJaccardPairs(docs, idCol, textCol, n, threshold)
+  }
 
   private def signaturesFromShingles(sh: DataFrame, idCol: String,
                                      numHashes: Int): DataFrame =

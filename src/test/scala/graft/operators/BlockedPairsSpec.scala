@@ -92,6 +92,13 @@ class BlockedPairsSpec extends AnyFunSuite with SparkTestSession {
       Dedup.shingles(hot, "doc_id", "text", 3))
     assert(hotRatio >= Dedup.PrefixFilterSkewThreshold,
       s"hot-head corpus scored $hotRatio")
+    // the dispatch reads a deterministic 1/8 hash sample — the head
+    // signal must survive sampling (the shared header spans the sample)
+    val hotSampleRatio = Dedup.shingleSkewRatio(Dedup.shingles(
+      hot.filter(pmod(xxhash64(col("doc_id")), lit(8)) === 0),
+      "doc_id", "text", 3))
+    assert(hotSampleRatio >= Dedup.PrefixFilterSkewThreshold,
+      s"sampled hot-head corpus scored $hotSampleRatio")
     // dispatch never changes results — both paths are exact
     def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
       df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
