@@ -589,9 +589,9 @@ object ScaleBench {
       // banded self-join + exact-Jaccard verification of candidates —
       // the recurring cost once the index is at rest
       if (want("q40_probe")) {
-        val mhBands = Dedup.minHashBandFrame(docs, "doc_id", "text").persist()
         val mhSh = Dedup.shingles(docs, "doc_id", "text", 3).persist()
-        mhBands.count(); mhSh.count()
+        val mhBands = Dedup.minHashBandFrameFromShingles(mhSh, "doc_id").persist()
+        mhSh.count(); mhBands.count()
         record("q40_probe", k, time(
           Dedup.minHashDedupPairsFrom(mhBands, mhSh, "doc_id")))
         mhBands.unpersist(); mhSh.unpersist()
@@ -605,9 +605,10 @@ object ScaleBench {
         val tbl = "graft_bench_scale_mh_admit"
         Warehouse.dropWithLocation(spark, tbl)
         Warehouse.dropWithLocation(spark, s"${tbl}_shingles")
-        Warehouse.saveMinHashIndex(
-          Dedup.minHashBandFrame(docs, "doc_id", "text"),
-          Dedup.shingles(docs, "doc_id", "text", 3), tbl)
+        val idxSh = Dedup.shingles(docs, "doc_id", "text", 3).persist()
+        try Warehouse.saveMinHashIndex(
+          Dedup.minHashBandFrameFromShingles(idxSh, "doc_id"), idxSh, tbl)
+        finally idxSh.unpersist()
         val outDir = java.nio.file.Files
           .createTempDirectory("graft-scale-mh-admit").toString + "/out"
         def freshBatch(tag: Int): DataFrame = scaleDocs(spark, sf, 1)

@@ -192,6 +192,12 @@ object Dedup {
         sum("df").as("mass"),
         count(lit(1)).as("s"))
       .first()
+    // an EMPTY shingle frame (tiny corpus, or a sample that caught no
+    // docs / only sub-n-word docs) aggregates to (null, null, 0) — the
+    // null check must run BEFORE any unboxing or the promised 1.0
+    // fallback becomes an NPE
+    if (r.isNullAt(0) || r.isNullAt(1) || r.getAs[Number](2).longValue() == 0L)
+      return 1.0
     val (pairs, mass, s) =
       (r.getAs[Number](0).doubleValue(), r.getAs[Number](1).doubleValue(),
         r.getAs[Number](2).doubleValue())
@@ -279,8 +285,18 @@ object Dedup {
   def minHashBandFrame(docs: DataFrame, idCol: String, textCol: String,
                        n: Int = 3, numHashes: Int = 32,
                        rowsPerBand: Int = 2): DataFrame =
-    bandedFromShingles(shingles(docs, idCol, textCol, n), idCol,
+    minHashBandFrameFromShingles(shingles(docs, idCol, textCol, n), idCol,
       numHashes, rowsPerBand)
+
+  /** [[minHashBandFrame]] over an ALREADY-BUILT shingle frame — the
+    * index-build path: every builder needs both frames (bands to join,
+    * shingles to verify), and deriving the bands from the shingle frame
+    * the caller is about to persist/save avoids re-shingling the whole
+    * corpus a second time. */
+  def minHashBandFrameFromShingles(sh: DataFrame, idCol: String,
+                                   numHashes: Int = 32,
+                                   rowsPerBand: Int = 2): DataFrame =
+    bandedFromShingles(sh, idCol, numHashes, rowsPerBand)
 
   private def bandedFromShingles(sh: DataFrame, idCol: String,
                                  numHashes: Int, rowsPerBand: Int): DataFrame = {
@@ -365,10 +381,15 @@ object Dedup {
                             indexBands: DataFrame, indexShingles: DataFrame,
                             idCol: String,
                             threshold: Double = 0.6): DataFrame = {
+    // Eager localCheckpoint (batch-bounded rows): the candidate frame
+    // feeds BOTH the shingle restriction below and the verify join —
+    // lazy, the banded probe⋈index join would execute twice per
+    // admission (the rejectedIds technique, applied one level down).
     val cand = probeBands.select(col(idCol).as("da"), col("band"), col("key"))
       .join(indexBands.select(col(idCol).as("db"), col("band"), col("key")),
         Seq("band", "key"))
       .select("da", "db").distinct()
+      .localCheckpoint()
     // Restrict the index shingles to CANDIDATE ids before verification:
     // without this, the per-doc set-size aggregate inside the verify
     // groups the ENTIRE corpus shingle table per admission (measured:

@@ -135,7 +135,9 @@ object StreamingDedup {
     val b = batch.persist()
     try {
       val sh = Dedup.shingles(b, idCol, textCol, n).persist()
-      val bands = Dedup.minHashBandFrame(b, idCol, textCol, n).persist()
+      // bands derive from the persisted shingle frame — shingling the
+      // batch once, not twice
+      val bands = Dedup.minHashBandFrameFromShingles(sh, idCol).persist()
       try {
         // within-batch: one representative per fuzzy-dup cluster
         val within = Dedup.minHashDedupPairsFrom(bands, sh, idCol, threshold)

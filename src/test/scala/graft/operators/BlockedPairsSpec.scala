@@ -104,6 +104,14 @@ class BlockedPairsSpec extends AnyFunSuite with SparkTestSession {
       df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(pairs(Dedup.jaccardPairsAuto(hot, "doc_id", "text", 3, 0.6)) ==
       pairs(Dedup.ngramJaccardPairs(hot, "doc_id", "text", 3, 0.6)))
+    // empty-sample fallback: a corpus whose 1/8 hash sample catches no
+    // docs (or an outright empty one) must score 1.0 and take the
+    // direct path, not NPE on the null aggregate (r11 review finding)
+    assert(Dedup.shingleSkewRatio(Dedup.shingles(
+      hot.limit(0), "doc_id", "text", 3)) == 1.0)
+    val twoShort = Seq((1L, "hi"), (2L, "yo")).toDF("doc_id", "text")
+    assert(pairs(Dedup.jaccardPairsAuto(twoShort, "doc_id", "text", 3, 0.6))
+      .isEmpty)
   }
 
   test("globalRank equals the single-reducer window row_number") {
