@@ -360,6 +360,46 @@ object ScaleBench {
         liK.unpersist(); orK.unpersist()
       }
 
+      // the q172 sole-late-supplier shape at k× the fact (orders grow
+      // with it — the same per-replica orderkey offset keeps the
+      // order↔lineitem mapping intact, so per-order supplier sets and
+      // lateness are original-sized at every k): three aggregates of
+      // one fact scan + two key-equi-joins — cost should track the
+      // fact scan, never the pair space
+      if (want("q172_late")) {
+        val li = spark.read.parquet(s"$sf/lineitem.parquet")
+        val or = spark.read.parquet(s"$sf/orders.parquet")
+        def grow(df: DataFrame, keyCol: String): DataFrame =
+          if (k == 1) df
+          else df.crossJoin(spark.range(k).toDF("rep"))
+            .withColumn(keyCol, col(keyCol) + col("rep") * 1000000000L)
+            .drop("rep")
+        val liK = grow(li, "l_orderkey").persist()
+        val orK = grow(or, "o_orderkey").persist()
+        val n = liK.count(); orK.count()
+        System.err.println(s"SCALE inputs ${k}x: $n lineitems (late)")
+        record("q172_late", k, time {
+          val liS = liK.select("l_orderkey", "l_suppkey", "l_shipdate")
+          val late = liS
+            .join(orK.select("o_orderkey", "o_orderdate"),
+              col("l_orderkey") === col("o_orderkey"))
+            .filter(col("l_shipdate") > col("o_orderdate"))
+            .select("l_orderkey", "l_suppkey").distinct()
+          val multi = liS.groupBy("l_orderkey")
+            .agg(countDistinct("l_suppkey").as("_ns")).filter(col("_ns") >= 2)
+            .select("l_orderkey")
+          val solo = late.groupBy("l_orderkey")
+            .agg(count(lit(1)).as("_nl")).filter(col("_nl") === 1)
+            .select("l_orderkey")
+          late.join(multi, "l_orderkey").join(solo, "l_orderkey")
+            .groupBy("l_suppkey")
+            .agg(count(lit(1)).as("n_waits"))
+            .orderBy(col("n_waits").desc, col("l_suppkey"))
+            .limit(20)
+        })
+        liK.unpersist(); orK.unpersist()
+      }
+
       // PageRank over a k× random graph (constant average degree 10,
       // hash-derived edges — node AND edge count grow k×): each of the
       // 3 iterations is one edge⋈rank join + one dst-keyed aggregate,

@@ -2080,6 +2080,7 @@ object ExtQueries {
         .select(col("probe_id"), col("rn"), col("nn_id"), col("sim"))
       val (codes, params) = Similarity.sq8Index(emb, "vec_id", "embedding")
       graft.sources.Warehouse.saveSq8Index(codes, params, "graft_bench_sq8_q117")
+      storedIndexOwner.put("graft_bench_sq8_q117", d)
       val sq = Similarity.sq8CosineTopKFrom(s.table("graft_bench_sq8_q117"),
           s.table("graft_bench_sq8_q117_params"), emb, probes,
           "vec_id", "embedding", k = 3, candidates = 20)
@@ -2483,6 +2484,24 @@ object ExtQueries {
           s.table("graft_bench_minhash_q40"),
           s.table("graft_bench_minhash_q40_shingles"), "doc_id")
         .orderBy("da", "db")
+    }),
+    // SQ8 ANN with the code+params tables PREBUILT: the probe-only
+    // split completing the family symmetry (every persisted index —
+    // LSH/SimHash/MinHash/IVF/PQ/SQ8/inverted — now has one): timed =
+    // dequantized candidate scan + exact re-rank over the STORED
+    // tables, the recurring cost once the codes are at rest.
+    "q117b_sq8_probe" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val probes = emb.filter(col("vec_id") < 5)
+      ensureStoredIndex("graft_bench_sq8_q117", d) {
+        val (codes, params) = Similarity.sq8Index(emb, "vec_id", "embedding")
+        graft.sources.Warehouse.saveSq8Index(codes, params, "graft_bench_sq8_q117")
+      }
+      Similarity.sq8CosineTopKFrom(s.table("graft_bench_sq8_q117"),
+          s.table("graft_bench_sq8_q117_params"), emb, probes,
+          "vec_id", "embedding", k = 3, candidates = 20)
+        .select("probe_id", "nn_id", "sim", "rn")
+        .orderBy("probe_id", "rn")
     }),
     "q75b_neardup_probe" -> ((s, d) => {
       ensureStoredIndex("graft_bench_simhash_q75", d) {
