@@ -1120,6 +1120,119 @@ object ExtQueries {
         .limit(20)
     }),
 
+    // Min-cost supplier (the TPC-H Q2 shape, partsupp derived from the
+    // fact table): per (part, supplier) the best observed unit price —
+    // ROUNDED BEFORE the min so both engines compare identical 4-dp
+    // values — then the correlated per-part minimum over one region's
+    // suppliers, joined back for the winning rows. The part filter sits
+    // BELOW the pair aggregate (Q2's own plan hides it in a correlated
+    // subquery; here Catalyst prunes the fact scan with it), and both
+    // dimension sides broadcast.
+    "q173_min_cost_supplier" -> ((s, d) => {
+      val eu = broadcast(t(s, d, "supplier")
+        .join(t(s, d, "nation"), col("s_nationkey") === col("n_nationkey"))
+        .join(t(s, d, "region").filter(col("r_name") === "EUROPE"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("s_suppkey", "s_name"))
+      val offer = t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "part")
+          .filter(col("p_size") <= 10 && col("p_type") === "STANDARD")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_partkey"), col("p_name"), col("l_suppkey"))
+        .agg(min(round(col("l_extendedprice") / col("l_quantity"), 4))
+          .as("unit_price"))
+        .join(eu, col("l_suppkey") === col("s_suppkey"))
+      val best = offer.groupBy(col("p_partkey").as("_bp"))
+        .agg(min("unit_price").as("_best"))
+      offer.join(best,
+          col("p_partkey") === col("_bp") && col("unit_price") === col("_best"))
+        .select("p_partkey", "p_name", "s_suppkey", "s_name", "unit_price")
+        .orderBy(col("unit_price"), col("p_partkey"), col("s_suppkey"))
+        .limit(25)
+    }),
+
+    // Bilateral shipping volume (the TPC-H Q7 shape): revenue flowing
+    // between two specific nations in both directions, by supplier
+    // nation × customer nation × ship year. Customers prune ORDERS
+    // before the fact join (2/25 selectivity moves up the tree), both
+    // nation-tagged dimensions broadcast, and the output ships the
+    // AVERAGE revenue (q167 rule).
+    "q174_nation_volume" -> ((s, d) => {
+      val pair = Seq("NATION_1", "NATION_2")
+      val sup = broadcast(t(s, d, "supplier")
+        .join(t(s, d, "nation").filter(col("n_name").isin(pair: _*)),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("sn")))
+      val cust = broadcast(t(s, d, "customer")
+        .join(t(s, d, "nation").filter(col("n_name").isin(pair: _*)),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cn")))
+      t(s, d, "lineitem")
+        .join(t(s, d, "orders").join(cust, col("o_custkey") === col("c_custkey"))
+          .select("o_orderkey", "cn"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .filter(col("sn") =!= col("cn"))
+        .groupBy(col("sn"), col("cn"),
+          year(col("l_shipdate")).cast("long").as("yr"))
+        .agg(count(lit(1)).as("n_items"),
+          round(avg(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+            .as("avg_rev"))
+        .orderBy("sn", "cn", "yr")
+    }),
+
+    // Market share (the TPC-H Q8 shape): one nation's share of the
+    // revenue a region's customers spend on one part type, per year —
+    // the share is a ratio of two sums over the SAME rows (q168 rule:
+    // accumulation error divides out). Part + customer-region filters
+    // both prune below the fact joins; every dimension broadcasts.
+    "q175_market_share" -> ((s, d) => {
+      val amer = broadcast(t(s, d, "customer")
+        .join(t(s, d, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .join(t(s, d, "region").filter(col("r_name") === "AMERICA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("c_custkey"))
+      val sup = broadcast(t(s, d, "supplier")
+        .join(t(s, d, "nation"), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("sn")))
+      val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "part").filter(col("p_type") === "ECONOMY")),
+          col("l_partkey") === col("p_partkey"))
+        .join(t(s, d, "orders").join(amer, col("o_custkey") === col("c_custkey"))
+          .select("o_orderkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .groupBy(year(col("l_shipdate")).cast("long").as("yr"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(when(col("sn") === "NATION_5", rev).otherwise(lit(0.0))) /
+            sum(rev), 4).as("mkt_share"))
+        .orderBy("yr")
+    }),
+
+    // Product-type profit (the TPC-H Q9 shape): profit per supplier
+    // nation × order year for one part family — the part-name LIKE
+    // filter prunes the fact scan through the broadcast join, and the
+    // cost leg (no partsupp table) derives from the part's retail
+    // price. AVERAGE profit (q105 magnitude rule).
+    "q176_product_profit" -> ((s, d) => {
+      val sup = broadcast(t(s, d, "supplier")
+        .join(t(s, d, "nation"), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("sn")))
+      t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "part").filter(col("p_name").like("%widget%"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(t(s, d, "orders").select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("sn"), year(col("o_orderdate")).cast("long").as("yr"))
+        .agg(count(lit(1)).as("n_items"),
+          round(avg(col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+            lit(0.6) * col("p_retailprice") * col("l_quantity")), 4)
+            .as("avg_profit"))
+        .orderBy("sn", "yr")
+    }),
+
     // Shipping-delay distribution — days from order to ship per
     // priority class: the logistics SLA readout. Day differences are
     // exact integers; the mean is exact integer division (q119 rule)
@@ -2936,6 +3049,49 @@ object ExtQueries {
         "SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_waits FROM late " +
         "JOIN multi USING (l_orderkey) JOIN solo USING (l_orderkey) " +
         "GROUP BY 1 ORDER BY n_waits DESC, l_suppkey LIMIT 20"),
+    // q173: unit prices rounded BEFORE the min; winners by 4-dp equality
+    "q173_min_cost_supplier" ->
+      ("WITH eu AS (SELECT s_suppkey, s_name FROM supplier JOIN nation ON s_nationkey=n_nationkey " +
+        "JOIN region ON n_regionkey=r_regionkey WHERE r_name='EUROPE'), " +
+        "offer AS (SELECT p_partkey, p_name, l_suppkey, s_suppkey, s_name, " +
+        "min(round(l_extendedprice / l_quantity, 4)) AS unit_price " +
+        "FROM lineitem JOIN part ON l_partkey=p_partkey JOIN eu ON l_suppkey=s_suppkey " +
+        "WHERE p_size <= 10 AND p_type='STANDARD' GROUP BY 1,2,3,4,5), " +
+        "best AS (SELECT p_partkey AS bp, min(unit_price) AS b FROM offer GROUP BY 1) " +
+        "SELECT p_partkey, p_name, s_suppkey, s_name, unit_price FROM offer " +
+        "JOIN best ON p_partkey = bp AND unit_price = b " +
+        "ORDER BY unit_price, p_partkey, s_suppkey LIMIT 25"),
+    // q174: both directions of one nation pair; average revenue
+    "q174_nation_volume" ->
+      ("SELECT sn, cn, yr, count(*) AS n_items, round(avg(l_extendedprice*(1.0-l_discount)),4) AS avg_rev " +
+        "FROM (SELECT ns.n_name AS sn, nc.n_name AS cn, CAST(year(l_shipdate) AS BIGINT) AS yr, " +
+        "l_extendedprice, l_discount FROM lineitem " +
+        "JOIN orders ON l_orderkey=o_orderkey JOIN customer ON o_custkey=c_custkey " +
+        "JOIN supplier ON l_suppkey=s_suppkey " +
+        "JOIN nation ns ON s_nationkey=ns.n_nationkey JOIN nation nc ON c_nationkey=nc.n_nationkey " +
+        "WHERE (ns.n_name='NATION_1' AND nc.n_name='NATION_2') " +
+        "OR (ns.n_name='NATION_2' AND nc.n_name='NATION_1')) t " +
+        "GROUP BY 1,2,3 ORDER BY 1,2,3"),
+    // q175: share as a ratio of sums over the same rows
+    "q175_market_share" ->
+      ("SELECT yr, count(*) AS n_items, " +
+        "round(sum(CASE WHEN sn='NATION_5' THEN rev ELSE 0 END)/sum(rev),4) AS mkt_share " +
+        "FROM (SELECT CAST(year(l_shipdate) AS BIGINT) AS yr, ns.n_name AS sn, " +
+        "l_extendedprice*(1.0-l_discount) AS rev FROM lineitem " +
+        "JOIN part ON l_partkey=p_partkey " +
+        "JOIN orders ON l_orderkey=o_orderkey JOIN customer ON o_custkey=c_custkey " +
+        "JOIN nation nc ON c_nationkey=nc.n_nationkey JOIN region ON nc.n_regionkey=r_regionkey " +
+        "JOIN supplier ON l_suppkey=s_suppkey JOIN nation ns ON s_nationkey=ns.n_nationkey " +
+        "WHERE r_name='AMERICA' AND p_type='ECONOMY') t GROUP BY 1 ORDER BY 1"),
+    // q176: retail-price cost leg; average profit
+    "q176_product_profit" ->
+      ("SELECT sn, yr, count(*) AS n_items, " +
+        "round(avg(l_extendedprice*(1.0-l_discount) - 0.6*p_retailprice*l_quantity),4) AS avg_profit " +
+        "FROM (SELECT ns.n_name AS sn, CAST(year(o_orderdate) AS BIGINT) AS yr, " +
+        "l_extendedprice, l_discount, p_retailprice, l_quantity FROM lineitem " +
+        "JOIN part ON l_partkey=p_partkey JOIN orders ON l_orderkey=o_orderkey " +
+        "JOIN supplier ON l_suppkey=s_suppkey JOIN nation ns ON s_nationkey=ns.n_nationkey " +
+        "WHERE p_name LIKE '%widget%') t GROUP BY 1,2 ORDER BY 1,2"),
     // q164: integer day diffs — exact mean, element p95
     "q164_ship_delay" ->
       ("SELECT o_orderpriority, count(*) AS n_items, " +
