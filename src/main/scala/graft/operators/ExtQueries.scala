@@ -1233,6 +1233,85 @@ object ExtQueries {
         .orderBy("sn", "yr")
     }),
 
+    // Important parts (the TPC-H Q11 shape): per-part revenue from one
+    // nation's suppliers, kept where it exceeds a multiple of the MEAN
+    // part value — the scalar-subquery-threshold shape, made
+    // scale-independent (Q11's fraction-of-total empties as the part
+    // count grows; a mean multiple selects the same head at any SF).
+    // Per-part sums round to 4 dp BEFORE the threshold compare so both
+    // engines compare identical decimals (q134 rule); the one-row
+    // threshold broadcasts via crossJoin.
+    "q177_important_parts" -> ((s, d) => {
+      val sup = broadcast(t(s, d, "supplier")
+        .join(t(s, d, "nation").filter(col("n_name") === "NATION_3"),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey"))
+      val v = t(s, d, "lineitem")
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+          .as("val"))
+      val thr = v.agg(round(avg("val") * 3.0, 4).as("_thr"))
+      v.crossJoin(broadcast(thr)).filter(col("val") > col("_thr"))
+        .select(col("l_partkey"), col("val"))
+        .orderBy(col("val").desc, col("l_partkey"))
+    }),
+
+    // Late-shipment priority split (the TPC-H Q12 shape): for badly
+    // late lineitems (> 60 days past the order date), how many carry
+    // high- vs low-priority orders, per returnflag class — conditional
+    // integer counts over one fact-fact join, exact on every engine.
+    "q178_late_priority" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .join(t(s, d, "orders").select("o_orderkey", "o_orderdate",
+          "o_orderpriority"),
+          col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") >
+          col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_late"),
+          count(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1))
+            .as("high_line"),
+          count(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1))
+            .as("low_line"))
+        .orderBy("l_returnflag")),
+
+    // Customer order-count distribution (the TPC-H Q13 shape): LEFT
+    // join with the status predicate INSIDE the join condition (the
+    // join-filter-vs-where distinction Q13 exists to test), per-customer
+    // counts — zero for order-less customers — then the count-of-counts
+    // histogram. Two shuffles, both on exact integers.
+    "q179_order_distribution" -> ((s, d) =>
+      t(s, d, "customer").select("c_custkey")
+        .join(t(s, d, "orders")
+          .filter(col("o_orderstatus") =!= "P")
+          .select("o_custkey", "o_orderkey"),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)),
+
+    // Top supplier (the TPC-H Q15 shape): suppliers whose quarterly
+    // revenue EQUALS the maximum — the aggregate-view + scalar-max
+    // shape. Per-supplier revenue rounds to 4 dp before the equality
+    // compare (q173/q177 rule); the one-row max broadcasts.
+    "q180_top_supplier" -> ((s, d) => {
+      val r = t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01") &&
+          col("l_shipdate") < lit("1997-04-01"))
+        .groupBy("l_suppkey")
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+          .as("total_rev"))
+      r.crossJoin(broadcast(r.agg(max("total_rev").as("_mx"))))
+        .filter(col("total_rev") === col("_mx"))
+        .join(broadcast(t(s, d, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_rev")
+        .orderBy("s_suppkey")
+    }),
+
     // Shipping-delay distribution — days from order to ship per
     // priority class: the logistics SLA readout. Day differences are
     // exact integers; the mean is exact integer division (q119 rule)
@@ -3092,6 +3171,33 @@ object ExtQueries {
         "JOIN part ON l_partkey=p_partkey JOIN orders ON l_orderkey=o_orderkey " +
         "JOIN supplier ON l_suppkey=s_suppkey JOIN nation ns ON s_nationkey=ns.n_nationkey " +
         "WHERE p_name LIKE '%widget%') t GROUP BY 1,2 ORDER BY 1,2"),
+    // q177: rounded per-part values vs a rounded scalar threshold
+    "q177_important_parts" ->
+      ("WITH v AS (SELECT l_partkey, round(sum(l_extendedprice*(1.0-l_discount)),4) AS val " +
+        "FROM lineitem JOIN supplier ON l_suppkey=s_suppkey JOIN nation ON s_nationkey=n_nationkey " +
+        "WHERE n_name='NATION_3' GROUP BY 1) " +
+        "SELECT l_partkey, val FROM v WHERE val > (SELECT round(avg(val)*3.0,4) FROM v) " +
+        "ORDER BY val DESC, l_partkey"),
+    // q178: conditional integer counts over the late-join
+    "q178_late_priority" ->
+      ("SELECT l_returnflag, count(*) AS n_late, " +
+        "CAST(count(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 END) AS BIGINT) AS high_line, " +
+        "CAST(count(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 END) AS BIGINT) AS low_line " +
+        "FROM lineitem JOIN orders ON l_orderkey=o_orderkey " +
+        "WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY GROUP BY 1 ORDER BY 1"),
+    // q179: status predicate inside the LEFT join condition
+    "q179_order_distribution" ->
+      ("SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM " +
+        "(SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count " +
+        "FROM customer LEFT JOIN orders ON c_custkey = o_custkey AND o_orderstatus <> 'P' " +
+        "GROUP BY 1) t GROUP BY 1 ORDER BY custdist DESC, c_count DESC"),
+    // q180: rounded revenue equality against the scalar max
+    "q180_top_supplier" ->
+      ("WITH r AS (SELECT l_suppkey, round(sum(l_extendedprice*(1.0-l_discount)),4) AS total_rev " +
+        "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01' " +
+        "GROUP BY 1) " +
+        "SELECT s_suppkey, s_name, total_rev FROM r JOIN supplier ON l_suppkey=s_suppkey " +
+        "WHERE total_rev = (SELECT max(total_rev) FROM r) ORDER BY s_suppkey"),
     // q164: integer day diffs — exact mean, element p95
     "q164_ship_delay" ->
       ("SELECT o_orderpriority, count(*) AS n_items, " +
