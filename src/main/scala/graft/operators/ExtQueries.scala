@@ -1312,6 +1312,88 @@ object ExtQueries {
         .orderBy("s_suppkey")
     }),
 
+    // Supplier relationship census (the TPC-H Q16 shape): distinct
+    // suppliers per (brand, type, size bucket), excluding one brand and
+    // a "complaint" supplier set (negative balance) via a broadcast
+    // anti-join — exact distinct counts, broadcast part dim, the
+    // NOT-IN expressed as left_anti so nothing collects.
+    "q181_supplier_census" -> ((s, d) =>
+      t(s, d, "lineitem").select("l_partkey", "l_suppkey")
+        .join(broadcast(t(s, d, "supplier")
+          .filter(col("s_acctbal") < 0).select("s_suppkey")),
+          col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .join(broadcast(t(s, d, "part").filter(col("p_brand") =!= "Brand#13")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_type"),
+          expr("p_size div 10").as("sz"))
+        .agg(countDistinct("l_suppkey").as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("sz"))
+        .limit(30)),
+
+    // Small-quantity orders (the TPC-H Q17 shape): lineitems under
+    // HALF the part's average quantity — the correlated-average
+    // predicate as a self-aggregate join. The average is exact on both
+    // engines (integral quantities: the double sum is exact, the
+    // division identical IEEE), so the predicate cannot flip; the
+    // output ships the rounded average price (q167 rule).
+    "q182_small_quantity" -> ((s, d) => {
+      val a = t(s, d, "lineitem")
+        .groupBy(col("l_partkey").as("ap"))
+        .agg(avg("l_quantity").as("aq"))
+      t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "part").filter(col("p_type") === "SMALL")),
+          col("l_partkey") === col("p_partkey"))
+        .join(a, col("l_partkey") === col("ap"))
+        .filter(col("l_quantity") < lit(0.5) * col("aq"))
+        .agg(count(lit(1)).as("n_items"),
+          round(avg("l_extendedprice"), 4).as("avg_price"))
+    }),
+
+    // High-volume part suppliers (the TPC-H Q20 shape): suppliers who
+    // shipped more than a threshold quantity of one part family in one
+    // year — the nested semi-join chain collapsed into a HAVING
+    // pre-aggregation (q171 rule) whose survivors join the broadcast
+    // supplier + nation dims; integer-exact quantities.
+    "q183_part_volume_suppliers" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01") &&
+          col("l_shipdate") < lit("1998-01-01"))
+        .join(broadcast(t(s, d, "part").filter(col("p_name").like("red%"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(sum("l_quantity").cast("long").as("qty"))
+        .filter(col("qty") > 180)
+        .join(broadcast(t(s, d, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, d, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name", "qty")
+        .orderBy("s_suppkey")),
+
+    // Lapsed high-balance customers (the TPC-H Q22 shape): customers
+    // above the average positive balance with NO recent orders — the
+    // scalar-average threshold (rounded to 4 dp both sides before the
+    // compare) plus an anti-join whose date predicate pushes into the
+    // orders scan; grouped by nation instead of Q22's phone prefix.
+    "q184_lapsed_customers" -> ((s, d) => {
+      val cust = t(s, d, "customer")
+      val thr = cust.filter(col("c_acctbal") > 0)
+        .agg(round(avg("c_acctbal"), 4).as("_thr"))
+      cust.crossJoin(broadcast(thr))
+        .filter(col("c_acctbal") > col("_thr"))
+        .join(t(s, d, "orders")
+          .filter(col("o_orderdate") >= lit("2000-01-01"))
+          .select("o_custkey"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(broadcast(t(s, d, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_cust"),
+          round(avg("c_acctbal"), 4).as("avg_bal"))
+        .orderBy("n_name")
+    }),
+
     // Shipping-delay distribution — days from order to ship per
     // priority class: the logistics SLA readout. Day differences are
     // exact integers; the mean is exact integer division (q119 rule)
@@ -3198,6 +3280,35 @@ object ExtQueries {
         "GROUP BY 1) " +
         "SELECT s_suppkey, s_name, total_rev FROM r JOIN supplier ON l_suppkey=s_suppkey " +
         "WHERE total_rev = (SELECT max(total_rev) FROM r) ORDER BY s_suppkey"),
+    // q181: NOT-IN complaint set as anti-join; exact distinct counts
+    "q181_supplier_census" ->
+      ("SELECT p_brand, p_type, sz, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt " +
+        "FROM (SELECT p_brand, p_type, p_size // 10 AS sz, l_suppkey " +
+        "FROM lineitem JOIN part ON l_partkey=p_partkey WHERE p_brand <> 'Brand#13' " +
+        "AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)) t " +
+        "GROUP BY 1,2,3 ORDER BY supplier_cnt DESC, p_brand, p_type, sz LIMIT 30"),
+    // q182: exact correlated average (integral quantities)
+    "q182_small_quantity" ->
+      ("WITH a AS (SELECT l_partkey AS ap, avg(l_quantity) AS aq FROM lineitem GROUP BY 1) " +
+        "SELECT count(*) AS n_items, round(avg(l_extendedprice),4) AS avg_price " +
+        "FROM lineitem JOIN part ON l_partkey=p_partkey JOIN a ON l_partkey=ap " +
+        "WHERE p_type='SMALL' AND l_quantity < 0.5*aq"),
+    // q183: HAVING pre-aggregation feeding the dimension joins
+    "q183_part_volume_suppliers" ->
+      ("WITH hv AS (SELECT l_suppkey, CAST(sum(l_quantity) AS BIGINT) AS qty " +
+        "FROM lineitem JOIN part ON l_partkey=p_partkey " +
+        "WHERE p_name LIKE 'red%' AND l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01' " +
+        "GROUP BY 1 HAVING sum(l_quantity) > 180) " +
+        "SELECT s_suppkey, s_name, n_name, qty FROM hv JOIN supplier ON l_suppkey=s_suppkey " +
+        "JOIN nation ON s_nationkey=n_nationkey ORDER BY s_suppkey"),
+    // q184: rounded scalar-average threshold + dated anti-join
+    "q184_lapsed_customers" ->
+      ("WITH t AS (SELECT round(avg(c_acctbal),4) AS thr FROM customer WHERE c_acctbal > 0) " +
+        "SELECT n_name, CAST(count(*) AS BIGINT) AS n_cust, round(avg(c_acctbal),4) AS avg_bal " +
+        "FROM customer JOIN nation ON c_nationkey=n_nationkey " +
+        "WHERE c_acctbal > (SELECT thr FROM t) " +
+        "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2000-01-01') " +
+        "GROUP BY 1 ORDER BY 1"),
     // q164: integer day diffs — exact mean, element p95
     "q164_ship_delay" ->
       ("SELECT o_orderpriority, count(*) AS n_items, " +
