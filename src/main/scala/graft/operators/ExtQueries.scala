@@ -1142,10 +1142,12 @@ object ExtQueries {
         .agg(min(round(col("l_extendedprice") / col("l_quantity"), 4))
           .as("unit_price"))
         .join(eu, col("l_suppkey") === col("s_suppkey"))
-      val best = offer.groupBy(col("p_partkey").as("_bp"))
-        .agg(min("unit_price").as("_best"))
-      offer.join(best,
-          col("p_partkey") === col("_bp") && col("unit_price") === col("_best"))
+      // winner selection as a per-part window min, not a self-join:
+      // one part-keyed exchange instead of re-aggregate + SMJ (the
+      // window partitions on the grouping key, so no cliff)
+      offer.withColumn("_best", min("unit_price")
+          .over(org.apache.spark.sql.expressions.Window.partitionBy("p_partkey")))
+        .filter(col("unit_price") === col("_best"))
         .select("p_partkey", "p_name", "s_suppkey", "s_name", "unit_price")
         .orderBy(col("unit_price"), col("p_partkey"), col("s_suppkey"))
         .limit(25)
