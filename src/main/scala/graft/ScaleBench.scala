@@ -400,6 +400,74 @@ object ScaleBench {
         liK.unpersist(); orK.unpersist()
       }
 
+      // the q173 min-cost-supplier shape at k× the fact (orderkeys
+      // offset; part/supplier keys unchanged, so the pair-aggregate
+      // output stays |parts|×|suppliers|-bounded at every k): the
+      // per-pair groupBy must combine map-side — cost tracks the scan,
+      // and the winner window runs over the CONSTANT-size offer frame
+      if (want("q173_mincost")) {
+        val li = spark.read.parquet(s"$sf/lineitem.parquet")
+        def grow(df: DataFrame): DataFrame =
+          if (k == 1) df
+          else df.crossJoin(spark.range(k).toDF("rep"))
+            .withColumn("l_orderkey", col("l_orderkey") + col("rep") * 1000000000L)
+            .drop("rep")
+        val liK = grow(li).persist()
+        val n = liK.count()
+        System.err.println(s"SCALE inputs ${k}x: $n lineitems (mincost)")
+        record("q173_mincost", k, time {
+          val eu = broadcast(spark.read.parquet(s"$sf/supplier.parquet")
+            .join(spark.read.parquet(s"$sf/nation.parquet"),
+              col("s_nationkey") === col("n_nationkey"))
+            .join(spark.read.parquet(s"$sf/region.parquet")
+              .filter(col("r_name") === "EUROPE"),
+              col("n_regionkey") === col("r_regionkey"))
+            .select("s_suppkey", "s_name"))
+          val offer = liK
+            .join(broadcast(spark.read.parquet(s"$sf/part.parquet")
+              .filter(col("p_size") <= 10 && col("p_type") === "STANDARD")),
+              col("l_partkey") === col("p_partkey"))
+            .groupBy(col("p_partkey"), col("p_name"), col("l_suppkey"))
+            .agg(min(round(col("l_extendedprice") / col("l_quantity"), 4))
+              .as("unit_price"))
+            .join(eu, col("l_suppkey") === col("s_suppkey"))
+          offer.withColumn("_best", min("unit_price")
+              .over(org.apache.spark.sql.expressions.Window
+                .partitionBy("p_partkey")))
+            .filter(col("unit_price") === col("_best"))
+            .select("p_partkey", "p_name", "s_suppkey", "s_name", "unit_price")
+            .orderBy(col("unit_price"), col("p_partkey"), col("s_suppkey"))
+            .limit(25)
+        })
+        liK.unpersist()
+      }
+
+      // the q179 order-count-distribution shape at k× ORDERS (custkeys
+      // unchanged — per-customer counts grow k×, the histogram key
+      // space stays tiny): a fact-dim left join + two stacked
+      // aggregates; the first collapses to |customers| rows, the second
+      // to |distinct counts| — cost must track the orders scan
+      if (want("q179_dist")) {
+        val or = spark.read.parquet(s"$sf/orders.parquet")
+        val orK = (if (k == 1) or
+          else or.crossJoin(spark.range(k).toDF("rep"))
+            .withColumn("o_orderkey", col("o_orderkey") + col("rep") * 1000000000L)
+            .drop("rep")).persist()
+        val n = orK.count()
+        System.err.println(s"SCALE inputs ${k}x: $n orders (dist)")
+        record("q179_dist", k, time(
+          spark.read.parquet(s"$sf/customer.parquet").select("c_custkey")
+            .join(orK.filter(col("o_orderstatus") =!= "P")
+              .select("o_custkey", "o_orderkey"),
+              col("c_custkey") === col("o_custkey"), "left")
+            .groupBy("c_custkey")
+            .agg(count(col("o_orderkey")).as("c_count"))
+            .groupBy("c_count")
+            .agg(count(lit(1)).as("custdist"))
+            .orderBy(col("custdist").desc, col("c_count").desc)))
+        orK.unpersist()
+      }
+
       // PageRank over a k× random graph (constant average degree 10,
       // hash-derived edges — node AND edge count grow k×): each of the
       // 3 iterations is one edge⋈rank join + one dst-keyed aggregate,
