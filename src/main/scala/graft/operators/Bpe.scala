@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Distributed byte-pair-encoding merge learning (Sennrich et al. 2016,
+ * "Neural Machine Translation of Rare Words with Subword Units") — the
+ * tokenizer-training operator a training-data pipeline runs before
+ * token counting: learn the top-N symbol-pair merges from a corpus.
+ *
+ * Scale shape: the ONLY corpus-sized stage is the initial word-count
+ * aggregate (one hash-keyed exchange with map-side combine — the same
+ * shape as q22's token counts). Every merge iteration then runs over
+ * the VOCABULARY frame (distinct words × counts): one adjacency
+ * flatMap + one pair aggregate + a one-row argmax collect (bounded by
+ * construction, like the CC convergence probe), and the merge applies
+ * as a map — no further shuffles of anything corpus-sized. At 100 TB
+ * the vocabulary is millions of rows while the corpus is billions, so
+ * iterations cost ~nothing relative to the one aggregate.
+ *
+ * Determinism contract (what makes the oracle hash-match): the argmax
+ * tiebreak is total ((cnt desc, a, b)); pair statistics count EVERY
+ * adjacent occurrence (overlaps included); a merge rewrites leftmost
+ * non-overlapping occurrences — exactly `replace`'s semantics on the
+ * space-delimited symbol string, identical in Spark and DuckDB.
+ */
+object Bpe {
+
+  /** One learned merge: at `rnk` the pair (ml, mr) had weighted
+    * adjacency count `cnt`. */
+  final case class Merge(rnk: Long, ml: String, mr: String, cnt: Long)
+
+  /** Corpus → vocabulary frame `(w, n)`: `w` is the space-delimited
+    * symbol string with sentinel spaces (` h e l l o </w> `) so every
+    * symbol — first and last included — is ` `-delimited for the
+    * replace-based merge; `n` the word's corpus frequency. */
+  def wordCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .select(explode(expr(
+        s"regexp_extract_all(lower($textCol), '[a-z]+', 0)")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .select(
+        concat(lit(" "), concat_ws(" ", expr("split(word, '')")),
+          lit(" </w> ")).as("w"),
+        col("n"))
+
+  /** Learn `numMerges` merges; returns them in rank order plus the
+    * final segmented vocabulary (for applying the vocab downstream). */
+  def learn(docs: DataFrame, textCol: String,
+            numMerges: Int): (Seq[Merge], DataFrame) = {
+    require(numMerges > 0, "numMerges must be positive")
+    var words = wordCounts(docs, textCol).persist()
+    words.count()
+    val merges = Seq.newBuilder[Merge]
+    var r = 1L
+    var done = false
+    while (r <= numMerges && !done) {
+      val top = words
+        .select(expr("split(trim(w), ' ')").as("l"), col("n"))
+        // a fully merged word is ONE symbol; sequence(0,-1) would
+        // descend, so guard (the oracle's range(1,1) is empty already)
+        .filter(size(col("l")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(l)-2), i -> struct(l[i] AS a, l[i+1] AS b))"))
+          .as("p"), col("n"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("n").as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).collect() // one row by construction — never the corpus
+      if (top.isEmpty) done = true
+      else {
+        val (a, b, c) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += Merge(r, a, b, c)
+        // symbols are [a-z]+ or </w> — safe inside a SQL literal
+        val old = words
+        words = words.withColumn("w",
+          expr(s"replace(w, ' $a $b ', ' $a$b ')")).persist()
+        words.count()
+        old.unpersist()
+        r += 1
+      }
+    }
+    (merges.result(), words)
+  }
+
+  /** The learned merge table as a DataFrame (rank-ordered). */
+  def mergeTable(docs: DataFrame, textCol: String,
+                 numMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (merges, words) = learn(docs, textCol, numMerges)
+    words.unpersist()
+    merges.toDF("rnk", "ml", "mr", "cnt").orderBy("rnk")
+  }
+
+  /** DuckDB twin of [[mergeTable]]: the iteration unrolled as a
+    * generated CTE chain (the simHashHexSql pattern) — identical
+    * pair statistics, argmax tiebreak, and leftmost-non-overlapping
+    * merge application. The w/p CTEs are MATERIALIZED: each level
+    * reads its predecessor twice, so inlining would expand the scan
+    * 2^N-fold (observed as a too-many-open-files failure at N=8). */
+  def mergeTableSql(numMerges: Int): String = {
+    val init = "w0 AS MATERIALIZED (SELECT ' ' || array_to_string(string_split(word, ''), ' ') || ' </w> ' AS w, n " +
+      "FROM (SELECT word, count(*) AS n FROM " +
+      "(SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word FROM documents) GROUP BY 1))"
+    val iters = (1 to numMerges).map { r =>
+      s"p$r AS MATERIALIZED (SELECT p[1] AS a, p[2] AS b, CAST(sum(n) AS BIGINT) AS cnt " +
+        s"FROM (SELECT unnest([ [l[i], l[i+1]] for i in range(1, len(l)) ]) AS p, n " +
+        s"FROM (SELECT string_split(trim(w), ' ') AS l, n FROM w${r - 1})) GROUP BY 1,2), " +
+        s"t$r AS (SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1), " +
+        s"w$r AS MATERIALIZED (SELECT replace(w, ' ' || (SELECT a FROM t$r) || ' ' || (SELECT b FROM t$r) || ' ', " +
+        s"' ' || (SELECT a FROM t$r) || (SELECT b FROM t$r) || ' ') AS w, n FROM w${r - 1})"
+    }
+    val union = (1 to numMerges).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS rnk, a AS ml, b AS mr, cnt FROM t$r")
+      .mkString(" UNION ALL ")
+    s"WITH $init, ${iters.mkString(", ")} SELECT rnk, ml, mr, cnt FROM ($union) ORDER BY rnk"
+  }
+}

@@ -1396,6 +1396,15 @@ object ExtQueries {
         .orderBy("n_name")
     }),
 
+    // BPE merge learning (tokenizer training): the top-8 symbol-pair
+    // merges over the document corpus — the only corpus-sized stage is
+    // the word-count aggregate; every iteration runs over the
+    // vocabulary frame with a one-row argmax collect (see Bpe.scala's
+    // determinism contract; the oracle is the same iteration unrolled
+    // as a generated CTE chain).
+    "q185_bpe_merges" -> ((s, d) =>
+      Bpe.mergeTable(t(s, d, "documents"), "text", 8)),
+
     // Shipping-delay distribution — days from order to ship per
     // priority class: the logistics SLA readout. Day differences are
     // exact integers; the mean is exact integer division (q119 rule)
@@ -3311,6 +3320,8 @@ object ExtQueries {
         "WHERE c_acctbal > (SELECT thr FROM t) " +
         "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2000-01-01') " +
         "GROUP BY 1 ORDER BY 1"),
+    // q185: the BPE iteration unrolled as a generated CTE chain
+    "q185_bpe_merges" -> Bpe.mergeTableSql(8),
     // q164: integer day diffs — exact mean, element p95
     "q164_ship_delay" ->
       ("SELECT o_orderpriority, count(*) AS n_items, " +
