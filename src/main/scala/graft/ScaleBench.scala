@@ -530,6 +530,20 @@ object ScaleBench {
         docs.unpersist()
       }
 
+      // BPE merge learning at k× the corpus: token salting grows the
+      // VOCABULARY k× too (each replica's words are distinct), so this
+      // stresses both the corpus-sized word-count aggregate and the
+      // vocabulary-sized iterations — 4 merges, cost should track the
+      // one aggregate plus ~constant per-iteration overhead
+      if (want("q185_bpe")) {
+        val docs = scaleDocs(spark, sf, k).persist()
+        val nDocs = docs.count()
+        System.err.println(s"SCALE inputs ${k}x: $nDocs docs (bpe)")
+        record("q185_bpe", k, time(
+          graft.operators.Bpe.mergeTable(docs, "text", 4)))
+        docs.unpersist()
+      }
+
       val docOps = Seq("q123_prefix", "q26_jaccard", "q52_capped", "q40_minhash",
         "q67_clusters", "q67_cluster_only", "q84_star_only", "q75_probe",
         "admit_batch", "q40_probe", "minhash_admit",
