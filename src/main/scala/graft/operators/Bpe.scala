@@ -95,6 +95,35 @@ object Bpe {
     merges.toDF("rnk", "ml", "mr", "cnt").orderBy("rnk")
   }
 
+  /** The corpus's BPE-token frequency table under the learned merges:
+    * explode the final segmented vocabulary weighted by word frequency
+    * — the unigram distribution a tokenizer-budget analysis reads.
+    * Top-k by (count desc, token). */
+  def tokenTable(docs: DataFrame, textCol: String, numMerges: Int,
+                 topK: Int): DataFrame = {
+    val (_, words) = learn(docs, textCol, numMerges)
+    // sever the result from the cached iteration chain (the caller
+    // materializes lazily, after the unpersist below)
+    val snap = words.localCheckpoint()
+    words.unpersist()
+    snap
+      .select(explode(expr("split(trim(w), ' ')")).as("tok"), col("n"))
+      .groupBy("tok").agg(sum("n").as("cnt"))
+      .orderBy(col("cnt").desc, col("tok"))
+      .limit(topK)
+  }
+
+  /** DuckDB twin of [[tokenTable]]: [[mergeTableSql]]'s CTE chain with
+    * the final select swapped for the weighted token explode. */
+  def tokenTableSql(numMerges: Int, topK: Int): String = {
+    val chain = mergeTableSql(numMerges)
+    val cut = chain.lastIndexOf(" SELECT rnk")
+    chain.substring(0, cut) +
+      s" SELECT tok, CAST(sum(n) AS BIGINT) AS cnt FROM " +
+      s"(SELECT unnest(string_split(trim(w), ' ')) AS tok, n FROM w$numMerges) " +
+      s"GROUP BY 1 ORDER BY cnt DESC, tok LIMIT $topK"
+  }
+
   /** DuckDB twin of [[mergeTable]]: the iteration unrolled as a
     * generated CTE chain (the simHashHexSql pattern) — identical
     * pair statistics, argmax tiebreak, and leftmost-non-overlapping

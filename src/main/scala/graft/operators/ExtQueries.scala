@@ -1405,6 +1405,12 @@ object ExtQueries {
     "q185_bpe_merges" -> ((s, d) =>
       Bpe.mergeTable(t(s, d, "documents"), "text", 8)),
 
+    // BPE token distribution: the corpus's top-25 subword tokens under
+    // the q185 merges — the unigram readout a tokenizer-budget analysis
+    // wants; exact integer counts from the segmented vocabulary.
+    "q186_bpe_tokens" -> ((s, d) =>
+      Bpe.tokenTable(t(s, d, "documents"), "text", 8, 25)),
+
     // Shipping-delay distribution — days from order to ship per
     // priority class: the logistics SLA readout. Day differences are
     // exact integers; the mean is exact integer division (q119 rule)
@@ -3322,6 +3328,8 @@ object ExtQueries {
         "GROUP BY 1 ORDER BY 1"),
     // q185: the BPE iteration unrolled as a generated CTE chain
     "q185_bpe_merges" -> Bpe.mergeTableSql(8),
+    // q186: the same chain, final select swapped for the token explode
+    "q186_bpe_tokens" -> Bpe.tokenTableSql(8, 25),
     // q164: integer day diffs — exact mean, element p95
     "q164_ship_delay" ->
       ("SELECT o_orderpriority, count(*) AS n_items, " +
