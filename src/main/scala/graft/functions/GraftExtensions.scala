@@ -26,6 +26,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.FingerprintDescriptor)
     ext.injectFunction(GraftExtensions.CharEntropyDescriptor)
     ext.injectFunction(GraftExtensions.JaroWinklerDescriptor)
+    // keyless band joins → binned equi-joins, opt-in via
+    // spark.graft.bandJoin.binWidth (see BandJoinRewrite)
+    ext.injectOptimizerRule(_ => new graft.plans.BandJoinRewrite)
   }
 }
 

@@ -2505,6 +2505,36 @@ object ExtQueries {
         .orderBy("event_type")
     }),
 
+    // Sketch-based retention (HLL set algebra): day-over-day audience
+    // overlap by INCLUSION-EXCLUSION over mergeable sketches
+    // (est∩ = estA + estB − est∪) — the 100 TB path where the exact
+    // distinct self-join is the expensive op; the q78-style contract
+    // emits the exact counts plus a 10%-tolerance ok (generous: at
+    // these cardinalities the datasketches HLL is in near-exact sparse
+    // mode, and the overlap is ~88% of either side).
+    "q187_sketch_retention" -> ((s, d) => {
+      val ev = CoreQueries.events(s, d)
+        .withColumn("day", expr("ts_ns div 86400000000000"))
+      val sk = ev.groupBy("day")
+        .agg(expr("hll_sketch_agg(user_id)").as("sk"),
+          countDistinct("user_id").as("ex"))
+      val a = sk.select(col("day"), col("sk").as("ska"), col("ex").as("na"))
+      val b = sk.select((col("day") - 1).as("day"), col("sk").as("skb"),
+        col("ex").as("nb"))
+      val du = ev.select("day", "user_id").distinct()
+      val ovl = du.join(du.select((col("day") - 1).as("day"), col("user_id")),
+          Seq("day", "user_id"))
+        .groupBy("day").agg(count(lit(1)).as("ovl"))
+      a.join(b, "day")
+        .withColumn("_est", expr("hll_sketch_estimate(ska)") +
+          expr("hll_sketch_estimate(skb)") -
+          expr("hll_sketch_estimate(hll_union(ska, skb))"))
+        .join(ovl, "day")
+        .select(col("day"), col("na"), col("nb"), col("ovl"),
+          (abs(col("_est") - col("ovl")) <= col("ovl") * 0.10).as("ok"))
+        .orderBy("day")
+    }),
+
     // Sliding-window chunking (40-word windows, 10-word overlap):
     // context-window preparation; md5 proves chunk content end-to-end.
     "q79_chunking" -> ((s, d) =>
@@ -3818,6 +3848,15 @@ object ExtQueries {
     // tolerance, computed Spark-side (q34 pattern)
     "q78_sketch_table" ->
       "SELECT event_type, true AS ok FROM events GROUP BY 1 ORDER BY 1",
+    // q187: exact day-pair audience counts; the sketch tolerance check
+    // is Spark-side (q78 contract pattern)
+    "q187_sketch_retention" ->
+      ("WITH du AS (SELECT DISTINCT epoch_us(ts)//86400000000 AS day, user_id FROM events), " +
+        "n AS (SELECT day, CAST(count(*) AS BIGINT) AS nd FROM du GROUP BY 1), " +
+        "ov AS (SELECT a.day, CAST(count(*) AS BIGINT) AS ovl FROM du a " +
+        "JOIN du b ON b.user_id=a.user_id AND b.day=a.day+1 GROUP BY 1) " +
+        "SELECT a.day, a.nd AS na, b.nd AS nb, ov.ovl AS ovl, true AS ok " +
+        "FROM n a JOIN n b ON b.day=a.day+1 JOIN ov ON ov.day=a.day ORDER BY 1"),
     "q76_pmi_bigrams" ->
       ("WITH w AS (SELECT string_split(text,' ') ws FROM documents), " +
         "bi AS (SELECT r['w1'] AS w1, r['w2'] AS w2, count(*) AS c_ab FROM (SELECT unnest([{'w1': ws[i], 'w2': ws[i+1]} for i in range(1, len(ws))]) r FROM w) t GROUP BY 1, 2 HAVING count(*) >= 5), " +
