@@ -1860,6 +1860,42 @@ object ExtQueries {
       Behavior.sessionStats(CoreQueries.events(s, d), "user_id",
         expr("ts_ns div 1000"), col("event_id"), maxGap = 1800000000L)),
 
+    // First-touch attribution: each purchase's value credits the
+    // OPENING event type of its 30-min session — the q138 session
+    // islands composed with a per-session first_value; per-session
+    // conversion value averages at 4 dp (small per-session sums, then
+    // the division collapses accumulation error).
+    "q188_attribution" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val ev = CoreQueries.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"), expr("ts_ns div 1000").as("us"))
+      ev
+        .withColumn("_brk",
+          when(lag("us", 1).over(w).isNull ||
+            col("us") - lag("us", 1).over(w) > 1800000000L, 1L)
+            .otherwise(0L))
+        .withColumn("sid",
+          sum("_brk").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("channel", first("event_type")
+          .over(Window.partitionBy("user_id", "sid").orderBy("us", "event_id")))
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("channel"), col("user_id"), col("sid"))
+        .agg(count(lit(1)).as("_nc"), sum("value").as("_rev"))
+        .groupBy("channel")
+        .agg(count(lit(1)).as("n_sessions"),
+          sum("_nc").as("n_conversions"),
+          round(avg(col("_rev") / col("_nc")), 4).as("avg_conv_value"))
+        .orderBy("channel")
+    }),
+
+    // Exact phrase search over positional postings: word i joins word
+    // 0's postings on (doc, pos+i) — containment, each filter
+    // token-selective before its shuffle (Search.phraseDocs).
+    "q189_phrase_search" -> ((s, d) =>
+      Search.phraseDocs(t(s, d, "documents"), "doc_id", "text",
+        "slow query")),
+
     // Retention RATES (q114 normalized): day-offset survival as an
     // exact-count division against the cohort's day-0 size.
     "q139_retention_rate" -> ((s, d) => {
@@ -3848,6 +3884,23 @@ object ExtQueries {
     // tolerance, computed Spark-side (q34 pattern)
     "q78_sketch_table" ->
       "SELECT event_type, true AS ok FROM events GROUP BY 1 ORDER BY 1",
+    // q188: session islands + per-session first_value, both engines
+    // ordering (us, event_id)
+    "q188_attribution" ->
+      ("WITH e AS (SELECT user_id, event_id, event_type, value, epoch_us(ts) AS us FROM events), " +
+        "s AS (SELECT *, CASE WHEN us - lag(us) OVER w > 1800000000 OR lag(us) OVER w IS NULL THEN 1 ELSE 0 END AS brk " +
+        "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)), " +
+        "t AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM s), " +
+        "t2 AS (SELECT user_id, sid, event_type, value, " +
+        "first_value(event_type) OVER (PARTITION BY user_id, sid ORDER BY us, event_id) AS channel FROM t), " +
+        "conv AS (SELECT channel, user_id, sid, count(*) AS n_conv, sum(value) AS rev " +
+        "FROM t2 WHERE event_type='purchase' GROUP BY 1,2,3) " +
+        "SELECT channel, CAST(count(*) AS BIGINT) AS n_sessions, CAST(sum(n_conv) AS BIGINT) AS n_conversions, " +
+        "round(avg(rev/n_conv),4) AS avg_conv_value FROM conv GROUP BY 1 ORDER BY 1"),
+    // q189: containment via the delimited LIKE — equivalent to the
+    // adjacency join on space-tokenized text
+    "q189_phrase_search" ->
+      ("SELECT doc_id FROM documents WHERE ' '||text||' ' LIKE '% slow query %' ORDER BY doc_id"),
     // q187: exact day-pair audience counts; the sketch tolerance check
     // is Spark-side (q78 contract pattern)
     "q187_sketch_retention" ->

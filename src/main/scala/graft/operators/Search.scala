@@ -99,4 +99,83 @@ object Search {
     docs.select(col(idCol).as("doc_id"),
         explode(split(col(textCol), " ")).as("token"))
       .distinct()
+
+  /** POSITIONAL postings: one row per (doc, position, token) — what a
+    * phrase query needs that [[postings]] throws away. */
+  def positionalPostings(docs: DataFrame, idCol: String,
+                         textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      posexplode(split(col(textCol), " ")).as(Seq("pos", "token")))
+
+  /**
+   * Start positions where `phrase` matches: word i's postings join
+   * word 0's on `(doc, pos + i)` — the n-word generalization of the
+   * two-term adjacency join. Every filter is token-selective BEFORE
+   * its shuffle (against a stored positional table this is a
+   * bucket-pruned read per word), so the joined frames carry
+   * |matching postings| rows, never the corpus. Overlapping matches
+   * each produce their own start row — the standard positional-index
+   * semantics (`"a a"` in `"a a a"` starts at 0 AND 1).
+   *
+   * `pp` is a positional-postings frame — [[positionalPostings]] live,
+   * or the table [[graft.sources.Warehouse.saveInvertedIndex]] persists
+   * from it (bucketed by token; the extra pos column rides along).
+   */
+  def phraseStarts(pp: DataFrame, phrase: String): DataFrame = {
+    val words = phrase.trim.split("\\s+").toSeq
+    require(words.nonEmpty && words.head.nonEmpty, "phrase must be non-empty")
+    val head = pp.filter(col("token") === words.head)
+      .select(col("doc_id"), col("pos"))
+    words.zipWithIndex.drop(1).foldLeft(head) { case (acc, (w, i)) =>
+      acc.join(pp.filter(col("token") === w)
+          .select(col("doc_id"), (col("pos") - i).as("pos")),
+        Seq("doc_id", "pos"))
+    }
+  }
+
+  /** Exact phrase search, containment semantics: distinct ids of
+    * documents where the words of `phrase` appear adjacently in order. */
+  def phraseDocs(docs: DataFrame, idCol: String, textCol: String,
+                 phrase: String): DataFrame =
+    phraseDocsFrom(positionalPostings(docs, idCol, textCol), phrase)
+
+  /** [[phraseDocs]] over an existing positional-postings frame (live
+    * or at rest). */
+  def phraseDocsFrom(pp: DataFrame, phrase: String): DataFrame =
+    phraseStarts(pp, phrase).select("doc_id").distinct().orderBy("doc_id")
+
+  /** Per-document phrase occurrence counts (one per start position,
+    * overlaps included). Only matching docs appear. */
+  def phraseOccurrences(pp: DataFrame, phrase: String): DataFrame =
+    phraseStarts(pp, phrase).groupBy("doc_id")
+      .agg(count(lit(1)).as("n_occ")).orderBy("doc_id")
+
+  /**
+   * Proximity search: documents where `termA` and `termB` occur within
+   * `window` positions of each other, either order. The pair join is
+   * BINNED (the [[RangeJoin]] pattern): positions bucket into
+   * width-`window` bins, B registers in its bin and both neighbors,
+   * the join runs on `(doc, bin)` and the exact `|Δpos| ≤ window`
+   * filter follows — a qualifying pair's bins differ by at most one,
+   * so each pair surfaces exactly once and a frequent term in a long
+   * document pairs only against its window-neighborhood, never all of
+   * A × B per doc.
+   */
+  def proximityDocs(pp: DataFrame, termA: String, termB: String,
+                    window: Int): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    require(termA != termB, "proximity terms must differ")
+    val a = pp.filter(col("token") === termA)
+      .select(col("doc_id"), col("pos").as("pa"))
+      .withColumn("bin", floor(col("pa") / window))
+    val b = pp.filter(col("token") === termB)
+      .select(col("doc_id"), col("pos").as("pb"),
+        floor(col("pb") / window).as("_b0"))
+      .withColumn("bin",
+        explode(array(col("_b0") - 1, col("_b0"), col("_b0") + 1)))
+      .drop("_b0")
+    a.join(b, Seq("doc_id", "bin"))
+      .filter(abs(col("pa") - col("pb")) <= window)
+      .select("doc_id").distinct().orderBy("doc_id")
+  }
 }

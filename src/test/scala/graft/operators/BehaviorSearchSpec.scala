@@ -247,6 +247,39 @@ class BehaviorSearchSpec extends AnyFunSuite with SparkTestSession {
     assert(both.nonEmpty)
   }
 
+  test("phraseDocs: adjacency in order, not mere co-occurrence") {
+    // doc 1 has the phrase; doc 2 has both words reversed; doc 3 has
+    // them separated; doc 4 repeats the first word before the match
+    // (pos arithmetic must not be confused by the earlier miss)
+    val docs = Seq(
+      (1L, "a slow query ran"), (2L, "query slow path"),
+      (3L, "slow disk query"), (4L, "slow slow query end"),
+      (5L, "nothing here")
+    ).toDF("doc_id", "text")
+    val got = Search.phraseDocs(docs, "doc_id", "text", "slow query")
+      .as[Long].collect().toSeq
+    assert(got == Seq(1L, 4L))
+    // 3-word phrase: needs all three adjacent in order
+    val tri = Search.phraseDocs(docs, "doc_id", "text", "a slow query")
+      .as[Long].collect().toSeq
+    assert(tri == Seq(1L))
+    // single-word phrase degenerates to containment
+    val one = Search.phraseDocs(docs, "doc_id", "text", "query")
+      .as[Long].collect().toSeq
+    assert(one == Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("phraseDocs on the test corpus: equals the delimited-contains scan") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val got = Search.phraseDocs(docs, "doc_id", "text", "slow query")
+      .as[Long].collect().toSet
+    val brute = docs
+      .filter(concat(lit(" "), col("text"), lit(" ")).contains(" slow query "))
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == brute)
+    assert(got.nonEmpty)
+  }
+
   test("rfmSegments: arithmetic tiles equal the unpartitioned ntile windows") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.{Window => W}
