@@ -1896,6 +1896,24 @@ object ExtQueries {
       Search.phraseDocs(t(s, d, "documents"), "doc_id", "text",
         "slow query")),
 
+    // Proximity search: two terms within 3 positions, either order —
+    // the binned pair join (RangeJoin pattern), never per-doc A×B.
+    "q190_proximity" -> ((s, d) =>
+      Search.proximityDocs(
+        Search.positionalPostings(t(s, d, "documents"), "doc_id", "text"),
+        "hash", "join", window = 3)),
+
+    // Phrase frequency by language: every start position counts
+    // (overlap-inclusive, the positional-index rule) — exact integers.
+    "q191_phrase_freq" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Search.phraseOccurrences(
+          Search.positionalPostings(docs, "doc_id", "text"), "slow query")
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang").agg(sum("n_occ").as("n_occ"))
+        .orderBy("lang")
+    }),
+
     // Retention RATES (q114 normalized): day-offset survival as an
     // exact-count division against the cohort's day-0 size.
     "q139_retention_rate" -> ((s, d) => {
@@ -2882,6 +2900,19 @@ object ExtQueries {
       }
       Search.conjunctiveSearch(s.table("graft_bench_inverted_q112"),
         SearchTerms)
+    }),
+    // Phrase search over the STORED positional index (q189's at-rest
+    // split): the postings persist bucketed by token with positions
+    // riding along, so each word of the phrase reads only its buckets —
+    // the timed probe is the per-word pruned scans + adjacency joins.
+    "q189b_phrase_probe" -> ((s, d) => {
+      ensureStoredIndex("graft_bench_positional_q189", d) {
+        graft.sources.Warehouse.saveInvertedIndex(
+          Search.positionalPostings(t(s, d, "documents"), "doc_id", "text"),
+          "graft_bench_positional_q189")
+      }
+      Search.phraseDocsFrom(s.table("graft_bench_positional_q189"),
+        "slow query")
     })
   )
 
@@ -3901,6 +3932,21 @@ object ExtQueries {
     // adjacency join on space-tokenized text
     "q189_phrase_search" ->
       ("SELECT doc_id FROM documents WHERE ' '||text||' ' LIKE '% slow query %' ORDER BY doc_id"),
+    // q190/q191: positional postings via the q65 struct comprehension;
+    // q190 checks |Δpos| ≤ 3, q191 counts every adjacency start
+    "q190_proximity" ->
+      ("WITH d AS (SELECT doc_id, string_split(text,' ') w FROM documents), " +
+        "p AS (SELECT doc_id, unnest([{'pos': i-1, 'tok': w[i]} for i in range(1, len(w)+1)], recursive := true) FROM d), " +
+        "a AS (SELECT doc_id, pos FROM p WHERE tok='hash'), " +
+        "b AS (SELECT doc_id, pos FROM p WHERE tok='join') " +
+        "SELECT DISTINCT a.doc_id AS doc_id FROM a JOIN b ON a.doc_id=b.doc_id AND abs(a.pos-b.pos)<=3 ORDER BY a.doc_id"),
+    "q191_phrase_freq" ->
+      ("WITH d AS (SELECT doc_id, lang, string_split(text,' ') w FROM documents), " +
+        "p AS (SELECT doc_id, lang, unnest([{'pos': i-1, 'tok': w[i]} for i in range(1, len(w)+1)], recursive := true) FROM d), " +
+        "a AS (SELECT doc_id, lang, pos FROM p WHERE tok='slow'), " +
+        "b AS (SELECT doc_id, pos FROM p WHERE tok='query') " +
+        "SELECT a.lang, CAST(count(*) AS BIGINT) AS n_occ FROM a JOIN b ON a.doc_id=b.doc_id AND b.pos=a.pos+1 " +
+        "GROUP BY 1 ORDER BY 1"),
     // q187: exact day-pair audience counts; the sketch tolerance check
     // is Spark-side (q78 contract pattern)
     "q187_sketch_retention" ->

@@ -269,6 +269,41 @@ class BehaviorSearchSpec extends AnyFunSuite with SparkTestSession {
     assert(one == Seq(1L, 2L, 3L, 4L))
   }
 
+  test("phraseOccurrences: overlapping starts each count") {
+    val docs = Seq(
+      (1L, "a a a"),          // "a a" starts at 0 and 1 → 2
+      (2L, "a b a b a"),      // "a b" starts at 0 and 2 → 2
+      (3L, "b b")             // no match → absent
+    ).toDF("doc_id", "text")
+    val pp = Search.positionalPostings(docs, "doc_id", "text")
+    val got = Search.phraseOccurrences(pp, "a a")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 2L)))
+    val ab = Search.phraseOccurrences(pp, "a b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(ab == Seq((2L, 2L)))
+  }
+
+  test("proximityDocs: window boundary exact, either order, bin edges") {
+    // positions: doc 1 has x@0 y@3 (|Δ|=3, inside w=3, crosses a bin
+    // edge); doc 2 x@0 y@4 (|Δ|=4, outside); doc 3 y@1 x@2 (reverse
+    // order, inside); doc 4 x@5 y@5 impossible (one token per pos) —
+    // instead x@5 y@8 exactly w apart across bins 1|2
+    val docs = Seq(
+      (1L, "x p p y"), (2L, "x p p p y"), (3L, "p y x"),
+      (4L, "p p p p p x p p y")
+    ).toDF("doc_id", "text")
+    val pp = Search.positionalPostings(docs, "doc_id", "text")
+    val got = Search.proximityDocs(pp, "x", "y", window = 3)
+      .as[Long].collect().toSeq
+    assert(got == Seq(1L, 3L, 4L))
+    // the binned join finds each qualifying pair exactly once: doc-level
+    // occurrence counting off the same join must equal the brute force
+    val pairs = Search.proximityDocs(pp, "x", "y", window = 4)
+      .as[Long].collect().toSeq
+    assert(pairs == Seq(1L, 2L, 3L, 4L))
+  }
+
   test("phraseDocs on the test corpus: equals the delimited-contains scan") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val got = Search.phraseDocs(docs, "doc_id", "text", "slow query")

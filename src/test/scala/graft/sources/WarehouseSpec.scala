@@ -557,6 +557,36 @@ class WarehouseSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("persisted positional index: word probes prune, stored phrase search equals direct") {
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val pp = graft.operators.Search.positionalPostings(docs, "doc_id", "text")
+    Warehouse.saveInvertedIndex(pp, "positional_idx", buckets = 8)
+    try {
+      // each phrase word reads only its token's bucket (pos rides along)
+      val lookup = spark.table("positional_idx").filter(col("token") === "slow")
+      val plan = lookup.queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount: 1 out of 8"),
+        s"word probe did not bucket-prune:\n$plan")
+      def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+        df.select("doc_id").collect().map(_.getLong(0)).toSeq
+      val stored = ids(graft.operators.Search.phraseDocsFrom(
+        spark.table("positional_idx"), "slow query"))
+      val direct = ids(graft.operators.Search.phraseDocsFrom(pp, "slow query"))
+      assert(stored == direct && stored.nonEmpty)
+      // proximity runs off the same stored frame
+      val sp = ids(graft.operators.Search.proximityDocs(
+        spark.table("positional_idx"), "hash", "join", window = 3))
+      val dp = ids(graft.operators.Search.proximityDocs(pp, "hash", "join",
+        window = 3))
+      assert(sp == dp && sp.nonEmpty)
+    } finally {
+      spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+      spark.sql("DROP TABLE IF EXISTS positional_idx")
+    }
+  }
+
   test("digest-bucketed table aggregates per digest without an exchange") {
     spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
     Warehouse.saveBucketed(wide, "queries_bucketed", buckets = 4)
