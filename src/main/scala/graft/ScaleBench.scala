@@ -544,6 +544,40 @@ object ScaleBench {
         docs.unpersist()
       }
 
+      // Phrase + proximity search at k× the corpus: replica tokens are
+      // suffixed, so the MATCHING posting set stays FIXED while the
+      // corpus grows — the live paths measure the corpus-sized
+      // posexplode + token filter (the joins carry fixed rows)
+      if (want("q189_phrase") || want("q190_prox")) {
+        val docs = scaleDocs(spark, sf, k).persist()
+        val nDocs = docs.count()
+        System.err.println(s"SCALE inputs ${k}x: $nDocs docs (phrase)")
+        if (want("q189_phrase"))
+          record("q189_phrase", k, time(
+            graft.operators.Search.phraseDocs(docs, "doc_id", "text",
+              "slow query")))
+        if (want("q190_prox"))
+          record("q190_prox", k, time(
+            graft.operators.Search.proximityDocs(
+              graft.operators.Search.positionalPostings(
+                docs, "doc_id", "text"), "hash", "join", 3)))
+        docs.unpersist()
+      }
+      // Stored-positional-index probe (q189b's scale evidence): index
+      // prebuilt at k× (excluded), timed = two bucket-pruned word reads
+      // + the adjacency join — each word scans 1/32 of a k×-grown table
+      if (want("phrase_probe")) {
+        val tbl = "graft_bench_scale_positional"
+        Warehouse.dropWithLocation(spark, tbl)
+        Warehouse.saveInvertedIndex(
+          graft.operators.Search.positionalPostings(
+            scaleDocs(spark, sf, k), "doc_id", "text"), tbl)
+        record("phrase_probe", k, time(
+          graft.operators.Search.phraseDocsFrom(spark.table(tbl),
+            "slow query")))
+        Warehouse.dropWithLocation(spark, tbl)
+      }
+
       val docOps = Seq("q123_prefix", "q26_jaccard", "q52_capped", "q40_minhash",
         "q67_clusters", "q67_cluster_only", "q84_star_only", "q75_probe",
         "admit_batch", "q40_probe", "minhash_admit",
