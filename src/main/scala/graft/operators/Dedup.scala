@@ -1018,6 +1018,53 @@ object Dedup {
   }
 
   /**
+   * Exact bag-of-words cosine near-dup pairs — the lexical twin of
+   * embedding cosine (q45) beside set MinHash (q40) and weighted
+   * Jaccard (q144): term-FREQUENCY vectors, exact cosine, pairs via
+   * the shared-term join.
+   *
+   * Cross-engine determinism: the dot product and both squared norms
+   * are exact integers, so `dot / sqrt(n2a · n2b)` is two
+   * correctly-rounded IEEE ops on exact inputs — bit-identical in any
+   * engine evaluating the same expression shape, which is why the
+   * threshold compares the RAW double (the 6-dp output rounding is
+   * cosmetic, not load-bearing).
+   *
+   * Scale shape: the pair join fans out df² per token, so tokens with
+   * df > maxDf are dropped from the vectors FIRST (stop-word removal,
+   * the standard IR move — and the q52 skew cap); the norms are
+   * computed over the SAME capped vectors, so the similarity stays a
+   * true cosine of what was compared. Per-token fanout is bounded by
+   * maxDf², and everything downstream of the tf aggregate is
+   * |matching-postings|-sized.
+   */
+  def lexicalCosinePairs(docs: DataFrame, idCol: String, textCol: String,
+                         minSim: Double, maxDf: Long): DataFrame = {
+    val tf = docs
+      .select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val keep = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("tok")
+    val tfc = tf.join(keep, "tok")
+    val norms = tfc.groupBy("doc_id")
+      .agg(sum(col("tf") * col("tf")).as("n2"))
+    val dots = tfc.select(col("tok"), col("doc_id").as("da"), col("tf").as("tfa"))
+      .join(tfc.select(col("tok"), col("doc_id").as("db"), col("tf").as("tfb")),
+        "tok")
+      .filter(col("da") < col("db"))
+      .groupBy("da", "db")
+      .agg(sum(col("tfa") * col("tfb")).as("dot"))
+    val sim = col("dot") / sqrt(col("n2a") * col("n2b"))
+    dots
+      .join(norms.select(col("doc_id").as("da"), col("n2").as("n2a")), "da")
+      .join(norms.select(col("doc_id").as("db"), col("n2").as("n2b")), "db")
+      .filter(sim >= minSim)
+      .select(col("da"), col("db"), round(sim, 6).as("sim"))
+      .orderBy("da", "db")
+  }
+
+  /**
    * Sorted-neighborhood candidate pairs (Hernández–Stolfo): order the
    * corpus by a blocking key, then pair every row with its `w` successors
    * in that order — candidate generation that catches near-dups equality

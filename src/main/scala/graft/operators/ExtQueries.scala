@@ -1914,6 +1914,40 @@ object ExtQueries {
         .orderBy("lang")
     }),
 
+    // Lexical cosine near-dup pairs: integer dot / sqrt(integer norms)
+    // is bit-identical across engines, so the 0.8 threshold sits on
+    // the raw double; df cap 400 bounds the per-token fanout.
+    "q192_lexical_cosine" -> ((s, d) =>
+      Dedup.lexicalCosinePairs(t(s, d, "documents"), "doc_id", "text",
+        minSim = 0.8, maxDf = 400L)),
+
+    // Equi-depth price histogram: 8 exact-ntile buckets from the
+    // distributed global rank (q149 arithmetic), id = orderkey*8+line.
+    "q193_equidepth" -> ((s, d) =>
+      Pipeline.equiDepthHistogram(t(s, d, "lineitem"),
+        col("l_extendedprice"), bins = 8)),
+
+    // MAD robust outliers per return flag, in integer CENTS: medians
+    // of integers interpolate to exact .0/.5 doubles on both engines,
+    // so the 3·1.4826·MAD threshold compare cannot flip on an ulp.
+    "q194_mad_outliers" -> ((s, d) => {
+      val v = t(s, d, "lineitem").select(col("l_returnflag").as("grp"),
+        round(col("l_extendedprice") * 100).cast("long").as("c"))
+      val med = v.groupBy("grp").agg(expr("percentile(c, 0.5)").as("med"))
+      val dev = v.join(med, "grp")
+        .withColumn("dev", abs(col("c") - col("med")))
+      val mad = dev.groupBy("grp")
+        .agg(expr("percentile(dev, 0.5)").as("mad"))
+      dev.join(mad, "grp")
+        .groupBy("grp")
+        .agg(sum(when(col("dev") > lit(4.4478) * col("mad"), 1L)
+            .otherwise(0L)).as("n_outliers"),
+          count(lit(1)).as("n_rows"))
+        .select(col("grp"), col("n_outliers"),
+          round(col("n_outliers") / col("n_rows"), 6).as("share"))
+        .orderBy("grp")
+    }),
+
     // Retention RATES (q114 normalized): day-offset survival as an
     // exact-count division against the cohort's day-0 size.
     "q139_retention_rate" -> ((s, d) => {
@@ -3940,6 +3974,32 @@ object ExtQueries {
         "a AS (SELECT doc_id, pos FROM p WHERE tok='hash'), " +
         "b AS (SELECT doc_id, pos FROM p WHERE tok='join') " +
         "SELECT DISTINCT a.doc_id AS doc_id FROM a JOIN b ON a.doc_id=b.doc_id AND abs(a.pos-b.pos)<=3 ORDER BY a.doc_id"),
+    // q192: same capped vectors both sides; the threshold compares the
+    // identical dot/sqrt(n2a*n2b) expression (exact-integer inputs)
+    "q192_lexical_cosine" ->
+      ("WITH tf AS (SELECT doc_id, tok, count(*) AS tf FROM (SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents) GROUP BY 1,2), " +
+        "keep AS (SELECT tok FROM tf GROUP BY tok HAVING count(*) <= 400), " +
+        "tfc AS (SELECT tf.* FROM tf JOIN keep USING (tok)), " +
+        "n AS (SELECT doc_id, sum(tf*tf) AS n2 FROM tfc GROUP BY 1), " +
+        "p AS (SELECT a.doc_id AS da, b.doc_id AS db, sum(a.tf*b.tf) AS dot FROM tfc a JOIN tfc b ON a.tok=b.tok AND a.doc_id<b.doc_id GROUP BY 1,2) " +
+        "SELECT da, db, round(dot / sqrt(na.n2*nb.n2), 6) AS sim " +
+        "FROM p JOIN n na ON p.da=na.doc_id JOIN n nb ON p.db=nb.doc_id " +
+        "WHERE dot / sqrt(na.n2*nb.n2) >= 0.8 ORDER BY da, db"),
+    // q193: DuckDB's ntile follows the same remainder rule the
+    // arithmetic recovery implements (q149 precedent)
+    "q193_equidepth" ->
+      ("WITH r AS (SELECT l_extendedprice AS p, ntile(8) OVER (ORDER BY l_extendedprice) AS bin FROM lineitem) " +
+        "SELECT bin, CAST(count(*) AS BIGINT) AS n, min(p) AS lo, max(p) AS hi " +
+        "FROM r GROUP BY 1 ORDER BY 1"),
+    // q194: integer cents → exact .0/.5 medians; threshold cannot flip
+    "q194_mad_outliers" ->
+      ("WITH v AS (SELECT l_returnflag AS grp, CAST(round(l_extendedprice*100) AS BIGINT) AS c FROM lineitem), " +
+        "m AS (SELECT grp, quantile_cont(c, 0.5) AS med FROM v GROUP BY 1), " +
+        "dv AS (SELECT v.grp, abs(v.c - m.med) AS dev FROM v JOIN m USING (grp)), " +
+        "md AS (SELECT grp, quantile_cont(dev, 0.5) AS mad FROM dv GROUP BY 1) " +
+        "SELECT dv.grp AS grp, CAST(sum(CASE WHEN dv.dev > 4.4478*md.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers, " +
+        "round(sum(CASE WHEN dv.dev > 4.4478*md.mad THEN 1 ELSE 0 END) / count(*), 6) AS share " +
+        "FROM dv JOIN md USING (grp) GROUP BY 1 ORDER BY 1"),
     "q191_phrase_freq" ->
       ("WITH d AS (SELECT doc_id, lang, string_split(text,' ') w FROM documents), " +
         "p AS (SELECT doc_id, lang, unnest([{'pos': i-1, 'tok': w[i]} for i in range(1, len(w)+1)], recursive := true) FROM d), " +

@@ -554,6 +554,41 @@ object Pipeline {
       .add(outCol, org.apache.spark.sql.types.LongType, nullable = false))
   }
 
+  /**
+   * Equi-depth (equal-count) histogram: `bins` buckets over the exact
+   * ntile rule — the first `n % bins` buckets carry `⌈n/bins⌉` rows —
+   * computed from [[globalRank]]'s distributed total order plus
+   * arithmetic tile recovery (the q149 path), never an unpartitioned
+   * ntile window. Output: `(bin, n, lo, hi)` — bucket boundaries and
+   * exact populations, the equi-depth profile a CBO or drift monitor
+   * wants where equi-width (q74) starves on skewed values.
+   *
+   * The rank tiebreaker is a SYNTHESIZED id (materialized by the
+   * checkpoint before either consumer reads it), so callers need no
+   * unique key — and tie order cannot leak into the output: reordering
+   * rows WITHIN an equal-value run only swaps identical values across
+   * a bin boundary, leaving every bin's (n, lo, hi) unchanged.
+   */
+  def equiDepthHistogram(df: DataFrame, valueCol: Column,
+                         bins: Int): DataFrame = {
+    val pre = df.select(valueCol.as("_v"))
+      .withColumn("_id", monotonically_increasing_id())
+      .localCheckpoint()
+    val ranked = globalRank(pre, "_id", Seq(col("_v"), col("_id")))
+    val n = pre.agg(count(lit(1)).as("_n"))
+    val q = expr(s"_n div $bins")
+    val r = expr(s"_n % $bins")
+    ranked.crossJoin(broadcast(n))
+      .select(col("_id"),
+        when(col("rn") <= r * (q + 1), ceil(col("rn") / (q + 1)))
+          .otherwise(r + ceil((col("rn") - r * (q + 1)) / q))
+          .cast("long").as("bin"))
+      .join(pre, "_id")
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), min("_v").as("lo"), max("_v").as("hi"))
+      .orderBy("bin")
+  }
+
   def contaminatedDocsBloom(corpus: DataFrame, probes: DataFrame,
                             idCol: String, textCol: String, n: Int,
                             fpp: Double = 0.01): DataFrame = {

@@ -59,6 +59,32 @@ class BlockedPairsSpec extends AnyFunSuite with SparkTestSession {
     assert(got((1L, 3L)) == 0.6667)
   }
 
+  test("lexicalCosinePairs: hand-computed cosines, df cap drops stop words") {
+    val docs = Seq(
+      (1L, "a b"), (2L, "a b"),           // identical → 1.0
+      (3L, "a a b"),                      // vs 1: dot=3, |.|²=2,5 → 3/√10
+      (4L, "z z z")                       // shares nothing
+    ).toDF("id", "txt")
+    val got = Dedup.lexicalCosinePairs(docs, "id", "txt",
+        minSim = 0.0, maxDf = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(got((1L, 2L)) == 1.0)
+    assert(got((1L, 3L)) == math.rint(3.0 / math.sqrt(10.0) * 1e6) / 1e6)
+    assert(!got.keySet.exists { case (a, b) => a == 4L || b == 4L })
+    // df cap 2 drops 'a' and 'b' (df 3 each): only the z-less docs
+    // lose all terms; no pairs survive because nothing is shared
+    val capped = Dedup.lexicalCosinePairs(docs, "id", "txt",
+        minSim = 0.0, maxDf = 2L)
+      .collect()
+    assert(capped.isEmpty)
+    // threshold keeps only the exact-dup pair
+    val thr = Dedup.lexicalCosinePairs(docs, "id", "txt",
+        minSim = 0.99, maxDf = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(thr == Seq((1L, 2L)))
+  }
+
   test("prefixFilterJaccardPairs equals the brute-force blocked result (prefix lemma)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =

@@ -116,6 +116,31 @@ class PipelineSpec extends AnyFunSuite with SparkTestSession {
     assert(kept.select("_rn").collect().forall(_.getString(0) == "mine"))
   }
 
+  test("equiDepthHistogram: remainder rule, boundary ties, repartition-invariant") {
+    import spark.implicits._
+    // n=10, k=4 → sizes 3,3,2,2; duplicate values straddle bin edges
+    val df = Seq(5.0, 1.0, 3.0, 3.0, 3.0, 2.0, 4.0, 1.0, 2.0, 5.0).toDF("v")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getDouble(3))).toSeq
+    val got = rows(Pipeline.equiDepthHistogram(df, col("v"), 4))
+    // sorted: 1,1,2 | 2,3,3 | 3,4 | 5,5
+    assert(got == Seq((1L, 3L, 1.0, 2.0), (2L, 3L, 2.0, 3.0),
+      (3L, 2L, 3.0, 4.0), (4L, 2L, 5.0, 5.0)))
+    // equals the single-reducer ntile window on the same data
+    val w = org.apache.spark.sql.expressions.Window.orderBy("v")
+    val exp = df.withColumn("bin", ntile(4).over(w))
+      .groupBy("bin").agg(count(lit(1)).as("n"),
+        min("v").as("lo"), max("v").as("hi"))
+      .orderBy("bin").collect()
+      .map(r => (r.getInt(0).toLong, r.getLong(1),
+        r.getDouble(2), r.getDouble(3))).toSeq
+    assert(got == exp)
+    // the synthesized tiebreaker cannot leak partitioning into output
+    assert(rows(Pipeline.equiDepthHistogram(df.repartition(7),
+      col("v"), 4)) == got)
+  }
+
   test("chunkDocuments: strides, overlap, and tail chunk behave exactly") {
     import spark.implicits._
     // 10 words, chunkSize 4, overlap 2 → stride 2, starts 1,3,5,7,9
