@@ -35,7 +35,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  * digest's latency distribution before/after `-splitAt`, biggest
  * shifts first), `pareto` (the digests carrying the first `-threshold`
  * of rate-scaled load, crossing class included — the capacity-planning
- * head next to `profile`).
+ * head next to `profile`), `histogram` (equi-depth latency buckets:
+ * `-top` bins of equal count with exact bounds — equi-width starves on
+ * the latency long tail).
  *
  * A `parquet:` source reads the [[graft.sources.Warehouse]] layout the
  * ingest CLI writes (date-partitioned wide table), so
@@ -145,8 +147,18 @@ object Report {
         Qan.paretoLoad(wide, "digest",
           col("query_time") * greatest(col("rate_limit"), lit(1L)),
           c.threshold)
+      case "histogram" =>
+        // equi-depth latency histogram: -top buckets with equal query
+        // counts — where the mass actually sits (equi-width starves on
+        // latency's long tail); distributed rank, no single-reducer
+        // window (q193's operator)
+        import org.apache.spark.sql.functions.{col, round}
+        graft.operators.Pipeline.equiDepthHistogram(
+            wide, col("query_time"), c.top)
+          .select(col("bin"), col("n"),
+            round(col("lo"), 6).as("lo"), round(col("hi"), 6).as("hi"))
       case other => throw new IllegalArgumentException(
-        s"unknown -report: $other (profile|sparkline|load|apdex|percentiles|compare|anomaly|drift|pareto)")
+        s"unknown -report: $other (profile|sparkline|load|apdex|percentiles|compare|anomaly|drift|pareto|histogram)")
     }
   }
 

@@ -544,6 +544,19 @@ object ScaleBench {
         docs.unpersist()
       }
 
+      // Lexical cosine pairs at k× the corpus: salted replicas share
+      // no tokens, so true near-dup pairs grow k× (not k²) and the df
+      // cap (the oracle's 400) bounds per-token fanout throughout
+      if (want("q192_cosine")) {
+        val docs = scaleDocs(spark, sf, k).persist()
+        val nDocs = docs.count()
+        System.err.println(s"SCALE inputs ${k}x: $nDocs docs (cosine)")
+        record("q192_cosine", k, time(
+          Dedup.lexicalCosinePairs(docs, "doc_id", "text",
+            minSim = 0.8, maxDf = 400L)))
+        docs.unpersist()
+      }
+
       // Phrase + proximity search at k× the corpus: replica tokens are
       // suffixed, so the MATCHING posting set stays FIXED while the
       // corpus grows — the live paths measure the corpus-sized

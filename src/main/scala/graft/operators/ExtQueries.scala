@@ -1927,6 +1927,25 @@ object ExtQueries {
       Pipeline.equiDepthHistogram(t(s, d, "lineitem"),
         col("l_extendedprice"), bins = 8)),
 
+    // DECLARATIVE band join: the raw point-BETWEEN-interval predicate,
+    // no manual binning — BandJoinRewrite (SparkSessionExtensions
+    // optimizer rule) rewrites it to the binned equi-join at plan time
+    // once spark.graft.bandJoin.binWidth is set. The conf stays on for
+    // the session: the rule only fires on KEYLESS point-in-interval
+    // inner joins, a shape no other board query has (q97/q105 bin
+    // manually and carry the equality conjunct the rule's guard skips).
+    // Bands overlap by half, so each price lands in up to two.
+    "q195_band_join" -> ((s, d) => {
+      s.conf.set("spark.graft.bandJoin.binWidth", "11000")
+      val li = t(s, d, "lineitem").select(col("l_extendedprice").as("p"))
+      val bands = s.range(0, 10).select(col("id").as("band"),
+        (col("id") * 11000.0).as("lo"),
+        ((col("id") + lit(2)) * 11000.0).as("hi"))
+      li.join(bands, col("p") >= col("lo") && col("p") <= col("hi"))
+        .groupBy("band").agg(count(lit(1)).as("n"))
+        .orderBy("band")
+    }),
+
     // MAD robust outliers per return flag, in integer CENTS: medians
     // of integers interpolate to exact .0/.5 doubles on both engines,
     // so the 3·1.4826·MAD threshold compare cannot flip on an ulp.
@@ -3991,6 +4010,11 @@ object ExtQueries {
       ("WITH r AS (SELECT l_extendedprice AS p, ntile(8) OVER (ORDER BY l_extendedprice) AS bin FROM lineitem) " +
         "SELECT bin, CAST(count(*) AS BIGINT) AS n, min(p) AS lo, max(p) AS hi " +
         "FROM r GROUP BY 1 ORDER BY 1"),
+    // q195: same BETWEEN join; integer band ids and counts
+    "q195_band_join" ->
+      ("WITH bands AS (SELECT band, band*11000.0 AS lo, (band+2)*11000.0 AS hi FROM (SELECT unnest(range(0,10)) AS band)) " +
+        "SELECT band, CAST(count(*) AS BIGINT) AS n FROM lineitem JOIN bands " +
+        "ON l_extendedprice >= lo AND l_extendedprice <= hi GROUP BY 1 ORDER BY 1"),
     // q194: integer cents → exact .0/.5 medians; threshold cannot flip
     "q194_mad_outliers" ->
       ("WITH v AS (SELECT l_returnflag AS grp, CAST(round(l_extendedprice*100) AS BIGINT) AS c FROM lineitem), " +

@@ -41,6 +41,23 @@ class ReportSpec extends AnyFunSuite with SparkTestSession {
     assert(shares.dropRight(1).forall(_ < 0.5))
   }
 
+  test("histogram report: equi-depth buckets conserve mass, bounds ascend") {
+    // the fixture has 3 queries: 2 bins → sizes 2,1 (ntile remainder
+    // rule; asking for more bins than rows yields one bin per row)
+    val rows = Report.run(spark, Report.Config(source = warehouse,
+      report = "histogram", top = 2)).collect()
+    assert(rows.length == 2)
+    val total = Report.wideFor(spark,
+      Report.Config(source = warehouse)).count()
+    assert(rows.map(_.getAs[Long]("n")).sum == total)
+    // equal depth up to the remainder rule; boundaries non-decreasing
+    val ns = rows.map(_.getAs[Long]("n"))
+    assert(ns.max - ns.min <= 1)
+    val bounds = rows.flatMap(r =>
+      Seq(r.getAs[Double]("lo"), r.getAs[Double]("hi")))
+    assert(bounds.sameElements(bounds.sorted))
+  }
+
   test("every report type returns rows over the ingested warehouse") {
     for (rep <- Seq("profile", "sparkline", "load", "apdex", "percentiles")) {
       val rows = Report.run(spark,
