@@ -887,6 +887,13 @@ object ExtQueries {
       Search.bm25TopK(t(s, d, "documents"), "doc_id", "text",
         SearchTerms, Bm25TopK, Bm25K1, Bm25B)),
 
+    // Hybrid retrieval: BM25 + exact-phrase boost before the top-k cut
+    // — the RAG-stack ranking composition (q111 × q189).
+    "q196_phrase_boost" -> ((s, d) =>
+      Search.phraseBoostTopK(t(s, d, "documents"), "doc_id", "text",
+        SearchTerms, "hash join", boost = 1.0, k = Bm25TopK,
+        Bm25K1, Bm25B)),
+
     // Conjunctive (all-terms) search (Search.conjunctiveSearch):
     // posting intersection as ONE count-matching aggregation instead
     // of a semi-join chain — n query terms, one shuffle.
@@ -1949,6 +1956,10 @@ object ExtQueries {
     // MAD robust outliers per return flag, in integer CENTS: medians
     // of integers interpolate to exact .0/.5 doubles on both engines,
     // so the 3·1.4826·MAD threshold compare cannot flip on an ulp.
+    // Scale note: EXACT percentile buffers each group in one aggregate
+    // buffer — right for the oracle contract, but a corpus-scale group
+    // swaps in the mergeable HDR sketch (q91) or approx_percentile,
+    // trading the exact .5 boundary for bounded memory.
     "q194_mad_outliers" -> ((s, d) => {
       val v = t(s, d, "lineitem").select(col("l_returnflag").as("grp"),
         round(col("l_extendedprice") * 100).cast("long").as("c"))
@@ -3239,6 +3250,25 @@ object ExtQueries {
         "count(*) AS n_terms FROM tf JOIN df USING (token) JOIN dl USING (doc_id) CROSS JOIN st GROUP BY 1) " +
         "SELECT rn, doc_id, score, n_terms FROM " +
         "(SELECT doc_id, score, n_terms, row_number() OVER (ORDER BY score DESC, doc_id) AS rn FROM sc) " +
+        s"WHERE rn <= $Bm25TopK ORDER BY rn"
+    },
+    // q196: q111's CTEs + the delimited-LIKE phrase flag folded into
+    // the score before ranking (boost on the already-rounded value)
+    "q196_phrase_boost" -> {
+      val termList = SearchTerms.map(t => s"'$t'").mkString(", ")
+      s"WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents), " +
+        "dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1), " +
+        "st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl), " +
+        s"tf AS (SELECT doc_id, token, count(*) AS tf FROM tok WHERE token IN ($termList) GROUP BY 1, 2), " +
+        "df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1), " +
+        "sc AS (SELECT tf.doc_id, round(sum(ln(1 + (st.n - df.df + 0.5) / (df.df + 0.5)) " +
+        s"* tf.tf * ($Bm25K1 + 1) / (tf.tf + $Bm25K1 * (1 - $Bm25B + $Bm25B * dl.dl / st.avgdl))), 4) AS score, " +
+        "count(*) AS n_terms FROM tf JOIN df USING (token) JOIN dl USING (doc_id) CROSS JOIN st GROUP BY 1), " +
+        "ph AS (SELECT doc_id FROM documents WHERE ' '||text||' ' LIKE '% hash join %'), " +
+        "bs AS (SELECT sc.doc_id, round(sc.score + CASE WHEN ph.doc_id IS NOT NULL THEN 1.0 ELSE 0.0 END, 4) AS score, " +
+        "sc.n_terms FROM sc LEFT JOIN ph ON sc.doc_id = ph.doc_id) " +
+        "SELECT rn, doc_id, score, n_terms FROM " +
+        "(SELECT doc_id, score, n_terms, row_number() OVER (ORDER BY score DESC, doc_id) AS rn FROM bs) " +
         s"WHERE rn <= $Bm25TopK ORDER BY rn"
     },
     // q112: distinct postings → count-matching intersection

@@ -37,8 +37,18 @@ object Search {
    */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
                terms: Seq[String], k: Int,
-               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    require(terms.nonEmpty, "bm25TopK needs at least one query term")
+               k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    rankTopK(bm25Scores(docs, idCol, textCol, terms, k1, b), k)
+
+  /** The full BM25 score frame `(doc_id, score, n_terms)` — [[bm25TopK]]
+    * without the ranking tail, for compositions that re-weight scores
+    * before ranking ([[phraseBoostTopK]]). The 4-dp rounding happens
+    * HERE, once — re-weighting adds exact constants to the already-
+    * rounded value, so downstream rounding is cosmetic. */
+  def bm25Scores(docs: DataFrame, idCol: String, textCol: String,
+                 terms: Seq[String],
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25Scores needs at least one query term")
     val tok = docs.select(col(idCol).as("doc_id"),
       explode(split(col(textCol), " ")).as("token"))
     val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
@@ -59,14 +69,44 @@ object Search {
       .groupBy("doc_id")
       .agg(round(sum("_w"), 4).as("score"),
         count(lit(1)).as("n_terms"))
-      // top-k FIRST (TakeOrderedAndProject — distributed heap, no
-      // single-partition exchange of the full hit set), then the rank
-      // window runs over k rows only.
+  }
+
+  // top-k FIRST (TakeOrderedAndProject — distributed heap, no
+  // single-partition exchange of the full hit set), then the rank
+  // window runs over k rows only.
+  private def rankTopK(scores: DataFrame, k: Int): DataFrame =
+    scores
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
       .withColumn("rn", row_number().over(
         Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
       .select("rn", "doc_id", "score", "n_terms")
+
+  /**
+   * Hybrid lexical retrieval: BM25 re-weighted by an exact-phrase
+   * boost — documents containing `phrase` verbatim gain `+boost`
+   * BEFORE the top-k cut, so a phrase match can pull a document into
+   * the head that plain BM25 would rank below it. Candidate set is
+   * BM25's (docs matching ≥ 1 query term): a phrase-only document
+   * carries no BM25 evidence to re-weight. The phrase side reuses the
+   * positional adjacency join ([[phraseStarts]]) — both legs share the
+   * one corpus-sized stage shapes: token-filtered postings.
+   */
+  def phraseBoostTopK(docs: DataFrame, idCol: String, textCol: String,
+                      terms: Seq[String], phrase: String, boost: Double,
+                      k: Int, k1: Double = 1.2,
+                      b: Double = 0.75): DataFrame = {
+    val scores = bm25Scores(docs, idCol, textCol, terms, k1, b)
+    val hits = phraseStarts(
+        positionalPostings(docs, idCol, textCol), phrase)
+      .select("doc_id").distinct().withColumn("_hit", lit(1))
+    rankTopK(
+      scores.join(hits, Seq("doc_id"), "left")
+        .withColumn("score",
+          round(col("score") +
+            when(col("_hit").isNotNull, lit(boost)).otherwise(lit(0.0)), 4))
+        .drop("_hit"),
+      k)
   }
 
   /**

@@ -315,6 +315,29 @@ class BehaviorSearchSpec extends AnyFunSuite with SparkTestSession {
     assert(got.nonEmpty)
   }
 
+  test("phraseBoostTopK: zero boost equals plain BM25; boost promotes phrase docs") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val terms = Seq("hash", "merge", "vector")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val plain = rows(Search.bm25TopK(docs, "doc_id", "text", terms, k = 10))
+    val zero = rows(Search.phraseBoostTopK(docs, "doc_id", "text", terms,
+      "hash join", boost = 0.0, k = 10))
+    assert(zero == plain)
+    // with a boost exceeding the score spread, the head is exactly the
+    // phrase docs that carry any query term, ranked by score
+    val boosted = rows(Search.phraseBoostTopK(docs, "doc_id", "text", terms,
+      "hash join", boost = 100.0, k = 10))
+    val phraseIds = Search.phraseDocs(docs, "doc_id", "text", "hash join")
+      .collect().map(_.getLong(0)).toSet
+    assert(boosted.forall { case (_, id, s) =>
+      (s > 100.0) == phraseIds.contains(id) })
+    // every boosted doc ranks above every unboosted one
+    val flags = boosted.map(_._3 > 100.0)
+    assert(!flags.zip(flags.tail).contains((false, true)))
+    assert(flags.head, "no phrase doc reached the head")
+  }
+
   test("rfmSegments: arithmetic tiles equal the unpartitioned ntile windows") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.{Window => W}
