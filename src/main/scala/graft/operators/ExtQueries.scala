@@ -894,6 +894,14 @@ object ExtQueries {
         SearchTerms, "hash join", boost = 1.0, k = Bm25TopK,
         Bm25K1, Bm25B)),
 
+    // Prefix autocomplete: completions of 's' ranked by exact doc
+    // frequency — range predicate, so the at-rest path prunes by
+    // row-group token min/max, not hash buckets (Search scaladoc).
+    "q197_autocomplete" -> ((s, d) =>
+      Search.prefixCompletions(
+        Search.postings(t(s, d, "documents"), "doc_id", "text"),
+        "s", k = 10)),
+
     // Conjunctive (all-terms) search (Search.conjunctiveSearch):
     // posting intersection as ONE count-matching aggregation instead
     // of a semi-join chain — n query terms, one shuffle.
@@ -3271,6 +3279,11 @@ object ExtQueries {
         "(SELECT doc_id, score, n_terms, row_number() OVER (ORDER BY score DESC, doc_id) AS rn FROM bs) " +
         s"WHERE rn <= $Bm25TopK ORDER BY rn"
     },
+    // q197: distinct doc frequency per completion, same tiebreak
+    "q197_autocomplete" ->
+      ("SELECT tok AS token, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs " +
+        "FROM (SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents) " +
+        "WHERE tok LIKE 's%' GROUP BY 1 ORDER BY n_docs DESC, token LIMIT 10"),
     // q112: distinct postings → count-matching intersection
     "q112_conj_search" -> {
       val termList = SearchTerms.map(t => s"'$t'").mkString(", ")

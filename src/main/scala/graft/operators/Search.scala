@@ -140,6 +140,28 @@ object Search {
         explode(split(col(textCol), " ")).as("token"))
       .distinct()
 
+  /**
+   * Prefix search, autocomplete shape: the ranked completions of
+   * `prefix` — every matching token with its document frequency,
+   * heaviest first. Works over [[postings]] or [[positionalPostings]]
+   * (the inner distinct collapses positional duplicates).
+   *
+   * At-rest pruning story: hash buckets ([[graft.sources.Warehouse.saveInvertedIndex]])
+   * can't prune a RANGE of tokens, but the saver also sorts within
+   * buckets by token, so the pushed `StringStartsWith` predicate skips
+   * parquet row groups via their min/max stats — the scan cost tracks
+   * the prefix range, not the index (spec-asserted PushedFilters).
+   */
+  def prefixCompletions(postings: DataFrame, prefix: String,
+                        k: Int): DataFrame = {
+    require(prefix.nonEmpty, "prefix must be non-empty")
+    postings.filter(col("token").startsWith(prefix))
+      .select("token", "doc_id").distinct()
+      .groupBy("token").agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("n_docs").desc, col("token"))
+      .limit(k)
+  }
+
   /** POSITIONAL postings: one row per (doc, position, token) — what a
     * phrase query needs that [[postings]] throws away. */
   def positionalPostings(docs: DataFrame, idCol: String,

@@ -581,6 +581,18 @@ class WarehouseSpec extends AnyFunSuite with SparkTestSession {
       val dp = ids(graft.operators.Search.proximityDocs(pp, "hash", "join",
         window = 3))
       assert(sp == dp && sp.nonEmpty)
+      // prefix completions: the RANGE predicate reaches the parquet
+      // scan (row-group min/max skipping via the within-bucket token
+      // sort — hash buckets can't prune a range), and stored ≡ direct
+      val pq = graft.operators.Search.prefixCompletions(
+        spark.table("positional_idx"), "s", k = 10)
+      val pplan = pq.queryExecution.executedPlan.toString
+      assert(pplan.contains("StringStartsWith(token,s)"),
+        s"prefix predicate not pushed:\n$pplan")
+      def toks(df: org.apache.spark.sql.DataFrame): Seq[(String, Long)] =
+        df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(toks(pq) == toks(graft.operators.Search.prefixCompletions(
+        pp, "s", k = 10)) && toks(pq).nonEmpty)
     } finally {
       spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
       spark.sql("DROP TABLE IF EXISTS positional_idx")
