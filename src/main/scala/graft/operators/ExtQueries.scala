@@ -2339,6 +2339,23 @@ object ExtQueries {
           |ORDER BY o_orderkey""".stripMargin)
     }),
 
+    // LATERAL correlated subquery with per-row ORDER BY + LIMIT — the
+    // SQL-text top-N-per-group (Catalyst decorrelates it into a
+    // ranked join; the DataFrame twin is the q09 rank window). Ties
+    // broken by o_orderkey inside the LIMIT so the 2-row cut is total.
+    "q198_lateral" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("orders_v")
+      t(s, d, "customer").createOrReplaceTempView("customer_v")
+      s.sql(
+        """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+          |FROM customer_v c,
+          |  LATERAL (SELECT o_orderkey, o_totalprice FROM orders_v o
+          |           WHERE o.o_custkey = c.c_custkey
+          |           ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+          |WHERE c.c_custkey <= 500
+          |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin)
+    }),
+
     // relational UNPIVOT (wide measures → (name, val) rows)
     "q62_unpivot" -> ((s, d) =>
       t(s, d, "lineitem").groupBy("l_returnflag")
@@ -4097,6 +4114,12 @@ object ExtQueries {
       "SELECT o_orderkey, round(o_totalprice, 4) AS tp FROM orders o WHERE o_totalprice > 1.8 * (SELECT avg(o_totalprice) FROM orders) AND EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey AND c.c_acctbal > 0) ORDER BY o_orderkey",
     "q62_unpivot" ->
       "SELECT l_returnflag, name, val FROM (SELECT l_returnflag, round(sum(l_quantity),4) qty, round(sum(l_discount),4) disc FROM lineitem GROUP BY 1) UNPIVOT (val FOR name IN (qty, disc)) ORDER BY l_returnflag, name",
+    // q198: DuckDB runs the same LATERAL text (views drop the _v)
+    "q198_lateral" ->
+      ("SELECT c.c_custkey, t.o_orderkey, t.o_totalprice FROM customer c, " +
+        "LATERAL (SELECT o_orderkey, o_totalprice FROM orders o WHERE o.o_custkey = c.c_custkey " +
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t " +
+        "WHERE c.c_custkey <= 500 ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey"),
     "q63_range_frame" ->
       "SELECT event_id, round(sum(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts) RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW),4) AS w1h FROM events ORDER BY event_id",
     "q64_value_windows" ->
