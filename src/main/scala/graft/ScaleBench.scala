@@ -360,6 +360,25 @@ object ScaleBench {
         liK.unpersist(); orK.unpersist()
       }
 
+      // equi-depth histogram at k× the fact: one distributed rank
+      // (range-exchange + zipWithIndex) over a k×-grown value column —
+      // cost must track the rank's exchange, no single-reducer stage
+      if (want("q193_equidepth")) {
+        val li = spark.read.parquet(s"$sf/lineitem.parquet")
+          .select("l_extendedprice")
+        val liK = (if (k == 1) li
+          else li.crossJoin(spark.range(k).toDF("rep"))
+            .withColumn("l_extendedprice",
+              col("l_extendedprice") + col("rep") * 0.000001)
+            .drop("rep")).persist()
+        val n = liK.count()
+        System.err.println(s"SCALE inputs ${k}x: $n rows (equidepth)")
+        record("q193_equidepth", k, time(
+          graft.operators.Pipeline.equiDepthHistogram(liK,
+            col("l_extendedprice"), 8)))
+        liK.unpersist()
+      }
+
       // the q172 sole-late-supplier shape at k× the fact (orders grow
       // with it — the same per-replica orderkey offset keeps the
       // order↔lineitem mapping intact, so per-order supplier sets and
