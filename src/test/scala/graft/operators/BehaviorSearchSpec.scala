@@ -304,6 +304,38 @@ class BehaviorSearchSpec extends AnyFunSuite with SparkTestSession {
     assert(pairs == Seq(1L, 2L, 3L, 4L))
   }
 
+  test("phraseDocs property: equals the delimited-contains scan on random corpora") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // small alphabet forces phrase hits, overlaps, and near-misses
+    val word = Gen.oneOf("a", "b", "c", "ab")
+    val doc = Gen.chooseNum(1, 12).flatMap(n => Gen.listOfN(n, word))
+      .map(_.mkString(" "))
+    val corpus = (0 until 120).flatMap(i =>
+      doc.apply(Gen.Parameters.default, Seed(i.toLong)).map(t => (i.toLong, t)))
+    val df = corpus.toDF("doc_id", "text")
+    for (phrase <- Seq("a", "a b", "b a c", "ab a", "c c")) {
+      val got = Search.phraseDocs(df, "doc_id", "text", phrase)
+        .as[Long].collect().toSet
+      val want = corpus.collect { case (id, t)
+        if s" $t ".contains(s" $phrase ") => id }.toSet
+      assert(got == want, s"phrase '$phrase'")
+    }
+    // proximity: the binned join equals the brute-force distance scan
+    val pp = Search.positionalPostings(df, "doc_id", "text")
+    for (w <- Seq(1, 2, 5)) {
+      val got = Search.proximityDocs(pp, "a", "b", w)
+        .as[Long].collect().toSet
+      val want = corpus.collect { case (id, t) if {
+        val toks = t.split(" ")
+        val pa = toks.indices.filter(toks(_) == "a")
+        val pb = toks.indices.filter(toks(_) == "b")
+        pa.exists(x => pb.exists(y => math.abs(x - y) <= w))
+      } => id }.toSet
+      assert(got == want, s"window $w")
+    }
+  }
+
   test("phraseDocs on the test corpus: equals the delimited-contains scan") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val got = Search.phraseDocs(docs, "doc_id", "text", "slow query")
