@@ -1038,17 +1038,30 @@ object Dedup {
    * maxDf², and everything downstream of the tf aggregate is
    * |matching-postings|-sized.
    */
-  def lexicalCosinePairs(docs: DataFrame, idCol: String, textCol: String,
-                         minSim: Double, maxDf: Long): DataFrame = {
-    val tf = docs
-      .select(col(idCol).as("doc_id"),
+  /** Raw term-frequency frame `(doc_id, tok, tf)`. */
+  def lexicalTf(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
         explode(split(col(textCol), " ")).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+
+  /** [[lexicalTf]] with the df cap applied: tokens appearing in more
+    * than `maxDf` documents are dropped from every vector. */
+  def cappedLexicalTf(docs: DataFrame, idCol: String, textCol: String,
+                      maxDf: Long): DataFrame = {
+    val tf = lexicalTf(docs, idCol, textCol)
     val keep = tf.groupBy("tok").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select("tok")
-    val tfc = tf.join(keep, "tok")
-    val norms = tfc.groupBy("doc_id")
-      .agg(sum(col("tf") * col("tf")).as("n2"))
+    tf.join(keep, "tok")
+  }
+
+  /** Squared L2 norms `(doc_id, n2)` of a tf frame — exact integers. */
+  def lexicalNorms(tf: DataFrame): DataFrame =
+    tf.groupBy("doc_id").agg(sum(col("tf") * col("tf")).as("n2"))
+
+  def lexicalCosinePairs(docs: DataFrame, idCol: String, textCol: String,
+                         minSim: Double, maxDf: Long): DataFrame = {
+    val tfc = cappedLexicalTf(docs, idCol, textCol, maxDf)
+    val norms = lexicalNorms(tfc)
     val dots = tfc.select(col("tok"), col("doc_id").as("da"), col("tf").as("tfa"))
       .join(tfc.select(col("tok"), col("doc_id").as("db"), col("tf").as("tfb")),
         "tok")
@@ -1062,6 +1075,44 @@ object Dedup {
       .filter(sim >= minSim)
       .select(col("da"), col("db"), round(sim, 6).as("sim"))
       .orderBy("da", "db")
+  }
+
+  /**
+   * Lexical cosine of a PROBE batch against a standing corpus — the
+   * admission shape ([[simHashMatchesAgainst]]' cosine sibling): probe
+   * vectors are restricted to the INDEX's kept vocabulary (the
+   * standing corpus defines the stop words — its df cap was applied at
+   * index build; a probe-only token can't match anything, and keeping
+   * it in the norm would make a document's similarity depend on its
+   * own unmatchable noise). Emits `(probe_id, corpus_id, sim)`.
+   *
+   * At rest, `indexTf` is the token-bucketed table
+   * [[graft.sources.Warehouse.saveLexicalIndex]] writes, so the
+   * candidate join shuffles ONLY the batch-sized probe side — the
+   * stored side is already hashed on `tok`.
+   */
+  def lexicalCosineAgainst(probeDocs: DataFrame, idCol: String,
+                           textCol: String, indexTf: DataFrame,
+                           indexNorms: DataFrame,
+                           minSim: Double): DataFrame = {
+    val vocab = indexTf.select("tok").distinct()
+    val ptf = lexicalTf(probeDocs, idCol, textCol).join(vocab, "tok")
+    val pnorms = lexicalNorms(ptf)
+    val dots = ptf.select(col("tok"), col("doc_id").as("probe_id"),
+        col("tf").as("tfa"))
+      .join(indexTf.select(col("tok"), col("doc_id").as("corpus_id"),
+        col("tf").as("tfb")), "tok")
+      .groupBy("probe_id", "corpus_id")
+      .agg(sum(col("tfa") * col("tfb")).as("dot"))
+    val sim = col("dot") / sqrt(col("n2a") * col("n2b"))
+    dots
+      .join(pnorms.select(col("doc_id").as("probe_id"), col("n2").as("n2a")),
+        "probe_id")
+      .join(indexNorms.select(col("doc_id").as("corpus_id"),
+        col("n2").as("n2b")), "corpus_id")
+      .filter(sim >= minSim)
+      .select(col("probe_id"), col("corpus_id"), round(sim, 6).as("sim"))
+      .orderBy("probe_id", "corpus_id")
   }
 
   /**

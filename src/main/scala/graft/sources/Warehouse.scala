@@ -184,6 +184,32 @@ object Warehouse {
   }
 
   /**
+   * Persist a lexical cosine index: the CAPPED tf frame
+   * ([[graft.operators.Dedup.cappedLexicalTf]]: `(doc_id, tok, tf)`)
+   * bucketed by token — a probe batch's candidate join shuffles only
+   * the batch side — plus the squared norms (`<table>_norms`, computed
+   * over the SAME capped vectors so stored probes score the exact
+   * cosine of what was indexed). Stateless like the MinHash saver:
+   * nothing is fitted, so Append is safe for batches whose tokens
+   * respect the original cap semantics (admission appends survivors).
+   */
+  def saveLexicalIndex(cappedTf: DataFrame, norms: DataFrame, table: String,
+                       buckets: Int = 32,
+                       mode: SaveMode = SaveMode.Overwrite): Unit = {
+    if (mode == SaveMode.Overwrite) {
+      dropWithLocation(cappedTf.sparkSession, table)
+      dropWithLocation(cappedTf.sparkSession, s"${table}_norms")
+    }
+    cappedTf.write.mode(mode)
+      .bucketBy(buckets, "tok")
+      .sortBy("tok")
+      .format("parquet")
+      .saveAsTable(table)
+    norms.write.mode(mode).format("parquet")
+      .saveAsTable(s"${table}_norms")
+  }
+
+  /**
    * Persist an IVF cell frame
    * ([[graft.operators.Similarity.ivfIndex]]: `(id, emb, cell)`)
    * bucketed by `cell` — the inverted file at rest: a probe touching

@@ -599,6 +599,38 @@ class WarehouseSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("persisted lexical index: stored probe equals direct, probe join leaves stored side unshuffled") {
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val corpus = docs.filter(col("doc_id") >= 20)
+    val probes = docs.filter(col("doc_id") < 20)
+    val tfc = graft.operators.Dedup.cappedLexicalTf(corpus, "doc_id", "text", 400L)
+    val norms = graft.operators.Dedup.lexicalNorms(tfc)
+    Warehouse.saveLexicalIndex(tfc, norms, "lex_idx", buckets = 8)
+    try {
+      def rows(tf: org.apache.spark.sql.DataFrame,
+               n: org.apache.spark.sql.DataFrame) =
+        graft.operators.Dedup.lexicalCosineAgainst(probes, "doc_id", "text",
+            tf, n, minSim = 0.8)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+          .toSeq
+      val stored = rows(spark.table("lex_idx"), spark.table("lex_idx_norms"))
+      val direct = rows(tfc, norms)
+      assert(stored == direct && stored.nonEmpty)
+      // the stored tf scans must read bucketed (the candidate join's
+      // big side arrives pre-hashed on tok — no corpus re-exchange)
+      val plan = graft.operators.Dedup.lexicalCosineAgainst(probes,
+          "doc_id", "text", spark.table("lex_idx"),
+          spark.table("lex_idx_norms"), 0.8)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"),
+        s"stored tf scan not bucketed:\n$plan")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS lex_idx")
+      spark.sql("DROP TABLE IF EXISTS lex_idx_norms")
+    }
+  }
+
   test("digest-bucketed table aggregates per digest without an exchange") {
     spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
     Warehouse.saveBucketed(wide, "queries_bucketed", buckets = 4)
