@@ -612,7 +612,7 @@ object ScaleBench {
 
       val docOps = Seq("q123_prefix", "q26_jaccard", "q52_capped", "q40_minhash",
         "q67_clusters", "q67_cluster_only", "q84_star_only", "q75_probe",
-        "admit_batch", "q40_probe", "minhash_admit",
+        "admit_batch", "q40_probe", "minhash_admit", "lexical_admit",
         "q92_bloom", "q99_spans", "q102_edit", "q103_bigram", "q104_sn",
         "q107_entropy", "q107_exploded", "q160_vocab")
       val embOps = Seq("q83_pq", "q41c_probe", "q41c_logbits",
@@ -813,6 +813,25 @@ object ScaleBench {
         record("minhash_admit", k, math.min(onceMh(1), onceMh(2)))
         Warehouse.dropWithLocation(spark, tbl)
         Warehouse.dropWithLocation(spark, s"${tbl}_shingles")
+      }
+      // Lexical-cosine admission at scale (minhash_admit's cosine twin):
+      // the standing capped-tf index grows k×, the probed batch stays a
+      // FIXED unsalted 1× slice (it must share vocabulary with rep 0 or
+      // the candidate join would be vacuously empty) — probe cost must
+      // track the batch's matching postings, not the corpus
+      if (want("lexical_admit")) {
+        val tbl = "graft_bench_scale_lexical"
+        Warehouse.dropWithLocation(spark, tbl)
+        Warehouse.dropWithLocation(spark, s"${tbl}_norms")
+        val corpusTf = Dedup.cappedLexicalTf(docs, "doc_id", "text", 400L)
+        Warehouse.saveLexicalIndex(corpusTf, Dedup.lexicalNorms(corpusTf), tbl)
+        val batch = scaleDocs(spark, sf, 1)
+          .select((col("doc_id") + 900000000L).as("doc_id"), col("text"))
+        record("lexical_admit", k, time(
+          Dedup.lexicalCosineAgainst(batch, "doc_id", "text",
+            spark.table(tbl), spark.table(s"${tbl}_norms"), 0.8)))
+        Warehouse.dropWithLocation(spark, tbl)
+        Warehouse.dropWithLocation(spark, s"${tbl}_norms")
       }
       if (want("q83_pq")) {
         // q83: full PQ pipeline at the oracle config (fit+encode+ADC+re-rank)

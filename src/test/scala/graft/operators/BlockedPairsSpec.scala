@@ -85,6 +85,27 @@ class BlockedPairsSpec extends AnyFunSuite with SparkTestSession {
     assert(thr == Seq((1L, 2L)))
   }
 
+  test("lexicalCosineAgainst: vocabulary restriction, exact dup scores 1.0") {
+    val corpus = Seq((100L, "a b c"), (101L, "x y z")).toDF("id", "txt")
+    val probes = Seq(
+      (1L, "a b c"),        // exact dup of 100 → 1.0
+      (2L, "a b c qq qq"),  // qq is NOT index vocab: excluded from the
+                            // norm, so sim vs 100 is still 1.0
+      (3L, "a z")           // split across both corpus docs, weak
+    ).toDF("id", "txt")
+    val idxTf = Dedup.cappedLexicalTf(corpus, "id", "txt", maxDf = 100L)
+    val got = Dedup.lexicalCosineAgainst(probes, "id", "txt",
+        idxTf, Dedup.lexicalNorms(idxTf), minSim = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(got((1L, 100L)) == 1.0)
+    assert(got((2L, 100L)) == 1.0)
+    // probe 3 restricted to {a, z}: vs 100 dot=1, norms 2·3 → 1/√6
+    assert(got((3L, 100L)) == math.rint(1.0 / math.sqrt(6.0) * 1e6) / 1e6)
+    assert(got((3L, 101L)) == math.rint(1.0 / math.sqrt(6.0) * 1e6) / 1e6)
+    assert(!got.contains((1L, 101L)) || got((1L, 101L)) == 0.0)
+  }
+
   test("prefixFilterJaccardPairs equals the brute-force blocked result (prefix lemma)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
