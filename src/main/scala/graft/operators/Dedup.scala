@@ -1038,10 +1038,13 @@ object Dedup {
    * maxDf², and everything downstream of the tf aggregate is
    * |matching-postings|-sized.
    */
-  /** Raw term-frequency frame `(doc_id, tok, tf)`. */
+  /** Raw term-frequency frame `(doc_id, tok, tf)`. Empty tokens (an
+    * empty or malformed text splits to `[""]`) are dropped — an empty
+    * document has NO vector, not a one-dimensional empty-string one. */
   def lexicalTf(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).as("doc_id"),
         explode(split(col(textCol), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
 
   /** [[lexicalTf]] with the df cap applied: tokens appearing in more

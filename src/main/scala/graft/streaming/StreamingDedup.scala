@@ -177,4 +177,73 @@ object StreamingDedup {
       } finally { bands.unpersist(); sh.unpersist() }
     } finally b.unpersist()
   }
+
+  /**
+   * Lexical-cosine admission — the third member of the admission trio
+   * (SimHash hamming, MinHash Jaccard, bag-of-words cosine), over the
+   * at-rest lexical index ([[graft.sources.Warehouse.saveLexicalIndex]]):
+   * a document is admitted only if no already-admitted document has
+   * exact tf-cosine ≥ `threshold` with it. Same four-step batch shape,
+   * same exactly-once caveats. The df cap is corpus-local by design:
+   * the standing index was capped over its build corpus, each appended
+   * batch caps within itself (a batch is its own small corpus — the
+   * same stop words emerge wherever the distribution matches).
+   */
+  def lexicalAdmission(docs: DataFrame, idCol: String, textCol: String,
+                       indexTable: String, outPath: String,
+                       checkpointDir: String,
+                       threshold: Double = 0.8, maxDf: Long = 400L,
+                       indexBuckets: Int = 32): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        admitBatchLexical(batch, idCol, textCol, indexTable, outPath,
+          threshold, maxDf, indexBuckets)
+      }
+      .start()
+
+  /** One lexical-cosine admission round — also the BATCH incremental
+    * API (ship a day's partition against the standing index without a
+    * stream). */
+  def admitBatchLexical(batch: DataFrame, idCol: String, textCol: String,
+                        indexTable: String, outPath: String,
+                        threshold: Double = 0.8, maxDf: Long = 400L,
+                        indexBuckets: Int = 32): Unit = {
+    val spark = batch.sparkSession
+    val b = batch.persist()
+    try {
+      // within-batch: one representative per cosine cluster
+      val within = Dedup.lexicalCosinePairs(b, idCol, textCol,
+        threshold, maxDf)
+      val dropWithin = Dedup.dedupClustersStar(within, "da", "db")
+        .filter(col("node") =!= col("lbl"))
+        .select(col("node").as(idCol))
+      val reps = b.join(dropWithin, Seq(idCol), "left_anti")
+      // vs the standing index; localCheckpoint severs the rejected-id
+      // plan from the index tables before the append (the MinHash
+      // path's self-rejection hazard) — an id list, batch-bounded
+      val rejectedIds = (
+        if (spark.catalog.tableExists(indexTable)) {
+          val hit = Dedup.lexicalCosineAgainst(reps, idCol, textCol,
+              spark.table(indexTable), spark.table(s"${indexTable}_norms"),
+              threshold)
+            .select(col("probe_id").as(idCol)).distinct()
+          dropWithin.union(hit)
+        } else dropWithin
+      ).localCheckpoint()
+      val survivors = b.join(rejectedIds, Seq(idCol), "left_anti")
+      // admit: index first (later batches must see these rows even if
+      // the output write below fails and the batch replays). A doc
+      // with EMPTY text has no tf rows — admitted, unmatchable, fine.
+      val sTf = Dedup.cappedLexicalTf(survivors, idCol, textCol, maxDf)
+        .persist()
+      try {
+        Warehouse.saveLexicalIndex(sTf, Dedup.lexicalNorms(sTf), indexTable,
+          buckets = indexBuckets,
+          mode = if (spark.catalog.tableExists(indexTable)) SaveMode.Append
+                 else SaveMode.ErrorIfExists)
+        survivors.write.mode(SaveMode.Append).parquet(outPath)
+      } finally sTf.unpersist()
+    } finally b.unpersist()
+  }
 }

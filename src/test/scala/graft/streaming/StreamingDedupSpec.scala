@@ -106,6 +106,52 @@ class StreamingDedupSpec extends AnyFunSuite with SparkTestSession {
     spark.sql(s"DROP TABLE IF EXISTS ${tbl}_shingles")
   }
 
+  test("lexical admission: streamed batches dedup by cosine through the stored index") {
+    import spark.implicits._
+    val srcDir = Files.createTempDirectory("graft-lex-src").toString
+    val outDir = Files.createTempDirectory("graft-lex-out").toString + "/out"
+    val ckpt = Files.createTempDirectory("graft-lex-ckpt").toString
+    val tbl = "graft_bench_stream_lex"
+    Warehouse.dropWithLocation(spark, tbl)
+    Warehouse.dropWithLocation(spark, s"${tbl}_norms")
+
+    // one mutated token in 40 distinct → cosine 39/40 = 0.975 ≥ 0.8;
+    // disjoint vocabularies → no candidate row at all
+    val base = doc("alpha")
+    def runOnce(): Unit = {
+      val q = StreamingDedup.lexicalAdmission(
+        spark.readStream.schema(schema).parquet(srcDir),
+        "doc_id", "text", tbl, outDir, ckpt)
+      q.processAllAvailable(); q.stop()
+    }
+
+    // batch 1: 1 and 2 are cosine dups of each other (min-id 1 wins),
+    // 3 is a stranger, 6 is EMPTY text (no tf rows — must still admit)
+    Seq((1L, base), (2L, mutate(base, 5)), (3L, doc("beta")), (6L, ""))
+      .toDF("doc_id", "text").write.mode("append").parquet(srcDir)
+    runOnce()
+    // batch 2: 4 duplicates ADMITTED 1 (only the stored index can
+    // reject it); 5 is a stranger
+    Seq((4L, mutate(base, 7)), (5L, doc("gamma")))
+      .toDF("doc_id", "text").write.mode("append").parquet(srcDir)
+    runOnce()
+
+    val admitted = spark.read.parquet(outDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(admitted == Set(1L, 3L, 5L, 6L), s"admitted $admitted")
+    // the index holds exactly the survivors' capped tf rows (40 per
+    // worded doc; 6 is empty → absent) and one norm row per worded doc
+    val idx = spark.table(tbl)
+    assert(idx.select("doc_id").distinct().collect()
+      .map(_.getLong(0)).toSet == Set(1L, 3L, 5L))
+    assert(idx.count() == 120L)
+    val norms = spark.table(s"${tbl}_norms")
+    assert(norms.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 40L), (3L, 40L), (5L, 40L)))
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"DROP TABLE IF EXISTS ${tbl}_norms")
+  }
+
   test("admitBatch is the batch API: day-2 partition against a standing index") {
     import spark.implicits._
     val outDir = Files.createTempDirectory("graft-sdx-b-out").toString + "/o"
