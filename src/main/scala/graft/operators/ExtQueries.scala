@@ -894,6 +894,34 @@ object ExtQueries {
         SearchTerms, "hash join", boost = 1.0, k = Bm25TopK,
         Bm25K1, Bm25B)),
 
+    // Diversified search — the retrieval capstone (q111 × q192 × q67):
+    // BM25 top-50 candidates, cosine-0.9 near-dup clustering WITHIN the
+    // candidate set (50-row frame — the window is bounded before it
+    // runs), best-scoring representative per cluster, top-10 of the
+    // survivors. A result list where near-identical hits collapse.
+    "q200_diverse_search" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val cands = Search.bm25Scores(docs, "doc_id", "text", SearchTerms)
+        .orderBy(col("score").desc, col("doc_id")).limit(50)
+        .localCheckpoint()
+      val pairs = Dedup.lexicalCosinePairs(
+        docs.join(cands.select("doc_id"), "doc_id"), "doc_id", "text",
+        minSim = 0.9, maxDf = 1000L)
+      val clusters = Dedup.dedupClusters(pairs, "da", "db")
+        .select(col("node").as("doc_id"), col("lbl").as("cluster"))
+      val w = Window.partitionBy("cluster")
+        .orderBy(col("score").desc, col("doc_id"))
+      cands.join(clusters, Seq("doc_id"), "left")
+        .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
+        .withColumn("_r", row_number().over(w))
+        .filter(col("_r") === 1).drop("_r")
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(10)
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+        .select("rn", "doc_id", "score", "cluster")
+    }),
+
     // Prefix autocomplete: completions of 's' ranked by exact doc
     // frequency — range predicate, so the at-rest path prunes by
     // row-group token min/max, not hash buckets (Search scaladoc).
@@ -3325,6 +3353,31 @@ object ExtQueries {
         "SELECT rn, doc_id, score, n_terms FROM " +
         "(SELECT doc_id, score, n_terms, row_number() OVER (ORDER BY score DESC, doc_id) AS rn FROM bs) " +
         s"WHERE rn <= $Bm25TopK ORDER BY rn"
+    },
+    // q200: q111's scoring CTEs + q192's cosine pairs within the
+    // candidate set + the q67 recursive closure, singletons
+    // self-clustered; cluster id = min doc in the component
+    "q200_diverse_search" -> {
+      val termList = SearchTerms.map(t => s"'$t'").mkString(", ")
+      s"WITH RECURSIVE tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents), " +
+        "dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1), " +
+        "st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl), " +
+        s"tf AS (SELECT doc_id, token, count(*) AS tf FROM tok WHERE token IN ($termList) GROUP BY 1, 2), " +
+        "df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1), " +
+        "sc AS (SELECT tf.doc_id, round(sum(ln(1 + (st.n - df.df + 0.5) / (df.df + 0.5)) " +
+        s"* tf.tf * ($Bm25K1 + 1) / (tf.tf + $Bm25K1 * (1 - $Bm25B + $Bm25B * dl.dl / st.avgdl))), 4) AS score, " +
+        "count(*) AS n_terms FROM tf JOIN df USING (token) JOIN dl USING (doc_id) CROSS JOIN st GROUP BY 1), " +
+        "cand AS (SELECT doc_id, score FROM (SELECT doc_id, score, row_number() OVER (ORDER BY score DESC, doc_id) AS rn FROM sc) WHERE rn <= 50), " +
+        "ctf AS (SELECT tok.doc_id, tok.token AS tk, count(*) AS tf FROM tok JOIN cand USING (doc_id) GROUP BY 1,2), " +
+        "n2 AS (SELECT doc_id, sum(tf*tf) AS n2 FROM ctf GROUP BY 1), " +
+        "p0 AS (SELECT a.doc_id AS da, b.doc_id AS db, sum(a.tf*b.tf) AS dot FROM ctf a JOIN ctf b ON a.tk=b.tk AND a.doc_id<b.doc_id GROUP BY 1,2), " +
+        "prs AS (SELECT da, db FROM p0 JOIN n2 na ON da=na.doc_id JOIN n2 nb ON db=nb.doc_id WHERE dot/sqrt(na.n2*nb.n2) >= 0.9), " +
+        "edges AS (SELECT da AS x, db AS y FROM prs UNION ALL SELECT db, da FROM prs), " +
+        "reach(node, lbl) AS (SELECT x, x FROM (SELECT DISTINCT x FROM edges) t UNION SELECT e.x, r.lbl FROM edges e JOIN reach r ON e.y = r.node), " +
+        "cl AS (SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY 1), " +
+        "wc AS (SELECT cand.doc_id, cand.score, coalesce(cl.cluster, cand.doc_id) AS cluster FROM cand LEFT JOIN cl USING (doc_id)), " +
+        "best AS (SELECT doc_id, score, cluster FROM (SELECT wc.*, row_number() OVER (PARTITION BY cluster ORDER BY score DESC, doc_id) AS rr FROM wc) WHERE rr = 1) " +
+        "SELECT rn, doc_id, score, cluster FROM (SELECT doc_id, score, cluster, row_number() OVER (ORDER BY score DESC, doc_id) AS rn FROM best) WHERE rn <= 10 ORDER BY rn"
     },
     // q197: distinct doc frequency per completion, same tiebreak
     "q197_autocomplete" ->
