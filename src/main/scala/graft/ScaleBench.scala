@@ -228,6 +228,34 @@ object ScaleBench {
         ev.unpersist()
       }
 
+      // incremental rollup maintenance (q201's posture): standing
+      // partial table built from k× events (day cardinality grows k×,
+      // the q91 at-rest axis), then a FIXED 1×-sized batch appends +
+      // the merged presentation reads — the recurring daily cost.
+      // Expect the flat admission band: append ∝ batch, merged read ∝
+      // keys × batches (calendar-sized), never ∝ events
+      if (want("rollup_append")) {
+        val tbl = "graft_bench_scale_rollup"
+        Warehouse.dropWithLocation(spark, tbl)
+        val cents = expr("cast(round(value*100) as long)")
+        graft.streaming.StreamingRollup.appendBatch(
+          scaleEvents(spark, sf, k), 0L, col("day"), col("event_type"),
+          cents, tbl)
+        val batch = scaleEvents(spark, sf, 1).persist()
+        val nB = batch.count()
+        System.err.println(s"SCALE inputs ${k}x: fixed rollup batch $nB events")
+        var id = 0L
+        record("rollup_append", k, timeUnit {
+          id += 1
+          graft.streaming.StreamingRollup.appendBatch(batch, id,
+            col("day"), col("event_type"), cents, tbl)
+          graft.streaming.StreamingRollup.readRollup(spark, tbl)
+            .write.format("noop").mode("overwrite").save()
+        })
+        batch.unpersist()
+        Warehouse.dropWithLocation(spark, tbl)
+      }
+
       // q97 range join: the POINT side grows k×, the interval side is
       // FIXED (9 bands) — cost should track the point scan (≈ linear):
       // the bin explode is a constant 9 × ≤3 rows and the equi-join's

@@ -412,4 +412,88 @@ object Behavior {
       .groupBy(concat(col("_r"), col("_f"), col("_m")).as("rfm"))
       .agg(count(lit(1)).as("n_users"))
   }
+
+  /**
+   * CUSUM changepoint scan over a daily metric series: the cumulative
+   * deviation from the series mean, `S_t = Σ_{d≤t} (s_d − n_d·μ)`, with
+   * the changepoint flagged at `argmax |S_t|` — the classic "where did
+   * the level shift" statistic (a monitoring primitive over the same
+   * per-day frame q145/q146 use). All arithmetic, INCLUDING the
+   * presented columns, is exact integers: values enter as cents (the
+   * q194 trick), and the mean is never divided out — multiplying
+   * through by N turns the deviation into `C_t = N·Σs_d − (Σn_d)·S`
+   * (emitted as `cum_dev`, in cent·N units; both cumulative), which
+   * both engines compute bit-identically, so neither the argmax nor
+   * any output cell can flip on an ulp (a rounded float mean here
+   * flipped a live 4-dp half boundary in q201's first draft; a
+   * rounded CUSUM shares the failure mode).
+   *
+   * Scale shape: one map-side-combined per-day aggregate (the only
+   * corpus-sized stage), then windows over the day-cardinality frame —
+   * bounded by the calendar, the q146 precedent. Magnitudes: `N·S` ≲
+   * 9·10¹⁸ holds through ~10⁹ events of 2-decimal values ≤ ~10³; past
+   * that, segment the series (per month / per entity) before scanning —
+   * which a 100 TB monitoring deployment does anyway.
+   */
+  /**
+   * Hour-of-day seasonal anomaly: flag (day, hour) load buckets whose
+   * total deviates more than `z`σ from THAT HOUR's cross-day profile —
+   * the "is 3 AM unusually busy *for 3 AM*" monitor a raw global
+   * threshold can't express (q154's diurnal profile turned into a
+   * detector). The z-test runs entirely on exact integers by
+   * cross-multiplying the variance out: with m days, Σs, Σs² per hour,
+   * `z² < (s−μ)²/Var  ⟺  (m·s − Σs)² > z²·(m·Σs² − (Σs)²)` — both
+   * sides integer, so the flag cannot flip on an ulp ([[cusumChangepoint]]'s
+   * rule applied to a second moment). Returns
+   * `(day, hour, n, s_cents, flagged)`.
+   *
+   * Scale shape: one map-side-combined bucket aggregate (the only
+   * corpus-sized stage), a 24-row profile aggregate, one broadcast
+   * join back. Magnitudes: the squares demand `m·Σs² ≲ 10¹⁸/z²` —
+   * holds through ~10⁷ 2-decimal-valued events per hour-bucket; past
+   * that, segment the series per metric/entity (the [[cusumChangepoint]]
+   * note) or lift to DECIMAL(38).
+   */
+  def seasonalAnomaly(events: DataFrame, dayCol: Column, hourCol: Column,
+                      centsCol: Column, z: Int = 3): DataFrame = {
+    val buckets = events
+      .select(dayCol.cast("long").as("day"),
+        hourCol.cast("long").as("hour"), centsCol.as("_c"))
+      .groupBy("day", "hour")
+      .agg(count(lit(1)).as("n"), sum("_c").as("s_cents"))
+    val prof = buckets.groupBy("hour")
+      .agg(count(lit(1)).as("_m"), sum("s_cents").as("_ss"),
+        sum(col("s_cents") * col("s_cents")).as("_sq"))
+    val dev = col("_m") * col("s_cents") - col("_ss")
+    buckets.join(broadcast(prof), "hour")
+      .select(col("day"), col("hour"), col("n"), col("s_cents"),
+        (dev * dev > lit(z.toLong * z) *
+          (col("_m") * col("_sq") - col("_ss") * col("_ss")))
+          .as("flagged"))
+  }
+
+  def cusumChangepoint(events: DataFrame, dayCol: Column,
+                       valueCol: Column): DataFrame = {
+    val daily = events
+      .select(dayCol.cast("long").as("day"),
+        round(valueCol * 100).cast("long").as("_c"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n"), sum("_c").as("_s"))
+    val wCum = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = daily.agg(sum("n").as("_nt"), sum("_s").as("_st"))
+    val cum = daily.crossJoin(broadcast(tot))
+      .withColumn("_cn", sum("n").over(wCum))
+      .withColumn("_cs", sum("_s").over(wCum))
+      .withColumn("_ct", col("_nt") * col("_cs") - col("_cn") * col("_st"))
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    cum
+      .withColumn("_mx", max(abs(col("_ct"))).over(wAll))
+      .withColumn("_d0", min(when(abs(col("_ct")) === col("_mx"),
+        col("day"))).over(wAll))
+      .select(col("day"), col("n"), col("_s").as("sum_cents"),
+        col("_ct").as("cum_dev"),
+        (col("day") === col("_d0")).as("is_changepoint"))
+  }
 }

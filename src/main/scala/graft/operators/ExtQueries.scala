@@ -1976,6 +1976,141 @@ object ExtQueries {
         corpusTf, Dedup.lexicalNorms(corpusTf), minSim = 0.8)
     }),
 
+    // Hour-of-day seasonal anomaly (Behavior.seasonalAnomaly): flag
+    // (day, hour) load buckets > 3σ from their own hour's cross-day
+    // profile — the variance cross-multiplied out so the z-test is an
+    // exact integer comparison (Behavior scaladoc).
+    "q207_seasonal_anomaly" -> ((s, d) =>
+      Behavior.seasonalAnomaly(CoreQueries.events(s, d),
+          expr("ts_ns div 86400000000000"),
+          expr("(ts_ns div 3600000000000) % 24"),
+          round(col("value") * 100).cast("long"))
+        .orderBy("day", "hour")),
+
+    // Multi-touch attribution in integer BASIS POINTS (q188's
+    // first-touch counterpart): each user's first purchase distributes
+    // exactly 10000 bp across its preceding touches — `10000 div n`
+    // each, remainder to the EARLIEST touch — so credit is conserved
+    // per conversion BY CONSTRUCTION and every cell is an exact
+    // integer (the float 1/n formulation neither conserves nor
+    // cross-checks). Per-user windows only; entity-bounded state.
+    "q206_multitouch" -> ((s, d) => {
+      val ev = CoreQueries.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          expr("ts_ns div 1000").as("us"))
+      val wp = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val firstPurchase = ev.filter(col("event_type") === "purchase")
+        .withColumn("_r", row_number().over(wp)).filter(col("_r") === 1)
+        .select(col("user_id"), col("us").as("_pus"),
+          col("event_id").as("_peid"))
+      val touches = ev.join(firstPurchase, "user_id")
+        .filter(col("us") < col("_pus") ||
+          (col("us") === col("_pus") && col("event_id") < col("_peid")))
+      val wu = Window.partitionBy("user_id")
+      touches
+        .withColumn("rn", row_number().over(wp))
+        .withColumn("n", count(lit(1)).over(wu))
+        .groupBy(col("event_type").as("channel"))
+        .agg(count(lit(1)).as("n_touches"),
+          sum(expr("10000 div n") +
+            when(col("rn") === 1, expr("10000 % n")).otherwise(0L))
+            .as("credit_bp"))
+        .orderBy("channel")
+    }),
+
+    // LM-rarity quality filter (TextAnalysis.lmRarityFilter): the
+    // perplexity-filter DECISION with transcendentals designed out —
+    // rare bigram ⟺ c1 > 100·c12, flagged ⟺ 10·n_rare ≥ 3·n_bigrams,
+    // all exact integer comparisons (where q103 scores, this decides).
+    "q202_lm_rarity" -> ((s, d) =>
+      TextAnalysis.lmRarityFilter(t(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // Entity-resolution golden records — the record-linkage capstone
+    // (q109 × q84 composed, then SURVIVORSHIP): JW-blocked pairs →
+    // star-CC entities → per-entity canonical attributes by explicit
+    // merge rules (consensus lang via count-then-tiebreak rank, best =
+    // max n_chars, first = min source). Entities exist only where
+    // pairs do, matching the closure oracle's node set; every rule is
+    // exact-integer or total-ordered, so the golden record is unique.
+    "q205_entity_resolution" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = Dedup.jaroWinklerPairs(docs, "doc_id",
+        substring(col("text"), 1, EditPrefix),
+        Seq(col("lang"), split(col("text"), " ").getItem(0)),
+        JwMinSim, maxBlock = Some(100L))
+      val members = Dedup.dedupClustersStar(pairs, "a_id", "b_id")
+        .select(col("node"), col("lbl"))
+      val attrs = members.join(docs.select(col("doc_id").as("node"),
+        col("lang"), col("n_chars"), col("source")), "node")
+      val langRank = Window.partitionBy("lbl")
+        .orderBy(col("_lc").desc, col("lang"))
+      val canonLang = attrs.groupBy("lbl", "lang")
+        .agg(count(lit(1)).as("_lc"))
+        .withColumn("_r", row_number().over(langRank))
+        .filter(col("_r") === 1)
+        .select(col("lbl"), col("lang").as("canon_lang"))
+      attrs.groupBy("lbl")
+        .agg(count(lit(1)).as("n_members"),
+          max("n_chars").as("best_len"),
+          min("source").as("first_source"))
+        .join(canonLang, "lbl")
+        .select(col("lbl").as("entity_id"), col("n_members"),
+          col("canon_lang"), col("best_len"), col("first_source"))
+        .orderBy("entity_id")
+    }),
+
+    // CUSUM changepoint (Behavior.cusumChangepoint): cumulative
+    // deviation of the daily value series from the series mean, the
+    // level-shift day flagged at argmax |C| — exact cent·N integers
+    // end to end, so no output cell can flip on an ulp (Behavior
+    // scaladoc).
+    "q204_cusum" -> ((s, d) =>
+      Behavior.cusumChangepoint(CoreQueries.events(s, d),
+          expr("ts_ns div 86400000000000"), col("value"))
+        .orderBy("day")),
+
+    // Hard-negative mining (Similarity.hardNegatives): per labeled
+    // probe, the top-3 most-similar vectors with a DIFFERENT label —
+    // the contrastive-training negative sampler; q39's exact ranking
+    // with the label-disagreement predicate before the rank.
+    "q203_hard_negatives" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", "label", k = 3)
+        .select("probe_id", "neg_id", "neg_label", "sim", "rn")
+        .orderBy("probe_id", "rn")
+    }),
+
+    // Incremental rollup maintenance (Rollup + Warehouse.saveRollup):
+    // the standing 90% of events reduces to mergeable partials and is
+    // STORED bucketed by day; the trailing 10% arrives as a delta whose
+    // partials APPEND blind (the standing table is never read — count/
+    // sum/min/max are commutative monoids, duplicate partial rows per
+    // key are the design); the result is the merge-on-read
+    // presentation, whose aggregate runs exchange-free off the
+    // bucketed scan. The oracle aggregates the union directly —
+    // merge-vs-recompute equality IS the check.
+    "q201_rollup_merge" -> ((s, d) => {
+      val ev = CoreQueries.events(s, d)
+      val day = expr("ts_ns div 86400000000000")
+      val cents = round(col("value") * 100).cast("long")
+      val tbl = "graft_bench_rollup_q201"
+      graft.sources.Warehouse.saveRollup(Rollup.dailyPartials(
+        ev.filter(col("event_id") % 10 < 9), day,
+        col("event_type"), cents), tbl)
+      graft.sources.Warehouse.saveRollup(Rollup.dailyPartials(
+        ev.filter(col("event_id") % 10 === 9), day,
+        col("event_type"), cents), tbl,
+        mode = org.apache.spark.sql.SaveMode.Append)
+      Rollup.readRollup(s, tbl)
+        .select(col("day"), col("event_type"), col("cnt"),
+          col("sum_v").as("sum_cents"), col("mean_v").as("mean_cents"),
+          (col("min_v") / 100.0).as("min_v"),
+          (col("max_v") / 100.0).as("max_v"))
+        .orderBy("day", "event_type")
+    }),
+
     // Equi-depth price histogram: 8 exact-ntile buckets from the
     // distributed global rank (q149 arithmetic), id = orderkey*8+line.
     "q193_equidepth" -> ((s, d) =>
@@ -4162,6 +4297,88 @@ object ExtQueries {
         "SELECT probe_id, corpus_id, round(dot/sqrt(pn.n2*inn.n2),6) AS sim " +
         "FROM d JOIN pnorm pn ON d.probe_id=pn.doc_id JOIN inorm inn ON d.corpus_id=inn.doc_id " +
         "WHERE dot/sqrt(pn.n2*inn.n2) >= 0.8 ORDER BY probe_id, corpus_id"),
+    // q207: identical integer moments — HUGEINT window-free CTEs,
+    // the z² comparison cross-multiplied on both sides
+    "q207_seasonal_anomaly" ->
+      ("WITH c AS (SELECT epoch_us(ts) // 86400000000 AS day, (epoch_us(ts) // 3600000000) % 24 AS hour, CAST(round(value*100) AS BIGINT) AS cents FROM events), " +
+        "b AS (SELECT day, hour, count(*) AS n, sum(cents) AS s FROM c GROUP BY 1, 2), " +
+        "pf AS (SELECT hour, count(*) AS m, sum(s) AS ss, sum(s*s) AS sq FROM b GROUP BY 1) " +
+        "SELECT b.day, b.hour, CAST(b.n AS BIGINT) AS n, CAST(b.s AS BIGINT) AS s_cents, " +
+        "(pf.m*b.s - pf.ss)*(pf.m*b.s - pf.ss) > 9*(pf.m*pf.sq - pf.ss*pf.ss) AS flagged " +
+        "FROM b JOIN pf USING (hour) ORDER BY day, hour"),
+    // q206: same first-purchase split, touch rank, and 10000-bp
+    // integer division; credit conservation means sum(credit_bp) =
+    // 10000 × converting users on both engines
+    "q206_multitouch" ->
+      ("WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events), " +
+        "p AS (SELECT user_id, us AS pus, event_id AS peid FROM (SELECT user_id, us, event_id, row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) AS rn FROM e WHERE event_type = 'purchase') t WHERE rn = 1), " +
+        "tc AS (SELECT e.user_id, e.event_type, e.us, e.event_id FROM e JOIN p USING (user_id) WHERE e.us < p.pus OR (e.us = p.pus AND e.event_id < p.peid)), " +
+        "r AS (SELECT user_id, event_type, row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) AS rn, count(*) OVER (PARTITION BY user_id) AS n FROM tc) " +
+        "SELECT event_type AS channel, CAST(count(*) AS BIGINT) AS n_touches, " +
+        "CAST(sum(10000 // n + CASE WHEN rn = 1 THEN 10000 % n ELSE 0 END) AS BIGINT) AS credit_bp " +
+        "FROM r GROUP BY 1 ORDER BY 1"),
+    // q202: q103's bigram CTEs with the integer rarity/share
+    // cross-multiplications instead of ln()
+    "q202_lm_rarity" ->
+      ("WITH words AS (SELECT doc_id, string_split(text,' ') ws FROM documents), " +
+        "bg AS (SELECT doc_id, r['w1'] AS w1, r['w2'] AS w2 FROM (SELECT doc_id, unnest([{'w1': ws[i], 'w2': ws[i+1]} for i in range(1, len(ws))]) r FROM words WHERE len(ws) >= 2) t), " +
+        "c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2), " +
+        "c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1) " +
+        "SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, " +
+        "CAST(sum(CASE WHEN c1.c1 > 100 * c12.c12 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare, " +
+        "10 * sum(CASE WHEN c1.c1 > 100 * c12.c12 THEN 1 ELSE 0 END) >= 3 * count(*) AS flagged " +
+        "FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) " +
+        "GROUP BY bg.doc_id ORDER BY doc_id"),
+    // q205: q109's block+JW pair SQL feeding q67's recursive closure,
+    // then the same survivorship rules as CTEs
+    "q205_entity_resolution" ->
+      (s"WITH RECURSIVE b AS (SELECT doc_id, substr(text,1,$EditPrefix) AS k, lang, string_split(text,' ')[1] AS fw FROM documents), " +
+        "ok AS (SELECT lang, fw FROM b GROUP BY 1, 2 HAVING count(*) <= 100), " +
+        "pr AS (SELECT a.doc_id AS a_id, c.doc_id AS b_id " +
+        "FROM (SELECT b.* FROM b JOIN ok USING (lang, fw)) a " +
+        "JOIN (SELECT b.* FROM b JOIN ok USING (lang, fw)) c USING (lang, fw) " +
+        s"WHERE a.doc_id < c.doc_id AND round(jaro_winkler_similarity(a.k, c.k), 4) >= $JwMinSim), " +
+        "edges AS (SELECT a_id x, b_id y FROM pr UNION ALL SELECT b_id, a_id FROM pr), " +
+        "reach(node, lbl) AS (SELECT x, x FROM (SELECT DISTINCT x FROM edges) t UNION SELECT e.x, r.lbl FROM edges e JOIN reach r ON e.y = r.node), " +
+        "cl AS (SELECT node, min(lbl) AS lbl FROM reach GROUP BY node), " +
+        "a2 AS (SELECT cl.lbl, d.lang, d.n_chars, d.source FROM cl JOIN documents d ON cl.node = d.doc_id), " +
+        "lc AS (SELECT lbl, lang, count(*) AS c FROM a2 GROUP BY 1, 2), " +
+        "cls AS (SELECT lbl, lang FROM (SELECT lbl, lang, row_number() OVER (PARTITION BY lbl ORDER BY c DESC, lang) AS r FROM lc) t WHERE r = 1) " +
+        "SELECT a2.lbl AS entity_id, CAST(count(*) AS BIGINT) AS n_members, " +
+        "min(cls.lang) AS canon_lang, CAST(max(a2.n_chars) AS BIGINT) AS best_len, " +
+        "min(a2.source) AS first_source " +
+        "FROM a2 JOIN cls ON a2.lbl = cls.lbl GROUP BY 1 ORDER BY 1"),
+    // q204: the same multiplied-through integers — C_t from HUGEINT
+    // window sums cast back to BIGINT; the flag picks the earliest
+    // day attaining max |C|
+    "q204_cusum" ->
+      ("WITH c AS (SELECT epoch_us(ts) // 86400000000 AS day, CAST(round(value*100) AS BIGINT) AS cents FROM events), " +
+        "d AS (SELECT day, count(*) AS n, sum(cents) AS s FROM c GROUP BY 1), " +
+        "t AS (SELECT sum(n) AS nt, sum(s) AS st FROM d), " +
+        "cu AS (SELECT day, n, s, sum(n) OVER w AS cn, sum(s) OVER w AS cs FROM d WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), " +
+        "x AS (SELECT cu.day, cu.n, cu.s, CAST(t.nt*cu.cs - cu.cn*t.st AS BIGINT) AS ct FROM cu, t) " +
+        "SELECT day, CAST(n AS BIGINT) AS n, CAST(s AS BIGINT) AS sum_cents, ct AS cum_dev, " +
+        "day = (SELECT min(day) FROM x WHERE abs(ct) = (SELECT max(abs(ct)) FROM x)) AS is_changepoint " +
+        "FROM x ORDER BY day"),
+    // q203: q39's exact-kNN oracle shape with the label-disagreement
+    // predicate in the candidate CTE; neg_label rides along
+    "q203_hard_negatives" ->
+      (s"WITH c AS (SELECT p.vec_id probe_id, e.vec_id neg_id, e.label neg_label, round($cosSql,4) sim " +
+        "FROM embeddings p CROSS JOIN embeddings e WHERE p.vec_id < 10 AND e.label <> p.label) " +
+        "SELECT probe_id, neg_id, neg_label, sim, rn FROM " +
+        "(SELECT probe_id, neg_id, neg_label, sim, row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neg_id) rn FROM c) " +
+        "WHERE rn <= 3 ORDER BY probe_id, rn"),
+    // q201: the oracle recomputes the rollup from scratch over ALL
+    // events — store-then-append-then-merge must equal one aggregate;
+    // cnt/min/max exact, the mean rounded (magnitude rule)
+    "q201_rollup_merge" ->
+      ("WITH c AS (SELECT epoch_us(ts) // 86400000000 AS day, event_type, " +
+        "CAST(round(value*100) AS BIGINT) AS cents FROM events) " +
+        "SELECT day, event_type, CAST(count(*) AS BIGINT) AS cnt, " +
+        "CAST(sum(cents) AS BIGINT) AS sum_cents, " +
+        "CAST(sum(cents) // count(*) AS BIGINT) AS mean_cents, " +
+        "min(cents) / 100.0 AS min_v, max(cents) / 100.0 AS max_v " +
+        "FROM c GROUP BY 1, 2 ORDER BY 1, 2"),
     // q193: DuckDB's ntile follows the same remainder rule the
     // arithmetic recovery implements (q149 precedent)
     "q193_equidepth" ->

@@ -95,6 +95,35 @@ object Similarity {
         col("votes"))
   }
 
+  /**
+   * Hard-negative mining: for each labeled probe, the k most-similar
+   * corpus vectors with a DIFFERENT label — the contrastive-training
+   * sampler (the negatives an embedding model most needs to push
+   * apart). [[knnBatch]]'s ranking (rounded cosine DESC, id tiebreak)
+   * with the label-disagreement predicate applied BEFORE the rank, so
+   * the k slots all go to genuine negatives.
+   *
+   * Scale shape: identical to [[knnBatch]] — probes broadcast, the
+   * corpus scans in place (no shuffle), the per-probe window ranks a
+   * candidate frame the label filter already thinned. A corpus-sized
+   * probe set swaps the broadcast for the IVF/LSH candidate paths,
+   * then applies the same filter + rank.
+   */
+  def hardNegatives(corpus: DataFrame, probes: DataFrame, idCol: String,
+                    embCol: String, labelCol: String, k: Int): DataFrame = {
+    val p = probes.select(col(idCol).as("probe_id"),
+      col(labelCol).as("_p_lbl"), col(embCol).as("_p_emb"))
+    val sim = round(cosine(col("_p_emb"), col(embCol)), 4)
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("sim").desc, col("neg_id"))
+    corpus.crossJoin(broadcast(p))
+      .filter(col(labelCol) =!= col("_p_lbl"))
+      .select(col("probe_id"), col(idCol).as("neg_id"),
+        col(labelCol).as("neg_label"), sim.as("sim"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+  }
+
   /** Deterministic random hyperplanes: `tables` hash tables, `bits`
     * planes each, components ~N(0,1) from a fixed seed. */
   private def planes(tables: Int, bits: Int, dim: Int, seed: Long): Seq[Seq[Seq[Double]]] = {

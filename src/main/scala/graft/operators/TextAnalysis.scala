@@ -205,6 +205,45 @@ object TextAnalysis {
   }
 
   /**
+   * LM-rarity quality filter — the perplexity-filter shape (CCNet /
+   * Gopher style "drop text the corpus LM finds surprising") with the
+   * transcendentals designed OUT: instead of thresholding mean log
+   * probability (engine-libm territory), count bigrams whose MLE
+   * probability is below `1/probFloor` — `c12/c1 < 1/probFloor ⟺
+   * c1 > probFloor·c12`, an exact integer comparison — and flag
+   * documents where rare bigrams exceed `shareNum/shareDen` of all
+   * bigrams (again cross-multiplied: `shareDen·n_rare ≥
+   * shareNum·n_bigrams`). Same corpus-trained counts as
+   * [[bigramLogLikelihood]]; where that op SCORES, this one DECIDES,
+   * and every cell of the decision is integer-exact on any engine.
+   * Returns `(idCol, n_bigrams, n_rare, flagged)`.
+   *
+   * Scale shape: identical to [[bigramLogLikelihood]] — one bigram
+   * explode, two count aggregates over the (bounded) bigram/unigram
+   * vocabularies, joined back map-side after AQE broadcasts the
+   * heavier side's build; one per-doc aggregate.
+   */
+  def lmRarityFilter(docs: DataFrame, idCol: String, textCol: String,
+                     probFloor: Long = 100L, shareNum: Long = 3L,
+                     shareDen: Long = 10L): DataFrame = {
+    val ws = split(col(textCol), " ")
+    val inst = docs.filter(size(ws) >= 2)
+      .select(col(idCol), explode(zip_with(
+        slice(ws, lit(1), size(ws) - 1), slice(ws, lit(2), size(ws) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col(idCol), col("bg.w1"), col("bg.w2"))
+    val c12 = inst.groupBy("w1", "w2").agg(count(lit(1)).as("_c12"))
+    val c1 = inst.groupBy("w1").agg(count(lit(1)).as("_c1"))
+    inst.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("_c1") > lit(probFloor) * col("_c12"), 1L)
+          .otherwise(0L)).as("n_rare"))
+      .withColumn("flagged",
+        lit(shareDen) * col("n_rare") >= lit(shareNum) * col("n_bigrams"))
+  }
+
+  /**
    * Per-document Shannon character entropy in nats — the
    * alphabet-agnostic gibberish/compression-quality filter (base64
    * blobs and repeated-char runs sit far from natural text's ~2.9–3.2):

@@ -184,6 +184,29 @@ object Warehouse {
   }
 
   /**
+   * Persist an aggregate rollup of MERGEABLE PARTIALS
+   * ([[graft.operators.Rollup.dailyPartials]]: `(day, event_type, cnt,
+   * sum_v, min_v, max_v)`) bucketed by `day`. Appending a batch's
+   * partials is a blind bucketed write — the standing table is never
+   * read, never rewritten; duplicate partial rows per key are merged on
+   * read by [[graft.operators.Rollup.finalizeRollup]], whose aggregate
+   * runs exchange-free off the bucketed scan (partitioning on `day`
+   * satisfies the (day, event_type) clustering). Incremental cost ∝
+   * batch; read cost ∝ keys × batches (compact via [[compactTable]]
+   * when append history accumulates).
+   */
+  def saveRollup(partials: DataFrame, table: String, buckets: Int = 8,
+                 mode: SaveMode = SaveMode.Overwrite): Unit = {
+    if (mode == SaveMode.Overwrite)
+      dropWithLocation(partials.sparkSession, table)
+    partials.write.mode(mode)
+      .bucketBy(buckets, "day")
+      .sortBy("day")
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
+  /**
    * Persist a lexical cosine index: the CAPPED tf frame
    * ([[graft.operators.Dedup.cappedLexicalTf]]: `(doc_id, tok, tf)`)
    * bucketed by token — a probe batch's candidate join shuffles only

@@ -419,4 +419,50 @@ class BehaviorSearchSpec extends AnyFunSuite with SparkTestSession {
       assert(got == want, s"n=$n: got $got want $want")
     }
   }
+
+  test("seasonalAnomaly: integer z² flags the spike hour-bucket; zero-variance never flags") {
+    // hour 0 over 5 days: 1.00 ×4 then a 5.00 spike; hour 1 constant.
+    // NOTE small-m masking: one outlier among m observations caps the
+    // z-score at (m−1)/√m ≈ 1.79 for m = 5 because it inflates its own
+    // variance — so the spec tests at z = 1 (the default z = 3 needs
+    // the long profiles real calendars have)
+    val ev = (Seq.tabulate(4)(d => (d.toLong, 0L, 1.00)) ++
+      Seq((4L, 0L, 5.00)) ++
+      Seq.tabulate(5)(d => (d.toLong, 1L, 2.00)))
+      .toDF("day", "hour", "value")
+    val out = Behavior.seasonalAnomaly(ev, col("day"), col("hour"),
+        round(col("value") * 100).cast("long"), z = 1)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(3), r.getBoolean(4)))).toMap
+    assert(out((4L, 0L)) == ((500L, true)))       // the spike flags
+    assert(out((0L, 0L)) == ((100L, false)))      // its peers do not
+    // zero-variance hour: dev = 0, bound = 0, strict > never flags
+    (0L to 4L).foreach(d => assert(out((d, 1L)) == ((200L, false))))
+  }
+
+  test("cusumChangepoint: hand integers, argmax at the regime edge, endpoint zero") {
+    // one 2.00-valued event per day for days 0–3, then 10.00 for 4–7:
+    // C_t = 8·Σcents − cn·4800 bottoms at day 3 (the last low day),
+    // and C_7 = 0 by construction (the full-series deviation cancels)
+    val ev = (0L to 3L).map(d => (d, 2.00)) ++ (4L to 7L).map(d => (d, 10.00))
+    val df = ev.toDF("day", "value")
+    val out = Behavior.cusumChangepoint(df, col("day"), col("value"))
+      .orderBy("day")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4)))
+    val want = Seq(
+      (0L, 1L, 200L, -3200L, false), (1L, 1L, 200L, -6400L, false),
+      (2L, 1L, 200L, -9600L, false), (3L, 1L, 200L, -12800L, true),
+      (4L, 1L, 1000L, -9600L, false), (5L, 1L, 1000L, -6400L, false),
+      (6L, 1L, 1000L, -3200L, false), (7L, 1L, 1000L, 0L, false))
+    assert(out.toSeq == want)
+    // argmax tie rule: a flat series puts every C_t at its own max (all
+    // zero only at the end — an all-equal series has C_t = 0 everywhere)
+    // → the flag lands on the EARLIEST day
+    val flat = (0L to 4L).map(d => (d, 3.00)).toDF("day", "value")
+    val flags = Behavior.cusumChangepoint(flat, col("day"), col("value"))
+      .filter(col("is_changepoint")).select("day")
+      .collect().map(_.getLong(0)).toSeq
+    assert(flags == Seq(0L))
+  }
 }

@@ -249,4 +249,25 @@ class BlockedPairsSpec extends AnyFunSuite with SparkTestSession {
     // each, tie → smaller label 3
     assert(got2(1L) == ((3, 1L)))
   }
+
+  // -- hardNegatives ---------------------------------------------------
+
+  test("hardNegatives: same-label vectors never rank; order is sim desc") {
+    // probe 0 (label 1): vector 10 is its twin but SAME label, so the
+    // top negative must be 13 (closest different-label), then 14, 20
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f), 1),
+      (10L, Array(1.0f, 0.0f, 0.0f, 0.0f), 1),  // identical, same label
+      (13L, Array(0.9f, 0.1f, 0.0f, 0.0f), 2),
+      (14L, Array(0.8f, 0.2f, 0.0f, 0.0f), 2),
+      (20L, Array(0.0f, 1.0f, 0.0f, 0.0f), 3)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.hardNegatives(emb, emb.filter(col("vec_id") === 0),
+        "vec_id", "embedding", "label", k = 3)
+      .orderBy("rn")
+      .collect().map(r => (r.getLong(1), r.getInt(2), r.getLong(4)))
+    assert(got.toSeq == Seq((13L, 2, 1L), (14L, 2, 2L), (20L, 3, 3L)))
+    // the same-label twin is excluded even though its sim is maximal
+    assert(!got.map(_._1).contains(10L))
+  }
 }

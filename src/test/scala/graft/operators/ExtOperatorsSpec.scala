@@ -446,6 +446,24 @@ class ExtOperatorsSpec extends AnyFunSuite with SparkTestSession {
     assert(out(3L) == ((3L, r4(math.log(3) - 2 * math.log(2) / 3))))
   }
 
+  test("lmRarityFilter: integer rarity rule on hand counts; flag at the share bound") {
+    import spark.implicits._
+    // corpus bigrams: (a,b)×2 from doc1+doc2, (b,a)×1, (a,c)×1 —
+    // c1(a)=3, c1(b)=1. With probFloor=2: (a,c) rare (3 > 2·1),
+    // (a,b) not (3 > 2·2 false), (b,a) not (1 > 2·1 false)
+    val docs = Seq(
+      (1L, "a b a c"),   // bigrams (a,b),(b,a),(a,c): n=3, rare=1
+      (2L, "a b"),       // bigram (a,b): n=1, rare=0
+      (3L, "z")          // no bigrams → no row
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.lmRarityFilter(docs, "doc_id", "text",
+        probFloor = 2L, shareNum = 1L, shareDen = 3L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    // doc1: 3·1 ≥ 1·3 → flagged exactly AT the share bound
+    assert(out == Map(1L -> ((3L, 1L, true)), 2L -> ((1L, 0L, false))))
+  }
+
   test("charEntropy: native expression equals the exploded formulation") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)

@@ -631,6 +631,50 @@ class WarehouseSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("rollup partials: blind appends merge on read exchange-free and equal a full recompute") {
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    import graft.operators.Rollup
+    // synthetic events across 7 days × 3 types; three arrival batches;
+    // values in integer units per the determinism contract
+    val ev = spark.range(0, 3000).select(
+      col("id"),
+      (col("id") % 7).as("d"),
+      concat(lit("t"), col("id") % 3).as("ty"),
+      (col("id") % 97).as("v"))
+    def partials(batch: org.apache.spark.sql.DataFrame) =
+      Rollup.dailyPartials(batch, col("d"), col("ty"), col("v"))
+    // arrival split on id % 4 — independent of the (day, type) keys, so
+    // every batch hits every key and the stored table REALLY holds
+    // duplicate partial rows per key (the thing merge-on-read collapses)
+    Warehouse.saveRollup(partials(ev.filter(col("id") % 4 < 2)),
+      "rollup_tbl", buckets = 4)
+    Warehouse.saveRollup(partials(ev.filter(col("id") % 4 === 2)),
+      "rollup_tbl", buckets = 4, mode = org.apache.spark.sql.SaveMode.Append)
+    Warehouse.saveRollup(partials(ev.filter(col("id") % 4 === 3)),
+      "rollup_tbl", buckets = 4, mode = org.apache.spark.sql.SaveMode.Append)
+    try {
+      // the stored table holds one partial row per key per batch
+      assert(spark.table("rollup_tbl").count() > 21)
+      // merge-on-read: partitioning on day (bucket key) satisfies the
+      // (day, event_type) clustering, so the aggregate needs no exchange
+      val merged = Rollup.readRollup(spark, "rollup_tbl")
+      val plan = merged.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"rollup merge-on-read still shuffles:\n$plan")
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+      // store → append → append → merge ≡ one aggregate over everything
+      val direct = rows(Rollup.finalizeRollup(partials(ev)))
+      assert(rows(merged) == direct && direct.size == 21)
+      // compaction safety: finalize is invariant under partial-merge
+      val compacted = Rollup.mergePartials(spark.table("rollup_tbl"))
+      assert(rows(Rollup.finalizeRollup(compacted)) == direct)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS rollup_tbl")
+    }
+  }
+
   test("digest-bucketed table aggregates per digest without an exchange") {
     spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
     Warehouse.saveBucketed(wide, "queries_bucketed", buckets = 4)
