@@ -37,7 +37,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  * of rate-scaled load, crossing class included — the capacity-planning
  * head next to `profile`), `histogram` (equi-depth latency buckets:
  * `-top` bins of equal count with exact bounds — equi-width starves on
- * the latency long tail).
+ * the latency long tail), `cusum` (per-day load CUSUM with the
+ * level-shift day flagged — exact-integer µs, q204's operator), and
+ * `seasonal` (hour-buckets that broke their own hour-of-day profile,
+ * q207's integer z-test).
  *
  * A `parquet:` source reads the [[graft.sources.Warehouse]] layout the
  * ingest CLI writes (date-partitioned wide table), so
@@ -147,6 +150,27 @@ object Report {
         Qan.paretoLoad(wide, "digest",
           col("query_time") * greatest(col("rate_limit"), lit(1L)),
           c.threshold)
+      case "cusum" =>
+        // "when did the load level shift?": q204's exact-integer CUSUM
+        // over per-day total query time in µs — the changepoint day is
+        // the argmax row (is_changepoint)
+        import org.apache.spark.sql.functions.{col, expr, round}
+        graft.operators.Behavior.cusumChangepoint(wide,
+          expr("unix_micros(ts) div 86400000000"),
+          round(col("query_time") * 1e6).cast("long"))
+          .orderBy(col("day"))
+      case "seasonal" =>
+        // "which hours broke their own diurnal pattern?": q207's
+        // integer z-test against each hour-of-day's cross-day profile;
+        // flagged buckets first, heaviest load first
+        import org.apache.spark.sql.functions.{col, expr, round}
+        graft.operators.Behavior.seasonalAnomaly(wide,
+            expr("unix_micros(ts) div 86400000000"),
+            expr("(unix_micros(ts) div 3600000000) % 24"),
+            round(col("query_time") * 1e6).cast("long"))
+          .filter(col("flagged"))
+          .orderBy(col("s_units").desc, col("day"), col("hour"))
+          .limit(c.top)
       case "histogram" =>
         // equi-depth latency histogram: -top buckets with equal query
         // counts — where the mass actually sits (equi-width starves on
@@ -158,7 +182,7 @@ object Report {
           .select(col("bin"), col("n"),
             round(col("lo"), 6).as("lo"), round(col("hi"), 6).as("hi"))
       case other => throw new IllegalArgumentException(
-        s"unknown -report: $other (profile|sparkline|load|apdex|percentiles|compare|anomaly|drift|pareto|histogram)")
+        s"unknown -report: $other (profile|sparkline|load|apdex|percentiles|compare|anomaly|drift|pareto|histogram|cusum|seasonal)")
     }
   }
 

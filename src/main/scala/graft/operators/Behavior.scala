@@ -419,10 +419,11 @@ object Behavior {
    * the changepoint flagged at `argmax |S_t|` — the classic "where did
    * the level shift" statistic (a monitoring primitive over the same
    * per-day frame q145/q146 use). All arithmetic, INCLUDING the
-   * presented columns, is exact integers: values enter as cents (the
-   * q194 trick), and the mean is never divided out — multiplying
+   * presented columns, is exact integers: `unitsCol` enters in the
+   * series' smallest integer unit (cents via the q194 trick, µs for
+   * latency), and the mean is never divided out — multiplying
    * through by N turns the deviation into `C_t = N·Σs_d − (Σn_d)·S`
-   * (emitted as `cum_dev`, in cent·N units; both cumulative), which
+   * (emitted as `cum_dev`, in unit·N terms; both cumulative), which
    * both engines compute bit-identically, so neither the argmax nor
    * any output cell can flip on an ulp (a rounded float mean here
    * flipped a live 4-dp half boundary in q201's first draft; a
@@ -444,8 +445,9 @@ object Behavior {
    * cross-multiplying the variance out: with m days, Σs, Σs² per hour,
    * `z² < (s−μ)²/Var  ⟺  (m·s − Σs)² > z²·(m·Σs² − (Σs)²)` — both
    * sides integer, so the flag cannot flip on an ulp ([[cusumChangepoint]]'s
-   * rule applied to a second moment). Returns
-   * `(day, hour, n, s_cents, flagged)`.
+   * rule applied to a second moment). `unitsCol` must already be in the
+   * series' smallest integer unit (cents for money, µs for latency).
+   * Returns `(day, hour, n, s_units, flagged)`.
    *
    * Scale shape: one map-side-combined bucket aggregate (the only
    * corpus-sized stage), a 24-row profile aggregate, one broadcast
@@ -455,28 +457,28 @@ object Behavior {
    * note) or lift to DECIMAL(38).
    */
   def seasonalAnomaly(events: DataFrame, dayCol: Column, hourCol: Column,
-                      centsCol: Column, z: Int = 3): DataFrame = {
+                      unitsCol: Column, z: Int = 3): DataFrame = {
     val buckets = events
       .select(dayCol.cast("long").as("day"),
-        hourCol.cast("long").as("hour"), centsCol.as("_c"))
+        hourCol.cast("long").as("hour"), unitsCol.as("_c"))
       .groupBy("day", "hour")
-      .agg(count(lit(1)).as("n"), sum("_c").as("s_cents"))
+      .agg(count(lit(1)).as("n"), sum("_c").as("s_units"))
     val prof = buckets.groupBy("hour")
-      .agg(count(lit(1)).as("_m"), sum("s_cents").as("_ss"),
-        sum(col("s_cents") * col("s_cents")).as("_sq"))
-    val dev = col("_m") * col("s_cents") - col("_ss")
+      .agg(count(lit(1)).as("_m"), sum("s_units").as("_ss"),
+        sum(col("s_units") * col("s_units")).as("_sq"))
+    val dev = col("_m") * col("s_units") - col("_ss")
     buckets.join(broadcast(prof), "hour")
-      .select(col("day"), col("hour"), col("n"), col("s_cents"),
+      .select(col("day"), col("hour"), col("n"), col("s_units"),
         (dev * dev > lit(z.toLong * z) *
           (col("_m") * col("_sq") - col("_ss") * col("_ss")))
           .as("flagged"))
   }
 
   def cusumChangepoint(events: DataFrame, dayCol: Column,
-                       valueCol: Column): DataFrame = {
+                       unitsCol: Column): DataFrame = {
     val daily = events
       .select(dayCol.cast("long").as("day"),
-        round(valueCol * 100).cast("long").as("_c"))
+        unitsCol.cast("long").as("_c"))
       .groupBy("day")
       .agg(count(lit(1)).as("n"), sum("_c").as("_s"))
     val wCum = Window.orderBy("day")
@@ -492,7 +494,7 @@ object Behavior {
       .withColumn("_mx", max(abs(col("_ct"))).over(wAll))
       .withColumn("_d0", min(when(abs(col("_ct")) === col("_mx"),
         col("day"))).over(wAll))
-      .select(col("day"), col("n"), col("_s").as("sum_cents"),
+      .select(col("day"), col("n"), col("_s").as("sum_units"),
         col("_ct").as("cum_dev"),
         (col("day") === col("_d0")).as("is_changepoint"))
   }

@@ -1976,6 +1976,48 @@ object ExtQueries {
         corpusTf, Dedup.lexicalNorms(corpusTf), minSim = 0.8)
     }),
 
+    // Two-hop reach census (Graph.twoHopReach) on q118's undirected
+    // customer–supplier graph: distinct nodes within two hops, top-20
+    // — the friend-of-friend expansion next to PageRank's stationary
+    // view; exact distinct here (oracle contract), HLL at corpus scale
+    // (Graph scaladoc).
+    "q209_two_hop" -> ((s, d) => {
+      // bulk-order edges only (l_quantity > 45): the full graph is so
+      // dense every node reaches everything in two hops — the sparse
+      // slice keeps the census data-bearing (12 distinct reach values
+      // in the top-20 at sf0.001)
+      val pairs = t(s, d, "orders").select("o_orderkey", "o_custkey")
+        .join(t(s, d, "lineitem").filter(col("l_quantity") > 45)
+            .select("l_orderkey", "l_suppkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("a"),
+          concat(lit("s"), col("l_suppkey")).as("b"))
+      val edges = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
+      Graph.twoHopReach(edges, "a", "b", PrTopK)
+    }),
+
+    // Join-key skew audit — the pre-flight that DECIDES q57's salting:
+    // per-key count distribution (element percentiles, q164 pairing)
+    // plus the integer ceiling salt factor ⌈max/avg⌉ a skew-safe join
+    // would shard the hot key by. At 100 TB this costs one map-side-
+    // combined key aggregate — the cheapest insurance against a
+    // straggler reducer. All cells exact integers.
+    "q208_skew_audit" -> ((s, d) => {
+      val cnts = CoreQueries.events(s, d).groupBy("user_id")
+        .agg(count(lit(1)).as("cnt"))
+      cnts.agg(count(lit(1)).as("n_keys"), sum("cnt").as("n_rows"),
+          max("cnt").as("max_cnt"),
+          percentile_approx(col("cnt"), lit(0.5), lit(1000000))
+            .as("p50_cnt"),
+          percentile_approx(col("cnt"), lit(0.99), lit(1000000))
+            .as("p99_cnt"))
+        .select(col("n_keys"), col("n_rows"),
+          expr("n_rows div n_keys").as("avg_cnt"), col("max_cnt"),
+          col("p50_cnt"), col("p99_cnt"),
+          expr("(max_cnt * n_keys + n_rows - 1) div n_rows")
+            .as("salt_factor"))
+    }),
+
     // Hour-of-day seasonal anomaly (Behavior.seasonalAnomaly): flag
     // (day, hour) load buckets > 3σ from their own hour's cross-day
     // profile — the variance cross-multiplied out so the z-test is an
@@ -2067,7 +2109,8 @@ object ExtQueries {
     // scaladoc).
     "q204_cusum" -> ((s, d) =>
       Behavior.cusumChangepoint(CoreQueries.events(s, d),
-          expr("ts_ns div 86400000000000"), col("value"))
+          expr("ts_ns div 86400000000000"),
+          round(col("value") * 100).cast("long"))
         .orderBy("day")),
 
     // Hard-negative mining (Similarity.hardNegatives): per labeled
@@ -4297,13 +4340,34 @@ object ExtQueries {
         "SELECT probe_id, corpus_id, round(dot/sqrt(pn.n2*inn.n2),6) AS sim " +
         "FROM d JOIN pnorm pn ON d.probe_id=pn.doc_id JOIN inorm inn ON d.corpus_id=inn.doc_id " +
         "WHERE dot/sqrt(pn.n2*inn.n2) >= 0.8 ORDER BY probe_id, corpus_id"),
+    // q209: q118's edge CTEs, wedge join + UNION-distinct reach,
+    // rank over the 20-row cut
+    "q209_two_hop" ->
+      (s"WITH p AS (SELECT DISTINCT 'c' || o_custkey AS a, 's' || l_suppkey AS b " +
+        "FROM orders JOIN lineitem ON l_orderkey = o_orderkey WHERE l_quantity > 45), " +
+        "e AS (SELECT a, b FROM p UNION SELECT b, a FROM p), " +
+        "r AS (SELECT x.a, y.b AS c FROM e x JOIN e y ON x.b = y.a WHERE x.a <> y.b " +
+        "UNION SELECT a, b FROM e WHERE a <> b), " +
+        "g AS (SELECT a, count(*) AS reach FROM r GROUP BY 1) " +
+        "SELECT rn, a AS node, reach FROM " +
+        "(SELECT a, reach, row_number() OVER (ORDER BY reach DESC, a) AS rn FROM g) t " +
+        s"WHERE rn <= $PrTopK ORDER BY rn"),
+    // q208: one-row audit — element percentiles via quantile_disc
+    // (q164 pairing), ceiling division spelled out in integers
+    "q208_skew_audit" ->
+      ("WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1) " +
+        "SELECT CAST(count(*) AS BIGINT) AS n_keys, CAST(sum(cnt) AS BIGINT) AS n_rows, " +
+        "CAST(sum(cnt) // count(*) AS BIGINT) AS avg_cnt, CAST(max(cnt) AS BIGINT) AS max_cnt, " +
+        "CAST(quantile_disc(cnt, 0.5) AS BIGINT) AS p50_cnt, CAST(quantile_disc(cnt, 0.99) AS BIGINT) AS p99_cnt, " +
+        "CAST((max(cnt) * count(*) + sum(cnt) - 1) // sum(cnt) AS BIGINT) AS salt_factor " +
+        "FROM c"),
     // q207: identical integer moments — HUGEINT window-free CTEs,
     // the z² comparison cross-multiplied on both sides
     "q207_seasonal_anomaly" ->
       ("WITH c AS (SELECT epoch_us(ts) // 86400000000 AS day, (epoch_us(ts) // 3600000000) % 24 AS hour, CAST(round(value*100) AS BIGINT) AS cents FROM events), " +
         "b AS (SELECT day, hour, count(*) AS n, sum(cents) AS s FROM c GROUP BY 1, 2), " +
         "pf AS (SELECT hour, count(*) AS m, sum(s) AS ss, sum(s*s) AS sq FROM b GROUP BY 1) " +
-        "SELECT b.day, b.hour, CAST(b.n AS BIGINT) AS n, CAST(b.s AS BIGINT) AS s_cents, " +
+        "SELECT b.day, b.hour, CAST(b.n AS BIGINT) AS n, CAST(b.s AS BIGINT) AS s_units, " +
         "(pf.m*b.s - pf.ss)*(pf.m*b.s - pf.ss) > 9*(pf.m*pf.sq - pf.ss*pf.ss) AS flagged " +
         "FROM b JOIN pf USING (hour) ORDER BY day, hour"),
     // q206: same first-purchase split, touch rank, and 10000-bp
@@ -4357,7 +4421,7 @@ object ExtQueries {
         "t AS (SELECT sum(n) AS nt, sum(s) AS st FROM d), " +
         "cu AS (SELECT day, n, s, sum(n) OVER w AS cn, sum(s) OVER w AS cs FROM d WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), " +
         "x AS (SELECT cu.day, cu.n, cu.s, CAST(t.nt*cu.cs - cu.cn*t.st AS BIGINT) AS ct FROM cu, t) " +
-        "SELECT day, CAST(n AS BIGINT) AS n, CAST(s AS BIGINT) AS sum_cents, ct AS cum_dev, " +
+        "SELECT day, CAST(n AS BIGINT) AS n, CAST(s AS BIGINT) AS sum_units, ct AS cum_dev, " +
         "day = (SELECT min(day) FROM x WHERE abs(ct) = (SELECT max(abs(ct)) FROM x)) AS is_changepoint " +
         "FROM x ORDER BY day"),
     // q203: q39's exact-kNN oracle shape with the label-disagreement

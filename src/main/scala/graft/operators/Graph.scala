@@ -144,4 +144,38 @@ object Graph {
       .withColumn("degree", col("out_deg") + col("in_deg"))
       .orderBy("node")
   }
+
+  /**
+   * Two-hop reach census: per node, the count of DISTINCT nodes
+   * reachable in one or two directed hops (self excluded) — the
+   * friend-of-friend expansion metric (how far does influence travel
+   * past the immediate neighborhood), top-k by (reach desc, node).
+   *
+   * Scale shape: the edge self-join on the middle node is the standard
+   * wedge join, so the candidate volume is Σ deg_in(b)·deg_out(b) —
+   * hub-quadratic, exactly [[triangleCount]]'s hazard. This exact
+   * variant is the oracle contract; a 100 TB social graph swaps the
+   * per-node exact distinct for `approx_count_distinct` (HLL partials
+   * merge across the wedge shuffle, bounding reducer memory) and caps
+   * or samples hub middles the way the dedup family caps hot blocks —
+   * same plan, bounded state. The top-k rank window runs AFTER the
+   * limit (k-row frame, the Search/Graph precedent).
+   */
+  def twoHopReach(edges: DataFrame, srcCol: String, dstCol: String,
+                  k: Int): DataFrame = {
+    val e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .distinct()
+    val two = e.join(e.select(col("a").as("b"), col("b").as("c")), "b")
+      .filter(col("a") =!= col("c")).select("a", "c")
+    val one = e.filter(col("a") =!= col("b"))
+      .select(col("a"), col("b").as("c"))
+    val reach = one.union(two).distinct()
+      .groupBy("a").agg(count(lit(1)).as("reach"))
+      .orderBy(col("reach").desc, col("a")).limit(k)
+    reach
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("reach").desc, col("a"))).cast("long"))
+      .select(col("rn"), col("a").as("node"), col("reach"))
+  }
 }

@@ -446,7 +446,8 @@ class BehaviorSearchSpec extends AnyFunSuite with SparkTestSession {
     // and C_7 = 0 by construction (the full-series deviation cancels)
     val ev = (0L to 3L).map(d => (d, 2.00)) ++ (4L to 7L).map(d => (d, 10.00))
     val df = ev.toDF("day", "value")
-    val out = Behavior.cusumChangepoint(df, col("day"), col("value"))
+    val out = Behavior.cusumChangepoint(df, col("day"),
+        round(col("value") * 100).cast("long"))
       .orderBy("day")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getLong(3), r.getBoolean(4)))
@@ -460,7 +461,8 @@ class BehaviorSearchSpec extends AnyFunSuite with SparkTestSession {
     // zero only at the end — an all-equal series has C_t = 0 everywhere)
     // → the flag lands on the EARLIEST day
     val flat = (0L to 4L).map(d => (d, 3.00)).toDF("day", "value")
-    val flags = Behavior.cusumChangepoint(flat, col("day"), col("value"))
+    val flags = Behavior.cusumChangepoint(flat, col("day"),
+        round(col("value") * 100).cast("long"))
       .filter(col("is_changepoint")).select("day")
       .collect().map(_.getLong(0)).toSeq
     assert(flags == Seq(0L))

@@ -86,6 +86,22 @@ class ReportSpec extends AnyFunSuite with SparkTestSession {
     assert(alerts.isEmpty)
   }
 
+  test("cusum report: one changepoint flag, endpoint cancels; seasonal runs clean") {
+    val rows = Report.run(spark, Report.Config(source = warehouse,
+      report = "cusum")).collect()
+    assert(rows.nonEmpty)
+    // exactly one argmax day; the full-series deviation cancels at the
+    // last row by construction (C_N = N·S − N·S)
+    assert(rows.count(_.getAs[Boolean]("is_changepoint")) == 1)
+    assert(rows.last.getAs[Long]("cum_dev") == 0L)
+    // single-day fixture → every hour bucket is its own whole profile
+    // (m = 1 → variance bound 0, strict > never fires): empty alert
+    // list, not a failure
+    val seasonal = Report.run(spark, Report.Config(source = warehouse,
+      report = "seasonal")).collect()
+    assert(seasonal.isEmpty)
+  }
+
   test("compare report splits rate-scaled load at -splitAt") {
     // fixture events land at 10:00:01-03 on 2024-01-15: split mid-window
     val rows = Report.run(spark, Report.Config(source = warehouse,
