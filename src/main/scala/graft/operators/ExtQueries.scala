@@ -2154,6 +2154,59 @@ object ExtQueries {
         .orderBy("day", "event_type")
     }),
 
+    // Data-expectation gate (Pipeline.expectations): named rules in
+    // one aggregate scan, exact violation counts + pass flags — the
+    // CI gate of a 100 TB pipeline, plus the one rule that needs a
+    // distinct (line-key uniqueness) composed alongside. The synthetic
+    // lineitem REALLY carries duplicate (orderkey, linenumber) pairs
+    // (the q193 discovery), so the uniqueness row is data-bearing.
+    "q211_expectations" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val rules = Seq(
+        "discount_range" ->
+          (col("l_discount") >= 0.0 && col("l_discount") <= 1.0),
+        "flag_domain" -> col("l_returnflag").isin("A", "N", "R"),
+        "price_positive" -> (col("l_extendedprice") > 0.0),
+        "qty_range" -> (col("l_quantity") >= 1.0 && col("l_quantity") <= 50.0),
+        "ship_not_null" -> col("l_shipdate").isNotNull)
+      val uniq = li.agg((count(lit(1)) -
+          countDistinct(col("l_orderkey"), col("l_linenumber")))
+          .as("n_violations"))
+        .select(lit("line_key_unique").as("rule"), col("n_violations"),
+          (col("n_violations") === 0).as("pass"))
+      Pipeline.expectations(li, rules)
+        .unionByName(uniq)
+        .orderBy("rule")
+    }),
+
+    // Distinct-user rollup maintenance (Rollup.distinctPartials): the
+    // q201 split applied to the FOURTH mergeable aggregate — HLL
+    // sketch partials stored + appended blind, estimated after the
+    // union. Distinct does not sum, so the sketch is the only
+    // incremental path; the oracle is therefore the q78 tolerance
+    // contract with the exact counts data-bearing beside it.
+    "q210_rollup_distinct" -> ((s, d) => {
+      val ev = CoreQueries.events(s, d)
+      val day = expr("ts_ns div 86400000000000")
+      val tbl = "graft_bench_rollup_q210"
+      graft.sources.Warehouse.saveRollup(Rollup.distinctPartials(
+        ev.filter(col("event_id") % 10 < 9), day,
+        col("event_type"), col("user_id")), tbl)
+      graft.sources.Warehouse.saveRollup(Rollup.distinctPartials(
+        ev.filter(col("event_id") % 10 === 9), day,
+        col("event_type"), col("user_id")), tbl,
+        mode = org.apache.spark.sql.SaveMode.Append)
+      val est = Rollup.estimateDistinct(s.table(tbl))
+      val exact = ev.select(day.as("day"), col("event_type"), col("user_id"))
+        .groupBy("day", "event_type")
+        .agg(countDistinct("user_id").as("n_exact"))
+      est.join(exact, Seq("day", "event_type"))
+        .select(col("day"), col("event_type"), col("n_exact"),
+          (abs(col("est") - col("n_exact")) <= col("n_exact") * 0.05)
+            .as("ok"))
+        .orderBy("day", "event_type")
+    }),
+
     // Equi-depth price histogram: 8 exact-ntile buckets from the
     // distributed global rank (q149 arithmetic), id = orderkey*8+line.
     "q193_equidepth" -> ((s, d) =>
@@ -4432,6 +4485,23 @@ object ExtQueries {
         "SELECT probe_id, neg_id, neg_label, sim, rn FROM " +
         "(SELECT probe_id, neg_id, neg_label, sim, row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neg_id) rn FROM c) " +
         "WHERE rn <= 3 ORDER BY probe_id, rn"),
+    // q211: the same rules as UNION ALL branches; NOT(rule) counts
+    // only FALSE (null is not a violation on either engine)
+    "q211_expectations" ->
+      ("SELECT rule, n_violations, n_violations = 0 AS pass FROM (" +
+        "SELECT 'discount_range' AS rule, CAST(count(CASE WHEN NOT (l_discount >= 0.0 AND l_discount <= 1.0) THEN 1 END) AS BIGINT) AS n_violations FROM lineitem " +
+        "UNION ALL SELECT 'flag_domain', CAST(count(CASE WHEN NOT (l_returnflag IN ('A','N','R')) THEN 1 END) AS BIGINT) FROM lineitem " +
+        "UNION ALL SELECT 'price_positive', CAST(count(CASE WHEN NOT (l_extendedprice > 0.0) THEN 1 END) AS BIGINT) FROM lineitem " +
+        "UNION ALL SELECT 'qty_range', CAST(count(CASE WHEN NOT (l_quantity >= 1.0 AND l_quantity <= 50.0) THEN 1 END) AS BIGINT) FROM lineitem " +
+        "UNION ALL SELECT 'ship_not_null', CAST(count(CASE WHEN l_shipdate IS NULL THEN 1 END) AS BIGINT) FROM lineitem " +
+        "UNION ALL SELECT 'line_key_unique', CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT) FROM lineitem" +
+        ") t ORDER BY rule"),
+    // q210: exact distinct counts data-bearing, the estimate as the
+    // q78 tolerance literal
+    "q210_rollup_distinct" ->
+      ("SELECT epoch_us(ts) // 86400000000 AS day, event_type, " +
+        "CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact, true AS ok " +
+        "FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
     // q201: the oracle recomputes the rollup from scratch over ALL
     // events — store-then-append-then-merge must equal one aggregate;
     // cnt/min/max exact, the mean rounded (magnitude rule)

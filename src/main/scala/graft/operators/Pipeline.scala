@@ -715,4 +715,35 @@ object Pipeline {
       col(s"_mn_$c").as("min_val"), col(s"_mx_$c").as("max_val"))): _*))
     one.select(stacked.as("_p")).select("_p.*").orderBy("column")
   }
+
+  /**
+   * Data-expectation gate — [[profileColumns]]' enforcing sibling (the
+   * Deequ/Great-Expectations shape): named boolean rules evaluated in
+   * ONE aggregate scan, each reporting its exact violation count and a
+   * pass flag. The CI-gate primitive of a pipeline: assert on
+   * `pass`, alert on `n_violations`.
+   *
+   * Rule semantics: a row violates rule `c` when `c` is FALSE. A NULL
+   * predicate does NOT count as a violation — write nullability as its
+   * own explicit rule (`col.isNotNull`), so "value in range" and
+   * "value present" stay independently reportable, the SQL three-
+   * valued convention both engines share.
+   *
+   * Scale shape: one map-side-combined pass whatever the rule count —
+   * adding the 50th rule costs a column, not a scan. Uniqueness rules
+   * need a distinct (they cannot fold into this pass); compose a
+   * `count(*) − count(DISTINCT key)` aggregate row alongside, as q211
+   * does.
+   */
+  def expectations(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "expectations needs at least one rule")
+    val aggs = rules.map { case (name, rule) =>
+      sum(when(!rule, 1L).otherwise(0L)).as(name)
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = explode(array(rules.map { case (name, _) => struct(
+      lit(name).as("rule"), col(name).as("n_violations")) }: _*))
+    one.select(stacked.as("_r")).select("_r.*")
+      .withColumn("pass", col("n_violations") === 0)
+  }
 }

@@ -82,4 +82,33 @@ object Rollup {
   /** The merged presentation of a stored rollup table. */
   def readRollup(spark: SparkSession, table: String): DataFrame =
     finalizeRollup(spark.table(table))
+
+  /**
+   * Distinct-count partials — the fourth mergeable aggregate of the
+   * rollup family: per-(day, type) HLL sketches
+   * (`hll_sketch_agg`, Apache DataSketches binary), stored and
+   * appended exactly like the count/sum/min/max partials
+   * ([[graft.sources.Warehouse.saveRollup]] buckets on `day` and never
+   * reads the standing table). Sketch union is the monoid combine, so
+   * "distinct users per day" survives blind appends the way counts do
+   * — the one aggregate exact partials CANNOT give incrementally
+   * (distinct does not sum), which is exactly why the sketch earns its
+   * ~1% error at 100 TB. Estimates are approximate, so the q78/q210
+   * oracle contract is a tolerance bound, not a hash match.
+   */
+  def distinctPartials(events: DataFrame, dayCol: Column, typeCol: Column,
+                       entityCol: Column): DataFrame =
+    events
+      .select(dayCol.cast("long").as("day"),
+        typeCol.as("event_type"), entityCol.as("_e"))
+      .groupBy("day", "event_type")
+      .agg(expr("hll_sketch_agg(_e)").as("sk"))
+
+  /** Merge stored sketch partials and estimate: (day, event_type,
+    * est) — exchange-free off the day-bucketed scan like
+    * [[finalizeRollup]]. */
+  def estimateDistinct(partials: DataFrame): DataFrame =
+    partials
+      .groupBy("day", "event_type")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
 }

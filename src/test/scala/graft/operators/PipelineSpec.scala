@@ -532,4 +532,25 @@ class PipelineSpec extends AnyFunSuite with SparkTestSession {
       .queryExecution.executedPlan.toString
     assert(plan.split("LocalTableScan").length - 1 == 1, plan)
   }
+
+  test("expectations: exact violation counts, null is not a violation, one scan") {
+    import spark.implicits._
+    val df = Seq((1L, Some(5.0)), (2L, Some(-1.0)), (3L, None),
+      (4L, Some(200.0))).toDF("id", "v")
+    val rules = Seq(
+      "v_nonneg" -> (col("v") >= 0.0),          // -1 violates; null doesn't
+      "v_below_100" -> (col("v") < 100.0),      // 200 violates
+      "v_present" -> col("v").isNotNull,        // the explicit null rule
+      "id_positive" -> (col("id") > 0L))        // clean
+    val got = Pipeline.expectations(df, rules)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(got == Map(
+      "v_nonneg" -> ((1L, false)), "v_below_100" -> ((1L, false)),
+      "v_present" -> ((1L, false)), "id_positive" -> ((0L, true))))
+    // one scan regardless of rule count
+    val plan = Pipeline.expectations(df, rules)
+      .queryExecution.executedPlan.toString
+    assert(plan.split("LocalTableScan").length - 1 == 1, plan)
+  }
 }

@@ -675,6 +675,40 @@ class WarehouseSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("distinct-sketch rollup: blind appends union on read; exact at small cardinality") {
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    import graft.operators.Rollup
+    // 40 users active across 3 days × 2 types, arrival split on id % 2
+    // — independent of the (day, type) keys (3 and 2 both coprime to
+    // the split only through id), so one key's sketches SPAN batches
+    // and the estimate really exercises the cross-batch union
+    val ev = spark.range(0, 600).select(
+      col("id"),
+      (col("id") % 3).as("d"),
+      concat(lit("t"), (col("id") % 6) < 3).as("ty"),
+      (col("id") % 40).as("u"))
+    def parts(b: org.apache.spark.sql.DataFrame) =
+      Rollup.distinctPartials(b, col("d"), col("ty"), col("u"))
+    Warehouse.saveRollup(parts(ev.filter(col("id") % 2 === 0)),
+      "rollup_sk", buckets = 4)
+    Warehouse.saveRollup(parts(ev.filter(col("id") % 2 === 1)),
+      "rollup_sk", buckets = 4, mode = org.apache.spark.sql.SaveMode.Append)
+    try {
+      val est = Rollup.estimateDistinct(spark.table("rollup_sk"))
+        .collect().map(r => (r.getLong(0), r.getString(1)) ->
+          r.getAs[Number](2).longValue).toMap
+      val exact = ev.groupBy("d", "ty")
+        .agg(countDistinct("u").as("x"))
+        .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+      // HLL is exact in sparse mode at these cardinalities: the merged
+      // cross-batch union must reconstruct every per-key distinct count
+      assert(est == exact && exact.values.sum > 0)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS rollup_sk")
+    }
+  }
+
   test("digest-bucketed table aggregates per digest without an exchange") {
     spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
     Warehouse.saveBucketed(wide, "queries_bucketed", buckets = 4)
