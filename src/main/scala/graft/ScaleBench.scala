@@ -256,6 +256,28 @@ object ScaleBench {
         Warehouse.dropWithLocation(spark, tbl)
       }
 
+      // the sketch twin (q210): standing HLL-partial table grown k×,
+      // FIXED 1× batch's sketches appended + the estimate read — the
+      // distinct-count maintenance cost; same flat expectation
+      if (want("rollup_distinct")) {
+        val tbl = "graft_bench_scale_rollup_sk"
+        Warehouse.dropWithLocation(spark, tbl)
+        val ent = expr("cast(value * 100 as long) % 100000")
+        def parts(df: DataFrame) = graft.operators.Rollup
+          .distinctPartials(df, col("day"), col("event_type"), ent)
+        Warehouse.saveRollup(parts(scaleEvents(spark, sf, k)), tbl)
+        val batch = scaleEvents(spark, sf, 1).persist()
+        batch.count()
+        record("rollup_distinct", k, timeUnit {
+          Warehouse.saveRollup(parts(batch), tbl,
+            mode = org.apache.spark.sql.SaveMode.Append)
+          graft.operators.Rollup.estimateDistinct(spark.table(tbl))
+            .write.format("noop").mode("overwrite").save()
+        })
+        batch.unpersist()
+        Warehouse.dropWithLocation(spark, tbl)
+      }
+
       // q97 range join: the POINT side grows k×, the interval side is
       // FIXED (9 bands) — cost should track the point scan (≈ linear):
       // the bin explode is a constant 9 × ≤3 rows and the equi-join's

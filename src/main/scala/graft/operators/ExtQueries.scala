@@ -2154,6 +2154,22 @@ object ExtQueries {
         .orderBy("day", "event_type")
     }),
 
+    // Join fan-out pre-flight (q208's sibling): the EXACT output
+    // cardinality of a prospective self-join from per-key counts alone
+    // — Σ n_k² (and Σ n_a·n_b for two sides) — without running the
+    // join, plus the hot key's share in basis points. The "will this
+    // join explode" check a 100 TB planner runs before committing a
+    // shuffle; key-aggregate cost only, every cell an exact integer.
+    "q212_join_preflight" -> ((s, d) => {
+      val c = t(s, d, "lineitem").groupBy("l_suppkey")
+        .agg(count(lit(1)).as("n"))
+      c.agg(count(lit(1)).as("n_keys"),
+          sum(col("n") * col("n")).as("join_rows"),
+          max(col("n") * col("n")).as("hot_key_rows"))
+        .select(col("n_keys"), col("join_rows"), col("hot_key_rows"),
+          expr("10000 * hot_key_rows div join_rows").as("hot_share_bp"))
+    }),
+
     // Data-expectation gate (Pipeline.expectations): named rules in
     // one aggregate scan, exact violation counts + pass flags — the
     // CI gate of a 100 TB pipeline, plus the one rule that needs a
@@ -4485,6 +4501,14 @@ object ExtQueries {
         "SELECT probe_id, neg_id, neg_label, sim, rn FROM " +
         "(SELECT probe_id, neg_id, neg_label, sim, row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neg_id) rn FROM c) " +
         "WHERE rn <= 3 ORDER BY probe_id, rn"),
+    // q212: same per-key counts; HUGEINT squares cast back
+    "q212_join_preflight" ->
+      ("WITH c AS (SELECT l_suppkey, count(*) AS n FROM lineitem GROUP BY 1) " +
+        "SELECT CAST(count(*) AS BIGINT) AS n_keys, " +
+        "CAST(sum(n*n) AS BIGINT) AS join_rows, " +
+        "CAST(max(n*n) AS BIGINT) AS hot_key_rows, " +
+        "CAST(10000 * max(n*n) // sum(n*n) AS BIGINT) AS hot_share_bp " +
+        "FROM c"),
     // q211: the same rules as UNION ALL branches; NOT(rule) counts
     // only FALSE (null is not a violation on either engine)
     "q211_expectations" ->
