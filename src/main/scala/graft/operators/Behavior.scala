@@ -475,12 +475,25 @@ object Behavior {
   }
 
   def cusumChangepoint(events: DataFrame, dayCol: Column,
-                       unitsCol: Column): DataFrame = {
-    val daily = events
+                       unitsCol: Column): DataFrame =
+    cusumFromDaily(events
       .select(dayCol.cast("long").as("day"),
         unitsCol.cast("long").as("_c"))
       .groupBy("day")
-      .agg(count(lit(1)).as("n"), sum("_c").as("_s"))
+      .agg(count(lit(1)).as("n"), sum("_c").as("_s")))
+
+  /**
+   * [[cusumChangepoint]] over an ALREADY-AGGREGATED daily frame
+   * `(day, n, _s)` — the at-rest composition: a stored rollup's merged
+   * partials ([[Rollup.mergePartials]]: `cnt`, `sum_v` summed over
+   * types) feed the monitor directly, so the daily "did load shift"
+   * check costs a calendar-sized table read, never an event rescan —
+   * and because the partials are exact integers, the composed result
+   * is BIT-identical to running the monitor on raw events
+   * (spec-proven). The streamed stack is three flat pieces:
+   * StreamingRollup appends ∝ batch, the monitor reads ∝ days.
+   */
+  def cusumFromDaily(daily: DataFrame): DataFrame = {
     val wCum = Window.orderBy("day")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = daily.agg(sum("n").as("_nt"), sum("_s").as("_st"))

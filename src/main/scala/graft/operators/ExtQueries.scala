@@ -2154,6 +2154,28 @@ object ExtQueries {
         .orderBy("day", "event_type")
     }),
 
+    // Hierarchical share-of-parent (the percent-of-total drilldown
+    // q13's rollup doesn't carry): leaf revenue with its share of the
+    // parent flag and of the grand total — sums in exact integer
+    // cents, each share ONE correctly-rounded division of exact longs
+    // (huge denominators cannot terminate at the rounding site, unlike
+    // the small-n means q119/q201 integer-ized); parent and total
+    // frames are group-cardinality-sized broadcasts.
+    "q213_share_of_parent" -> ((s, d) => {
+      val li = t(s, d, "lineitem").select(col("l_returnflag").as("rf"),
+        col("l_linestatus").as("ls"),
+        round(col("l_extendedprice") * 100).cast("long").as("c"))
+      val leaf = li.groupBy("rf", "ls")
+        .agg(sum("c").as("rev_cents"), count(lit(1)).as("n"))
+      val parent = leaf.groupBy("rf").agg(sum("rev_cents").as("_p"))
+      val total = leaf.agg(sum("rev_cents").as("_t"))
+      leaf.join(broadcast(parent), "rf").crossJoin(broadcast(total))
+        .select(col("rf"), col("ls"), col("n"), col("rev_cents"),
+          round(col("rev_cents") / col("_p"), 6).as("share_of_flag"),
+          round(col("rev_cents") / col("_t"), 6).as("share_of_total"))
+        .orderBy("rf", "ls")
+    }),
+
     // Join fan-out pre-flight (q208's sibling): the EXACT output
     // cardinality of a prospective self-join from per-key counts alone
     // — Σ n_k² (and Σ n_a·n_b for two sides) — without running the
@@ -4501,6 +4523,15 @@ object ExtQueries {
         "SELECT probe_id, neg_id, neg_label, sim, rn FROM " +
         "(SELECT probe_id, neg_id, neg_label, sim, row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neg_id) rn FROM c) " +
         "WHERE rn <= 3 ORDER BY probe_id, rn"),
+    // q213: same cents sums; window-free CTE shares
+    "q213_share_of_parent" ->
+      ("WITH l AS (SELECT l_returnflag rf, l_linestatus ls, CAST(round(l_extendedprice*100) AS BIGINT) c FROM lineitem), " +
+        "leaf AS (SELECT rf, ls, sum(c) AS rev, count(*) AS n FROM l GROUP BY 1, 2), " +
+        "p AS (SELECT rf, sum(rev) AS pv FROM leaf GROUP BY 1), " +
+        "t AS (SELECT sum(rev) AS tv FROM leaf) " +
+        "SELECT leaf.rf, leaf.ls, CAST(leaf.n AS BIGINT) AS n, CAST(leaf.rev AS BIGINT) AS rev_cents, " +
+        "round(leaf.rev / p.pv, 6) AS share_of_flag, round(leaf.rev / t.tv, 6) AS share_of_total " +
+        "FROM leaf JOIN p USING (rf), t ORDER BY rf, ls"),
     // q212: same per-key counts; HUGEINT squares cast back
     "q212_join_preflight" ->
       ("WITH c AS (SELECT l_suppkey, count(*) AS n FROM lineitem GROUP BY 1) " +

@@ -467,4 +467,25 @@ class BehaviorSearchSpec extends AnyFunSuite with SparkTestSession {
       .collect().map(_.getLong(0)).toSeq
     assert(flags == Seq(0L))
   }
+
+  test("cusumFromDaily over rollup partials is bit-identical to the raw-event monitor") {
+    // split arrivals into two appended batches of partials (the
+    // StreamingRollup posture), merge, collapse types to the daily
+    // frame, feed the monitor — must equal the event-level run exactly
+    val ev = (0L until 60L).map(i =>
+      (i % 9, if (i % 2 == 0) "a" else "b", (i % 13) * 0.25 + 1.0))
+      .toDF("day", "ty", "value")
+    val cents = round(col("value") * 100).cast("long")
+    def parts(b: org.apache.spark.sql.DataFrame) =
+      graft.operators.Rollup.dailyPartials(b, col("day"), col("ty"), cents)
+    val stored = parts(ev.filter(col("value") < 2.0))
+      .unionByName(parts(ev.filter(col("value") >= 2.0)))
+    val daily = graft.operators.Rollup.mergePartials(stored)
+      .groupBy("day")
+      .agg(sum("cnt").as("n"), sum("sum_v").as("_s"))
+    val viaRollup = Behavior.cusumFromDaily(daily).orderBy("day").collect()
+    val direct = Behavior.cusumChangepoint(ev, col("day"), cents)
+      .orderBy("day").collect()
+    assert(viaRollup.sameElements(direct))
+  }
 }
