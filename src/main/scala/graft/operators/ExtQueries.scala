@@ -2176,6 +2176,40 @@ object ExtQueries {
         .orderBy("rf", "ls")
     }),
 
+    // IVF-PQ composite ANN (the faiss IVFx,PQy layout — q53's cell
+    // pruning × q83's code compression, PQ fit on RESIDUALS): the
+    // persist-and-probe contract against the exact top-3. Config
+    // measured r11 (PqProbe): nlist=16, nprobe=12, subspaces=16,
+    // candidates=150 recalls 3/3 for every probe at BOTH oracle SFs —
+    // one-hit margin over the ≥2 floor everywhere. nprobe=8 leaves a
+    // candidate-insensitive sf0.01 CELL miss; subspaces=8 at cand=150
+    // leaves sf0.1 ADC misses (residual codebook too coarse) — the two
+    // failure modes are distinguishable in the surface, which is why
+    // both knobs ship explicitly.
+    "q214_ivfpq_recall" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val probes = emb.filter(col("vec_id") < 5)
+      val exact = Similarity.knnBatch(emb, probes, "vec_id", "embedding", k = 3)
+        .select(col("probe_id"), col("rn"), col("nn_id"), col("sim"))
+      val (codes, centroids, codebook) = Similarity.ivfPqIndex(
+        emb, "vec_id", "embedding", nlist = 16, subspaces = 16)
+      graft.sources.Warehouse.saveIvfPqIndex(codes, centroids, codebook,
+        "graft_bench_ivfpq_q214")
+      storedIndexOwner.put("graft_bench_ivfpq_q214", d)
+      val ann = Similarity.ivfPqTopKFrom(s.table("graft_bench_ivfpq_q214"),
+          s.table("graft_bench_ivfpq_q214_centroids"),
+          s.table("graft_bench_ivfpq_q214_codebook"), emb, probes,
+          "vec_id", "embedding", k = 3, nprobe = 12, candidates = 150,
+          subspaces = 16)
+        .select(col("probe_id"), col("nn_id"))
+      val hits = exact.join(ann, Seq("probe_id", "nn_id"))
+        .groupBy("probe_id").agg(count(lit(1)).as("hits"))
+      exact.join(hits, Seq("probe_id"), "left")
+        .select(col("probe_id"), col("rn"), col("nn_id"), col("sim"),
+          (coalesce(col("hits"), lit(0L)) >= 2).as("ok"))
+        .orderBy("probe_id", "rn")
+    }),
+
     // Join fan-out pre-flight (q208's sibling): the EXACT output
     // cardinality of a prospective self-join from per-key counts alone
     // — Σ n_k² (and Σ n_a·n_b for two sides) — without running the
@@ -3400,6 +3434,7 @@ object ExtQueries {
     "q53_ivf_recall" -> exactTop3FloorSql,
     "q83_pq_recall" -> exactTop3FloorSql,
     "q117_sq8_recall" -> exactTop3FloorSql,
+    "q214_ivfpq_recall" -> exactTop3FloorSql,
     "q54_hash_split" -> {
       // CASE generated from Pipeline.SplitThresholds — one source of truth
       val whens = Pipeline.SplitThresholds

@@ -925,6 +925,214 @@ object Similarity {
   }
 
   /**
+   * IVF-PQ composite index — the layout that actually carries ANN at
+   * 100 TB (the faiss `IVFx,PQy` shape): the coarse quantizer prunes
+   * WHERE a probe reads (≈ nprobe/nlist of the corpus, a bucket-pruned
+   * scan at rest) and product quantization shrinks WHAT it reads
+   * (`subspaces` small ints per vector instead of embedding bytes).
+   * The PQ codebooks train on RESIDUALS (unit vector − its cell
+   * centroid): for a unit probe q and stored x in cell c,
+   * `dot(q, x) = dot(q, µ_c) + dot(q, x − µ_c)` EXACTLY, so the only
+   * approximation in the candidate score is quantizing the residual —
+   * and residual magnitudes are a fraction of vector magnitudes, which
+   * is why residual PQ holds recall at code budgets where flat PQ
+   * drifts (the same argument behind faiss's default).
+   *
+   * Returns (codes `(id, cell, sub, code)`, centroids `(cell,
+   * centroid)`, codebook `(sub, code, centroid)`). At rest write via
+   * [[graft.sources.Warehouse.saveIvfPqIndex]] — codes `bucketBy(cell)`
+   * (the pruning key rides every code row); both side tables are
+   * broadcast-sized by construction (nlist rows / subspaces×codebook
+   * rows).
+   *
+   * Scale shape: two corpus scans (cell assignment, residual encode —
+   * both broadcast-arg map jobs, no shuffle), one bounded sample
+   * collect per quantizer fit ([[fitCodebooks]], ≤8,192 rows/group).
+   * Like IVF/PQ the fit is deterministic but float-sum order across
+   * partitions is not bit-stable, so the query contract stays a recall
+   * floor vs [[knnBatch]] (q214), never a hash oracle.
+   */
+  def ivfPqIndex(corpus: DataFrame, idCol: String, embCol: String,
+                 nlist: Int = 16, subspaces: Int = 8, codebook: Int = 64,
+                 dim: Int = 64, seed: Long = 42L,
+                 trainSampleRows: Int = 200000)
+      : (DataFrame, DataFrame, DataFrame) = {
+    require(dim % subspaces == 0, s"dim $dim must divide into $subspaces subspaces")
+    val subDim = dim / subspaces
+    val spark = corpus.sparkSession
+    val n = rowCountForSampling(corpus)
+
+    // coarse quantizer: same bounded-sample fit as ivfIndex
+    val keepC = math.min(1.0, trainSampleRows.toDouble / math.max(1L, n))
+    val sampledC =
+      if (keepC >= 1.0) corpus
+      else corpus.filter(pmod(xxhash64(col(idCol)), lit(1000000L)) <
+        lit(math.ceil(keepC * 1e6).toLong))
+    val cellBooks = fitCodebooks(
+      sampledC.select(unitArray(col(embCol)).as("_sv")),
+      subspaces = 1, codebook = nlist, subDim = dim, groupPerSub = false)
+    val bcCells = spark.sparkContext.broadcast(cellBooks(0))
+    val centroids = spark.createDataFrame(
+      cellBooks(0).toSeq.zipWithIndex.map { case (c, i) => (i, c.toSeq) })
+      .toDF("cell", "centroid")
+
+    // residual sub-frame: (id, cell, sub, _sv) with _sv = slice of
+    // (unit(x) − µ_cell); the centroid join is a broadcast of nlist rows
+    val residSubs = corpus
+      .select(col(idCol).as("id"), unitArray(col(embCol)).as("_u"))
+      .withColumn("cell", cellAssigner(bcCells)(col("_u")))
+      .join(broadcast(centroids.select(col("cell"), col("centroid").as("_c"))),
+        Seq("cell"))
+      .select(col("id"), col("cell"),
+        posexplode(transform(sequence(lit(0), lit(subspaces - 1)),
+          i => slice(zip_with(col("_u"), col("_c"), (a, b) => a - b),
+            i * subDim + 1, lit(subDim)))))
+      .select(col("id"), col("cell"), col("pos").as("sub"), col("col").as("_sv"))
+
+    // residual PQ codebooks: bounded hash-sample over (id, sub)
+    val keepP = math.min(1.0,
+      trainSampleRows.toDouble / math.max(1L, n * subspaces))
+    val sampledP =
+      if (keepP >= 1.0) residSubs
+      else residSubs.filter(pmod(xxhash64(col("id"), col("sub")),
+        lit(1000000L)) < lit(math.ceil(keepP * 1e6).toLong))
+    val books = fitCodebooks(sampledP.select(col("sub"), col("_sv")),
+      subspaces, codebook, subDim, groupPerSub = true)
+    val bcBooks = spark.sparkContext.broadcast(books)
+    val codes = residSubs
+      .select(col("id"), col("cell"), col("sub"),
+        codeAssigner(bcBooks)(col("sub"), col("_sv")).as("code"))
+    val codebookDf = spark.createDataFrame(
+        for {
+          sub <- 0 until subspaces
+          (cent, code) <- books(sub).zipWithIndex
+        } yield (sub, code, cent.toSeq))
+      .toDF("sub", "code", "centroid")
+    (codes, centroids, codebookDf)
+  }
+
+  /**
+   * Encode NEW rows against an EXISTING IVF-PQ index — the
+   * incremental-append half ([[graft.sources.Warehouse.appendIvfPqIndex]]):
+   * neither quantizer refits for a daily batch; cells come from the
+   * stored centroid table and codes from the stored residual codebook,
+   * assigned by the SAME compiled argmins as the build, so appended
+   * rows are directly comparable with stored ones.
+   */
+  def ivfPqEncode(newRows: DataFrame, idCol: String, embCol: String,
+                  centroids: DataFrame, codebookDf: DataFrame,
+                  dim: Int = 64, subspaces: Int = 8): DataFrame = {
+    require(dim % subspaces == 0, s"dim $dim must divide into $subspaces subspaces")
+    val subDim = dim / subspaces
+    val spark = newRows.sparkSession
+    val cRows = centroids.select(col("cell"), col("centroid")).collect()
+    require(cRows.nonEmpty, "empty centroid table")
+    val cells = new Array[Array[Double]](cRows.map(_.getInt(0)).max + 1)
+    cRows.foreach(r => cells(r.getInt(0)) = r.getSeq[Double](1).toArray)
+    val bcCells = spark.sparkContext.broadcast(cells)
+    val bRows = codebookDf.select(col("sub"), col("code"), col("centroid")).collect()
+    require(bRows.nonEmpty, "empty codebook")
+    val books = Array.fill(bRows.map(_.getInt(0)).max + 1)(
+      Array.fill(bRows.map(_.getInt(1)).max + 1)(new Array[Double](subDim)))
+    bRows.foreach(r => books(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray)
+    val bcBooks = spark.sparkContext.broadcast(books)
+    newRows
+      .select(col(idCol).as("id"), unitArray(col(embCol)).as("_u"))
+      .withColumn("cell", cellAssigner(bcCells)(col("_u")))
+      .join(broadcast(centroids.select(col("cell"), col("centroid").as("_c"))),
+        Seq("cell"))
+      .select(col("id"), col("cell"),
+        posexplode(transform(sequence(lit(0), lit(subspaces - 1)),
+          i => slice(zip_with(col("_u"), col("_c"), (a, b) => a - b),
+            i * subDim + 1, lit(subDim)))))
+      .select(col("id"), col("cell"), col("pos").as("sub"),
+        codeAssigner(bcBooks)(col("pos"), col("col")).as("code"))
+  }
+
+  def ivfPqTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
+                embCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
+                subspaces: Int = 8, codebook: Int = 64,
+                candidates: Int = 100, dim: Int = 64, seed: Long = 42L,
+                trainSampleRows: Int = 200000): DataFrame = {
+    val (codes, centroids, codebookDf) = ivfPqIndex(corpus, idCol, embCol,
+      nlist, subspaces, codebook, dim, seed, trainSampleRows)
+    ivfPqTopKFrom(codes, centroids, codebookDf, corpus, probes, idCol,
+      embCol, k, nprobe, candidates, dim, subspaces)
+  }
+
+  /**
+   * The probe side against an ALREADY-BUILT IVF-PQ index
+   * ([[ivfPqIndex]] layout, fresh or read back from
+   * [[graft.sources.Warehouse.saveIvfPqIndex]]): nprobe cells per
+   * probe ranked by `dot(unit(q), µ_c)` (the additive term of the
+   * score decomposition, so cell choice and scoring share one
+   * geometry), candidate scores by residual ADC —
+   * `dot(q, µ_c) + Σ_sub LUT[probe, sub, code]` where the LUT is the
+   * probe's partial dots against the broadcast residual codebook —
+   * then the exact cosine re-rank of `candidates` rows only.
+   *
+   * Scale shape: the LUT and cell lists are probes×subspaces×codebook /
+   * probes×nprobe rows (broadcast-sized); the only corpus-touching
+   * stage is the code scan of the nprobe selected cells (bucket-pruned
+   * at rest), which moves `subspaces` ints per visited vector — no
+   * embedding bytes ride any exchange until the bounded re-rank
+   * point-lookup.
+   */
+  def ivfPqTopKFrom(codes: DataFrame, centroids: DataFrame,
+                    codebookDf: DataFrame, corpus: DataFrame,
+                    probes: DataFrame, idCol: String, embCol: String,
+                    k: Int, nprobe: Int = 4, candidates: Int = 100,
+                    dim: Int = 64, subspaces: Int = 8): DataFrame = {
+    val subDim = dim / subspaces
+    val probeUnit = probes
+      .select(col(idCol).as("probe_id"), unitArray(col(embCol)).as("_uq"))
+    // nprobe cells per probe by the exact additive term dot(q, µ_c)
+    val cw = Window.partitionBy("probe_id").orderBy(col("_cdot").desc, col("_cell"))
+    val probeCells = probeUnit
+      .crossJoin(broadcast(centroids
+        .select(col("cell").as("_cell"), col("centroid").as("_centroid"))))
+      .select(col("probe_id"), col("_cell"),
+        sumArr(zip_with(col("_uq"), col("_centroid"), (x, c) => x * c)).as("_cdot"))
+      .withColumn("_cr", row_number().over(cw))
+      .filter(col("_cr") <= nprobe)
+      .select("probe_id", "_cell", "_cdot")
+
+    // residual ADC LUT: dot(q_sub, residual centroid) per (probe, sub, code)
+    val lut = probeUnit
+      .select(col("probe_id"), posexplode(transform(
+        sequence(lit(0), lit(subspaces - 1)),
+        i => slice(col("_uq"), i * subDim + 1, lit(subDim)))))
+      .select(col("probe_id"), col("pos").as("sub"), col("col").as("_qs"))
+      .join(broadcast(codebookDf.select(col("sub"), col("code").as("_code"),
+        col("centroid").as("_centroid"))), Seq("sub"))
+      .select(col("probe_id"), col("sub"), col("_code"),
+        sumArr(zip_with(col("_qs"), col("_centroid"), (x, c) => x * c)).as("_pdot"))
+
+    val aw = Window.partitionBy("probe_id").orderBy(col("_approx").desc, col("nn_id"))
+    val cand = codes
+      .select(col("id").as("nn_id"), col("cell").as("_cell"),
+        col("sub"), col("code").as("_code"))
+      .join(broadcast(probeCells), Seq("_cell"))
+      .join(broadcast(lut), Seq("probe_id", "sub", "_code"))
+      .groupBy("probe_id", "nn_id")
+      .agg((max(col("_cdot")) + sum(col("_pdot"))).as("_approx"))
+      .withColumn("_cr", row_number().over(aw))
+      .filter(col("_cr") <= candidates && col("nn_id") =!= col("probe_id"))
+      .select("probe_id", "nn_id")
+
+    // exact cosine re-rank of the candidates only
+    val w = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("nn_id"))
+    cand
+      .join(corpus.select(col(idCol).as("nn_id"), col(embCol).as("_e_nn")), "nn_id")
+      .join(broadcast(probes.select(col(idCol).as("probe_id"),
+        col(embCol).as("_e_p"))), "probe_id")
+      .select(col("probe_id"), col("nn_id"),
+        round(cosine(col("_e_p"), col("_e_nn")), 4).as("sim"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+  }
+
+  /**
    * SQ8 scalar quantization — the simplest member of the quantized-ANN
    * family (next to IVF's partition pruning and PQ's subspace codes):
    * each dimension is mapped onto 256 uniform levels between its

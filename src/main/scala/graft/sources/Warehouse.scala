@@ -356,6 +356,50 @@ object Warehouse {
       .format("parquet")
       .saveAsTable(table)
 
+  /**
+   * Persist an IVF-PQ composite index
+   * ([[graft.operators.Similarity.ivfPqIndex]]: codes
+   * `(id, cell, sub, code)` + centroids `(cell, centroid)` +
+   * residual codebook `(sub, code, centroid)`, written as `<table>`,
+   * `<table>_centroids`, `<table>_codebook`). Codes bucket by `cell` —
+   * the pruning key: a probe's nprobe cell lookups become bucket-pruned
+   * scans, and the rows they read are `subspaces` small ints per
+   * vector, so the at-rest index combines IVF's read-WHERE pruning with
+   * PQ's read-WHAT compression — the only posture that holds when
+   * neither the corpus nor a cell's embeddings fit a scan budget.
+   */
+  def saveIvfPqIndex(codes: DataFrame, centroids: DataFrame,
+                     codebook: DataFrame, table: String,
+                     buckets: Int = 16,
+                     mode: SaveMode = SaveMode.Overwrite): Unit = {
+    if (mode == SaveMode.Overwrite) {
+      dropWithLocation(codes.sparkSession, table)
+      dropWithLocation(codes.sparkSession, s"${table}_centroids")
+      dropWithLocation(codes.sparkSession, s"${table}_codebook")
+    }
+    codes.write.mode(mode)
+      .bucketBy(buckets, "cell")
+      .sortBy("cell")
+      .format("parquet")
+      .saveAsTable(table)
+    centroids.write.mode(mode).format("parquet")
+      .saveAsTable(s"${table}_centroids")
+    codebook.write.mode(mode).format("parquet")
+      .saveAsTable(s"${table}_codebook")
+  }
+
+  /** Append already-encoded code rows
+    * ([[graft.operators.Similarity.ivfPqEncode]] against the stored
+    * centroid + codebook tables) to a stored IVF-PQ index, leaving both
+    * quantizer tables untouched. */
+  def appendIvfPqIndex(codes: DataFrame, table: String,
+                       buckets: Int = 16): Unit =
+    codes.write.mode(SaveMode.Append)
+      .bucketBy(buckets, "cell")
+      .sortBy("cell")
+      .format("parquet")
+      .saveAsTable(table)
+
   /** Data files currently under a table's location (parquet parts only —
     * excludes _SUCCESS and metadata). The observability half of
     * [[compactTable]]. */

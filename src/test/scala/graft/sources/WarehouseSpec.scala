@@ -250,6 +250,82 @@ class WarehouseSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("persisted IVF-PQ index: bucket-pruned cells, stored probe equals direct, append reuses the model") {
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    import graft.operators.Similarity
+    val (codes, centroids, codebook) =
+      Similarity.ivfPqIndex(emb, "vec_id", "embedding", nlist = 8)
+    Warehouse.saveIvfPqIndex(codes, centroids, codebook, "ivfpq_idx", buckets = 8)
+    try {
+      // the at-rest shape: subspaces ints per vector, pruning key on
+      // every code row, broadcast-sized quantizer tables
+      assert(spark.table("ivfpq_idx").count() == emb.count() * 8)
+      assert(spark.table("ivfpq_idx_centroids").count() == 8)
+      assert(spark.table("ivfpq_idx_codebook").count() == 8 * 64)
+      val someCell = spark.table("ivfpq_idx").select("cell")
+        .orderBy("cell").limit(1).collect().head.getInt(0)
+      val lookup = spark.table("ivfpq_idx").filter(col("cell") === someCell)
+      val plan = lookup.queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount: 1 out of 8"),
+        s"cell lookup did not bucket-prune:\n$plan")
+      // probing the STORED index returns what the direct path returns
+      // (both quantizer fits are deterministic)
+      val probes = emb.filter(col("vec_id") < 5)
+      def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+        df.select("probe_id", "nn_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val viaStore = pairs(Similarity.ivfPqTopKFrom(spark.table("ivfpq_idx"),
+        spark.table("ivfpq_idx_centroids"), spark.table("ivfpq_idx_codebook"),
+        emb, probes, "vec_id", "embedding", k = 3, nprobe = 4, candidates = 100))
+      val direct = pairs(Similarity.ivfPqTopK(emb, probes, "vec_id", "embedding",
+        k = 3, nlist = 8, nprobe = 4, candidates = 100))
+      assert(viaStore == direct)
+
+      // append half: a NEW batch is encoded against the STORED model
+      // (no refit) and appended; re-encoding reproduces the stored rows
+      val (embA, embB) =
+        (emb.filter(col("vec_id") < 250), emb.filter(col("vec_id") >= 250))
+      val (codesA, centA, bookA) =
+        Similarity.ivfPqIndex(embA, "vec_id", "embedding", nlist = 8)
+      Warehouse.saveIvfPqIndex(codesA, centA, bookA, "ivfpq_app", buckets = 8)
+      Warehouse.appendIvfPqIndex(
+        Similarity.ivfPqEncode(embB, "vec_id", "embedding",
+          spark.table("ivfpq_app_centroids"),
+          spark.table("ivfpq_app_codebook")), "ivfpq_app", buckets = 8)
+      assert(spark.table("ivfpq_app").count() == emb.count() * 8)
+      val reEnc = Similarity.ivfPqEncode(embB, "vec_id", "embedding",
+          spark.table("ivfpq_app_centroids"), spark.table("ivfpq_app_codebook"))
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3))).toSet
+      val storedB = spark.table("ivfpq_app").filter(col("id") >= 250)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3))).toSet
+      assert(storedB == reEnc)
+      // recall floor over the appended index (model fit on half the
+      // corpus → widened probe set, the ivf_app/pq_app precedent)
+      val probes2 = emb.filter(col("vec_id") === 0 || col("vec_id") === 499 ||
+        col("vec_id") === 250 || col("vec_id") === 100 || col("vec_id") === 400)
+      val exact = Similarity.knnBatch(emb, probes2, "vec_id", "embedding", k = 3)
+        .select("probe_id", "nn_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val got = Similarity.ivfPqTopKFrom(spark.table("ivfpq_app"),
+          spark.table("ivfpq_app_centroids"), spark.table("ivfpq_app_codebook"),
+          emb, probes2, "vec_id", "embedding", k = 3, nprobe = 6,
+          candidates = 150)
+        .select("probe_id", "nn_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(exact.groupBy(_._1).forall { case (_, nn) => (nn intersect got).size >= 2 },
+        "IVF-PQ appended-index recall under floor")
+    } finally {
+      spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+      Seq("ivfpq_idx", "ivfpq_idx_centroids", "ivfpq_idx_codebook",
+        "ivfpq_app", "ivfpq_app_centroids", "ivfpq_app_codebook")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("incremental append: LSH/SimHash half-build + append equals a full build") {
     // The 100 TB maintenance path: hash the NEW batch with the same
     // seed-derived planes/band math and append its index rows — since
