@@ -666,7 +666,7 @@ object ScaleBench {
         "q92_bloom", "q99_spans", "q102_edit", "q103_bigram", "q104_sn",
         "q107_entropy", "q107_exploded", "q160_vocab")
       val embOps = Seq("q83_pq", "q41c_probe", "q41c_logbits",
-        "ivf_append", "pq_append")
+        "ivf_append", "pq_append", "ivfpq_append", "ivfpq_probe")
       if (!(docOps ++ embOps).exists(want)) {
         System.err.println(s"SCALE ${k}x: no corpus ops requested")
       } else {
@@ -962,6 +962,42 @@ object ScaleBench {
               "graft_bench_scale_pq")))
         }
         batch.unpersist()
+      }
+
+      // IVF-PQ composite (q214): the stored index grows k×; timed are
+      // (a) the no-refit batch append — expect the flat admission band
+      // like ivf/pq_append — and (b) the probe against the stored
+      // bucketed codes at the q214 contract config — expect cost ∝
+      // visited code rows (k × nprobe/nlist × subspaces ints), the
+      // pruned-linear regime the cell bucketing buys
+      if (want("ivfpq_append") || want("ivfpq_probe")) {
+        val tbl = "graft_bench_scale_ivfpq"
+        val (codes, centroids, codebook) =
+          Similarity.ivfPqIndex(emb, "vec_id", "embedding", subspaces = 16)
+        Warehouse.saveIvfPqIndex(codes, centroids, codebook, tbl)
+        if (want("ivfpq_append")) {
+          val batch = scaleEmb(spark, sf, 1)
+            .select((col("vec_id") + 900000000L).as("vec_id"),
+              col("embedding")).persist()
+          batch.count()
+          record("ivfpq_append", k, timeUnit(
+            Warehouse.appendIvfPqIndex(
+              Similarity.ivfPqEncode(batch, "vec_id", "embedding",
+                spark.table(s"${tbl}_centroids"),
+                spark.table(s"${tbl}_codebook"), subspaces = 16), tbl)))
+          batch.unpersist()
+        }
+        if (want("ivfpq_probe")) {
+          val probes = emb.filter(col("vec_id") < 5)
+          record("ivfpq_probe", k, time(
+            Similarity.ivfPqTopKFrom(spark.table(tbl),
+              spark.table(s"${tbl}_centroids"), spark.table(s"${tbl}_codebook"),
+              emb, probes, "vec_id", "embedding", k = 3, nprobe = 12,
+              candidates = 150, subspaces = 16)))
+        }
+        Warehouse.dropWithLocation(spark, tbl)
+        Warehouse.dropWithLocation(spark, s"${tbl}_centroids")
+        Warehouse.dropWithLocation(spark, s"${tbl}_codebook")
       }
       docs.unpersist(); emb.unpersist()
       }

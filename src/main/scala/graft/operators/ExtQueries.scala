@@ -3310,6 +3310,28 @@ object ExtQueries {
         .select("probe_id", "nn_id", "sim", "rn")
         .orderBy("probe_id", "rn")
     }),
+    // IVF-PQ search alone at the q214 contract config against the
+    // STORED tables (codes bucketed by cell, quantizers broadcast):
+    // timed = nprobe cell-pruned code scan + residual ADC + exact
+    // re-rank of 150 — the recurring cost once the composite index is
+    // at rest. q214's own entry keeps timing exact kNN + build too.
+    "q214b_ivfpq_probe" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val probes = emb.filter(col("vec_id") < 5)
+      ensureStoredIndex("graft_bench_ivfpq_q214", d) {
+        val (codes, centroids, codebook) = Similarity.ivfPqIndex(
+          emb, "vec_id", "embedding", nlist = 16, subspaces = 16)
+        graft.sources.Warehouse.saveIvfPqIndex(codes, centroids, codebook,
+          "graft_bench_ivfpq_q214")
+      }
+      Similarity.ivfPqTopKFrom(s.table("graft_bench_ivfpq_q214"),
+          s.table("graft_bench_ivfpq_q214_centroids"),
+          s.table("graft_bench_ivfpq_q214_codebook"), emb, probes,
+          "vec_id", "embedding", k = 3, nprobe = 12, candidates = 150,
+          subspaces = 16)
+        .select("probe_id", "nn_id", "sim", "rn")
+        .orderBy("probe_id", "rn")
+    }),
     "q75b_neardup_probe" -> ((s, d) => {
       ensureStoredIndex("graft_bench_simhash_q75", d) {
         val bands = Dedup.simHashBandFrame(t(s, d, "documents"), "doc_id",
