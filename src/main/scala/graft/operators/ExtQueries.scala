@@ -2210,6 +2210,38 @@ object ExtQueries {
         .orderBy("probe_id", "rn")
     }),
 
+    // Leakage-safe k-fold split (Pipeline.leakageSafeSplit): the q67
+    // near-dup closure composed with q110's content-keyed folding —
+    // folds are assigned to CLUSTERS, so near-dup pairs never straddle
+    // a train/eval boundary. The output is the per-fold census plus
+    // the leak audit under BOTH policies: `naive_leaks` (per-doc
+    // hashing, attributed to da's fold) is data-bearing — ~(k−1)/k of
+    // pairs straddle — and `safe_leaks` is the zero-by-construction
+    // contract, checked as values like q41's literal floor.
+    "q215_leakage_split" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.6).select("da", "db")
+      val assign = Pipeline.leakageSafeSplit(docs, "doc_id", pairs,
+        "da", "db", KFolds)
+      val census = assign.groupBy("fold").agg(count(lit(1)).as("n_docs"),
+        countDistinct("cluster").as("n_clusters"))
+      val fa = assign.select(col("doc_id").as("da"), col("fold").as("_fa"),
+        Pipeline.kfold(col("doc_id"), KFolds).as("_na"))
+      val fb = assign.select(col("doc_id").as("db"), col("fold").as("_fb"),
+        Pipeline.kfold(col("doc_id"), KFolds).as("_nb"))
+      val audited = pairs.join(fa, "da").join(fb, "db")
+      val naive = audited.filter(col("_na") =!= col("_nb"))
+        .groupBy(col("_na").as("fold")).agg(count(lit(1)).as("_cn"))
+      val safe = audited.filter(col("_fa") =!= col("_fb"))
+        .groupBy(col("_fa").as("fold")).agg(count(lit(1)).as("_cs"))
+      census.join(naive, Seq("fold"), "left").join(safe, Seq("fold"), "left")
+        .select(col("fold"), col("n_docs"), col("n_clusters"),
+          coalesce(col("_cn"), lit(0L)).as("naive_leaks"),
+          coalesce(col("_cs"), lit(0L)).as("safe_leaks"))
+        .orderBy("fold")
+    }),
+
     // Join fan-out pre-flight (q208's sibling): the EXACT output
     // cardinality of a prospective self-join from per-key counts alone
     // — Σ n_k² (and Σ n_a·n_b for two sides) — without running the
@@ -3457,6 +3489,19 @@ object ExtQueries {
     "q83_pq_recall" -> exactTop3FloorSql,
     "q117_sq8_recall" -> exactTop3FloorSql,
     "q214_ivfpq_recall" -> exactTop3FloorSql,
+    // q215: the q67 recursive closure + q110's md5-bucket fold, folded
+    // on the CLUSTER; naive/safe leak counts attributed to da's fold
+    "q215_leakage_split" ->
+      (s"WITH RECURSIVE $dedupClosureCtes, " +
+        "cl AS (SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node), " +
+        "asg AS (SELECT d.doc_id, coalesce(cl.cluster, d.doc_id) AS cluster FROM documents d LEFT JOIN cl USING (doc_id)), " +
+        s"f AS (SELECT doc_id, cluster, CAST(CAST(concat('0x', substr(md5(CAST(cluster AS VARCHAR)),1,4)) AS INTEGER) % $KFolds AS BIGINT) AS fold, " +
+        s"CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),1,4)) AS INTEGER) % $KFolds AS BIGINT) AS nfold FROM asg), " +
+        "nl AS (SELECT fa.nfold AS fold, count(*) AS c FROM pairs p JOIN f fa ON p.da = fa.doc_id JOIN f fb ON p.db = fb.doc_id WHERE fa.nfold <> fb.nfold GROUP BY 1), " +
+        "sl AS (SELECT fa.fold AS fold, count(*) AS c FROM pairs p JOIN f fa ON p.da = fa.doc_id JOIN f fb ON p.db = fb.doc_id WHERE fa.fold <> fb.fold GROUP BY 1), " +
+        "cen AS (SELECT fold, count(*) AS n_docs, count(DISTINCT cluster) AS n_clusters FROM f GROUP BY 1) " +
+        "SELECT cen.fold, cen.n_docs, cen.n_clusters, coalesce(nl.c, 0) AS naive_leaks, coalesce(sl.c, 0) AS safe_leaks " +
+        "FROM cen LEFT JOIN nl USING (fold) LEFT JOIN sl USING (fold) ORDER BY fold"),
     "q54_hash_split" -> {
       // CASE generated from Pipeline.SplitThresholds — one source of truth
       val whens = Pipeline.SplitThresholds

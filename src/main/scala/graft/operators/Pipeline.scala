@@ -60,6 +60,34 @@ object Pipeline {
   }
 
   /**
+   * Leakage-safe k-fold split: near-duplicate CLUSTERS, not documents,
+   * are the unit of fold assignment. A content-keyed per-doc k-fold
+   * ([[kfold]]) strands ~(k−1)/k of near-dup pairs across a
+   * train/eval boundary — the eval contamination that inflates scores
+   * and that dedup-then-split pipelines exist to prevent. Here every
+   * doc joins its near-dup cluster label ([[Dedup.dedupClusters]] over
+   * ANY pair frame — whatever blocked/banded family produced it; docs
+   * in no pair are their own singleton cluster) and the fold is
+   * [[kfold]] OF THE CLUSTER, so all members land together and
+   * cross-fold near-dup pairs are zero by construction.
+   *
+   * Scale shape: clustering is the pair frame's propagation (bounded
+   * by the dedup family that made the pairs — never all-pairs); the
+   * label attach is one equi-join on doc id; fold assignment is
+   * per-row arithmetic carrying no seed state. Returns
+   * `(idCol, cluster, fold)`.
+   */
+  def leakageSafeSplit(docs: DataFrame, idCol: String, pairs: DataFrame,
+                       aCol: String, bCol: String, k: Int): DataFrame = {
+    val clusters = Dedup.dedupClusters(pairs, aCol, bCol)
+      .select(col("node").as(idCol), col("lbl").as("_lbl"))
+    docs.select(col(idCol))
+      .join(clusters, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("_lbl"), col(idCol)).as("cluster"))
+      .withColumn("fold", kfold(col("cluster"), k))
+  }
+
+  /**
    * Contiguous sequence packing: within each `byCol` stream ordered by
    * id, documents are appended to the current pack until `capacity`
    * tokens, i.e. pack = floor(preceding-token-count / capacity). One

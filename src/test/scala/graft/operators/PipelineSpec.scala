@@ -553,4 +553,27 @@ class PipelineSpec extends AnyFunSuite with SparkTestSession {
       .queryExecution.executedPlan.toString
     assert(plan.split("LocalTableScan").length - 1 == 1, plan)
   }
+
+  test("leakageSafeSplit: clusters never straddle folds, singletons keep the kfold law") {
+    import spark.implicits._
+    // pair graph: {1,2,3} via a chain, {10,11}; 20/21 are singletons
+    val docs = Seq(1L, 2L, 3L, 10L, 11L, 20L, 21L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("da", "db")
+    val got = Pipeline.leakageSafeSplit(docs, "doc_id", pairs, "da", "db", 5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // every doc assigned exactly once
+    assert(got.keySet == Set(1L, 2L, 3L, 10L, 11L, 20L, 21L))
+    // cluster members share the label AND the fold
+    assert(Set(got(1L), got(2L), got(3L)).size == 1)
+    assert(Set(got(10L), got(11L)).size == 1)
+    // cluster label is the min member; its fold is kfold(label)
+    assert(got(1L)._1 == 1L && got(10L)._1 == 10L)
+    // singletons degrade to the plain per-doc kfold assignment
+    val plain = docs.select(col("doc_id"),
+        Pipeline.kfold(col("doc_id"), 5).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(20L) == ((20L, plain(20L))))
+    assert(got(21L) == ((21L, plain(21L))))
+    assert(got(1L)._2 == plain(1L)) // fold of the cluster = kfold(min id)
+  }
 }
