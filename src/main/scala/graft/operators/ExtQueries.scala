@@ -57,6 +57,20 @@ object ExtQueries {
       "(SELECT probe_id, nn_id, sim, row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, nn_id) rn FROM c) " +
       "WHERE rn <= 3 ORDER BY probe_id, rn"
 
+  /** q216 JL projection output dimension — a power of FOUR so the
+    * ±1/√outDim Rademacher entries are exact dyadic 0.25 and the
+    * generated SQL literals round-trip bit-identically. */
+  private val JlDim: Int = 16
+
+  /** q216 oracle fragment: the projected list expression, literals
+    * generated from the SAME [[Similarity.jlMatrix]] values the
+    * compiled projector closes over (one source, two engines). */
+  private lazy val jlProjListSql: String =
+    Similarity.jlMatrix(JlDim, 64).map { row =>
+      val lits = row.map(_.toString).mkString(",")
+      s"list_sum(list_apply(list_zip(embedding, [$lits]), x -> CAST(x[1] AS DOUBLE) * x[2]))"
+    }.mkString("[", ", ", "]")
+
   /** q87 Apdex satisfied threshold (tolerating ≤ 4T, the standard
     * window) — single source for the Spark call AND the generated
     * oracle; ~p50 of the events value column, so every class has all
@@ -2242,6 +2256,34 @@ object ExtQueries {
         .orderBy("fold")
     }),
 
+    // Johnson–Lindenstrauss random projection (Similarity.
+    // randomProjection): 64-float embeddings → 16 doubles through a
+    // seeded ±1/√16 Rademacher matrix, then the exact top-3 IN THE
+    // PROJECTED SPACE with the original-space cosine attached — the
+    // distortion the JL lemma bounds, emitted as checkable VALUES (no
+    // recall floor needed: the projection is bit-deterministic and the
+    // oracle rebuilds it from literals generated off the same matrix).
+    // At 100 TB this is the bytes-per-vector lever upstream of every
+    // ANN family: scans, shuffles, and indexes carry dim/outDim fewer
+    // bytes, and the dyadic entries make it engine-reproducible.
+    "q216_jl_projection" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val proj = Similarity.randomProjection(emb, "vec_id", "embedding",
+        outDim = JlDim, dim = 64)
+      val probes = proj.filter(col("id") < 5)
+      Similarity.knnBatch(proj, probes, "id", "proj", k = 3)
+        .select(col("probe_id"), col("rn"), col("nn_id"),
+          col("sim").as("psim"))
+        .join(emb.select(col("vec_id").as("nn_id"),
+          col("embedding").as("_e_nn")), "nn_id")
+        .join(broadcast(emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("probe_id"),
+            col("embedding").as("_e_p"))), "probe_id")
+        .select(col("probe_id"), col("rn"), col("nn_id"), col("psim"),
+          round(Similarity.cosine(col("_e_p"), col("_e_nn")), 4).as("osim"))
+        .orderBy("probe_id", "rn")
+    }),
+
     // Join fan-out pre-flight (q208's sibling): the EXACT output
     // cardinality of a prospective self-join from per-key counts alone
     // — Σ n_k² (and Σ n_a·n_b for two sides) — without running the
@@ -3489,6 +3531,20 @@ object ExtQueries {
     "q83_pq_recall" -> exactTop3FloorSql,
     "q117_sq8_recall" -> exactTop3FloorSql,
     "q214_ivfpq_recall" -> exactTop3FloorSql,
+    // q216: projection rebuilt from jlMatrix-generated literals; top-3
+    // ranked on the ROUNDED projected cosine (one rounding site both
+    // engines, nn_id tiebreak); original cosine attached via cosSql
+    "q216_jl_projection" -> {
+      val pcos = "list_sum(list_apply(list_zip(p.proj, e.proj), x -> x[1]*x[2])) / " +
+        "(sqrt(list_sum(list_apply(p.proj, x -> x*x))) * sqrt(list_sum(list_apply(e.proj, x -> x*x))))"
+      s"WITH pr AS (SELECT vec_id, $jlProjListSql AS proj FROM embeddings), " +
+        s"c AS (SELECT p.vec_id probe_id, e.vec_id nn_id, round($pcos, 4) psim " +
+        "FROM pr p JOIN pr e ON p.vec_id < 5 AND e.vec_id <> p.vec_id), " +
+        "top AS (SELECT probe_id, nn_id, psim, row_number() OVER (PARTITION BY probe_id ORDER BY psim DESC, nn_id) rn FROM c) " +
+        s"SELECT t.probe_id, t.rn, t.nn_id, t.psim, round($cosSql, 4) AS osim " +
+        "FROM top t JOIN embeddings p ON p.vec_id = t.probe_id JOIN embeddings e ON e.vec_id = t.nn_id " +
+        "WHERE t.rn <= 3 ORDER BY probe_id, rn"
+    },
     // q215: the q67 recursive closure + q110's md5-bucket fold, folded
     // on the CLUSTER; naive/safe leak counts attributed to da's fold
     "q215_leakage_split" ->

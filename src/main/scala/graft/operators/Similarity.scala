@@ -924,6 +924,60 @@ object Similarity {
       .filter(col("rn") <= k)
   }
 
+  /** Deterministic Rademacher rows for the JL transform: `outDim` rows
+    * of `dim` entries ±1/√outDim from a fixed seed — PUBLIC so the
+    * generated DuckDB oracle builds its literals from the SAME values
+    * (the simHashHexSql precedent: one source, two engines). With
+    * outDim a power of FOUR the scale 1/√outDim is a dyadic rational,
+    * so the SQL literal text round-trips bit-identically. */
+  def jlMatrix(outDim: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rnd = new Random(seed)
+    val s = 1.0 / math.sqrt(outDim.toDouble)
+    Array.fill(outDim)(Array.fill(dim)(if (rnd.nextBoolean()) s else -s))
+  }
+
+  /**
+   * Johnson–Lindenstrauss random projection — the dimensionality cut
+   * that feeds every downstream ANN family at 100 TB: a seeded
+   * Rademacher matrix (±1/√outDim, [[jlMatrix]]) maps `dim`-float
+   * embeddings onto `outDim` doubles, preserving pairwise
+   * angles/distances within the JL distortion bound while shrinking
+   * the bytes every subsequent scan, shuffle, and index carries by
+   * dim/outDim. Distributions beat Gaussians here operationally:
+   * exact dyadic entries are engine-reproducible (no transcendental
+   * libm drift) and the projection is pure ±adds at heart.
+   *
+   * One compiled closure per row (the [[lshKeysArray]] exception to
+   * functions-over-UDFs: an outDim×dim literal HOF plan pays analysis
+   * + codegen ∝ matrix size on EVERY query); per-row cost outDim×dim
+   * multiply-adds, no shuffle, null in → null out (dirty rows degrade
+   * per-row). Returns `(id, proj: array<double>)`.
+   */
+  def randomProjection(df: DataFrame, idCol: String, embCol: String,
+                       outDim: Int = 16, dim: Int = 64,
+                       seed: Long = 42L): DataFrame = {
+    val m = jlMatrix(outDim, dim, seed)
+    val f = udf { (emb: Seq[Float]) =>
+      if (emb == null) null
+      else {
+        val v = emb.toArray
+        val out = new Array[Double](m.length)
+        var j = 0
+        while (j < m.length) {
+          val row = m(j)
+          var s = 0.0
+          var i = 0
+          val n = math.min(row.length, v.length)
+          while (i < n) { s += v(i) * row(i); i += 1 }
+          out(j) = s
+          j += 1
+        }
+        out
+      }
+    }
+    df.select(col(idCol).as("id"), f(col(embCol)).as("proj"))
+  }
+
   /**
    * IVF-PQ composite index — the layout that actually carries ANN at
    * 100 TB (the faiss `IVFx,PQy` shape): the coarse quantizer prunes

@@ -704,4 +704,59 @@ class ExtOperatorsSpec extends AnyFunSuite with SparkTestSession {
       .collect().head.getLong(0)
     assert(got == 236L * 31 + 106)
   }
+
+  test("randomProjection: JL distortion bounded on the fixture, nulls degrade per-row") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val proj = Similarity.randomProjection(emb, "vec_id", "embedding",
+      outDim = 16, dim = 64)
+    // exact algebra: the projection IS the jlMatrix product (computed
+    // independently here from the same public matrix)
+    val m = Similarity.jlMatrix(16, 64)
+    val first = emb.orderBy("vec_id").select("embedding").collect().head
+      .getSeq[Float](0).toArray
+    val expected = m.map { row =>
+      var s = 0.0; var i = 0
+      while (i < 64 && i < first.length) { s += first(i) * row(i); i += 1 }
+      s
+    }.toSeq
+    val gotFirst = proj.orderBy("id").select("proj").collect().head
+      .getSeq[Double](0)
+    assert(gotFirst == expected)
+    // statistical JL property on an UNSELECTED pair set (probes × the
+    // 200 lowest ids — no top-k selection bias): a k=16 Rademacher
+    // projection estimates cosine with σ ≈ 1/√16, so the MEAN absolute
+    // distortion over ~1000 near-orthogonal pairs (the hardest input)
+    // must sit around 0.2; per-pair extremes are the estimator's tail,
+    // deliberately not asserted
+    val probesP = proj.filter(col("id") < 5)
+    val pSim = probesP.select(col("id").as("probe_id"), col("proj").as("_pp"))
+      .crossJoin(proj.filter(col("id") < 200)
+        .select(col("id").as("nn_id"), col("proj").as("_pn")))
+      .filter(col("probe_id") =!= col("nn_id"))
+      .select(col("probe_id"), col("nn_id"),
+        Similarity.cosine(col("_pp"), col("_pn")).as("psim"))
+    val probesO = emb.filter(col("vec_id") < 5)
+    val oSim = probesO.select(col("vec_id").as("probe_id"), col("embedding").as("_op"))
+      .crossJoin(emb.filter(col("vec_id") < 200)
+        .select(col("vec_id").as("nn_id"), col("embedding").as("_on")))
+      .filter(col("probe_id") =!= col("nn_id"))
+      .select(col("probe_id"), col("nn_id"),
+        Similarity.cosine(col("_op"), col("_on")).as("osim"))
+    val meanD = pSim.join(oSim, Seq("probe_id", "nn_id"))
+      .agg(avg(abs(col("psim") - col("osim")))).collect().head.getDouble(0)
+    assert(meanD < 0.3, s"mean distortion $meanD")
+    // determinism: same seed, same matrix, bit-identical projections
+    val a = proj.orderBy("id").collect().map(_.getSeq[Double](1))
+    val b = Similarity.randomProjection(emb, "vec_id", "embedding",
+        outDim = 16, dim = 64).orderBy("id").collect().map(_.getSeq[Double](1))
+    assert(a.zip(b).forall { case (x, y) => x == y })
+    // null embedding degrades to a null projection, not an NPE
+    import spark.implicits._
+    val dirty = Seq((1L, Seq(1.0f, 2.0f)), (2L, null))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.randomProjection(dirty, "vec_id", "embedding",
+        outDim = 16, dim = 2)
+      .orderBy("id").collect()
+    assert(!got(0).isNullAt(1) && got(1).isNullAt(1))
+  }
 }
