@@ -38,7 +38,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  * head next to `profile`), `histogram` (equi-depth latency buckets:
  * `-top` bins of equal count with exact bounds — equi-width starves on
  * the latency long tail), `cusum` (per-day load CUSUM with the
- * level-shift day flagged — exact-integer µs, q204's operator), and
+ * level-shift day flagged — exact-integer µs, q204's operator; with a
+ * `rollup:<table|path>` source it reads a STORED partial table —
+ * q201/StreamingRollup layout, replayed micro-batches collapsed — so
+ * the daily "did load shift" check costs a calendar-sized read, never
+ * an event rescan, and is bit-identical to the event-level run), and
  * `seasonal` (hour-buckets that broke their own hour-of-day profile,
  * q207's integer z-test).
  *
@@ -101,8 +105,28 @@ object Report {
 
   /** The selected report as a frame (the testable surface). */
   def run(spark: SparkSession, c: Config): DataFrame = {
-    val wide = wideFor(spark, c)
+    lazy val wide = wideFor(spark, c)
     c.report match {
+      case "cusum" if c.source.startsWith("rollup:") =>
+        // monitor WITHOUT the event rescan: read a stored q201-layout
+        // partial table (blind-appended by daily/streamed batches),
+        // collapse replayed micro-batches if the stream stamped them,
+        // merge on read, and feed the calendar-sized daily frame to
+        // the changepoint check — bit-identical to the event-level
+        // run (exact-integer partials; spec-proven composition)
+        import org.apache.spark.sql.functions.{col, sum}
+        val src = c.source.stripPrefix("rollup:")
+        val stored =
+          if (src.contains("/")) spark.read.parquet(src) else spark.table(src)
+        val partials =
+          if (stored.columns.contains("batch_id"))
+            stored.dropDuplicates("batch_id", "day", "event_type")
+              .drop("batch_id")
+          else stored
+        val daily = graft.operators.Rollup.mergePartials(partials)
+          .groupBy("day")
+          .agg(sum("cnt").as("n"), sum("sum_v").as("_s"))
+        graft.operators.Behavior.cusumFromDaily(daily).orderBy(col("day"))
       case "profile" => Qan.profile(wide, c.top)
       case "sparkline" => Qan.sparkline(wide, c.bucket)
       case "load" => Qan.loadByDbUser(wide)

@@ -666,7 +666,8 @@ object ScaleBench {
         "q92_bloom", "q99_spans", "q102_edit", "q103_bigram", "q104_sn",
         "q107_entropy", "q107_exploded", "q160_vocab")
       val embOps = Seq("q83_pq", "q41c_probe", "q41c_logbits",
-        "ivf_append", "pq_append", "ivfpq_append", "ivfpq_probe")
+        "ivf_append", "pq_append", "ivfpq_append", "ivfpq_probe",
+        "jl_project")
       if (!(docOps ++ embOps).exists(want)) {
         System.err.println(s"SCALE ${k}x: no corpus ops requested")
       } else {
@@ -964,6 +965,13 @@ object ScaleBench {
         batch.unpersist()
       }
 
+      // JL projection (q216): pure map over k× embeddings — the
+      // bytes-per-vector cut upstream of every ANN family. Expect
+      // clean linearity (no shuffle, no fit, closure-carried matrix)
+      if (want("jl_project")) record("jl_project", k, time(
+        Similarity.randomProjection(emb, "vec_id", "embedding",
+          outDim = 16, dim = 64)))
+
       // IVF-PQ composite (q214): the stored index grows k×; timed are
       // (a) the no-refit batch append — expect the flat admission band
       // like ivf/pq_append — and (b) the probe against the stored
@@ -972,8 +980,13 @@ object ScaleBench {
       // pruned-linear regime the cell bucketing buys
       if (want("ivfpq_append") || want("ivfpq_probe")) {
         val tbl = "graft_bench_scale_ivfpq"
-        val (codes, centroids, codebook) =
-          Similarity.ivfPqIndex(emb, "vec_id", "embedding", subspaces = 16)
+        // untimed build: spread the encode scan — the synthetic
+        // crossJoin corpus inherits the base parquet's ONE partition,
+        // which serializes a 32M-row encode that real multi-file
+        // inputs parallelize for free (the fit is hash-ranked, so the
+        // repartition cannot change it)
+        val (codes, centroids, codebook) = Similarity.ivfPqIndex(
+          emb.repartition(64), "vec_id", "embedding", subspaces = 16)
         Warehouse.saveIvfPqIndex(codes, centroids, codebook, tbl)
         if (want("ivfpq_append")) {
           val batch = scaleEmb(spark, sf, 1)

@@ -57,6 +57,11 @@ object ExtQueries {
       "(SELECT probe_id, nn_id, sim, row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, nn_id) rn FROM c) " +
       "WHERE rn <= 3 ORDER BY probe_id, rn"
 
+  /** q217 mixture budget (tokens the planned mixture must fill) —
+    * shared with the generated oracle. α is fixed at 0.5 (sqrt):
+    * IEEE-correctly-rounded in both engines, unlike pow(x, α). */
+  private val MixBudgetTokens: Long = 1000000L
+
   /** q216 JL projection output dimension — a power of FOUR so the
     * ±1/√outDim Rademacher entries are exact dyadic 0.25 and the
     * generated SQL literals round-trip bit-identically. */
@@ -2284,6 +2289,81 @@ object ExtQueries {
         .orderBy("probe_id", "rn")
     }),
 
+    // Temperature-scaled mixture plan (the multilingual-pretraining
+    // sampling law, α = 0.5): per-lang token masses → sampling weights
+    // w_l ∝ n_l^α (upweighting the tail relative to proportional
+    // sampling) → the epoch/repeat factor each lang needs to fill a
+    // fixed token budget. One aggregate + a 1-row broadcast of the
+    // normalizer; sqrt is IEEE-correctly-rounded in both engines so
+    // the 6-dp weights can't drift. The epochs column is the number a
+    // pretraining dataloader actually consumes (>1 ⇒ the lang repeats).
+    "q217_mixture_plan" -> ((s, d) => {
+      val n = t(s, d, "documents")
+        .select(col("lang"),
+          TextAnalysis.wordCount(col("text")).cast("long").as("_tok"))
+        .groupBy("lang").agg(sum("_tok").as("n_tokens"))
+      val z = n.agg(sum(sqrt(col("n_tokens"))).as("_z"))
+      n.crossJoin(broadcast(z))
+        .select(col("lang"), col("n_tokens"),
+          round(sqrt(col("n_tokens")) / col("_z"), 6).as("weight"),
+          round(lit(MixBudgetTokens) * sqrt(col("n_tokens")) / col("_z") /
+            col("n_tokens"), 4).as("epochs"))
+        .orderBy("lang")
+    }),
+
+    // Cross-source contamination matrix: which SOURCES duplicate each
+    // other — the provenance-level question upstream of q56's
+    // train/test screen. Distinct (source, shingle) pairs (one shuffle)
+    // self-join on the shingle: a shingle present in s sources fans out
+    // C(s,2) ≤ C(20,2) pairs — bounded by the SOURCE count, never by
+    // corpus size — and the matrix itself is C(sources,2) rows. Overlap
+    // is shared/min(|A|,|B|) on exact integer counts (containment — a
+    // small source swallowed by a big one scores 1.0, which Jaccard
+    // would hide).
+    "q218_source_overlap" -> ((s, d) => {
+      val sh = Dedup.shingles(t(s, d, "documents"), "source", "text", n = 3)
+        .select(col("source"), col("shingle")).distinct()
+      val cnt = sh.groupBy("source").agg(count(lit(1)).as("n"))
+      val pairs = sh.select(col("source").as("src_a"), col("shingle"))
+        .join(sh.select(col("source").as("src_b"), col("shingle")), "shingle")
+        .filter(col("src_a") < col("src_b"))
+        .groupBy("src_a", "src_b").agg(count(lit(1)).as("shared"))
+      pairs
+        .join(broadcast(cnt.select(col("source").as("src_a"), col("n").as("_na"))), "src_a")
+        .join(broadcast(cnt.select(col("source").as("src_b"), col("n").as("_nb"))), "src_b")
+        .select(col("src_a"), col("src_b"), col("shared"),
+          round(col("shared") / least(col("_na"), col("_nb")), 4)
+            .as("containment"))
+        .orderBy("src_a", "src_b")
+    }),
+
+    // LOCF gap-fill (q124's densify + forward fill — the feature-store
+    // primitive): per-(type, hour) exact cent loads on the FULL
+    // observed-hour × type spine, holes carried forward from the last
+    // observation (IGNORE NULLS frame — identical window law in both
+    // engines), leading holes zero-filled. The spine is two distinct
+    // frames cross-joined (calendar × type-vocabulary — broadcast-sized
+    // at any corpus size); the fill is ONE window over the spine, never
+    // a self-join per gap.
+    "q219_locf_fill" -> ((s, d) => {
+      val ev = CoreQueries.events(s, d)
+        .select(expr("ts_ns div 1000 div 3600000000").as("hour"),
+          col("event_type"),
+          expr("cast(round(value * 100) as long)").as("_c"))
+      val actual = ev.groupBy("hour", "event_type")
+        .agg(sum("_c").as("cents"))
+      val spine = actual.select("hour").distinct()
+        .crossJoin(actual.select("event_type").distinct())
+      val w = Window.partitionBy("event_type").orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(actual, Seq("hour", "event_type"), "left")
+        .select(col("hour"), col("event_type"), col("cents"),
+          coalesce(last(col("cents"), ignoreNulls = true).over(w), lit(0L))
+            .as("filled_cents"),
+          col("cents").isNull.as("was_gap"))
+        .orderBy("event_type", "hour")
+    }),
+
     // Join fan-out pre-flight (q208's sibling): the EXACT output
     // cardinality of a prospective self-join from per-key counts alone
     // — Σ n_k² (and Σ n_a·n_b for two sides) — without running the
@@ -3545,6 +3625,34 @@ object ExtQueries {
         "FROM top t JOIN embeddings p ON p.vec_id = t.probe_id JOIN embeddings e ON e.vec_id = t.nn_id " +
         "WHERE t.rn <= 3 ORDER BY probe_id, rn"
     },
+    // q217: q110's token law per lang; sqrt normalizer in a 1-row CTE;
+    // the epochs expression keeps the Spark side's left-to-right order
+    "q217_mixture_plan" ->
+      ("WITH n AS (SELECT lang, CAST(sum(len(string_split(text,' '))) AS BIGINT) AS n_tokens FROM documents GROUP BY 1), " +
+        "t AS (SELECT sum(sqrt(n_tokens)) AS z FROM n) " +
+        "SELECT lang, n_tokens, round(sqrt(n_tokens) / t.z, 6) AS weight, " +
+        s"round($MixBudgetTokens * sqrt(n_tokens) / t.z / n_tokens, 4) AS epochs " +
+        "FROM n, t ORDER BY lang"),
+    // q218: the jaccardCtes shingle law keyed by source instead of
+    // doc_id; distinct (source, shingle) then the bounded pair join
+    "q218_source_overlap" ->
+      ("WITH sh0 AS (SELECT source, unnest(list_distinct([array_to_string(words[i:i+2],' ') for i in range(1, len(words)-1)])) AS shingle " +
+        "FROM (SELECT source, string_split(text,' ') words FROM documents) WHERE len(words) >= 3), " +
+        "sh AS (SELECT DISTINCT source, shingle FROM sh0), " +
+        "cnt AS (SELECT source, count(*) AS n FROM sh GROUP BY 1), " +
+        "p AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS shared FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source GROUP BY 1, 2) " +
+        "SELECT p.src_a, p.src_b, p.shared, round(p.shared * 1.0 / least(ca.n, cb.n), 4) AS containment " +
+        "FROM p JOIN cnt ca ON p.src_a = ca.source JOIN cnt cb ON p.src_b = cb.source " +
+        "ORDER BY src_a, src_b"),
+    // q219: same spine + IGNORE NULLS frame; epoch_us hour arithmetic
+    "q219_locf_fill" ->
+      ("WITH a AS (SELECT epoch_us(ts) // 3600000000 AS hour, event_type, CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS cents FROM events GROUP BY 1, 2), " +
+        "sp AS (SELECT h.hour, t.event_type FROM (SELECT DISTINCT hour FROM a) h CROSS JOIN (SELECT DISTINCT event_type FROM a) t), " +
+        "j AS (SELECT sp.hour, sp.event_type, a.cents FROM sp LEFT JOIN a ON sp.hour = a.hour AND sp.event_type = a.event_type) " +
+        "SELECT hour, event_type, cents, " +
+        "coalesce(last_value(cents IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY hour ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS filled_cents, " +
+        "cents IS NULL AS was_gap " +
+        "FROM j ORDER BY event_type, hour"),
     // q215: the q67 recursive closure + q110's md5-bucket fold, folded
     // on the CLUSTER; naive/safe leak counts attributed to da's fold
     "q215_leakage_split" ->

@@ -661,6 +661,68 @@ object Similarity {
       }
     }
 
+  /** Compiled one-pass residual splitter for the IVF-PQ family: unit
+    * normalization, coarse-cell argmin, and the per-subspace residual
+    * slices in ONE closure per row → `(cell, subvecs)`. Replaces a
+    * HOF chain (transform/aggregate/zip_with/slice — all
+    * CodegenFallback, interpreted per row) plus a centroid join: the
+    * arithmetic and its sequential order are IDENTICAL (unit fold,
+    * L2 argmin, elementwise residual), so fits and codes are
+    * bit-equal to the expression formulation, but the hot build path
+    * stays JIT-compiled — the [[lshKeysArray]] exception applied to
+    * the encoder. Null embedding → null struct (per-row degrade). */
+  private def residSplitter(
+      bcCells: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]],
+      subspaces: Int, subDim: Int) =
+    udf { (emb: Seq[Float]) =>
+      if (emb == null) Option.empty[(Int, Seq[Seq[Double]])]
+      else {
+        val v = new Array[Double](emb.length)
+        var i = 0
+        var n2 = 0.0
+        while (i < v.length) {
+          val d = emb(i).toDouble; v(i) = d; n2 += d * d; i += 1
+        }
+        val norm = math.sqrt(n2)
+        i = 0
+        while (i < v.length) { v(i) /= norm; i += 1 }
+        val cs = bcCells.value
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < cs.length) {
+          val cent = cs(c)
+          var d = 0.0; var j = 0
+          val m = math.min(cent.length, v.length)
+          while (j < m) { val df = v(j) - cent(j); d += df * df; j += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        val cent = cs(best)
+        val subs = Array.tabulate(subspaces) { s =>
+          Array.tabulate(subDim) { j =>
+            val idx = s * subDim + j
+            (if (idx < v.length) v(idx) else 0.0) -
+              (if (idx < cent.length) cent(idx) else 0.0)
+          }.toSeq
+        }.toSeq
+        Some((best, subs))
+      }
+    }
+
+  /** `(id, cell, sub, _sv)` residual sub-frame via [[residSplitter]] —
+    * the shared encode scan of [[ivfPqIndex]] and [[ivfPqEncode]]. */
+  private def residSubFrame(corpus: DataFrame, idCol: String,
+                            embCol: String,
+                            bcCells: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]],
+                            subspaces: Int, subDim: Int): DataFrame =
+    corpus
+      .select(col(idCol).as("id"),
+        residSplitter(bcCells, subspaces, subDim)(col(embCol)).as("_e"))
+      .filter(col("_e").isNotNull)
+      .select(col("id"), col("_e._1").as("cell"), posexplode(col("_e._2")))
+      .select(col("id"), col("cell"), col("pos").as("sub"),
+        col("col").as("_sv"))
+
   /** [[codeAssigner]] for the IVF coarse quantizer (one flat centroid
     * list, same null-degrade contract). Shared by [[ivfIndex]] and the
     * append-time assignment ([[ivfAssign]]). */
@@ -1031,17 +1093,9 @@ object Similarity {
       .toDF("cell", "centroid")
 
     // residual sub-frame: (id, cell, sub, _sv) with _sv = slice of
-    // (unit(x) − µ_cell); the centroid join is a broadcast of nlist rows
-    val residSubs = corpus
-      .select(col(idCol).as("id"), unitArray(col(embCol)).as("_u"))
-      .withColumn("cell", cellAssigner(bcCells)(col("_u")))
-      .join(broadcast(centroids.select(col("cell"), col("centroid").as("_c"))),
-        Seq("cell"))
-      .select(col("id"), col("cell"),
-        posexplode(transform(sequence(lit(0), lit(subspaces - 1)),
-          i => slice(zip_with(col("_u"), col("_c"), (a, b) => a - b),
-            i * subDim + 1, lit(subDim)))))
-      .select(col("id"), col("cell"), col("pos").as("sub"), col("col").as("_sv"))
+    // (unit(x) − µ_cell) — one compiled closure per row (residSplitter)
+    val residSubs =
+      residSubFrame(corpus, idCol, embCol, bcCells, subspaces, subDim)
 
     // residual PQ codebooks: bounded hash-sample over (id, sub)
     val keepP = math.min(1.0,
@@ -1090,17 +1144,9 @@ object Similarity {
       Array.fill(bRows.map(_.getInt(1)).max + 1)(new Array[Double](subDim)))
     bRows.foreach(r => books(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray)
     val bcBooks = spark.sparkContext.broadcast(books)
-    newRows
-      .select(col(idCol).as("id"), unitArray(col(embCol)).as("_u"))
-      .withColumn("cell", cellAssigner(bcCells)(col("_u")))
-      .join(broadcast(centroids.select(col("cell"), col("centroid").as("_c"))),
-        Seq("cell"))
-      .select(col("id"), col("cell"),
-        posexplode(transform(sequence(lit(0), lit(subspaces - 1)),
-          i => slice(zip_with(col("_u"), col("_c"), (a, b) => a - b),
-            i * subDim + 1, lit(subDim)))))
-      .select(col("id"), col("cell"), col("pos").as("sub"),
-        codeAssigner(bcBooks)(col("pos"), col("col")).as("code"))
+    residSubFrame(newRows, idCol, embCol, bcCells, subspaces, subDim)
+      .select(col("id"), col("cell"), col("sub"),
+        codeAssigner(bcBooks)(col("sub"), col("_sv")).as("code"))
   }
 
   def ivfPqTopK(corpus: DataFrame, probes: DataFrame, idCol: String,

@@ -102,6 +102,30 @@ class ReportSpec extends AnyFunSuite with SparkTestSession {
     assert(seasonal.isEmpty)
   }
 
+  test("cusum over a rollup: source reads stored partials and equals the event-level run") {
+    import org.apache.spark.sql.functions.{col, expr, round}
+    // build the q201-layout partial table from the SAME warehouse wide
+    // frame the event-level cusum consumes, split into two streamed
+    // batches with one replayed (the StreamingRollup crash contract)
+    val wide = Report.wideFor(spark, Report.Config(source = warehouse))
+    val day = expr("unix_micros(ts) div 86400000000")
+    val units = round(col("query_time") * 1e6).cast("long")
+    val tbl = "graft_bench_report_rollup"
+    Warehouse.dropWithLocation(spark, tbl)
+    try {
+      val (b0, b1) = (wide.filter(col("query_time") < 0.5),
+        wide.filter(col("query_time") >= 0.5))
+      graft.streaming.StreamingRollup.appendBatch(b0, 0L, day, col("digest"), units, tbl)
+      graft.streaming.StreamingRollup.appendBatch(b1, 1L, day, col("digest"), units, tbl)
+      graft.streaming.StreamingRollup.appendBatch(b1, 1L, day, col("digest"), units, tbl) // replay
+      val viaRollup = Report.run(spark, Report.Config(
+        source = s"rollup:$tbl", report = "cusum")).collect()
+      val direct = Report.run(spark, Report.Config(
+        source = warehouse, report = "cusum")).collect()
+      assert(viaRollup.sameElements(direct))
+    } finally Warehouse.dropWithLocation(spark, tbl)
+  }
+
   test("compare report splits rate-scaled load at -splitAt") {
     // fixture events land at 10:00:01-03 on 2024-01-15: split mid-window
     val rows = Report.run(spark, Report.Config(source = warehouse,
