@@ -667,7 +667,7 @@ object ScaleBench {
         "q107_entropy", "q107_exploded", "q160_vocab")
       val embOps = Seq("q83_pq", "q41c_probe", "q41c_logbits",
         "ivf_append", "pq_append", "ivfpq_append", "ivfpq_probe",
-        "jl_project")
+        "jl_project", "semantic_admit")
       if (!(docOps ++ embOps).exists(want)) {
         System.err.println(s"SCALE ${k}x: no corpus ops requested")
       } else {
@@ -883,6 +883,30 @@ object ScaleBench {
             spark.table(tbl), spark.table(s"${tbl}_norms"), 0.8)))
         Warehouse.dropWithLocation(spark, tbl)
         Warehouse.dropWithLocation(spark, s"${tbl}_norms")
+      }
+      // semantic admission (the quartet's fourth member): standing
+      // sign-LSH index grown k× at rest, a FIXED 1×-sized batch runs
+      // one full admission round (within-batch reps + stored-index
+      // exact-cosine rejection + survivor append). Expect the flat
+      // admission band — the probe join is bucket-colocated, the
+      // append encodes only the batch
+      if (want("semantic_admit")) {
+        val tbl = "graft_bench_scale_semantic"
+        Warehouse.dropWithLocation(spark, tbl)
+        Warehouse.saveAnnIndex(Similarity.annBucketFrame(
+          emb.repartition(64), "vec_id", "embedding"), tbl, buckets = 16)
+        val outDir = java.nio.file.Files
+          .createTempDirectory("graft-scale-sem").toString + "/out"
+        var round = 0
+        record("semantic_admit", k, timeUnit {
+          round += 1
+          val batch = scaleEmb(spark, sf, 1)
+            .select((col("vec_id") + 900000000L + round * 10000000L)
+              .as("vec_id"), col("embedding"))
+          graft.streaming.StreamingDedup.admitBatchSemantic(
+            batch, "vec_id", "embedding", tbl, outDir)
+        })
+        Warehouse.dropWithLocation(spark, tbl)
       }
       if (want("q83_pq")) {
         // q83: full PQ pipeline at the oracle config (fit+encode+ADC+re-rank)

@@ -246,4 +246,80 @@ object StreamingDedup {
       } finally sTf.unpersist()
     } finally b.unpersist()
   }
+
+  /**
+   * SEMANTIC admission — the fourth member of the quartet (SimHash =
+   * structure, MinHash = content, lexical = vocabulary, this =
+   * MEANING): a document is admitted only if no admitted document's
+   * EMBEDDING sits within `threshold` cosine, against the at-rest
+   * sign-LSH index ([[graft.sources.Warehouse.saveAnnIndex]] layout —
+   * the bucket frame carries raw embeddings, so candidates from the
+   * bucket-colocated join verify by EXACT cosine; admission is never
+   * decided on a hash collision alone). The SemDeDup corpus posture,
+   * run at the door instead of as a batch sweep.
+   *
+   * Same law as the other three: within-batch representatives first
+   * ([[graft.operators.Dedup.embeddingNearDupPairs]] → star CC →
+   * min-id rep), the index rejects across batches, survivors' bucket
+   * rows append (stateless seed-derived model — batch and index
+   * encodings can never drift), cost ∝ batch.
+   */
+  def semanticAdmission(docs: DataFrame, idCol: String, embCol: String,
+                        indexTable: String, outPath: String,
+                        checkpointDir: String, threshold: Double = 0.9,
+                        tables: Int = 8, bits: Int = 8, dim: Int = 64,
+                        indexBuckets: Int = 16): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        admitBatchSemantic(batch, idCol, embCol, indexTable, outPath,
+          threshold, tables, bits, dim, indexBuckets)
+      }
+      .start()
+
+  /** One semantic admission round — also the BATCH incremental API. */
+  def admitBatchSemantic(batch: DataFrame, idCol: String, embCol: String,
+                         indexTable: String, outPath: String,
+                         threshold: Double = 0.9, tables: Int = 8,
+                         bits: Int = 8, dim: Int = 64,
+                         indexBuckets: Int = 16): Unit = {
+    import graft.operators.Similarity
+    val spark = batch.sparkSession
+    val b = batch.persist()
+    try {
+      // within-batch: one representative per cosine-≥threshold cluster
+      val within = Dedup.embeddingNearDupPairs(b, idCol, embCol,
+        threshold, tables, bits, dim)
+      val dropWithin = Dedup.dedupClustersStar(within, "da", "db")
+        .filter(col("node") =!= col("lbl"))
+        .select(col("node").as(idCol))
+      val reps = b.join(dropWithin, Seq(idCol), "left_anti")
+      // vs the standing index: shared bucket → exact cosine ≥ threshold
+      // (raw embeddings ride the stored frame); localCheckpoint severs
+      // the rejected-id plan from the index table before the append
+      val rejectedIds = (
+        if (spark.catalog.tableExists(indexTable)) {
+          val probeFrame = reps.select(col(idCol).as("_pid"),
+            col(embCol).as("_e_p"),
+            posexplode(Similarity.lshKeysArray(tables, bits, dim)(
+              col(embCol))).as(Seq("table", "key")))
+          val hit = spark.table(indexTable)
+            .join(probeFrame, Seq("table", "key"))
+            .filter(Similarity.cosine(col("emb"), col("_e_p")) >= threshold)
+            .select(col("_pid").as(idCol)).distinct()
+          dropWithin.union(hit)
+        } else dropWithin
+      ).localCheckpoint()
+      val survivors = b.join(rejectedIds, Seq(idCol), "left_anti")
+      // admit: index first (later batches must see these rows even if
+      // the output write replays); null embeddings have no bucket rows
+      // — admitted, unmatchable, the per-row degrade contract
+      Warehouse.saveAnnIndex(
+        Similarity.annBucketFrame(survivors, idCol, embCol, tables, bits, dim),
+        indexTable, buckets = indexBuckets,
+        mode = if (spark.catalog.tableExists(indexTable)) SaveMode.Append
+               else SaveMode.ErrorIfExists)
+      survivors.write.mode(SaveMode.Append).parquet(outPath)
+    } finally b.unpersist()
+  }
 }

@@ -168,4 +168,47 @@ class StreamingDedupSpec extends AnyFunSuite with SparkTestSession {
     assert(admitted == Set(10L, 12L), s"admitted $admitted")
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
+
+  test("semantic admission: streamed batches dedup by embedding cosine through the stored index") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val srcDir = Files.createTempDirectory("graft-sem-src").toString
+    val outDir = Files.createTempDirectory("graft-sem-out").toString + "/out"
+    val ckpt = Files.createTempDirectory("graft-sem-ckpt").toString
+    val tbl = "graft_bench_stream_sem"
+    Warehouse.dropWithLocation(spark, tbl)
+    val embSchema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    // deterministic pseudo-random unit-ish vectors; near() scales and
+    // nudges one element → cosine ≈ 0.9999 (≥ 0.9), strangers ≈ 0
+    def vec(seed: Int): Seq[Float] = Seq.tabulate(64)(i =>
+      ((((seed * 31 + i) * 2654435761L) % 1000L).toFloat / 1000f) - 0.3f)
+    def near(v: Seq[Float], eps: Float): Seq[Float] =
+      v.zipWithIndex.map { case (x, i) => if (i == 0) x + eps else x * 1.001f }
+    val base = vec(1)
+    def runOnce(): Unit = {
+      val q = StreamingDedup.semanticAdmission(
+        spark.readStream.schema(embSchema).parquet(srcDir),
+        "vec_id", "embedding", tbl, outDir, ckpt)
+      q.processAllAvailable(); q.stop()
+    }
+    // batch 1: 1 and 2 are semantic dups (min-id 1 wins), 3 a stranger
+    Seq((1L, base), (2L, near(base, 0.01f)), (3L, vec(7)))
+      .toDF("vec_id", "embedding").write.mode("append").parquet(srcDir)
+    runOnce()
+    // batch 2: 4 duplicates ADMITTED 1 (only the stored index can
+    // reject it); 5 is a stranger
+    Seq((4L, near(base, 0.02f)), (5L, vec(9)))
+      .toDF("vec_id", "embedding").write.mode("append").parquet(srcDir)
+    runOnce()
+    val admitted = spark.read.parquet(outDir)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(admitted == Set(1L, 3L, 5L), s"admitted $admitted")
+    // the index holds exactly the survivors' bucket rows: tables=8 per id
+    val idx = spark.table(tbl)
+    assert(idx.select("id").distinct().collect()
+      .map(_.getLong(0)).toSet == Set(1L, 3L, 5L))
+    assert(idx.count() == 24L)
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
 }
