@@ -312,6 +312,26 @@ object Similarity {
     math.max(1, math.round(math.log(buckets) / math.log(2)).toInt)
   }
 
+  /**
+   * The rebuild-time sizing rule for `nlist` ([[bitsFor]]'s IVF
+   * sibling; SCALE.md's IVF-PQ third-decade lesson): a probe visits
+   * nprobe/nlist of the corpus, so a FIXED nlist makes probe cost
+   * linear in N (measured exponent 0.80 at 2 M vectors, nlist=16) —
+   * cells must grow with the corpus. `nlist ~ √N` makes both the
+   * per-cell row count and the broadcast centroid table grow as √N
+   * (the classic IVF balance), clamped to ≥16 (the oracle-SF config),
+   * ≤65,536 (the centroid table stays broadcast-sized), and ≤N/64
+   * (a cell needs enough rows to be worth a bucketed file). A
+   * rebuild-time knob BY DESIGN: the append path never refits, so
+   * resizing is a [[graft.sources.Warehouse.compactTable]]-class
+   * maintenance action, not an ingest-path one.
+   */
+  def nlistFor(corpusSize: Long): Int = {
+    val n = math.max(1L, corpusSize)
+    val sqrt = math.round(math.sqrt(n.toDouble))
+    math.max(16L, math.min(sqrt, math.min(65536L, n / 64))).toInt
+  }
+
   private def annBucketFrameImpl(corpus: DataFrame, idCol: String,
                                  embCol: String, tables: Int, bits: Int,
                                  dim: Int, seed: Long): DataFrame = {

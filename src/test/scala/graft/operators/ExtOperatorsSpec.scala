@@ -759,4 +759,18 @@ class ExtOperatorsSpec extends AnyFunSuite with SparkTestSession {
       .orderBy("id").collect()
     assert(!got(0).isNullAt(1) && got(1).isNullAt(1))
   }
+
+  test("nlistFor: sqrt growth between the floor and the broadcast ceiling") {
+    // tiny corpora hit the floor (cells need rows to be worth a file)
+    assert(Similarity.nlistFor(500) == 16)
+    assert(Similarity.nlistFor(2000) == 31) // N/64 cap binds before sqrt
+    // the third-decade case that motivated the rule: 2M vectors
+    assert(Similarity.nlistFor(2000000) == 1414)
+    // ceiling: the centroid table must stay broadcast-sized
+    assert(Similarity.nlistFor(1000000000000L) == 65536)
+    // monotone over six decades
+    val xs = Seq(1L, 100L, 10000L, 1000000L, 100000000L, 10000000000L)
+      .map(Similarity.nlistFor)
+    assert(xs == xs.sorted)
+  }
 }
