@@ -667,7 +667,7 @@ object ScaleBench {
         "q107_entropy", "q107_exploded", "q160_vocab")
       val embOps = Seq("q83_pq", "q41c_probe", "q41c_logbits",
         "ivf_append", "pq_append", "ivfpq_append", "ivfpq_probe",
-        "jl_project", "semantic_admit")
+        "jl_project", "semantic_admit", "ivfpq_nlist")
       if (!(docOps ++ embOps).exists(want)) {
         System.err.println(s"SCALE ${k}x: no corpus ops requested")
       } else {
@@ -884,6 +884,40 @@ object ScaleBench {
         Warehouse.dropWithLocation(spark, tbl)
         Warehouse.dropWithLocation(spark, s"${tbl}_norms")
       }
+      // the nlistFor policy measured (q41c_logbits' IVF sibling):
+      // cells grow as sqrt(N) so the visited fraction nprobe/nlist
+      // FALLS as the corpus grows — probe cost should flatten vs the
+      // fixed-nlist linear regime (ivfpq_probe exp 0.80), with the
+      // recall@3 this buys recorded next to the cost, q41c-style
+      if (want("ivfpq_nlist")) {
+        val nl = Similarity.nlistFor(nEmb)
+        val tbl = "graft_bench_scale_ivfpqn"
+        val (codes, centroids, codebook) = Similarity.ivfPqIndex(
+          emb.repartition(64), "vec_id", "embedding", nlist = nl,
+          subspaces = 16)
+        Warehouse.saveIvfPqIndex(codes, centroids, codebook, tbl)
+        val probes = emb.filter(col("vec_id") < 5)
+        val exact = Similarity.knnBatch(emb, probes, "vec_id", "embedding", k = 3)
+          .select("probe_id", "nn_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        def got(): Set[(Long, Long)] = Similarity.ivfPqTopKFrom(
+            spark.table(tbl), spark.table(s"${tbl}_centroids"),
+            spark.table(s"${tbl}_codebook"), emb, probes,
+            "vec_id", "embedding", k = 3, nprobe = 12, candidates = 150,
+            subspaces = 16)
+          .select("probe_id", "nn_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        record("ivfpq_nlist", k, time(Similarity.ivfPqTopKFrom(
+          spark.table(tbl), spark.table(s"${tbl}_centroids"),
+          spark.table(s"${tbl}_codebook"), emb, probes,
+          "vec_id", "embedding", k = 3, nprobe = 12, candidates = 150,
+          subspaces = 16)))
+        recordRecall("ivfpq_nlist", k, nl, (exact & got()).size / 15.0)
+        Warehouse.dropWithLocation(spark, tbl)
+        Warehouse.dropWithLocation(spark, s"${tbl}_centroids")
+        Warehouse.dropWithLocation(spark, s"${tbl}_codebook")
+      }
+
       // semantic admission (the quartet's fourth member): standing
       // sign-LSH index grown k× at rest, a FIXED 1×-sized batch runs
       // one full admission round (within-batch reps + stored-index
