@@ -569,6 +569,53 @@ object Dedup {
                         maxIter: Int = 25): DataFrame =
     dedupClustersStarImpl(pairs, aCol, bCol, maxIter)._1
 
+  /**
+   * Incremental CC maintenance — merge a DELTA of new pairs into a
+   * stored label table `(node, lbl)` without re-clustering the corpus
+   * (the at-rest posture for a standing dedup-cluster table: daily
+   * pair batches arrive, the closure table is maintained, never
+   * rebuilt). Correctness rests on locality of the fixpoint: a new
+   * edge can only change components CONTAINING one of its endpoints,
+   * so
+   *  1. touched = stored labels reachable from any delta endpoint
+   *     (an unknown endpoint is its own 1-node component);
+   *  2. the AFFECTED subgraph = those components' members collapsed
+   *     to their stars (node → lbl edges carry exactly the stored
+   *     connectivity) ∪ the delta pairs;
+   *  3. [[dedupClustersStar]] re-solves ONLY that subgraph;
+   *  4. untouched rows pass through by anti-join.
+   * Labels are component minima on both paths, so the merged table is
+   * EXACTLY what a full re-cluster over (old pairs ∪ delta) produces —
+   * the q220 oracle checks that equality cross-engine.
+   *
+   * Scale shape: two equi-joins to find the affected rows, then a CC
+   * run ∝ affected-component size + delta — never corpus-sized unless
+   * the delta genuinely touches everything. The same blast-radius
+   * law the rollup family's blind appends obey, for the one operator
+   * family whose "aggregate" is a fixpoint.
+   */
+  def dedupClustersAugment(stored: DataFrame, newPairs: DataFrame,
+                           aCol: String, bCol: String,
+                           maxIter: Int = 25): DataFrame = {
+    val ends = newPairs.select(col(aCol).as("node"))
+      .union(newPairs.select(col(bCol).as("node"))).distinct()
+    val touched = stored.join(ends, Seq("node")).select("lbl").distinct()
+    val affected = stored.join(touched, Seq("lbl"))
+    val starEdges = affected.filter(col("node") =!= col("lbl"))
+      .select(col("node").as("_da"), col("lbl").as("_db"))
+    // localCheckpoint severs the subgraph from the stored table's plan
+    // before the iterative solver (whose loop re-resolves its input each
+    // alternation — attribute lineage into a prior CC run's output does
+    // not survive that); bounded by construction: affected + delta rows
+    val subPairs = newPairs.select(col(aCol).as("_da"), col(bCol).as("_db"))
+      .union(starEdges)
+      .localCheckpoint()
+    val relabeled = dedupClustersStar(subPairs, "_da", "_db", maxIter)
+    stored.join(touched, Seq("lbl"), "left_anti")
+      .select("node", "lbl")
+      .unionByName(relabeled.select(col("node"), col("lbl")))
+  }
+
   /** [[dedupClustersStar]] plus the alternation count it converged in —
     * the O(log) claim is spec-asserted against this, not eyeballed. */
   private[graft] def dedupClustersStarImpl(

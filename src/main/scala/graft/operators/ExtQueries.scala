@@ -2364,6 +2364,23 @@ object ExtQueries {
         .orderBy("event_type", "hour")
     }),
 
+    // Incremental closure maintenance (Dedup.dedupClustersAugment):
+    // the standing cluster table absorbs a DELTA of new pairs by
+    // re-solving only the touched components (stored structure rides
+    // as star edges) — and the result must be EXACTLY the fixpoint a
+    // full re-cluster over all pairs produces, which is what the q67
+    // closure oracle checks. The day1/delta split is a deterministic
+    // pair-hash so both engines see the same partition of history.
+    "q220_cc_augment" -> ((s, d) => {
+      val pairs = Dedup.ngramJaccardPairs(t(s, d, "documents"),
+        "doc_id", "text", n = 3, threshold = 0.6).select("da", "db")
+      val h = pmod(xxhash64(col("da"), col("db")), lit(2L))
+      val stored = Dedup.dedupClustersStar(pairs.filter(h === 0L), "da", "db")
+      Dedup.dedupClustersAugment(stored, pairs.filter(h === 1L), "da", "db")
+        .select(col("node").as("doc_id"), col("lbl").as("cluster"))
+        .orderBy("doc_id")
+    }),
+
     // Join fan-out pre-flight (q208's sibling): the EXACT output
     // cardinality of a prospective self-join from per-key counts alone
     // — Σ n_k² (and Σ n_a·n_b for two sides) — without running the
@@ -3653,6 +3670,11 @@ object ExtQueries {
         "coalesce(last_value(cents IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY hour ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS filled_cents, " +
         "cents IS NULL AS was_gap " +
         "FROM j ORDER BY event_type, hour"),
+    // q220: the augmented table must equal the FULL closure — q67's
+    // oracle verbatim (the split is invisible to the fixpoint)
+    "q220_cc_augment" ->
+      (s"WITH RECURSIVE $dedupClosureCtes " +
+        "SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node ORDER BY doc_id"),
     // q215: the q67 recursive closure + q110's md5-bucket fold, folded
     // on the CLUSTER; naive/safe leak counts attributed to da's fold
     "q215_leakage_split" ->

@@ -760,6 +760,28 @@ class ExtOperatorsSpec extends AnyFunSuite with SparkTestSession {
     assert(!got(0).isNullAt(1) && got(1).isNullAt(1))
   }
 
+  test("dedupClustersAugment: delta merge equals the full re-cluster, untouched rows pass through") {
+    import spark.implicits._
+    // stored history: {1,2,3} (chain), {10,11}, {20,21}
+    val day1 = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L)).toDF("da", "db")
+    val stored = Dedup.dedupClustersStar(day1, "da", "db")
+    // delta: bridges {1..3} with {10,11} via a NEW node 7, and brings a
+    // brand-new independent pair {30,31}; {20,21} is untouched
+    val delta = Seq((3L, 7L), (7L, 10L), (30L, 31L)).toDF("da", "db")
+    def m(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val aug = m(Dedup.dedupClustersAugment(stored, delta, "da", "db"))
+    val full = m(Dedup.dedupClustersStar(
+      day1.unionByName(delta), "da", "db"))
+    assert(aug == full)
+    assert(aug(11L) == 1L && aug(7L) == 1L) // merged across the bridge
+    assert(aug(20L) == 20L && aug(21L) == 20L) // untouched survives
+    assert(aug(31L) == 30L) // new component labeled by its own min
+    // an EMPTY delta is the identity
+    assert(m(Dedup.dedupClustersAugment(stored,
+      Seq.empty[(Long, Long)].toDF("da", "db"), "da", "db")) == m(stored))
+  }
+
   test("nlistFor: sqrt growth between the floor and the broadcast ceiling") {
     // tiny corpora hit the floor (cells need rows to be worth a file)
     assert(Similarity.nlistFor(500) == 16)
