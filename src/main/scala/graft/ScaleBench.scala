@@ -662,7 +662,7 @@ object ScaleBench {
 
       val docOps = Seq("q123_prefix", "q26_jaccard", "q52_capped", "q40_minhash",
         "q67_clusters", "q67_cluster_only", "q84_star_only", "q75_probe",
-        "admit_batch", "q40_probe", "minhash_admit", "lexical_admit",
+        "admit_batch", "q40_probe", "minhash_admit", "lexical_admit", "cc_augment",
         "q92_bloom", "q99_spans", "q102_edit", "q103_bigram", "q104_sn",
         "q107_entropy", "q107_exploded", "q160_vocab")
       val embOps = Seq("q83_pq", "q41c_probe", "q41c_logbits",
@@ -884,6 +884,25 @@ object ScaleBench {
         Warehouse.dropWithLocation(spark, tbl)
         Warehouse.dropWithLocation(spark, s"${tbl}_norms")
       }
+      // incremental closure maintenance (q220): standing cluster table
+      // from the k× pair graph, a FIXED 1×-sized delta (bridging new
+      // ids onto existing components) merged in. Expect the flat
+      // admission band: the solver re-runs on touched components ∪
+      // delta only — blast radius ∝ delta, never ∝ corpus
+      if (want("cc_augment")) {
+        val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.6)
+          .select("da", "db").persist()
+        pairs.count()
+        val stored = Dedup.dedupClustersStar(pairs, "da", "db").persist()
+        stored.count()
+        val delta = Dedup.ngramJaccardPairs(scaleDocs(spark, sf, 1),
+            "doc_id", "text", 3, 0.6)
+          .select(col("da"), (col("db") + 500000000L).as("db"))
+        record("cc_augment", k, time(
+          Dedup.dedupClustersAugment(stored, delta, "da", "db")))
+        pairs.unpersist(); stored.unpersist()
+      }
+
       // the nlistFor policy measured (q41c_logbits' IVF sibling):
       // cells grow as sqrt(N) so the visited fraction nprobe/nlist
       // FALLS as the corpus grows — probe cost should flatten vs the
