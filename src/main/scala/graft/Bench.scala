@@ -90,6 +90,18 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if (sys.env.get("SPARK_GRAFT_BENCH_PHASE").contains("core")) {
+      corePhase(sfDir); return
+    }
+    // Headline isolation (SCALE.md §16): core-24 and ingest are measured
+    // in a FORKED fresh JVM before this one builds its session, so the
+    // contract line's `value` measures the code, not the board size —
+    // §15 proved a uniform ~15% session tax at 230 s of one-JVM work,
+    // and that tax grows with every round's new entries. The extended
+    // board still runs here (its entries are each compared only to
+    // their own baseline). Fork-off fallback: SPARK_GRAFT_BENCH_FORK=off
+    // or any fork failure reverts to the pre-r12 single-JVM path.
+    val childData = forkCorePhase(sfDir)
     val spark = GraftSession.build("graft-bench")
     // Every unpartitioned window on the board runs over a frame BOUNDED
     // before the window (top-k ranks, vocabulary/calendar-sized frames —
@@ -111,6 +123,10 @@ object Bench {
     // state (cache residue, warehouse side effects), not its operator —
     // the order-sensitivity audit in SCALE.md runs both directions.
     val sortedNames = inventory.keys.toSeq.sorted
+      // core-24 entries already timed in the fresh child JVM are not
+      // re-run here (the board's order-independence is audited, so
+      // skipping them changes no other entry's reading)
+      .filterNot(n => childData.isDefined && Core24.exists(n.startsWith))
     val names =
       if (sys.env.get("SPARK_GRAFT_BENCH_ORDER").contains("reverse"))
         sortedNames.reverse
@@ -138,7 +154,9 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
     val (p1, p2) = (timedPass(), timedPass())
-    val results = names.map(n => n -> math.min(p1(n), p2(n)))
+    childData.foreach(c => failed ++= c.failed)
+    val results = (childData.map(_.times.toSeq).getOrElse(Nil) ++
+      names.map(n => n -> math.min(p1(n), p2(n)))).sortBy(_._1)
 
     // %.4f (0.1 ms resolution, Locale.ROOT): full double repr made the
     // line ~5.4 kB and the driver's tail capture (~2.7 kB) truncated it
@@ -157,8 +175,11 @@ object Bench {
     }.sum
     // 200k events across 32 files — the BASELINE.md steady-state
     // corpus: one file per local core, parse time ~4× the fixed job
-    // overhead (20k measured ~6× low, 100k/16 still ~2× low).
-    val eps = benchIngest(spark, 200000)
+    // overhead (20k measured ~6× low, 100k/16 still ~2× low). With the
+    // forked phase the reading comes from the child, where ingest runs
+    // FIRST on a clean heap (the reference's core job measured before
+    // any board state exists).
+    val eps = childData.map(_.eps).getOrElse(benchIngest(spark, 200000))
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val (baseName, baseTimes, baseFailed) = loadBaseline(sfDir)
     // a failed query (either round) records only its fail-fast time, so
@@ -202,6 +223,99 @@ object Bench {
     println(
       s"""{"metric":"total","value":${f4(core)},"unit":"sec","total_all":${f4(all)},"ingest_eps":${eps.round},"failed":$failedJson,"vs_baseline_median":$medianJson,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  private case class CoreResult(times: Map[String, Double],
+                                failed: Set[String], eps: Double)
+
+  /** Child-JVM entry (SPARK_GRAFT_BENCH_PHASE=core): ingest first on the
+    * clean heap, then the core-24 inventory with the parent's exact
+    * warm-up + min-of-two methodology; results land as one JSON line in
+    * the file named by SPARK_GRAFT_BENCH_PHASE_OUT. */
+  private def corePhase(sfDir: String): Unit = {
+    val spark = GraftSession.build("graft-bench-core")
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
+    val inventory = SparkEntry.queries ++ SparkEntry.benchExtra
+    val names = inventory.keys.toSeq.filter(n => Core24.exists(n.startsWith)).sorted
+    val eps = benchIngest(spark, 200000)
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
+    def run(name: String): Unit =
+      try inventory(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        failed += name
+        System.err.println(s"[bench-core] $name FAILED: ${e.getMessage}")
+      }
+    names.foreach(run) // warm-up
+    def timedPass(): Map[String, Double] = names.map { name =>
+      val t0 = System.nanoTime()
+      run(name)
+      name -> (System.nanoTime() - t0) / 1e9
+    }.toMap
+    val (p1, p2) = (timedPass(), timedPass())
+    def f4(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+    val qs = names.map(n => "\"" + n + "\":" + f4(math.min(p1(n), p2(n))))
+      .mkString("{", ",", "}")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val line =
+      s"""{"phase":"core","ingest_eps":${eps.round},"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(sys.env("SPARK_GRAFT_BENCH_PHASE_OUT")), line + "\n")
+    spark.stop()
+  }
+
+  /** Fork the core phase into a fresh JVM (same java, same JVM args,
+    * same classpath — sbt's forked `run` passes all three through) and
+    * parse its result file. Any failure returns None and the caller
+    * falls back to measuring everything in this JVM. */
+  private def forkCorePhase(sfDir: String): Option[CoreResult] = {
+    if (sys.env.get("SPARK_GRAFT_BENCH_FORK").contains("off")) return None
+    try {
+      val javaBin = java.nio.file.Paths
+        .get(System.getProperty("java.home"), "bin", "java").toString
+      import scala.jdk.CollectionConverters._
+      val jvmArgs = java.lang.management.ManagementFactory
+        .getRuntimeMXBean.getInputArguments.asScala.toSeq
+      val outFile = java.nio.file.Files.createTempFile("graft-bench-core", ".json")
+      val logFile = java.nio.file.Files.createTempFile("graft-bench-core", ".log")
+      val cmd = (Seq(javaBin) ++ jvmArgs ++
+        Seq("-cp", System.getProperty("java.class.path"), "graft.Bench")).asJava
+      val pb = new ProcessBuilder(cmd)
+      pb.environment().put("SPARK_GRAFT_BENCH_PHASE", "core")
+      pb.environment().put("SPARK_GRAFT_BENCH_PHASE_OUT", outFile.toString)
+      pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
+      // child stdout/stderr go to a log file, never to the parent's
+      // stdout — the driver reads the parent's LAST stdout line
+      pb.redirectErrorStream(true)
+      pb.redirectOutput(logFile.toFile)
+      System.err.println(s"[bench] forked core phase (log: $logFile)")
+      val rc = pb.start().waitFor()
+      val txt = new String(java.nio.file.Files.readAllBytes(outFile), "UTF-8")
+      java.nio.file.Files.deleteIfExists(outFile)
+      if (rc != 0 || !txt.contains("\"phase\":\"core\"")) {
+        System.err.println(s"[bench] core-phase fork failed (rc=$rc) — falling back to in-JVM; see $logFile")
+        None
+      } else {
+        val timeRe = """"(q\d{2}[a-z0-9_]*)":([0-9][0-9.Ee+-]*)""".r
+        val times = timeRe.findAllMatchIn(txt.split("\"failed\"", 2)(0))
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        val failedPart = txt.split("\"failed\"", 2).lift(1).getOrElse("")
+        val failed = """q\d{2}[a-z0-9_]*""".r
+          .findAllIn(failedPart.split("\\]", 2)(0)).toSet
+        val eps = """"ingest_eps":(\d+)""".r.findFirstMatchIn(txt)
+          .map(_.group(1).toDouble).getOrElse(-1.0)
+        if (times.isEmpty || eps <= 0) {
+          System.err.println("[bench] core-phase result unparseable — falling back to in-JVM")
+          None
+        } else Some(CoreResult(times, failed, eps))
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] core-phase fork error: ${e.getMessage} — falling back to in-JVM")
+      None
+    }
   }
 
   /** Per-query seconds from the self-written `BENCH_BASELINE.json` (or

@@ -37,7 +37,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  * of rate-scaled load, crossing class included — the capacity-planning
  * head next to `profile`), `histogram` (equi-depth latency buckets:
  * `-top` bins of equal count with exact bounds — equi-width starves on
- * the latency long tail), `cusum` (per-day load CUSUM with the
+ * the latency long tail), `digest`
+ * (per-digest drill-down: profile row + hourly sparkline + worst
+ * examples + apdex + user/schema links for `-digest <id>` — the
+ * review-UI detail page behind a profile row), `cusum` (per-day load CUSUM with the
  * level-shift day flagged — exact-integer µs, q204's operator; with a
  * `rollup:<table|path>` source it reads a STORED partial table —
  * q201/StreamingRollup layout, replayed micro-batches collapsed — so
@@ -62,7 +65,8 @@ object Report {
       splitAt: Option[String] = None,
       since: Option[String] = None,
       until: Option[String] = None,
-      threshold: Double = 0.8)
+      threshold: Double = 0.8,
+      digestId: Option[String] = None)
 
   def parseArgs(args: Array[String]): Config = {
     @annotation.tailrec
@@ -76,6 +80,7 @@ object Report {
       case "-since" :: v :: t => loop(t, c.copy(since = Some(v)))
       case "-until" :: v :: t => loop(t, c.copy(until = Some(v)))
       case "-threshold" :: v :: t => loop(t, c.copy(threshold = v.toDouble))
+      case "-digest" :: v :: t => loop(t, c.copy(digestId = Some(v)))
       case Nil => c
       case other :: _ =>
         throw new IllegalArgumentException(s"unknown flag: $other")
@@ -195,6 +200,13 @@ object Report {
           .filter(col("flagged"))
           .orderBy(col("s_units").desc, col("day"), col("hour"))
           .limit(c.top)
+      case "digest" =>
+        // the per-digest drill-down detail (q221's operator): profile
+        // row + hourly sparkline + worst examples + apdex + user/schema
+        // links for ONE digest, the review-UI page behind a profile row
+        val id = c.digestId.getOrElse(throw new IllegalArgumentException(
+          "-report digest needs -digest <digest-id>"))
+        graft.operators.Qan.digestDetail(wide, id, c.apdexT)
       case "histogram" =>
         // equi-depth latency histogram: -top buckets with equal query
         // counts — where the mass actually sits (equi-width starves on
@@ -206,7 +218,7 @@ object Report {
           .select(col("bin"), col("n"),
             round(col("lo"), 6).as("lo"), round(col("hi"), 6).as("hi"))
       case other => throw new IllegalArgumentException(
-        s"unknown -report: $other (profile|sparkline|load|apdex|percentiles|compare|anomaly|drift|pareto|histogram|cusum|seasonal)")
+        s"unknown -report: $other (profile|sparkline|load|apdex|percentiles|compare|anomaly|drift|pareto|histogram|cusum|seasonal|digest)")
     }
   }
 

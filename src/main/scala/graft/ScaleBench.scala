@@ -339,6 +339,24 @@ object ScaleBench {
         if (want("q116_paths")) record("q116_paths", k, time(
           graft.operators.Behavior.topPaths(ev, "user_id", col("us"),
             col("event_id"), col("event_type"), depth = 5, topK = 20)))
+        // the pre-r12 window formulation, kept inline for the
+        // decomposition narrative: rank-sorts the FULL event stream
+        // inside the entity exchange to keep 5 rows per entity — the
+        // stage the PathPrefix rewrite deletes
+        if (want("q116_win")) record("q116_win", k, time {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy("user_id").orderBy("us", "event_id")
+          ev.select(col("user_id"), col("us"), col("event_id"),
+              col("event_type").as("_ty"))
+            .withColumn("_rn", row_number().over(w))
+            .filter(col("_rn") <= 5)
+            .groupBy("user_id")
+            .agg(concat_ws(">", transform(
+              array_sort(collect_list(struct(col("_rn"), col("_ty")))),
+              s => s.getField("_ty"))).as("path"))
+            .groupBy("path").agg(count(lit(1)).as("n_entities"))
+            .orderBy(col("n_entities").desc, col("path")).limit(20)
+        })
         // gaps-and-islands: stacked lag/run-sum windows on one shuffle,
         // output ∝ runs — should track the scan like the others
         if (want("q115_intervals")) record("q115_intervals", k, time(
@@ -553,6 +571,36 @@ object ScaleBench {
         System.err.println(s"SCALE inputs ${k}x: $nE edges (pagerank)")
         record("q118_pagerank", k, time(
           graft.operators.Graph.pageRank(edges, "src", "dst", iterations = 3)))
+        edges.unpersist()
+      }
+
+      // q209's 100 TB posture: two-hop reach with the hot-middle cap +
+      // HLL distinct, on a PLANTED hub graph — one middle with
+      // (1000k)² wedge fan-out atop a 20000k-edge chain background.
+      // Uncapped, the wedge join generates Σ din·dout ≈ 10⁶k²
+      // candidates (measured beside the cap at k ≤ 10 to show the
+      // quadratic the cap exists to prevent — k=100 would be 10¹⁰
+      // rows); capped, every surviving middle has fan-out 1, so cost
+      // must track the edge scan ≈ linearly
+      if (want("two_hop_cap") || want("two_hop_uncapped")) {
+        val h = 1000L * k
+        val m = 20000L * k
+        val base = 2 * h + 1
+        val edges = spark.range(1L, h + 1)
+          .select(col("id").as("a"), lit(0L).as("b"))
+          .union(spark.range(h + 1, 2 * h + 1)
+            .select(lit(0L).as("a"), col("id").as("b")))
+          .union(spark.range(m).select((col("id") + base).as("a"),
+            (col("id") + base + 1).as("b")))
+          .repartition(32).persist()
+        val nE = edges.count()
+        System.err.println(s"SCALE inputs ${k}x: $nE edges (hub fan-out $h×$h)")
+        if (want("two_hop_cap")) record("two_hop_cap", k, time(
+          graft.operators.Graph.twoHopReach(edges, "a", "b", 100,
+            maxMiddleWedges = Some(1000L), approxDistinct = true)))
+        if (want("two_hop_uncapped") && k <= 10)
+          record("two_hop_uncapped", k, time(
+            graft.operators.Graph.twoHopReach(edges, "a", "b", 100)))
         edges.unpersist()
       }
 
@@ -919,17 +967,22 @@ object ScaleBench {
         val exact = Similarity.knnBatch(emb, probes, "vec_id", "embedding", k = 3)
           .select("probe_id", "nn_id").collect()
           .map(r => (r.getLong(0), r.getLong(1))).toSet
+        // nprobe from the log-N policy (nprobeFor), not a constant:
+        // the fixed nprobe=12 this op shipped with read recall 0.8 at
+        // 100x — the exact decay the policy exists to close
+        val np = Similarity.nprobeFor(nEmb, nl)
+        System.err.println(s"SCALE ivfpq_nlist ${k}x: nlist=$nl nprobe=$np")
         def got(): Set[(Long, Long)] = Similarity.ivfPqTopKFrom(
             spark.table(tbl), spark.table(s"${tbl}_centroids"),
             spark.table(s"${tbl}_codebook"), emb, probes,
-            "vec_id", "embedding", k = 3, nprobe = 12, candidates = 150,
+            "vec_id", "embedding", k = 3, nprobe = np, candidates = 150,
             subspaces = 16)
           .select("probe_id", "nn_id").collect()
           .map(r => (r.getLong(0), r.getLong(1))).toSet
         record("ivfpq_nlist", k, time(Similarity.ivfPqTopKFrom(
           spark.table(tbl), spark.table(s"${tbl}_centroids"),
           spark.table(s"${tbl}_codebook"), emb, probes,
-          "vec_id", "embedding", k = 3, nprobe = 12, candidates = 150,
+          "vec_id", "embedding", k = 3, nprobe = np, candidates = 150,
           subspaces = 16)))
         recordRecall("ivfpq_nlist", k, nl, (exact & got()).size / 15.0)
         Warehouse.dropWithLocation(spark, tbl)
@@ -1004,6 +1057,20 @@ object ScaleBench {
           .count()
         val rec = hits.toDouble / (3.0 * annProbes.count())
         recordRecall("q41c_logbits", k, bits, rec)
+        // the multi-probe close (flipsFor): same stored index, probe
+        // side carries 1+flips keys per table with flips ∝ log of the
+        // corpus growth — the policy that restores the recall the
+        // held-occupancy bits give up at scale
+        val flips = Similarity.flipsFor(nEmb)
+        def annMp() = Similarity.annCosineTopKFromMulti(idx, annProbes,
+          "vec_id", "embedding", k = 3, tables = 32, bits = bits,
+          flips = flips)
+        record("q41c_mp", k, time(annMp()))
+        val hitsMp = exact
+          .join(annMp().select("probe_id", "nn_id"), Seq("probe_id", "nn_id"))
+          .count()
+        recordRecall("q41c_mp", k, flips,
+          hitsMp.toDouble / (3.0 * annProbes.count()))
         idx.unpersist()
       }
       // incremental index maintenance at scale: the STORED index grows

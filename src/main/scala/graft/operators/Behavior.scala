@@ -199,27 +199,26 @@ object Behavior {
    * first five things a user does look like?". Ties inside one
    * timestamp break on `idCol` so the path string is deterministic.
    *
-   * One window (rank within entity — shuffle on the entity key, state
-   * is the running rank, not the event list), a `collect_list` BOUNDED
-   * at `depth` rows per entity (filtered BEFORE the aggregation, so
-   * the per-group state is ≤ depth strings — this is the one
-   * collect_list in the codebase and it is bounded by construction),
-   * and a path-count rollup whose cardinality is |types|^depth at
-   * worst but Zipf-concentrated in practice.
+   * One bounded aggregate ([[graft.functions.PathPrefix]], the r12
+   * rewrite of the window formulation whose full-stream rank sort
+   * measured a 1.30 scaling exponent at 100×): the buffer is a
+   * mergeable first-`depth` summary, so the map side combines before
+   * the entity-key exchange and only ≤ depth events per (task,
+   * entity) are shuffled — no stage sorts the event stream. Then a
+   * path-count rollup whose cardinality is |types|^depth at worst but
+   * Zipf-concentrated in practice. `tsCol`/`idCol` must be integral
+   * (they are cast to long for the order key).
    */
   def topPaths(events: DataFrame, keyCol: String, tsCol: Column,
                idCol: Column, typeCol: Column, depth: Int,
                topK: Int): DataFrame = {
-    val ranked = events
-      .select(col(keyCol), tsCol.as("_ts"), idCol.as("_id"),
-        typeCol.as("_ty"))
-      .withColumn("_rn", row_number().over(
-        Window.partitionBy(col(keyCol)).orderBy(col("_ts"), col("_id"))))
-      .filter(col("_rn") <= depth)
-    val paths = ranked.groupBy(col(keyCol))
-      .agg(concat_ws(">", transform(
-        array_sort(collect_list(struct(col("_rn"), col("_ty")))),
-        s => s.getField("_ty"))).as("path"))
+    val pathAgg = udaf(new graft.functions.PathPrefix(depth),
+      org.apache.spark.sql.Encoders.product[graft.functions.PathEvent])
+    val paths = events
+      .select(col(keyCol), tsCol.cast("long").as("_ts"),
+        idCol.cast("long").as("_id"), typeCol.as("_ty"))
+      .groupBy(col(keyCol))
+      .agg(pathAgg(col("_ts"), col("_id"), col("_ty")).as("path"))
     paths.groupBy("path").agg(count(lit(1)).as("n_entities"))
       .orderBy(col("n_entities").desc, col("path"))
       .limit(topK)
@@ -414,29 +413,6 @@ object Behavior {
   }
 
   /**
-   * CUSUM changepoint scan over a daily metric series: the cumulative
-   * deviation from the series mean, `S_t = Σ_{d≤t} (s_d − n_d·μ)`, with
-   * the changepoint flagged at `argmax |S_t|` — the classic "where did
-   * the level shift" statistic (a monitoring primitive over the same
-   * per-day frame q145/q146 use). All arithmetic, INCLUDING the
-   * presented columns, is exact integers: `unitsCol` enters in the
-   * series' smallest integer unit (cents via the q194 trick, µs for
-   * latency), and the mean is never divided out — multiplying
-   * through by N turns the deviation into `C_t = N·Σs_d − (Σn_d)·S`
-   * (emitted as `cum_dev`, in unit·N terms; both cumulative), which
-   * both engines compute bit-identically, so neither the argmax nor
-   * any output cell can flip on an ulp (a rounded float mean here
-   * flipped a live 4-dp half boundary in q201's first draft; a
-   * rounded CUSUM shares the failure mode).
-   *
-   * Scale shape: one map-side-combined per-day aggregate (the only
-   * corpus-sized stage), then windows over the day-cardinality frame —
-   * bounded by the calendar, the q146 precedent. Magnitudes: `N·S` ≲
-   * 9·10¹⁸ holds through ~10⁹ events of 2-decimal values ≤ ~10³; past
-   * that, segment the series (per month / per entity) before scanning —
-   * which a 100 TB monitoring deployment does anyway.
-   */
-  /**
    * Hour-of-day seasonal anomaly: flag (day, hour) load buckets whose
    * total deviates more than `z`σ from THAT HOUR's cross-day profile —
    * the "is 3 AM unusually busy *for 3 AM*" monitor a raw global
@@ -456,24 +432,101 @@ object Behavior {
    * that, segment the series per metric/entity (the [[cusumChangepoint]]
    * note) or lift to DECIMAL(38).
    */
+  /** Long multiply that RAISES instead of wrapping when the product's
+    * magnitude nears Long range — the integer-exact monitors' documented
+    * bounds, enforced (r12 advice: LongType wraps silently while the
+    * DuckDB oracle computes in HUGEINT, so past the bounds the engines
+    * would silently diverge). The magnitude check runs in double —
+    * exact enough at the 4.4·10¹⁸ margin vs the 9.22·10¹⁸ wrap point,
+    * and the margin keeps any SUM of two guarded products unwrappable
+    * too. Per-day/per-bucket rows only — never a corpus-sized stage. */
+  private def guardedTimes(a: Column, b: Column, what: String): Column = {
+    val ok = abs(a.cast("double") * b.cast("double")) < lit(4.4e18)
+    when(assert_true(ok, concat(lit(s"$what exceeds the integer-exact " +
+      "magnitude bound (|product| >= 4.4e18) - segment the series " +
+      "(per month / per entity) before scanning; operands "),
+      a, lit(" * "), b)).isNull, a * b)
+  }
+
+  /** Long SUM guarded the same way: a double shadow of `Σ|term|`
+    * (which bounds the total AND every accumulation-order partial, so
+    * a transient wrap cannot hide behind a small signed total) raises
+    * past the margin; under it, the long sum is exact. Two aggregates
+    * in one expression — both codegen'd, both map-side-combined, so
+    * the corpus-sized monitor aggregates keep their one-exchange
+    * shape. */
+  private def guardedSum(term: Column, what: String): Column = {
+    val shadow = sum(abs(term).cast("double"))
+    when(assert_true(shadow < lit(4.4e18),
+      concat(lit(s"$what exceeds the integer-exact magnitude bound " +
+        "(sum(|term|) >= 4.4e18) - segment the series (per month / " +
+        "per entity) before scanning; shadow="),
+        shadow.cast("string"))).isNull, sum(term))
+  }
+
+  /** Windowed variant of [[guardedSum]]. */
+  private def guardedSumOver(term: Column, w: org.apache.spark.sql
+      .expressions.WindowSpec, what: String): Column = {
+    val shadow = sum(abs(term).cast("double")).over(w)
+    when(assert_true(shadow < lit(4.4e18),
+      concat(lit(s"$what exceeds the integer-exact magnitude bound " +
+        "(sum(|term|) >= 4.4e18) - segment the series before " +
+        "scanning; shadow="), shadow.cast("string"))).isNull,
+      sum(term).over(w))
+  }
+
   def seasonalAnomaly(events: DataFrame, dayCol: Column, hourCol: Column,
                       unitsCol: Column, z: Int = 3): DataFrame = {
     val buckets = events
       .select(dayCol.cast("long").as("day"),
         hourCol.cast("long").as("hour"), unitsCol.as("_c"))
       .groupBy("day", "hour")
-      .agg(count(lit(1)).as("n"), sum("_c").as("s_units"))
+      .agg(count(lit(1)).as("n"),
+        guardedSum(col("_c"), "seasonalAnomaly bucket sum").as("s_units"))
+    // s² terms multiply in double for the shadow BEFORE the long
+    // multiply can wrap, so the Σs² guard sees true magnitudes
     val prof = buckets.groupBy("hour")
-      .agg(count(lit(1)).as("_m"), sum("s_units").as("_ss"),
-        sum(col("s_units") * col("s_units")).as("_sq"))
-    val dev = col("_m") * col("s_units") - col("_ss")
+      .agg(count(lit(1)).as("_m"),
+        guardedSum(col("s_units"), "seasonalAnomaly hour sum").as("_ss"),
+        guardedSum(guardedTimes(col("s_units"), col("s_units"),
+          "seasonalAnomaly s**2"), "seasonalAnomaly sum(s**2)").as("_sq"))
+    val dev = guardedTimes(col("_m"), col("s_units"),
+      "seasonalAnomaly m*s") - col("_ss")
+    val varN = guardedTimes(col("_m"), col("_sq"), "seasonalAnomaly m*sq") -
+      guardedTimes(col("_ss"), col("_ss"), "seasonalAnomaly ss**2")
     buckets.join(broadcast(prof), "hour")
       .select(col("day"), col("hour"), col("n"), col("s_units"),
-        (dev * dev > lit(z.toLong * z) *
-          (col("_m") * col("_sq") - col("_ss") * col("_ss")))
+        (guardedTimes(dev, dev, "seasonalAnomaly dev**2") >
+          guardedTimes(lit(z.toLong * z), varN, "seasonalAnomaly z2*var"))
           .as("flagged"))
   }
 
+  /**
+   * CUSUM changepoint scan over a daily metric series: the cumulative
+   * deviation from the series mean, `S_t = Σ_{d≤t} (s_d − n_d·μ)`, with
+   * the changepoint flagged at `argmax |S_t|` — the classic "where did
+   * the level shift" statistic (a monitoring primitive over the same
+   * per-day frame q145/q146 use). All arithmetic, INCLUDING the
+   * presented columns, is exact integers: `unitsCol` enters in the
+   * series' smallest integer unit (cents via the q194 trick, µs for
+   * latency), and the mean is never divided out — multiplying
+   * through by N turns the deviation into `C_t = N·Σs_d − (Σn_d)·S`
+   * (emitted as `cum_dev`, in unit·N terms; both cumulative), which
+   * both engines compute bit-identically, so neither the argmax nor
+   * any output cell can flip on an ulp (a rounded float mean here
+   * flipped a live 4-dp half boundary in q201's first draft; a
+   * rounded CUSUM shares the failure mode).
+   *
+   * Scale shape: one map-side-combined per-day aggregate (the only
+   * corpus-sized stage), then windows over the day-cardinality frame —
+   * bounded by the calendar, the q146 precedent. Magnitudes: `N·S` ≲
+   * 9·10¹⁸ holds through ~10⁹ events of 2-decimal values ≤ ~10³ —
+   * GUARDED at runtime (r12, the silent-wrap advice): the cumulative
+   * products are magnitude-checked in double before the long multiply
+   * and raise instead of wrapping; past the bound, segment the series
+   * (per month / per entity) before scanning — which a 100 TB
+   * monitoring deployment does anyway.
+   */
   def cusumChangepoint(events: DataFrame, dayCol: Column,
                        unitsCol: Column): DataFrame =
     cusumFromDaily(events
@@ -496,11 +549,15 @@ object Behavior {
   def cusumFromDaily(daily: DataFrame): DataFrame = {
     val wCum = Window.orderBy("day")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val tot = daily.agg(sum("n").as("_nt"), sum("_s").as("_st"))
+    val tot = daily.agg(
+      guardedSum(col("n"), "cusum total N").as("_nt"),
+      guardedSum(col("_s"), "cusum total S").as("_st"))
     val cum = daily.crossJoin(broadcast(tot))
-      .withColumn("_cn", sum("n").over(wCum))
-      .withColumn("_cs", sum("_s").over(wCum))
-      .withColumn("_ct", col("_nt") * col("_cs") - col("_cn") * col("_st"))
+      .withColumn("_cn", guardedSumOver(col("n"), wCum, "cusum cumN"))
+      .withColumn("_cs", guardedSumOver(col("_s"), wCum, "cusum cumS"))
+      .withColumn("_ct",
+        guardedTimes(col("_nt"), col("_cs"), "cusum N*cumS") -
+          guardedTimes(col("_cn"), col("_st"), "cusum cumN*S"))
     val wAll = Window.rowsBetween(
       Window.unboundedPreceding, Window.unboundedFollowing)
     cum

@@ -2381,6 +2381,16 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // Per-digest drill-down detail (Qan.digestDetail, the QAN review
+    // UI's missing report shape — r12 verdict item 8): profile row,
+    // hourly sparkline, worst example calls, apdex, and the user/schema
+    // drill-down links for ONE digest, as a single tall
+    // (section, ord, label, value) frame the oracle UNIONs together.
+    // ApdexT (50.0) splits the value distribution into three non-empty
+    // classes at both oracle SFs.
+    "q221_digest_detail" -> ((s, d) =>
+      Qan.digestDetail(qanWide(s, d), "view", apdexT = ApdexT)),
+
     // Join fan-out pre-flight (q208's sibling): the EXACT output
     // cardinality of a prospective self-join from per-key counts alone
     // — Σ n_k² (and Σ n_a·n_b for two sides) — without running the
@@ -2390,8 +2400,17 @@ object ExtQueries {
     "q212_join_preflight" -> ((s, d) => {
       val c = t(s, d, "lineitem").groupBy("l_suppkey")
         .agg(count(lit(1)).as("n"))
+      // Σn² guarded against silent long wrap (r12 advice): the double
+      // shadow sums true magnitudes (cast before the multiply), so a
+      // key hot enough to push any term — or the total — past the
+      // long-exact margin raises instead of wrapping; under the guard
+      // the long arithmetic (including max's per-term n²) is exact
+      val sqShadow = sum(col("n").cast("double") * col("n").cast("double"))
       c.agg(count(lit(1)).as("n_keys"),
-          sum(col("n") * col("n")).as("join_rows"),
+          when(assert_true(sqShadow < lit(4.4e18),
+            concat(lit("q212 join_rows exceeds the integer-exact bound" +
+              " (sum n^2 >= 4.4e18); shadow="), sqShadow.cast("string")))
+            .isNull, sum(col("n") * col("n"))).as("join_rows"),
           max(col("n") * col("n")).as("hot_key_rows"))
         .select(col("n_keys"), col("join_rows"), col("hot_key_rows"),
           expr("10000 * hot_key_rows div join_rows").as("hot_share_bp"))
@@ -2465,9 +2484,17 @@ object ExtQueries {
     // manually and carry the equality conjunct the rule's guard skips).
     // Bands overlap by half, so each price lands in up to two.
     "q195_band_join" -> ((s, d) => {
-      s.conf.set("spark.graft.bandJoin.binWidth", "11000")
-      val li = t(s, d, "lineitem").select(col("l_extendedprice").as("p"))
-      val bands = s.range(0, 10).select(col("id").as("band"),
+      // binWidth scoped to a CHILD session (r12 advice: set on `s` it
+      // leaked to every later keyless point-in-interval join in the
+      // session, inheriting a width tuned for price data). newSession()
+      // shares the SparkContext and extensions (the rule still fires at
+      // execution time, which is when it reads the conf) but owns its
+      // SQLConf, so the parent session never sees the knob; builder
+      // confs (shuffle partitions, UTC) carry over as initial options.
+      val sq = s.newSession()
+      sq.conf.set("spark.graft.bandJoin.binWidth", "11000")
+      val li = t(sq, d, "lineitem").select(col("l_extendedprice").as("p"))
+      val bands = sq.range(0, 10).select(col("id").as("band"),
         (col("id") * 11000.0).as("lo"),
         ((col("id") + lit(2)) * 11000.0).as("hi"))
       li.join(bands, col("p") >= col("lo") && col("p") <= col("hi"))
@@ -3670,6 +3697,40 @@ object ExtQueries {
         "coalesce(last_value(cents IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY hour ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS filled_cents, " +
         "cents IS NULL AS was_gap " +
         "FROM j ORDER BY event_type, hour"),
+    // q221: the detail view's six sections UNIONed in the same tall
+    // schema; every section recomputes from the digest-filtered wide
+    // CTE exactly as the operator does (profile aggregates, hour
+    // buckets via the epoch_us div rule, example/drill-down ranks on
+    // the shared (value desc, label) tiebreaks)
+    "q221_digest_detail" ->
+      (s"WITH $qanWideSql, " +
+        "w AS (SELECT * FROM wide WHERE digest = 'view'), " +
+        "p AS (SELECT count(*) AS cnt, CAST(sum(greatest(rate_limit,1)) AS BIGINT) AS cs, " +
+        "round(sum(query_time),4) AS tt, round(avg(query_time),4) AS av, " +
+        "count(DISTINCT \"user\") AS nu FROM w), " +
+        "a AS (SELECT count(*) AS cnt, " +
+        "count(*) FILTER (query_time <= 50.0) AS sat, " +
+        "count(*) FILTER (query_time > 50.0 AND query_time <= 200.0) AS tol FROM w) " +
+        "SELECT 'profile' AS section, 1 AS ord, 'cnt' AS label, CAST(cnt AS DOUBLE) AS value FROM p " +
+        "UNION ALL SELECT 'profile', 2, 'cnt_scaled', CAST(cs AS DOUBLE) FROM p " +
+        "UNION ALL SELECT 'profile', 3, 'total_time', tt FROM p " +
+        "UNION ALL SELECT 'profile', 4, 'avg_time', av FROM p " +
+        "UNION ALL SELECT 'profile', 5, 'n_users', CAST(nu AS DOUBLE) FROM p " +
+        "UNION ALL SELECT 'sparkline', epoch_us(ts)//3600000000, " +
+        "strftime(make_timestamp((epoch_us(ts)//3600000000)*3600000000), '%Y-%m-%d %H:00'), " +
+        "round(sum(query_time * greatest(rate_limit,1)),4) FROM w GROUP BY 2,3 " +
+        "UNION ALL SELECT 'examples', row_number() OVER (ORDER BY query_time DESC, ts, \"offset\"), " +
+        "query, round(query_time,4) FROM (SELECT * FROM w ORDER BY query_time DESC, ts, \"offset\" LIMIT 3) " +
+        "UNION ALL SELECT 'apdex', 1, 'satisfied', CAST(sat AS DOUBLE) FROM a " +
+        "UNION ALL SELECT 'apdex', 2, 'tolerating', CAST(tol AS DOUBLE) FROM a " +
+        "UNION ALL SELECT 'apdex', 3, 'frustrated', CAST(cnt - sat - tol AS DOUBLE) FROM a " +
+        "UNION ALL SELECT 'apdex', 4, 'apdex', round((sat + tol/2.0)/cnt, 4) FROM a " +
+        "UNION ALL SELECT 'users', row_number() OVER (ORDER BY value DESC, label), label, value " +
+        "FROM (SELECT \"user\" AS label, round(sum(query_time*greatest(rate_limit,1)),4) AS value FROM w GROUP BY 1 ORDER BY value DESC, label LIMIT 5) " +
+        "UNION ALL SELECT 'schemas', row_number() OVER (ORDER BY value DESC, label), label, value " +
+        "FROM (SELECT db AS label, round(sum(query_time*greatest(rate_limit,1)),4) AS value FROM w GROUP BY 1 ORDER BY value DESC, label LIMIT 5) " +
+        "ORDER BY section, ord, label"),
+
     // q220: the augmented table must equal the FULL closure — q67's
     // oracle verbatim (the split is invisible to the fixpoint)
     "q220_cc_augment" ->

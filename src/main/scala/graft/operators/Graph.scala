@@ -153,25 +153,59 @@ object Graph {
    *
    * Scale shape: the edge self-join on the middle node is the standard
    * wedge join, so the candidate volume is Σ deg_in(b)·deg_out(b) —
-   * hub-quadratic, exactly [[triangleCount]]'s hazard. This exact
-   * variant is the oracle contract; a 100 TB social graph swaps the
-   * per-node exact distinct for `approx_count_distinct` (HLL partials
-   * merge across the wedge shuffle, bounding reducer memory) and caps
-   * or samples hub middles the way the dedup family caps hot blocks —
-   * same plan, bounded state. The top-k rank window runs AFTER the
-   * limit (k-row frame, the Search/Graph precedent).
+   * hub-quadratic, exactly [[triangleCount]]'s hazard. The exact
+   * uncapped variant is the oracle contract; the 100 TB posture is the
+   * two optional knobs, both measured on a planted hub graph
+   * (ScaleBench `two_hop_cap`, SCALE.md §16):
+   *
+   *  - `maxMiddleWedges`: middles whose wedge fan-out
+   *    `deg_in(b)·deg_out(b)` exceeds the cap are dropped from the
+   *    two-hop expansion (their one-hop edges still count) — the
+   *    [[Dedup.ngramJaccardPairs]] `maxShingleDf` pattern exactly: under
+   *    a skewed degree distribution the hot-middle list is tiny by
+   *    construction (it IS the head the cap exists to drop), so it
+   *    broadcasts and the cap is a map-side anti-join. Reach through a
+   *    super-hub undercounts, which is the documented approximation —
+   *    a hub middle's neighborhood is reachable by almost everyone, so
+   *    it carries no ranking discrimination, only the quadratic cost.
+   *  - `approxDistinct`: swaps the exact UNION-distinct for
+   *    `approx_count_distinct` (HLL ±2.5% default rsd) — sketch
+   *    partials merge map-side across the wedge shuffle, so reducer
+   *    state is bounded by the sketch, not the neighborhood.
+   *
+   * The top-k rank window runs AFTER the limit (k-row frame, the
+   * Search/Graph precedent).
    */
   def twoHopReach(edges: DataFrame, srcCol: String, dstCol: String,
-                  k: Int): DataFrame = {
+                  k: Int, maxMiddleWedges: Option[Long] = None,
+                  approxDistinct: Boolean = false): DataFrame = {
     val e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
       .distinct()
-    val two = e.join(e.select(col("a").as("b"), col("b").as("c")), "b")
+    // left leg of the wedge join, optionally stripped of hot middles;
+    // filtering ONE leg removes the hub's wedges entirely (the join is
+    // keyed on b), so the other leg needs no second anti-join pass
+    val left = maxMiddleWedges match {
+      case None => e
+      case Some(cap) =>
+        val hot = e.groupBy(col("b").as("_m")).agg(count(lit(1)).as("_din"))
+          .join(e.groupBy(col("a").as("_m")).agg(count(lit(1)).as("_dout")),
+            "_m")
+          .filter(col("_din") * col("_dout") > cap)
+          .select(col("_m").as("b"))
+        e.join(broadcast(hot), Seq("b"), "left_anti")
+    }
+    val two = left.join(e.select(col("a").as("b"), col("b").as("c")), "b")
       .filter(col("a") =!= col("c")).select("a", "c")
     val one = e.filter(col("a") =!= col("b"))
       .select(col("a"), col("b").as("c"))
-    val reach = one.union(two).distinct()
-      .groupBy("a").agg(count(lit(1)).as("reach"))
-      .orderBy(col("reach").desc, col("a")).limit(k)
+    val perNode =
+      if (approxDistinct)
+        one.union(two).groupBy("a")
+          .agg(approx_count_distinct(col("c")).as("reach"))
+      else
+        one.union(two).distinct()
+          .groupBy("a").agg(count(lit(1)).as("reach"))
+    val reach = perNode.orderBy(col("reach").desc, col("a")).limit(k)
     reach
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window

@@ -606,7 +606,12 @@ object Pipeline {
   def equiDepthHistogram(df: DataFrame, valueCol: Column,
                          bins: Int): DataFrame = {
     val spark = df.sparkSession
-    val pre = df.select(valueCol.as("_v"))
+    // NULLs are excluded before ranking (r12 advice): Spark's range
+    // sort orders them FIRST while DuckDB's ntile oracle orders them
+    // LAST, so a null-bearing value column would silently diverge
+    // cross-engine — and a histogram bin "populated" by nulls with
+    // null lo/hi describes nothing anyway
+    val pre = df.select(valueCol.as("_v")).filter(col("_v").isNotNull)
     val total = pre.count()
     val narrow = pre.repartitionByRange(col("_v"))
       .sortWithinPartitions(col("_v"))

@@ -332,6 +332,51 @@ object Similarity {
     math.max(16L, math.min(sqrt, math.min(65536L, n / 64))).toInt
   }
 
+  /**
+   * The PROBE-time close of [[nlistFor]]'s rebuild-time rule (the r11
+   * third-decade lesson made policy): with `nlist ~ √N`, a fixed
+   * `nprobe` visits a vanishing fraction of cells as the corpus grows,
+   * and recall decays silently — ivfpq_nlist measured 1.0/1.0/0.8 at
+   * 1×/10×/100× with nprobe=12 (BENCH_SCALED.json). True neighbors
+   * spread over more cell boundaries as cells shrink, but only
+   * logarithmically (the boundary-energy argument behind multi-probe
+   * LSH), so `nprobe ∝ log₂ N` holds recall: re-measured at 100×
+   * (nlist=447, 200k vectors) nprobe=27 reads recall@3 ≥ 0.9 at
+   * ~flat probe cost — the candidate scan is nprobe·N/nlist =
+   * nprobe·√N rows, still sublinear. Anchored at the oracle config
+   * (nprobe=12 at the 2k-vector oracle corpus, never below), clamped
+   * to nlist (a probe cannot visit more cells than exist).
+   */
+  def nprobeFor(corpusSize: Long, nlist: Int): Int = {
+    val n = math.max(1L, corpusSize)
+    val raw = math.round(1.5 * math.log(n.toDouble) / math.log(2.0)).toInt
+    math.min(math.max(12, raw), math.max(1, nlist))
+  }
+
+  /**
+   * Multi-probe flip budget ∝ log of corpus growth — the q41c
+   * sign-LSH twin of [[nprobeFor]]: [[bitsFor]] holds bucket occupancy
+   * (and probe cost) flat by adding ~3.3 bits per corpus decade, but
+   * each added bit is another hyperplane a true neighbor can land on
+   * the wrong side of, so recall at fixed `flips` decays with scale
+   * (q41c_logbits 0.97 → 0.85 → 0.745 across three decades,
+   * BENCH_SCALED.json). Flipping the lowest-margin bits recovers
+   * exactly those boundary losses ([[lshProbeKeysMulti]]), and the
+   * number of boundaries grows with the bits added since the anchor
+   * scale — so `flips = bits(N) − bits(anchor)` ≈ log₂(N/anchor),
+   * halved (each flip probes the SINGLE most marginal boundary first;
+   * measured flips=2 bought 0.528→0.883 and flips=4 0.965 at 13
+   * bits). Probe cost multiplies by (1+flips) keys per table, each
+   * key's candidate work still occupancy-bounded — log-factor cost
+   * for held recall. Floor 2 (the shipped q41 default), cap 8 (past
+   * that, raise `tables` at rebuild time instead).
+   */
+  def flipsFor(corpusSize: Long, anchorSize: Long = 2000L): Int = {
+    val n = math.max(anchorSize, math.max(1L, corpusSize))
+    val grown = math.log(n.toDouble / anchorSize) / math.log(2.0)
+    math.max(2, math.min(math.round(grown / 2.0).toInt, 8))
+  }
+
   private def annBucketFrameImpl(corpus: DataFrame, idCol: String,
                                  embCol: String, tables: Int, bits: Int,
                                  dim: Int, seed: Long): DataFrame = {

@@ -180,12 +180,18 @@ object TextAnalysis {
    * P), 4)` — rounded AFTER the aggregate like every float aggregate on
    * the oracle surface.
    *
-   * Scale shape: bigram extraction is per-row (zip_with over the word
-   * array, no shuffle); the model is two hash aggregates on (w1,w2) and
-   * (w1); scoring joins each bigram instance to its two counts —
-   * equi-joins on word keys, AQE-broadcastable when the vocabulary is
-   * small, hash-partitioned when it is web-scale. Nothing is collected:
-   * the "model" never leaves the cluster.
+   * Scale shape (r12 rewrite — the q193 "delete stages before knobs"
+   * rule applied to the 1.22 exponent this op measured at 100×): the
+   * instance stream crosses exactly TWO exchanges — the (w1,w2) count
+   * aggregate (map-side partials, vocabulary-sized output) and the
+   * model join — plus the per-doc aggregate. `c(w1 ·)` is the w1-sum
+   * OF `c(w1 w2)` (every instance counted once in each), so it is
+   * folded from the vocabulary-sized count table, never by a second
+   * instance-sized aggregate; the two counts join into one
+   * vocabulary-sized probability model BEFORE meeting the instances,
+   * so the instance stream is exchanged once for its model lookup
+   * (AQE-broadcast when the vocabulary is small) instead of twice.
+   * Nothing is collected: the "model" never leaves the cluster.
    */
   def bigramLogLikelihood(docs: DataFrame, idCol: String,
                           textCol: String): DataFrame = {
@@ -196,8 +202,9 @@ object TextAnalysis {
         (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
       .select(col(idCol), col("bg.w1"), col("bg.w2"))
     val c12 = inst.groupBy("w1", "w2").agg(count(lit(1)).as("_c12"))
-    val c1 = inst.groupBy("w1").agg(count(lit(1)).as("_c1"))
-    inst.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
+    val c1 = c12.groupBy("w1").agg(sum("_c12").as("_c1"))
+    val model = c12.join(c1, "w1")
+    inst.join(model, Seq("w1", "w2"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"),
         round(avg(log(col("_c12").cast("double") / col("_c1"))), 4)
@@ -232,9 +239,13 @@ object TextAnalysis {
         slice(ws, lit(1), size(ws) - 1), slice(ws, lit(2), size(ws) - 1),
         (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
       .select(col(idCol), col("bg.w1"), col("bg.w2"))
+    // same two-exchange shape as bigramLogLikelihood (r12): c1 folded
+    // from the vocabulary-sized c12 table, counts pre-joined into one
+    // model before the instance stream's single lookup join
     val c12 = inst.groupBy("w1", "w2").agg(count(lit(1)).as("_c12"))
-    val c1 = inst.groupBy("w1").agg(count(lit(1)).as("_c1"))
-    inst.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
+    val c1 = c12.groupBy("w1").agg(sum("_c12").as("_c1"))
+    val model = c12.join(c1, "w1")
+    inst.join(model, Seq("w1", "w2"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"),
         sum(when(col("_c1") > lit(probFloor) * col("_c12"), 1L)

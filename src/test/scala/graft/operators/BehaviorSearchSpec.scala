@@ -188,6 +188,53 @@ class BehaviorSearchSpec extends AnyFunSuite with SparkTestSession {
       "c" -> ((0L, 1L, 1L))))
   }
 
+  // hub graph for the twoHopReach cap tests: middle 0 with 3 in-edges
+  // and 4 out-edges (wedge fan-out 12) next to a 4-node chain whose
+  // middles all have fan-out 1
+  private lazy val hubEdges = (
+    (1L to 3L).map(i => (i, 0L)) ++ Seq(10L, 11L, 12L, 13L).map(j => (0L, j)) ++
+      Seq((20L, 21L), (21L, 22L), (22L, 23L))
+  ).toDF("s", "d")
+
+  test("twoHopReach: cap high enough to keep every middle equals the uncapped result") {
+    val k = 50
+    val uncapped = Graph.twoHopReach(hubEdges, "s", "d", k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val capped = Graph.twoHopReach(hubEdges, "s", "d", k,
+        maxMiddleWedges = Some(12L)) // hub fan-out is exactly 12, kept
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(capped == uncapped)
+    // sanity on the uncapped semantics: node 1 reaches 0 plus the hub's
+    // 4 out-neighbors
+    val reach = uncapped.map(t => t._2 -> t._3).toMap
+    assert(reach(1L) == 5L)
+    assert(reach(20L) == 2L) // chain: 21, 22
+  }
+
+  test("twoHopReach: a cap below the hub fan-out drops only wedges THROUGH the hub") {
+    val got = Graph.twoHopReach(hubEdges, "s", "d", 50,
+        maxMiddleWedges = Some(11L))
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    // spokes lose the hub's neighborhood but keep their one-hop edge
+    assert(got(1L) == 1L && got(2L) == 1L && got(3L) == 1L)
+    // the hub's own reach and the chain (fan-out 1 middles) are intact
+    assert(got(0L) == 4L)
+    assert(got(20L) == 2L && got(21L) == 2L && got(22L) == 1L)
+  }
+
+  test("twoHopReach: approxDistinct agrees with exact counts on a small graph") {
+    val exact = Graph.twoHopReach(hubEdges, "s", "d", 50)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    val approx = Graph.twoHopReach(hubEdges, "s", "d", 50,
+        approxDistinct = true)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (n, r) =>
+      assert(math.abs(approx(n) - r) <= math.max(1L, (r * 0.05).toLong),
+        s"node $n: approx ${approx(n)} vs exact $r")
+    }
+  }
+
   test("transitionMatrix: rows are per-entity consecutive pairs, probs sum to 1 per source") {
     val got = Behavior.transitionMatrix(ev, "user_id", col("ts"),
         col("event_id"), col("event_type"))

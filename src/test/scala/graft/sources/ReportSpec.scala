@@ -58,6 +58,45 @@ class ReportSpec extends AnyFunSuite with SparkTestSession {
     assert(bounds.sameElements(bounds.sorted))
   }
 
+  test("digest report: detail sections cohere with the profile row") {
+    val top = Report.run(spark, Report.Config(source = warehouse,
+      report = "profile")).collect().head
+    val digest = top.getAs[String]("digest")
+    val rows = Report.run(spark, Report.Config(source = warehouse,
+      report = "digest", digestId = Some(digest))).collect()
+    val bySection = rows.groupBy(_.getAs[String]("section"))
+    assert(bySection.keySet == Set("profile", "sparkline", "examples",
+      "apdex", "users", "schemas"))
+    val prof = bySection("profile")
+      .map(r => r.getAs[String]("label") -> r.getAs[Double]("value")).toMap
+    // the detail's profile section mirrors the profile report's row
+    assert(prof("cnt") == top.getAs[Long]("cnt").toDouble)
+    assert(math.abs(prof("total_time") -
+      top.getAs[Double]("total_time")) < 1e-3)
+    // apdex classes partition the calls; the score is a share
+    val apdex = bySection("apdex")
+      .map(r => r.getAs[String]("label") -> r.getAs[Double]("value")).toMap
+    assert(apdex("satisfied") + apdex("tolerating") + apdex("frustrated")
+      == prof("cnt"))
+    assert(apdex("apdex") >= 0.0 && apdex("apdex") <= 1.0)
+    // examples rank worst-first on latency
+    val ex = bySection("examples").sortBy(_.getAs[Long]("ord"))
+      .map(_.getAs[Double]("value"))
+    assert(ex.sameElements(ex.sorted.reverse))
+    // drill-down links: no duplicate users/schemas, loads ranked desc
+    for (sec <- Seq("users", "schemas")) {
+      val s = bySection(sec).sortBy(_.getAs[Long]("ord"))
+      assert(s.map(_.getAs[String]("label")).distinct.length == s.length)
+      val loads = s.map(_.getAs[Double]("value"))
+      assert(loads.sameElements(loads.sorted.reverse))
+    }
+    // hour buckets are distinct and the flag is required
+    val spans = bySection("sparkline").map(_.getAs[Long]("ord"))
+    assert(spans.distinct.length == spans.length)
+    intercept[IllegalArgumentException](Report.run(spark,
+      Report.Config(source = warehouse, report = "digest")))
+  }
+
   test("every report type returns rows over the ingested warehouse") {
     for (rep <- Seq("profile", "sparkline", "load", "apdex", "percentiles")) {
       val rows = Report.run(spark,
