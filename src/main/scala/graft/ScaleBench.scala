@@ -985,6 +985,24 @@ object ScaleBench {
           "vec_id", "embedding", k = 3, nprobe = np, candidates = 150,
           subspaces = 16)))
         recordRecall("ivfpq_nlist", k, nl, (exact & got()).size / 15.0)
+        // one-build config grid (tuning runs only): reuse the stored
+        // index to read recall at alternate (nprobe, candidates) pairs
+        // — distinguishes cell-miss losses (nprobe-limited) from ADC
+        // rank losses (candidates-limited) without paying a rebuild
+        sys.env.get("SPARK_GRAFT_IVFPQ_GRID").foreach { grid =>
+          grid.split(",").foreach { pair =>
+            val Array(gNp, gCand) = pair.split(":").map(_.trim.toInt)
+            val g = Similarity.ivfPqTopKFrom(
+                spark.table(tbl), spark.table(s"${tbl}_centroids"),
+                spark.table(s"${tbl}_codebook"), emb, probes,
+                "vec_id", "embedding", k = 3, nprobe = gNp,
+                candidates = gCand, subspaces = 16)
+              .select("probe_id", "nn_id").collect()
+              .map(r => (r.getLong(0), r.getLong(1))).toSet
+            recordRecall(s"ivfpq_g${gNp}c$gCand", k, gNp,
+              (exact & g).size / 15.0)
+          }
+        }
         Warehouse.dropWithLocation(spark, tbl)
         Warehouse.dropWithLocation(spark, s"${tbl}_centroids")
         Warehouse.dropWithLocation(spark, s"${tbl}_codebook")
@@ -1165,10 +1183,13 @@ object ScaleBench {
     val opsJson = results.map { case (op, byScale) =>
       val times = byScale.map { case (s, t) => s""""${s}x":${f"$t%.3f"}""" }
         .mkString(",")
-      val expPart = expPair.map { case (kLo, kHi) =>
-        val exp = math.log(byScale(kHi) / byScale(kLo)) /
-          math.log(kHi.toDouble / kLo)
-        s""","exponent":${f"$exp%.3f"}"""
+      // an op gated off the largest scale (two_hop_uncapped stops at
+      // 10× by design) has no exponent between the global last pair
+      val expPart = expPair.collect {
+        case (kLo, kHi) if byScale.contains(kLo) && byScale.contains(kHi) =>
+          val exp = math.log(byScale(kHi) / byScale(kLo)) /
+            math.log(kHi.toDouble / kLo)
+          s""","exponent":${f"$exp%.3f"}"""
       }.getOrElse("")
       val recallPart = recalls.get(op).map { byK =>
         val rs = byK.map { case (s, (bits, r)) =>

@@ -337,19 +337,21 @@ object Similarity {
    * third-decade lesson made policy): with `nlist ~ √N`, a fixed
    * `nprobe` visits a vanishing fraction of cells as the corpus grows,
    * and recall decays silently — ivfpq_nlist measured 1.0/1.0/0.8 at
-   * 1×/10×/100× with nprobe=12 (BENCH_SCALED.json). True neighbors
-   * spread over more cell boundaries as cells shrink, but only
-   * logarithmically (the boundary-energy argument behind multi-probe
-   * LSH), so `nprobe ∝ log₂ N` holds recall: re-measured at 100×
-   * (nlist=447, 200k vectors) nprobe=27 reads recall@3 ≥ 0.9 at
-   * ~flat probe cost — the candidate scan is nprobe·N/nlist =
-   * nprobe·√N rows, still sublinear. Anchored at the oracle config
-   * (nprobe=12 at the 2k-vector oracle corpus, never below), clamped
-   * to nlist (a probe cannot visit more cells than exist).
+   * 1×/10×/100× with nprobe=12 (BENCH_SCALED.json). `nprobe ∝ log₂ N`
+   * holds recall at sublinear probe cost (the scan is nprobe·N/nlist =
+   * nprobe·√N rows). The 2.5 multiplier is MEASURED, not guessed: a
+   * one-build config grid at 100× (nlist=447, 200k vectors,
+   * BENCH_SCALED `ivfpq_grid`) read recall@3 0.867/0.933/1.000 at
+   * nprobe 26/40/64 — and identical recall at candidates 150 vs 400
+   * at every nprobe, so the loss is pure CELL MISS (the ADC candidate
+   * budget is not the binding constraint at these scales; don't grow
+   * it first). 2.5·log₂(200k) ≈ 44 cells sits on the ≥0.93 shelf.
+   * Anchored at the oracle floor (never below nprobe=12), clamped to
+   * nlist (a probe cannot visit more cells than exist).
    */
   def nprobeFor(corpusSize: Long, nlist: Int): Int = {
     val n = math.max(1L, corpusSize)
-    val raw = math.round(1.5 * math.log(n.toDouble) / math.log(2.0)).toInt
+    val raw = math.round(2.5 * math.log(n.toDouble) / math.log(2.0)).toInt
     math.min(math.max(12, raw), math.max(1, nlist))
   }
 
