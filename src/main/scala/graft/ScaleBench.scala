@@ -661,6 +661,32 @@ object ScaleBench {
         docs.unpersist()
       }
 
+      // Repetition stats at k× the corpus: strictly per-document
+      // (one codegen pass, no shuffle) — the exponent should be ~1
+      // with a scan-rate constant; any super-linearity here would
+      // mean the expression kernel leaks cross-row state
+      if (want("q222_repstats")) {
+        val docs = scaleDocs(spark, sf, k).persist()
+        val nDocs = docs.count()
+        System.err.println(s"SCALE inputs ${k}x: $nDocs docs (repstats)")
+        record("q222_repstats", k, time(
+          graft.operators.TextAnalysis.repetitionStats(docs, "doc_id", "text")))
+        docs.unpersist()
+      }
+
+      // DSIR weights at k× the corpus: the salted vocabulary grows k×
+      // (the q185 axis), stressing the vocab aggregate + model join
+      // while the per-doc aggregate stays entity-sized
+      if (want("q223_dsir")) {
+        val docs = scaleDocs(spark, sf, k).persist()
+        val nDocs = docs.count()
+        System.err.println(s"SCALE inputs ${k}x: $nDocs docs (dsir)")
+        record("q223_dsir", k, time(
+          graft.operators.Pipeline.dsirWeights(docs, "doc_id", "text",
+            col("lang") === "en")))
+        docs.unpersist()
+      }
+
       // Lexical cosine pairs at k× the corpus: salted replicas share
       // no tokens, so true near-dup pairs grow k× (not k²) and the df
       // cap (the oracle's 400) bounds per-token fanout throughout

@@ -2391,6 +2391,26 @@ object ExtQueries {
     "q221_digest_detail" -> ((s, d) =>
       Qan.digestDetail(qanWide(s, d), "view", apdexT = ApdexT)),
 
+    // Gopher repetition stats (r12): the one-pass codegen kernel, with
+    // the flag thresholds as integer cross-multiplications tuned to
+    // this corpus (top-bigram share > 1/10 OR any duplicated trigram
+    // — both branches data-bearing at both oracle SFs: 11/27 docs at
+    // sf0.01, 106/287 at sf0.1)
+    "q222_repetition" -> ((s, d) =>
+      TextAnalysis.repetitionStats(t(s, d, "documents"), "doc_id", "text")
+        .withColumn("flagged",
+          lit(10) * col("top_bigram_c") > col("n_bigrams") ||
+            col("dup_tri_inst") > 0)
+        .orderBy("doc_id")),
+
+    // DSIR importance weights (r12): target = the en subset, source =
+    // the whole corpus; the oracle recomputes the smoothed unigram
+    // ratio sums with the same single post-aggregate rounding site
+    "q223_dsir" -> ((s, d) =>
+      Pipeline.dsirWeights(t(s, d, "documents"), "doc_id", "text",
+        col("lang") === "en")
+        .orderBy("doc_id")),
+
     // Join fan-out pre-flight (q208's sibling): the EXACT output
     // cardinality of a prospective self-join from per-key counts alone
     // — Σ n_k² (and Σ n_a·n_b for two sides) — without running the
@@ -3730,6 +3750,36 @@ object ExtQueries {
         "UNION ALL SELECT 'schemas', row_number() OVER (ORDER BY value DESC, label), label, value " +
         "FROM (SELECT db AS label, round(sum(query_time*greatest(rate_limit,1)),4) AS value FROM w GROUP BY 1 ORDER BY value DESC, label LIMIT 5) " +
         "ORDER BY section, ord, label"),
+
+    // q222: per-doc gram counts via DuckDB list comprehensions (the
+    // q103 splitter), the flag as the same integer cross-mults; every
+    // doc has >= 3 tokens at every SF so the gram joins keep all rows
+    "q222_repetition" ->
+      ("WITH words AS (SELECT doc_id, string_split(text,' ') ws FROM documents), " +
+        "bg AS (SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS g FROM words), " +
+        "bgc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2), " +
+        "bstat AS (SELECT doc_id, CAST(sum(c) AS BIGINT) n_bigrams, CAST(max(c) AS BIGINT) top_bigram_c FROM bgc GROUP BY 1), " +
+        "tg AS (SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws)-1)]) AS g FROM words), " +
+        "tgc AS (SELECT doc_id, g, count(*) AS c FROM tg GROUP BY 1, 2), " +
+        "tstat AS (SELECT doc_id, CAST(sum(c) AS BIGINT) n_trigrams, CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) dup_tri_inst FROM tgc GROUP BY 1) " +
+        "SELECT d.doc_id, n_bigrams, top_bigram_c, n_trigrams, dup_tri_inst, " +
+        "(10*top_bigram_c > n_bigrams OR dup_tri_inst > 0) AS flagged " +
+        "FROM documents d JOIN bstat USING (doc_id) JOIN tstat USING (doc_id) " +
+        "ORDER BY doc_id"),
+
+    // q223: smoothed unigram LM ratio sums with the normalizer folded
+    // in as count(*)·ln(const); the heavy flag cross-multiplied in
+    // integers; ONE rounding site after the per-doc aggregate (q103)
+    "q223_dsir" ->
+      ("WITH words AS (SELECT doc_id, lang, unnest(string_split(text,' ')) AS w FROM documents), " +
+        "ct AS (SELECT w, count(*) c FROM words WHERE lang = 'en' GROUP BY 1), " +
+        "cs AS (SELECT w, count(*) c FROM words GROUP BY 1), " +
+        "tot AS (SELECT (SELECT count(*) FROM words WHERE lang = 'en') nt, (SELECT count(*) FROM words) ns, (SELECT count(DISTINCT w) FROM words) v) " +
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks, " +
+        "CAST(sum(CASE WHEN (coalesce(ct.c,0)+1)*(ns+v) > (cs.c+1)*(nt+v) THEN 1 ELSE 0 END) AS BIGINT) AS n_target_heavy, " +
+        "round(sum(ln((coalesce(ct.c,0)+1.0)/(cs.c+1.0))) + count(*)*ln((ns+v)*1.0/(nt+v)), 4) + 0.0 AS log_weight " +
+        "FROM words LEFT JOIN ct USING (w) JOIN cs USING (w) CROSS JOIN tot " +
+        "GROUP BY doc_id, nt, ns, v ORDER BY doc_id"),
 
     // q220: the augmented table must equal the FULL closure — q67's
     // oracle verbatim (the split is invisible to the fixpoint)

@@ -779,4 +779,57 @@ object Pipeline {
     one.select(stacked.as("_r")).select("_r.*")
       .withColumn("pass", col("n_violations") === 0)
   }
+
+  /**
+   * DSIR-style importance weights (Xie et al. 2023, "Data Selection
+   * for Language Models via Importance Resampling"): per-document
+   * log importance under add-one-smoothed unigram LMs of a TARGET
+   * subset vs. the full SOURCE corpus —
+   * `log w(d) = Σ_tokens [ln p̂_t(w) − ln p̂_s(w)]` with
+   * `p̂(w) = (c(w)+1)/(N+V)` over the shared vocabulary `V` (tokens
+   * unseen in the target get the smoothing floor; every source token
+   * is in `V` by construction). Returns `(idCol, n_toks,
+   * n_target_heavy, log_weight)` where `n_target_heavy` counts the
+   * doc's token instances with `p̂_t(w) > p̂_s(w)` — an exact integer
+   * cross-multiplication `(c_t+1)(N_s+V) > (c_s+1)(N_t+V)` computed
+   * in decimal(38,0) so corpus sizes past the long-product bound
+   * cannot wrap (r12 advice precedent), and `log_weight` is rounded
+   * once after the per-doc aggregate (q103's rounding site). Feed the
+   * weights to [[weightedSample]] (Gumbel-top-k) to complete the DSIR
+   * resample.
+   *
+   * Scale shape: one token explode → ONE vocabulary-sized count
+   * aggregate carrying both corpus and target counts (the target
+   * count rides the same exchange as a conditional sum — no second
+   * instance-sized aggregate, the q103-reshape lesson), a 3-number
+   * driver literal for the normalizers (single aggregate row — not a
+   * corpus collect), then the instance stream's single lookup join
+   * (AQE broadcasts the vocabulary side) and the per-doc aggregate.
+   */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+                  isTarget: Column): DataFrame = {
+    val toks = docs.select(col(idCol), isTarget.as("_tgt"),
+      explode(split(col(textCol), " ")).as("w"))
+    val model = toks.groupBy("w").agg(
+      count(lit(1)).as("_cs"),
+      sum(when(col("_tgt"), 1L).otherwise(0L)).as("_ct"))
+    val tot = model.agg(sum("_cs"), sum("_ct"), count(lit(1))).head()
+    val (ns, nt, v) = (tot.getLong(0), tot.getLong(1), tot.getLong(2))
+    require(nt > 0, "dsirWeights: the target subset has no tokens")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val scored = model.select(col("w"),
+      log((col("_ct") + 1).cast("double") / (col("_cs") + 1)).as("_lr"),
+      when((col("_ct") + 1).cast(dec) * lit(ns + v) >
+           (col("_cs") + 1).cast(dec) * lit(nt + v), 1L)
+        .otherwise(0L).as("_heavy"))
+    val norm = math.log((ns + v).toDouble / (nt + v))
+    toks.join(scored, "w")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_toks"),
+        sum("_heavy").as("n_target_heavy"),
+        // + 0.0 normalizes IEEE −0.0 (a sub-half-ulp negative sum
+        // rounds to the signed zero) so both engines emit +0.0
+        (round(sum("_lr") + count(lit(1)) * lit(norm), 4) + lit(0.0))
+          .as("log_weight"))
+  }
 }

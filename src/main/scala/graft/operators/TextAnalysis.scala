@@ -321,4 +321,66 @@ object TextAnalysis {
       transform(split(text, " "), w => (ascii(w) + length(w)).cast("long")),
       lit(0L),
       (h, x) => (h * 31 + x) % 1000000007L)
+
+  /** The native one-pass repetition kernel as a Column
+    * ([[graft.functions.RepetitionStatsExpr]]) — `array<bigint>` of
+    * `[n_bigrams, top_bigram_c, n_trigrams, dup_tri_inst]`. */
+  def repetitionStatsCol(text: Column): Column =
+    org.apache.spark.sql.graftbridge.GraftColumnBridge.column(
+      graft.functions.RepetitionStatsExpr(
+        org.apache.spark.sql.graftbridge.GraftColumnBridge
+          .expression(text)))
+
+  /**
+   * Gopher-style within-document repetition statistics (Rae et al.
+   * 2021 §A1.1 — the "repetitious documents are low quality" filter
+   * family): per doc, the total and the most frequent 2-gram's
+   * instance count, and the number of 3-gram instances whose gram is
+   * duplicated inside the document. Thresholding is the caller's
+   * (e.g. `5·top_bigram_c > n_bigrams` is Gopher's 0.2 top-2-gram
+   * bound as an exact integer cross-multiplication). Returns
+   * `(idCol, n_bigrams, top_bigram_c, n_trigrams, dup_tri_inst)`.
+   *
+   * Scale shape: the metric is strictly per-document, so it shuffles
+   * NOTHING — one codegen'd expression pass fused into the scan
+   * (the [[charEntropy]] kernel precedent), vs. the naive explode →
+   * (doc, gram) aggregate → per-doc aggregate that ships every token
+   * through two exchanges. At 100 TB this is a map-only stage.
+   */
+  def repetitionStats(docs: DataFrame, idCol: String,
+                      textCol: String): DataFrame =
+    docs.select(col(idCol), repetitionStatsCol(col(textCol)).as("_r"))
+      .select(col(idCol),
+        element_at(col("_r"), 1).as("n_bigrams"),
+        element_at(col("_r"), 2).as("top_bigram_c"),
+        element_at(col("_r"), 3).as("n_trigrams"),
+        element_at(col("_r"), 4).as("dup_tri_inst"))
+
+  /** The explode → two-aggregate formulation — the pure-built-ins
+    * parity reference for [[repetitionStats]]'s equality spec. Keeps
+    * docs with ≥ 2 tokens only (the gram explode drops shorter ones);
+    * the expression path reports zeros for those instead. */
+  def repetitionStatsExploded(docs: DataFrame, idCol: String,
+                              textCol: String): DataFrame = {
+    val ws = split(col(textCol), " ")
+    // gram keys by position: explode the window-start offsets, key =
+    // the n tokens from that offset joined with the splitter (carrying
+    // the token array along the explode — no join-back)
+    def gramKeys(n: Int): DataFrame = docs.filter(size(ws) >= n)
+      .select(col(idCol), ws.as("_ws"),
+        explode(sequence(lit(1), size(ws) - (n - 1))).as("_i"))
+      .select(col(idCol), concat_ws(" ",
+        (0 until n).map(j => element_at(col("_ws"), col("_i") + j)): _*)
+        .as("_g"))
+    val bg = gramKeys(2).groupBy(col(idCol), col("_g"))
+      .agg(count(lit(1)).as("_c"))
+      .groupBy(col(idCol))
+      .agg(sum("_c").as("n_bigrams"), max("_c").as("top_bigram_c"))
+    val tg = gramKeys(3).groupBy(col(idCol), col("_g"))
+      .agg(count(lit(1)).as("_c"))
+      .groupBy(col(idCol))
+      .agg(sum("_c").as("n_trigrams"),
+        sum(when(col("_c") >= 2, col("_c")).otherwise(0L)).as("dup_tri_inst"))
+    bg.join(tg, idCol)
+  }
 }
