@@ -2411,6 +2411,39 @@ object ExtQueries {
         col("lang") === "en")
         .orderBy("doc_id")),
 
+    // Nearest-centroid classification (r12): per-label DISCRETE-median
+    // centroids from the even-id training half (selection, not float
+    // arithmetic — cross-engine exact), odd-id half assigned by argmax
+    // cosine in one shuffle-free unrolled projection; confusion matrix
+    // out. The embeddings' labels are random vs the vectors, so the
+    // diagonal sits at chance — the op contract is the assignment rule,
+    // not model quality.
+    "q224_centroid_classify" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val cents = Similarity.medianCentroids(
+        emb.where(col("vec_id") % 2 === 0), "vec_id", "embedding", "label")
+      Similarity.classifyNearestCentroid(
+        emb.where(col("vec_id") % 2 === 1), cents,
+        "vec_id", "embedding", "label")
+        .groupBy("label", "assigned")
+        .agg(count(lit(1)).as("n"),
+          (round(avg(col("cos")), 4) + 0.0).as("avg_cos"))
+        .orderBy("label", "assigned")
+    }),
+
+    // Trigram substring search (r12, the pg_trgm shape): candidates
+    // from the char-trigram postings (every pattern gram must hit),
+    // exact contains-verify on just those rows — output must equal the
+    // oracle's full `%pattern%` scan (36/27/314 hits at the three SFs,
+    // data-bearing everywhere)
+    "q225_substring_search" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val pp = Search.trigramPostings(docs, "doc_id", "text")
+      Search.substringSearch(pp, docs, "doc_id", "text", "scan slow")
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // Join fan-out pre-flight (q208's sibling): the EXACT output
     // cardinality of a prospective self-join from per-key counts alone
     // — Σ n_k² (and Σ n_a·n_b for two sides) — without running the
@@ -3780,6 +3813,29 @@ object ExtQueries {
         "round(sum(ln((coalesce(ct.c,0)+1.0)/(cs.c+1.0))) + count(*)*ln((ns+v)*1.0/(nt+v)), 4) + 0.0 AS log_weight " +
         "FROM words LEFT JOIN ct USING (w) JOIN cs USING (w) CROSS JOIN tot " +
         "GROUP BY doc_id, nt, ns, v ORDER BY doc_id"),
+
+    // q224: centroid = per-(label, dim) lower discrete median over the
+    // even-id half (row_number selection — exact float elements);
+    // assignment = argmax cosine with ties to the smaller label (the
+    // Spark side's greatest(struct(cos, -label)) is this row_number
+    // rule); ONE rounding site on the per-cell avg
+    "q224_centroid_classify" ->
+      ("WITH ex AS (SELECT label, vec_id, unnest([{'d': i, 'v': embedding[i]} for i in range(1, len(embedding)+1)], recursive := true) " +
+        "FROM embeddings WHERE vec_id % 2 = 0), " +
+        "ranked AS (SELECT label, d, v, row_number() OVER (PARTITION BY label, d ORDER BY v, vec_id) rn, count(*) OVER (PARTITION BY label, d) cnt FROM ex), " +
+        "cent AS (SELECT label AS c_label, list(v ORDER BY d) AS cvec FROM ranked WHERE rn = (cnt+1) // 2 GROUP BY label), " +
+        "scored AS (SELECT e.vec_id, e.label, c.c_label, " +
+        "list_sum(list_apply(list_zip(e.embedding, c.cvec), x -> CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE))) / " +
+        "(sqrt(list_sum(list_apply(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) * " +
+        "sqrt(list_sum(list_apply(c.cvec, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS cos " +
+        "FROM embeddings e CROSS JOIN cent c WHERE e.vec_id % 2 = 1), " +
+        "best AS (SELECT vec_id, label, c_label, cos, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c_label) rn FROM scored) " +
+        "SELECT label, c_label AS assigned, count(*) AS n, round(avg(cos),4)+0.0 AS avg_cos " +
+        "FROM best WHERE rn = 1 GROUP BY 1,2 ORDER BY 1,2"),
+
+    // q225: the trigram-index path must reproduce the full scan
+    "q225_substring_search" ->
+      "SELECT doc_id, lang FROM documents WHERE contains(text, 'scan slow') ORDER BY doc_id",
 
     // q220: the augmented table must equal the FULL closure — q67's
     // oracle verbatim (the split is invisible to the fixpoint)

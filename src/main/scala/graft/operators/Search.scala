@@ -240,4 +240,56 @@ object Search {
       .filter(abs(col("pa") - col("pb")) <= window)
       .select("doc_id").distinct().orderBy("doc_id")
   }
+
+  /**
+   * Character TRIGRAM postings — the pg_trgm shape: distinct
+   * `(gram, doc_id)` pairs over every 3-char window of the text. The
+   * index that makes arbitrary `%substring%` predicates (which no
+   * token index and no parquet pushdown can touch) a bucket-pruned
+   * lookup instead of a full-corpus scan.
+   *
+   * Build cost is one pass (≈len grams per doc before the per-doc
+   * distinct, HOF-generated — acceptable: builds are one-time and
+   * amortized by [[graft.sources.Warehouse.saveTrigramIndex]]'s
+   * at-rest table + blind appends). Texts shorter than 3 chars
+   * contribute no grams (the sequence guard — `sequence(0,-1)`
+   * DESCENDS) and can only be found by the caller's fallback scan.
+   */
+  def trigramPostings(docs: DataFrame, idCol: String,
+                      textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(array_distinct(when(length(col(textCol)) >= 3,
+          transform(sequence(lit(0), length(col(textCol)) - 3),
+            i => col(textCol).substr(i + 1, lit(3))))
+          .otherwise(array().cast("array<string>")))).as("gram"))
+
+  /**
+   * Substring search through the trigram index: candidates = docs
+   * containing EVERY trigram of the pattern (bucket-pruned posting
+   * lookups + one count aggregate — never a corpus scan), then one
+   * exact `contains` verify on just the candidate rows. Sound and
+   * complete for patterns ≥ 3 chars: a doc containing the pattern
+   * contains each of its trigrams, so the candidate set is a superset
+   * (spec-proven) and the verify step removes exactly the accidental
+   * gram co-occurrences.
+   *
+   * Output: `(doc_id)` of matching docs — identical to the full-scan
+   * `WHERE contains(text, pattern)` the oracle runs.
+   */
+  def substringSearch(postings: DataFrame, docs: DataFrame, idCol: String,
+                      textCol: String, pattern: String): DataFrame = {
+    require(pattern.length >= 3,
+      "substringSearch needs a pattern of >= 3 chars (shorter patterns " +
+        "have no trigram and need the full-scan fallback)")
+    val grams = pattern.sliding(3).toSeq.distinct
+    val cands = postings.filter(col("gram").isin(grams: _*))
+      .select("doc_id", "gram").distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("_ng"))
+      .filter(col("_ng") === grams.size)
+      .select("doc_id")
+    docs.select(col(idCol).as("doc_id"), col(textCol).as("_t"))
+      .join(cands, "doc_id")
+      .filter(col("_t").contains(pattern))
+      .select("doc_id")
+  }
 }

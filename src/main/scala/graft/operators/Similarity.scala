@@ -1383,4 +1383,83 @@ object Similarity {
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
   }
+
+  /**
+   * Per-label centroids by per-DIMENSION discrete median (the lower
+   * middle element) over a training frame — the deterministic stand-in
+   * for a float mean, whose cross-engine sum order is unreproducible.
+   * Every centroid component is an EXACT element of some input vector
+   * (selection, not arithmetic), so the assignment step's doubles are
+   * bit-identical on any engine that picks the same elements.
+   *
+   * Plan: one posexplode (N·d rows) → one shuffle on (label, dim) →
+   * per-group rank selection → labels-sized centroid table. Scale note
+   * (100 TB): groups are labels×d, so per-group selection sorts N/labels
+   * values — for corpus-scale training frames fit the centroids on a
+   * bounded hash-ranked pool first (the [[fitCodebooks]] discipline);
+   * the assignment scan below is the part that must (and does) stay
+   * linear and shuffle-free.
+   *
+   * Output: `(label, centroid: array<float>)` with components in
+   * dimension order.
+   */
+  def medianCentroids(train: DataFrame, idCol: String, vecCol: String,
+                      labelCol: String): DataFrame = {
+    val ex = train.select(col(labelCol).as("label"), col(idCol).as("_id"),
+      posexplode(col(vecCol)).as(Seq("d", "v")))
+    val part = Window.partitionBy("label", "d")
+    val w = part.orderBy(col("v"), col("_id"))
+    ex.withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(part))
+      .where(col("rn") === expr("(cnt + 1) div 2"))
+      .groupBy("label")
+      .agg(transform(sort_array(collect_list(struct(col("d"), col("v")))),
+        s => s.getField("v")).as("centroid"))
+  }
+
+  /**
+   * Nearest-centroid (Rocchio-step) classification: every test vector
+   * scores against each centroid with the codegen'd [[cosine]] and
+   * takes the argmax (ties → smaller label). This is one k-means
+   * assignment step with supervised centroids — the shape used to route
+   * corpus documents to topic/quality buckets at scale.
+   *
+   * The centroid table is COLLECTED (bounded by construction — one row
+   * per label, the [[fitCodebooks]] discipline) and unrolled into one
+   * projection: per-label cosines materialize once each, and the argmax
+   * is a single `greatest` over `struct(cos, -label)` (lexicographic
+   * struct order = cos desc, label asc on ties — the oracle's
+   * `row_number` rule). The whole classification is therefore ONE
+   * linear scan with zero shuffles and zero joins — a per-vector-group
+   * window would shuffle N×labels rows for a 10-row argmax. NaN cosines
+   * (zero vectors) sort above all reals in both engines; null vectors
+   * are the caller's problem (nulls poison struct comparison).
+   *
+   * Output: `(id, label, assigned, cos)` — one row per test vector with
+   * its true label carried through for confusion accounting.
+   */
+  def classifyNearestCentroid(test: DataFrame, centroids: DataFrame,
+                              idCol: String, vecCol: String,
+                              labelCol: String): DataFrame = {
+    val cents = centroids.select(col("label").cast("int"),
+        col("centroid").cast("array<float>"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1)))
+      .sortBy(_._1)
+    require(cents.nonEmpty, "classifyNearestCentroid: empty centroid table")
+    val base = test.select(col(idCol).as("_cid"), col(labelCol).as("label"),
+      col(vecCol).as("_e"))
+    val scored = cents.zipWithIndex.foldLeft(base) { case (df, ((_, v), i)) =>
+      df.withColumn(s"_c$i", cosine(col("_e"), typedlit(v)))
+    }
+    val packed = cents.zipWithIndex.map { case ((lab, _), i) =>
+      struct(col(s"_c$i").as("c"), lit(-lab).as("nl"))
+    }
+    val best =
+      if (packed.length == 1) packed.head else greatest(packed.toSeq: _*)
+    scored
+      .withColumn("_best", best)
+      .select(col("_cid").as(idCol), col("label"),
+        (-col("_best.nl")).as("assigned"), col("_best.c").as("cos"))
+  }
 }

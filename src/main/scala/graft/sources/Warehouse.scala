@@ -184,6 +184,36 @@ object Warehouse {
   }
 
   /**
+   * Persist a char-trigram posting frame
+   * ([[graft.operators.Search.trigramPostings]]: distinct
+   * `(doc_id, gram)`) bucketed by `gram` — the substring-search index
+   * at rest (the pg_trgm analog of [[saveInvertedIndex]]): a
+   * `%pattern%` probe touches only its own trigrams' file buckets
+   * (`SelectedBucketsCount`), never the corpus postings. Admitting new
+   * docs is [[appendTrigramIndex]] — a blind bucketed append, the
+   * standing table never read or rewritten (the rollup/index-append
+   * discipline; duplicate grams across batches are harmless, the
+   * searcher's per-doc distinct absorbs them).
+   */
+  def saveTrigramIndex(postings: DataFrame, table: String, buckets: Int = 32,
+                       mode: SaveMode = SaveMode.Overwrite): Unit = {
+    if (mode == SaveMode.Overwrite)
+      dropWithLocation(postings.sparkSession, table)
+    postings.write.mode(mode)
+      .bucketBy(buckets, "gram")
+      .sortBy("gram")
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
+  /** Blind no-refit append of a new batch's trigram postings into a
+    * [[saveTrigramIndex]] table — cost ∝ batch, flat in the standing
+    * index size. */
+  def appendTrigramIndex(postings: DataFrame, table: String,
+                         buckets: Int = 32): Unit =
+    saveTrigramIndex(postings, table, buckets, SaveMode.Append)
+
+  /**
    * Persist an aggregate rollup of MERGEABLE PARTIALS
    * ([[graft.operators.Rollup.dailyPartials]]: `(day, event_type, cnt,
    * sum_v, min_v, max_v)`) bucketed by `day`. Appending a batch's

@@ -1,0 +1,114 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Tests for the round-12 classification + substring-search operators:
+  * [[Similarity.medianCentroids]] / [[Similarity.classifyNearestCentroid]]
+  * (hand-computed medians, tie rule, and equality with a window-argmax
+  * reference formulation on real embeddings) and
+  * [[Search.trigramPostings]] / [[Search.substringSearch]] (hand grams,
+  * a planted false candidate the verify step must remove, and full-scan
+  * equality on a real corpus). */
+class CentroidTrigramSpec extends AnyFunSuite with SparkTestSession {
+
+  import spark.implicits._
+
+  test("medianCentroids: odd count picks the middle, even the lower middle") {
+    val train = Seq(
+      (1L, 0, Seq(1f, 6f)), (2L, 0, Seq(3f, 2f)), (3L, 0, Seq(5f, 4f)),
+      (4L, 1, Seq(10f, 0f)), (5L, 1, Seq(20f, 2f))).toDF(
+      "vec_id", "label", "embedding")
+    val got = Similarity.medianCentroids(train, "vec_id", "embedding", "label")
+      .orderBy("label")
+      .collect().map(r => (r.getInt(0), r.getSeq[Float](1)))
+    // label 0: dim medians of (1,3,5) and (6,2,4) = (3, 4); label 1 has
+    // an EVEN count → lower middles of (10,20) and (0,2) = (10, 0)
+    assert(got.toSeq == Seq((0, Seq(3f, 4f)), (1, Seq(10f, 0f))))
+  }
+
+  test("classifyNearestCentroid: argmax cosine, ties go to the smaller label") {
+    val cents = Seq((0, Seq(1f, 0f)), (1, Seq(0f, 1f))).toDF(
+      "label", "centroid")
+    val test = Seq(
+      (10L, 1, Seq(2f, 0f)),   // aligned with centroid 0
+      (11L, 0, Seq(0f, 3f)),   // aligned with centroid 1
+      (12L, 1, Seq(1f, 1f))).toDF("vec_id", "label", "embedding") // exact tie
+    val got = Similarity.classifyNearestCentroid(
+        test, cents, "vec_id", "embedding", "label")
+      .orderBy("vec_id")
+      .collect().map(r => (r.getLong(0), r.getInt(2)))
+    assert(got.toSeq == Seq((10L, 0), (11L, 1), (12L, 0)))
+  }
+
+  test("classifyNearestCentroid equals the window-argmax formulation on real embeddings") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = Similarity.medianCentroids(
+      emb.where(col("vec_id") % 2 === 0), "vec_id", "embedding", "label")
+    val fast = Similarity.classifyNearestCentroid(
+        emb.where(col("vec_id") % 2 === 1), cents,
+        "vec_id", "embedding", "label")
+      .select(col("vec_id"), col("assigned"), round(col("cos"), 9).as("c"))
+    // reference: explicit cross join + per-vector row_number argmax
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("cos").desc, col("assigned"))
+    val ref = emb.where(col("vec_id") % 2 === 1)
+      .crossJoin(broadcast(cents.select(col("label").as("assigned"),
+        col("centroid"))))
+      .withColumn("cos", Similarity.cosine(col("embedding"), col("centroid")))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("assigned"), round(col("cos"), 9).as("c"))
+    assert(fast.exceptAll(ref).isEmpty && ref.exceptAll(fast).isEmpty)
+    assert(fast.count() == emb.where(col("vec_id") % 2 === 1).count())
+  }
+
+  test("trigramPostings: hand grams, short texts contribute none") {
+    val docs = Seq((1L, "abcd"), (2L, "ab"), (3L, "aaaa")).toDF(
+      "doc_id", "text")
+    val got = Search.trigramPostings(docs, "doc_id", "text")
+      .orderBy("doc_id", "gram")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    // doc 3's overlapping "aaa" grams collapse via the per-doc distinct
+    assert(got.toSeq == Seq((1L, "abc"), (1L, "bcd"), (3L, "aaa")))
+  }
+
+  test("substringSearch removes planted false candidates (all grams, no match)") {
+    val docs = Seq(
+      (1L, "the scan slow path"),      // true match
+      (2L, "slow scan slot war"),      // every trigram of the pattern, no contiguous match
+      (3L, "nothing here")).toDF("doc_id", "text")
+    val pp = Search.trigramPostings(docs, "doc_id", "text")
+    // the planted doc really is a candidate: it holds all pattern grams
+    val grams = "scan slow".sliding(3).toSeq.distinct
+    val candIds = pp.filter(col("gram").isin(grams: _*))
+      .select("doc_id", "gram").distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .where(col("n") === grams.size)
+      .collect().map(_.getLong(0)).sorted
+    assert(candIds.toSeq == Seq(1L, 2L), "planted candidate missing")
+    val got = Search.substringSearch(pp, docs, "doc_id", "text", "scan slow")
+      .collect().map(_.getLong(0))
+    assert(got.toSeq == Seq(1L))
+  }
+
+  test("substringSearch equals the full contains scan on a real corpus") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val pp = Search.trigramPostings(docs, "doc_id", "text")
+    val viaIndex = Search.substringSearch(pp, docs, "doc_id", "text",
+      "scan slow").orderBy("doc_id").collect().map(_.getLong(0))
+    val full = docs.where(col("text").contains("scan slow"))
+      .orderBy("doc_id").collect().map(_.getAs[Long]("doc_id"))
+    assert(viaIndex.toSeq == full.toSeq && full.nonEmpty)
+  }
+
+  test("substringSearch rejects sub-trigram patterns") {
+    val docs = Seq((1L, "ab")).toDF("doc_id", "text")
+    val pp = Search.trigramPostings(docs, "doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Search.substringSearch(pp, docs, "doc_id", "text", "ab")
+    }
+  }
+}

@@ -633,6 +633,42 @@ class WarehouseSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("persisted trigram index: gram probes prune, stored substring search equals direct, append admits") {
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val firstBatch = docs.filter(col("doc_id") < 150)
+    val rest = docs.filter(col("doc_id") >= 150)
+    val pp = graft.operators.Search.trigramPostings(firstBatch, "doc_id", "text")
+    Warehouse.saveTrigramIndex(pp, "trigram_idx", buckets = 8)
+    try {
+      // a single-gram probe scans only that gram's bucket
+      val lookup = spark.table("trigram_idx").filter(col("gram") === "sca")
+      val plan = lookup.queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount: 1 out of 8"),
+        s"gram probe did not bucket-prune:\n$plan")
+      def ids(post: org.apache.spark.sql.DataFrame,
+              corpus: org.apache.spark.sql.DataFrame): Seq[Long] =
+        graft.operators.Search.substringSearch(post, corpus, "doc_id",
+          "text", "scan slow").collect().map(_.getLong(0)).sorted.toSeq
+      val stored = ids(spark.table("trigram_idx"), firstBatch)
+      val direct = ids(pp, firstBatch)
+      assert(stored == direct && stored.nonEmpty)
+      // blind append of the second batch: the grown index finds the
+      // full corpus's matches — identical to a from-scratch build
+      Warehouse.appendTrigramIndex(
+        graft.operators.Search.trigramPostings(rest, "doc_id", "text"),
+        "trigram_idx", buckets = 8)
+      val grown = ids(spark.table("trigram_idx"), docs)
+      val scratch = ids(
+        graft.operators.Search.trigramPostings(docs, "doc_id", "text"), docs)
+      assert(grown == scratch && grown.size > stored.size)
+    } finally {
+      spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+      spark.sql("DROP TABLE IF EXISTS trigram_idx")
+    }
+  }
+
   test("persisted positional index: word probes prune, stored phrase search equals direct") {
     spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
     spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
