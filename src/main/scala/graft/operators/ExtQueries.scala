@@ -2444,6 +2444,49 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // k-core decomposition (r12, Graph.kCore): iterative peel to the
+    // 4-core of the q209-sparsified trade graph (the full graph's min
+    // degree is ~3 — nothing would peel); converges in 2 rounds at
+    // every SF, survivors 72/885/9042 of 153/1544/15452 nodes. Oracle
+    // = 6 unrolled MATERIALIZED peel levels (fixpoint => idempotent).
+    "q226_kcore" -> ((s, d) => {
+      val pairs = t(s, d, "orders").select("o_orderkey", "o_custkey")
+        .join(t(s, d, "lineitem").filter(col("l_quantity") > 45)
+            .select("l_orderkey", "l_suppkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("a"),
+          concat(lit("s"), col("l_suppkey")).as("b"))
+        .distinct()
+      val edges = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
+      Graph.kCore(edges, "a", "b", k = 4).orderBy("node")
+    }),
+
+    // Cross-format round trip (r12, sources/FileFormats): the corpus
+    // leaves parquet through the JSONL and CSV sinks, comes back
+    // through the schema-carrying readers, and every per-lang
+    // fingerprint (count / id-sum / char-sum / distinct texts) must
+    // equal what DuckDB reads from the ORIGINAL parquet — any
+    // serialization loss in either format shows up as a hash mismatch.
+    "q227_format_roundtrip" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val base = "spark-warehouse/graft_bench_roundtrip_q227"
+      graft.sources.FileFormats.writeJsonl(docs, s"$base/jsonl")
+      graft.sources.FileFormats.writeCsv(docs, s"$base/csv")
+      def fingerprint(df: org.apache.spark.sql.DataFrame, fmt: String) =
+        df.groupBy("lang").agg(
+            count(lit(1)).as("n"),
+            sum("doc_id").as("id_sum"),
+            sum(length(col("text"))).as("char_sum"),
+            countDistinct("text").as("n_texts"))
+          .withColumn("fmt", lit(fmt))
+      fingerprint(graft.sources.FileFormats.readJsonl(s, s"$base/jsonl",
+          docs.schema), "jsonl")
+        .unionByName(fingerprint(graft.sources.FileFormats.readCsv(s,
+          s"$base/csv", docs.schema), "csv"))
+        .select("fmt", "lang", "n", "id_sum", "char_sum", "n_texts")
+        .orderBy("fmt", "lang")
+    }),
+
     // Join fan-out pre-flight (q208's sibling): the EXACT output
     // cardinality of a prospective self-join from per-key counts alone
     // — Σ n_k² (and Σ n_a·n_b for two sides) — without running the
@@ -3610,6 +3653,18 @@ object ExtQueries {
     // split): the postings persist bucketed by token with positions
     // riding along, so each word of the phrase reads only its buckets —
     // the timed probe is the per-word pruned scans + adjacency joins.
+    // Substring probe over the STORED trigram index (q225's at-rest
+    // split, the eleventh family): postings built once per JVM, the
+    // timed probe is gram-bucket lookups + candidate-only verify.
+    "q225b_substr_probe" -> ((s, d) => {
+      ensureStoredIndex("graft_bench_trigram_q225", d) {
+        graft.sources.Warehouse.saveTrigramIndex(
+          Search.trigramPostings(t(s, d, "documents"), "doc_id", "text"),
+          "graft_bench_trigram_q225")
+      }
+      Search.substringSearch(s.table("graft_bench_trigram_q225"),
+        t(s, d, "documents"), "doc_id", "text", "scan slow")
+    }),
     "q189b_phrase_probe" -> ((s, d) => {
       ensureStoredIndex("graft_bench_positional_q189", d) {
         graft.sources.Warehouse.saveInvertedIndex(
@@ -3836,6 +3891,30 @@ object ExtQueries {
     // q225: the trigram-index path must reproduce the full scan
     "q225_substring_search" ->
       "SELECT doc_id, lang FROM documents WHERE contains(text, 'scan slow') ORDER BY doc_id",
+
+    // q226: six unrolled peel levels (fixpoint reached at 2, so the
+    // extra levels are idempotent); MATERIALIZED is load-bearing (the
+    // BPE lesson — each level reads its predecessor three times)
+    "q226_kcore" -> {
+      val peels = (1 to 6).map { i =>
+        s"k$i AS MATERIALIZED (SELECT a FROM e${i - 1} GROUP BY a HAVING count(*) >= 4), " +
+          s"e$i AS MATERIALIZED (SELECT x.a, x.b FROM e${i - 1} x " +
+          s"JOIN k$i ka ON x.a = ka.a JOIN k$i kb ON x.b = kb.a)"
+      }.mkString(", ")
+      "WITH p AS (SELECT DISTINCT 'c' || o_custkey AS a, 's' || l_suppkey AS b " +
+        "FROM orders JOIN lineitem ON l_orderkey = o_orderkey WHERE l_quantity > 45), " +
+        "e0 AS MATERIALIZED (SELECT a, b FROM p UNION SELECT b, a FROM p), " + peels +
+        " SELECT a AS node, CAST(count(*) AS BIGINT) AS core_degree " +
+        "FROM e6 GROUP BY a ORDER BY node"
+    },
+
+    // q227: both formats must carry the parquet truth unchanged
+    "q227_format_roundtrip" ->
+      ("WITH f AS (SELECT lang, CAST(count(*) AS BIGINT) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum, " +
+        "CAST(sum(length(text)) AS BIGINT) AS char_sum, CAST(count(DISTINCT text) AS BIGINT) AS n_texts " +
+        "FROM documents GROUP BY lang) " +
+        "SELECT fmt, lang, n, id_sum, char_sum, n_texts " +
+        "FROM f CROSS JOIN (VALUES ('jsonl'), ('csv')) v(fmt) ORDER BY fmt, lang"),
 
     // q220: the augmented table must equal the FULL closure — q67's
     // oracle verbatim (the split is invisible to the fixpoint)

@@ -212,4 +212,56 @@ object Graph {
           .orderBy(col("reach").desc, col("a"))).cast("long"))
       .select(col("rn"), col("a").as("node"), col("reach"))
   }
+
+  /**
+   * k-core decomposition (one k): iteratively peel every node whose
+   * degree in the REMAINING graph is < k until the graph is stable —
+   * the standard density filter for graph-shaped curation (spam rings,
+   * well-connected entity neighborhoods) and the exact fixpoint the
+   * unrolled-peel oracle reproduces. Input edges are symmetrized and
+   * deduped by the caller (degree = distinct neighbors).
+   *
+   * Per round: ONE src-keyed degree aggregate + the survivor
+   * semi-filter applied to both endpoints (two shuffle joins); the
+   * convergence probe is an edge COUNT (a node leaves iff an edge
+   * leaves, so edge-count stability == node fixpoint) — one cheap
+   * action, no driver-side data. `localCheckpoint` severs each round's
+   * lineage (the [[graft.operators.Dedup.dedupClusters]] discipline:
+   * iteration-grown plans re-resolve super-linearly otherwise). Peel
+   * depth is data-dependent but shallow on real graphs (2 rounds on
+   * the bench's trade graph at every SF); `maxIter` overrun fails
+   * loudly rather than returning a non-core.
+   *
+   * Returns `(node, core_degree)` — every k-core member with its
+   * degree inside the core (≥ k by construction).
+   */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+            maxIter: Int = 20): DataFrame = {
+    require(k >= 1, "kCore needs k >= 1")
+    require(maxIter >= 1, "kCore needs maxIter >= 1")
+    var cur = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .localCheckpoint()
+    var prevEdges = cur.count()
+    var converged = prevEdges == 0L
+    var it = 0
+    while (!converged && it < maxIter) {
+      val keep = cur.groupBy("a").agg(count(lit(1)).as("_deg"))
+        .filter(col("_deg") >= k).select("a")
+      cur = cur
+        .join(keep, "a")
+        .join(keep.withColumnRenamed("a", "b"), "b")
+        .select("a", "b")
+        .localCheckpoint()
+      val n = cur.count()
+      converged = n == prevEdges || n == 0L
+      prevEdges = n
+      it += 1
+    }
+    require(converged,
+      s"kCore did not converge in $maxIter rounds (edges=$prevEdges) — " +
+        "raise maxIter; a peel this deep usually means a pathological " +
+        "near-threshold chain")
+    cur.groupBy(col("a").as("node"))
+      .agg(count(lit(1)).as("core_degree"))
+  }
 }

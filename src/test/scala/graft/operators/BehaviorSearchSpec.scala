@@ -164,6 +164,22 @@ class BehaviorSearchSpec extends AnyFunSuite with SparkTestSession {
     assert((p.getLong(0), p.getLong(1), p.getLong(2)) == ((3L, 2L, 0L)))
   }
 
+  test("kCore: pendant chain peels over two rounds, core keeps the triangle") {
+    // triangle {1,2,3} + chain 3–4–5: round 1 peels 5 (deg 1), which
+    // drops 4 to deg 1 → round 2 peels 4; the 2-core is the triangle
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+    val edges = (und ++ und.map(_.swap)).toDF("s", "d")
+    val got = Graph.kCore(edges, "s", "d", k = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // k above the max degree: everything peels, empty core (converged)
+    assert(Graph.kCore(edges, "s", "d", k = 5).isEmpty)
+    // a peel needing 2 rounds fails loudly at maxIter = 1
+    intercept[IllegalArgumentException] {
+      Graph.kCore(edges, "s", "d", k = 2, maxIter = 1)
+    }
+  }
+
   test("chiSquareCells: independent uniform table has zero contributions") {
     val df = (for (a <- Seq("x", "y"); b <- 0 to 1; _ <- 1 to 5)
       yield (a, b)).toDF("a", "b")
