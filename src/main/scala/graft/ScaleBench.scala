@@ -687,6 +687,74 @@ object ScaleBench {
         docs.unpersist()
       }
 
+      // Nearest-centroid serving path at k× vectors: centroids FIXED
+      // (fit on the 1× training half, excluded from timing), so the
+      // classification is one shuffle-free unrolled projection — cost
+      // must track the scan ≈ linearly with a small constant
+      if (want("centroid_classify")) {
+        val emb1 = spark.read.parquet(s"$sf/embeddings.parquet")
+        val cents = graft.operators.Similarity.medianCentroids(
+            emb1.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+            "label")
+          .persist()
+        cents.count()
+        val test = scaleEmb(spark, sf, k)
+          .withColumn("label", pmod(col("vec_id"), lit(10L)).cast("int"))
+          .persist()
+        val nT = test.count()
+        System.err.println(s"SCALE inputs ${k}x: $nT test vectors (classify)")
+        record("centroid_classify", k, time(
+          graft.operators.Similarity.classifyNearestCentroid(
+            test, cents, "vec_id", "embedding", "label")))
+        test.unpersist(); cents.unpersist()
+      }
+
+      // Stored-trigram-index probe at k× the corpus (q225b's scale
+      // evidence): replica tokens are suffixed, so the space-adjacent
+      // pattern grams stay original-corpus-sized while word-interior
+      // grams grow k× — the timed probe is bucket-pruned gram lookups
+      // on the k×-grown table + the candidate-only contains verify
+      if (want("trigram_probe")) {
+        val tbl = "graft_bench_scale_trigram"
+        Warehouse.dropWithLocation(spark, tbl)
+        // repartition: the crossJoin-synthesized corpus inherits ONE
+        // partition (the ivfpq-build lesson) and the 150M-row gram
+        // explode would otherwise build the index on a single thread
+        val docs = scaleDocs(spark, sf, k).repartition(32).persist()
+        val nD = docs.count()
+        System.err.println(s"SCALE inputs ${k}x: $nD docs (trigram)")
+        Warehouse.saveTrigramIndex(
+          graft.operators.Search.trigramPostings(docs, "doc_id", "text"),
+          tbl)
+        record("trigram_probe", k, time(
+          graft.operators.Search.substringSearch(spark.table(tbl), docs,
+            "doc_id", "text", "scan slow")))
+        docs.unpersist()
+        Warehouse.dropWithLocation(spark, tbl)
+      }
+
+      // k-core peel at k× motifs (triangle + 3-node pendant chain per
+      // motif): peel DEPTH is constant (three peel rounds + the
+      // confirming pass) while motif count grows k× — per-round cost
+      // must track the edge scan, so the exponent should be ≈1
+      if (want("q226_kcore")) {
+        val nMotifs = 20000L * k
+        val motif = Seq((0, 1), (1, 2), (0, 2), (2, 3), (3, 4), (4, 5))
+        val und = motif.map { case (a, b) =>
+          struct(lit(a).as("u"), lit(b).as("v")) } ++
+          motif.map { case (a, b) => struct(lit(b).as("u"), lit(a).as("v")) }
+        val edges = spark.range(nMotifs)
+          .select(col("id"), explode(array(und: _*)).as("e"))
+          .select((col("id") * 6 + col("e.u")).as("a"),
+            (col("id") * 6 + col("e.v")).as("b"))
+          .repartition(32).persist()
+        val nE = edges.count()
+        System.err.println(s"SCALE inputs ${k}x: $nE edges (kcore)")
+        record("q226_kcore", k, time(
+          graft.operators.Graph.kCore(edges, "a", "b", 2)))
+        edges.unpersist()
+      }
+
       // Lexical cosine pairs at k× the corpus: salted replicas share
       // no tokens, so true near-dup pairs grow k× (not k²) and the df
       // cap (the oracle's 400) bounds per-token fanout throughout

@@ -2487,6 +2487,42 @@ object ExtQueries {
         .orderBy("fmt", "lang")
     }),
 
+    // Rendezvous shard routing (r12, Pipeline.rendezvousShard): HRW
+    // assignment at 8 and 9 shards in one shuffle-free projection; the
+    // consistent-hashing contract is data-bearing — n_moved ≈ n/9
+    // (60/500 at sf0.01) and n_stray (moved anywhere but the NEW
+    // shard) is the exact-zero column
+    "q228_shard_router" -> ((s, d) =>
+      t(s, d, "documents").select(
+          Pipeline.rendezvousShard(col("doc_id"), 8).cast("long").as("shard8"),
+          Pipeline.rendezvousShard(col("doc_id"), 9).cast("long").as("shard9"))
+        .groupBy(col("shard8").as("shard"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("shard9") === col("shard8"), 1L).otherwise(0L))
+            .as("n_stay"),
+          sum(when(col("shard9") =!= col("shard8"), 1L).otherwise(0L))
+            .as("n_moved"),
+          sum(when(col("shard9") =!= col("shard8") && col("shard9") =!= 8,
+            1L).otherwise(0L)).as("n_stray"))
+        .orderBy("shard")),
+
+    // Unicode NFC normalization (r12, the codegen'd UnicodeNormExpr):
+    // deterministic decomposed suffix injected on BOTH sides, the
+    // normalized length must shrink by exactly the combining marks
+    // composed (3/doc) — the canonicalize-before-hashing step
+    "q229_unicode_norm" -> ((s, d) =>
+      t(s, d, "documents").select(col("lang"),
+          concat(substring(col("text"), 1, 24),
+            lit("e\u0301 te\u0301le\u0301")).as("dirty"))
+        .select(col("lang"), length(col("dirty")).as("raw_len"),
+          length(TextAnalysis.normalizeUnicode(col("dirty"))).as("nfc_len"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum("raw_len").as("raw_chars"),
+          sum("nfc_len").as("nfc_chars"),
+          sum(when(col("raw_len") === col("nfc_len"), 0L).otherwise(1L))
+            .as("n_changed"))
+        .orderBy("lang")),
+
     // Join fan-out pre-flight (q208's sibling): the EXACT output
     // cardinality of a prospective self-join from per-key counts alone
     // — Σ n_k² (and Σ n_a·n_b for two sides) — without running the
@@ -3915,6 +3951,30 @@ object ExtQueries {
         "FROM documents GROUP BY lang) " +
         "SELECT fmt, lang, n, id_sum, char_sum, n_texts " +
         "FROM f CROSS JOIN (VALUES ('jsonl'), ('csv')) v(fmt) ORDER BY fmt, lang"),
+
+    // q228: same 56-bit md5 weights with the shard id folded into the
+    // low bits (distinct by construction — argmax needs no tie rule);
+    // DuckDB's arg_max has no struct ordering, the packed long IS the
+    // composite order
+    "q228_shard_router" ->
+      ("WITH w AS (SELECT doc_id, s, " +
+        "CAST(CAST(concat('0x', substr(md5(doc_id || ':' || s), 1, 14)) AS UBIGINT) AS BIGINT) * 16 + s AS wt " +
+        "FROM documents, unnest(range(9)) t(s)), " +
+        "a AS (SELECT doc_id, arg_max(s, wt) FILTER (WHERE s < 8) AS shard8, arg_max(s, wt) AS shard9 FROM w GROUP BY doc_id) " +
+        "SELECT shard8 AS shard, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(CASE WHEN shard9 = shard8 THEN 1 ELSE 0 END) AS BIGINT) AS n_stay, " +
+        "CAST(sum(CASE WHEN shard9 <> shard8 THEN 1 ELSE 0 END) AS BIGINT) AS n_moved, " +
+        "CAST(sum(CASE WHEN shard9 <> shard8 AND shard9 <> 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_stray " +
+        "FROM a GROUP BY shard8 ORDER BY shard8"),
+
+    // q229: identical decomposed suffix injected via chr(769); DuckDB
+    // exposes NFC only, which is exactly the form the entry pins
+    "q229_unicode_norm" ->
+      ("WITH dirty AS (SELECT lang, substr(text,1,24) || 'e' || chr(769) || ' te' || chr(769) || 'le' || chr(769) AS dirty FROM documents) " +
+        "SELECT lang, CAST(count(*) AS BIGINT) AS n, CAST(sum(length(dirty)) AS BIGINT) AS raw_chars, " +
+        "CAST(sum(length(nfc_normalize(dirty))) AS BIGINT) AS nfc_chars, " +
+        "CAST(sum(CASE WHEN length(dirty) = length(nfc_normalize(dirty)) THEN 0 ELSE 1 END) AS BIGINT) AS n_changed " +
+        "FROM dirty GROUP BY lang ORDER BY lang"),
 
     // q220: the augmented table must equal the FULL closure — q67's
     // oracle verbatim (the split is invisible to the fixpoint)

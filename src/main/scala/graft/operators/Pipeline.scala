@@ -832,4 +832,33 @@ object Pipeline {
         (round(sum("_lr") + count(lit(1)) * lit(norm), 4) + lit(0.0))
           .as("log_weight"))
   }
+
+  /**
+   * Rendezvous (highest-random-weight) shard routing: the key's shard
+   * is `argmax_s hash(key, s)` over the shard ids — the consistent-
+   * hashing rule whose contract is MINIMAL DISRUPTION: growing the
+   * fleet from n to n+1 shards moves exactly the keys the new shard
+   * wins (≈ 1/(n+1) of them) and moves them ONLY to the new shard;
+   * every other key keeps its assignment (no modulo-style reshuffle of
+   * (n−1)/n of the corpus).
+   *
+   * The weight is the first 14 hex digits of `md5(key ":" s)` (< 2⁵⁶,
+   * the cross-engine 64-bit hash trick) scaled by 16 with the shard id
+   * folded into the low bits — weights are therefore DISTINCT by
+   * construction, so the argmax needs no tie rule at all. Evaluation
+   * is one shuffle-free projection per row (`greatest` over n
+   * `struct(weight, shard)` columns, the q224 pattern); n is
+   * fleet-sized, not data-sized.
+   */
+  def rendezvousShard(key: Column, nShards: Int): Column = {
+    require(nShards >= 1 && nShards <= 1024,
+      s"rendezvousShard needs 1 <= nShards <= 1024, got $nShards")
+    val packed = (0 until nShards).map { s =>
+      val wt = conv(substring(md5(concat(key.cast("string"), lit(":"),
+        lit(s.toString))), 1, 14), 16, 10).cast("long") * 16 + s
+      struct(wt.as("w"), lit(s).as("s"))
+    }
+    val best = if (packed.length == 1) packed.head else greatest(packed: _*)
+    best.getField("s")
+  }
 }

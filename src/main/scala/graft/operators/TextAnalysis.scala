@@ -383,4 +383,14 @@ object TextAnalysis {
         sum(when(col("_c") >= 2, col("_c")).otherwise(0L)).as("dup_tri_inst"))
     bg.join(tg, idCol)
   }
+
+  /** Unicode normalization of a string column (NFC default) via the
+    * codegen'd [[graft.functions.UnicodeNormExpr]] — run before any
+    * hash/dedup/tokenize step so composed-vs-decomposed twins
+    * canonicalize to one form. */
+  def normalizeUnicode(c: Column, form: String = "NFC"): Column =
+    org.apache.spark.sql.graftbridge.GraftColumnBridge.column(
+      graft.functions.UnicodeNormExpr(
+        org.apache.spark.sql.graftbridge.GraftColumnBridge.expression(c),
+        form))
 }

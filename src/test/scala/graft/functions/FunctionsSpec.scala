@@ -8,6 +8,35 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Tests for the UDAF surface and load amplification (R11). */
 class FunctionsSpec extends AnyFunSuite with SparkTestSession {
 
+  test("UnicodeNormExpr: NFC composes, NFD decomposes, NFKC folds compatibility") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis.normalizeUnicode
+    // decomposed e + U+0301, the NFKC-only ligature U+FB01, fullwidth 4
+    val df = Seq(("e\u0301", "nfc"), ("caf\u00e9", "nfd"),
+        ("\ufb01le \uff14", "nfkc"), (null: String, "null")).toDF("s", "tag")
+    val got = df.select(col("tag"),
+        normalizeUnicode(col("s")).as("nfc"),
+        normalizeUnicode(col("s"), "NFD").as("nfd"),
+        normalizeUnicode(col("s"), "NFKC").as("nfkc"))
+      .collect().map(r => r.getString(0) ->
+        (Option(r.getString(1)), Option(r.getString(2)),
+          Option(r.getString(3)))).toMap
+    assert(got("nfc")._1.get == "\u00e9")            // composed
+    assert(got("nfc")._2.get == "e\u0301")           // NFD keeps it apart
+    assert(got("nfd")._2.get == "cafe\u0301")        // NFD decomposes the e-acute
+    assert(got("nfkc")._1.get == "\ufb01le \uff14") // NFC keeps compat chars
+    assert(got("nfkc")._3.get == "file 4")          // NFKC folds them
+    assert(got("null") == ((None, None, None)))     // null in, null out
+    // already-normalized ASCII is the identity (the fast path)
+    val ascii = Seq("plain ascii").toDF("s")
+      .select(normalizeUnicode(col("s")).as("n")).collect().head.getString(0)
+    assert(ascii == "plain ascii")
+    // invalid form rejected at construction
+    intercept[IllegalArgumentException] {
+      normalizeUnicode(col("s"), "NFX")
+    }
+  }
+
   test("Welford variance matches built-in var_samp") {
     val df = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
     val welford = udaf(WelfordVariance)

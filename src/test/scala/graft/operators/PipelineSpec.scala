@@ -576,4 +576,28 @@ class PipelineSpec extends AnyFunSuite with SparkTestSession {
     assert(got(21L) == ((21L, plain(21L))))
     assert(got(1L)._2 == plain(1L)) // fold of the cluster = kfold(min id)
   }
+
+  test("rendezvousShard: minimal disruption and rough balance on grow") {
+    import spark.implicits._
+    val keys = spark.range(2000).toDF("id")
+    val routed = keys.select(col("id"),
+        Pipeline.rendezvousShard(col("id"), 4).as("s4"),
+        Pipeline.rendezvousShard(col("id"), 5).as("s5"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    // every key that moves when shard 4 joins moves TO shard 4
+    routed.foreach { case (id, s4, s5) =>
+      assert(s5 == s4 || s5 == 4, s"key $id moved $s4 -> $s5 (not the new shard)")
+    }
+    val moved = routed.count { case (_, s4, s5) => s4 != s5 }
+    // expected 1/5 of keys move; allow a generous band around 400
+    assert(moved > 250 && moved < 550, s"moved=$moved")
+    // rough balance at 4 shards: each holds 2000/4 ± 40%
+    val byShard = routed.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(byShard.keySet == Set(0, 1, 2, 3))
+    byShard.values.foreach(n => assert(n > 300 && n < 700, byShard.toString))
+    // n = 1 routes everything to shard 0
+    val one = keys.select(Pipeline.rendezvousShard(col("id"), 1).as("s"))
+      .agg(min("s"), max("s")).collect().head
+    assert(one.getInt(0) == 0 && one.getInt(1) == 0)
+  }
 }
