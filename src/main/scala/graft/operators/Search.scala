@@ -258,6 +258,19 @@ object Search {
   def trigramPostings(docs: DataFrame, idCol: String,
                       textCol: String): DataFrame =
     docs.select(col(idCol).as("doc_id"),
+      explode(org.apache.spark.sql.graftbridge.GraftColumnBridge.column(
+        graft.functions.TrigramsExpr(
+          org.apache.spark.sql.graftbridge.GraftColumnBridge.expression(
+            col(textCol))))).as("gram"))
+
+  /** The pure-built-ins HOF formulation of the per-doc distinct trigram
+    * set — retained as the parity reference for
+    * [[graft.functions.TrigramsExpr]]'s equality spec (the expression
+    * is the build path: the HOF chain is CodegenFallback and its
+    * interpreter tax dominated the 100× index build). */
+  def trigramPostingsHof(docs: DataFrame, idCol: String,
+                         textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
         explode(array_distinct(when(length(col(textCol)) >= 3,
           transform(sequence(lit(0), length(col(textCol)) - 3),
             i => col(textCol).substr(i + 1, lit(3))))

@@ -104,6 +104,23 @@ class CentroidTrigramSpec extends AnyFunSuite with SparkTestSession {
     assert(viaIndex.toSeq == full.toSeq && full.nonEmpty)
   }
 
+  test("TrigramsExpr equals the HOF formulation, code points never split") {
+    // real corpus: identical (doc_id, gram) multisets
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val fast = Search.trigramPostings(docs, "doc_id", "text")
+    val hof = Search.trigramPostingsHof(docs, "doc_id", "text")
+    assert(fast.exceptAll(hof).isEmpty && hof.exceptAll(fast).isEmpty)
+    // surrogate pairs: 😀 is one code point (two UTF-16 units) — the
+    // windows advance per code point exactly like the HOF's substr
+    val emoji = Seq((1L, "😀😀😀a"))
+      .toDF("doc_id", "text")
+    val eFast = Search.trigramPostings(emoji, "doc_id", "text")
+      .orderBy("gram").collect().map(_.getString(1)).toSeq
+    val eHof = Search.trigramPostingsHof(emoji, "doc_id", "text")
+      .orderBy("gram").collect().map(_.getString(1)).toSeq
+    assert(eFast == eHof && eFast.size == 2)
+  }
+
   test("substringSearch rejects sub-trigram patterns") {
     val docs = Seq((1L, "ab")).toDF("doc_id", "text")
     val pp = Search.trigramPostings(docs, "doc_id", "text")
