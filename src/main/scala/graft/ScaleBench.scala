@@ -804,7 +804,8 @@ object ScaleBench {
 
       val docOps = Seq("q123_prefix", "q26_jaccard", "q52_capped", "q40_minhash",
         "q67_clusters", "q67_cluster_only", "q84_star_only", "q75_probe",
-        "admit_batch", "q40_probe", "minhash_admit", "lexical_admit", "cc_augment",
+        "admit_batch", "q40_probe", "minhash_admit", "lexical_admit",
+        "trigram_admit", "cc_augment",
         "q92_bloom", "q99_spans", "q102_edit", "q103_bigram", "q104_sn",
         "q107_entropy", "q107_exploded", "q160_vocab")
       val embOps = Seq("q83_pq", "q41c_probe", "q41c_logbits",
@@ -982,6 +983,37 @@ object ScaleBench {
       // FIXED 1×-sized with fresh vocabulary — admission cost ∝ batch,
       // ideal exponent 0. Two DIFFERENT fresh batches for min-of-2
       // (re-admitting the same batch self-rejects and skips the append).
+      // Span (trigram-containment) admission at scale: standing gram
+      // index grows k×, the admitted batch is a FIXED fresh 1× slice
+      // (salted so it shares word-interior grams with the whole index
+      // but never contains a doc) — the probe is bucket-pruned gram
+      // lookups + the df-capped containment join, so cost must stay
+      // ≈flat in the standing size
+      if (want("trigram_admit")) {
+        val tbl = "graft_bench_scale_tri_admit"
+        Warehouse.dropWithLocation(spark, tbl)
+        // repartition before the gram explode (the trigram_probe lesson:
+        // the crossJoin-synthesized corpus streams through ~1 partition)
+        Warehouse.saveTrigramIndex(
+          graft.operators.Search.trigramPostings(
+            docs.repartition(32), "doc_id", "text"), tbl)
+        val outDir = java.nio.file.Files
+          .createTempDirectory("graft-scale-tri-admit").toString + "/out"
+        def freshTriBatch(tag: Int): DataFrame = scaleDocs(spark, sf, 1)
+          .select((col("doc_id") + 800000000L + tag * 1000000L).as("doc_id"),
+            array_join(transform(split(col("text"), " "),
+              x => concat(x, lit("_t"), lit(tag))), " ").as("text"))
+        def onceTri(tag: Int): Double = {
+          val b = freshTriBatch(tag)
+          val t0 = System.nanoTime()
+          graft.streaming.StreamingDedup.admitBatchTrigram(
+            b, "doc_id", "text", tbl, outDir)
+          (System.nanoTime() - t0) / 1e9
+        }
+        record("trigram_admit", k, math.min(onceTri(1), onceTri(2)))
+        Warehouse.dropWithLocation(spark, tbl)
+      }
+
       if (want("minhash_admit")) {
         val tbl = "graft_bench_scale_mh_admit"
         Warehouse.dropWithLocation(spark, tbl)

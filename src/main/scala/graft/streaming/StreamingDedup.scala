@@ -322,4 +322,99 @@ object StreamingDedup {
       survivors.write.mode(SaveMode.Append).parquet(outPath)
     } finally b.unpersist()
   }
+
+  /**
+   * SPAN admission — the FIFTH admission axis (SimHash = structure,
+   * MinHash = content, lexical = vocabulary, semantic = meaning, this
+   * = VERBATIM SPANS): a document is rejected when ≥ `threshold` of
+   * its distinct character trigrams are contained in one already-
+   * admitted document — the near-verbatim-copy / quoted-wholesale
+   * signal that token-set axes dilute (a copy with light edits keeps
+   * almost all its char grams). The standing memory is the q225
+   * trigram index ([[graft.sources.Warehouse.saveTrigramIndex]]);
+   * survivors' postings append blind.
+   *
+   * Hot grams are df-capped on BOTH sides (batch df and standing df
+   * among the probed grams only — the latter a bucket-pruned count,
+   * never an index scan): stop-word-like grams ("he ", " th") would
+   * otherwise fan the containment join corpus-wide, the q52
+   * `maxShingleDf` lesson. Containment is computed over the capped
+   * gram sets; a doc whose every gram is capped away (pathological
+   * boilerplate) has no containment evidence and is admitted — the
+   * per-row degrade contract.
+   */
+  def trigramAdmission(docs: DataFrame, idCol: String, textCol: String,
+                       indexTable: String, outPath: String,
+                       checkpointDir: String,
+                       threshold: Double = 0.9, maxDf: Long = 1000L,
+                       indexBuckets: Int = 32): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        admitBatchTrigram(batch, idCol, textCol, indexTable, outPath,
+          threshold, maxDf, indexBuckets)
+      }
+      .start()
+
+  /** One span-containment admission round — also the BATCH incremental
+    * API. */
+  def admitBatchTrigram(batch: DataFrame, idCol: String, textCol: String,
+                        indexTable: String, outPath: String,
+                        threshold: Double = 0.9, maxDf: Long = 1000L,
+                        indexBuckets: Int = 32): Unit = {
+    import graft.operators.Search
+    val spark = batch.sparkSession
+    val b = batch.persist()
+    try {
+      val bp = Search.trigramPostings(b, idCol, textCol)
+      val bCapped = bp.join(
+          bp.groupBy("gram").agg(count(lit(1)).as("_df"))
+            .filter(col("_df") <= maxDf).select("gram"), "gram")
+        .persist()
+      val sizes = bCapped.groupBy("doc_id").agg(count(lit(1)).as("_n"))
+      // within-batch: newer doc contained in an older one → drop newer
+      val dropWithin = bCapped.select(col("doc_id").as("_nb"), col("gram"))
+        .join(bCapped.select(col("doc_id").as("_ob"), col("gram")), "gram")
+        .filter(col("_nb") > col("_ob"))
+        .groupBy("_nb", "_ob").agg(count(lit(1)).as("_common"))
+        .join(sizes.withColumnRenamed("doc_id", "_nb"), "_nb")
+        .filter(col("_common") >= col("_n") * threshold)
+        .select(col("_nb").as(idCol)).distinct()
+      // vs the standing index: bucket-pruned gram lookups, standing-df
+      // cap over the probed grams only, containment per (probe, stored)
+      val rejectedIds = (
+        if (spark.catalog.tableExists(indexTable)) {
+          val probeGrams = bCapped
+            .join(dropWithin.withColumnRenamed(idCol, "doc_id"),
+              Seq("doc_id"), "left_anti")
+          val probed = spark.table(indexTable)
+            .join(probeGrams.select("gram").distinct(), "gram")
+            .persist()
+          try {
+            val kept = probed.join(
+              probed.groupBy("gram").agg(count(lit(1)).as("_sdf"))
+                .filter(col("_sdf") <= maxDf).select("gram"), "gram")
+            val hit = probeGrams
+              .select(col("doc_id").as("_pid"), col("gram"))
+              .join(kept.select(col("doc_id").as("_sid"), col("gram")), "gram")
+              .groupBy("_pid", "_sid").agg(count(lit(1)).as("_common"))
+              .join(sizes.withColumnRenamed("doc_id", "_pid"), "_pid")
+              .filter(col("_common") >= col("_n") * threshold)
+              .select(col("_pid").as(idCol)).distinct()
+            dropWithin.union(hit).localCheckpoint()
+          } finally probed.unpersist()
+        } else dropWithin.localCheckpoint()
+      )
+      val survivors = b.join(rejectedIds, Seq(idCol), "left_anti")
+      // admit: index first (replay safety); a sub-3-char doc has no
+      // gram rows — admitted, unmatchable, the per-row degrade contract
+      Warehouse.saveTrigramIndex(
+        Search.trigramPostings(survivors, idCol, textCol), indexTable,
+        buckets = indexBuckets,
+        mode = if (spark.catalog.tableExists(indexTable)) SaveMode.Append
+               else SaveMode.ErrorIfExists)
+      survivors.write.mode(SaveMode.Append).parquet(outPath)
+      bCapped.unpersist()
+    } finally b.unpersist()
+  }
 }

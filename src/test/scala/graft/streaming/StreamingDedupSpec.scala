@@ -152,6 +152,51 @@ class StreamingDedupSpec extends AnyFunSuite with SparkTestSession {
     spark.sql(s"DROP TABLE IF EXISTS ${tbl}_norms")
   }
 
+  test("span admission: trigram containment rejects near-verbatim copies and quoted subspans") {
+    import spark.implicits._
+    val srcDir = Files.createTempDirectory("graft-tri-src").toString
+    val outDir = Files.createTempDirectory("graft-tri-out").toString + "/out"
+    val ckpt = Files.createTempDirectory("graft-tri-ckpt").toString
+    val tbl = "graft_bench_stream_tri"
+    Warehouse.dropWithLocation(spark, tbl)
+
+    val base = doc("alpha")
+    def runOnce(): Unit = {
+      val q = StreamingDedup.trigramAdmission(
+        spark.readStream.schema(schema).parquet(srcDir),
+        "doc_id", "text", tbl, outDir, ckpt)
+      q.processAllAvailable(); q.stop()
+    }
+
+    // batch 1: 2 = base + a short tail (≈0.94 of its grams contained
+    // in 1 → within-batch reject); 3 is a stranger; 6 is sub-trigram
+    // text (no gram rows — must still admit)
+    Seq((1L, base), (2L, base + " tail7 tail8"), (3L, doc("beta")),
+        (6L, "ab"))
+      .toDF("doc_id", "text").write.mode("append").parquet(srcDir)
+    runOnce()
+    // batch 2: 4 = base + one word (only the STORED index can reject
+    // it); 5 is a stranger; 7 is a pure SUBSPAN of base (containment
+    // 1.0 — the quoted-wholesale signal this axis exists for)
+    Seq((4L, base + " coda9"), (5L, doc("gamma")),
+        (7L, base.split(" ").take(20).mkString(" ")))
+      .toDF("doc_id", "text").write.mode("append").parquet(srcDir)
+    runOnce()
+
+    val admitted = spark.read.parquet(outDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(admitted == Set(1L, 3L, 5L, 6L), s"admitted $admitted")
+    // the index holds exactly the worded survivors' gram postings
+    val idx = spark.table(tbl)
+    assert(idx.select("doc_id").distinct().collect()
+      .map(_.getLong(0)).toSet == Set(1L, 3L, 5L))
+    // replaying an already-admitted batch self-rejects (100% contained)
+    StreamingDedup.admitBatchTrigram(
+      Seq((1L, base)).toDF("doc_id", "text"), "doc_id", "text", tbl, outDir)
+    assert(spark.read.parquet(outDir).count() == 4L)
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   test("admitBatch is the batch API: day-2 partition against a standing index") {
     import spark.implicits._
     val outDir = Files.createTempDirectory("graft-sdx-b-out").toString + "/o"
