@@ -2523,6 +2523,30 @@ object ExtQueries {
             .as("n_changed"))
         .orderBy("lang")),
 
+    // Shard-prep capstone (r12): the round's new ops composed the way
+    // a corpus lands — normalize (codegen NFC over an injected
+    // decomposed tail), quality-flag (the q222 one-pass repetition
+    // kernel), route (HRW shards), per-shard scorecard out. Every
+    // stage is shuffle-free except the final 8-group aggregate.
+    "q230_prepare_shards" -> ((s, d) => {
+      val norm = t(s, d, "documents").select(col("doc_id"), col("lang"),
+        TextAnalysis.normalizeUnicode(
+          concat(col("text"), lit(" e\u0301 te\u0301le\u0301"))).as("norm"))
+      val rep = TextAnalysis.repetitionStats(norm, "doc_id", "norm")
+        .select(col("doc_id"),
+          (lit(10) * col("top_bigram_c") > col("n_bigrams") ||
+            col("dup_tri_inst") > 0).as("flagged"))
+      norm.join(rep, "doc_id")
+        .select(col("lang"), col("flagged"), length(col("norm")).as("_nc"),
+          Pipeline.rendezvousShard(col("doc_id"), 8).cast("long").as("shard"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("flagged"), 1L).otherwise(0L)).as("n_flagged"),
+          countDistinct("lang").as("n_langs"),
+          sum("_nc").as("sum_chars"))
+        .orderBy("shard")
+    }),
+
     // Join fan-out pre-flight (q208's sibling): the EXACT output
     // cardinality of a prospective self-join from per-key counts alone
     // — Σ n_k² (and Σ n_a·n_b for two sides) — without running the
@@ -3975,6 +3999,27 @@ object ExtQueries {
         "CAST(sum(length(nfc_normalize(dirty))) AS BIGINT) AS nfc_chars, " +
         "CAST(sum(CASE WHEN length(dirty) = length(nfc_normalize(dirty)) THEN 0 ELSE 1 END) AS BIGINT) AS n_changed " +
         "FROM dirty GROUP BY lang ORDER BY lang"),
+
+    // q230: the q229 NFC injection + q222 gram stats + q228 HRW argmax
+    // composed; flags computed on the NORMALIZED text on both sides
+    "q230_prepare_shards" ->
+      ("WITH dirty AS (SELECT doc_id, lang, nfc_normalize(text || ' e' || chr(769) || ' te' || chr(769) || 'le' || chr(769)) AS norm FROM documents), " +
+        "words AS (SELECT doc_id, string_split(norm,' ') ws FROM dirty), " +
+        "bg AS (SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS g FROM words), " +
+        "bgc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1,2), " +
+        "bstat AS (SELECT doc_id, CAST(sum(c) AS BIGINT) n_bigrams, CAST(max(c) AS BIGINT) top_bigram_c FROM bgc GROUP BY 1), " +
+        "tg AS (SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws)-1)]) AS g FROM words), " +
+        "tgc AS (SELECT doc_id, g, count(*) AS c FROM tg GROUP BY 1,2), " +
+        "tstat AS (SELECT doc_id, CAST(sum(c) AS BIGINT) n_trigrams, CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) dup_tri_inst FROM tgc GROUP BY 1), " +
+        "rep AS (SELECT doc_id, (10*top_bigram_c > n_bigrams OR dup_tri_inst > 0) AS flagged FROM bstat JOIN tstat USING (doc_id)), " +
+        "w AS (SELECT doc_id, s, CAST(CAST(concat('0x', substr(md5(doc_id || ':' || s), 1, 14)) AS UBIGINT) AS BIGINT) * 16 + s AS wt FROM dirty, unnest(range(8)) t(s)), " +
+        "a AS (SELECT doc_id, arg_max(s, wt) AS shard FROM w GROUP BY doc_id) " +
+        "SELECT shard, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(CASE WHEN flagged THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged, " +
+        "CAST(count(DISTINCT lang) AS BIGINT) AS n_langs, " +
+        "CAST(sum(length(norm)) AS BIGINT) AS sum_chars " +
+        "FROM dirty JOIN rep USING (doc_id) JOIN a USING (doc_id) " +
+        "GROUP BY shard ORDER BY shard"),
 
     // q220: the augmented table must equal the FULL closure — q67's
     // oracle verbatim (the split is invisible to the fixpoint)
