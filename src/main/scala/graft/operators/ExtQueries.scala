@@ -2547,6 +2547,17 @@ object ExtQueries {
         .orderBy("shard")
     }),
 
+    // Late-interaction MaxSim retrieval (r12, Similarity.maxSimTopK):
+    // 4×16-dim subvectors, Σ_i max_j sub-cosine — fully value-checked
+    // exact top-3 per probe (rank on the ROUNDED score, id tiebreak;
+    // the oracle folds the per-sub maxima in the same qs_i order)
+    "q231_maxsim" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.maxSimTopK(emb, emb.where(col("vec_id") < 3),
+          "vec_id", "embedding", subspaces = 4, subDim = 16, k = 3)
+        .orderBy("probe_id", "rn")
+    }),
+
     // Join fan-out pre-flight (q208's sibling): the EXACT output
     // cardinality of a prospective self-join from per-key counts alone
     // — Σ n_k² (and Σ n_a·n_b for two sides) — without running the
@@ -4020,6 +4031,24 @@ object ExtQueries {
         "CAST(sum(length(norm)) AS BIGINT) AS sum_chars " +
         "FROM dirty JOIN rep USING (doc_id) JOIN a USING (doc_id) " +
         "GROUP BY shard ORDER BY shard"),
+
+    // q231: subvector slices are 1-based inclusive on both engines;
+    // the per-(q,d,qs_i) max is selection-exact and the 4-term sum
+    // folds in qs_i order (list_sum over an ORDERED list) — one
+    // rounding site before the rank
+    "q231_maxsim" ->
+      ("WITH subs AS (SELECT vec_id, s, embedding[16*s+1 : 16*s+16] AS sv FROM embeddings, unnest(range(4)) t(s)), " +
+        "qs AS (SELECT vec_id AS qid, s AS qs_i, sv AS qv FROM subs WHERE vec_id < 3), " +
+        "ds AS (SELECT vec_id AS did, s AS ds_i, sv AS dv FROM subs), " +
+        "pairc AS (SELECT qid, did, qs_i, " +
+        "max(list_sum(list_apply(list_zip(qv, dv), x -> CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE))) / " +
+        "(sqrt(list_sum(list_apply(qv, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) * " +
+        "sqrt(list_sum(list_apply(dv, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))))) AS best " +
+        "FROM qs JOIN ds ON qid <> did GROUP BY qid, did, qs_i), " +
+        "score AS (SELECT qid, did, round(list_sum(list(best ORDER BY qs_i)), 4) + 0.0 AS maxsim FROM pairc GROUP BY qid, did), " +
+        "ranked AS (SELECT qid, did, maxsim, row_number() OVER (PARTITION BY qid ORDER BY maxsim DESC, did) rn FROM score) " +
+        "SELECT qid AS probe_id, CAST(rn AS BIGINT) AS rn, did AS nn_id, maxsim " +
+        "FROM ranked WHERE rn <= 3 ORDER BY probe_id, rn"),
 
     // q220: the augmented table must equal the FULL closure — q67's
     // oracle verbatim (the split is invisible to the fixpoint)

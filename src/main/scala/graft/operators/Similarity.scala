@@ -1385,6 +1385,51 @@ object Similarity {
   }
 
   /**
+   * Late-interaction (ColBERT-style) MaxSim retrieval: treat each
+   * vector as `subspaces` contiguous sub-vectors of `subDim` dims and
+   * score `Σ_i max_j cos(q_i, d_j)` — the multi-vector relevance shape
+   * (each query aspect matches its BEST document aspect) that a single
+   * pooled cosine flattens away.
+   *
+   * Plan: one broadcast of the probe batch, then ALL subspaces² sub-
+   * cosines evaluate in ONE projection per (probe, doc) row (codegen'd
+   * [[cosine]] over `slice`s + per-query-sub `greatest` + a strictly
+   * left-to-right sum) — no explode, no per-sub exchange; the only
+   * shuffle is the per-probe top-k window, [[knnBatch]]'s contract.
+   * Ranking is on the ROUNDED score with the id tiebreak (the
+   * cross-engine determinism rule); the oracle reproduces the same
+   * left-to-right sum via an ordered list fold. This exact scan is the
+   * baseline/oracle shape — the scale path blocks each subspace
+   * through the ANN families like PQ does.
+   *
+   * Output: `(probe_id, rn, nn_id, maxsim)`.
+   */
+  def maxSimTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
+                 embCol: String, subspaces: Int, subDim: Int,
+                 k: Int): DataFrame = {
+    require(subspaces >= 1 && subDim >= 1,
+      "maxSimTopK needs subspaces >= 1 and subDim >= 1")
+    val pairs = corpus.select(col(idCol).as("nn_id"), col(embCol).as("_d"))
+      .crossJoin(broadcast(probes.select(col(idCol).as("probe_id"),
+        col(embCol).as("_q"))))
+      .filter(col("nn_id") =!= col("probe_id"))
+    val best = (0 until subspaces).map { i =>
+      val qv = slice(col("_q"), i * subDim + 1, subDim)
+      val cosines = (0 until subspaces).map { j =>
+        cosine(qv, slice(col("_d"), j * subDim + 1, subDim))
+      }
+      if (cosines.sizeIs == 1) cosines.head else greatest(cosines: _*)
+    }
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("maxsim").desc, col("nn_id"))
+    pairs
+      .withColumn("maxsim", round(best.reduce(_ + _), 4) + lit(0.0))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select("probe_id", "rn", "nn_id", "maxsim")
+  }
+
+  /**
    * Per-label centroids by per-DIMENSION discrete median (the lower
    * middle element) over a training frame — the deterministic stand-in
    * for a float mean, whose cross-engine sum order is unreproducible.

@@ -65,6 +65,23 @@ class CentroidTrigramSpec extends AnyFunSuite with SparkTestSession {
     assert(fast.count() == emb.where(col("vec_id") % 2 === 1).count())
   }
 
+  test("maxSimTopK: per-aspect best match, order-invariant, pooled cosine can't tell") {
+    // q = (e1 | e2): doc 11 = (e1 | e2) and doc 12 = (e2 | e1) both
+    // score 1+1 = 2 (MaxSim ignores sub ORDER); doc 13 = (e1 | e1)
+    // matches only one aspect → 1.0; a POOLED cosine would score 12
+    // and 13 identically (both share half the mass)
+    val emb = Seq(
+      (10L, Seq(1f, 0f, 0f, 1f)),
+      (11L, Seq(1f, 0f, 0f, 1f).map(identity)),
+      (12L, Seq(0f, 1f, 1f, 0f)),
+      (13L, Seq(1f, 0f, 1f, 0f))).toDF("vec_id", "embedding")
+    val got = Similarity.maxSimTopK(emb, emb.where(col("vec_id") === 10),
+        "vec_id", "embedding", subspaces = 2, subDim = 2, k = 3)
+      .orderBy("rn")
+      .collect().map(r => (r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq((11L, 2.0), (12L, 2.0), (13L, 1.0)))
+  }
+
   test("trigramPostings: hand grams, short texts contribute none") {
     val docs = Seq((1L, "abcd"), (2L, "ab"), (3L, "aaaa")).toDF(
       "doc_id", "text")
