@@ -687,6 +687,21 @@ object ScaleBench {
         docs.unpersist()
       }
 
+      // MaxSim late-interaction scan at k× corpus: 3 fixed probes, all
+      // 16 sub-cosines in one projection per pair row — cost must
+      // track the corpus scan ≈ linearly (the exact baseline; a scale
+      // deployment blocks each subspace through the ANN families)
+      if (want("maxsim")) {
+        val emb = scaleEmb(spark, sf, k).persist()
+        val nE = emb.count()
+        System.err.println(s"SCALE inputs ${k}x: $nE embeddings (maxsim)")
+        record("maxsim", k, time(
+          graft.operators.Similarity.maxSimTopK(emb,
+            emb.filter(col("vec_id") < 3), "vec_id", "embedding",
+            subspaces = 4, subDim = 16, k = 3)))
+        emb.unpersist()
+      }
+
       // Nearest-centroid serving path at k× vectors: centroids FIXED
       // (fit on the 1× training half, excluded from timing), so the
       // classification is one shuffle-free unrolled projection — cost
