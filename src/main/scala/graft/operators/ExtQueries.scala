@@ -57,6 +57,16 @@ object ExtQueries {
       "(SELECT probe_id, nn_id, sim, row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, nn_id) rn FROM c) " +
       "WHERE rn <= 3 ORDER BY probe_id, rn"
 
+  /** q232's twin: the exact top-3 restricted to the FILTERED candidate
+    * set (even labels) — the floor the pre-filtered IVF probe must hit. */
+  private lazy val filteredTop3FloorSql: String =
+    s"WITH c AS (SELECT p.vec_id probe_id, e.vec_id nn_id, round($cosSql,4) sim " +
+      "FROM embeddings p CROSS JOIN embeddings e " +
+      "WHERE p.vec_id < 5 AND e.vec_id <> p.vec_id AND e.label % 2 = 0) " +
+      "SELECT probe_id, rn, nn_id, sim, true AS ok FROM " +
+      "(SELECT probe_id, nn_id, sim, row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, nn_id) rn FROM c) " +
+      "WHERE rn <= 3 ORDER BY probe_id, rn"
+
   /** q217 mixture budget (tokens the planned mixture must fill) —
     * shared with the generated oracle. α is fixed at 0.5 (sqrt):
     * IEEE-correctly-rounded in both engines, unlike pow(x, α). */
@@ -2547,6 +2557,39 @@ object ExtQueries {
         .orderBy("shard")
     }),
 
+    // Filtered vector search (r12): ONE index, per-query attribute
+    // filters — the filter PRE-filters the stored cell frame (a
+    // post-filter on ranked results silently loses recall when the
+    // true filtered NN ranks below unfiltered k). Index shared across
+    // filters, guarded build; floor contract = ≥2 of the FILTERED
+    // exact top-3 at nprobe 12/16.
+    "q232_filtered_ann" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val probes = emb.filter(col("vec_id") < 5)
+      val evens = emb.filter(pmod(col("label"), lit(2)) === 0)
+      val exact = Similarity.knnBatch(evens, probes, "vec_id", "embedding",
+          k = 3)
+        .select(col("probe_id"), col("rn"), col("nn_id"), col("sim"))
+      ensureStoredIndex("graft_bench_ivf_q232", d) {
+        val (cells, centroids) =
+          Similarity.ivfIndex(emb, "vec_id", "embedding", nlist = 16)
+        graft.sources.Warehouse.saveIvfIndex(cells, centroids,
+          "graft_bench_ivf_q232")
+      }
+      val filteredCells = s.table("graft_bench_ivf_q232")
+        .join(evens.select(col("vec_id").as("id")), "id")
+      val ivf = Similarity.ivfCosineTopKFrom(filteredCells,
+          s.table("graft_bench_ivf_q232_centroids"), probes,
+          "vec_id", "embedding", k = 3, nprobe = 12)
+        .select(col("probe_id"), col("nn_id"))
+      val hits = exact.join(ivf, Seq("probe_id", "nn_id"))
+        .groupBy("probe_id").agg(count(lit(1)).as("hits"))
+      exact.join(hits, Seq("probe_id"), "left")
+        .select(col("probe_id"), col("rn"), col("nn_id"), col("sim"),
+          (coalesce(col("hits"), lit(0L)) >= 2).as("ok"))
+        .orderBy("probe_id", "rn")
+    }),
+
     // Late-interaction MaxSim retrieval (r12, Similarity.maxSimTopK):
     // 4×16-dim subvectors, Σ_i max_j sub-cosine — fully value-checked
     // exact top-3 per probe (rank on the ROUNDED score, id tiebreak;
@@ -3831,6 +3874,7 @@ object ExtQueries {
     // can't be pinned — the exact rows now can)
     "q41_ann_topk" -> exactTop3FloorSql,
     "q53_ivf_recall" -> exactTop3FloorSql,
+    "q232_filtered_ann" -> filteredTop3FloorSql,
     "q83_pq_recall" -> exactTop3FloorSql,
     "q117_sq8_recall" -> exactTop3FloorSql,
     "q214_ivfpq_recall" -> exactTop3FloorSql,
