@@ -687,6 +687,34 @@ object ScaleBench {
         docs.unpersist()
       }
 
+      // Filtered IVF probe at k× corpus (q232's scale evidence): index
+      // built at k× (excluded), 5 fixed probes; the even-label filter
+      // pre-filters the probed cells' rows — timed cost is the pruned
+      // bucket reads + filter join + exact re-rank, which must track
+      // the per-cell row count (≈ linear with a bucket-pruned constant)
+      if (want("filtered_probe")) {
+        val tbl = "graft_bench_scale_fivf"
+        Warehouse.dropWithLocation(spark, tbl)
+        Warehouse.dropWithLocation(spark, s"${tbl}_centroids")
+        val emb = scaleEmb(spark, sf, k).repartition(32).persist()
+        val nE = emb.count()
+        System.err.println(s"SCALE inputs ${k}x: $nE embeddings (fivf)")
+        val (cells, centroids) = graft.operators.Similarity.ivfIndex(
+          emb, "vec_id", "embedding", nlist = 16)
+        Warehouse.saveIvfIndex(cells, centroids, tbl)
+        val evens = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+          .select(col("vec_id").as("id"))
+        record("filtered_probe", k, time(
+          graft.operators.Similarity.ivfCosineTopKFrom(
+            spark.table(tbl).join(evens, "id"),
+            spark.table(s"${tbl}_centroids"),
+            emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+            k = 3, nprobe = 12)))
+        emb.unpersist()
+        Warehouse.dropWithLocation(spark, tbl)
+        Warehouse.dropWithLocation(spark, s"${tbl}_centroids")
+      }
+
       // MaxSim late-interaction scan at k× corpus: 3 fixed probes, all
       // 16 sub-cosines in one projection per pair row — cost must
       // track the corpus scan ≈ linearly (the exact baseline; a scale
