@@ -281,6 +281,33 @@ object SlowLogStream {
   }
 
   /**
+   * LEFT-OUTER watermarked interval join — [[intervalJoin]] plus the
+   * rows it can never show: a left row with NO right match inside its
+   * interval emits with null right columns once the watermark passes
+   * its match horizon (`l_ts`, i.e. the latest possible partner) — the
+   * "primary query that no replica ever echoed" row an inner join
+   * silently drops. State stays watermark-bounded exactly like the
+   * inner form; unmatched emissions are necessarily LATE by up to the
+   * watermark delay (they exist only once absence is provable), and in
+   * practice surface on a SUBSEQUENT trigger, since eviction runs
+   * against the watermark the previous batch established.
+   */
+  def intervalJoinOuter(left: DataFrame, right: DataFrame, key: String,
+                        maxDelay: String = "5 minutes",
+                        watermark: String = "10 minutes"): DataFrame = {
+    val l = left.select(col(key), col("ts").as("l_ts"))
+      .withWatermark("l_ts", watermark)
+    val r = right.select(col(key).as("r_key"), col("ts").as("r_ts"))
+      .withWatermark("r_ts", watermark)
+    l.join(r, col(key) === col("r_key") &&
+        col("r_ts") >= col("l_ts") - expr(s"INTERVAL $maxDelay") &&
+        col("r_ts") <= col("l_ts"), "leftOuter")
+      .select(col(key), col("l_ts"), col("r_ts"),
+        (unix_timestamp(col("l_ts")) - unix_timestamp(col("r_ts")))
+          .as("lag_s"))
+  }
+
+  /**
    * Batched-idempotent JDBC sink: `foreachBatch` + the [[graft.sources.JdbcSink]]
    * batch writer — the reference's accumulate/commit loop per micro-batch,
    * with the checkpoint providing exactly-once file accounting.

@@ -205,6 +205,52 @@ class SlowLogStreamSpec extends AnyFunSuite with SparkTestSession {
     assert(rows.forall(_.getAs[Long]("lag_s") == 30L), rows.toSeq)
   }
 
+  test("left-outer interval join emits unmatched left rows once the watermark proves absence") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val lDir = tempDir("graft-ssoj-l").toString
+    val rDir = tempDir("graft-ssoj-r").toString
+    val ckpt = tempDir("graft-ssoj-ckpt").toString
+    val outDir = tempDir("graft-ssoj-out").toString + "/out"
+    val schema = StructType(Seq(StructField("k", StringType),
+      StructField("ts", TimestampType)))
+    def rows(dir: String, xs: Seq[(String, Long)]): Unit =
+      xs.map { case (k, s) => (k, new java.sql.Timestamp(s * 1000L)) }
+        .toDF("k", "ts").write.mode("append").parquet(dir)
+    def runOnce(): Unit = {
+      val j = SlowLogStream.intervalJoinOuter(
+        spark.readStream.schema(schema).parquet(lDir),
+        spark.readStream.schema(schema).parquet(rDir), key = "k")
+      val q = j.writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000); q.stop()
+    }
+    val t0 = 1706774400L
+    // a matches (replica 120 s earlier); b has NO right-side echo
+    rows(lDir, Seq(("a", t0), ("b", t0)))
+    rows(rDir, Seq(("a", t0 - 120)))
+    runOnce()
+    // later traffic on BOTH sides advances the watermark past b's
+    // match horizon; eviction runs against the PREVIOUS batch's
+    // watermark, so push twice
+    rows(lDir, Seq(("c", t0 + 3600)))
+    rows(rDir, Seq(("c", t0 + 3480)))
+    runOnce()
+    rows(lDir, Seq(("d", t0 + 7200)))
+    rows(rDir, Seq(("d", t0 + 7080)))
+    runOnce()
+    val out = spark.read.parquet(outDir)
+      .collect().map(r => r.getString(0) ->
+        (Option(r.get(2)), Option(r.get(3)).map(_.asInstanceOf[Long])))
+      .toMap
+    // matched rows carry their lag; the orphan emits with nulls
+    assert(out("a")._2.contains(120L) && out("c")._2.contains(120L) &&
+      out("d")._2.contains(120L), out.toString)
+    assert(out.contains("b") && out("b")._1.isEmpty && out("b")._2.isEmpty,
+      s"unmatched left row missing or non-null: $out")
+  }
+
   test("watermarked tumbling per-digest aggregation") {
     val logDir = tempDir("graft-stream-agg")
     // 4 events in one second-window, same digest (same fingerprint shape)
