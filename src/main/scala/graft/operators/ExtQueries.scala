@@ -2557,6 +2557,21 @@ object ExtQueries {
         .orderBy("shard")
     }),
 
+    // k-distance diagnostic (r12): the DBSCAN-eps / density profile —
+    // every vector's similarity to its 3rd nearest neighbor, bucketed
+    // (0.05 grain). Both engines bucket the SAME rounded double with
+    // the same IEEE ops, so the floor boundary cannot diverge. The
+    // whole corpus probes itself (knnBatch's broadcast side is the
+    // corpus — fine at diagnostic batch sizes; sample first at 100 TB).
+    "q233_kdist" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.knnBatch(emb, emb, "vec_id", "embedding", k = 3)
+        .where(col("rn") === 3)
+        .groupBy(floor(col("sim") * 20).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("bucket")
+    }),
+
     // Filtered vector search (r12): ONE index, per-query attribute
     // filters — the filter PRE-filters the stored cell frame (a
     // post-filter on ranked results silently loses recall when the
@@ -3875,6 +3890,13 @@ object ExtQueries {
     "q41_ann_topk" -> exactTop3FloorSql,
     "q53_ivf_recall" -> exactTop3FloorSql,
     "q232_filtered_ann" -> filteredTop3FloorSql,
+    // q233: same rounded-double bucket math on both engines
+    "q233_kdist" ->
+      (s"WITH c AS (SELECT p.vec_id pid, e.vec_id nid, round($cosSql,4) sim " +
+        "FROM embeddings p CROSS JOIN embeddings e WHERE p.vec_id <> e.vec_id), " +
+        "k3 AS (SELECT pid, sim, row_number() OVER (PARTITION BY pid ORDER BY sim DESC, nid) rn FROM c) " +
+        "SELECT CAST(floor(sim * 20) AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n " +
+        "FROM k3 WHERE rn = 3 GROUP BY 1 ORDER BY 1"),
     "q83_pq_recall" -> exactTop3FloorSql,
     "q117_sq8_recall" -> exactTop3FloorSql,
     "q214_ivfpq_recall" -> exactTop3FloorSql,
