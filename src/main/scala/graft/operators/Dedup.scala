@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -1196,6 +1197,180 @@ object Dedup {
       .withColumn("gap", col("_rb") - col("_ra"))
       .filter(col("gap") >= 1 && col("gap") <= w)
       .select("a_id", "b_id", "gap")
+  }
+
+  /**
+   * DBSCAN over a precomputed ε-neighborhood pair frame — the density
+   * clustering that closes the loop q233's k-distance diagnostic opens
+   * (the diagnostic picks ε; this clusters with it). Decoupling pair
+   * generation from clustering is the q89/maxsim posture: the EXACT
+   * pair frame is the oracle shape (brute-force ε-pairs at oracle
+   * SFs), and the 100 TB path feeds this same operator LSH-blocked
+   * pairs ([[embeddingNearDupPairs]]) with recall measured like every
+   * ANN family (ScaleBench `dbscan`).
+   *
+   * Semantics (classic DBSCAN read on the ε-graph):
+   *  - CORE: ≥ `minPts` ε-neighbors (self excluded);
+   *  - cluster = connected component of the core–core ε-subgraph
+   *    ([[dedupClustersStar]] — labels are component-min core ids;
+   *    a core with no core neighbor is its own singleton cluster);
+   *  - BORDER: non-core with ≥ 1 core neighbor, labeled by the MIN
+   *    label among its core neighbors — the deterministic attachment
+   *    rule (textbook DBSCAN leaves border attachment scan-order-
+   *    dependent, a nondeterminism no cross-engine oracle can allow);
+   *  - NOISE: everything else; cluster is NULL.
+   *
+   * Scale shape: one degree aggregation, two semi-joins to restrict
+   * the core subgraph, the star CC (O(log) alternations, measured),
+   * one min-attach aggregation — every step keyed on node ids, nothing
+   * ever denser than the pair frame itself.
+   *
+   * Output: `(idCol, role ∈ core|border|noise, cluster nullable)`.
+   */
+  def dbscanLabels(points: DataFrame, idCol: String, pairs: DataFrame,
+                   aCol: String, bCol: String, minPts: Int): DataFrame = {
+    require(minPts >= 1, s"minPts must be >= 1, got $minPts")
+    val sym = pairs.select(col(aCol).as("node"), col(bCol).as("nbr"))
+      .union(pairs.select(col(bCol).as("node"), col(aCol).as("nbr")))
+    val cores = sym.groupBy("node").agg(count(lit(1)).as("_n"))
+      .filter(col("_n") >= minPts).select("node")
+    val coreEdges = sym
+      .join(cores, Seq("node"), "left_semi")
+      .join(cores.withColumnRenamed("node", "nbr"), Seq("nbr"), "left_semi")
+      .filter(col("node") < col("nbr"))
+      .select(col("node").as("da"), col("nbr").as("db"))
+    val cc = dedupClustersStar(coreEdges, "da", "db")
+    val coreLabels = cores.join(cc, Seq("node"), "left")
+      .select(col("node"), coalesce(col("lbl"), col("node")).as("lbl"))
+    val borderLabels = sym
+      .join(cores, Seq("node"), "left_anti")
+      .join(coreLabels.select(col("node").as("nbr"), col("lbl")), "nbr")
+      .groupBy("node").agg(min(col("lbl")).as("lbl"))
+    points.select(col(idCol))
+      .join(coreLabels.select(col("node").as(idCol),
+        col("lbl").as("_core_lbl")), Seq(idCol), "left")
+      .join(borderLabels.select(col("node").as(idCol),
+        col("lbl").as("_border_lbl")), Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("_core_lbl").isNotNull, lit("core"))
+          .when(col("_border_lbl").isNotNull, lit("border"))
+          .otherwise(lit("noise")).as("role"),
+        coalesce(col("_core_lbl"), col("_border_lbl")).as("cluster"))
+  }
+
+  /**
+   * ExactSubstr duplicate-span detection — the one big-name dedup
+   * family previously absent (Lee et al. 2022, "Deduplicating Training
+   * Data Makes Language Models Better", the ExactSubstr half),
+   * re-expressed shuffle-native: instead of a driver-side suffix array
+   * over the concatenated corpus, every word position contributes its
+   * k-word ANCHOR gram, an anchor is DUPLICATED when its gram occurs
+   * in ≥ 2 distinct documents, and maximal runs of consecutive
+   * duplicated anchor positions within a document become the reported
+   * spans — a run of anchors [a..b] covers words [a, b+k−1], and every
+   * k-window inside the span is corpus-duplicated.
+   *
+   * Declared semantics (the oracle reproduces them EXACTLY): a
+   * reported span is a maximal word interval whose every k-gram
+   * appears in some other document. This is the standard distributed
+   * relaxation of suffix-array ExactSubstr: any true cross-document
+   * duplicated substring of ≥ k words is always inside a reported span
+   * (its k-windows are all duplicated — detection is a superset), and
+   * a chimeric run stitching two DIFFERENT sources' duplicates can
+   * merge into one span (the documented over-merge — harmless for a
+   * cut decision, because every word of the merged span still sits in
+   * some cross-document duplicate window; spec-pinned).
+   *
+   * Scale shape, all ∝ corpus words (ScaleBench `exact_substr`):
+   * anchor generation is map-only (explode in the scan); the dup flag
+   * is ONE gram-keyed window pass (`min(doc) ≠ max(doc)` over the gram
+   * partition — distinct-doc ≥ 2 without a count-distinct or a
+   * df-join back onto the instance stream); islands are one per-doc
+   * window over the DUPLICATED subset only; the span-text readout
+   * joins spans back to the docs on the id. No suffix array, no
+   * driver-side state, no all-pairs anything.
+   *
+   * Output: one row per maximal span — `(idCol, span_start` (0-based
+   * word position), `n_anchors, span_words, span_md5)` where
+   * `span_words = n_anchors + k − 1` and `span_md5` fingerprints the
+   * covered words (the cross-engine span-identity check).
+   */
+  def exactSubstrSpans(docs: DataFrame, idCol: String, textCol: String,
+                       k: Int): DataFrame = {
+    require(k >= 2, s"anchor width must be >= 2, got $k")
+    val ws = split(col(textCol), " ")
+    val grams = docs.filter(size(ws) >= k)
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(1), size(ws) - lit(k - 1)),
+        s => concat_ws(" ", slice(ws, s, lit(k))))))
+      .select(col(idCol), col("pos").cast("long").as("pos"),
+        col("col").as("gram"))
+    val byGram = Window.partitionBy("gram")
+    val anchors = grams
+      .withColumn("_dup",
+        min(col(idCol)).over(byGram) =!= max(col(idCol)).over(byGram))
+      .filter(col("_dup"))
+    val islands = anchors
+      .withColumn("_isl", col("pos") - row_number().over(
+        Window.partitionBy(idCol).orderBy("pos")))
+    val spans = islands.groupBy(col(idCol), col("_isl"))
+      .agg(min(col("pos")).as("span_start"),
+        count(lit(1)).as("n_anchors"))
+      .withColumn("span_words", col("n_anchors") + lit(k - 1).cast("long"))
+      .select(idCol, "span_start", "n_anchors", "span_words")
+    spans.join(docs.select(col(idCol), ws.as("_ws")), Seq(idCol))
+      .withColumn("span_md5", md5(concat_ws(" ",
+        slice(col("_ws"), (col("span_start") + 1).cast("int"),
+          col("span_words").cast("int")))))
+      .select(idCol, "span_start", "n_anchors", "span_words", "span_md5")
+  }
+
+  /**
+   * [[exactSubstrSpans]] applied as a CUT: remove every word covered by
+   * a duplicated span and keep the remainder in original order — the
+   * actual ExactSubstr pipeline action (Lee et al. cut the duplicated
+   * bytes, they do not drop documents). Overlapping span intervals
+   * (possible when two islands sit closer than k) union via a per-doc
+   * running-max pass before coverage is computed, so no word is
+   * double-counted. Documents with no duplicated span pass through
+   * byte-exact; a fully-covered document keeps the empty string (the
+   * q98 segment-dedup contract).
+   *
+   * Output: `(idCol, n_words, cut_words, kept_text)`.
+   */
+  def exactSubstrCut(docs: DataFrame, idCol: String, textCol: String,
+                     k: Int): DataFrame = {
+    val ws = split(col(textCol), " ")
+    val spans = exactSubstrSpans(docs, idCol, textCol, k)
+      .select(col(idCol), col("span_start"),
+        (col("span_start") + col("span_words")).as("_end"))
+    // interval union: a span is redundant where the running max of
+    // prior ends already covers it; covered = Σ (end − max(start, run))
+    val w = Window.partitionBy(idCol).orderBy("span_start")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val covered = spans
+      .withColumn("_run", coalesce(max(col("_end")).over(w), lit(0L)))
+      .select(col(idCol), col("span_start"), col("_end"), col("_run"))
+      .withColumn("_cov",
+        greatest(col("_end") - greatest(col("span_start"), col("_run")),
+          lit(0L)))
+    val cuts = covered.groupBy(col(idCol))
+      .agg(sum(col("_cov")).as("cut_words"))
+    // kept text: words whose position falls in no unioned interval —
+    // recomputed positionally with the same running-max frame
+    val perDoc = covered.groupBy(col(idCol))
+      .agg(collect_list(struct(col("span_start"), col("_end"))).as("_iv"))
+    docs.select(col(idCol), ws.as("_ws"))
+      .join(perDoc, Seq(idCol), "left")
+      .join(cuts, Seq(idCol), "left")
+      .select(col(idCol), size(col("_ws")).cast("long").as("n_words"),
+        coalesce(col("cut_words"), lit(0L)).as("cut_words"),
+        when(col("_iv").isNull, concat_ws(" ", col("_ws")))
+          .otherwise(concat_ws(" ", filter(col("_ws"), (wd, i) =>
+            !exists(col("_iv"), iv =>
+              i.cast("long") >= iv.getField("span_start") &&
+                i.cast("long") < iv.getField("_end")))))
+          .as("kept_text"))
   }
 
   /**

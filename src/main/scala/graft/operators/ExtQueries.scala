@@ -101,6 +101,19 @@ object ExtQueries {
   private val SpanN: Int = 4
   private val AnomalyK: Double = 3.0
 
+  /** q234/q235 ExactSubstr anchor width (words) — 4 keeps the same
+    * non-degenerate duplicate mass as SegWidth/SpanN (687 spans at
+    * sf0.01, max merged run 93 words; 368/500 docs cut). */
+  private val ExactSubstrK: Int = 4
+
+  /** q236 DBSCAN ε (cosine) and minPts — probed against the real
+    * embedding geometry (max pairwise cosine ≈ 0.51, q233's k-distance
+    * knee): 0.35/3 yields 47 core / 85 border / 368 noise over 19
+    * clusters at sf0.01 and a comparable mix at the other SFs; 0.4
+    * left almost no cores, 0.3 merged nearly everything. */
+  private val DbscanEps: Double = 0.35
+  private val DbscanMinPts: Int = 3
+
   /** q102 comparison-prefix length / edit threshold, and the q104
     * sorted-neighborhood key length / window — shared between the Spark
     * entries and their generated oracles so the parameters cannot
@@ -997,20 +1010,35 @@ object ExtQueries {
         expr("ts_ns div 1000"), col("event_id"), col("event_type"),
         PathDepth, PathTopK)),
 
-    // Fixed-iteration PageRank (Graph.pageRankTopK) over the
-    // UNDIRECTED customer↔supplier trade graph (each distinct
-    // (cust, supp) pair as two directed edges, 'c'/'s' namespacing so
-    // key spaces can't collide): 3 contribute-and-sum rounds, a finite
-    // join chain with no driver convergence probe; the oracle unrolls
-    // the identical iterations as CTEs.
+    // Fixed-iteration PageRank (Graph.pageRank) over the UNDIRECTED
+    // customer↔supplier trade graph: 3 contribute-and-sum rounds, a
+    // finite join chain with no driver convergence probe; the oracle
+    // unrolls the identical iterations as CTEs. Node keys stay LONG
+    // (custkey·2 / suppkey·2+1 — the parity namespacing, disjoint by
+    // construction) through every shuffle and decode to the oracle's
+    // 'c'/'s' strings only at the 20-row readout: string keys through
+    // a 6-shuffle iteration chain were a measured constant tax. The
+    // readout re-applies the determinism rule ON THE STRING FORM
+    // (round → desc, node asc) so rank ties break exactly like the
+    // oracle's ORDER BY.
     "q118_pagerank" -> ((s, d) => {
       val pairs = t(s, d, "orders").select("o_orderkey", "o_custkey")
         .join(t(s, d, "lineitem").select("l_orderkey", "l_suppkey"),
           col("l_orderkey") === col("o_orderkey"))
-        .select(concat(lit("c"), col("o_custkey")).as("a"),
-          concat(lit("s"), col("l_suppkey")).as("b"))
+        .select((col("o_custkey") * 2).as("a"),
+          (col("l_suppkey") * 2 + 1).as("b"))
       val edges = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
-      Graph.pageRankTopK(edges, "a", "b", PrIters, PrTopK, PrDamping)
+      val ranks = Graph.pageRank(edges, "a", "b", PrIters, PrDamping)
+      val named = ranks.select(
+        when(col("node") % 2 === 0,
+          concat(lit("c"), expr("node div 2")))
+          .otherwise(concat(lit("s"), expr("(node - 1) div 2"))).as("node"),
+        round(col("rank"), 4).as("rank"))
+      named.orderBy(col("rank").desc, col("node")).limit(PrTopK)
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("rank").desc, col("node"))).cast("long"))
+        .select("rn", "node", "rank")
     }),
 
     // Inter-event gap census (Behavior.interEventGaps): waiting-time
@@ -2575,6 +2603,41 @@ object ExtQueries {
         .orderBy("bucket")
     }),
 
+    // ExactSubstr duplicate spans (r13, Dedup.exactSubstrSpans — the
+    // Lee et al. 2022 family, suffix-array-free): k-gram anchors →
+    // gram-partition min≠max dup flag → per-doc islands → maximal
+    // spans with covered-word md5. The oracle reproduces the declared
+    // anchor-run semantics verbatim (same grams, same islands).
+    "q234_exact_substr" -> ((s, d) =>
+      Dedup.exactSubstrSpans(t(s, d, "documents"), "doc_id", "text",
+          ExactSubstrK)
+        .orderBy("doc_id", "span_start")),
+
+    // The CUT applied (Dedup.exactSubstrCut): duplicated spans removed
+    // word-positionally, overlapping intervals unioned, untouched docs
+    // byte-exact — kept_text is the cross-engine payload check.
+    "q235_exact_substr_cut" -> ((s, d) =>
+      Dedup.exactSubstrCut(t(s, d, "documents"), "doc_id", "text",
+          ExactSubstrK)
+        .orderBy("doc_id")),
+
+    // DBSCAN density clustering (r13, Dedup.dbscanLabels): the ε that
+    // q233's k-distance diagnostic picks, applied. EXACT brute-force
+    // ε-pairs are the oracle shape (the q89/maxsim posture — the scale
+    // path feeds the same operator LSH-blocked pairs); bounded probe
+    // population (vec_id < 1000) keeps the oracle's quadratic pair CTE
+    // tractable, the q89 rule.
+    "q236_dbscan" -> ((s, d) => {
+      val emb = t(s, d, "embeddings").filter(col("vec_id") < 1000)
+      val pairs = emb.select(col("vec_id").as("da"), col("embedding").as("_ea"))
+        .join(emb.select(col("vec_id").as("db"), col("embedding").as("_eb")),
+          col("da") < col("db"))
+        .filter(Similarity.cosine(col("_ea"), col("_eb")) >= DbscanEps)
+        .select("da", "db")
+      Dedup.dbscanLabels(emb, "vec_id", pairs, "da", "db", DbscanMinPts)
+        .orderBy("vec_id")
+    }),
+
     // Filtered vector search (r12): ONE index, per-query attribute
     // filters — the filter PRE-filters the stored cell frame (a
     // post-filter on ranked results silently loses recall when the
@@ -3901,6 +3964,53 @@ object ExtQueries {
         "k3 AS (SELECT pid, sim, row_number() OVER (PARTITION BY pid ORDER BY sim DESC, nid) rn FROM c) " +
         "SELECT CAST(floor(sim * 20) AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n " +
         "FROM k3 WHERE rn = 3 GROUP BY 1 ORDER BY 1"),
+    // q234/q235: the declared anchor-run semantics verbatim — same
+    // k-grams (1-based inclusive slices), same min≠max dup flag over
+    // the gram partition, same pos − row_number islands; q235 unions
+    // the intervals per doc and filters words positionally (kept_text
+    // is the payload check; cut_words = n_words − |kept|)
+    "q234_exact_substr" ->
+      (s"WITH words AS (SELECT doc_id, string_split(text,' ') ws FROM documents), " +
+        s"g AS (SELECT doc_id, unnest([{'p': i-1, 'g': array_to_string(ws[i:i+${ExactSubstrK - 1}],' ')} for i in range(1, len(ws)-${ExactSubstrK - 2})]) AS u FROM words WHERE len(ws) >= $ExactSubstrK), " +
+        "a AS (SELECT doc_id, u.p AS pos, u.g AS gram FROM g), " +
+        "d AS (SELECT doc_id, pos FROM (SELECT doc_id, pos, min(doc_id) OVER (PARTITION BY gram) <> max(doc_id) OVER (PARTITION BY gram) AS dup FROM a) WHERE dup), " +
+        "i AS (SELECT doc_id, pos, pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl FROM d), " +
+        "s AS (SELECT doc_id, min(pos) AS span_start, count(*) AS n_anchors FROM i GROUP BY doc_id, isl) " +
+        "SELECT s.doc_id, CAST(span_start AS BIGINT) AS span_start, CAST(n_anchors AS BIGINT) AS n_anchors, " +
+        s"CAST(n_anchors + ${ExactSubstrK - 1} AS BIGINT) AS span_words, " +
+        s"md5(array_to_string(ws[span_start+1 : span_start + n_anchors + ${ExactSubstrK - 1}], ' ')) AS span_md5 " +
+        "FROM s JOIN words USING (doc_id) ORDER BY doc_id, span_start"),
+    "q235_exact_substr_cut" ->
+      (s"WITH words AS (SELECT doc_id, string_split(text,' ') ws FROM documents), " +
+        s"g AS (SELECT doc_id, unnest([{'p': i-1, 'g': array_to_string(ws[i:i+${ExactSubstrK - 1}],' ')} for i in range(1, len(ws)-${ExactSubstrK - 2})]) AS u FROM words WHERE len(ws) >= $ExactSubstrK), " +
+        "a AS (SELECT doc_id, u.p AS pos, u.g AS gram FROM g), " +
+        "d AS (SELECT doc_id, pos FROM (SELECT doc_id, pos, min(doc_id) OVER (PARTITION BY gram) <> max(doc_id) OVER (PARTITION BY gram) AS dup FROM a) WHERE dup), " +
+        "i AS (SELECT doc_id, pos, pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl FROM d), " +
+        s"s AS (SELECT doc_id, min(pos) AS ss, CAST(min(pos) + count(*) + ${ExactSubstrK - 1} AS BIGINT) AS ee FROM i GROUP BY doc_id, isl), " +
+        "iv AS (SELECT doc_id, list(struct_pack(s := ss, e := ee)) AS ivs FROM s GROUP BY doc_id) " +
+        "SELECT w.doc_id, CAST(len(ws) AS BIGINT) AS n_words, " +
+        "CAST(len(ws) - len([x for x in range(0, len(ws)) if len([1 for v in coalesce(ivs, []) if x >= v.s AND x < v.e]) = 0]) AS BIGINT) AS cut_words, " +
+        // coalesce: DuckDB's array_to_string([]) is NULL, Spark's
+        // concat_ws over an empty filter is '' — the q98 empty contract
+        "coalesce(array_to_string([ws[x+1] for x in range(0, len(ws)) if len([1 for v in coalesce(ivs, []) if x >= v.s AND x < v.e]) = 0], ' '), '') AS kept_text " +
+        "FROM words w LEFT JOIN iv ON w.doc_id = iv.doc_id ORDER BY w.doc_id"),
+    // q236: identical DBSCAN read — brute-force ε-pairs (raw-cosine
+    // threshold, the q89 rule), degree census, core–core recursive
+    // closure to min-id labels (the q67 closure pattern), min-label
+    // border attachment, NULL-cluster noise
+    "q236_dbscan" ->
+      ("WITH RECURSIVE ee AS (SELECT * FROM embeddings WHERE vec_id < 1000), " +
+        s"pr AS (SELECT p.vec_id da, e.vec_id db FROM ee p JOIN ee e ON p.vec_id < e.vec_id AND $cosSql >= $DbscanEps), " +
+        "sym AS (SELECT da v, db w FROM pr UNION ALL SELECT db, da FROM pr), " +
+        s"cores AS (SELECT v FROM (SELECT v, count(*) n FROM sym GROUP BY v) WHERE n >= $DbscanMinPts), " +
+        "ce AS (SELECT s.v x, s.w y FROM sym s JOIN cores a ON s.v=a.v JOIN cores b ON s.w=b.v), " +
+        "reach(node, lbl) AS (SELECT x, x FROM (SELECT DISTINCT x FROM ce) t UNION SELECT c.x, r.lbl FROM ce c JOIN reach r ON c.y = r.node), " +
+        "cl AS (SELECT node, min(lbl) lbl FROM reach GROUP BY node), " +
+        "corelbl AS (SELECT c.v node, coalesce(cl.lbl, c.v) lbl FROM cores c LEFT JOIN cl ON cl.node = c.v), " +
+        "borderlbl AS (SELECT s.v node, min(k.lbl) lbl FROM sym s JOIN corelbl k ON s.w = k.node WHERE s.v NOT IN (SELECT v FROM cores) GROUP BY s.v) " +
+        "SELECT ee.vec_id, CASE WHEN k.lbl IS NOT NULL THEN 'core' WHEN b.lbl IS NOT NULL THEN 'border' ELSE 'noise' END AS role, " +
+        "CAST(coalesce(k.lbl, b.lbl) AS BIGINT) AS cluster " +
+        "FROM ee LEFT JOIN corelbl k ON ee.vec_id = k.node LEFT JOIN borderlbl b ON ee.vec_id = b.node ORDER BY vec_id"),
     "q83_pq_recall" -> exactTop3FloorSql,
     "q117_sq8_recall" -> exactTop3FloorSql,
     "q214_ivfpq_recall" -> exactTop3FloorSql,
@@ -4057,13 +4167,13 @@ object ExtQueries {
         "SELECT fmt, lang, n, id_sum, char_sum, n_texts " +
         "FROM f CROSS JOIN (VALUES ('jsonl'), ('csv')) v(fmt) ORDER BY fmt, lang"),
 
-    // q228: same 56-bit md5 weights with the shard id folded into the
-    // low bits (distinct by construction — argmax needs no tie rule);
-    // DuckDB's arg_max has no struct ordering, the packed long IS the
-    // composite order
+    // q228: same 52-bit md5 weights with the shard id folded into the
+    // low 10 bits (distinct by construction for the full nShards=1024
+    // range — argmax needs no tie rule); DuckDB's arg_max has no
+    // struct ordering, the packed long IS the composite order
     "q228_shard_router" ->
       ("WITH w AS (SELECT doc_id, s, " +
-        "CAST(CAST(concat('0x', substr(md5(doc_id || ':' || s), 1, 14)) AS UBIGINT) AS BIGINT) * 16 + s AS wt " +
+        "CAST(CAST(concat('0x', substr(md5(doc_id || ':' || s), 1, 13)) AS UBIGINT) AS BIGINT) * 1024 + s AS wt " +
         "FROM documents, unnest(range(9)) t(s)), " +
         "a AS (SELECT doc_id, arg_max(s, wt) FILTER (WHERE s < 8) AS shard8, arg_max(s, wt) AS shard9 FROM w GROUP BY doc_id) " +
         "SELECT shard8 AS shard, CAST(count(*) AS BIGINT) AS n, " +

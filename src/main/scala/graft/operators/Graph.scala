@@ -30,22 +30,33 @@ object Graph {
    * Scale shape: per iteration ONE shuffle join of the edge frame
    * against the node-keyed rank frame plus one dst-keyed aggregation
    * (map-side partials) — the textbook distributed PageRank step. The
-   * out-degree rides the edge frame (joined once, before the loop), so
-   * iterations never recompute it. Lineage grows linearly in the
-   * (small, fixed) iteration count; no driver-side collect anywhere.
+   * derived frames are MATERIALIZED before the loop (`localCheckpoint`,
+   * the [[kCore]] / [[Dedup.dedupClusters]] discipline): `eDeg` embeds
+   * the fact-join + distinct + degree derivation, and an unsevered loop
+   * would re-embed that whole subplan once PER ITERATION — at 100× the
+   * scan bill multiplies by the iteration count. Each iteration's
+   * ranks are likewise severed, so analysis/codegen cost stays constant
+   * per round instead of compounding (the r12 q118 lesson: 11 s → 42 s
+   * driver-side purely from plan growth). No driver-side collect
+   * anywhere; the checkpoint actions are node/edge-frame sized.
    *
    * Returns `(node, rank)` — callers order/limit.
    */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iterations: Int, damping: Double = 0.85): DataFrame = {
     require(iterations >= 1, "pageRank needs at least one iteration")
+    // the (possibly expensive) caller lineage runs EXACTLY ONCE: the
+    // distinct edge set is materialized first, and every derived frame
+    // (degree, node set) reads the checkpointed blocks
     val e = edges.select(col(srcCol).as("_src"), col(dstCol).as("_dst"))
-      .distinct()
+      .distinct().localCheckpoint()
     val nodes = e.select(col("_src").as("node"))
       .union(e.select(col("_dst").as("node"))).distinct()
+      .localCheckpoint()
     val outDeg = e.groupBy("_src").agg(count(lit(1)).as("_deg"))
-    // degree attached once; every iteration reuses this frame
-    val eDeg = e.join(outDeg, "_src")
+    // degree attached once and MATERIALIZED; every iteration reuses the
+    // checkpointed blocks, never the upstream fact-join lineage
+    val eDeg = e.join(outDeg, "_src").localCheckpoint()
     var ranks = nodes.withColumn("rank", lit(1.0))
     for (_ <- 1 to iterations) {
       val contribs = eDeg
@@ -56,6 +67,7 @@ object Graph {
         .select(col("node"),
           (lit(1.0 - damping) + lit(damping) * coalesce(col("_c"), lit(0.0)))
             .as("rank"))
+        .localCheckpoint()
     }
     ranks
   }

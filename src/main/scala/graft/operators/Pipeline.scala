@@ -842,20 +842,22 @@ object Pipeline {
    * every other key keeps its assignment (no modulo-style reshuffle of
    * (n−1)/n of the corpus).
    *
-   * The weight is the first 14 hex digits of `md5(key ":" s)` (< 2⁵⁶,
-   * the cross-engine 64-bit hash trick) scaled by 16 with the shard id
-   * folded into the low bits — weights are therefore DISTINCT by
-   * construction, so the argmax needs no tie rule at all. Evaluation
-   * is one shuffle-free projection per row (`greatest` over n
-   * `struct(weight, shard)` columns, the q224 pattern); n is
-   * fleet-sized, not data-sized.
+   * The weight is the first 13 hex digits of `md5(key ":" s)` (< 2⁵²,
+   * the cross-engine 64-bit hash trick) scaled by 1024 with the shard
+   * id folded into the low 10 bits — 1024 covers the full nShards
+   * range, so weights are DISTINCT by construction for EVERY legal
+   * fleet size and the argmax needs no tie rule at all (a 4-bit fold
+   * would collide for shard ids 16 apart; 2⁵²·2¹⁰ < 2⁶³ keeps the
+   * packed value inside a signed long). Evaluation is one shuffle-free
+   * projection per row (`greatest` over n `struct(weight, shard)`
+   * columns, the q224 pattern); n is fleet-sized, not data-sized.
    */
   def rendezvousShard(key: Column, nShards: Int): Column = {
     require(nShards >= 1 && nShards <= 1024,
       s"rendezvousShard needs 1 <= nShards <= 1024, got $nShards")
     val packed = (0 until nShards).map { s =>
       val wt = conv(substring(md5(concat(key.cast("string"), lit(":"),
-        lit(s.toString))), 1, 14), 16, 10).cast("long") * 16 + s
+        lit(s.toString))), 1, 13), 16, 10).cast("long") * 1024 + s
       struct(wt.as("w"), lit(s).as("s"))
     }
     val best = if (packed.length == 1) packed.head else greatest(packed: _*)

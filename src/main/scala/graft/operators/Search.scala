@@ -288,13 +288,20 @@ object Search {
    *
    * Output: `(doc_id)` of matching docs — identical to the full-scan
    * `WHERE contains(text, pattern)` the oracle runs.
+   *
+   * Pattern grams are windowed PER CODE POINT — the same walk as
+   * [[graft.functions.TrigramsExpr.compute]] — so non-BMP patterns
+   * (surrogate pairs) generate grams that actually exist in the index;
+   * a `String.sliding(3)` over UTF-16 units would split surrogate
+   * pairs and silently return false negatives. Length is validated in
+   * code points for the same reason.
    */
   def substringSearch(postings: DataFrame, docs: DataFrame, idCol: String,
                       textCol: String, pattern: String): DataFrame = {
-    require(pattern.length >= 3,
-      "substringSearch needs a pattern of >= 3 chars (shorter patterns " +
-        "have no trigram and need the full-scan fallback)")
-    val grams = pattern.sliding(3).toSeq.distinct
+    require(pattern.codePointCount(0, pattern.length) >= 3,
+      "substringSearch needs a pattern of >= 3 code points (shorter " +
+        "patterns have no trigram and need the full-scan fallback)")
+    val grams = codePointTrigrams(pattern)
     val cands = postings.filter(col("gram").isin(grams: _*))
       .select("doc_id", "gram").distinct()
       .groupBy("doc_id").agg(count(lit(1)).as("_ng"))
@@ -304,5 +311,19 @@ object Search {
       .join(cands, "doc_id")
       .filter(col("_t").contains(pattern))
       .select("doc_id")
+  }
+
+  /** Driver-side twin of [[graft.functions.TrigramsExpr.compute]]'s
+    * windowing: three-CODE-POINT windows in first-occurrence order
+    * (dedup'd), surrogate-pair safe. */
+  private[graft] def codePointTrigrams(s: String): Seq[String] = {
+    val n = s.length
+    val starts = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var i = 0
+    while (i < n) { starts += i; i += Character.charCount(s.codePointAt(i)) }
+    starts += n
+    val cps = starts.length - 1
+    if (cps < 3) Seq.empty
+    else (0 to cps - 3).map(g => s.substring(starts(g), starts(g + 3))).distinct
   }
 }

@@ -1409,9 +1409,17 @@ object Similarity {
                  k: Int): DataFrame = {
     require(subspaces >= 1 && subDim >= 1,
       "maxSimTopK needs subspaces >= 1 and subDim >= 1")
+    // loud failure on misconfigured geometry (the kCore posture): a
+    // slice past the array end would silently yield short subvectors
+    // and NaN/wrong sub-cosines — assert every row's length instead
+    val dims = subspaces * subDim
+    val guard = (c: Column) => assert_true(size(c) === lit(dims),
+      concat(lit(s"maxSimTopK: embedding length must be subspaces*subDim" +
+        s"=$dims, got "), size(c).cast("string"))).isNull
     val pairs = corpus.select(col(idCol).as("nn_id"), col(embCol).as("_d"))
+      .filter(guard(col("_d")))
       .crossJoin(broadcast(probes.select(col(idCol).as("probe_id"),
-        col(embCol).as("_q"))))
+        col(embCol).as("_q")).filter(guard(col("_q")))))
       .filter(col("nn_id") =!= col("probe_id"))
     val best = (0 until subspaces).map { i =>
       val qv = slice(col("_q"), i * subDim + 1, subDim)

@@ -15,10 +15,12 @@ import org.apache.spark.sql.types.StructType
  *    pass over the data (at 100 TB, a second 100 TB scan) and type
  *    guesses drift between samples — the caller always knows the
  *    schema, so the API refuses to infer;
- *  - CSV is header+quoted (quotes/commas/escapes round-trip,
- *    spec-proven) but stays a LAST-RESORT interchange: empty strings
- *    come back null (documented lossy edge) and nothing prunes or
- *    pushes down — land into parquet immediately.
+ *  - CSV is header+quoted (quotes/commas/escapes/embedded newlines
+ *    round-trip, spec-proven) but stays a LAST-RESORT interchange:
+ *    empty strings come back null (documented lossy edge), multiLine
+ *    parsing makes each file a single input split (the price of
+ *    newline round-trip — another reason to land into parquet
+ *    immediately), and nothing prunes or pushes down.
  */
 object FileFormats {
 
@@ -36,8 +38,12 @@ object FileFormats {
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
 
-  /** Read headered CSV with the caller's schema (never inferred). */
+  /** Read headered CSV with the caller's schema (never inferred).
+    * `multiLine` is on so quoted fields containing newlines (which
+    * [[writeCsv]] quotes correctly) parse as one record instead of
+    * splitting into corrupt rows. */
   def readCsv(spark: SparkSession, path: String,
               schema: StructType): DataFrame =
-    spark.read.schema(schema).option("header", "true").csv(path)
+    spark.read.schema(schema).option("header", "true")
+      .option("multiLine", "true").csv(path)
 }

@@ -50,6 +50,20 @@ object Warehouse {
     }
   }
 
+  /** Append one table of a (possibly multi-table) index with the
+    * standard bucketed layout — the admission crash-recovery path's
+    * surgical repair (append only the table the crash cut off; a full
+    * re-append of a two-table index would duplicate the committed
+    * half's rows). Append-creates the table if it does not exist. */
+  private[graft] def appendBucketedTable(df: DataFrame, table: String,
+                                         bucketCol: String,
+                                         buckets: Int): Unit =
+    df.write.mode(SaveMode.Append)
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
+
   /**
    * Register the wide table as a digest-bucketed, date-partitioned
    * managed table: per-digest aggregation over it needs no shuffle

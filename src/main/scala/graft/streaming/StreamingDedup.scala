@@ -1,8 +1,11 @@
 package graft.streaming
 
+import scala.util.Try
+
 import graft.operators.Dedup
 import graft.sources.Warehouse
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
@@ -27,23 +30,145 @@ import org.apache.spark.sql.streaming.StreamingQuery
  *      rejected. Non-representatives follow their representative
  *      (transitive-closure semantics across the batch∪index graph, same
  *      closure contract as the batch dedup operators);
- *   4. append survivors' bands to the index and survivors to `outPath`.
+ *   4. commit survivors through the manifest protocol below: index
+ *      append + output append, exactly once across replays.
  *
  * Cost per batch ∝ batch size, not corpus size: the index join is
  * bucket-colocated on the band key and the batch side broadcasts; the
  * append encodes only the batch (the measured-flat maintenance property,
  * BENCH_SCALED `ivf_append`/`pq_append`).
  *
- * Exactly-once: the file-source checkpoint guarantees each input file is
- * processed once per query lifetime. A batch REPLAYED after a mid-batch
- * crash may append duplicate index/output rows for its own survivors —
- * duplicate band rows never change admission decisions (the probe is a
- * distinct-semijoin), but consumers of `outPath` that need exact-once
- * rows should dedup on `idCol` (cheap: survivors are globally unique by
- * construction). Making the output write conditional on the batch id
- * (the JdbcSink pattern) is the strict alternative.
+ * Exactly-once: the file-source checkpoint guarantees each input file
+ * is processed once per query lifetime, and the per-batch MANIFEST
+ * protocol ([[commitAdmission]] / [[recoverPartialCommit]]) closes the
+ * mid-batch crash windows. The hazard it exists for: the index append
+ * IS the admission memory, so a replay that recomputes after the index
+ * append sees the batch's own rows and self-rejects every survivor —
+ * without the manifest, those survivors would silently never reach
+ * `outPath`. With it, every crash point replays to exactly-once
+ * index + output rows (spec-proven by replaying each window).
  */
 object StreamingDedup {
+
+  // ------------------------------------------------------------------
+  // Exactly-once commit protocol (shared by all five admission axes)
+  // ------------------------------------------------------------------
+
+  /** Per-batch commit-manifest directory — underscore-prefixed so
+    * parquet readers of `outPath` never list it. Layout is a contract
+    * (the crash-window spec plants manifests here). */
+  private[streaming] def manifestDir(outPath: String, batchId: Long): String =
+    s"$outPath/_admit_manifests/batch_$batchId"
+
+  private def fsOf(spark: SparkSession, dir: String): (org.apache.hadoop.fs.FileSystem, Path) = {
+    val p = new Path(dir)
+    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
+
+  /**
+   * Commit a batch's admission decision so survivors land in the index
+   * AND the output exactly once, even across foreachBatch replays.
+   *
+   * With a `batchId` (the streaming path) the write order is
+   *   manifest (batch-keyed, Overwrite → idempotent) →
+   *   index append → output append → manifest delete,
+   * and [[recoverPartialCommit]] on the next replay finishes whatever
+   * suffix a crash cut off, reading the decision back from the
+   * manifest instead of recomputing it (a recompute after the index
+   * append self-rejects the whole batch — the loss window this
+   * protocol closes). Index and output rows are derived FROM the
+   * re-read manifest, so all three artifacts carry the same row set.
+   *
+   * Without a `batchId` (the direct batch API) the caller owns retry
+   * semantics: plain index append then output append, documented as
+   * at-least-once into the index / at-most-once into the output on a
+   * mid-commit crash.
+   */
+  private def commitAdmission(survivors: DataFrame, outPath: String,
+                              batchId: Option[Long],
+                              appendIndex: DataFrame => Unit): Unit = {
+    val spark = survivors.sparkSession
+    batchId match {
+      case Some(id) =>
+        val dir = manifestDir(outPath, id)
+        survivors.write.mode(SaveMode.Overwrite).parquet(dir)
+        // the manifest IS the commit source (explicit schema: an empty
+        // decision writes no part files, and the read must still work)
+        val s = spark.read.schema(survivors.schema).parquet(dir)
+        appendIndex(s)
+        s.write.mode(SaveMode.Append).parquet(outPath)
+        val (fs, p) = fsOf(spark, dir)
+        fs.delete(p, true)
+      case None =>
+        appendIndex(survivors)
+        survivors.write.mode(SaveMode.Append).parquet(outPath)
+    }
+  }
+
+  /**
+   * Replay guard, called FIRST by every admission round that has a
+   * `batchId`: if a previous attempt of this batch left a committed
+   * manifest, the admission decision already exists — finish the index
+   * and output writes from the manifest and report the batch handled
+   * (`true`). `ensureIndexed` must append each index table the crash
+   * cut off and skip each that committed; its id-presence probe is a
+   * full-table semi-join (indexes bucket by gram/band key, not id),
+   * which is fine once per crash and unaffordable once per batch —
+   * which is why it runs only here, never on the hot path.
+   *
+   * Crash-window walk (all spec-replayed): torn manifest (no _SUCCESS)
+   * → wiped, recompute is safe because the index was not yet touched;
+   * manifest committed but index/output missing → both finished here,
+   * the output append anti-joined against rows already present;
+   * everything committed but the manifest delete or the checkpoint
+   * commit lost → the re-run is a no-op (or, with the manifest gone, a
+   * recompute that self-rejects into an EMPTY decision — correct,
+   * because the output already holds the survivors).
+   */
+  private def recoverPartialCommit(spark: SparkSession, outPath: String,
+                                   batchId: Long, idCol: String,
+                                   ensureIndexed: DataFrame => Unit): Boolean = {
+    val dir = manifestDir(outPath, batchId)
+    val (fs, p) = fsOf(spark, dir)
+    if (!fs.exists(new Path(p, "_SUCCESS"))) {
+      // torn manifest write: it carries no decision; wipe it and let
+      // the round recompute against the untouched index
+      if (fs.exists(p)) fs.delete(p, true)
+      return false
+    }
+    // a committed manifest with zero part files is an EMPTY decision
+    // (no survivors) — nothing to index or output
+    Try(spark.read.parquet(dir)).toOption.filter(!_.isEmpty).foreach { s =>
+      ensureIndexed(s)
+      val existing = Try(spark.read.parquet(outPath).select(idCol)).toOption
+      val missing = existing.fold(s)(e => s.join(e, Seq(idCol), "left_anti"))
+      missing.write.mode(SaveMode.Append).parquet(outPath)
+    }
+    fs.delete(p, true)
+    true
+  }
+
+  /** Recovery-only probe: does `table` already hold any of `ids`?
+    * Sound under job-level commit atomicity: one index-append job
+    * either published all its rows or none, so ANY id present means
+    * the append committed. (All ids absent also covers the degenerate
+    * all-survivors-unencodable batch — re-appending zero rows is a
+    * no-op, so the false "not appended" is harmless.) */
+  private def indexHasIds(spark: SparkSession, table: String,
+                          ids: DataFrame, idCol: String,
+                          tableIdCol: String): Boolean =
+    spark.catalog.tableExists(table) && {
+      val t = spark.table(table)
+      !t.join(ids, t(tableIdCol) === ids(idCol), "left_semi").isEmpty
+    }
+
+  private def appendModeFor(spark: SparkSession, table: String): SaveMode =
+    if (spark.catalog.tableExists(table)) SaveMode.Append
+    else SaveMode.ErrorIfExists
+
+  // ------------------------------------------------------------------
+  // Axis 1: SimHash (structure)
+  // ------------------------------------------------------------------
 
   def simHashAdmission(docs: DataFrame, idCol: String, textCol: String,
                        indexTable: String, outPath: String,
@@ -52,18 +177,33 @@ object StreamingDedup {
                        indexBuckets: Int = 32): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
         admitBatch(batch, idCol, textCol, indexTable, outPath,
-          maxHamming, indexBuckets)
+          maxHamming, indexBuckets, Some(bid))
       }
       .start()
 
   /** One admission round — also the BATCH incremental-dedup API (ship a
-    * day's partition against the standing index without a stream). */
+    * day's partition against the standing index without a stream).
+    * Pass a `batchId` to get the manifest commit protocol; without one
+    * the caller owns mid-commit retry semantics. */
   def admitBatch(batch: DataFrame, idCol: String, textCol: String,
                  indexTable: String, outPath: String,
-                 maxHamming: Int = 16, indexBuckets: Int = 32): Unit = {
+                 maxHamming: Int = 16, indexBuckets: Int = 32,
+                 batchId: Option[Long] = None): Unit = {
     val spark = batch.sparkSession
+    // index rows derive from whatever survivor frame the commit hands
+    // over (live or manifest-read) — stateless encode, cannot drift
+    def appendIdx(s: DataFrame): Unit =
+      Warehouse.saveSimHashIndex(
+        Dedup.simHashBandFrame(s, idCol, split(col(textCol), " ")),
+        indexTable, buckets = indexBuckets,
+        mode = appendModeFor(spark, indexTable))
+    def ensureIdx(s: DataFrame): Unit =
+      if (!indexHasIds(spark, indexTable, s.select(idCol), idCol, idCol))
+        appendIdx(s)
+    if (batchId.exists(recoverPartialCommit(spark, outPath, _, idCol, ensureIdx)))
+      return
     val b = batch.persist()
     try {
       val bands = Dedup.simHashBandFrame(b, idCol,
@@ -92,24 +232,22 @@ object StreamingDedup {
         ).localCheckpoint()
         val survivorIds = survivorBands.select(idCol).distinct()
         val survivors = b.join(survivorIds, Seq(idCol), "left_semi")
-        // admit: index first (later batches must see these bands even if
-        // the output write below fails and the batch replays)
-        Warehouse.saveSimHashIndex(survivorBands, indexTable,
-          buckets = indexBuckets,
-          mode = if (spark.catalog.tableExists(indexTable)) SaveMode.Append
-                 else SaveMode.ErrorIfExists)
-        survivors.write.mode(SaveMode.Append).parquet(outPath)
+        commitAdmission(survivors, outPath, batchId, appendIdx)
       } finally bands.unpersist()
     } finally b.unpersist()
   }
+
+  // ------------------------------------------------------------------
+  // Axis 2: MinHash (content)
+  // ------------------------------------------------------------------
 
   /**
    * MinHash-LSH admission — [[simHashAdmission]]'s Jaccard twin over the
    * at-rest MinHash index ([[graft.sources.Warehouse.saveMinHashIndex]]):
    * a document is admitted only if no already-admitted document has
    * word-n-gram Jaccard ≥ `threshold` with it. Same four-step batch
-   * shape (stateless encode → within-batch dedup → index probe → append
-   * bands+shingles+output), same exactly-once caveats.
+   * shape (stateless encode → within-batch dedup → index probe →
+   * manifest commit), same exactly-once contract.
    */
   def minHashAdmission(docs: DataFrame, idCol: String, textCol: String,
                        indexTable: String, outPath: String,
@@ -118,9 +256,9 @@ object StreamingDedup {
                        indexBuckets: Int = 32): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
         admitBatchMinHash(batch, idCol, textCol, indexTable, outPath,
-          n, threshold, indexBuckets)
+          n, threshold, indexBuckets, Some(bid))
       }
       .start()
 
@@ -130,8 +268,32 @@ object StreamingDedup {
   def admitBatchMinHash(batch: DataFrame, idCol: String, textCol: String,
                         indexTable: String, outPath: String,
                         n: Int = 3, threshold: Double = 0.6,
-                        indexBuckets: Int = 32): Unit = {
+                        indexBuckets: Int = 32,
+                        batchId: Option[Long] = None): Unit = {
     val spark = batch.sparkSession
+    val shTable = s"${indexTable}_shingles"
+    def appendIdx(s: DataFrame): Unit = {
+      val sh = Dedup.shingles(s, idCol, textCol, n)
+      Warehouse.saveMinHashIndex(
+        Dedup.minHashBandFrameFromShingles(sh, idCol), sh, indexTable,
+        idCol = idCol, buckets = indexBuckets,
+        mode = appendModeFor(spark, indexTable))
+    }
+    // two tables, two commit points: repair each independently so a
+    // crash between the band and shingle writes never double-appends
+    // the committed half
+    def ensureIdx(s: DataFrame): Unit = {
+      val ids = s.select(idCol)
+      lazy val sh = Dedup.shingles(s, idCol, textCol, n)
+      if (!indexHasIds(spark, indexTable, ids, idCol, idCol))
+        Warehouse.appendBucketedTable(
+          Dedup.minHashBandFrameFromShingles(sh, idCol), indexTable,
+          "key", indexBuckets)
+      if (!indexHasIds(spark, shTable, ids, idCol, idCol))
+        Warehouse.appendBucketedTable(sh, shTable, idCol, indexBuckets)
+    }
+    if (batchId.exists(recoverPartialCommit(spark, outPath, _, idCol, ensureIdx)))
+      return
     val b = batch.persist()
     try {
       val sh = Dedup.shingles(b, idCol, textCol, n).persist()
@@ -159,24 +321,20 @@ object StreamingDedup {
           if (spark.catalog.tableExists(indexTable)) {
             val hit = Dedup.minHashMatchesAgainst(
               repBands, repSh,
-              spark.table(indexTable), spark.table(s"${indexTable}_shingles"),
+              spark.table(indexTable), spark.table(shTable),
               idCol, threshold)
             dropWithin.union(hit)
           } else dropWithin
         ).localCheckpoint()
-        val survivorBands = bands.join(rejectedIds, Seq(idCol), "left_anti")
-        val survivorSh = sh.join(rejectedIds, Seq(idCol), "left_anti")
         val survivors = b.join(rejectedIds, Seq(idCol), "left_anti")
-        // admit: index first (later batches must see these rows even if
-        // the output write below fails and the batch replays)
-        Warehouse.saveMinHashIndex(survivorBands, survivorSh, indexTable,
-          idCol = idCol, buckets = indexBuckets,
-          mode = if (spark.catalog.tableExists(indexTable)) SaveMode.Append
-                 else SaveMode.ErrorIfExists)
-        survivors.write.mode(SaveMode.Append).parquet(outPath)
+        commitAdmission(survivors, outPath, batchId, appendIdx)
       } finally { bands.unpersist(); sh.unpersist() }
     } finally b.unpersist()
   }
+
+  // ------------------------------------------------------------------
+  // Axis 3: lexical cosine (vocabulary)
+  // ------------------------------------------------------------------
 
   /**
    * Lexical-cosine admission — the third member of the admission trio
@@ -184,7 +342,7 @@ object StreamingDedup {
    * at-rest lexical index ([[graft.sources.Warehouse.saveLexicalIndex]]):
    * a document is admitted only if no already-admitted document has
    * exact tf-cosine ≥ `threshold` with it. Same four-step batch shape,
-   * same exactly-once caveats. The df cap is corpus-local by design:
+   * same exactly-once contract. The df cap is corpus-local by design:
    * the standing index was capped over its build corpus, each appended
    * batch caps within itself (a batch is its own small corpus — the
    * same stop words emerge wherever the distribution matches).
@@ -196,9 +354,9 @@ object StreamingDedup {
                        indexBuckets: Int = 32): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
         admitBatchLexical(batch, idCol, textCol, indexTable, outPath,
-          threshold, maxDf, indexBuckets)
+          threshold, maxDf, indexBuckets, Some(bid))
       }
       .start()
 
@@ -208,8 +366,32 @@ object StreamingDedup {
   def admitBatchLexical(batch: DataFrame, idCol: String, textCol: String,
                         indexTable: String, outPath: String,
                         threshold: Double = 0.8, maxDf: Long = 400L,
-                        indexBuckets: Int = 32): Unit = {
+                        indexBuckets: Int = 32,
+                        batchId: Option[Long] = None): Unit = {
     val spark = batch.sparkSession
+    val normsTable = s"${indexTable}_norms"
+    // A doc with EMPTY text has no tf rows — admitted, unmatchable,
+    // the per-row degrade contract.
+    def appendIdx(s: DataFrame): Unit = {
+      val sTf = Dedup.cappedLexicalTf(s, idCol, textCol, maxDf).persist()
+      try Warehouse.saveLexicalIndex(sTf, Dedup.lexicalNorms(sTf),
+        indexTable, buckets = indexBuckets,
+        mode = appendModeFor(spark, indexTable))
+      finally sTf.unpersist()
+    }
+    def ensureIdx(s: DataFrame): Unit = {
+      val ids = s.select(idCol)
+      val sTf = Dedup.cappedLexicalTf(s, idCol, textCol, maxDf).persist()
+      try {
+        if (!indexHasIds(spark, indexTable, ids, idCol, "doc_id"))
+          Warehouse.appendBucketedTable(sTf, indexTable, "tok", indexBuckets)
+        if (!indexHasIds(spark, normsTable, ids, idCol, "doc_id"))
+          Dedup.lexicalNorms(sTf).write.mode(SaveMode.Append)
+            .format("parquet").saveAsTable(normsTable)
+      } finally sTf.unpersist()
+    }
+    if (batchId.exists(recoverPartialCommit(spark, outPath, _, idCol, ensureIdx)))
+      return
     val b = batch.persist()
     try {
       // within-batch: one representative per cosine cluster
@@ -225,27 +407,20 @@ object StreamingDedup {
       val rejectedIds = (
         if (spark.catalog.tableExists(indexTable)) {
           val hit = Dedup.lexicalCosineAgainst(reps, idCol, textCol,
-              spark.table(indexTable), spark.table(s"${indexTable}_norms"),
+              spark.table(indexTable), spark.table(normsTable),
               threshold)
             .select(col("probe_id").as(idCol)).distinct()
           dropWithin.union(hit)
         } else dropWithin
       ).localCheckpoint()
       val survivors = b.join(rejectedIds, Seq(idCol), "left_anti")
-      // admit: index first (later batches must see these rows even if
-      // the output write below fails and the batch replays). A doc
-      // with EMPTY text has no tf rows — admitted, unmatchable, fine.
-      val sTf = Dedup.cappedLexicalTf(survivors, idCol, textCol, maxDf)
-        .persist()
-      try {
-        Warehouse.saveLexicalIndex(sTf, Dedup.lexicalNorms(sTf), indexTable,
-          buckets = indexBuckets,
-          mode = if (spark.catalog.tableExists(indexTable)) SaveMode.Append
-                 else SaveMode.ErrorIfExists)
-        survivors.write.mode(SaveMode.Append).parquet(outPath)
-      } finally sTf.unpersist()
+      commitAdmission(survivors, outPath, batchId, appendIdx)
     } finally b.unpersist()
   }
+
+  // ------------------------------------------------------------------
+  // Axis 4: semantic / embedding cosine (meaning)
+  // ------------------------------------------------------------------
 
   /**
    * SEMANTIC admission — the fourth member of the quartet (SimHash =
@@ -271,9 +446,9 @@ object StreamingDedup {
                         indexBuckets: Int = 16): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
         admitBatchSemantic(batch, idCol, embCol, indexTable, outPath,
-          threshold, tables, bits, dim, indexBuckets)
+          threshold, tables, bits, dim, indexBuckets, Some(bid))
       }
       .start()
 
@@ -282,9 +457,22 @@ object StreamingDedup {
                          indexTable: String, outPath: String,
                          threshold: Double = 0.9, tables: Int = 8,
                          bits: Int = 8, dim: Int = 64,
-                         indexBuckets: Int = 16): Unit = {
+                         indexBuckets: Int = 16,
+                         batchId: Option[Long] = None): Unit = {
     import graft.operators.Similarity
     val spark = batch.sparkSession
+    // null embeddings have no bucket rows — admitted, unmatchable,
+    // the per-row degrade contract
+    def appendIdx(s: DataFrame): Unit =
+      Warehouse.saveAnnIndex(
+        Similarity.annBucketFrame(s, idCol, embCol, tables, bits, dim),
+        indexTable, buckets = indexBuckets,
+        mode = appendModeFor(spark, indexTable))
+    def ensureIdx(s: DataFrame): Unit =
+      if (!indexHasIds(spark, indexTable, s.select(idCol), idCol, "id"))
+        appendIdx(s)
+    if (batchId.exists(recoverPartialCommit(spark, outPath, _, idCol, ensureIdx)))
+      return
     val b = batch.persist()
     try {
       // within-batch: one representative per cosine-≥threshold cluster
@@ -311,17 +499,13 @@ object StreamingDedup {
         } else dropWithin
       ).localCheckpoint()
       val survivors = b.join(rejectedIds, Seq(idCol), "left_anti")
-      // admit: index first (later batches must see these rows even if
-      // the output write replays); null embeddings have no bucket rows
-      // — admitted, unmatchable, the per-row degrade contract
-      Warehouse.saveAnnIndex(
-        Similarity.annBucketFrame(survivors, idCol, embCol, tables, bits, dim),
-        indexTable, buckets = indexBuckets,
-        mode = if (spark.catalog.tableExists(indexTable)) SaveMode.Append
-               else SaveMode.ErrorIfExists)
-      survivors.write.mode(SaveMode.Append).parquet(outPath)
+      commitAdmission(survivors, outPath, batchId, appendIdx)
     } finally b.unpersist()
   }
+
+  // ------------------------------------------------------------------
+  // Axis 5: trigram span containment (verbatim spans)
+  // ------------------------------------------------------------------
 
   /**
    * SPAN admission — the FIFTH admission axis (SimHash = structure,
@@ -350,9 +534,9 @@ object StreamingDedup {
                        indexBuckets: Int = 32): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
         admitBatchTrigram(batch, idCol, textCol, indexTable, outPath,
-          threshold, maxDf, indexBuckets)
+          threshold, maxDf, indexBuckets, Some(bid))
       }
       .start()
 
@@ -361,9 +545,22 @@ object StreamingDedup {
   def admitBatchTrigram(batch: DataFrame, idCol: String, textCol: String,
                         indexTable: String, outPath: String,
                         threshold: Double = 0.9, maxDf: Long = 1000L,
-                        indexBuckets: Int = 32): Unit = {
+                        indexBuckets: Int = 32,
+                        batchId: Option[Long] = None): Unit = {
     import graft.operators.Search
     val spark = batch.sparkSession
+    // a sub-3-char doc has no gram rows — admitted, unmatchable, the
+    // per-row degrade contract
+    def appendIdx(s: DataFrame): Unit =
+      Warehouse.saveTrigramIndex(
+        Search.trigramPostings(s, idCol, textCol), indexTable,
+        buckets = indexBuckets,
+        mode = appendModeFor(spark, indexTable))
+    def ensureIdx(s: DataFrame): Unit =
+      if (!indexHasIds(spark, indexTable, s.select(idCol), idCol, "doc_id"))
+        appendIdx(s)
+    if (batchId.exists(recoverPartialCommit(spark, outPath, _, idCol, ensureIdx)))
+      return
     val b = batch.persist()
     try {
       val bp = Search.trigramPostings(b, idCol, textCol)
@@ -406,14 +603,7 @@ object StreamingDedup {
         } else dropWithin.localCheckpoint()
       )
       val survivors = b.join(rejectedIds, Seq(idCol), "left_anti")
-      // admit: index first (replay safety); a sub-3-char doc has no
-      // gram rows — admitted, unmatchable, the per-row degrade contract
-      Warehouse.saveTrigramIndex(
-        Search.trigramPostings(survivors, idCol, textCol), indexTable,
-        buckets = indexBuckets,
-        mode = if (spark.catalog.tableExists(indexTable)) SaveMode.Append
-               else SaveMode.ErrorIfExists)
-      survivors.write.mode(SaveMode.Append).parquet(outPath)
+      commitAdmission(survivors, outPath, batchId, appendIdx)
       bCapped.unpersist()
     } finally b.unpersist()
   }

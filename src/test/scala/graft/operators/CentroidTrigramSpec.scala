@@ -145,4 +145,24 @@ class CentroidTrigramSpec extends AnyFunSuite with SparkTestSession {
       Search.substringSearch(pp, docs, "doc_id", "text", "ab")
     }
   }
+
+  test("substringSearch windows non-BMP patterns per code point") {
+    // 😀 is two UTF-16 units; a sliding(3) over units would split the
+    // surrogate pair and the index lookup would find nothing
+    val docs = Seq((1L, "say 😀😀😀a loud"), (2L, "no emoji here"))
+      .toDF("doc_id", "text")
+    val pp = Search.trigramPostings(docs, "doc_id", "text")
+    val got = Search.substringSearch(pp, docs, "doc_id", "text", "😀😀😀a")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(1L), s"got $got — surrogate-pair grams missed")
+    // length validation counts code points: 😀😀😀 is 3 code points
+    // (6 UTF-16 units) and must be accepted, not rejected
+    val emojiOnly = Search.substringSearch(pp, docs, "doc_id", "text",
+      "😀😀😀").collect().map(_.getLong(0)).toSeq
+    assert(emojiOnly == Seq(1L))
+    // ...while 2 code points must be rejected even at 4 UTF-16 units
+    intercept[IllegalArgumentException] {
+      Search.substringSearch(pp, docs, "doc_id", "text", "😀😀")
+    }
+  }
 }

@@ -5,7 +5,8 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Round-trip fidelity of the JSONL/CSV interchange sinks+sources:
   * exact set equality against the in-memory frame, including
-  * CSV-hostile strings (commas, quotes, unicode) that force the
+  * CSV-hostile strings (commas, quotes, unicode, embedded newlines)
+  * that force the
   * writer's quoting/escaping paths. */
 class FileFormatsSpec extends AnyFunSuite with SparkTestSession {
 
@@ -16,7 +17,8 @@ class FileFormatsSpec extends AnyFunSuite with SparkTestSession {
     (2L, "comma, inside", "en"),
     (3L, "a \"quoted\" span", "de"),
     (4L, "mixed, \"both\", and trailing,", "de"),
-    (5L, "unicode → flèche ünd 漢字", "zh")).toDF("id", "text", "lang")
+    (5L, "unicode → flèche ünd 漢字", "zh"),
+    (6L, "embedded\nnewline and\r\ncrlf", "en")).toDF("id", "text", "lang")
 
   test("JSONL round trip is exact on hostile strings") {
     val path = "spark-warehouse/graft_bench_fmt_jsonl_spec"

@@ -214,6 +214,105 @@ class StreamingDedupSpec extends AnyFunSuite with SparkTestSession {
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  test("manifest protocol: every crash window replays to exactly-once output") {
+    import spark.implicits._
+    val outDir = Files.createTempDirectory("graft-mfp-out").toString + "/out"
+    val tbl = "graft_bench_manifest_tri"
+    Warehouse.dropWithLocation(spark, tbl)
+    val base = doc("alpha")
+
+    // batch 0: normal commit — manifest written, used, deleted
+    StreamingDedup.admitBatchTrigram(
+      Seq((1L, base), (2L, doc("beta"))).toDF("doc_id", "text"),
+      "doc_id", "text", tbl, outDir, batchId = Some(0L))
+    assert(spark.read.parquet(outDir).count() == 2L)
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      StreamingDedup.manifestDir(outDir, 0L))), "manifest not cleaned up")
+
+    // window A — crash AFTER manifest, BEFORE index+output: plant a
+    // committed manifest for batch 1 and replay. Recovery must commit
+    // the manifest's decision (doc 7), not recompute from the input.
+    val s7 = Seq((7L, doc("gamma"))).toDF("doc_id", "text")
+    s7.write.parquet(StreamingDedup.manifestDir(outDir, 1L))
+    StreamingDedup.admitBatchTrigram(s7, "doc_id", "text", tbl, outDir,
+      batchId = Some(1L))
+    val afterA = spark.read.parquet(outDir)
+    assert(afterA.filter($"doc_id" === 7L).count() == 1L, "survivor lost")
+    assert(spark.table(tbl).filter($"doc_id" === 7L).count() > 0L,
+      "index rows missing after recovery")
+
+    // window B — crash AFTER index append, BEFORE output: plant the
+    // manifest AND pre-append the index rows for doc 8. Recovery must
+    // write the output row WITHOUT duplicating index postings.
+    val s8 = Seq((8L, doc("delta"))).toDF("doc_id", "text")
+    s8.write.parquet(StreamingDedup.manifestDir(outDir, 2L))
+    Warehouse.saveTrigramIndex(
+      graft.operators.Search.trigramPostings(s8, "doc_id", "text"), tbl,
+      mode = org.apache.spark.sql.SaveMode.Append)
+    val idxRows8 = spark.table(tbl).filter($"doc_id" === 8L).count()
+    StreamingDedup.admitBatchTrigram(s8, "doc_id", "text", tbl, outDir,
+      batchId = Some(2L))
+    assert(spark.read.parquet(outDir).filter($"doc_id" === 8L).count() == 1L)
+    assert(spark.table(tbl).filter($"doc_id" === 8L).count() == idxRows8,
+      "recovery duplicated index postings")
+
+    // window C — crash AFTER everything but the checkpoint commit (no
+    // manifest left): a full same-batchId replay recomputes, the index
+    // self-rejects every doc, and the output must NOT gain duplicates.
+    StreamingDedup.admitBatchTrigram(
+      Seq((1L, base), (2L, doc("beta"))).toDF("doc_id", "text"),
+      "doc_id", "text", tbl, outDir, batchId = Some(0L))
+    val byId = spark.read.parquet(outDir).groupBy("doc_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byId.values.forall(_ == 1L), s"duplicate output rows: $byId")
+    assert(byId.keySet == Set(1L, 2L, 7L, 8L), s"row set: ${byId.keySet}")
+
+    // torn manifest (no _SUCCESS) carries no decision: it is wiped and
+    // the round recomputes normally
+    val torn = new org.apache.hadoop.fs.Path(
+      StreamingDedup.manifestDir(outDir, 3L))
+    fs.mkdirs(torn)
+    fs.create(new org.apache.hadoop.fs.Path(torn, "part-junk")).close()
+    StreamingDedup.admitBatchTrigram(
+      Seq((9L, doc("epsilon"))).toDF("doc_id", "text"),
+      "doc_id", "text", tbl, outDir, batchId = Some(3L))
+    assert(spark.read.parquet(outDir).filter($"doc_id" === 9L).count() == 1L)
+    assert(!fs.exists(torn), "torn manifest not wiped")
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
+  test("manifest protocol: two-table minhash repair appends only the missing half") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val outDir = Files.createTempDirectory("graft-mfp2-out").toString + "/out"
+    val tbl = "graft_bench_manifest_mhx"
+    Warehouse.dropWithLocation(spark, tbl)
+    Warehouse.dropWithLocation(spark, s"${tbl}_shingles")
+    // establish both tables with batch 0
+    StreamingDedup.admitBatchMinHash(
+      Seq((1L, doc("alpha"))).toDF("doc_id", "text"),
+      "doc_id", "text", tbl, outDir, batchId = Some(0L))
+    // crash between the band write and the shingle write for doc 2:
+    // manifest + bands exist, shingles do not
+    val s2 = Seq((2L, doc("beta"))).toDF("doc_id", "text")
+    s2.write.parquet(StreamingDedup.manifestDir(outDir, 1L))
+    val sh2 = Dedup.shingles(s2, "doc_id", "text", 3)
+    Warehouse.appendBucketedTable(
+      Dedup.minHashBandFrameFromShingles(sh2, "doc_id"), tbl, "key", 32)
+    val bandRows2 = spark.table(tbl).filter($"doc_id" === 2L).count()
+    StreamingDedup.admitBatchMinHash(s2, "doc_id", "text", tbl, outDir,
+      batchId = Some(1L))
+    assert(spark.table(tbl).filter($"doc_id" === 2L).count() == bandRows2,
+      "repair duplicated the committed band rows")
+    assert(spark.table(s"${tbl}_shingles").filter($"doc_id" === 2L).count() > 0L,
+      "repair did not append the missing shingle rows")
+    assert(spark.read.parquet(outDir).filter($"doc_id" === 2L).count() == 1L)
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"DROP TABLE IF EXISTS ${tbl}_shingles")
+  }
+
   test("semantic admission: streamed batches dedup by embedding cosine through the stored index") {
     import spark.implicits._
     import org.apache.spark.sql.types.{ArrayType, FloatType}
