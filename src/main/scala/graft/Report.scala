@@ -40,7 +40,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  * the latency long tail), `digest`
  * (per-digest drill-down: profile row + hourly sparkline + worst
  * examples + apdex + user/schema links for `-digest <id>` — the
- * review-UI detail page behind a profile row), `cusum` (per-day load CUSUM with the
+ * review-UI detail page behind a profile row; with a `rollup:<prefix>`
+ * source it rebuilds the SAME page purely from stored digest-grain
+ * partials — `<prefix>` core + `_users`/`_schemas`/`_examples`,
+ * `Qan.digestPartials` layout — so the review page never rescans
+ * events; `pareto` gains the same partials-fed path), `cusum` (per-day load CUSUM with the
  * level-shift day flagged — exact-integer µs, q204's operator; with a
  * `rollup:<table|path>` source it reads a STORED partial table —
  * q201/StreamingRollup layout, replayed micro-batches collapsed — so
@@ -108,6 +112,27 @@ object Report {
     (lo.toSeq ++ hi.toSeq).foldLeft(df)(_ filter _)
   }
 
+  /** The four digest-partial frames behind a `rollup:` source —
+    * `<prefix>` core plus `_users`/`_schemas`/`_examples` (tables or
+    * parquet paths), streamed `batch_id` stamps collapsed per frame's
+    * own key set so foreachBatch replays cannot double-count. */
+  private def rollupDigestTables(spark: SparkSession, c: Config)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val prefix = c.source.stripPrefix("rollup:")
+    def read(suffix: String): DataFrame = {
+      val name = prefix + suffix
+      if (name.contains("/")) spark.read.parquet(name) else spark.table(name)
+    }
+    def dedup(df: DataFrame, keys: Seq[String]): DataFrame =
+      if (df.columns.contains("batch_id"))
+        df.dropDuplicates("batch_id" +: keys).drop("batch_id")
+      else df
+    (dedup(read(""), Seq("digest", "hr")),
+      dedup(read("_users"), Seq("digest", "label")),
+      dedup(read("_schemas"), Seq("digest", "label")),
+      dedup(read("_examples"), Seq("digest", "query", "ts", "offset")))
+  }
+
   /** The selected report as a frame (the testable surface). */
   def run(spark: SparkSession, c: Config): DataFrame = {
     lazy val wide = wideFor(spark, c)
@@ -132,6 +157,24 @@ object Report {
           .groupBy("day")
           .agg(sum("cnt").as("n"), sum("sum_v").as("_s"))
         graft.operators.Behavior.cusumFromDaily(daily).orderBy(col("day"))
+      case "digest" if c.source.startsWith("rollup:") =>
+        // the drill-down page WITHOUT the event rescan: digest-grain
+        // partials (Qan.digestPartials layout — core + _users/_schemas/
+        // _examples side tables, blind-appended per batch) merge on
+        // read into the same tall section frame; replayed streamed
+        // batches collapse via their batch_id stamp first
+        val id = c.digestId.getOrElse(throw new IllegalArgumentException(
+          "-report digest needs -digest <digest-id>"))
+        val (core, users, schemas, examples) = rollupDigestTables(spark, c)
+        Qan.digestDetailFromPartials(core, users, schemas, examples, id,
+          c.apdexT)
+      case "pareto" if c.source.startsWith("rollup:") =>
+        // concentration head from stored partials: merge → one
+        // presentation division per digest → the q134 ranking
+        import org.apache.spark.sql.functions.col
+        val (core, _, _, _) = rollupDigestTables(spark, c)
+        Qan.paretoLoad(Qan.digestLoadsFromPartials(core), "digest",
+          col("load"), c.threshold)
       case "profile" => Qan.profile(wide, c.top)
       case "sparkline" => Qan.sparkline(wide, c.bucket)
       case "load" => Qan.loadByDbUser(wide)

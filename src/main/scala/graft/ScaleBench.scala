@@ -574,6 +574,56 @@ object ScaleBench {
         edges.unpersist()
       }
 
+      // ExactSubstr span detection over the k× corpus (scaleDocs
+      // suffixes replica words, so each replica carries the base
+      // corpus's duplicate structure and span count grows k×): anchor
+      // explode is map-only, the dup flag one gram-keyed window, the
+      // islands one per-doc window — cost must track total words
+      if (want("exact_substr")) {
+        val docs = scaleDocs(spark, sf, k).persist()
+        System.err.println(s"SCALE inputs ${k}x: ${docs.count()} docs (exact_substr)")
+        record("exact_substr", k, time(
+          Dedup.exactSubstrSpans(docs, "doc_id", "text", 4)))
+        docs.unpersist()
+      }
+
+      // DBSCAN through the LSH-blocked pair path on a planted-blob
+      // corpus: k× the BLOB COUNT at fixed blob size 5 (members are
+      // scaled copies — cosine exactly 1; blob directions are
+      // group-keyed sign flips of the base embeddings, pairwise ≈
+      // orthogonal), so the ε-pair volume grows k× and sign-LSH recall
+      // on θ≈0 pairs is 1 by construction. Cost must track blob count.
+      if (want("dbscan")) {
+        val base = spark.read.parquet(s"$sf/embeddings.parquet")
+          .select("vec_id", "embedding")
+        val corpus = base
+          .crossJoin(spark.range(k).toDF("grp"))
+          .crossJoin(spark.range(5).toDF("rep"))
+          .select(
+            (col("vec_id") * 1000L + col("grp") * 5L + col("rep")).as("vec_id"),
+            transform(col("embedding"), (x, i) =>
+              x * when(pmod(xxhash64(col("grp"), i), lit(2)) === 0, lit(1.0f))
+                .otherwise(lit(-1.0f)) *
+                (lit(1.0f) + col("rep").cast("float") * lit(0.001f)))
+              .as("embedding"))
+          .repartition(32).persist()
+        val nVec = corpus.count()
+        // band width from the sizing policy: fixed bits=8 measured
+        // exponent 1.47 here (bucket saturation → Σ occupancy² ≈
+        // n²/2^bits); lshBitsFor holds occupancy ≈ constant. Blob
+        // members sit at cosine exactly 1 (scaled copies), so recall
+        // stays 1.0 at any bits — the policy's documented coupling
+        // only binds for thresholds materially below 1.
+        val bits = graft.operators.Similarity.lshBitsFor(nVec)
+        System.err.println(s"SCALE inputs ${k}x: $nVec vectors (dbscan, ${k} groups x 5, bits=$bits)")
+        record("dbscan", k, time {
+          val pairs = Dedup.embeddingNearDupPairs(corpus, "vec_id",
+            "embedding", threshold = 0.9, bits = bits)
+          Dedup.dbscanLabels(corpus, "vec_id", pairs, "da", "db", minPts = 2)
+        })
+        corpus.unpersist()
+      }
+
       // q209's 100 TB posture: two-hop reach with the hot-middle cap +
       // HLL distinct, on a PLANTED hub graph — one middle with
       // (1000k)² wedge fan-out atop a 20000k-edge chain background.

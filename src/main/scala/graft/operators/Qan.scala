@@ -505,4 +505,145 @@ object Qan {
       .unionByName(drill("schemas", "db"))
       .orderBy("section", "ord", "label")
   }
+
+  /**
+   * Digest-grain MERGEABLE partials for the drill-down page — the
+   * streaming/at-rest twin of [[digestDetail]] (the r12 verdict's
+   * stretch: the batch surface's review page, fed purely from stored
+   * partials a daily or streamed batch blind-appends, the q201 rollup
+   * posture at digest grain). Four frames, every one a commutative
+   * monoid under append + merge-on-read:
+   *
+   *  - CORE `(digest, hr, cnt, sum_rate, sum_time_us, sum_load_us,
+   *    n_sat, n_tol)` — hourly so the sparkline falls out and every
+   *    profile/apdex number is a column sum. Time rides as INTEGER µs
+   *    (the rollup determinism contract — float partial sums would
+   *    make the stored table arrival-order-dependent); the apdex
+   *    threshold is BAKED at build time (classification is not
+   *    mergeable across thresholds — document the T a table carries).
+   *  - USERS / SCHEMAS `(digest, user|db, sum_load_us)` — drill-down
+   *    load partials; merged row count per digest IS the exact
+   *    distinct-user count (countDistinct does not merge; a keyed
+   *    partial table does — the q210 lesson without the sketch).
+   *  - EXAMPLES `(digest, query, query_time, ts, offset)` — each
+   *    batch's `topExamples` worst calls; merge = union → re-top-k
+   *    (a bounded max-k is a monoid; k rows per digest per batch).
+   *
+   * Append cost ∝ batch at any corpus size; no stored-table read.
+   */
+  def digestPartials(wide: DataFrame, apdexT: Double = 0.5,
+                     topExamples: Int = 3): (DataFrame, DataFrame,
+      DataFrame, DataFrame) = {
+    val rate = greatest(col("rate_limit"), lit(1L))
+    val timeUs = round(col("query_time") * 1e6).cast("long")
+    val core = wide
+      .select(col("digest"),
+        expr("unix_micros(ts) div 3600000000").as("hr"),
+        rate.as("_r"), timeUs.as("_us"), (timeUs * rate).as("_lus"),
+        when(col("query_time") <= apdexT, 1L).otherwise(0L).as("_sat"),
+        when(col("query_time") > apdexT &&
+          col("query_time") <= 4 * apdexT, 1L).otherwise(0L).as("_tol"))
+      .groupBy("digest", "hr")
+      .agg(count(lit(1)).as("cnt"), sum("_r").as("sum_rate"),
+        sum("_us").as("sum_time_us"), sum("_lus").as("sum_load_us"),
+        sum("_sat").as("n_sat"), sum("_tol").as("n_tol"))
+    def byCol(c: String) = wide
+      .select(col("digest"), col(c).as("label"), (timeUs * rate).as("_lus"))
+      .groupBy("digest", "label")
+      .agg(sum("_lus").as("sum_load_us"))
+    val examples = wide
+      .select(col("digest"), col("query"), col("query_time"), col("ts"),
+        col("offset"))
+      .withColumn("_rn", row_number().over(Window.partitionBy("digest")
+        .orderBy(col("query_time").desc, col("ts"), col("offset"))))
+      .filter(col("_rn") <= topExamples).drop("_rn")
+    (core, byCol("user"), byCol("db"), examples)
+  }
+
+  /**
+   * [[digestDetail]] rebuilt from stored [[digestPartials]] — same
+   * tall `(section, ord, label, value)` schema, merge-on-read over
+   * tables that may hold many appended batches. If the stream stamped
+   * a `batch_id` column, collapse replays UPSTREAM (dropDuplicates on
+   * batch_id + the frame's keys, the
+   * [[graft.streaming.StreamingRollup]] rule) before passing the
+   * frames in. Values present as
+   * `round(µs / 1e6, 4)` — exact-integer internals, one division at
+   * the presentation edge; section-by-section equality with the
+   * event-level [[digestDetail]] is the ReportSpec golden.
+   */
+  def digestDetailFromPartials(core: DataFrame, users: DataFrame,
+                               schemas: DataFrame, examples: DataFrame,
+                               digest: String, apdexT: Double = 0.5,
+                               topExamples: Int = 3,
+                               topDrill: Int = 5): DataFrame = {
+    val c = core.filter(col("digest") === digest)
+      .groupBy("hr")
+      .agg(sum("cnt").as("cnt"), sum("sum_rate").as("sum_rate"),
+        sum("sum_time_us").as("sum_time_us"),
+        sum("sum_load_us").as("sum_load_us"),
+        sum("n_sat").as("n_sat"), sum("n_tol").as("n_tol"))
+    val nUsers = users.filter(col("digest") === digest)
+      .select("label").distinct().count()
+    val profile = c.agg(
+        sum("cnt").as("_cnt"), sum("sum_rate").as("_cs"),
+        round(sum("sum_time_us") / 1e6, 4).as("_tt"),
+        round(sum("sum_time_us") / 1e6 / sum("cnt"), 4).as("_avg"))
+      .select(expr("stack(5, " +
+        "1L, 'cnt', cast(_cnt as double), " +
+        "2L, 'cnt_scaled', cast(_cs as double), " +
+        "3L, 'total_time', _tt, " +
+        "4L, 'avg_time', _avg, " +
+        s"5L, 'n_users', cast(${nUsers}L as double)) as (ord, label, value)"))
+      .select(lit("profile").as("section"), col("ord"), col("label"),
+        col("value"))
+    val spark = c
+      .select(col("hr").as("ord"),
+        date_format(timestamp_micros(col("hr") * 3600000000L),
+          "yyyy-MM-dd HH:00").as("label"),
+        round(col("sum_load_us") / 1e6, 4).as("value"))
+      .select(lit("sparkline").as("section"), col("ord"), col("label"),
+        col("value"))
+    val ex = examples.filter(col("digest") === digest)
+      .orderBy(col("query_time").desc, col("ts"), col("offset"))
+      .limit(topExamples)
+      .withColumn("ord", row_number().over(Window.orderBy(
+        col("query_time").desc, col("ts"), col("offset"))).cast("long"))
+      .select(lit("examples").as("section"), col("ord"),
+        col("query").as("label"), round(col("query_time"), 4).as("value"))
+    val apdexRows = c.agg(
+        sum("cnt").as("_cnt"), sum("n_sat").as("_sat"),
+        sum("n_tol").as("_tol"))
+      .select(expr("stack(4, " +
+        "1L, 'satisfied', cast(_sat as double), " +
+        "2L, 'tolerating', cast(_tol as double), " +
+        "3L, 'frustrated', cast(_cnt - _sat - _tol as double), " +
+        "4L, 'apdex', round((cast(_sat as double) + " +
+        "cast(_tol as double) / 2.0) / cast(_cnt as double), 4)) " +
+        "as (ord, label, value)"))
+      .select(lit("apdex").as("section"), col("ord"), col("label"),
+        col("value"))
+    def drill(section: String, t: DataFrame): DataFrame = t
+      .filter(col("digest") === digest)
+      .groupBy("label")
+      .agg(round(sum("sum_load_us") / 1e6, 4).as("value"))
+      .orderBy(col("value").desc, col("label"))
+      .limit(topDrill)
+      .withColumn("ord", row_number().over(Window.orderBy(
+        col("value").desc, col("label"))).cast("long"))
+      .select(lit(section).as("section"), col("ord"), col("label"),
+        col("value"))
+    profile.unionByName(spark).unionByName(ex).unionByName(apdexRows)
+      .unionByName(drill("users", users))
+      .unionByName(drill("schemas", schemas))
+      .orderBy("section", "ord", "label")
+  }
+
+  /** Per-digest display loads off stored [[digestPartials]] CORE rows —
+    * the feed for the Pareto/Gini concentration views from partials
+    * (merge, one presentation division, round BEFORE the running sum —
+    * the q134 rule holds because each digest's load rounds here). */
+  def digestLoadsFromPartials(core: DataFrame): DataFrame =
+    core.groupBy("digest")
+      .agg(round(sum("sum_load_us") / 1e6, 4).as("load"))
 }

@@ -333,6 +333,29 @@ object Similarity {
   }
 
   /**
+   * Sign-LSH band-width sizing rule — bits per table so the EXPECTED
+   * bucket occupancy stays ~`perBucket` rows: `⌈log₂(n/perBucket)⌉`
+   * clamped to [6, 24]. The self-join candidate volume of a bucketed
+   * pair stage is Σ occupancy² ≈ n²/2^bits, so FIXED bits turn any
+   * banded pair generator quadratic once buckets saturate (ScaleBench
+   * `dbscan` measured exponent 1.47 with bits=8 at 100k vectors; ~1
+   * with this rule). Companion to [[nlistFor]] (cells) and
+   * [[flipsFor]] (probe effort) — sizing is code, not prose.
+   *
+   * Recall coupling: more bits lowers per-table collision for
+   * NEAR-duplicates (P = (1−θ/π)^bits), so thresholds materially below
+   * 1.0 should grow `tables` or multi-probe flips alongside
+   * ([[flipsFor]]'s log-growth is the measured policy); exact-copy
+   * pairs (θ≈0) keep recall 1.0 at any bits.
+   */
+  def lshBitsFor(corpusSize: Long, perBucket: Int = 50): Int = {
+    require(perBucket >= 1, s"perBucket must be >= 1, got $perBucket")
+    val n = math.max(1L, corpusSize)
+    val raw = math.ceil(math.log(n.toDouble / perBucket) / math.log(2.0))
+    math.max(6, math.min(24, if (raw.isNaN || raw < 6) 6 else raw.toInt))
+  }
+
+  /**
    * The PROBE-time close of [[nlistFor]]'s rebuild-time rule (the r11
    * third-decade lesson made policy): with `nlist ~ √N`, a fixed
    * `nprobe` visits a vanishing fraction of cells as the corpus grows,

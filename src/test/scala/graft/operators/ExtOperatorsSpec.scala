@@ -795,4 +795,24 @@ class ExtOperatorsSpec extends AnyFunSuite with SparkTestSession {
       .map(Similarity.nlistFor)
     assert(xs == xs.sorted)
   }
+
+  test("lshBitsFor: constant expected occupancy between the clamps") {
+    // floor: tiny corpora keep the 6-bit minimum (64 buckets)
+    assert(Similarity.lshBitsFor(100) == 6)
+    // the rule: ceil(log2(n / perBucket)) — 100k/50 = 2000 → 11 bits
+    assert(Similarity.lshBitsFor(100000) == 11)
+    assert(Similarity.lshBitsFor(10000) == 8) // the pre-policy default
+    // ceiling: 24 bits (16M buckets) even at absurd corpus sizes
+    assert(Similarity.lshBitsFor(1000000000000L) == 24)
+    // occupancy law: n / 2^bits stays within [perBucket/2, perBucket]
+    // wherever neither clamp binds
+    for (n <- Seq(10000L, 100000L, 1000000L, 100000000L)) {
+      val occ = n.toDouble / (1L << Similarity.lshBitsFor(n))
+      assert(occ > 12 && occ <= 50, s"n=$n occupancy $occ")
+    }
+    // monotone
+    val bs = Seq(1L, 1000L, 100000L, 10000000L, 1000000000L)
+      .map(Similarity.lshBitsFor(_))
+    assert(bs == bs.sorted)
+  }
 }

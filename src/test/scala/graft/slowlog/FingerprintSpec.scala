@@ -133,7 +133,36 @@ class FingerprintSpec extends AnyFunSuite {
     ("select /* a /* b */ c */ 1", "select c */ ?"),
     // USE is anchored (pt `\Ause \S+\Z`): a multi-statement line keeps
     // its tail instead of collapsing the whole line to use ?
-    ("use db1; SELECT 1", "use db1; select ?")
+    ("use db1; SELECT 1", "use db1; select ?"),
+    // charset-introducer literals: the string abstracts to ?, the
+    // introducer token survives as an identifier (pt's string regex
+    // eats only the quoted span) — multibyte content is irrelevant
+    // after abstraction (\uXXXX escapes per the r12 source-file rule)
+    ("SELECT _utf8mb4'héllo wörld' FROM t WHERE id = 1",
+     "select _utf8mb4? from t where id = ?"),
+    ("select _binary'ab cd' from t", "select _binary? from t"),
+    // national-string literals: N lowercases like any identifier char
+    ("select N'abc' , n'déf' from t", "select n? , n? from t"),
+    // hex-string literals x'...': the quoted span abstracts, x stays
+    ("select x'4D7953514C', X'00' from t", "select x?, x? from t"),
+    // multibyte inside plain string literals
+    ("select 'データ' from t where col = '漢字'",
+     "select ? from t where col = ?"),
+    // multibyte IDENTIFIERS pass through untouched (only literals
+    // abstract; case-folding is ASCII-scoped like pt's \L)
+    ("select côl from tàble_ü where x = 1",
+     "select côl from tàble_ü where x = ?"),
+    // mid-token version comments strip like any block comment (the
+    // mysqldump shape is the ONLY /*! special case), leaving one
+    // collapsed space where the comment sat
+    ("SELECT id/*!50000 ,name*/ FROM t WHERE a=1",
+     "select id from t where a=?"),
+    ("select a/*!50000 b*/c from t where x=1",
+     "select a c from t where x=?"),
+    ("select * from t where x=/*!50000 5*/5",
+     "select * from t where x= ?"),
+    ("SELECT /*!32302 1 */ FROM t WHERE a = 2",
+     "select from t where a = ?")
   )
 
   golden.zipWithIndex.foreach { case ((in, want), idx) =>

@@ -165,6 +165,43 @@ class ReportSpec extends AnyFunSuite with SparkTestSession {
     } finally Warehouse.dropWithLocation(spark, tbl)
   }
 
+  test("digest + pareto over a rollup: partials-fed pages equal the event-level run") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // digest-grain partials from the SAME warehouse wide frame, split
+    // into two streamed batches with one replayed — the review page
+    // and the concentration head must rebuild bit-equal from storage
+    val wide = Report.wideFor(spark, Report.Config(source = warehouse))
+    val dir = Files.createTempDirectory("graft-report-dgp").toString + "/dg"
+    val (b0, b1) = (wide.filter(col("query_time") < 0.5),
+      wide.filter(col("query_time") >= 0.5))
+    def append(b: org.apache.spark.sql.DataFrame, id: Long): Unit = {
+      val (core, users, schemas, ex) = graft.operators.Qan.digestPartials(b)
+      core.withColumn("batch_id", lit(id))
+        .write.mode("append").parquet(dir)
+      users.withColumn("batch_id", lit(id))
+        .write.mode("append").parquet(dir + "_users")
+      schemas.withColumn("batch_id", lit(id))
+        .write.mode("append").parquet(dir + "_schemas")
+      ex.withColumn("batch_id", lit(id))
+        .write.mode("append").parquet(dir + "_examples")
+    }
+    append(b0, 0L); append(b1, 1L); append(b1, 1L) // replay
+    val top = Report.run(spark, Report.Config(source = warehouse,
+      report = "profile")).collect().head
+    val digest = top.getAs[String]("digest")
+    val viaRollup = Report.run(spark, Report.Config(
+      source = s"rollup:$dir", report = "digest",
+      digestId = Some(digest))).collect()
+    val direct = Report.run(spark, Report.Config(source = warehouse,
+      report = "digest", digestId = Some(digest))).collect()
+    assert(viaRollup.sameElements(direct))
+    val pR = Report.run(spark, Report.Config(source = s"rollup:$dir",
+      report = "pareto")).collect()
+    val pD = Report.run(spark, Report.Config(source = warehouse,
+      report = "pareto")).collect()
+    assert(pR.sameElements(pD))
+  }
+
   test("compare report splits rate-scaled load at -splitAt") {
     // fixture events land at 10:00:01-03 on 2024-01-15: split mid-window
     val rows = Report.run(spark, Report.Config(source = warehouse,
