@@ -169,6 +169,15 @@ object ScaleBench {
           System.err.println(s"SCALE inputs ${k}x: $events slow-log events / $files files")
           if (want("ingest_flatten"))
             record("ingest_flatten", k, time(flat()))
+          // decomposition (§19): the same flatten over the carry-free
+          // scan — the delta to ingest_flatten is the session-carry
+          // window's full-width exchange + per-partition sort, the one
+          // non-map stage in ingest
+          if (want("ingest_nocarry"))
+            record("ingest_nocarry", k, time(
+              graft.slowlog.SlowLogTable.flatten(
+                graft.slowlog.SlowLogSource.readRawNoCarry(
+                  spark, dir.toString))))
           if (want("qan_profile")) {
             // report cost over the warehouse AT REST: wide rows land in
             // parquet once (excluded, like the index builds), the QAN
@@ -895,9 +904,10 @@ object ScaleBench {
         Warehouse.dropWithLocation(spark, tbl)
       }
 
-      val docOps = Seq("q123_prefix", "q26_jaccard", "q52_capped", "q40_minhash",
+      val docOps = Seq("q123_prefix", "q26_jaccard", "q52_capped",
+        "q52_shingles", "q40_minhash",
         "q67_clusters", "q67_cluster_only", "q84_star_only", "q75_probe",
-        "admit_batch", "q40_probe", "minhash_admit", "lexical_admit",
+        "admit_batch", "q40_probe", "q40_cand", "minhash_admit", "lexical_admit",
         "trigram_admit", "cc_augment",
         "q92_bloom", "q99_spans", "q102_edit", "q103_bigram", "q104_sn",
         "q107_entropy", "q107_exploded", "q160_vocab")
@@ -979,6 +989,15 @@ object ScaleBench {
       if (want("q52_capped")) record("q52_capped", k, time(
         Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.6,
           maxShingleDf = Some(50L))))
+      // q52 decomposition (§19): the capped shingle frame ALONE (gen +
+      // df aggregate + broadcast anti-join) — the delta to q52_capped
+      // is the shared-shingle pair join + ratio verification
+      if (want("q52_shingles")) record("q52_shingles", k, time {
+        val all = Dedup.shingles(docs, "doc_id", "text", 3)
+        val hot = all.groupBy("shingle").agg(count(lit(1)).as("_df"))
+          .filter(col("_df") > 50L).select("shingle")
+        all.join(broadcast(hot), Seq("shingle"), "left_anti")
+      })
       // the LSH scale path for the same pair semantics as q26: candidates
       // from banded signatures, exact Jaccard only on candidates
       if (want("q40_minhash")) record("q40_minhash", k, time(
@@ -1063,12 +1082,19 @@ object ScaleBench {
       // frames prebuilt (excluded, like every index above), timed =
       // banded self-join + exact-Jaccard verification of candidates —
       // the recurring cost once the index is at rest
-      if (want("q40_probe")) {
+      if (want("q40_probe") || want("q40_cand")) {
         val mhSh = Dedup.shingles(docs, "doc_id", "text", 3).persist()
         val mhBands = Dedup.minHashBandFrameFromShingles(mhSh, "doc_id").persist()
         mhSh.count(); mhBands.count()
-        record("q40_probe", k, time(
-          Dedup.minHashDedupPairsFrom(mhBands, mhSh, "doc_id")))
+        if (want("q40_probe"))
+          record("q40_probe", k, time(
+            Dedup.minHashDedupPairsFrom(mhBands, mhSh, "doc_id")))
+        // decomposition (§19): the banded candidate self-join alone —
+        // the delta to q40_probe is the exact-Jaccard verify joins
+        // against the shingle frame
+        if (want("q40_cand"))
+          record("q40_cand", k, time(
+            Dedup.minHashCandidatePairsFrom(mhBands, "doc_id")))
         mhBands.unpersist(); mhSh.unpersist()
       }
       // MinHash admission at scale (admit_batch's Jaccard twin): the

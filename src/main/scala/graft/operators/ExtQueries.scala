@@ -1321,6 +1321,16 @@ object ExtQueries {
       val sup = broadcast(t(s, d, "supplier")
         .join(t(s, d, "nation"), col("s_nationkey") === col("n_nationkey"))
         .select(col("s_suppkey"), col("n_name").as("sn")))
+      // profit in EXACT 1e-4-dollar integer units (cents × discount
+      // hundredths), decimal-summed, ONE double division at the edge —
+      // the q105/q201 rule: a raw double avg flipped a live 4-dp half
+      // boundary at sf0.001 (29969.60175, r13 close), because double
+      // sums are reduce-order-dependent run to run
+      val unitProfit =
+        (round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100).cast("long")) -
+          lit(60L) * round(col("p_retailprice") * 100).cast("long") *
+            col("l_quantity").cast("long")).cast("decimal(38,0)")
       t(s, d, "lineitem")
         .join(broadcast(t(s, d, "part").filter(col("p_name").like("%widget%"))),
           col("l_partkey") === col("p_partkey"))
@@ -1329,8 +1339,7 @@ object ExtQueries {
         .join(sup, col("l_suppkey") === col("s_suppkey"))
         .groupBy(col("sn"), year(col("o_orderdate")).cast("long").as("yr"))
         .agg(count(lit(1)).as("n_items"),
-          round(avg(col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
-            lit(0.6) * col("p_retailprice") * col("l_quantity")), 4)
+          round(sum(unitProfit).cast("double") / count(lit(1)) / 1e4, 4)
             .as("avg_profit"))
         .orderBy("sn", "yr")
     }),
@@ -4671,10 +4680,13 @@ object ExtQueries {
         "JOIN nation nc ON c_nationkey=nc.n_nationkey JOIN region ON nc.n_regionkey=r_regionkey " +
         "JOIN supplier ON l_suppkey=s_suppkey JOIN nation ns ON s_nationkey=ns.n_nationkey " +
         "WHERE r_name='AMERICA' AND p_type='ECONOMY') t GROUP BY 1 ORDER BY 1"),
-    // q176: retail-price cost leg; average profit
+    // q176: retail-price cost leg; average profit in exact
+    // 1e-4-dollar integer units, one double division per group (the
+    // q105 rule — raw double avg flips 4-dp half boundaries)
     "q176_product_profit" ->
       ("SELECT sn, yr, count(*) AS n_items, " +
-        "round(avg(l_extendedprice*(1.0-l_discount) - 0.6*p_retailprice*l_quantity),4) AS avg_profit " +
+        "round(CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)*(100 - CAST(round(l_discount*100) AS BIGINT)) " +
+        "- 60*CAST(round(p_retailprice*100) AS BIGINT)*CAST(l_quantity AS BIGINT)) AS DOUBLE) / count(*) / 10000.0, 4) AS avg_profit " +
         "FROM (SELECT ns.n_name AS sn, CAST(year(o_orderdate) AS BIGINT) AS yr, " +
         "l_extendedprice, l_discount, p_retailprice, l_quantity FROM lineitem " +
         "JOIN part ON l_partkey=p_partkey JOIN orders ON l_orderkey=o_orderkey " +

@@ -335,6 +335,104 @@ object SlowLogParser {
       }
     }
 
+  /**
+   * Carry-ONLY scan of a chunk: the [[SessionCarry]] that
+   * [[parseChunk]] would return, at a fraction of its cost — no query
+   * assembly, no timestamp parsing, no metric-map building, and the
+   * metric regex runs only on lines that can possibly carry a
+   * Schema/rate key (a `contains` pre-filter skips it on the hot
+   * metric lines). This is the phase-1 pass of the distributed
+   * session-carry resolution ([[SlowLogSource.readRaw]]): per input
+   * split, the carry-out feeds the NEXT split's seed, which is what
+   * lets the full parse run carry-resolved in one pass with no
+   * full-width exchange.
+   *
+   * Equivalence with the real parser's carry transitions is
+   * spec-enforced property-style (`scanCarry ≡ parseChunk._2` on the
+   * golden fixtures AND the generated re-chunking corpus) — the state
+   * machine below mirrors `processLine`/`flush` line-for-line on the
+   * carry-relevant branches, including the subtle ones: `use` updates
+   * the session IMMEDIATELY at its line, `# Schema:` only when its
+   * event FLUSHES (an event with no query text never flushes and its
+   * Schema never becomes carry), and rate annotations follow the
+   * flush rule like Schema.
+   */
+  def scanCarry(text: String,
+                initial: SessionCarry = SessionCarry.empty): SessionCarry = {
+    var sessionDb = initial.db
+    var sessionRateType = initial.rateType
+    var sessionRateLimit = initial.rateLimit
+    var seenHeader = initial.headerSeen
+    // per-event carry-relevant state (the flush/reset twins)
+    var admin = false
+    var hasQuery = false
+    var db: String = null
+    var rateType: String = null
+    var rateLimit = -1L
+    var inQuery = false
+    def resetEvent(): Unit = {
+      admin = false; hasQuery = false; db = null
+      rateType = null; rateLimit = -1L; inQuery = false
+    }
+    def flushCarry(): Unit = {
+      if (hasQuery || admin) {
+        if (db != null) sessionDb = db
+        if (rateType != null) sessionRateType = rateType
+        if (rateLimit >= 0) sessionRateLimit = rateLimit
+      }
+      resetEvent()
+    }
+    val lines = linesWithOffsets(text, 0L)
+    while (lines.hasNext) {
+      val line = lines.next()._2.stripLineEnd
+      if (line.startsWith("#")) {
+        val body = line.drop(1).trim
+        val startsNew = body.startsWith("Time:") || (inQuery && body.nonEmpty)
+        if (startsNew && (hasQuery || admin)) flushCarry()
+        else if (body.startsWith("Time:") && !inQuery) resetEvent()
+        seenHeader = true
+        if (body.startsWith("administrator command:")) {
+          admin = true; hasQuery = true; inQuery = true
+        } else if (!body.startsWith("Time:") &&
+                   !body.startsWith("User@Host:")) {
+          // metric line — only the Schema/rate keys matter for carry;
+          // skip the regex entirely when none can be present
+          val scanLine = if (!line.contains("Rate_lim")) line
+          else RateCombined.findFirstMatchIn(line) match {
+            case Some(m) =>
+              rateType = m.group(1)
+              try rateLimit = m.group(2).toLong
+              catch { case _: NumberFormatException => () }
+              line.substring(0, m.start) + line.substring(m.end)
+            case None => line
+          }
+          if (scanLine.contains("Schema") ||
+              scanLine.contains("Log_slow_rate")) {
+            MetricPair.findAllMatchIn(scanLine).foreach { m =>
+              val k = m.group(1); val v = m.group(2)
+              if (k == "Schema") { if (v.nonEmpty) db = v }
+              else if (k == "Log_slow_rate_type") {
+                if (v.nonEmpty) rateType = v
+              } else if (k == "Log_slow_rate_limit") {
+                try rateLimit = v.toLong
+                catch { case _: NumberFormatException => () }
+              }
+            }
+          }
+        }
+      } else if (seenHeader) {
+        line match {
+          case SetTimestamp(_) if !inQuery => ()
+          case UseDb(d) if !inQuery => db = d; sessionDb = d
+          case _ =>
+            if (line.trim.nonEmpty || inQuery) { inQuery = true; hasQuery = true }
+        }
+      }
+    }
+    if (hasQuery || admin) flushCarry()
+    SessionCarry(sessionDb, sessionRateType, sessionRateLimit, seenHeader)
+  }
+
   private val IsoLocal = DateTimeFormatter.ISO_LOCAL_DATE_TIME
 
   private def parseIsoTs(v: String): Option[Timestamp] = {

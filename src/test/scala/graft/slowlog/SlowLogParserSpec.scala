@@ -343,6 +343,58 @@ class SlowLogParserSpec extends AnyFunSuite {
   }
 
   test("property: re-chunking conservation on generated logs") {
+    generatedLogs().foreach(chunkedEqualsWhole)
+  }
+
+  test("property: scanCarry equals the full parser's carry hand-off") {
+    def check(text: String,
+              init: SlowLogParser.SessionCarry =
+                SlowLogParser.SessionCarry.empty): Unit = {
+      val full = SlowLogParser.parseChunk(text, init)._2
+      val light = SlowLogParser.scanCarry(text, init)
+      assert(light == full, s"\ntext:\n$text")
+    }
+    check(slow001)
+    // rate annotation, Schema, admin command — the explicit carries
+    val edge =
+      """# Time: 2024-01-15T10:00:01.000000Z
+        |# User@Host: a[a] @ h []
+        |# Query_time: 0.01 Lock_time: 0.0 Rows_sent: 1 Rows_examined: 1 Rate_limit: query:100
+        |SELECT 1;
+        |# Time: 2024-01-15T10:00:02.000000Z
+        |# User@Host: a[a] @ h []
+        |# Thread_id: 5  Schema: carried  QC_hit: No
+        |# Query_time: 0.01 Lock_time: 0.0 Rows_sent: 1 Rows_examined: 1
+        |# administrator command: Quit;
+        |""".stripMargin
+    check(edge)
+    // Schema on an event that never flushes (no query, no admin) must
+    // NOT become carry — the flush-gated rule, both from empty and
+    // from a standing session state
+    val noFlush =
+      """# Time: 2024-01-15T10:00:03.000000Z
+        |# Thread_id: 5  Schema: ghost  QC_hit: No
+        |""".stripMargin
+    check(noFlush)
+    check(noFlush,
+      SlowLogParser.SessionCarry("prev", "query", 50L, headerSeen = true))
+    // generated corpus: whole-text equality AND threaded per-record
+    // equality (the exact shape readRaw's two phases run)
+    generatedLogs().foreach { log =>
+      check(log)
+      var fullC = SlowLogParser.SessionCarry.empty
+      var lightC = SlowLogParser.SessionCarry.empty
+      recordSplit(log).foreach { case (_, rec) =>
+        fullC = SlowLogParser.parseChunk(rec, fullC)._2
+        lightC = SlowLogParser.scanCarry(rec, lightC)
+        assert(lightC == fullC, s"\nchunk:\n$rec")
+      }
+    }
+  }
+
+  /** Deterministic generated slow-log corpus shared by the re-chunking
+    * and carry-scan properties. */
+  private def generatedLogs(count: Int = 250): Seq[String] = {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
 
@@ -383,8 +435,7 @@ class SlowLogParserSpec extends AnyFunSuite {
       }
       sb.result()
     }
-    val samples = (0 until 250).flatMap(i =>
+    (0 until count).flatMap(i =>
       logGen.apply(Gen.Parameters.default, Seed(i.toLong)))
-    samples.foreach(chunkedEqualsWhole)
   }
 }
