@@ -2630,6 +2630,20 @@ object ExtQueries {
           ExactSubstrK)
         .orderBy("doc_id")),
 
+    // Semantic decontamination (r13, Similarity.semanticDecontaminate):
+    // the embedding twin of q56/q92's text decontamination — corpus
+    // rows within τ cosine of ANY holdout row are flagged before
+    // training. Holdout broadcasts, corpus scans map-only; τ = 0.35
+    // probed data-bearing at all three SFs (44/48/109 flagged).
+    "q237_semantic_decon" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.semanticDecontaminate(
+          emb.filter(col("vec_id") >= 50 && col("vec_id") < 1050),
+          emb.filter(col("vec_id") < 50),
+          "vec_id", "embedding", tau = 0.35)
+        .orderBy("vec_id")
+    }),
+
     // DBSCAN density clustering (r13, Dedup.dbscanLabels): the ε that
     // q233's k-distance diagnostic picks, applied. EXACT brute-force
     // ε-pairs are the oracle shape (the q89/maxsim posture — the scale
@@ -4003,6 +4017,14 @@ object ExtQueries {
         // concat_ws over an empty filter is '' — the q98 empty contract
         "coalesce(array_to_string([ws[x+1] for x in range(0, len(ws)) if len([1 for v in coalesce(ivs, []) if x >= v.s AND x < v.e]) = 0], ' '), '') AS kept_text " +
         "FROM words w LEFT JOIN iv ON w.doc_id = iv.doc_id ORDER BY w.doc_id"),
+    // q237: brute-force holdout⋈corpus cosine, raw-threshold filter
+    // (the q89 rule), exact hit counts, one-rounding max
+    "q237_semantic_decon" ->
+      ("WITH h AS (SELECT * FROM embeddings WHERE vec_id < 50), " +
+        "c AS (SELECT * FROM embeddings WHERE vec_id >= 50 AND vec_id < 1050) " +
+        s"SELECT p.vec_id, CAST(count(*) AS BIGINT) AS n_hits, round(max($cosSql), 4) AS max_sim " +
+        s"FROM c p JOIN h e ON $cosSql >= 0.35 " +
+        "GROUP BY p.vec_id ORDER BY p.vec_id"),
     // q236: identical DBSCAN read — brute-force ε-pairs (raw-cosine
     // threshold, the q89 rule), degree census, core–core recursive
     // closure to min-id labels (the q67 closure pattern), min-label

@@ -1461,6 +1461,33 @@ object Similarity {
   }
 
   /**
+   * Semantic decontamination — the embedding twin of the q56/q92 TEXT
+   * decontamination, applied across the train/eval SPLIT (the
+   * "too close to the benchmark" filter an LLM data pipeline runs
+   * before training): flag every corpus row whose embedding sits
+   * within `tau` cosine of ANY holdout row. Exact by construction:
+   * the holdout (benchmark-sized) BROADCASTS and the corpus scans
+   * map-only — the q106/q203 probe pattern, no corpus shuffle, no
+   * index; at 100 TB the stored-index variant probes the ANN families
+   * instead, but the exact scan is the oracle shape and the right
+   * default while holdouts stay broadcast-sized. Threshold applies to
+   * the RAW cosine (the q89 rule); the reported max rounds once.
+   *
+   * Output: `(idCol, n_hits, max_sim)` — one row per CONTAMINATED
+   * corpus id (callers anti-join to apply the cut).
+   */
+  def semanticDecontaminate(corpus: DataFrame, holdout: DataFrame,
+                            idCol: String, embCol: String,
+                            tau: Double): DataFrame =
+    corpus.select(col(idCol), col(embCol).as("_e"))
+      .crossJoin(broadcast(holdout.select(col(embCol).as("_h"))))
+      .select(col(idCol), cosine(col("_e"), col("_h")).as("_s"))
+      .filter(col("_s") >= tau)
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_hits"),
+        round(max(col("_s")), 4).as("max_sim"))
+
+  /**
    * Per-label centroids by per-DIMENSION discrete median (the lower
    * middle element) over a training frame — the deterministic stand-in
    * for a float mean, whose cross-engine sum order is unreproducible.

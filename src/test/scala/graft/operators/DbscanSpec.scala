@@ -89,6 +89,19 @@ class DbscanSpec extends AnyFunSuite with SparkTestSession {
     assert(got == expected.sorted, got)
   }
 
+  test("semanticDecontaminate flags exactly the near-holdout rows") {
+    val holdout = Seq((1L, Seq(1f, 0f, 0f, 0f))).toDF("id", "v")
+    val corpus = Seq(
+      (10L, Seq(0.99f, 0.01f, 0f, 0f)), // near copy → flagged
+      (11L, Seq(0f, 1f, 0f, 0f)),       // orthogonal → clean
+      (12L, Seq(-1f, 0f, 0f, 0f))).toDF("id", "v") // opposite → clean
+    val got = Similarity.semanticDecontaminate(corpus, holdout, "id", "v",
+        tau = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length == 1 && got.head._1 == 10L && got.head._2 == 1L &&
+      got.head._3 > 0.99, got.toSeq)
+  }
+
   test("empty pair frame: every point is noise") {
     val pairs = Seq.empty[(Long, Long)].toDF("da", "db")
     val got = Dedup.dbscanLabels(points(1L, 2L), "id", pairs, "da", "db", 1)
