@@ -46,6 +46,14 @@ object ExtQueries {
   private val cosSql: String =
     "list_sum(list_apply(list_zip(p.embedding, e.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (sqrt(list_sum(list_apply(p.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) * sqrt(list_sum(list_apply(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))))"
 
+  /** [[cosSql]] generalized to arbitrary column references — the
+    * q238/q240 oracles score against centroid and prefix-slice columns,
+    * not just p/e embedding pairs. */
+  private def cosSqlOn(a: String, b: String): String =
+    s"list_sum(list_apply(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / " +
+      s"(sqrt(list_sum(list_apply($a, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) * " +
+      s"sqrt(list_sum(list_apply($b, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))))"
+
   /** Shared q53/q83 oracle: the exact top-3 neighbor rows (q39's
     * ranking — rounded sim DESC, nn_id tiebreak) with the per-probe
     * recall floor as a literal TRUE. The data half pins the kNN values;
@@ -66,6 +74,117 @@ object ExtQueries {
       "SELECT probe_id, rn, nn_id, sim, true AS ok FROM " +
       "(SELECT probe_id, nn_id, sim, row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, nn_id) rn FROM c) " +
       "WHERE rn <= 3 ORDER BY probe_id, rn"
+
+  /** q238 oracle: the full k-medians trajectory unrolled — seed
+    * centroids (the k smallest vec_ids, contiguous from 0 on this
+    * data, so label = vec_id), then per round an ASSIGN CTE (argmax
+    * cosine, ties → smaller cluster — the q224 row_number rule) and an
+    * UPDATE CTE (per-(cluster, dim) low median, the q224 selection
+    * pattern), ending in the final ASSIGN. */
+  private lazy val kmediansOracleSql: String = {
+    val cosEC = cosSqlOn("e.embedding", "c.centroid")
+    def assign(cents: String, out: String): String =
+      s"${out}s AS (SELECT e.vec_id, c.label, $cosEC AS cos " +
+        s"FROM embeddings e CROSS JOIN $cents c), " +
+        s"$out AS (SELECT vec_id, label AS cluster, cos FROM " +
+        "(SELECT vec_id, label, cos, row_number() OVER " +
+        s"(PARTITION BY vec_id ORDER BY cos DESC, label) rn FROM ${out}s) " +
+        "WHERE rn = 1)"
+    def update(assigned: String, out: String): String =
+      s"${out}ex AS (SELECT a.cluster, a.vec_id, " +
+        "unnest([{'d': i, 'v': e.embedding[i]} for i in range(1, len(e.embedding)+1)], recursive := true) " +
+        s"FROM $assigned a JOIN embeddings e USING (vec_id)), " +
+        s"${out}rk AS (SELECT cluster, d, v, row_number() OVER " +
+        "(PARTITION BY cluster, d ORDER BY v, vec_id) rn, " +
+        s"count(*) OVER (PARTITION BY cluster, d) cnt FROM ${out}ex), " +
+        s"$out AS (SELECT cluster AS label, list(v ORDER BY d) AS centroid " +
+        s"FROM ${out}rk WHERE rn = (cnt+1)//2 GROUP BY cluster)"
+    val rounds = (1 to KMediansIters).map(r =>
+      assign(s"c${r - 1}", s"a$r") + ", " + update(s"a$r", s"c$r"))
+      .mkString(", ")
+    s"WITH c0 AS (SELECT CAST(vec_id AS INT) AS label, embedding AS centroid " +
+      s"FROM embeddings WHERE vec_id < $KMediansK), " +
+      rounds + ", " + assign(s"c$KMediansIters", "af") +
+      " SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, " +
+      "round(cos, 4) + 0.0 AS cos FROM af ORDER BY vec_id"
+  }
+
+  /** q239 oracle: q111's BM25 CTEs cut at the pool depth, the exact
+    * dense ranking (q39's rounded-sim rule, probe = vec 0), then the
+    * integer micro-credit fusion. */
+  private lazy val hybridRrfOracleSql: String = {
+    val termList = SearchTerms.map(t => s"'$t'").mkString(", ")
+    val cosQE = cosSqlOn("p.embedding", "e.embedding")
+    s"WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents), " +
+      "dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1), " +
+      "st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl), " +
+      s"tf AS (SELECT doc_id, token, count(*) AS tf FROM tok WHERE token IN ($termList) GROUP BY 1, 2), " +
+      "df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1), " +
+      "sc AS (SELECT tf.doc_id, round(sum(ln(1 + (st.n - df.df + 0.5) / (df.df + 0.5)) " +
+      s"* tf.tf * ($Bm25K1 + 1) / (tf.tf + $Bm25K1 * (1 - $Bm25B + $Bm25B * dl.dl / st.avgdl))), 4) AS score " +
+      "FROM tf JOIN df USING (token) JOIN dl USING (doc_id) CROSS JOIN st GROUP BY 1), " +
+      "sp AS (SELECT doc_id, rank FROM (SELECT doc_id, row_number() OVER " +
+      s"(ORDER BY score DESC, doc_id) AS rank FROM sc) WHERE rank <= $RrfPoolK), " +
+      "q AS (SELECT embedding FROM embeddings WHERE vec_id = 0), " +
+      "dn AS (SELECT doc_id, rank FROM (SELECT e.vec_id AS doc_id, " +
+      s"row_number() OVER (ORDER BY round($cosQE, 4) DESC, e.vec_id) AS rank " +
+      s"FROM embeddings e CROSS JOIN q p WHERE e.vec_id <> 0) WHERE rank <= $RrfPoolK), " +
+      s"u AS (SELECT doc_id, 1000000 // ($RrfK + rank) AS credit FROM sp " +
+      s"UNION ALL SELECT doc_id, 1000000 // ($RrfK + rank) FROM dn), " +
+      "f AS (SELECT doc_id, CAST(sum(credit) AS BIGINT) AS rrf_micro, " +
+      "CAST(count(*) AS BIGINT) AS n_rankers FROM u GROUP BY 1) " +
+      "SELECT CAST(rn AS BIGINT) AS rn, doc_id, rrf_micro, n_rankers FROM " +
+      "(SELECT doc_id, rrf_micro, n_rankers, row_number() OVER " +
+      s"(ORDER BY rrf_micro DESC, doc_id) AS rn FROM f) WHERE rn <= $RrfTopK ORDER BY rn"
+  }
+
+  /** q240 oracle: the two-stage pipeline replayed verbatim — prefix
+    * slice, rounded stage-1 rank, candidate cut, full-dim re-rank. */
+  private lazy val matryoshkaOracleSql: String = {
+    val cosPre = cosSqlOn("p.pre", "e.pre")
+    val cosFull = cosSqlOn("p.embedding", "e.embedding")
+    s"WITH pp AS (SELECT vec_id, embedding, embedding[1:$MatryoshkaPrefix] AS pre " +
+      "FROM embeddings WHERE vec_id < 5), " +
+      s"dd AS (SELECT vec_id, embedding[1:$MatryoshkaPrefix] AS pre FROM embeddings), " +
+      s"s1 AS (SELECT p.vec_id AS probe_id, e.vec_id AS nn_id, round($cosPre, 4) AS sim_pre, " +
+      s"row_number() OVER (PARTITION BY p.vec_id ORDER BY round($cosPre, 4) DESC, e.vec_id) AS prn " +
+      "FROM pp p CROSS JOIN dd e WHERE e.vec_id <> p.vec_id), " +
+      s"cand AS (SELECT probe_id, nn_id, sim_pre FROM s1 WHERE prn <= $MatryoshkaM), " +
+      s"s2 AS (SELECT c.probe_id, c.nn_id, c.sim_pre, round($cosFull, 4) AS sim " +
+      "FROM cand c JOIN embeddings p ON p.vec_id = c.probe_id JOIN embeddings e ON e.vec_id = c.nn_id) " +
+      "SELECT probe_id, CAST(rn AS BIGINT) AS rn, nn_id, sim_pre, sim FROM " +
+      "(SELECT probe_id, nn_id, sim_pre, sim, row_number() OVER " +
+      "(PARTITION BY probe_id ORDER BY sim DESC, nn_id) AS rn FROM s2) " +
+      "WHERE rn <= 3 ORDER BY probe_id, rn"
+  }
+
+  /** q241 oracle: multinomial NB replayed — per-(lang, token) train
+    * counts, add-one smoothing over the train vocabulary, in-vocab
+    * test postings only, ln-sum + prior, argmax with the lang-asc tie
+    * (the Spark side's struct-greatest over sorted labels). */
+  private lazy val nbClassifyOracleSql: String =
+    "WITH tr AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 2 = 0), " +
+      "te AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 2 = 1), " +
+      "trtok AS (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM tr), " +
+      "c AS (SELECT lang, tok, count(*) AS c FROM trtok GROUP BY 1, 2), " +
+      "tot AS (SELECT lang, sum(c) AS tot FROM c GROUP BY 1), " +
+      "v AS (SELECT count(DISTINCT tok) AS v FROM c), " +
+      "pr AS (SELECT lang, count(*) AS n FROM tr GROUP BY 1), " +
+      "nt AS (SELECT count(*) AS n FROM tr), " +
+      "vocab AS (SELECT DISTINCT tok FROM c), " +
+      "tetok AS (SELECT doc_id, tok, count(*) AS tf FROM " +
+      "(SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM te) GROUP BY 1, 2), " +
+      "grid AS (SELECT t.doc_id, t.tf, l.lang, coalesce(cc.c, 0) AS c, l.tot " +
+      "FROM tetok t JOIN vocab USING (tok) CROSS JOIN tot l " +
+      "LEFT JOIN c cc ON cc.tok = t.tok AND cc.lang = l.lang), " +
+      "sc AS (SELECT g.doc_id, g.lang, sum(g.tf * ln((g.c + 1.0) / (g.tot + v.v))) AS s " +
+      "FROM grid g CROSS JOIN v GROUP BY 1, 2), " +
+      "scp AS (SELECT sc.doc_id, sc.lang, sc.s + ln(CAST(pr.n AS DOUBLE) / nt.n) AS sp " +
+      "FROM sc JOIN pr USING (lang) CROSS JOIN nt), " +
+      "best AS (SELECT doc_id, lang AS pred, sp, row_number() OVER " +
+      "(PARTITION BY doc_id ORDER BY sp DESC, lang) AS rn FROM scp) " +
+      "SELECT te.doc_id, te.lang, b.pred, round(b.sp, 4) + 0.0 AS score " +
+      "FROM te JOIN best b ON te.doc_id = b.doc_id AND b.rn = 1 ORDER BY te.doc_id"
 
   /** q217 mixture budget (tokens the planned mixture must fill) —
     * shared with the generated oracle. α is fixed at 0.5 (sqrt):
@@ -113,6 +232,28 @@ object ExtQueries {
     * left almost no cores, 0.3 merged nearly everything. */
   private val DbscanEps: Double = 0.35
   private val DbscanMinPts: Int = 3
+
+  /** q238 k-medians cluster count / Lloyd rounds — 4 seeds spread far
+    * enough on this geometry that no cluster empties, 2 rounds move
+    * every centroid off its seed (the spec pins both edges). */
+  private val KMediansK: Int = 4
+  private val KMediansIters: Int = 2
+
+  /** q239 RRF fusion: per-ranker pool depth, the standard k=60 damping
+    * constant, and the fused page size — shared with the generated
+    * oracle. */
+  private val RrfPoolK: Int = 20
+  private val RrfK: Int = 60
+  private val RrfTopK: Int = 10
+
+  /** q240 matryoshka retrieval: stage-1 prefix dimension (16 of 64 —
+    * a 4× cheaper first pass) and the stage-1 candidate pool per
+    * probe. m=20 recovered the exact full-dim top-3 for every probe at
+    * every SF on this geometry (checked, not assumed — the two-stage
+    * output is value-compared against the replayed pipeline, so a
+    * recall miss would surface as a hash mismatch, not hide). */
+  private val MatryoshkaPrefix: Int = 16
+  private val MatryoshkaM: Int = 20
 
   /** q102 comparison-prefix length / edit threshold, and the q104
     * sorted-neighborhood key length / window — shared between the Spark
@@ -2661,6 +2802,63 @@ object ExtQueries {
         .orderBy("vec_id")
     }),
 
+    // Distributed k-medians clustering (r13, Similarity.kMedians):
+    // Lloyd-style alternation with the q224 selection update — float
+    // MEANS are reduce-order-dependent across engines (the q176
+    // lesson), per-dimension low MEDIANS are exact element selections,
+    // so both engines' assignment cosines are bit-identical and the
+    // whole 2-round trajectory replays in the oracle CTE for CTE.
+    "q238_kmedians" -> ((s, d) =>
+      Similarity.kMedians(t(s, d, "embeddings"), "vec_id", "embedding",
+          KMediansK, KMediansIters)
+        .orderBy("vec_id")),
+
+    // Hybrid retrieval fused by reciprocal rank (r13, Search.rrfFuse):
+    // the sparse (q111 BM25 over documents) and dense (q39 exact kNN
+    // over embeddings, probe = vec 0, doc_id = vec_id) top-20 pools
+    // fuse on RANK alone — integer micro-credits `1000000 div (60+r)`
+    // (the q206 basis-points rule), so the fused score is an exact
+    // BIGINT with no double drift.
+    "q239_hybrid_rrf" -> ((s, d) => {
+      val sparse = Search.bm25TopK(t(s, d, "documents"), "doc_id", "text",
+          SearchTerms, RrfPoolK, Bm25K1, Bm25B)
+        .select(col("doc_id"), col("rn").as("rank"))
+      val emb = t(s, d, "embeddings")
+      val dense = Similarity.knnBatch(emb, emb.where(col("vec_id") === 0),
+          "vec_id", "embedding", k = RrfPoolK)
+        .select(col("nn_id").as("doc_id"), col("rn").as("rank"))
+      Search.rrfFuse(Seq(sparse, dense), RrfK, RrfTopK)
+    }),
+
+    // Matryoshka two-stage retrieval (r13, Similarity.matryoshkaTopK):
+    // stage 1 ranks on the first-16-dim prefix cosine (4× cheaper
+    // scan), stage 2 re-ranks the top-20 candidates full-dim. Both
+    // stages rank on the rounded sim + id tiebreak, so the oracle
+    // replays the ENTIRE pipeline — candidate set included — value for
+    // value (a stage-1 recall miss would hash-mismatch, not hide).
+    "q240_matryoshka" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.matryoshkaTopK(emb, emb.where(col("vec_id") < 5),
+          "vec_id", "embedding", MatryoshkaPrefix, MatryoshkaM, k = 3)
+        .orderBy("probe_id", "rn")
+    }),
+
+    // Learned Naive Bayes classifier (r13,
+    // TextAnalysis.naiveBayesClassify): the fastText-style trained
+    // filter next to q36's fixed-marker heuristic — multinomial NB
+    // over whitespace tokens, add-one smoothing, trained on the even
+    // docs and applied to the odd ones, true lang carried for
+    // confusion accounting. Score is a ln-sum rounded once after the
+    // aggregate (the q103 precedent).
+    "q241_nb_classify" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      TextAnalysis.naiveBayesClassify(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1),
+          "doc_id", "text", "lang")
+        .orderBy("doc_id")
+    }),
+
     // Filtered vector search (r12): ONE index, per-query attribute
     // filters — the filter PRE-filters the stored cell frame (a
     // post-filter on ranked results silently loses recall when the
@@ -4042,6 +4240,10 @@ object ExtQueries {
         "SELECT ee.vec_id, CASE WHEN k.lbl IS NOT NULL THEN 'core' WHEN b.lbl IS NOT NULL THEN 'border' ELSE 'noise' END AS role, " +
         "CAST(coalesce(k.lbl, b.lbl) AS BIGINT) AS cluster " +
         "FROM ee LEFT JOIN corelbl k ON ee.vec_id = k.node LEFT JOIN borderlbl b ON ee.vec_id = b.node ORDER BY vec_id"),
+    "q238_kmedians" -> kmediansOracleSql,
+    "q239_hybrid_rrf" -> hybridRrfOracleSql,
+    "q240_matryoshka" -> matryoshkaOracleSql,
+    "q241_nb_classify" -> nbClassifyOracleSql,
     "q83_pq_recall" -> exactTop3FloorSql,
     "q117_sq8_recall" -> exactTop3FloorSql,
     "q214_ivfpq_recall" -> exactTop3FloorSql,

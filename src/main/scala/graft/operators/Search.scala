@@ -326,4 +326,44 @@ object Search {
     if (cps < 3) Seq.empty
     else (0 to cps - 3).map(g => s.substring(starts(g), starts(g + 3))).distinct
   }
+
+  /**
+   * Reciprocal-rank fusion over any number of rankers, in INTEGER
+   * micro-credits: each ranker contributes `1000000 div (kRrf + rank)`
+   * to every document it ranked (documents a ranker missed contribute
+   * nothing), summed exactly. Integer division replaces the textbook
+   * double reciprocal (the q206 credit-basis-points rule) so the fused
+   * score is an order-independent BIGINT — no reduce-order or ulp
+   * drift across engines. Fused ties break toward the smaller doc id.
+   *
+   * The standard hybrid-retrieval combiner: hand it the sparse (BM25)
+   * top-k and the dense (embedding kNN) top-k and it produces the
+   * fused page without needing the two scores to be commensurable —
+   * only ranks cross the fusion boundary.
+   *
+   * Input frames carry `(doc_id, rank)` with rank 1-based; output
+   * `(rn, doc_id, rrf_micro, n_rankers)` for the fused top `topK`.
+   *
+   * Scale shape: inputs are top-k-bounded by construction, so the
+   * union + aggregate touches |rankers|·k rows — one tiny exchange;
+   * the expensive part of hybrid retrieval is producing the input
+   * rankings, never fusing them.
+   */
+  def rrfFuse(rankings: Seq[DataFrame], kRrf: Int, topK: Int): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    require(kRrf >= 0, s"rrfFuse needs kRrf >= 0, got $kRrf")
+    val credits = rankings
+      .map(_.select(col("doc_id"),
+        expr(s"CAST(1000000 DIV ($kRrf + rank) AS BIGINT)").as("credit")))
+      .reduce(_ unionAll _)
+    val fused = credits.groupBy("doc_id")
+      .agg(sum("credit").as("rrf_micro"),
+        count(lit(1)).as("n_rankers"))
+    // global window over a |rankers|·k-bounded frame — not corpus-sized
+    fused
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("rrf_micro").desc, col("doc_id"))).cast("long"))
+      .filter(col("rn") <= topK)
+      .select("rn", "doc_id", "rrf_micro", "n_rankers")
+  }
 }

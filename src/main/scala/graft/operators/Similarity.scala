@@ -1565,4 +1565,133 @@ object Similarity {
       .select(col("_cid").as(idCol), col("label"),
         (-col("_best.nl")).as("assigned"), col("_best.c").as("cos"))
   }
+
+  /**
+   * One k-medians ASSIGN step: collect the bounded centroid table
+   * (k rows — the [[fitCodebooks]] discipline) and unroll the argmax
+   * into a single shuffle-free projection (the
+   * [[classifyNearestCentroid]] shape — `greatest` over
+   * `struct(cos, -cluster)` gives cos desc, cluster asc on ties),
+   * carrying the vector through for the UPDATE that follows.
+   */
+  private def assignClusters(corpus: DataFrame, centroids: DataFrame,
+                             idCol: String, vecCol: String): DataFrame = {
+    val cents = centroids.select(col("label").cast("int"),
+        col("centroid").cast("array<float>"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1)))
+      .sortBy(_._1)
+    require(cents.nonEmpty, "kMedians: empty centroid table")
+    val base = corpus.select(col(idCol).as("_kid"), col(vecCol).as("_kv"))
+    val scored = cents.zipWithIndex.foldLeft(base) { case (df, ((_, v), i)) =>
+      df.withColumn(s"_c$i", cosine(col("_kv"), typedlit(v)))
+    }
+    val packed = cents.zipWithIndex.map { case ((lab, _), i) =>
+      struct(col(s"_c$i").as("c"), lit(-lab).as("nl"))
+    }
+    val best =
+      if (packed.length == 1) packed.head else greatest(packed.toSeq: _*)
+    scored.withColumn("_best", best)
+      .select(col("_kid"), col("_kv"),
+        (-col("_best.nl")).cast("int").as("cluster"),
+        col("_best.c").as("_kcos"))
+  }
+
+  /**
+   * Distributed k-medians clustering — Lloyd-style alternation with the
+   * [[medianCentroids]] selection update, the unsupervised sibling of
+   * [[classifyNearestCentroid]]. Float-MEAN centroids are
+   * reduce-order-dependent across engines (the q176 lesson), so the
+   * update SELECTS per-dimension low medians instead of averaging:
+   * every centroid coordinate is an exact element of some member
+   * vector and both engines' assignment cosines are bit-identical.
+   *
+   * Init: the k smallest ids seed clusters 0..k-1 in id order. Each of
+   * the `iters` rounds runs ASSIGN (argmax cosine over the collected
+   * bounded-k centroid table, ties → smaller cluster) then UPDATE (one
+   * posexplode + one (cluster, dim) exchange). A final ASSIGN against
+   * the round-`iters` centroids produces the output. A cluster that
+   * loses every member vanishes from the centroid table on both
+   * engines (keep seeds spread; the planted-blob spec pins recovery).
+   *
+   * Scale shape: per round, one linear scan + one N·d-row exchange;
+   * the per-round centroid collect severs lineage by construction, so
+   * the plan cannot compound across iterations (the q118 lesson). At
+   * 100 TB fit centroids on a bounded hash-ranked pool first and run
+   * the final ASSIGN alone over the full corpus (the [[medianCentroids]]
+   * scale note).
+   *
+   * Output: `(id, cluster, cos)` — cluster is the seed-rank label (as
+   * long), cos the similarity to the winning centroid, rounded once.
+   */
+  def kMedians(corpus: DataFrame, idCol: String, vecCol: String,
+               k: Int, iters: Int): DataFrame = {
+    require(k >= 1, s"kMedians needs k >= 1, got $k")
+    require(iters >= 0, s"kMedians needs iters >= 0, got $iters")
+    val seedW = Window.orderBy(col(idCol))
+    var cents = corpus.orderBy(col(idCol)).limit(k)
+      .select((row_number().over(seedW) - 1).cast("int").as("label"),
+        col(vecCol).cast("array<float>").as("centroid"))
+    for (_ <- 1 to iters) {
+      val assigned = assignClusters(corpus, cents, idCol, vecCol)
+      cents = medianCentroids(assigned, "_kid", "_kv", "cluster")
+    }
+    assignClusters(corpus, cents, idCol, vecCol)
+      .select(col("_kid").as(idCol), col("cluster").cast("long").as("cluster"),
+        (round(col("_kcos"), 4) + lit(0.0)).as("cos"))
+  }
+
+  /**
+   * Matryoshka (truncated-dimension) two-stage retrieval: rank the
+   * whole corpus by cosine over the first `prefixDim` coordinates (the
+   * cheap pass — prefixDim/dim of the arithmetic, and of the bytes when
+   * the prefix is stored as its own column), keep the top `m`
+   * candidates per probe, then re-rank JUST those by full-dimension
+   * cosine and cut to top `k`. The adaptive-retrieval shape for
+   * MRL-style embeddings whose prefixes are themselves usable
+   * embeddings.
+   *
+   * Both stages rank on the ROUNDED similarity with the id tiebreak
+   * (the [[knnBatch]] rule), so the CANDIDATE SET — not just the final
+   * ranking — is reproducible across engines and the oracle replays
+   * the whole two-stage pipeline value for value. `m` = corpus size
+   * degenerates to exact [[knnBatch]] on the full vectors (spec-pinned).
+   *
+   * Scale shape: stage 1 is the broadcast-probe scan on a narrower
+   * vector (no corpus shuffle); stage 2 broadcasts the m·|probes|
+   * candidate frame back against the corpus, so the full vectors of
+   * non-candidates are never touched. Output:
+   * `(probe_id, rn, nn_id, sim_pre, sim)` for rn <= k.
+   */
+  def matryoshkaTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
+                     embCol: String, prefixDim: Int, m: Int,
+                     k: Int): DataFrame = {
+    require(prefixDim >= 1, s"matryoshkaTopK needs prefixDim >= 1, got $prefixDim")
+    require(m >= k, s"matryoshkaTopK needs m >= k, got m=$m k=$k")
+    val pPre = probes.select(col(idCol).as("probe_id"),
+      slice(col(embCol), 1, prefixDim).as("_ppre"))
+    val w1 = Window.partitionBy("probe_id")
+      .orderBy(col("sim_pre").desc, col("nn_id"))
+    val cand = corpus
+      .select(col(idCol).as("nn_id"),
+        slice(col(embCol), 1, prefixDim).as("_dpre"))
+      .crossJoin(broadcast(pPre))
+      .filter(col("nn_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("nn_id"),
+        round(cosine(col("_ppre"), col("_dpre")), 4).as("sim_pre"))
+      .withColumn("_prn", row_number().over(w1))
+      .filter(col("_prn") <= m)
+      .select("probe_id", "nn_id", "sim_pre")
+    val w2 = Window.partitionBy("probe_id")
+      .orderBy(col("sim").desc, col("nn_id"))
+    corpus.select(col(idCol).as("nn_id"), col(embCol).as("_dfull"))
+      .join(broadcast(cand), "nn_id")
+      .join(broadcast(probes.select(col(idCol).as("probe_id"),
+        col(embCol).as("_pfull"))), "probe_id")
+      .select(col("probe_id"), col("nn_id"), col("sim_pre"),
+        round(cosine(col("_pfull"), col("_dfull")), 4).as("sim"))
+      .withColumn("rn", row_number().over(w2).cast("long"))
+      .filter(col("rn") <= k)
+      .select("probe_id", "rn", "nn_id", "sim_pre", "sim")
+  }
 }

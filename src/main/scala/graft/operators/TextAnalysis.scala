@@ -393,4 +393,84 @@ object TextAnalysis {
       graft.functions.UnicodeNormExpr(
         org.apache.spark.sql.graftbridge.GraftColumnBridge.expression(c),
         form))
+
+  /**
+   * Multinomial Naive Bayes text classifier, trained and applied in one
+   * call — the fastText-style LEARNED quality/language filter next to
+   * [[predictLang]]'s fixed-marker heuristic. Training counts
+   * whitespace tokens per (label, token) with add-one smoothing over
+   * the training vocabulary V; scoring sums
+   * `tf · ln((c+1)/(tot_label+|V|))` per in-vocabulary test token plus
+   * the `ln(n_label/n_docs)` prior, and predicts the argmax label
+   * (ties → lexicographically smaller label). Out-of-vocabulary test
+   * tokens are dropped (the clean cross-engine convention: both sides
+   * inner-join the training vocabulary); test documents with NO
+   * in-vocabulary token drop out entirely.
+   *
+   * Determinism: the per-document score is a double sum of ln terms
+   * rounded once after the aggregate — the q103 bigram-LM precedent —
+   * and the argmax margin is nats-sized, far above ulp jitter. Label
+   * ties break by sorted-label index via the struct-greatest rule.
+   *
+   * Scale shape: the label set is bounded by construction (collected —
+   * the fitCodebooks discipline); the per-token likelihood table is
+   * vocabulary-keyed and pivots the bounded label set WIDE, so scoring
+   * is ONE join of test postings against that table plus one
+   * document-keyed aggregate. No per-(doc, label) row explosion ever
+   * materializes — the label dimension rides in columns.
+   *
+   * Output: `(id, <labelCol>, pred, score)` — true label carried
+   * through for confusion accounting, score = rounded log-posterior of
+   * the predicted label (up to the shared evidence constant).
+   */
+  def naiveBayesClassify(train: DataFrame, test: DataFrame, idCol: String,
+                         textCol: String, labelCol: String): DataFrame = {
+    val trTok = train.select(col(labelCol).as("_lab"),
+      explode(split(col(textCol), " ")).as("tok"))
+    val counts = trTok.groupBy("_lab", "tok").agg(count(lit(1)).as("c"))
+    val labels = counts.select("_lab").distinct()
+      .collect().map(_.getString(0)).sorted
+    require(labels.nonEmpty, "naiveBayesClassify: empty training set")
+    val totals = counts.groupBy("_lab").agg(sum("c").as("tot"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val vocabSize = counts.select("tok").distinct().count()
+    val nTrain = train.count()
+    val priors = train.groupBy(col(labelCol).as("_lab"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // vocabulary-keyed likelihood table, labels pivoted wide via
+    // conditional sums (deterministic column order = sorted labels)
+    val wide = counts.groupBy("tok").agg(
+      sum(when(col("_lab") === labels.head, col("c")).otherwise(0L))
+        .as("_c0"),
+      labels.tail.zipWithIndex.map { case (l, i) =>
+        sum(when(col("_lab") === l, col("c")).otherwise(0L)).as(s"_c${i + 1}")
+      }: _*)
+    val teTok = test
+      .select(col(idCol).as("_id"), explode(split(col(textCol), " ")).as("tok"))
+      .groupBy("_id", "tok").agg(count(lit(1)).as("tf"))
+    val scored = teTok.join(wide, "tok")
+    val scoreAggs = labels.zipWithIndex.map { case (l, i) =>
+      sum(col("tf").cast("double") *
+        log((col(s"_c$i") + lit(1.0)) /
+          lit((totals(l) + vocabSize).toDouble))).as(s"_s$i")
+    }
+    val perDoc = scored.groupBy("_id")
+      .agg(scoreAggs.head, scoreAggs.tail: _*)
+    val withPrior = labels.zipWithIndex.foldLeft(perDoc) { case (df, (l, i)) =>
+      df.withColumn(s"_p$i",
+        col(s"_s$i") + lit(math.log(priors(l).toDouble / nTrain)))
+    }
+    val packed = labels.indices.map(i =>
+      struct(col(s"_p$i").as("s"), lit(-i).as("ni")))
+    val best =
+      if (packed.sizeIs == 1) packed.head else greatest(packed: _*)
+    withPrior
+      .withColumn("_best", best)
+      .select(col("_id"),
+        element_at(typedlit(labels.toSeq), (-col("_best.ni")) + 1).as("pred"),
+        (round(col("_best.s"), 4) + lit(0.0)).as("score"))
+      .join(test.select(col(idCol).as("_id"), col(labelCol)), "_id")
+      .select(col("_id").as(idCol), col(labelCol), col("pred"), col("score"))
+  }
 }
