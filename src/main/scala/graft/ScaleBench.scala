@@ -811,6 +811,91 @@ object ScaleBench {
         test.unpersist(); cents.unpersist()
       }
 
+      // Distributed k-medians at k× vectors: 2 Lloyd rounds, each one
+      // linear assign scan + one (cluster, dim) exchange on N·d rows —
+      // cost must track the corpus ≈ linearly (iteration count is the
+      // multiplier, not a scale axis; the per-round centroid collect
+      // is k-rows-bounded)
+      if (want("kmedians")) {
+        val emb = scaleEmb(spark, sf, k).persist()
+        val nE = emb.count()
+        System.err.println(s"SCALE inputs ${k}x: $nE embeddings (kmedians)")
+        record("kmedians", k, time(
+          graft.operators.Similarity.kMedians(emb, "vec_id", "embedding",
+            k = 4, iters = 2)))
+        emb.unpersist()
+      }
+
+      // Matryoshka two-stage retrieval at k× corpus, beside the exact
+      // full-dim scan on the SAME frame: stage 1 touches only the
+      // 16-of-64 prefix, stage 2 re-ranks 20 candidates/probe — both
+      // must stay ≈ linear; the prefix pass's lower constant is the
+      // point of the measurement
+      if (want("matryoshka")) {
+        val emb = scaleEmb(spark, sf, k).persist()
+        val nE = emb.count()
+        System.err.println(s"SCALE inputs ${k}x: $nE embeddings (matryoshka)")
+        val probes = emb.filter(col("vec_id") < 5)
+        record("matryoshka", k, time(
+          graft.operators.Similarity.matryoshkaTopK(emb, probes,
+            "vec_id", "embedding", prefixDim = 16, m = 20, k = 3)))
+        record("matryoshka_exact", k, time(
+          graft.operators.Similarity.knnBatch(emb, probes,
+            "vec_id", "embedding", k = 3)))
+        emb.unpersist()
+      }
+
+      // Naive Bayes train+score at k× documents: replica-salted tokens
+      // grow the vocabulary k×, so the count aggregate, the pivoted
+      // likelihood table, and the postings join all grow linearly; the
+      // label set stays fixed (5 langs) — cost must track the corpus
+      if (want("nb_classify")) {
+        val docs = scaleDocs(spark, sf, k).repartition(32).persist()
+        val nD = docs.count()
+        System.err.println(s"SCALE inputs ${k}x: $nD docs (nb_classify)")
+        record("nb_classify", k, time(
+          graft.operators.TextAnalysis.naiveBayesClassify(
+            docs.filter(col("doc_id") % 2 === 0),
+            docs.filter(col("doc_id") % 2 === 1),
+            "doc_id", "text", "lang")))
+        docs.unpersist()
+      }
+
+      // NB SERVING path: model FIXED (fit + stored once on the 1×
+      // train half, excluded from timing), test docs k× — scoring is
+      // one token-bucketed postings join + one doc-keyed aggregate,
+      // so cost must track the test corpus; the model-side merge
+      // stays constant
+      if (want("nb_probe")) {
+        val tbl = "graft_bench_scale_nbmodel"
+        Warehouse.dropWithLocation(spark, tbl)
+        Warehouse.dropWithLocation(spark, s"${tbl}_labels")
+        val docs1 = spark.read.parquet(s"$sf/documents.parquet")
+        val (c1, l1) = graft.operators.TextAnalysis.naiveBayesFit(
+          docs1.filter(col("doc_id") % 2 === 0), "doc_id", "text", "lang")
+        Warehouse.saveNbModel(c1, l1, tbl)
+        // replicate WITHOUT token salting: scaleDocs' salted replicas
+        // would be ~all-OOV against the fixed 1× vocabulary and the
+        // post-join work would shrink artificially; identical-text
+        // replicas keep the postings join honest at k×
+        val base1 = docs1.filter(col("doc_id") % 2 === 1)
+          .select("doc_id", "text", "lang")
+        val test = (if (k == 1) base1
+          else base1.crossJoin(spark.range(k).toDF("rep"))
+            .select((col("doc_id") + col("rep") * 10000000L).as("doc_id"),
+              col("text"), col("lang")))
+          .repartition(32).persist()
+        val nT = test.count()
+        System.err.println(s"SCALE inputs ${k}x: $nT test docs (nb_probe)")
+        record("nb_probe", k, time(
+          graft.operators.TextAnalysis.naiveBayesScoreFrom(
+            spark.table(tbl), spark.table(s"${tbl}_labels"),
+            test, "doc_id", "text", "lang")))
+        test.unpersist()
+        Warehouse.dropWithLocation(spark, tbl)
+        Warehouse.dropWithLocation(spark, s"${tbl}_labels")
+      }
+
       // Stored-trigram-index probe at k× the corpus (q225b's scale
       // evidence): replica tokens are suffixed, so the space-adjacent
       // pattern grams stay original-corpus-sized while word-interior

@@ -2859,6 +2859,33 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // The model AT REST, grown incrementally (r13,
+    // Warehouse.saveNbModel — the twelfth at-rest family, the first
+    // trained MODEL): fit on one half of the even docs, SAVE, fit the
+    // other half, blind APPEND, then score the odd docs from the
+    // stored tables with merge-on-read (the q201 additive-partials
+    // rule). Runs against q241's oracle VERBATIM — the q92 equality
+    // posture: the incremental stored path is not an approximation.
+    "q242_nb_model" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      ensureStoredIndex("graft_bench_nbmodel_q242", d) {
+        val (c1, l1) = TextAnalysis.naiveBayesFit(
+          docs.filter(col("doc_id") % 4 === 0), "doc_id", "text", "lang")
+        graft.sources.Warehouse.saveNbModel(c1, l1,
+          "graft_bench_nbmodel_q242")
+        val (c2, l2) = TextAnalysis.naiveBayesFit(
+          docs.filter(col("doc_id") % 4 === 2), "doc_id", "text", "lang")
+        graft.sources.Warehouse.appendNbModel(c2, l2,
+          "graft_bench_nbmodel_q242")
+      }
+      TextAnalysis.naiveBayesScoreFrom(
+          s.table("graft_bench_nbmodel_q242"),
+          s.table("graft_bench_nbmodel_q242_labels"),
+          docs.filter(col("doc_id") % 2 === 1),
+          "doc_id", "text", "lang")
+        .orderBy("doc_id")
+    }),
+
     // Filtered vector search (r12): ONE index, per-query attribute
     // filters — the filter PRE-filters the stored cell frame (a
     // post-filter on ranked results silently loses recall when the
@@ -4244,6 +4271,9 @@ object ExtQueries {
     "q239_hybrid_rrf" -> hybridRrfOracleSql,
     "q240_matryoshka" -> matryoshkaOracleSql,
     "q241_nb_classify" -> nbClassifyOracleSql,
+    // q242: q241's oracle VERBATIM — the stored, incrementally grown
+    // model must score identically to a one-shot train (q92 posture)
+    "q242_nb_model" -> nbClassifyOracleSql,
     "q83_pq_recall" -> exactTop3FloorSql,
     "q117_sq8_recall" -> exactTop3FloorSql,
     "q214_ivfpq_recall" -> exactTop3FloorSql,

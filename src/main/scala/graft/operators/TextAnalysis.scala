@@ -425,19 +425,58 @@ object TextAnalysis {
    */
   def naiveBayesClassify(train: DataFrame, test: DataFrame, idCol: String,
                          textCol: String, labelCol: String): DataFrame = {
+    val (counts, labelStats) = naiveBayesFit(train, idCol, textCol, labelCol)
+    naiveBayesScoreFrom(counts, labelStats, test, idCol, textCol, labelCol)
+  }
+
+  /**
+   * The training half of [[naiveBayesClassify]], split out so the model
+   * can persist at rest ([[graft.sources.Warehouse.saveNbModel]]) and
+   * grow by BLIND APPEND: both frames are pure additive count partials
+   * (the q201 rollup discipline), so appending a new batch's partials
+   * and merging on read is EXACTLY a retrain on the union — no refit,
+   * no approximation.
+   *
+   * Returns `(counts, labelStats)`: per-(label, token) occurrence
+   * partials `(_lab, tok, c)` and per-label partials
+   * `(_lab, tot, n_docs)`.
+   */
+  def naiveBayesFit(train: DataFrame, idCol: String, textCol: String,
+                    labelCol: String): (DataFrame, DataFrame) = {
     val trTok = train.select(col(labelCol).as("_lab"),
       explode(split(col(textCol), " ")).as("tok"))
     val counts = trTok.groupBy("_lab", "tok").agg(count(lit(1)).as("c"))
-    val labels = counts.select("_lab").distinct()
-      .collect().map(_.getString(0)).sorted
-    require(labels.nonEmpty, "naiveBayesClassify: empty training set")
-    val totals = counts.groupBy("_lab").agg(sum("c").as("tot"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val labelStats = train.groupBy(col(labelCol).as("_lab"))
+      .agg(sum(size(split(col(textCol), " ")).cast("long")).as("tot"),
+        count(lit(1)).as("n_docs"))
+    (counts, labelStats)
+  }
+
+  /**
+   * The scoring half of [[naiveBayesClassify]]: consumes count
+   * partials (fresh from [[naiveBayesFit]] or read back from the
+   * stored model table) and classifies `test`. Partials are merged on
+   * read (sum per key — replays of the same additive rows would
+   * double-count, so writers keep the q201 append discipline); the
+   * label set and per-label totals collect (bounded by label
+   * cardinality), the vocabulary-keyed likelihood table pivots labels
+   * WIDE, and scoring is ONE postings join + one doc-keyed aggregate.
+   */
+  def naiveBayesScoreFrom(countPartials: DataFrame, labelPartials: DataFrame,
+                          test: DataFrame, idCol: String, textCol: String,
+                          labelCol: String): DataFrame = {
+    val counts = countPartials.groupBy("_lab", "tok")
+      .agg(sum("c").as("c"))
+    val stats = labelPartials.groupBy("_lab")
+      .agg(sum("tot").as("tot"), sum("n_docs").as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    require(stats.nonEmpty, "naiveBayesScoreFrom: empty label stats")
+    val labels = stats.map(_._1)
+    val totals = stats.map(s => s._1 -> s._2).toMap
+    val priors = stats.map(s => s._1 -> s._3).toMap
+    val nTrain = stats.map(_._3).sum
     val vocabSize = counts.select("tok").distinct().count()
-    val nTrain = train.count()
-    val priors = train.groupBy(col(labelCol).as("_lab"))
-      .agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     // vocabulary-keyed likelihood table, labels pivoted wide via
     // conditional sums (deterministic column order = sorted labels)
     val wide = counts.groupBy("tok").agg(

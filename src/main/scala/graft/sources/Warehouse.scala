@@ -277,6 +277,47 @@ object Warehouse {
   }
 
   /**
+   * Persist a Naive Bayes model at rest — the TWELFTH at-rest family,
+   * and the first that is a trained MODEL rather than an index: the
+   * per-(label, token) count partials
+   * ([[graft.operators.TextAnalysis.naiveBayesFit]]: `(_lab, tok, c)`)
+   * bucketed by `tok` (scoring joins test postings on token — the
+   * stored side never shuffles) plus the per-label partials
+   * (`<table>_labels`: `(_lab, tot, n_docs)`) as a plain table.
+   *
+   * Both frames are pure ADDITIVE partials (the q201 rollup
+   * discipline), so [[appendNbModel]]'s blind Append + the scorer's
+   * merge-on-read is EXACTLY a retrain on the union — incremental
+   * model updates with no refit and no approximation (spec-pinned:
+   * half+half append ≡ one-shot fit).
+   */
+  def saveNbModel(counts: DataFrame, labelStats: DataFrame, table: String,
+                  buckets: Int = 32,
+                  mode: SaveMode = SaveMode.Overwrite): Unit = {
+    if (mode == SaveMode.Overwrite) {
+      dropWithLocation(counts.sparkSession, table)
+      dropWithLocation(counts.sparkSession, s"${table}_labels")
+    }
+    counts.write.mode(mode)
+      .bucketBy(buckets, "tok")
+      .sortBy("tok")
+      .format("parquet")
+      .saveAsTable(table)
+    labelStats.write.mode(mode).format("parquet")
+      .saveAsTable(s"${table}_labels")
+  }
+
+  /** Grow a stored NB model by one batch's count partials — blind
+    * Append on both tables (additive semantics; `buckets` must match
+    * the original save). */
+  def appendNbModel(counts: DataFrame, labelStats: DataFrame,
+                    table: String, buckets: Int = 32): Unit = {
+    appendBucketedTable(counts, table, "tok", buckets)
+    labelStats.write.mode(SaveMode.Append).format("parquet")
+      .saveAsTable(s"${table}_labels")
+  }
+
+  /**
    * Persist an IVF cell frame
    * ([[graft.operators.Similarity.ivfIndex]]: `(id, emb, cell)`)
    * bucketed by `cell` — the inverted file at rest: a probe touching

@@ -129,6 +129,31 @@ class LearnedOpsSpec extends AnyFunSuite with SparkTestSession {
       got.toSeq)
   }
 
+  test("NB model at rest: save + blind append + merge-on-read equals one-shot train") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val train = docs.filter(col("doc_id") % 2 === 0)
+    val test_ = docs.filter(col("doc_id") % 2 === 1)
+    val direct = TextAnalysis.naiveBayesClassify(train, test_,
+        "doc_id", "text", "lang")
+      .orderBy("doc_id").collect().toSeq
+    val tbl = "graft_bench_nbmodel_spec"
+    graft.sources.Warehouse.dropWithLocation(spark, tbl)
+    graft.sources.Warehouse.dropWithLocation(spark, s"${tbl}_labels")
+    val (c1, l1) = TextAnalysis.naiveBayesFit(
+      train.filter(col("doc_id") % 4 === 0), "doc_id", "text", "lang")
+    graft.sources.Warehouse.saveNbModel(c1, l1, tbl)
+    val (c2, l2) = TextAnalysis.naiveBayesFit(
+      train.filter(col("doc_id") % 4 === 2), "doc_id", "text", "lang")
+    graft.sources.Warehouse.appendNbModel(c2, l2, tbl)
+    val stored = TextAnalysis.naiveBayesScoreFrom(
+        spark.table(tbl), spark.table(s"${tbl}_labels"), test_,
+        "doc_id", "text", "lang")
+      .orderBy("doc_id").collect().toSeq
+    assert(stored == direct)
+    graft.sources.Warehouse.dropWithLocation(spark, tbl)
+    graft.sources.Warehouse.dropWithLocation(spark, s"${tbl}_labels")
+  }
+
   test("naiveBayesClassify scores are negative log-posteriors, add-one smoothing keeps zero-count labels finite") {
     val train = Seq((0L, "x x", "a"), (2L, "z z", "b")).toDF("doc_id", "text", "lang")
     val test_ = Seq((1L, "x z", "a")).toDF("doc_id", "text", "lang")
