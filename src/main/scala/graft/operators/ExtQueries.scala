@@ -186,6 +186,37 @@ object ExtQueries {
       "SELECT te.doc_id, te.lang, b.pred, round(b.sp, 4) + 0.0 AS score " +
       "FROM te JOIN best b ON te.doc_id = b.doc_id AND b.rn = 1 ORDER BY te.doc_id"
 
+  /** q243 oracle: the three decon axes' CTEs (q56's shingle law,
+    * q199's capped-tf cosine, q237's raw-cosine threshold) union'd to
+    * the per-doc flag report. */
+  private lazy val deconSweepOracleSql: String = {
+    val cosPE = cosSqlOn("p.embedding", "e.embedding")
+    "WITH w AS (SELECT doc_id, string_split(text,' ') words FROM documents), " +
+      "sh AS (SELECT doc_id, unnest(list_distinct([array_to_string(words[i:i+4],' ') for i in range(1, len(words)-3)])) AS shingle FROM w WHERE len(words) >= 5), " +
+      "pg AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 20), " +
+      "nh AS (SELECT DISTINCT s.doc_id FROM sh s JOIN pg USING (shingle) WHERE s.doc_id >= 20), " +
+      "ctf AS (SELECT doc_id, tok, count(*) AS tf FROM (SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents WHERE doc_id >= 20) GROUP BY 1,2), " +
+      "keep AS (SELECT tok FROM ctf GROUP BY tok HAVING count(*) <= 400), " +
+      "itf AS (SELECT ctf.* FROM ctf JOIN keep USING (tok)), " +
+      "inorm AS (SELECT doc_id, sum(tf*tf) AS n2 FROM itf GROUP BY 1), " +
+      "vocab AS (SELECT DISTINCT tok FROM itf), " +
+      "ptf0 AS (SELECT doc_id, tok, count(*) AS tf FROM (SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents WHERE doc_id < 20) GROUP BY 1,2), " +
+      "ptf AS (SELECT ptf0.* FROM ptf0 JOIN vocab USING (tok)), " +
+      "pnorm AS (SELECT doc_id, sum(tf*tf) AS n2 FROM ptf GROUP BY 1), " +
+      "dots AS (SELECT p.doc_id AS probe_id, i.doc_id AS corpus_id, sum(p.tf*i.tf) AS dot FROM ptf p JOIN itf i USING (tok) GROUP BY 1,2), " +
+      "lh AS (SELECT DISTINCT corpus_id AS doc_id FROM dots d JOIN pnorm pn ON d.probe_id=pn.doc_id JOIN inorm inn ON d.corpus_id=inn.doc_id " +
+      "WHERE dot/sqrt(pn.n2*inn.n2) >= 0.8), " +
+      s"smh AS (SELECT DISTINCT p.vec_id AS doc_id FROM embeddings p JOIN embeddings e ON p.vec_id >= 20 AND e.vec_id < 20 AND $cosPE >= 0.35), " +
+      "u AS (SELECT doc_id FROM nh UNION SELECT doc_id FROM lh UNION SELECT doc_id FROM smh) " +
+      "SELECT u.doc_id, d.lang, (nh.doc_id IS NOT NULL) AS ngram, " +
+      "(lh.doc_id IS NOT NULL) AS lexical, (smh.doc_id IS NOT NULL) AS semantic, " +
+      "CAST(CAST(nh.doc_id IS NOT NULL AS INT) + CAST(lh.doc_id IS NOT NULL AS INT) + CAST(smh.doc_id IS NOT NULL AS INT) AS BIGINT) AS n_methods " +
+      "FROM u JOIN documents d USING (doc_id) " +
+      "LEFT JOIN nh ON u.doc_id = nh.doc_id " +
+      "LEFT JOIN lh ON u.doc_id = lh.doc_id " +
+      "LEFT JOIN smh ON u.doc_id = smh.doc_id ORDER BY u.doc_id"
+  }
+
   /** q217 mixture budget (tokens the planned mixture must fill) —
     * shared with the generated oracle. α is fixed at 0.5 (sqrt):
     * IEEE-correctly-rounded in both engines, unlike pow(x, α). */
@@ -2859,6 +2890,47 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // Decontamination sweep capstone (r13): ONE per-document report
+    // across the three decon axes the board ships separately — exact
+    // 5-gram overlap (q56), lexical cosine vs the holdout (q199's
+    // operator, index = corpus, probes = holdout), embedding cosine
+    // (q237) — holdout = ids < 20 on every axis, flags full-outer
+    // merged, n_methods the exact integer vote. All three axes
+    // data-bearing at all three SFs (ngram 6/3/10, lexical
+    // 211/147/249, semantic 16/24/90). The report a pipeline reviews
+    // before committing a cut: WHICH docs, by WHICH evidence.
+    "q243_decon_sweep" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val corpus = docs.filter(col("doc_id") >= 20)
+      val holdout = docs.filter(col("doc_id") < 20)
+      val ngram = Pipeline.contaminatedDocs(corpus, holdout,
+          "doc_id", "text", n = 5)
+        .select(col("doc_id"), lit(true).as("ngram"))
+      val ctf = Dedup.cappedLexicalTf(corpus, "doc_id", "text",
+        maxDf = 400L)
+      val lex = Dedup.lexicalCosineAgainst(holdout, "doc_id", "text",
+          ctf, Dedup.lexicalNorms(ctf), minSim = 0.8)
+        .select(col("corpus_id").as("doc_id")).distinct()
+        .select(col("doc_id"), lit(true).as("lexical"))
+      val emb = t(s, d, "embeddings")
+      val sem = Similarity.semanticDecontaminate(
+          emb.filter(col("vec_id") >= 20), emb.filter(col("vec_id") < 20),
+          "vec_id", "embedding", tau = 0.35)
+        .select(col("vec_id").as("doc_id"), lit(true).as("semantic"))
+      ngram.join(lex, Seq("doc_id"), "full")
+        .join(sem, Seq("doc_id"), "full")
+        .select(col("doc_id"),
+          coalesce(col("ngram"), lit(false)).as("ngram"),
+          coalesce(col("lexical"), lit(false)).as("lexical"),
+          coalesce(col("semantic"), lit(false)).as("semantic"))
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .select(col("doc_id"), col("lang"), col("ngram"), col("lexical"),
+          col("semantic"),
+          (col("ngram").cast("int") + col("lexical").cast("int") +
+            col("semantic").cast("int")).cast("long").as("n_methods"))
+        .orderBy("doc_id")
+    }),
+
     // The model AT REST, grown incrementally (r13,
     // Warehouse.saveNbModel — the twelfth at-rest family, the first
     // trained MODEL): fit on one half of the even docs, SAVE, fit the
@@ -4274,6 +4346,7 @@ object ExtQueries {
     // q242: q241's oracle VERBATIM — the stored, incrementally grown
     // model must score identically to a one-shot train (q92 posture)
     "q242_nb_model" -> nbClassifyOracleSql,
+    "q243_decon_sweep" -> deconSweepOracleSql,
     "q83_pq_recall" -> exactTop3FloorSql,
     "q117_sq8_recall" -> exactTop3FloorSql,
     "q214_ivfpq_recall" -> exactTop3FloorSql,
