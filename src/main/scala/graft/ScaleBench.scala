@@ -991,7 +991,7 @@ object ScaleBench {
 
       val docOps = Seq("q123_prefix", "q26_jaccard", "q52_capped",
         "q52_shingles", "q40_minhash",
-        "q67_clusters", "q67_cluster_only", "q84_star_only", "q75_probe",
+        "q67_clusters", "q67_cluster_only", "q84_star_only", "lpa_only", "q75_probe",
         "admit_batch", "q40_probe", "q40_cand", "minhash_admit", "lexical_admit",
         "trigram_admit", "cc_augment",
         "q92_bloom", "q99_spans", "q102_edit", "q103_bigram", "q104_sn",
@@ -1113,7 +1113,8 @@ object ScaleBench {
       // (O(diameter) rounds) vs large-star/small-star (O(log) alternations)
       // is measured directly rather than under the pair-generation cost
       // that dominates q67_clusters
-      if (want("q67_cluster_only") || want("q84_star_only")) {
+      if (want("q67_cluster_only") || want("q84_star_only") ||
+          want("lpa_only")) {
         val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.6)
           .persist()
         val nPairs = pairs.count()
@@ -1122,6 +1123,12 @@ object ScaleBench {
           Dedup.dedupClusters(pairs, "da", "db")))
         if (want("q84_star_only")) record("q84_star_only", k, time(
           Dedup.dedupClustersStar(pairs, "da", "db")))
+        // LPA beside the two closure solvers on the same pairs: 3
+        // fixed voting rounds, each one edge-labels join + one
+        // (node, label) count - per-round cost is one propagation hop,
+        // so the curve must track q67_cluster_only's
+        if (want("lpa_only")) record("lpa_only", k, time(
+          graft.operators.Graph.labelPropagation(pairs, "da", "db", 3)))
         pairs.unpersist()
       }
       if (want("q75_probe")) {

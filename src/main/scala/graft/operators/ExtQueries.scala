@@ -217,6 +217,27 @@ object ExtQueries {
       "LEFT JOIN smh ON u.doc_id = smh.doc_id ORDER BY u.doc_id"
   }
 
+  /** q244 LPA rounds — shared with the generated oracle unroll. */
+  private val LpaIters: Int = 3
+
+  /** q244 oracle: q26/q67's shingle-Jaccard pair CTEs feeding
+    * `LpaIters` unrolled synchronous vote rounds (count desc, label
+    * asc — the Spark side's struct-min rule). `sym` is MATERIALIZED:
+    * every round reads it once more. */
+  private lazy val lpaOracleSql: String = {
+    val rounds = (1 to LpaIters).map { r =>
+      s"f$r AS (SELECT s.x AS node, l.lbl, count(*) AS c FROM sym s JOIN l${r - 1} l ON s.y = l.node GROUP BY 1, 2), " +
+        s"l$r AS (SELECT node, lbl FROM (SELECT node, lbl, row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl) rn FROM f$r) WHERE rn = 1)"
+    }.mkString(", ")
+    s"WITH ${jaccardCtes(None)}, " +
+      "pr AS (SELECT da, db FROM p0 JOIN cnt ca ON da=ca.doc_id JOIN cnt cb ON db=cb.doc_id " +
+      "WHERE overlap*1.0/(ca.n+cb.n-overlap) >= 0.6), " +
+      "sym AS MATERIALIZED (SELECT da AS x, db AS y FROM pr UNION ALL SELECT db, da FROM pr), " +
+      "l0 AS (SELECT DISTINCT x AS node, x AS lbl FROM sym), " +
+      rounds +
+      s" SELECT node AS doc_id, CAST(lbl AS BIGINT) AS community FROM l$LpaIters ORDER BY doc_id"
+  }
+
   /** q217 mixture budget (tokens the planned mixture must fill) —
     * shared with the generated oracle. α is fixed at 0.5 (sqrt):
     * IEEE-correctly-rounded in both engines, unlike pow(x, α). */
@@ -2931,6 +2952,20 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // Label-propagation communities (r13, Graph.labelPropagation):
+    // frequency voting over the q67 near-dup graph — the community
+    // detector next to the closure operator (CC always merges to one
+    // min label; LPA can hold a dense community against a bridge
+    // edge). Deterministic vote = count desc, label asc; 3 fixed
+    // synchronous rounds, oracle-unrolled CTE for CTE.
+    "q244_lpa_communities" -> ((s, d) => {
+      val pairs = Dedup.ngramJaccardPairs(t(s, d, "documents"),
+        "doc_id", "text", n = 3, threshold = 0.6)
+      Graph.labelPropagation(pairs, "da", "db", LpaIters)
+        .select(col("node").as("doc_id"), col("lbl").as("community"))
+        .orderBy("doc_id")
+    }),
+
     // The model AT REST, grown incrementally (r13,
     // Warehouse.saveNbModel — the twelfth at-rest family, the first
     // trained MODEL): fit on one half of the even docs, SAVE, fit the
@@ -4347,6 +4382,7 @@ object ExtQueries {
     // model must score identically to a one-shot train (q92 posture)
     "q242_nb_model" -> nbClassifyOracleSql,
     "q243_decon_sweep" -> deconSweepOracleSql,
+    "q244_lpa_communities" -> lpaOracleSql,
     "q83_pq_recall" -> exactTop3FloorSql,
     "q117_sq8_recall" -> exactTop3FloorSql,
     "q214_ivfpq_recall" -> exactTop3FloorSql,

@@ -276,4 +276,52 @@ object Graph {
     cur.groupBy(col("a").as("node"))
       .agg(count(lit(1)).as("core_degree"))
   }
+
+  /**
+   * Synchronous label propagation communities (Raghavan et al. 2007),
+   * fixed-iteration batch variant: every node starts as its own label;
+   * each round every node adopts the MOST FREQUENT label among its
+   * neighbors, ties → the smallest label. FREQUENCY voting is what
+   * separates this from [[Dedup.dedupClusters]]' min-propagation:
+   * connected components always merge to one min label, LPA can hold a
+   * dense community against a bridge edge — the community detector
+   * next to the closure operator.
+   *
+   * Determinism: the textbook algorithm breaks frequency ties randomly
+   * and is scan-order-dependent; here the vote is
+   * `min(struct(-count, label))` — count desc, label asc — so the
+   * fixed-round trajectory is engine-reproducible and the oracle
+   * unrolls it CTE for CTE (the q238 posture). Fixed `iters` keeps the
+   * plan a finite join chain (the PageRank rule — no driver
+   * convergence probe); each round's labels localCheckpoint so lineage
+   * cannot compound (the q118 lesson).
+   *
+   * Scale shape: per round ONE edge⋈labels shuffle join + one
+   * (node, label) count + one per-node argmin — all key-partitioned,
+   * nothing driver-side. Output: `(node, lbl)` over every edge
+   * endpoint (isolated nodes have no neighbors to vote — callers union
+   * them back if needed).
+   */
+  def labelPropagation(pairs: DataFrame, aCol: String, bCol: String,
+                       iters: Int): DataFrame = {
+    require(iters >= 0, s"labelPropagation needs iters >= 0, got $iters")
+    val edges = pairs.select(col(aCol).as("x"), col(bCol).as("y"))
+      .unionAll(pairs.select(col(bCol).as("x"), col(aCol).as("y")))
+      .localCheckpoint()
+    var labels = edges.select(col("x").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+    for (_ <- 1 to iters) {
+      val votes = edges
+        .join(labels.select(col("node").as("y"), col("lbl")), "y")
+        .groupBy(col("x").as("node"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+      labels = votes
+        .groupBy("node")
+        .agg(min(struct((-col("c")).as("nc"), col("lbl").as("l")))
+          .as("_v"))
+        .select(col("node"), col("_v.l").as("lbl"))
+        .localCheckpoint()
+    }
+    labels
+  }
 }

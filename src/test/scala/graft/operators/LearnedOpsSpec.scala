@@ -129,6 +129,31 @@ class LearnedOpsSpec extends AnyFunSuite with SparkTestSession {
       got.toSeq)
   }
 
+  test("labelPropagation holds two dense communities across a bridge that CC merges") {
+    // two K4 blobs bridged by one edge 4-10: one CONNECTED COMPONENT,
+    // but frequency voting settles each blob on its own label
+    val k4a = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val k4b = Seq((10L, 11L), (10L, 12L), (10L, 13L),
+      (11L, 12L), (11L, 13L), (12L, 13L))
+    val pairs = (k4a ++ k4b ++ Seq((4L, 10L))).toDF("da", "db")
+    val lpa = Graph.labelPropagation(pairs, "da", "db", iters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(lpa(_) == 1L), lpa)
+    assert(Seq(10L, 11L, 12L, 13L).forall(lpa(_) == 10L), lpa)
+    val cc = Dedup.dedupClusters(pairs, "da", "db")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(cc.values.toSet == Set(1L), "CC must merge the bridge into one label")
+  }
+
+  test("labelPropagation vote ties break toward the smaller label") {
+    // star: center 5 sees labels {1, 2} once each after round 1 -> 1
+    val pairs = Seq((5L, 1L), (5L, 2L)).toDF("da", "db")
+    val got = Graph.labelPropagation(pairs, "da", "db", iters = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // leaves adopt the center's label; the center takes min(1, 2)
+    assert(got == Map(5L -> 1L, 1L -> 5L, 2L -> 5L), got)
+  }
+
   test("NB model at rest: save + blind append + merge-on-read equals one-shot train") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val train = docs.filter(col("doc_id") % 2 === 0)
