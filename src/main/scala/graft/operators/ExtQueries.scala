@@ -81,33 +81,52 @@ object ExtQueries {
     * cosine, ties → smaller cluster — the q224 row_number rule) and an
     * UPDATE CTE (per-(cluster, dim) low median, the q224 selection
     * pattern), ending in the final ASSIGN. */
-  private lazy val kmediansOracleSql: String = {
+  private def kmedAssignCte(src: String, cents: String,
+                            out: String): String = {
     val cosEC = cosSqlOn("e.embedding", "c.centroid")
-    def assign(cents: String, out: String): String =
-      s"${out}s AS (SELECT e.vec_id, c.label, $cosEC AS cos " +
-        s"FROM embeddings e CROSS JOIN $cents c), " +
-        s"$out AS (SELECT vec_id, label AS cluster, cos FROM " +
-        "(SELECT vec_id, label, cos, row_number() OVER " +
-        s"(PARTITION BY vec_id ORDER BY cos DESC, label) rn FROM ${out}s) " +
-        "WHERE rn = 1)"
-    def update(assigned: String, out: String): String =
-      s"${out}ex AS (SELECT a.cluster, a.vec_id, " +
-        "unnest([{'d': i, 'v': e.embedding[i]} for i in range(1, len(e.embedding)+1)], recursive := true) " +
-        s"FROM $assigned a JOIN embeddings e USING (vec_id)), " +
-        s"${out}rk AS (SELECT cluster, d, v, row_number() OVER " +
-        "(PARTITION BY cluster, d ORDER BY v, vec_id) rn, " +
-        s"count(*) OVER (PARTITION BY cluster, d) cnt FROM ${out}ex), " +
-        s"$out AS (SELECT cluster AS label, list(v ORDER BY d) AS centroid " +
-        s"FROM ${out}rk WHERE rn = (cnt+1)//2 GROUP BY cluster)"
-    val rounds = (1 to KMediansIters).map(r =>
-      assign(s"c${r - 1}", s"a$r") + ", " + update(s"a$r", s"c$r"))
+    s"${out}s AS (SELECT e.vec_id, c.label, $cosEC AS cos " +
+      s"FROM $src e CROSS JOIN $cents c), " +
+      s"$out AS (SELECT vec_id, label AS cluster, cos FROM " +
+      "(SELECT vec_id, label, cos, row_number() OVER " +
+      s"(PARTITION BY vec_id ORDER BY cos DESC, label) rn FROM ${out}s) " +
+      "WHERE rn = 1)"
+  }
+  private def kmedUpdateCte(src: String, assigned: String,
+                            out: String): String =
+    s"${out}ex AS (SELECT a.cluster, a.vec_id, " +
+      "unnest([{'d': i, 'v': e.embedding[i]} for i in range(1, len(e.embedding)+1)], recursive := true) " +
+      s"FROM $assigned a JOIN $src e USING (vec_id)), " +
+      s"${out}rk AS (SELECT cluster, d, v, row_number() OVER " +
+      "(PARTITION BY cluster, d ORDER BY v, vec_id) rn, " +
+      s"count(*) OVER (PARTITION BY cluster, d) cnt FROM ${out}ex), " +
+      s"$out AS (SELECT cluster AS label, list(v ORDER BY d) AS centroid " +
+      s"FROM ${out}rk WHERE rn = (cnt+1)//2 GROUP BY cluster)"
+  private def kmedRoundsCtes(src: String): String =
+    (1 to KMediansIters).map(r =>
+      kmedAssignCte(src, s"c${r - 1}", s"a$r") + ", " +
+        kmedUpdateCte(src, s"a$r", s"c$r"))
       .mkString(", ")
+
+  private lazy val kmediansOracleSql: String =
     s"WITH c0 AS (SELECT CAST(vec_id AS INT) AS label, embedding AS centroid " +
       s"FROM embeddings WHERE vec_id < $KMediansK), " +
-      rounds + ", " + assign(s"c$KMediansIters", "af") +
+      kmedRoundsCtes("embeddings") + ", " +
+      kmedAssignCte("embeddings", s"c$KMediansIters", "af") +
       " SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, " +
       "round(cos, 4) + 0.0 AS cos FROM af ORDER BY vec_id"
-  }
+
+  /** q245 oracle: the SAME trajectory run on the even half (seeds =
+    * its k smallest ids 0,2,4,6 → labels vec_id//2), final centroids
+    * assigning the ODD half — the fit-once / assign-forever read. */
+  private lazy val kmedAssignOracleSql: String =
+    "WITH ev AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0), " +
+      "od AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 1), " +
+      s"c0 AS (SELECT CAST(vec_id // 2 AS INT) AS label, embedding AS centroid " +
+      s"FROM ev WHERE vec_id < ${2 * KMediansK}), " +
+      kmedRoundsCtes("ev") + ", " +
+      kmedAssignCte("od", s"c$KMediansIters", "af") +
+      " SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, " +
+      "round(cos, 4) + 0.0 AS cos FROM af ORDER BY vec_id"
 
   /** q239 oracle: q111's BM25 CTEs cut at the pool depth, the exact
     * dense ranking (q39's rounded-sim rule, probe = vec 0), then the
@@ -2966,6 +2985,31 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // Clustering model AT REST (r13, Warehouse.saveCentroids +
+    // Similarity.kMediansCentroids): fit k-medians ONCE on the even
+    // half, store the k centroid rows, route the odd half against the
+    // stored table with the shuffle-free unrolled assignment — the
+    // fit-once / assign-forever posture (ivfAssign's twin for
+    // clustering). Oracle replays the even-half trajectory and the
+    // odd-half assignment.
+    "q245_kmedians_assign" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      ensureStoredIndex("graft_bench_kmed_q245", d) {
+        graft.sources.Warehouse.saveCentroids(
+          Similarity.kMediansCentroids(
+            emb.filter(col("vec_id") % 2 === 0),
+            "vec_id", "embedding", KMediansK, KMediansIters),
+          "graft_bench_kmed_q245")
+      }
+      Similarity.classifyNearestCentroid(
+          emb.filter(col("vec_id") % 2 === 1),
+          s.table("graft_bench_kmed_q245"),
+          "vec_id", "embedding", "vec_id")
+        .select(col("vec_id"), col("assigned").cast("long").as("cluster"),
+          (round(col("cos"), 4) + lit(0.0)).as("cos"))
+        .orderBy("vec_id")
+    }),
+
     // The model AT REST, grown incrementally (r13,
     // Warehouse.saveNbModel — the twelfth at-rest family, the first
     // trained MODEL): fit on one half of the even docs, SAVE, fit the
@@ -4383,6 +4427,7 @@ object ExtQueries {
     "q242_nb_model" -> nbClassifyOracleSql,
     "q243_decon_sweep" -> deconSweepOracleSql,
     "q244_lpa_communities" -> lpaOracleSql,
+    "q245_kmedians_assign" -> kmedAssignOracleSql,
     "q83_pq_recall" -> exactTop3FloorSql,
     "q117_sq8_recall" -> exactTop3FloorSql,
     "q214_ivfpq_recall" -> exactTop3FloorSql,

@@ -1626,6 +1626,23 @@ object Similarity {
    */
   def kMedians(corpus: DataFrame, idCol: String, vecCol: String,
                k: Int, iters: Int): DataFrame = {
+    val cents = kMediansCentroids(corpus, idCol, vecCol, k, iters)
+    assignClusters(corpus, cents, idCol, vecCol)
+      .select(col("_kid").as(idCol), col("cluster").cast("long").as("cluster"),
+        (round(col("_kcos"), 4) + lit(0.0)).as("cos"))
+  }
+
+  /**
+   * The centroid half of [[kMedians]] — the fitted model `(label,
+   * centroid)` after `iters` Lloyd rounds, for persisting at rest
+   * ([[graft.sources.Warehouse.saveCentroids]]) and assigning LATER
+   * batches without a refit (the IVF `ivfAssign` posture, via
+   * [[classifyNearestCentroid]]): fit once on a training slice, store
+   * k rows, route any future corpus against them with the shuffle-free
+   * unrolled assignment.
+   */
+  def kMediansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                        k: Int, iters: Int): DataFrame = {
     require(k >= 1, s"kMedians needs k >= 1, got $k")
     require(iters >= 0, s"kMedians needs iters >= 0, got $iters")
     val seedW = Window.orderBy(col(idCol))
@@ -1636,9 +1653,8 @@ object Similarity {
       val assigned = assignClusters(corpus, cents, idCol, vecCol)
       cents = medianCentroids(assigned, "_kid", "_kv", "cluster")
     }
-    assignClusters(corpus, cents, idCol, vecCol)
-      .select(col("_kid").as(idCol), col("cluster").cast("long").as("cluster"),
-        (round(col("_kcos"), 4) + lit(0.0)).as("cos"))
+    cents.select(col("label").cast("int").as("label"),
+      col("centroid").cast("array<float>").as("centroid"))
   }
 
   /**

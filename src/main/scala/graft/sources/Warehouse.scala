@@ -307,6 +307,19 @@ object Warehouse {
       .saveAsTable(s"${table}_labels")
   }
 
+  /** Persist a centroid table (`(label, centroid)` — k rows, e.g.
+    * [[graft.operators.TextAnalysis]]-adjacent
+    * [[graft.operators.Similarity.kMediansCentroids]] or
+    * `medianCentroids`) as a plain table: the standalone twin of the
+    * IVF saver's `_centroids` side table, for fit-once /
+    * assign-forever routing without a refit. */
+  def saveCentroids(centroids: DataFrame, table: String,
+                    mode: SaveMode = SaveMode.Overwrite): Unit = {
+    if (mode == SaveMode.Overwrite)
+      dropWithLocation(centroids.sparkSession, table)
+    centroids.write.mode(mode).format("parquet").saveAsTable(table)
+  }
+
   /** Grow a stored NB model by one batch's count partials — blind
     * Append on both tables (additive semantics; `buckets` must match
     * the original save). */

@@ -154,6 +154,30 @@ class LearnedOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(got == Map(5L -> 1L, 1L -> 5L, 2L -> 5L), got)
   }
 
+  test("k-medians centroids at rest: stored assignment equals direct assignment") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val train = emb.filter(col("vec_id") % 2 === 0)
+    val test_ = emb.filter(col("vec_id") % 2 === 1)
+    val cents = Similarity.kMediansCentroids(train, "vec_id", "embedding",
+      k = 4, iters = 2)
+    val direct = Similarity.classifyNearestCentroid(test_, cents,
+        "vec_id", "embedding", "vec_id")
+      .select("vec_id", "assigned")
+      .orderBy("vec_id").collect().toSeq
+    val tbl = "graft_bench_kmed_spec"
+    graft.sources.Warehouse.dropWithLocation(spark, tbl)
+    graft.sources.Warehouse.saveCentroids(cents, tbl)
+    val stored = Similarity.classifyNearestCentroid(test_, spark.table(tbl),
+        "vec_id", "embedding", "vec_id")
+      .select("vec_id", "assigned")
+      .orderBy("vec_id").collect().toSeq
+    assert(stored == direct)
+    // the fitted model is k rows and every cluster is populated
+    assert(cents.count() == 4L)
+    assert(direct.map(_.getInt(1)).toSet == Set(0, 1, 2, 3))
+    graft.sources.Warehouse.dropWithLocation(spark, tbl)
+  }
+
   test("NB model at rest: save + blind append + merge-on-read equals one-shot train") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val train = docs.filter(col("doc_id") % 2 === 0)
