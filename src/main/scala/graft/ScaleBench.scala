@@ -845,6 +845,32 @@ object ScaleBench {
         emb.unpersist()
       }
 
+      // Matryoshka on the STORED prefix-column layout vs slice-on-read
+      // from the SAME parquet table: stage 1 of the pruned path reads
+      // only (vec_id, pre) — ¼ of the vector bytes — where the sliced
+      // path must deserialize the full 64-dim column to slice it. The
+      // A/B isolates the layout lever SCALE.md §20 names; the table
+      // build is excluded from timing.
+      if (want("matryoshka_stored")) {
+        val tbl = "graft_bench_scale_mrl"
+        Warehouse.dropWithLocation(spark, tbl)
+        Warehouse.saveEmbeddingsWithPrefix(
+          scaleEmb(spark, sf, k).repartition(32),
+          "vec_id", "embedding", 16, tbl)
+        val stored = spark.table(tbl)
+        val nS = stored.count()
+        System.err.println(s"SCALE inputs ${k}x: $nS stored vectors (mrl)")
+        val probes = spark.read.parquet(s"$sf/embeddings.parquet")
+          .filter(col("vec_id") < 5)
+        record("matryoshka_stored", k, time(
+          graft.operators.Similarity.matryoshkaTopKStored(stored, probes,
+            "vec_id", "embedding", "pre", prefixDim = 16, m = 20, k = 3)))
+        record("matryoshka_sliced_disk", k, time(
+          graft.operators.Similarity.matryoshkaTopK(stored, probes,
+            "vec_id", "embedding", prefixDim = 16, m = 20, k = 3)))
+        Warehouse.dropWithLocation(spark, tbl)
+      }
+
       // Naive Bayes train+score at k× documents: replica-salted tokens
       // grow the vocabulary k×, so the count aggregate, the pivoted
       // likelihood table, and the postings join all grow linearly; the

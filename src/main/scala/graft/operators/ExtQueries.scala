@@ -2985,6 +2985,25 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // Matryoshka over the STORED prefix-column layout (r13,
+    // Warehouse.saveEmbeddingsWithPrefix + matryoshkaTopKStored):
+    // stage 1 references ONLY (vec_id, pre) — Parquet column pruning
+    // keeps the full vectors on disk, the ¼-bytes lever SCALE.md §20
+    // names — and stage 2 re-reads candidates only. Runs against
+    // q240's oracle VERBATIM (the stored layout is not an
+    // approximation — the q92 posture).
+    "q246_matryoshka_stored" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      ensureStoredIndex("graft_bench_mrl_q246", d) {
+        graft.sources.Warehouse.saveEmbeddingsWithPrefix(emb,
+          "vec_id", "embedding", MatryoshkaPrefix, "graft_bench_mrl_q246")
+      }
+      Similarity.matryoshkaTopKStored(s.table("graft_bench_mrl_q246"),
+          emb.where(col("vec_id") < 5), "vec_id", "embedding", "pre",
+          MatryoshkaPrefix, MatryoshkaM, k = 3)
+        .orderBy("probe_id", "rn")
+    }),
+
     // Clustering model AT REST (r13, Warehouse.saveCentroids +
     // Similarity.kMediansCentroids): fit k-medians ONCE on the even
     // half, store the k centroid rows, route the odd half against the
@@ -4428,6 +4447,9 @@ object ExtQueries {
     "q243_decon_sweep" -> deconSweepOracleSql,
     "q244_lpa_communities" -> lpaOracleSql,
     "q245_kmedians_assign" -> kmedAssignOracleSql,
+    // q246: q240's oracle VERBATIM — the prefix-column stored layout
+    // must reproduce the sliced-on-read pipeline exactly
+    "q246_matryoshka_stored" -> matryoshkaOracleSql,
     "q83_pq_recall" -> exactTop3FloorSql,
     "q117_sq8_recall" -> exactTop3FloorSql,
     "q214_ivfpq_recall" -> exactTop3FloorSql,

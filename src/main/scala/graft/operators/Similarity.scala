@@ -1679,6 +1679,47 @@ object Similarity {
    * non-candidates are never touched. Output:
    * `(probe_id, rn, nn_id, sim_pre, sim)` for rn <= k.
    */
+  /**
+   * [[matryoshkaTopK]] over a STORED prefix-column layout
+   * ([[graft.sources.Warehouse.saveEmbeddingsWithPrefix]]): stage 1
+   * references ONLY `(idCol, preCol)` — Parquet column pruning keeps
+   * the full vectors on disk for the prefixDim/dim fraction of the
+   * scan bytes that SCALE.md §20 identified as the operator's real
+   * lever — and stage 2 re-reads `(idCol, embCol)` for the m·|probes|
+   * candidates only. Identical output to [[matryoshkaTopK]] on the
+   * same corpus (the stored layout is not an approximation — q246 runs
+   * against q240's oracle verbatim).
+   */
+  def matryoshkaTopKStored(stored: DataFrame, probes: DataFrame,
+                           idCol: String, embCol: String, preCol: String,
+                           prefixDim: Int, m: Int, k: Int): DataFrame = {
+    require(m >= k, s"matryoshkaTopKStored needs m >= k, got m=$m k=$k")
+    val pPre = probes.select(col(idCol).as("probe_id"),
+      slice(col(embCol), 1, prefixDim).as("_ppre"))
+    val w1 = Window.partitionBy("probe_id")
+      .orderBy(col("sim_pre").desc, col("nn_id"))
+    val cand = stored
+      .select(col(idCol).as("nn_id"), col(preCol).as("_dpre"))
+      .crossJoin(broadcast(pPre))
+      .filter(col("nn_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("nn_id"),
+        round(cosine(col("_ppre"), col("_dpre")), 4).as("sim_pre"))
+      .withColumn("_prn", row_number().over(w1))
+      .filter(col("_prn") <= m)
+      .select("probe_id", "nn_id", "sim_pre")
+    val w2 = Window.partitionBy("probe_id")
+      .orderBy(col("sim").desc, col("nn_id"))
+    stored.select(col(idCol).as("nn_id"), col(embCol).as("_dfull"))
+      .join(broadcast(cand), "nn_id")
+      .join(broadcast(probes.select(col(idCol).as("probe_id"),
+        col(embCol).as("_pfull"))), "probe_id")
+      .select(col("probe_id"), col("nn_id"), col("sim_pre"),
+        round(cosine(col("_pfull"), col("_dfull")), 4).as("sim"))
+      .withColumn("rn", row_number().over(w2).cast("long"))
+      .filter(col("rn") <= k)
+      .select("probe_id", "rn", "nn_id", "sim_pre", "sim")
+  }
+
   def matryoshkaTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
                      embCol: String, prefixDim: Int, m: Int,
                      k: Int): DataFrame = {

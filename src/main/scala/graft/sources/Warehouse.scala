@@ -320,6 +320,26 @@ object Warehouse {
     centroids.write.mode(mode).format("parquet").saveAsTable(table)
   }
 
+  /**
+   * Persist an embedding corpus in the MRL/matryoshka serving layout:
+   * the first `prefixDim` coordinates materialized as their own
+   * `pre` column beside the full vector, so a truncated-dimension
+   * first pass ([[graft.operators.Similarity.matryoshkaTopKStored]])
+   * reads prefixDim/dim of the vector bytes via plain Parquet column
+   * pruning — the layout lever SCALE.md §20 names. Append is safe
+   * (per-row derived column, nothing fitted).
+   */
+  def saveEmbeddingsWithPrefix(emb: DataFrame, idCol: String,
+                               embCol: String, prefixDim: Int,
+                               table: String,
+                               mode: SaveMode = SaveMode.Overwrite): Unit = {
+    if (mode == SaveMode.Overwrite)
+      dropWithLocation(emb.sparkSession, table)
+    emb.select(col(idCol), col(embCol),
+        slice(col(embCol), 1, prefixDim).as("pre"))
+      .write.mode(mode).format("parquet").saveAsTable(table)
+  }
+
   /** Grow a stored NB model by one batch's count partials — blind
     * Append on both tables (additive semantics; `buckets` must match
     * the original save). */
