@@ -2985,6 +2985,35 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // Quality-curriculum mixture plan (r13 capstone): q82's shared-
+    // constant quality score ranks the corpus (globalRank total order,
+    // doc_id tiebreak), exact ntile arithmetic cuts QUARTILES (the
+    // q149/q193 rule — no unpartitioned window), and q217's sqrt-
+    // temperature law weights each quartile's token mass — the plan a
+    // curriculum dataloader consumes (low-quality quartiles get
+    // down-weighted epochs, not dropped).
+    "q247_curriculum" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val scored = docs.select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("score"),
+        TextAnalysis.wordCount(col("text")).cast("long").as("_tok"))
+      val ranked = Pipeline.globalRank(scored, "doc_id",
+        Seq(col("score"), col("doc_id")))
+      val n = scored.agg(count(lit(1)).as("_n"))
+      val agg = scored.join(ranked, "doc_id").crossJoin(broadcast(n))
+        .select(col("_tok"),
+          expr("CAST((rn - 1) * 4 DIV _n AS BIGINT)").as("bucket"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"), sum("_tok").as("n_tokens"))
+      val z = agg.agg(sum(sqrt(col("n_tokens"))).as("_z"))
+      agg.crossJoin(broadcast(z))
+        .select(col("bucket"), col("n_docs"), col("n_tokens"),
+          round(sqrt(col("n_tokens")) / col("_z"), 6).as("weight"),
+          round(lit(MixBudgetTokens) * sqrt(col("n_tokens")) / col("_z") /
+            col("n_tokens"), 4).as("epochs"))
+        .orderBy("bucket")
+    }),
+
     // Matryoshka over the STORED prefix-column layout (r13,
     // Warehouse.saveEmbeddingsWithPrefix + matryoshkaTopKStored):
     // stage 1 references ONLY (vec_id, pre) — Parquet column pruning
@@ -4450,6 +4479,19 @@ object ExtQueries {
     // q246: q240's oracle VERBATIM — the prefix-column stored layout
     // must reproduce the sliced-on-read pipeline exactly
     "q246_matryoshka_stored" -> matryoshkaOracleSql,
+    // q247: q82's generated score, single-reducer rank (the
+    // distributed globalRank's bound-independent total order), the
+    // exact ntile arithmetic, q217's sqrt law per quartile
+    "q247_curriculum" ->
+      (s"WITH sc AS (SELECT doc_id, $qualityScoreSql AS score, " +
+        "CAST(len(text) - len(replace(text, ' ', '')) + 1 AS BIGINT) AS tok FROM documents), " +
+        "r AS (SELECT doc_id, tok, row_number() OVER (ORDER BY score, doc_id) AS rn, count(*) OVER () AS n FROM sc), " +
+        "b AS (SELECT (rn - 1) * 4 // n AS bucket, count(*) AS n_docs, sum(tok) AS n_tokens FROM r GROUP BY 1), " +
+        "z AS (SELECT sum(sqrt(n_tokens)) AS z FROM b) " +
+        "SELECT CAST(bucket AS BIGINT) AS bucket, CAST(n_docs AS BIGINT) AS n_docs, " +
+        "CAST(n_tokens AS BIGINT) AS n_tokens, round(sqrt(n_tokens) / z.z, 6) AS weight, " +
+        s"round($MixBudgetTokens * sqrt(n_tokens) / z.z / n_tokens, 4) AS epochs " +
+        "FROM b, z ORDER BY bucket"),
     "q83_pq_recall" -> exactTop3FloorSql,
     "q117_sq8_recall" -> exactTop3FloorSql,
     "q214_ivfpq_recall" -> exactTop3FloorSql,

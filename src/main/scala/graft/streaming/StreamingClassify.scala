@@ -46,4 +46,30 @@ object StreamingClassify {
         ()
       }
       .start()
+
+  /**
+   * The clustering twin of [[nbServe]]: route each micro-batch of
+   * vectors against the stored centroid table
+   * ([[graft.sources.Warehouse.saveCentroids]] — fit once offline,
+   * e.g. [[graft.operators.Similarity.kMediansCentroids]]). The
+   * per-trigger cost is ONE shuffle-free unrolled projection over the
+   * batch (centroids collect k rows); a centroid refresh between
+   * triggers re-routes the NEXT batch with no restart. Same
+   * batch-id-keyed Overwrite idempotency as [[nbServe]].
+   */
+  def centroidServe(vecs: DataFrame, idCol: String, vecCol: String,
+                    centroidTable: String, outPath: String,
+                    checkpointDir: String): StreamingQuery =
+    vecs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        val spark = batch.sparkSession
+        graft.operators.Similarity.classifyNearestCentroid(
+            batch, spark.table(centroidTable), idCol, vecCol, idCol)
+          .select(col(idCol), col("assigned"), col("cos"))
+          .write.mode("overwrite")
+          .parquet(s"$outPath/batch_id=$bid")
+        ()
+      }
+      .start()
 }

@@ -79,4 +79,50 @@ class StreamingClassifySpec extends AnyFunSuite with SparkTestSession {
     Warehouse.dropWithLocation(spark, tbl)
     Warehouse.dropWithLocation(spark, s"${tbl}_labels")
   }
+
+  test("centroidServe routes streamed vectors against the stored centroids; a refresh re-routes the next batch") {
+    import spark.implicits._
+    val vecSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType))))
+    val srcDir = Files.createTempDirectory("graft-cs-src").toString
+    val outDir = Files.createTempDirectory("graft-cs-out").toString + "/out"
+    val ckpt = Files.createTempDirectory("graft-cs-ckpt").toString
+    val tbl = "graft_bench_stream_cent"
+    Warehouse.dropWithLocation(spark, tbl)
+    // v1: two centroids on the axes
+    Warehouse.saveCentroids(
+      Seq((0, Seq(1f, 0f)), (1, Seq(0f, 1f))).toDF("label", "centroid"), tbl)
+
+    def runOnce(): Unit = {
+      val q = StreamingClassify.centroidServe(
+        spark.readStream.schema(vecSchema).parquet(srcDir),
+        "vec_id", "embedding", tbl, outDir, ckpt)
+      q.processAllAvailable(); q.stop()
+    }
+
+    Seq((10L, Seq(0.9f, 0.1f)), (11L, Seq(0.1f, 0.9f)))
+      .toDF("vec_id", "embedding").write.mode("append").parquet(srcDir)
+    runOnce()
+    val after1 = spark.read.parquet(outDir)
+      .select("vec_id", "assigned").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(after1 == Set((10L, 0), (11L, 1)), after1)
+
+    // centroid refresh between triggers: cluster 2 owns the diagonal
+    Warehouse.saveCentroids(
+      Seq((0, Seq(1f, 0f)), (1, Seq(0f, 1f)), (2, Seq(1f, 1f)))
+        .toDF("label", "centroid"), tbl)
+    Seq((12L, Seq(0.7f, 0.7f)))
+      .toDF("vec_id", "embedding").write.mode("append").parquet(srcDir)
+    runOnce()
+    val after2 = spark.read.parquet(outDir)
+      .select("vec_id", "assigned").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(after2 == Set((10L, 0), (11L, 1), (12L, 2)), after2)
+
+    Warehouse.dropWithLocation(spark, tbl)
+  }
 }
