@@ -3547,6 +3547,24 @@ object ExtQueries {
         .orderBy("event_type")
     }),
 
+    // Two-sample KS drift (r13, Qan.ksDrift): the binless,
+    // parameter-free distribution-shift monitor beside q108's PSI
+    // (which needs bins + smoothing) and q127's chi-square — D's
+    // numerator max |cumRef·n_cur − cumCur·n_ref| is EXACT integer
+    // cross-multiplication over pooled distinct cents (q194's units),
+    // one double division at the edge; same midpoint split as q108.
+    "q248_ks_drift" -> ((s, d) => {
+      val ev = CoreQueries.events(s, d)
+        .withColumn("us", expr("ts_ns div 1000"))
+      val mid = ev.agg(expr("(min(us) + max(us)) div 2").as("_mid"))
+      Qan.ksDrift(
+          ev.crossJoin(broadcast(mid))
+            .withColumn("cents", round(col("value") * 100).cast("long"))
+            .withColumn("is_ref", col("us") <= col("_mid")),
+          "event_type", "cents", "is_ref")
+        .orderBy("event_type")
+    }),
+
     // New-key detection (Qan.firstSeen — the review-table "which query
     // classes are NEW this window?" question) on the q51 composite key
     // (2500 classes, so the range midpoint genuinely splits them):
@@ -5601,6 +5619,21 @@ object ExtQueries {
         "SELECT c.event_type, CAST(max(t.nr) AS BIGINT) AS n_ref, CAST(max(t.nc) AS BIGINT) AS n_cur, " +
         "round(sum(((c.cr + 1.0) / (t.nr + t.nb) - (c.cc + 1.0) / (t.nc + t.nb)) * ln(((c.cr + 1.0) / (t.nr + t.nb)) / ((c.cc + 1.0) / (t.nc + t.nb)))), 4) AS psi " +
         "FROM cnt c JOIN tot t USING (event_type) GROUP BY 1 ORDER BY 1"),
+    // q248: exact integer KS — cumulative counts over pooled distinct
+    // cents, cross-multiplied numerators, one edge division (q108's
+    // midpoint read, q194's cents)
+    "q248_ks_drift" ->
+      ("WITH e AS (SELECT event_type, CAST(round(value*100) AS BIGINT) AS u, epoch_us(ts) AS us FROM events), " +
+        "m AS (SELECT (min(us) + max(us)) // 2 AS mid FROM e), " +
+        "b AS (SELECT event_type, u, us <= (SELECT mid FROM m) AS r FROM e), " +
+        "per AS (SELECT event_type, u, count(CASE WHEN r THEN 1 END) AS c1, count(CASE WHEN NOT r THEN 1 END) AS c2 FROM b GROUP BY 1, 2), " +
+        "tot AS (SELECT event_type, sum(c1) AS n1, sum(c2) AS n2 FROM per GROUP BY 1), " +
+        "cum AS (SELECT event_type, u, sum(c1) OVER (PARTITION BY event_type ORDER BY u) AS f1, sum(c2) OVER (PARTITION BY event_type ORDER BY u) AS f2 FROM per), " +
+        "dn AS (SELECT c.event_type, c.u, t.n1, t.n2, abs(c.f1*t.n2 - c.f2*t.n1) AS dnum FROM cum c JOIN tot t USING (event_type)), " +
+        "top AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY dnum DESC, u) AS rn FROM dn) " +
+        "SELECT event_type, CAST(n1 AS BIGINT) AS n_ref, CAST(n2 AS BIGINT) AS n_cur, " +
+        "CAST(dnum AS BIGINT) AS d_num, round(dnum / (CAST(n1 AS DOUBLE) * n2), 6) AS ks, u AS at_units " +
+        "FROM top WHERE rn = 1 ORDER BY event_type"),
     // first/last seen over the µs-truncated event time (epoch_us rule,
     // q85's midpoint); is_new = zero occurrences before the midpoint
     "q88_first_seen" ->

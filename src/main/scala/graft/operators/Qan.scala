@@ -415,6 +415,65 @@ object Qan {
   }
 
   /**
+   * Two-sample Kolmogorov–Smirnov drift per group, in EXACT integer
+   * arithmetic — the distribution-shift monitor next to [[psiDrift]]
+   * (PSI needs bins and smoothing; KS is binless and parameter-free):
+   * `D = max_v |F_ref(v) − F_cur(v)|` over the pooled distinct values,
+   * computed as `max |cumRef(v)·n_cur − cumCur(v)·n_ref|` so the
+   * statistic's NUMERATOR and both sample sizes ship exact (no double
+   * CDFs to drift cross-engine); the one double division happens at
+   * the presentation edge (q105/q201 rule). The argmax location ties
+   * toward the smaller value. `unitsCol` must be PRE-SCALED exact
+   * integers (cents/µs — the q204/q207 monitor convention).
+   *
+   * The cross products are guarded against silent long wrap (the r12
+   * monitor rule — raise, don't diverge from the oracle): both
+   * operands bounded by group row counts, so the guard binds only past
+   * ~2e9-row sides.
+   *
+   * Scale shape: one (group, value) aggregate, one cumulative window
+   * per group (value-ordered), one argmax window — all key-partitioned,
+   * no collect, no cross join.
+   *
+   * Output: `(group, n_ref, n_cur, d_num, ks, at_units)`.
+   */
+  def ksDrift(df: DataFrame, groupCol: String, unitsCol: String,
+              isRefCol: String): DataFrame = {
+    def guardedTimes(a: Column, b: Column): Column = {
+      val ok = abs(a.cast("double") * b.cast("double")) < lit(4.4e18)
+      when(assert_true(ok, concat(lit("ksDrift cross product exceeds " +
+        "the integer-exact magnitude bound (|product| >= 4.4e18) - " +
+        "segment the series before scanning; operands "),
+        a, lit(" * "), b)).isNull, a * b)
+    }
+    val per = df
+      .select(col(groupCol).as("_g"), col(unitsCol).cast("long").as("_u"),
+        col(isRefCol).as("_r"))
+      .groupBy("_g", "_u")
+      .agg(sum(when(col("_r"), 1L).otherwise(0L)).as("_c1"),
+        sum(when(!col("_r"), 1L).otherwise(0L)).as("_c2"))
+    val wc = Window.partitionBy("_g").orderBy("_u")
+    val tot = per.groupBy("_g")
+      .agg(sum("_c1").as("_n1"), sum("_c2").as("_n2"))
+    val dn = per
+      .select(col("_g"), col("_u"),
+        sum("_c1").over(wc).as("_f1"), sum("_c2").over(wc).as("_f2"))
+      .join(tot, "_g")
+      .select(col("_g"), col("_u"), col("_n1"), col("_n2"),
+        abs(guardedTimes(col("_f1"), col("_n2")) -
+          guardedTimes(col("_f2"), col("_n1"))).as("_dn"))
+    val wr = Window.partitionBy("_g").orderBy(col("_dn").desc, col("_u"))
+    dn.withColumn("_rn", row_number().over(wr))
+      .filter(col("_rn") === 1)
+      .select(col("_g").as(groupCol), col("_n1").as("n_ref"),
+        col("_n2").as("n_cur"), col("_dn").as("d_num"),
+        round(col("_dn").cast("double") /
+          (col("_n1").cast("double") * col("_n2").cast("double")), 6)
+          .as("ks"),
+        col("_u").as("at_units"))
+  }
+
+  /**
    * Per-digest drill-down detail — the one QAN review-UI shape the
    * surface lacked (r12 verdict item 8): everything the profile row
    * links to for ONE digest, as a single tall frame the CLI can print

@@ -357,6 +357,29 @@ class QanSpec extends AnyFunSuite with SparkTestSession {
       !out.head.getDouble(3).isInfinite)
   }
 
+  test("ksDrift: hand-computed exact D numerator, argmax at the smallest tied value") {
+    import spark.implicits._
+    // ref {1,2,3}, cur {3,4}: cum cross products |f1*n2 - f2*n1| over
+    // pooled values = 2, 4, 3, 0 → D_num=4 at u=2, ks=4/6
+    val df = Seq(("a", 1L, true), ("a", 2L, true), ("a", 3L, true),
+        ("a", 3L, false), ("a", 4L, false))
+      .toDF("g", "u", "is_ref")
+    val out = Qan.ksDrift(df, "g", "u", "is_ref").collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert((r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getDouble(4), r.getLong(5)) ==
+      (("a", 3L, 2L, 4L, 0.666667, 2L)), r)
+  }
+
+  test("ksDrift: identical samples score exactly 0") {
+    import spark.implicits._
+    val rows = (0 until 30).map(i => ("g", (i % 5).toLong, i < 15))
+    val out = Qan.ksDrift(rows.toDF("g", "u", "is_ref"), "g", "u", "is_ref")
+      .collect().head
+    assert(out.getLong(3) == 0L && out.getDouble(4) == 0.0, out)
+  }
+
   test("paretoLoad includes the class that crosses the threshold") {
     import spark.implicits._
     // loads 50/30/15/5: cum shares 0.5, 0.8, 0.95, 1.0 — at t=0.9 the
