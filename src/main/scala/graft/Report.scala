@@ -33,7 +33,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  * regressions first), `anomaly` (hourly loads outside each digest's
  * median ± 3·MAD — the robust alert list), `drift` (PSI of each
  * digest's latency distribution before/after `-splitAt`, biggest
- * shifts first), `pareto` (the digests carrying the first `-threshold`
+ * shifts first), `ks` (the binless exact-integer twin of `drift`:
+ * q248's two-sample KS distance per digest across `-splitAt` — no bin
+ * width to tune, biggest shifts first), `pareto` (the digests carrying the first `-threshold`
  * of rate-scaled load, crossing class included — the capacity-planning
  * head next to `profile`), `histogram` (equi-depth latency buckets:
  * `-top` bins of equal count with exact bounds — equi-width starves on
@@ -214,6 +216,19 @@ object Report {
             "digest", "query_time", "is_ref", binWidth = 0.1)
           .orderBy(col("psi").desc, col("digest"))
           .limit(c.top)
+      case "ks" =>
+        // q248's binless twin of -report drift: exact-integer KS
+        // distance per digest between the windows before/after
+        // -splitAt (required) over latency in µs, biggest shift first
+        import org.apache.spark.sql.functions.{col, lit, round, to_timestamp}
+        val at = c.splitAt.getOrElse(throw new IllegalArgumentException(
+          "-report ks needs -splitAt <YYYY-MM-DD[ HH:MM:SS]>"))
+        Qan.ksDrift(
+            wide.withColumn("us", round(col("query_time") * 1e6).cast("long"))
+              .withColumn("is_ref", col("ts") < to_timestamp(lit(at))),
+            "digest", "us", "is_ref")
+          .orderBy(col("ks").desc, col("digest"))
+          .limit(c.top)
       case "pareto" =>
         // "which digests make up the first -threshold of load?" — the
         // q134 concentration head over the rate-scaled load, crossing
@@ -261,7 +276,7 @@ object Report {
           .select(col("bin"), col("n"),
             round(col("lo"), 6).as("lo"), round(col("hi"), 6).as("hi"))
       case other => throw new IllegalArgumentException(
-        s"unknown -report: $other (profile|sparkline|load|apdex|percentiles|compare|anomaly|drift|pareto|histogram|cusum|seasonal|digest)")
+        s"unknown -report: $other (profile|sparkline|load|apdex|percentiles|compare|anomaly|drift|ks|pareto|histogram|cusum|seasonal|digest)")
     }
   }
 

@@ -826,6 +826,53 @@ object ScaleBench {
         emb.unpersist()
       }
 
+      // k-medians stage decomposition (the q193 delete-stages method,
+      // for the 1.29 third-decade exponent): the final ASSIGN alone on
+      // prebuilt centroids, and ONE median UPDATE alone on a prebuilt
+      // assignment — whichever stage carries the superlinear term is
+      // the one to attribute or fix
+      if (want("kmed_stages")) {
+        val emb = scaleEmb(spark, sf, k).persist()
+        val nE = emb.count()
+        System.err.println(s"SCALE inputs ${k}x: $nE embeddings (kmed_stages)")
+        val cents = graft.operators.Similarity.kMediansCentroids(
+          spark.read.parquet(s"$sf/embeddings.parquet"),
+          "vec_id", "embedding", 4, 2).persist()
+        cents.count()
+        record("kmed_assign", k, time(
+          graft.operators.Similarity.classifyNearestCentroid(
+            emb, cents, "vec_id", "embedding", "vec_id")))
+        val assigned = graft.operators.Similarity
+          .classifyNearestCentroid(emb, cents, "vec_id", "embedding",
+            "vec_id")
+          .select(col("vec_id"), col("assigned").as("cluster"))
+          .join(emb, "vec_id")
+          .select(col("vec_id").as("_kid"), col("embedding").as("_kv"),
+            col("cluster"))
+          .persist()
+        assigned.count()
+        record("kmed_update", k, time(
+          graft.operators.Similarity.medianCentroids(assigned,
+            "_kid", "_kv", "cluster")))
+        assigned.unpersist(); cents.unpersist(); emb.unpersist()
+      }
+
+      // NB fit alone (the q193 method for nb_classify's third-decade
+      // 1.56): the two token-keyed training aggregates without the
+      // scoring join
+      if (want("nb_fit")) {
+        val docs = scaleDocs(spark, sf, k).repartition(32).persist()
+        val nD = docs.count()
+        System.err.println(s"SCALE inputs ${k}x: $nD docs (nb_fit)")
+        record("nb_fit", k, timeUnit {
+          val (c, l) = graft.operators.TextAnalysis.naiveBayesFit(
+            docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", "lang")
+          c.write.format("noop").mode("overwrite").save()
+          l.write.format("noop").mode("overwrite").save()
+        })
+        docs.unpersist()
+      }
+
       // Matryoshka two-stage retrieval at k× corpus, beside the exact
       // full-dim scan on the SAME frame: stage 1 touches only the
       // 16-of-64 prefix, stage 2 re-ranks 20 candidates/probe — both

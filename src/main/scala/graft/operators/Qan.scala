@@ -465,6 +465,9 @@ object Qan {
     val wr = Window.partitionBy("_g").orderBy(col("_dn").desc, col("_u"))
     dn.withColumn("_rn", row_number().over(wr))
       .filter(col("_rn") === 1)
+      // a group with an empty side has no defined KS (and ANSI division
+      // would raise): drop it — a drift test needs both samples
+      .filter(col("_n1") > 0 && col("_n2") > 0)
       .select(col("_g").as(groupCol), col("_n1").as("n_ref"),
         col("_n2").as("n_cur"), col("_dn").as("d_num"),
         round(col("_dn").cast("double") /

@@ -107,6 +107,18 @@ class ReportSpec extends AnyFunSuite with SparkTestSession {
       Report.run(spark, Report.Config(source = warehouse, report = "nope")))
   }
 
+  test("ks report: one-sided digests drop (no defined KS); -splitAt required") {
+    // every fixture digest occurs once, so each lands entirely on one
+    // side of any split — the ks report must run clean and return the
+    // EMPTY list (the documented drop-empty-sides contract; value
+    // checks live in QanSpec's hand-computed cases)
+    val rows = Report.run(spark, Report.Config(source = warehouse,
+      report = "ks", splitAt = Some("2024-01-15 10:00:02"))).collect()
+    assert(rows.isEmpty, rows.mkString(", "))
+    intercept[IllegalArgumentException](Report.run(spark,
+      Report.Config(source = warehouse, report = "ks")))
+  }
+
   test("drift report: PSI per digest across -splitAt; anomaly runs clean") {
     // split mid-window like the compare test: both halves populated
     val rows = Report.run(spark, Report.Config(source = warehouse,
