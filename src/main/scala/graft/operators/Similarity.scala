@@ -1506,10 +1506,82 @@ object Similarity {
    * Output: `(label, centroid: array<float>)` with components in
    * dimension order.
    */
-  def medianCentroids(train: DataFrame, idCol: String, vecCol: String,
-                      labelCol: String): DataFrame = {
+  /**
+   * [[medianCentroids]] for corpus-scale frames — the SAME per-(label,
+   * dim) low-median SELECTION, computed without ranking every exploded
+   * row: the r13 ScaleBench decomposition measured the rank-window
+   * update at exponent 1.73 (6.6 → 357 s across 100×→1000×; a 128M-row
+   * per-partition sort spilling at fixed shuffle width), and raising
+   * partitions only bought 2.8× — the sort itself is the wrong shape.
+   *
+   * Two passes instead: (1) `approx_percentile(v, [0.49, 0.51])` per
+   * (label, dim) brackets the median with 100× rank-error margin
+   * (accuracy 10⁴ ⇒ error ≤ 1e-4·n ≪ 0.01·n), plus exact counts of n
+   * and of rows strictly below the bracket; (2) ONLY the ≈2% of rows
+   * inside each group's bracket are rank-sorted, and the
+   * `(n+1) div 2 − c_low`-th of them is the exact global order
+   * statistic. The approximation only narrows the candidate set — the
+   * SELECTED VALUE is the same exact element [[medianCentroids]] picks
+   * (spec-pinned equality), so oracles are unaffected. A bracket miss
+   * (impossible within the error margin unless the sketch contract
+   * breaks) would surface as a missing dimension, which the size guard
+   * below turns into a loud failure, not a silent short centroid.
+   */
+  def medianCentroidsSelect(train: DataFrame, idCol: String,
+                            vecCol: String, labelCol: String): DataFrame = {
+    val dims = train.select(size(col(vecCol)).as("_dim")).first().getInt(0)
+    // the selection makes THREE passes over the exploded frame (bounds
+    // aggregate, below-bracket counts, candidate sort) — persist it
+    // once or every pass replays the caller's whole assignment lineage
+    // (the q118 lesson; measured 616 s vs 374 s unpersisted at 1000×)
     val ex = train.select(col(labelCol).as("label"), col(idCol).as("_id"),
+      posexplode(col(vecCol)).as(Seq("d", "v"))).persist()
+    try {
+      val bounds = ex.groupBy("label", "d").agg(
+          count(lit(1)).as("n"),
+          expr("approx_percentile(v, array(0.49, 0.51), 10000)").as("_pb"))
+        .select(col("label"), col("d"), col("n"),
+          col("_pb")(0).as("_lo"), col("_pb")(1).as("_hi"))
+      val withB = ex.join(broadcast(bounds), Seq("label", "d"))
+      val below = withB.filter(col("v") < col("_lo"))
+        .groupBy("label", "d").agg(count(lit(1)).as("c_low"))
+      val w = Window.partitionBy("label", "d").orderBy(col("v"), col("_id"))
+      val sel = withB
+        .filter(col("v") >= col("_lo") && col("v") <= col("_hi"))
+        .join(broadcast(below), Seq("label", "d"), "left")
+        .withColumn("_rnk", row_number().over(w))
+        .filter(col("_rnk") ===
+          expr("(n + 1) div 2") - coalesce(col("c_low"), lit(0L)))
+      sel.groupBy("label")
+        .agg(transform(sort_array(collect_list(struct(col("d"), col("v")))),
+          s => s.getField("v")).as("centroid"))
+        // loud failure on a bracket miss: a short centroid would
+        // silently skew every downstream assignment
+        .withColumn("_ok", assert_true(size(col("centroid")) === dims,
+          concat(lit("medianCentroidsSelect: centroid lost dimensions " +
+            "(approx bracket missed the median) for label "),
+            col("label").cast("string"))))
+        .filter(col("_ok").isNull)
+        .select("label", "centroid")
+        // k-row result, eagerly materialized so the cache can drop —
+        // nothing stays persisted past the call (the dedupClusters rule)
+        .localCheckpoint()
+    } finally ex.unpersist()
+  }
+
+  def medianCentroids(train: DataFrame, idCol: String, vecCol: String,
+                      labelCol: String, updateParts: Int = 0): DataFrame = {
+    val ex0 = train.select(col(labelCol).as("label"), col(idCol).as("_id"),
       posexplode(col(vecCol)).as(Seq("d", "v")))
+    // optional exchange widening for corpus-scale frames: the rank
+    // window sorts within whatever width the shuffle hands it, and at
+    // 128M exploded rows the fixed 32-partition sort SPILLS (measured
+    // exponent 1.73, 357 s at 1000×; 512 partitions → 129 s, the
+    // SCALE.md §20c A/B). Window's ClusteredDistribution accepts the
+    // pre-hashed width, so no second exchange appears.
+    val ex = if (updateParts > 0)
+      ex0.repartition(updateParts, col("label"), col("d"))
+    else ex0
     val part = Window.partitionBy("label", "d")
     val w = part.orderBy(col("v"), col("_id"))
     ex.withColumn("rn", row_number().over(w))
@@ -1649,9 +1721,22 @@ object Similarity {
     var cents = corpus.orderBy(col(idCol)).limit(k)
       .select((row_number().over(seedW) - 1).cast("int").as("label"),
         col(vecCol).cast("array<float>").as("centroid"))
+    // update-exchange sizing (the jaccardPairsAuto posture, outcome of
+    // the SCALE.md §20c decomposition): past ~1M vectors the rank
+    // window's per-partition sort spills at the default shuffle width
+    // (exponent 1.73), so widen the update exchange to keep each
+    // partition's sort in memory (~500k exploded rows per partition —
+    // the measured-2.8× fix; the sketch-based medianCentroidsSelect
+    // alternative measured SLOWER here, §20c)
+    val n = corpus.count()
+    val dims = if (n == 0) 0
+      else corpus.select(size(col(vecCol)).as("_d")).first().getInt(0)
+    val parts =
+      if (n * math.max(dims, 1) <= 16000000L) 0
+      else math.min(2048L, n * dims / 500000L).toInt
     for (_ <- 1 to iters) {
       val assigned = assignClusters(corpus, cents, idCol, vecCol)
-      cents = medianCentroids(assigned, "_kid", "_kv", "cluster")
+      cents = medianCentroids(assigned, "_kid", "_kv", "cluster", parts)
     }
     cents.select(col("label").cast("int").as("label"),
       col("centroid").cast("array<float>").as("centroid"))

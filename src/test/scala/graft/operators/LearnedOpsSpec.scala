@@ -154,6 +154,33 @@ class LearnedOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(got == Map(5L -> 1L, 1L -> 5L, 2L -> 5L), got)
   }
 
+  test("medianCentroidsSelect equals the rank-window medianCentroids (selection parity)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .withColumn("lab", pmod(col("vec_id"), lit(3L)).cast("int"))
+    val win = Similarity.medianCentroids(emb, "vec_id", "embedding", "lab")
+      .orderBy("label").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1)))
+    val sel = Similarity.medianCentroidsSelect(emb, "vec_id", "embedding", "lab")
+      .orderBy("label").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1)))
+    assert(sel.toSeq == win.toSeq)
+  }
+
+  test("medianCentroidsSelect parity holds with heavy duplicate values") {
+    import spark.implicits._
+    // duplicates straddle the bracket boundary: all-equal dim, a
+    // two-value dim, and an odd-count dim
+    val df = Seq(
+      (1L, Seq(1f, 0f, 5f)), (2L, Seq(1f, 0f, 5f)), (3L, Seq(1f, 2f, 7f)),
+      (4L, Seq(1f, 2f, 9f)), (5L, Seq(1f, 2f, 3f))
+    ).toDF("id", "vec").withColumn("lab", lit(0))
+    val win = Similarity.medianCentroids(df, "id", "vec", "lab")
+      .collect().map(_.getSeq[Float](1))
+    val sel = Similarity.medianCentroidsSelect(df, "id", "vec", "lab")
+      .collect().map(_.getSeq[Float](1))
+    assert(sel.toSeq == win.toSeq && win.head == Seq(1f, 2f, 5f))
+  }
+
   test("k-medians centroids at rest: stored assignment equals direct assignment") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val train = emb.filter(col("vec_id") % 2 === 0)
