@@ -438,7 +438,20 @@ object Qan {
    * Output: `(group, n_ref, n_cur, d_num, ks, at_units)`.
    */
   def ksDrift(df: DataFrame, groupCol: String, unitsCol: String,
-              isRefCol: String): DataFrame = {
+              isRefCol: String): DataFrame =
+    ksDriftWeighted(df.withColumn("_ksw", lit(1L)), groupCol, unitsCol,
+      "_ksw", isRefCol)
+
+  /**
+   * [[ksDrift]] over PRE-AGGREGATED counts — `weightCol` rows carry
+   * per-(group, unit, side) multiplicities instead of one row per
+   * observation, which is how a stored reference distribution rides
+   * into the streaming monitor ([[graft.streaming.StreamingMonitor]])
+   * without re-exploding its history. `ksDrift` is this with weight 1;
+   * identical math and output contract.
+   */
+  def ksDriftWeighted(df: DataFrame, groupCol: String, unitsCol: String,
+                      weightCol: String, isRefCol: String): DataFrame = {
     def guardedTimes(a: Column, b: Column): Column = {
       val ok = abs(a.cast("double") * b.cast("double")) < lit(4.4e18)
       when(assert_true(ok, concat(lit("ksDrift cross product exceeds " +
@@ -448,10 +461,10 @@ object Qan {
     }
     val per = df
       .select(col(groupCol).as("_g"), col(unitsCol).cast("long").as("_u"),
-        col(isRefCol).as("_r"))
+        col(weightCol).cast("long").as("_w"), col(isRefCol).as("_r"))
       .groupBy("_g", "_u")
-      .agg(sum(when(col("_r"), 1L).otherwise(0L)).as("_c1"),
-        sum(when(!col("_r"), 1L).otherwise(0L)).as("_c2"))
+      .agg(sum(when(col("_r"), col("_w")).otherwise(0L)).as("_c1"),
+        sum(when(!col("_r"), col("_w")).otherwise(0L)).as("_c2"))
     val wc = Window.partitionBy("_g").orderBy("_u")
     val tot = per.groupBy("_g")
       .agg(sum("_c1").as("_n1"), sum("_c2").as("_n2"))

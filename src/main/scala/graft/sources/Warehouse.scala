@@ -314,10 +314,24 @@ object Warehouse {
     * IVF saver's `_centroids` side table, for fit-once /
     * assign-forever routing without a refit. */
   def saveCentroids(centroids: DataFrame, table: String,
-                    mode: SaveMode = SaveMode.Overwrite): Unit = {
+                    mode: SaveMode = SaveMode.Overwrite): Unit =
+    savePlainTable(centroids, table, mode)
+
+  /** Persist a monitor reference-distribution count frame
+    * ([[graft.streaming.StreamingMonitor.referenceCounts]]:
+    * `(group, units, c)`) as a plain table. The counts are additive
+    * partials (the q201 rule) — Append re-arms the streaming monitor
+    * with more baseline mass, no rebuild, and the weighted-KS scorer
+    * merges on read. */
+  def saveReferenceCounts(counts: DataFrame, table: String,
+                          mode: SaveMode = SaveMode.Overwrite): Unit =
+    savePlainTable(counts, table, mode)
+
+  private def savePlainTable(df: DataFrame, table: String,
+                             mode: SaveMode): Unit = {
     if (mode == SaveMode.Overwrite)
-      dropWithLocation(centroids.sparkSession, table)
-    centroids.write.mode(mode).format("parquet").saveAsTable(table)
+      dropWithLocation(df.sparkSession, table)
+    df.write.mode(mode).format("parquet").saveAsTable(table)
   }
 
   /**
