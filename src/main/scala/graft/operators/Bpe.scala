@@ -130,10 +130,21 @@ object Bpe {
     * merge application. The w/p CTEs are MATERIALIZED: each level
     * reads its predecessor twice, so inlining would expand the scan
     * 2^N-fold (observed as a too-many-open-files failure at N=8). */
-  def mergeTableSql(numMerges: Int): String = {
+  def mergeTableSql(numMerges: Int, source: String = "documents"): String = {
+    val union = (1 to numMerges).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS rnk, a AS ml, b AS mr, cnt FROM t$r")
+      .mkString(" UNION ALL ")
+    s"WITH ${mergeChainCtes(numMerges, source)} " +
+      s"SELECT rnk, ml, mr, cnt FROM ($union) ORDER BY rnk"
+  }
+
+  /** The learn-iteration CTE chain (w0..wN, pN, tN), parameterized by
+    * the training source — shared by [[mergeTableSql]],
+    * [[tokenTableSql]], and the held-out [[applyStatsSql]]. */
+  private def mergeChainCtes(numMerges: Int, source: String): String = {
     val init = "w0 AS MATERIALIZED (SELECT ' ' || array_to_string(string_split(word, ''), ' ') || ' </w> ' AS w, n " +
       "FROM (SELECT word, count(*) AS n FROM " +
-      "(SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word FROM documents) GROUP BY 1))"
+      s"(SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word FROM $source) GROUP BY 1))"
     val iters = (1 to numMerges).map { r =>
       s"p$r AS MATERIALIZED (SELECT p[1] AS a, p[2] AS b, CAST(sum(n) AS BIGINT) AS cnt " +
         s"FROM (SELECT unnest([ [l[i], l[i+1]] for i in range(1, len(l)) ]) AS p, n " +
@@ -142,9 +153,71 @@ object Bpe {
         s"w$r AS MATERIALIZED (SELECT replace(w, ' ' || (SELECT a FROM t$r) || ' ' || (SELECT b FROM t$r) || ' ', " +
         s"' ' || (SELECT a FROM t$r) || (SELECT b FROM t$r) || ' ') AS w, n FROM w${r - 1})"
     }
-    val union = (1 to numMerges).map(r =>
-      s"SELECT CAST($r AS BIGINT) AS rnk, a AS ml, b AS mr, cnt FROM t$r")
-      .mkString(" UNION ALL ")
-    s"WITH $init, ${iters.mkString(", ")} SELECT rnk, ml, mr, cnt FROM ($union) ORDER BY rnk"
+    s"$init, ${iters.mkString(", ")}"
+  }
+
+  /**
+   * Apply a STORED rank-ordered merge table to a NEW corpus — the
+   * serving half of the tokenizer model at rest
+   * ([[graft.sources.Warehouse.saveBpeMerges]]): the merge list
+   * collects (numMerges rows, bounded by construction) and compiles
+   * into ONE chained-replace projection, so held-out tokenization is a
+   * single map-only scan over the per-(group, word) counts — no
+   * iteration, no shuffle beyond the word-count aggregate. Same
+   * leftmost-non-overlapping replace semantics as training.
+   *
+   * Output per `byCol` group: `(by, n_words, n_tokens, n_whole)` —
+   * word instances, BPE token instances after the merges, and words
+   * reduced to a single symbol (fully merged) — all exact integers,
+   * the fertility/compression readout a tokenizer-budget review wants
+   * on held-out text.
+   */
+  def applyStats(docs: DataFrame, textCol: String, byCol: String,
+                 merges: DataFrame): DataFrame = {
+    val ms = merges.select(col("rnk"), col("ml"), col("mr"))
+      .collect()
+      .sortBy(_.getLong(0))
+      .map(r => (r.getString(1), r.getString(2)))
+    val words = docs
+      .select(col(byCol).as("_by"), explode(expr(
+        s"regexp_extract_all(lower($textCol), '[a-z]+', 0)")).as("word"))
+      .groupBy("_by", "word").agg(count(lit(1)).as("n"))
+      .select(col("_by"),
+        concat(lit(" "), concat_ws(" ", expr("split(word, '')")),
+          lit(" </w> ")).as("w"),
+        col("n"))
+    // symbols are [a-z]+ or </w> — safe inside a SQL literal (the
+    // learn-loop rule)
+    val applied = ms.foldLeft("w") { case (e, (a, b)) =>
+      s"replace($e, ' $a $b ', ' $a$b ')"
+    }
+    words
+      .select(col("_by"),
+        size(split(trim(expr(applied)), " ")).as("_k"), col("n"))
+      .groupBy("_by")
+      .agg(sum(col("n")).as("n_words"),
+        sum(col("_k").cast("long") * col("n")).as("n_tokens"),
+        sum(when(col("_k") === 1, col("n")).otherwise(0L)).as("n_whole"))
+      .withColumnRenamed("_by", byCol)
+  }
+
+  /** DuckDB twin of [[applyStats]]: the training chain on
+    * `trainSource`, then the stored merges replayed as chained
+    * replaces over `testSource`'s per-(group, word) counts. */
+  def applyStatsSql(numMerges: Int, trainSource: String,
+                    testSource: String, byCol: String): String = {
+    val applyIters = (1 to numMerges).map { r =>
+      s"a$r AS MATERIALIZED (SELECT $byCol, replace(w, ' ' || (SELECT a FROM t$r) || ' ' || (SELECT b FROM t$r) || ' ', " +
+        s"' ' || (SELECT a FROM t$r) || (SELECT b FROM t$r) || ' ') AS w, n FROM a${r - 1})"
+    }
+    s"WITH ${mergeChainCtes(numMerges, trainSource)}, " +
+      s"a0 AS (SELECT $byCol, ' ' || array_to_string(string_split(word, ''), ' ') || ' </w> ' AS w, n " +
+      s"FROM (SELECT $byCol, word, count(*) AS n FROM " +
+      s"(SELECT $byCol, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word FROM $testSource) GROUP BY 1, 2)), " +
+      applyIters.mkString(", ") +
+      s" SELECT $byCol, CAST(sum(n) AS BIGINT) AS n_words, " +
+      s"CAST(sum(len(string_split(trim(w), ' ')) * n) AS BIGINT) AS n_tokens, " +
+      s"CAST(sum(CASE WHEN len(string_split(trim(w), ' ')) = 1 THEN n ELSE 0 END) AS BIGINT) AS n_whole " +
+      s"FROM a$numMerges GROUP BY 1 ORDER BY 1"
   }
 }

@@ -1732,6 +1732,23 @@ object ExtQueries {
     "q186_bpe_tokens" -> ((s, d) =>
       Bpe.tokenTable(t(s, d, "documents"), "text", 8, 25)),
 
+    // Tokenizer model at rest (r13, Warehouse.saveBpeMerges +
+    // Bpe.applyStats): q185's merges learned on the EVEN docs, stored,
+    // replayed over the ODD docs as one chained-replace map-only scan
+    // — the fertility/compression readout on held-out text. Completes
+    // the models-at-rest trio (NB q242, centroids q245, BPE here).
+    "q249_bpe_apply" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      ensureStoredIndex("graft_bench_bpe_q249", d) {
+        graft.sources.Warehouse.saveBpeMerges(
+          Bpe.mergeTable(docs.filter(col("doc_id") % 2 === 0), "text", 8),
+          "graft_bench_bpe_q249")
+      }
+      Bpe.applyStats(docs.filter(col("doc_id") % 2 === 1), "text", "lang",
+          s.table("graft_bench_bpe_q249"))
+        .orderBy("lang")
+    }),
+
     // Shipping-delay distribution — days from order to ship per
     // priority class: the logistics SLA readout. Day differences are
     // exact integers; the mean is exact integer division (q119 rule)
@@ -5240,6 +5257,11 @@ object ExtQueries {
         "GROUP BY 1 ORDER BY 1"),
     // q185: the BPE iteration unrolled as a generated CTE chain
     "q185_bpe_merges" -> Bpe.mergeTableSql(8),
+    // q249: the q185 chain trained on the even half, stored merges
+    // replayed as chained replaces over the odd half's word counts
+    "q249_bpe_apply" -> Bpe.applyStatsSql(8,
+      "(SELECT text FROM documents WHERE doc_id % 2 = 0)",
+      "(SELECT lang, text FROM documents WHERE doc_id % 2 = 1)", "lang"),
     // q186: the same chain, final select swapped for the token explode
     "q186_bpe_tokens" -> Bpe.tokenTableSql(8, 25),
     // q164: integer day diffs — exact mean, element p95

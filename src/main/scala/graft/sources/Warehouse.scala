@@ -327,6 +327,15 @@ object Warehouse {
                           mode: SaveMode = SaveMode.Overwrite): Unit =
     savePlainTable(counts, table, mode)
 
+  /** Persist a learned BPE merge table
+    * ([[graft.operators.Bpe.mergeTable]]: rank-ordered
+    * `(rnk, ml, mr, cnt)`) — the tokenizer model at rest; serving
+    * replays it as one chained-replace projection
+    * ([[graft.operators.Bpe.applyStats]]), never re-learning. */
+  def saveBpeMerges(merges: DataFrame, table: String,
+                    mode: SaveMode = SaveMode.Overwrite): Unit =
+    savePlainTable(merges, table, mode)
+
   private def savePlainTable(df: DataFrame, table: String,
                              mode: SaveMode): Unit = {
     if (mode == SaveMode.Overwrite)

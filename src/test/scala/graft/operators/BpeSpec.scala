@@ -23,6 +23,40 @@ class BpeSpec extends AnyFunSuite with SparkTestSession {
     assert(segmented(" low e r </w> ") == 2L)
   }
 
+  test("applyStats with the learned merges reproduces training segmentation stats") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq(("low low low", "a"), ("lower lower newest", "a"))
+      .toDF("text", "lang")
+    val merges = Bpe.mergeTable(docs, "text", 3)
+    // replaying the stored merges over the SAME corpus must match the
+    // stats of learn()'s final segmented vocabulary exactly
+    val (_, words) = Bpe.learn(docs, "text", 3)
+    val expectTokens = words
+      .select(sum(size(expr("split(trim(w), ' ')")) * col("n")))
+      .first().getLong(0)
+    val expectWords = words.select(sum("n")).first().getLong(0)
+    words.unpersist()
+    val got = Bpe.applyStats(docs, "text", "lang", merges).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert((r.getString(0), r.getLong(1), r.getLong(2)) ==
+      (("a", expectWords, expectTokens)), r)
+    // fully merged words: low</w> occurs 3 times after merge 3
+    assert(r.getLong(3) == 3L, r)
+  }
+
+  test("applyStats on held-out text degrades gracefully: unseen words stay character-segmented") {
+    import spark.implicits._
+    val train = Seq(("low low low", "x")).toDF("text", "lang")
+    val merges = Bpe.mergeTable(train, "text", 2) // (l,o), (lo,w)
+    val test_ = Seq(("zzz low", "x")).toDF("text", "lang")
+    val got = Bpe.applyStats(test_, "text", "lang", merges).collect().head
+    // low -> 'low </w>' (2 tokens); zzz -> 'z z z </w>' (4 tokens)
+    assert((got.getLong(1), got.getLong(2), got.getLong(3)) == ((2L, 6L, 0L)),
+      got)
+  }
+
   test("merge table is partitioning-invariant and merges compress") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
