@@ -1732,6 +1732,64 @@ object ExtQueries {
     "q186_bpe_tokens" -> ((s, d) =>
       Bpe.tokenTable(t(s, d, "documents"), "text", 8, 25)),
 
+    // Models-at-rest serving capstone (r13): the session's three
+    // stored models — NB likelihoods (q242), k-medians centroids
+    // (q245), BPE merges (q249) — serve the SAME held-out corpus in
+    // one per-lang scorecard: classifier accuracy, cluster mix of the
+    // embedded docs, tokenizer fertility. Every stage reads a stored
+    // table; nothing re-trains. Oracle nests the three entries'
+    // generated statements as CTEs (shared builders — can't drift).
+    "q250_model_serving" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val emb = t(s, d, "embeddings")
+      ensureStoredIndex("graft_bench_nbmodel_q242", d) {
+        val (c1, l1) = TextAnalysis.naiveBayesFit(
+          docs.filter(col("doc_id") % 4 === 0), "doc_id", "text", "lang")
+        graft.sources.Warehouse.saveNbModel(c1, l1,
+          "graft_bench_nbmodel_q242")
+        val (c2, l2) = TextAnalysis.naiveBayesFit(
+          docs.filter(col("doc_id") % 4 === 2), "doc_id", "text", "lang")
+        graft.sources.Warehouse.appendNbModel(c2, l2,
+          "graft_bench_nbmodel_q242")
+      }
+      ensureStoredIndex("graft_bench_kmed_q245", d) {
+        graft.sources.Warehouse.saveCentroids(
+          Similarity.kMediansCentroids(
+            emb.filter(col("vec_id") % 2 === 0),
+            "vec_id", "embedding", KMediansK, KMediansIters),
+          "graft_bench_kmed_q245")
+      }
+      ensureStoredIndex("graft_bench_bpe_q249", d) {
+        graft.sources.Warehouse.saveBpeMerges(
+          Bpe.mergeTable(docs.filter(col("doc_id") % 2 === 0), "text", 8),
+          "graft_bench_bpe_q249")
+      }
+      val test = docs.filter(col("doc_id") % 2 === 1)
+      val nb = TextAnalysis.naiveBayesScoreFrom(
+          s.table("graft_bench_nbmodel_q242"),
+          s.table("graft_bench_nbmodel_q242_labels"),
+          test, "doc_id", "text", "lang")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("pred") === col("lang"), 1L).otherwise(0L))
+            .as("nb_correct"))
+      val bpe = Bpe.applyStats(test, "text", "lang",
+        s.table("graft_bench_bpe_q249"))
+      val cent = Similarity.classifyNearestCentroid(
+          emb.filter(col("vec_id") % 2 === 1),
+          s.table("graft_bench_kmed_q245"), "vec_id", "embedding", "vec_id")
+        .select(col("vec_id").as("doc_id"), col("assigned"))
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_embedded"),
+          countDistinct("assigned").as("n_clusters"))
+      nb.join(bpe, "lang").join(cent, "lang")
+        .select(col("lang"), col("n_docs"), col("nb_correct"),
+          col("n_words"), col("n_tokens"), col("n_whole"),
+          col("n_embedded"), col("n_clusters"))
+        .orderBy("lang")
+    }),
+
     // Tokenizer model at rest (r13, Warehouse.saveBpeMerges +
     // Bpe.applyStats): q185's merges learned on the EVEN docs, stored,
     // replayed over the ODD docs as one chained-replace map-only scan
@@ -5262,6 +5320,25 @@ object ExtQueries {
     "q249_bpe_apply" -> Bpe.applyStatsSql(8,
       "(SELECT text FROM documents WHERE doc_id % 2 = 0)",
       "(SELECT lang, text FROM documents WHERE doc_id % 2 = 1)", "lang"),
+    // q250: the three entries' generated statements nested as CTEs —
+    // the scorecard is pure exact-integer joins over them
+    "q250_model_serving" ->
+      (s"WITH nbres AS ($nbClassifyOracleSql), " +
+        s"bperes AS (${Bpe.applyStatsSql(8,
+          "(SELECT text FROM documents WHERE doc_id % 2 = 0)",
+          "(SELECT lang, text FROM documents WHERE doc_id % 2 = 1)",
+          "lang")}), " +
+        s"centres AS ($kmedAssignOracleSql), " +
+        "nbagg AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(CASE WHEN pred = lang THEN 1 ELSE 0 END) AS BIGINT) AS nb_correct " +
+        "FROM nbres GROUP BY 1), " +
+        "centagg AS (SELECT d.lang, CAST(count(*) AS BIGINT) AS n_embedded, " +
+        "CAST(count(DISTINCT c.cluster) AS BIGINT) AS n_clusters " +
+        "FROM centres c JOIN documents d ON c.vec_id = d.doc_id GROUP BY 1) " +
+        "SELECT n.lang, n.n_docs, n.nb_correct, b.n_words, b.n_tokens, " +
+        "b.n_whole, g.n_embedded, g.n_clusters " +
+        "FROM nbagg n JOIN bperes b ON n.lang = b.lang " +
+        "JOIN centagg g ON n.lang = g.lang ORDER BY n.lang"),
     // q186: the same chain, final select swapped for the token explode
     "q186_bpe_tokens" -> Bpe.tokenTableSql(8, 25),
     // q164: integer day diffs — exact mean, element p95
