@@ -961,12 +961,12 @@ object ScaleBench {
         val nT = test.count()
         System.err.println(s"SCALE inputs ${k}x: $nT test docs (nb_probe)")
         record("nb_probe", k, time(
-          graft.operators.TextAnalysis.naiveBayesScoreFrom(
-            spark.table(tbl), spark.table(s"${tbl}_labels"),
-            test, "doc_id", "text", "lang")))
+          graft.operators.TextAnalysis.naiveBayesScoreStored(
+            spark, tbl, test, "doc_id", "text", "lang")))
         test.unpersist()
         Warehouse.dropWithLocation(spark, tbl)
         Warehouse.dropWithLocation(spark, s"${tbl}_labels")
+        Warehouse.dropWithLocation(spark, s"${tbl}_params")
       }
 
       // Stored-trigram-index probe at k× the corpus (q225b's scale

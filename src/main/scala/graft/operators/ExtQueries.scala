@@ -1765,10 +1765,8 @@ object ExtQueries {
           "graft_bench_bpe_q249")
       }
       val test = docs.filter(col("doc_id") % 2 === 1)
-      val nb = TextAnalysis.naiveBayesScoreFrom(
-          s.table("graft_bench_nbmodel_q242"),
-          s.table("graft_bench_nbmodel_q242_labels"),
-          test, "doc_id", "text", "lang")
+      val nb = TextAnalysis.naiveBayesScoreStored(
+          s, "graft_bench_nbmodel_q242", test, "doc_id", "text", "lang")
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),
           sum(when(col("pred") === col("lang"), 1L).otherwise(0L))
@@ -3152,9 +3150,8 @@ object ExtQueries {
         graft.sources.Warehouse.appendNbModel(c2, l2,
           "graft_bench_nbmodel_q242")
       }
-      TextAnalysis.naiveBayesScoreFrom(
-          s.table("graft_bench_nbmodel_q242"),
-          s.table("graft_bench_nbmodel_q242_labels"),
+      TextAnalysis.naiveBayesScoreStored(
+          s, "graft_bench_nbmodel_q242",
           docs.filter(col("doc_id") % 2 === 1),
           "doc_id", "text", "lang")
         .orderBy("doc_id")
@@ -5732,7 +5729,11 @@ object ExtQueries {
         "top AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY dnum DESC, u) AS rn FROM dn) " +
         "SELECT event_type, CAST(n1 AS BIGINT) AS n_ref, CAST(n2 AS BIGINT) AS n_cur, " +
         "CAST(dnum AS BIGINT) AS d_num, round(dnum / (CAST(n1 AS DOUBLE) * n2), 6) AS ks, u AS at_units " +
-        "FROM top WHERE rn = 1 ORDER BY event_type"),
+        // n1>0 AND n2>0: Spark's ksDrift drops groups with an empty
+        // ref/cur side (KS is undefined there); the oracle must share
+        // the documented drop-empty-sides contract or a one-sided
+        // event_type would diverge the engines (r13 ADVICE)
+        "FROM top WHERE rn = 1 AND n1 > 0 AND n2 > 0 ORDER BY event_type"),
     // first/last seen over the µs-truncated event time (epoch_us rule,
     // q85's midpoint); is_new = zero occurrences before the midpoint
     "q88_first_seen" ->

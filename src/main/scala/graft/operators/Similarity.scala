@@ -1743,28 +1743,6 @@ object Similarity {
   }
 
   /**
-   * Matryoshka (truncated-dimension) two-stage retrieval: rank the
-   * whole corpus by cosine over the first `prefixDim` coordinates (the
-   * cheap pass — prefixDim/dim of the arithmetic, and of the bytes when
-   * the prefix is stored as its own column), keep the top `m`
-   * candidates per probe, then re-rank JUST those by full-dimension
-   * cosine and cut to top `k`. The adaptive-retrieval shape for
-   * MRL-style embeddings whose prefixes are themselves usable
-   * embeddings.
-   *
-   * Both stages rank on the ROUNDED similarity with the id tiebreak
-   * (the [[knnBatch]] rule), so the CANDIDATE SET — not just the final
-   * ranking — is reproducible across engines and the oracle replays
-   * the whole two-stage pipeline value for value. `m` = corpus size
-   * degenerates to exact [[knnBatch]] on the full vectors (spec-pinned).
-   *
-   * Scale shape: stage 1 is the broadcast-probe scan on a narrower
-   * vector (no corpus shuffle); stage 2 broadcasts the m·|probes|
-   * candidate frame back against the corpus, so the full vectors of
-   * non-candidates are never touched. Output:
-   * `(probe_id, rn, nn_id, sim_pre, sim)` for rn <= k.
-   */
-  /**
    * [[matryoshkaTopK]] over a STORED prefix-column layout
    * ([[graft.sources.Warehouse.saveEmbeddingsWithPrefix]]): stage 1
    * references ONLY `(idCol, preCol)` — Parquet column pruning keeps
@@ -1778,7 +1756,19 @@ object Similarity {
   def matryoshkaTopKStored(stored: DataFrame, probes: DataFrame,
                            idCol: String, embCol: String, preCol: String,
                            prefixDim: Int, m: Int, k: Int): DataFrame = {
+    require(prefixDim >= 1,
+      s"matryoshkaTopKStored needs prefixDim >= 1, got $prefixDim")
     require(m >= k, s"matryoshkaTopKStored needs m >= k, got m=$m k=$k")
+    // loud-failure guard (the medianCentroidsSelect posture): a stored
+    // layout whose pre column was materialized at a different prefixDim
+    // would otherwise silently score stage-1 cosines over unequal-length
+    // vectors. One column-pruned first-row probe, not a scan.
+    stored.select(size(col(preCol)).as("_n")).take(1).foreach { r =>
+      require(r.getInt(0) == prefixDim,
+        s"matryoshkaTopKStored: stored $preCol length ${r.getInt(0)} " +
+          s"!= prefixDim $prefixDim — rebuild the layout " +
+          "(Warehouse.saveEmbeddingsWithPrefix) or pass the saved dim")
+    }
     val pPre = probes.select(col(idCol).as("probe_id"),
       slice(col(embCol), 1, prefixDim).as("_ppre"))
     val w1 = Window.partitionBy("probe_id")
@@ -1805,6 +1795,28 @@ object Similarity {
       .select("probe_id", "rn", "nn_id", "sim_pre", "sim")
   }
 
+  /**
+   * Matryoshka (truncated-dimension) two-stage retrieval: rank the
+   * whole corpus by cosine over the first `prefixDim` coordinates (the
+   * cheap pass — prefixDim/dim of the arithmetic, and of the bytes when
+   * the prefix is stored as its own column), keep the top `m`
+   * candidates per probe, then re-rank JUST those by full-dimension
+   * cosine and cut to top `k`. The adaptive-retrieval shape for
+   * MRL-style embeddings whose prefixes are themselves usable
+   * embeddings.
+   *
+   * Both stages rank on the ROUNDED similarity with the id tiebreak
+   * (the [[knnBatch]] rule), so the CANDIDATE SET — not just the final
+   * ranking — is reproducible across engines and the oracle replays
+   * the whole two-stage pipeline value for value. `m` = corpus size
+   * degenerates to exact [[knnBatch]] on the full vectors (spec-pinned).
+   *
+   * Scale shape: stage 1 is the broadcast-probe scan on a narrower
+   * vector (no corpus shuffle); stage 2 broadcasts the m·|probes|
+   * candidate frame back against the corpus, so the full vectors of
+   * non-candidates are never touched. Output:
+   * `(probe_id, rn, nn_id, sim_pre, sim)` for rn <= k.
+   */
   def matryoshkaTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
                      embCol: String, prefixDim: Int, m: Int,
                      k: Int): DataFrame = {

@@ -461,10 +461,18 @@ object TextAnalysis {
    * label set and per-label totals collect (bounded by label
    * cardinality), the vocabulary-keyed likelihood table pivots labels
    * WIDE, and scoring is ONE postings join + one doc-keyed aggregate.
+   *
+   * `vocabSize`: the training vocabulary |V| for add-one smoothing.
+   * `None` (the one-shot-classify path) computes it from the partials
+   * with one distinct-count pass; serving a STORED model should pass
+   * the persisted value (`<table>_params`, written at save/append
+   * time — see [[naiveBayesScoreStored]]) so every serve skips a full
+   * scan of the standing count table.
    */
   def naiveBayesScoreFrom(countPartials: DataFrame, labelPartials: DataFrame,
                           test: DataFrame, idCol: String, textCol: String,
-                          labelCol: String): DataFrame = {
+                          labelCol: String,
+                          vocabSize: Option[Long] = None): DataFrame = {
     val counts = countPartials.groupBy("_lab", "tok")
       .agg(sum("c").as("c"))
     val stats = labelPartials.groupBy("_lab")
@@ -476,7 +484,8 @@ object TextAnalysis {
     val totals = stats.map(s => s._1 -> s._2).toMap
     val priors = stats.map(s => s._1 -> s._3).toMap
     val nTrain = stats.map(_._3).sum
-    val vocabSize = counts.select("tok").distinct().count()
+    val vocab = vocabSize.getOrElse(counts.select("tok").distinct().count())
+    require(vocab > 0L, s"naiveBayesScoreFrom: vocab_size must be > 0 ($vocab)")
     // vocabulary-keyed likelihood table, labels pivoted wide via
     // conditional sums (deterministic column order = sorted labels)
     val wide = counts.groupBy("tok").agg(
@@ -492,7 +501,7 @@ object TextAnalysis {
     val scoreAggs = labels.zipWithIndex.map { case (l, i) =>
       sum(col("tf").cast("double") *
         log((col(s"_c$i") + lit(1.0)) /
-          lit((totals(l) + vocabSize).toDouble))).as(s"_s$i")
+          lit((totals(l) + vocab).toDouble))).as(s"_s$i")
     }
     val perDoc = scored.groupBy("_id")
       .agg(scoreAggs.head, scoreAggs.tail: _*)
@@ -511,5 +520,31 @@ object TextAnalysis {
         (round(col("_best.s"), 4) + lit(0.0)).as("score"))
       .join(test.select(col(idCol).as("_id"), col(labelCol)), "_id")
       .select(col("_id").as(idCol), col(labelCol), col("pred"), col("score"))
+  }
+
+  /**
+   * Serve a STORED NB model ([[graft.sources.Warehouse.saveNbModel]])
+   * by table name: reads the count partials, the label partials, and
+   * the one-row `<table>_params` `(vocab_size)` the saver maintains —
+   * so a serve is exactly one postings join + one doc-keyed aggregate,
+   * with NO full pass over the standing count table to recover |V|
+   * (the r13 verdict's wart: `distinct().count()` per serve is a
+   * standing-table scan at 100-TB-model scale; |V| is a write-time
+   * fact). Falls back to the distinct-count pass only if `_params` is
+   * missing (a pre-r14 stored model).
+   */
+  def naiveBayesScoreStored(spark: org.apache.spark.sql.SparkSession,
+                            modelTable: String, test: DataFrame,
+                            idCol: String, textCol: String,
+                            labelCol: String): DataFrame = {
+    val paramsTable = s"${modelTable}_params"
+    val vocab =
+      if (spark.catalog.tableExists(paramsTable))
+        Some(spark.table(paramsTable).select("vocab_size")
+          .head().getLong(0))
+      else None
+    naiveBayesScoreFrom(spark.table(modelTable),
+      spark.table(s"${modelTable}_labels"), test,
+      idCol, textCol, labelCol, vocab)
   }
 }

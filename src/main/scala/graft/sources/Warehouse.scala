@@ -290,6 +290,15 @@ object Warehouse {
    * merge-on-read is EXACTLY a retrain on the union — incremental
    * model updates with no refit and no approximation (spec-pinned:
    * half+half append ≡ one-shot fit).
+   *
+   * Alongside, a ONE-ROW `<table>_params` `(vocab_size)` — the SQ8
+   * `_params` pattern — records |V| at write time so every serve
+   * ([[graft.operators.TextAnalysis.naiveBayesScoreStored]]) skips a
+   * full distinct-count pass over the standing count table. Vocab is
+   * NOT additive (appended batches share tokens), so [[appendNbModel]]
+   * recomputes it over the merged stored table once per append —
+   * write-time cost, paid once, instead of a serve-time scan paid on
+   * every classification call.
    */
   def saveNbModel(counts: DataFrame, labelStats: DataFrame, table: String,
                   buckets: Int = 32,
@@ -297,6 +306,7 @@ object Warehouse {
     if (mode == SaveMode.Overwrite) {
       dropWithLocation(counts.sparkSession, table)
       dropWithLocation(counts.sparkSession, s"${table}_labels")
+      dropWithLocation(counts.sparkSession, s"${table}_params")
     }
     counts.write.mode(mode)
       .bucketBy(buckets, "tok")
@@ -305,6 +315,20 @@ object Warehouse {
       .saveAsTable(table)
     labelStats.write.mode(mode).format("parquet")
       .saveAsTable(s"${table}_labels")
+    writeNbParams(counts.sparkSession, table)
+  }
+
+  /** Recompute the one-row NB `_params` table `(vocab_size)` from the
+    * stored count table — called by [[saveNbModel]]/[[appendNbModel]]
+    * after every write so serves never scan for |V|. Reads the
+    * tok-bucketed table (distinct on the bucket key — no shuffle of
+    * the stored side) and overwrites the one-row result. */
+  private def writeNbParams(spark: SparkSession, table: String): Unit = {
+    val vocab = spark.table(table)
+      .agg(count_distinct(col("tok")).as("vocab_size"))
+    dropWithLocation(spark, s"${table}_params")
+    vocab.write.mode(SaveMode.Overwrite).format("parquet")
+      .saveAsTable(s"${table}_params")
   }
 
   /** Persist a centroid table (`(label, centroid)` — k rows, e.g.
@@ -365,12 +389,15 @@ object Warehouse {
 
   /** Grow a stored NB model by one batch's count partials — blind
     * Append on both tables (additive semantics; `buckets` must match
-    * the original save). */
+    * the original save), then refresh the one-row `_params` vocab
+    * count over the merged table (|V| is not additive across batches;
+    * recomputing at append time keeps serves scan-free). */
   def appendNbModel(counts: DataFrame, labelStats: DataFrame,
                     table: String, buckets: Int = 32): Unit = {
     appendBucketedTable(counts, table, "tok", buckets)
     labelStats.write.mode(SaveMode.Append).format("parquet")
       .saveAsTable(s"${table}_labels")
+    writeNbParams(counts.sparkSession, table)
   }
 
   /**

@@ -26,8 +26,9 @@ import org.apache.spark.sql.streaming.StreamingQuery
  * serving path — one postings join against the token-bucketed stored
  * counts (the stored side never shuffles) + one batch-keyed aggregate;
  * the label-stats collect is label-cardinality-bounded. Nothing about
- * the standing model is recomputed per trigger except the vocabulary
- * distinct (itself one bucketed aggregate over the stored table).
+ * the standing model is recomputed per trigger — |V| reads from the
+ * one-row `_params` table the saver maintains (r14: the former
+ * per-trigger vocabulary distinct was a standing-table scan per serve).
  */
 object StreamingClassify {
 
@@ -38,9 +39,8 @@ object StreamingClassify {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, bid: Long) =>
         val spark = batch.sparkSession
-        TextAnalysis.naiveBayesScoreFrom(
-            spark.table(modelTable), spark.table(s"${modelTable}_labels"),
-            batch, idCol, textCol, labelCol)
+        TextAnalysis.naiveBayesScoreStored(
+            spark, modelTable, batch, idCol, textCol, labelCol)
           .write.mode("overwrite")
           .parquet(s"$outPath/batch_id=$bid")
         ()

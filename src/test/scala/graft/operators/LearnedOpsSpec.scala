@@ -110,6 +110,34 @@ class LearnedOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(got.toSeq == Seq(30L), "m=1 must keep only the prefix winner")
   }
 
+  test("matryoshkaTopKStored equals in-memory matryoshkaTopK; mismatched stored prefixDim fails loudly") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val probes = emb.where(col("vec_id") < 2)
+    val tbl = "graft_bench_mrl_spec"
+    graft.sources.Warehouse.dropWithLocation(spark, tbl)
+    graft.sources.Warehouse.saveEmbeddingsWithPrefix(
+      emb, "vec_id", "embedding", prefixDim = 16, tbl)
+    val direct = Similarity.matryoshkaTopK(emb, probes, "vec_id",
+        "embedding", prefixDim = 16, m = 20, k = 3)
+      .orderBy("probe_id", "rn").collect().toSeq
+    val stored = Similarity.matryoshkaTopKStored(spark.table(tbl), probes,
+        "vec_id", "embedding", "pre", prefixDim = 16, m = 20, k = 3)
+      .orderBy("probe_id", "rn").collect().toSeq
+    assert(stored == direct)
+    // the r13-ADVICE guard: a layout saved at prefixDim=16 probed at 8
+    // must fail loudly, not silently score unequal-length vectors
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.matryoshkaTopKStored(spark.table(tbl), probes,
+        "vec_id", "embedding", "pre", prefixDim = 8, m = 20, k = 3)
+    }
+    assert(ex.getMessage.contains("!= prefixDim"))
+    intercept[IllegalArgumentException] {
+      Similarity.matryoshkaTopKStored(spark.table(tbl), probes,
+        "vec_id", "embedding", "pre", prefixDim = 0, m = 20, k = 3)
+    }
+    graft.sources.Warehouse.dropWithLocation(spark, tbl)
+  }
+
   test("naiveBayesClassify: planted vocabularies, tie -> lexicographically smaller label") {
     val train = Seq(
       (0L, "x x y", "a"), (2L, "x y y", "a"),
@@ -218,16 +246,38 @@ class LearnedOpsSpec extends AnyFunSuite with SparkTestSession {
     val (c1, l1) = TextAnalysis.naiveBayesFit(
       train.filter(col("doc_id") % 4 === 0), "doc_id", "text", "lang")
     graft.sources.Warehouse.saveNbModel(c1, l1, tbl)
+    // after the first save, _params holds the batch-1 vocab exactly
+    val vocab1 = spark.table(s"${tbl}_params")
+      .select("vocab_size").head().getLong(0)
+    assert(vocab1 == c1.select("tok").distinct().count())
     val (c2, l2) = TextAnalysis.naiveBayesFit(
       train.filter(col("doc_id") % 4 === 2), "doc_id", "text", "lang")
     graft.sources.Warehouse.appendNbModel(c2, l2, tbl)
-    val stored = TextAnalysis.naiveBayesScoreFrom(
+    // vocab is NOT additive: the append refreshed _params to the
+    // distinct-token count of the UNION (shared tokens counted once),
+    // and the table stays one-row
+    val params = spark.table(s"${tbl}_params").collect()
+    assert(params.length == 1)
+    val vocab2 = params.head.getLong(0)
+    assert(vocab2 ==
+      c1.select("tok").union(c2.select("tok")).distinct().count())
+    assert(vocab2 <=
+      vocab1 + c2.select("tok").distinct().count())
+    // the stored serving path (scan-free |V| from _params) equals the
+    // one-shot classify bit for bit
+    val stored = TextAnalysis.naiveBayesScoreStored(
+        spark, tbl, test_, "doc_id", "text", "lang")
+      .orderBy("doc_id").collect().toSeq
+    assert(stored == direct)
+    // and the explicit-vocab scorer agrees with the scan path
+    val scanned = TextAnalysis.naiveBayesScoreFrom(
         spark.table(tbl), spark.table(s"${tbl}_labels"), test_,
         "doc_id", "text", "lang")
       .orderBy("doc_id").collect().toSeq
-    assert(stored == direct)
+    assert(scanned == direct)
     graft.sources.Warehouse.dropWithLocation(spark, tbl)
     graft.sources.Warehouse.dropWithLocation(spark, s"${tbl}_labels")
+    graft.sources.Warehouse.dropWithLocation(spark, s"${tbl}_params")
   }
 
   test("naiveBayesClassify scores are negative log-posteriors, add-one smoothing keeps zero-count labels finite") {
