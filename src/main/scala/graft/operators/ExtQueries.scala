@@ -1788,6 +1788,40 @@ object ExtQueries {
         .orderBy("lang")
     }),
 
+    // Batch admission, oracle-checked (r14, verdict item 4): the five
+    // streaming admission axes were spec-verified but none had a
+    // DuckDB entry — this one drives the BATCH API
+    // (StreamingDedup.admitBatchMinHash) end to end. Standing index =
+    // MinHash bands+shingles of the EVEN docs; the ODD docs arrive as
+    // one batch. Admission contract (oracle-expressible): admitted =
+    // batch minus within-batch non-representatives (3-gram Jaccard
+    // >= 0.6 closure, min-id rep — the q67 recursive CTE) minus docs
+    // with Jaccard >= 0.6 against ANY indexed doc (semi-join CTE).
+    // Short docs (< 3 words, no shingles) are admitted by contract.
+    // The admission WRITES (survivors parquet + index append) happen
+    // once behind the ensureStoredIndex guard; the entry reads the
+    // committed survivors, so reruns in one JVM are stable and a fresh
+    // JVM rebuilds from Overwrite.
+    "q251_batch_admission" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val outPath = "spark-warehouse/graft_bench_admit_q251_out"
+      ensureStoredIndex("graft_bench_admit_q251", d) {
+        val hp = new org.apache.hadoop.fs.Path(outPath)
+        val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(hp)) fs.delete(hp, true)
+        val idx = docs.filter(col("doc_id") % 2 === 0)
+        val sh = Dedup.shingles(idx, "doc_id", "text", n = 3).persist()
+        try graft.sources.Warehouse.saveMinHashIndex(
+          Dedup.minHashBandFrameFromShingles(sh, "doc_id"), sh,
+          "graft_bench_admit_q251")
+        finally sh.unpersist()
+        graft.streaming.StreamingDedup.admitBatchMinHash(
+          docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+          "graft_bench_admit_q251", outPath)
+      }
+      s.read.parquet(outPath).select("doc_id", "lang").orderBy("doc_id")
+    }),
+
     // Tokenizer model at rest (r13, Warehouse.saveBpeMerges +
     // Bpe.applyStats): q185's merges learned on the EVEN docs, stored,
     // replayed over the ODD docs as one chained-replace map-only scan
@@ -5336,6 +5370,24 @@ object ExtQueries {
         "b.n_whole, g.n_embedded, g.n_clusters " +
         "FROM nbagg n JOIN bperes b ON n.lang = b.lang " +
         "JOIN centagg g ON n.lang = g.lang ORDER BY n.lang"),
+    // q251: batch admission replayed declaratively — within-batch
+    // closure over the odd docs (the q67 recursive CTEs on the odd
+    // source), drop non-representatives (node <> min-lbl), then drop
+    // reps with exact 3-gram Jaccard >= 0.6 against ANY even (indexed)
+    // doc; short docs (< 3 words) never enter the CTEs and are
+    // admitted by contract on both engines
+    "q251_batch_admission" ->
+      (s"WITH RECURSIVE ${dedupClosureCtesFrom(
+          "(SELECT * FROM documents WHERE doc_id % 2 = 1)")}, " +
+        "nonrep AS (SELECT node FROM (SELECT node, min(lbl) AS lbl FROM reach GROUP BY node) t WHERE node <> lbl), " +
+        "doce AS (SELECT doc_id, string_split(text,' ') words FROM documents WHERE doc_id % 2 = 0), " +
+        "she AS (SELECT doc_id, unnest(list_distinct([array_to_string(words[i:i+2],' ') for i in range(1, len(words)-1)])) AS shingle FROM doce WHERE len(words) >= 3), " +
+        "cnte AS (SELECT doc_id, count(*) n FROM she GROUP BY 1), " +
+        "x0 AS (SELECT a.doc_id od, b.doc_id ed, count(*) overlap FROM sh a JOIN she b ON a.shingle = b.shingle GROUP BY 1, 2), " +
+        "matched AS (SELECT DISTINCT od FROM x0 JOIN cnt co ON od = co.doc_id JOIN cnte ce ON ed = ce.doc_id WHERE overlap*1.0/(co.n+ce.n-overlap) >= 0.6) " +
+        "SELECT doc_id, lang FROM documents WHERE doc_id % 2 = 1 " +
+        "AND doc_id NOT IN (SELECT node FROM nonrep) " +
+        "AND doc_id NOT IN (SELECT od FROM matched) ORDER BY doc_id"),
     // q186: the same chain, final select swapped for the token explode
     "q186_bpe_tokens" -> Bpe.tokenTableSql(8, 25),
     // q164: integer day diffs — exact mean, element p95
