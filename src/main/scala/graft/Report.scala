@@ -28,10 +28,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  * worst-case example query), `sparkline` (per-digest time buckets),
  * `load` (db/user breakdown), `apdex` (latency satisfaction per
  * digest), `percentiles` (p50/p95/p99 per digest via the mergeable
- * HDR sketch — the path that reads a stored sketch table at scale),
- * `compare` (rate-scaled load before/after `-splitAt`, worst
- * regressions first), `anomaly` (hourly loads outside each digest's
- * median ± 3·MAD — the robust alert list), `drift` (PSI of each
+ * HDR sketch; with a `rollup:<table|path>` source it reads a STORED
+ * latencySketch table — digest × day × bucket counts, day-sliced by
+ * `-since`/`-until` before the merge — so the band report costs a
+ * calendar×bucket-sized read, never an event rescan), `compare`
+ * (rate-scaled load before/after `-splitAt`, worst regressions
+ * first), `anomaly` (hourly loads outside each digest's median ±
+ * 3·MAD — the robust alert list; with a `rollup:<prefix>` source the
+ * hourly loads rebuild from the stored digest-grain core partials,
+ * bit-identical to the event-level run), `drift` (PSI of each
  * digest's latency distribution before/after `-splitAt`, biggest
  * shifts first), `ks` (the binless exact-integer twin of `drift`:
  * q248's two-sample KS distance per digest across `-splitAt` — no bin
@@ -170,6 +175,47 @@ object Report {
         val (core, users, schemas, examples) = rollupDigestTables(spark, c)
         Qan.digestDetailFromPartials(core, users, schemas, examples, id,
           c.apdexT)
+      case "percentiles" if c.source.startsWith("rollup:") =>
+        // percentile bands WITHOUT the event rescan: a stored
+        // latencySketch frame (digest × day × bucket counts, blind-
+        // appended daily/streamed) is calendar×bucket-sized; slice on
+        // `day` for ranged reports, collapse replayed batches, merge
+        // counts, walk buckets — the fact table is never read
+        import org.apache.spark.sql.functions.{col, lit}
+        val src = c.source.stripPrefix("rollup:")
+        val stored =
+          if (src.contains("/")) spark.read.parquet(src) else spark.table(src)
+        val collapsed =
+          if (stored.columns.contains("batch_id"))
+            stored.dropDuplicates("batch_id", "digest", "day", "bucket")
+              .drop("batch_id")
+          else stored
+        val lo = c.since.map(s => col("day") >= lit(s))
+        val hi = c.until.map(u => col("day") < lit(u))
+        val sliced = (lo.toSeq ++ hi.toSeq).foldLeft(collapsed)(_ filter _)
+        Qan.latencyPercentilesFrom(sliced)
+          .orderBy(col("p95_time").desc, col("digest"))
+          .limit(c.top)
+      case "anomaly" if c.source.startsWith("rollup:") =>
+        // robust outlier flags WITHOUT the event rescan: hourly loads
+        // rebuilt from the digest-grain CORE partials (integer-µs
+        // sums), then the same median ± 3·MAD rule — bit-identical to
+        // the event-level run (ReportSpec). Reads ONLY the core table
+        // (not the _users/_schemas/_examples side tables the digest
+        // page needs) — an anomaly sweep shouldn't require or touch
+        // the drill-down side frames.
+        import org.apache.spark.sql.functions.col
+        val src = c.source.stripPrefix("rollup:")
+        val stored =
+          if (src.contains("/")) spark.read.parquet(src) else spark.table(src)
+        val core =
+          if (stored.columns.contains("batch_id"))
+            stored.dropDuplicates("batch_id", "digest", "hr").drop("batch_id")
+          else stored
+        Qan.latencyAnomalyFromPartials(core)
+          .filter(col("is_anomaly"))
+          .orderBy(col("load").desc, col("digest"), col("hr"))
+          .limit(c.top)
       case "pareto" if c.source.startsWith("rollup:") =>
         // concentration head from stored partials: merge → one
         // presentation division per digest → the q134 ranking

@@ -358,10 +358,29 @@ object Qan {
    * regardless of fact-table size — and two joins on the low-cardinality
    * digest key (AQE broadcasts them). The fact table is scanned once.
    */
-  def latencyAnomaly(wide: DataFrame, k: Double = 3.0): DataFrame = {
-    val hourly = wide
+  def latencyAnomaly(wide: DataFrame, k: Double = 3.0): DataFrame =
+    anomalyFromHourly(wide
       .groupBy(col("digest"), date_trunc("hour", col("ts")).as("hr"))
-      .agg(round(sum("query_time"), 4).as("load"))
+      .agg(round(sum("query_time"), 4).as("load")), k)
+
+  /** [[latencyAnomaly]] WITHOUT the event rescan — hourly loads rebuilt
+    * from stored digest-grain partials ([[digestPartials]] core layout:
+    * integer-µs `sum_time_us` per (digest, hr)), merged on read, then
+    * the same median ± k·MAD rule. The hour index converts back to the
+    * timestamp [[latencyAnomaly]] emits, so the two paths produce the
+    * same frame (spec-pinned in ReportSpec). */
+  def latencyAnomalyFromPartials(core: DataFrame, k: Double = 3.0)
+      : DataFrame =
+    anomalyFromHourly(core
+      .groupBy("digest", "hr")
+      .agg(round(sum("sum_time_us") / 1e6, 4).as("load"))
+      .withColumn("hr", timestamp_micros(col("hr") * 3600000000L)), k)
+
+  /** The shared median ± k·MAD tail over an hourly `(digest, hr, load)`
+    * frame — both load computations round to 4 dp BEFORE the robust
+    * statistics, so the event-level and partials-fed paths see
+    * identical inputs. */
+  private def anomalyFromHourly(hourly: DataFrame, k: Double): DataFrame = {
     val med = hourly.groupBy("digest")
       .agg(round(percentile(col("load"), lit(0.5)), 4).as("med"))
     val mad = hourly.join(med, Seq("digest"))

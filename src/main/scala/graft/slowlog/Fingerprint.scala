@@ -100,6 +100,16 @@ object Fingerprint {
         while (k < n && isHex(trimmed.charAt(k))) k += 1
         return k
       }
+      // 0b01-style bit-value literals (pt's number class includes `b`:
+      // `[0-9+-][0-9a-f.xb+-]*` eats the whole token) — consume like 0x;
+      // 0b followed by a non-bit char falls through to the digit scan
+      if (k + 2 < n && trimmed.charAt(k) == '0' &&
+          (trimmed.charAt(k + 1) == 'b' || trimmed.charAt(k + 1) == 'B') &&
+          (trimmed.charAt(k + 2) == '0' || trimmed.charAt(k + 2) == '1')) {
+        k += 2
+        while (k < n && (trimmed.charAt(k) == '0' || trimmed.charAt(k) == '1')) k += 1
+        return k
+      }
       while (k < n && trimmed.charAt(k).isDigit) k += 1
       if (k < n && trimmed.charAt(k) == '.') {
         k += 1
@@ -133,6 +143,16 @@ object Fingerprint {
             else if (ch == quote) { i += 1; done = true }
             else i += 1
           }
+          // pt's second number rewrite (`[xb.+-]\? → ?`) collapses the
+          // hex/bit string introducers x'..'/b'..' into the ?; replicate
+          // for a STANDALONE adjacent x/b (preceded by a non-identifier
+          // char). n'..' and _charset'..' introducers stay — their last
+          // char is not in pt's [xb.+-] class.
+          val li = sb.length - 1
+          if (li >= 0 && (sb.charAt(li) == 'x' || sb.charAt(li) == 'b') &&
+              (li == 0 || (!isIdentChar(sb.charAt(li - 1)) &&
+                sb.charAt(li - 1) != '`' && sb.charAt(li - 1) != '?')))
+            sb.deleteCharAt(li)
           sb.append('?')
 
         // -- backtick identifiers pass through (lowercased, quotes kept)

@@ -143,8 +143,21 @@ class FingerprintSpec extends AnyFunSuite {
     ("select _binary'ab cd' from t", "select _binary? from t"),
     // national-string literals: N lowercases like any identifier char
     ("select N'abc' , n'déf' from t", "select n? , n? from t"),
-    // hex-string literals x'...': the quoted span abstracts, x stays
-    ("select x'4D7953514C', X'00' from t", "select x?, x? from t"),
+    // hex/bit-string literals x'...'/b'...': pt's second number rewrite
+    // ([xb.+-]\? -> ?) folds the introducer into the ? (r14 parity fix;
+    // the r13 golden kept the x)
+    ("select x'4D7953514C', X'00' from t", "select ?, ? from t"),
+    ("select b'1010', B'0' from t where c = b'01'",
+     "select ?, ? from t where c = ?"),
+    // 0b bit-value literals are numbers (pt's class [0-9a-f.xb+-])
+    ("select 0b01, 0B1100 from t where m = 0b0", "select ?, ? from t where m = ?"),
+    // ...but an identifier ENDING in x/b before a string keeps itself:
+    // the introducer fold applies to standalone x/b only
+    ("select colx 'al' from t", "select colx ? from t"),
+    // bare _utf8/_latin1 introducers (the narrow charset names, next to
+    // the _utf8mb4 case above)
+    ("SELECT _utf8'abc' FROM t", "select _utf8? from t"),
+    ("select _latin1'x' from t where a=1", "select _latin1? from t where a=?"),
     // multibyte inside plain string literals
     ("select 'データ' from t where col = '漢字'",
      "select ? from t where col = ?"),

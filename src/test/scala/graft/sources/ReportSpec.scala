@@ -214,6 +214,50 @@ class ReportSpec extends AnyFunSuite with SparkTestSession {
     assert(pR.sameElements(pD))
   }
 
+  test("percentiles + anomaly over a rollup: partials-fed paths equal the event-level run") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val wide = Report.wideFor(spark, Report.Config(source = warehouse))
+    // stored latencySketch partials (digest × day × bucket), two
+    // streamed batches with one replayed — the percentile bands must
+    // rebuild bit-equal from storage
+    val dir = Files.createTempDirectory("graft-report-sk").toString + "/sk"
+    val (b0, b1) = (wide.filter(col("query_time") < 0.5),
+      wide.filter(col("query_time") >= 0.5))
+    def appendSketch(b: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      graft.operators.Qan.latencySketch(b).withColumn("batch_id", lit(id))
+        .write.mode("append").parquet(dir)
+    appendSketch(b0, 0L); appendSketch(b1, 1L); appendSketch(b1, 1L) // replay
+    val pctR = Report.run(spark, Report.Config(source = s"rollup:$dir",
+      report = "percentiles")).collect()
+    val pctD = Report.run(spark, Report.Config(source = warehouse,
+      report = "percentiles")).collect()
+    assert(pctR.nonEmpty && pctR.sameElements(pctD))
+    // a -since past the fixture day slices the sketch empty
+    assert(Report.run(spark, Report.Config(source = s"rollup:$dir",
+      report = "percentiles", since = Some("2030-01-01"))).collect().isEmpty)
+    // anomaly from the digest-grain core partials (reuse the digest
+    // test's layout): same flags, loads, and hour timestamps
+    val dgDir = Files.createTempDirectory("graft-report-an").toString + "/dg"
+    def appendCore(b: org.apache.spark.sql.DataFrame, id: Long): Unit = {
+      val (core, _, _, _) = graft.operators.Qan.digestPartials(b)
+      core.withColumn("batch_id", lit(id)).write.mode("append").parquet(dgDir)
+    }
+    appendCore(b0, 0L); appendCore(b1, 1L); appendCore(b1, 1L) // replay
+    // compare the full frames (flags off too): run the operator pair
+    // directly — the CLI filters to is_anomaly, which a small fixture
+    // may leave empty
+    val anR = graft.operators.Qan.latencyAnomalyFromPartials(
+        spark.read.parquet(dgDir).dropDuplicates("batch_id", "digest", "hr")
+          .drop("batch_id"))
+      .orderBy("digest", "hr").collect()
+    val anD = graft.operators.Qan.latencyAnomaly(wide)
+      .orderBy("digest", "hr").collect()
+    assert(anR.nonEmpty && anR.sameElements(anD))
+    // and the CLI path parses + runs (filtered head may be empty)
+    Report.run(spark, Report.Config(source = s"rollup:$dgDir",
+      report = "anomaly")).collect()
+  }
+
   test("compare report splits rate-scaled load at -splitAt") {
     // fixture events land at 10:00:01-03 on 2024-01-15: split mid-window
     val rows = Report.run(spark, Report.Config(source = warehouse,
