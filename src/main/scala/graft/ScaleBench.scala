@@ -969,41 +969,6 @@ object ScaleBench {
         Warehouse.dropWithLocation(spark, s"${tbl}_params")
       }
 
-      // Incremental-closure maintenance at k× the STANDING table
-      // (q220's actual claim, which its board entry never isolates —
-      // the board pays full pair generation + closure to prove
-      // augment ≡ re-cluster): the stored (node, lbl) table grows k×
-      // (real 1× cluster structure, replicated with id offsets), the
-      // pair DELTA stays fixed at 1× size and touches only replica-0
-      // components. Expected ≈flat in the solver (delta re-solve ∝
-      // touched components); the honest residual is the two standing-
-      // table passes (ends join + touched anti-join) — linear scans,
-      // no standing-table shuffle
-      if (want("cc_augment")) {
-        val docs1 = scaleDocs(spark, sf, 1)
-        val pairs1 = Dedup.ngramJaccardPairs(docs1, "doc_id", "text", 3, 0.6)
-          .select(col("da"), col("db")).localCheckpoint()
-        val stored1 = Dedup.dedupClustersStar(pairs1, "da", "db")
-        val stored = (if (k == 1) stored1
-          else stored1.crossJoin(spark.range(k).toDF("rep"))
-            .select((col("node") + col("rep") * 10000000L).as("node"),
-              (col("lbl") + col("rep") * 10000000L).as("lbl")))
-          .repartition(32).persist()
-        val nS = stored.count()
-        // fixed delta: bridge consecutive replica-0 representatives —
-        // touches a bounded set of components regardless of k
-        val reps = stored1.select(col("lbl")).distinct()
-          .orderBy("lbl").limit(101).collect().map(_.getLong(0))
-        val delta = spark.createDataFrame(
-          reps.sliding(2).collect { case Array(a, b) => (a, b) }.toSeq)
-          .toDF("da", "db")
-        System.err.println(s"SCALE inputs ${k}x: $nS stored labels, " +
-          s"${delta.count()} delta pairs (cc_augment)")
-        record("cc_augment", k, time(
-          Dedup.dedupClustersAugment(stored, delta, "da", "db")))
-        stored.unpersist()
-      }
-
       // Stored-trigram-index probe at k× the corpus (q225b's scale
       // evidence): replica tokens are suffixed, so the space-adjacent
       // pattern grams stay original-corpus-sized while word-interior
