@@ -480,6 +480,20 @@ object ExtQueries {
       "ORDER BY da, db"
   private val jaccardPairsSql: String = jaccardSql(None)
 
+  /** q113's min-after-previous funnel CTE chain (epoch-µs, q88's time
+    * rule) — shared VERBATIM with q252 (streamed log rollup ≡ batch
+    * funnel over an in-order replay). */
+  private lazy val funnelOracleSql: String = {
+    val Seq(s1, s2, s3) = FunnelStages
+    "WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events), " +
+      s"f1 AS (SELECT user_id, min(us) AS t FROM e WHERE event_type = '$s1' GROUP BY 1), " +
+      s"f2 AS (SELECT e.user_id, min(us) AS t FROM e JOIN f1 USING (user_id) WHERE event_type = '$s2' AND us > f1.t GROUP BY 1), " +
+      s"f3 AS (SELECT e.user_id, min(us) AS t FROM e JOIN f2 USING (user_id) WHERE event_type = '$s3' AND us > f2.t GROUP BY 1) " +
+      s"SELECT * FROM (SELECT CAST(1 AS BIGINT) AS stage_ord, '$s1' AS stage, (SELECT count(*) FROM f1) AS n_entities " +
+      s"UNION ALL SELECT 2, '$s2', (SELECT count(*) FROM f2) " +
+      s"UNION ALL SELECT 3, '$s3', (SELECT count(*) FROM f3)) ORDER BY stage_ord"
+  }
+
   /** DuckDB twin of Dedup.simHashHexAgg — generated from the SAME shared
     * index constants (Dedup.SimHashBitDigit / SimHashDigitBits), so the
     * two engines cannot drift structurally. */
@@ -1820,6 +1834,53 @@ object ExtQueries {
           "graft_bench_admit_q251", outPath)
       }
       s.read.parquet(outPath).select("doc_id", "lang").orderBy("doc_id")
+    }),
+
+    // Streaming funnel, oracle-checked (r14, verdict stretch 8): the
+    // REAL events table replayed through StreamingFunnel.progress as
+    // two time-ordered micro-batches (midpoint split — in-order across
+    // batches, the reconciliation contract's premise), conversion log
+    // committed via the parquet sink + checkpoint, then rolled up with
+    // funnelTable to Behavior.funnel's exact shape. Oracle = q113's
+    // min-after-previous CTE chain VERBATIM (the q92/q242 equality
+    // posture: the streamed path is not an approximation over an
+    // in-order replay). Replay + state writes happen once behind the
+    // guard; the entry reads the committed log.
+    "q252_streaming_funnel" -> ((s, d) => {
+      val base = "spark-warehouse/graft_bench_sfunnel_q252"
+      ensureStoredIndex("graft_bench_sfunnel_q252", d) {
+        val hp = new org.apache.hadoop.fs.Path(base)
+        val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(hp)) fs.delete(hp, true)
+        val ev = CoreQueries.events(s, d)
+          .select(col("user_id"), expr("ts_ns div 1000").as("ts"),
+            col("event_type"))
+        val mid = ev.agg(expr("(min(ts) + max(ts)) div 2")).head().getLong(0)
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("user_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("ts",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("event_type",
+            org.apache.spark.sql.types.StringType)))
+        def replay(slice: DataFrame): Unit = {
+          slice.write.mode("append").parquet(s"$base/src")
+          val q = graft.streaming.StreamingFunnel.progress(
+              s.readStream.schema(schema).parquet(s"$base/src"),
+              "user_id", "ts", "event_type", FunnelStages)
+            .writeStream.format("parquet")
+            .option("path", s"$base/out")
+            .option("checkpointLocation", s"$base/ckpt")
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination(300000); q.stop()
+        }
+        replay(ev.filter(col("ts") <= mid))
+        replay(ev.filter(col("ts") > mid))
+      }
+      graft.streaming.StreamingFunnel.funnelTable(
+        s.read.parquet(s"$base/out"), FunnelStages)
     }),
 
     // Tokenizer model at rest (r13, Warehouse.saveBpeMerges +
@@ -5114,16 +5175,11 @@ object ExtQueries {
         s"WHERE token IN ($termList) GROUP BY 1 HAVING count(*) = ${SearchTerms.size} ORDER BY doc_id"
     },
     // q113: min-after-previous CTE chain over epoch-µs (q88's time rule)
-    "q113_funnel" -> {
-      val Seq(s1, s2, s3) = FunnelStages
-      "WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events), " +
-        s"f1 AS (SELECT user_id, min(us) AS t FROM e WHERE event_type = '$s1' GROUP BY 1), " +
-        s"f2 AS (SELECT e.user_id, min(us) AS t FROM e JOIN f1 USING (user_id) WHERE event_type = '$s2' AND us > f1.t GROUP BY 1), " +
-        s"f3 AS (SELECT e.user_id, min(us) AS t FROM e JOIN f2 USING (user_id) WHERE event_type = '$s3' AND us > f2.t GROUP BY 1) " +
-        s"SELECT * FROM (SELECT CAST(1 AS BIGINT) AS stage_ord, '$s1' AS stage, (SELECT count(*) FROM f1) AS n_entities " +
-        s"UNION ALL SELECT 2, '$s2', (SELECT count(*) FROM f2) " +
-        s"UNION ALL SELECT 3, '$s3', (SELECT count(*) FROM f3)) ORDER BY stage_ord"
-    },
+    "q113_funnel" -> funnelOracleSql,
+    // q252: q113's oracle VERBATIM — the streamed conversion log
+    // rolled up from storage equals the batch funnel over an in-order
+    // replay (the q92/q242 equality posture)
+    "q252_streaming_funnel" -> funnelOracleSql,
     // q114: distinct (user, day) activity joined to min-day cohorts
     "q114_retention" ->
       (s"WITH a AS (SELECT DISTINCT user_id, epoch_us(ts) // $DayUs AS b FROM events), " +
