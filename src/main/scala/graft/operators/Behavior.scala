@@ -116,8 +116,25 @@ object Behavior {
    * cohort×offset rollup whose key space is offsets², tiny at any
    * data size.
    */
-  def retention(events: DataFrame, keyCol: String, bucketCol: Column): DataFrame = {
-    val active = events.select(col(keyCol), bucketCol.as("_b")).distinct()
+  def retention(events: DataFrame, keyCol: String, bucketCol: Column): DataFrame =
+    retentionFromActivity(
+      events.select(col(keyCol), bucketCol.as("_b")), keyCol, "_b")
+
+  /**
+   * [[retention]] WITHOUT the event rescan — the cohort triangle served
+   * from a STORED distinct-activity frame `(key, bucket)` (the at-rest
+   * posture: daily batches blind-append their distinct (entity, day)
+   * rows — an activity table is orders of magnitude smaller than the
+   * event log, and the triangle rebuilds from it exactly). Merge-on-read
+   * is one distinct (idempotent over replayed batch appends and
+   * cross-batch repeats), so appends need no coordination. Equality
+   * with the event-level run is by construction: [[retention]] itself
+   * now routes through this after projecting (key, bucket).
+   */
+  def retentionFromActivity(activity: DataFrame, keyCol: String,
+                            bucketCol: String): DataFrame = {
+    val active = activity.select(col(keyCol), col(bucketCol).as("_b"))
+      .distinct()
     val cohort = active.groupBy(col(keyCol)).agg(min("_b").as("_cohort"))
     active.join(cohort, keyCol)
       .groupBy(col("_cohort").as("cohort"),

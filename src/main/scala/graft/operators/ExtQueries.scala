@@ -480,6 +480,15 @@ object ExtQueries {
       "ORDER BY da, db"
   private val jaccardPairsSql: String = jaccardSql(None)
 
+  /** q114's cohort-triangle SQL (distinct (user, day) activity joined
+    * to min-day cohorts) — shared VERBATIM with q253 (triangle from
+    * stored activity partials ≡ event-level run). */
+  private lazy val retentionOracleSql: String =
+    s"WITH a AS (SELECT DISTINCT user_id, epoch_us(ts) // $DayUs AS b FROM events), " +
+      "c AS (SELECT user_id, min(b) AS cohort FROM a GROUP BY 1) " +
+      "SELECT c.cohort, a.b - c.cohort AS day_offset, count(*) AS n_entities " +
+      "FROM a JOIN c USING (user_id) GROUP BY 1, 2 ORDER BY 1, 2"
+
   /** q113's min-after-previous funnel CTE chain (epoch-µs, q88's time
     * rule) — shared VERBATIM with q252 (streamed log rollup ≡ batch
     * funnel over an in-order replay). */
@@ -1881,6 +1890,37 @@ object ExtQueries {
       }
       graft.streaming.StreamingFunnel.funnelTable(
         s.read.parquet(s"$base/out"), FunnelStages)
+    }),
+
+    // Retention from a stored activity rollup (r14): the q114 cohort
+    // triangle served from blind-appended distinct-(user, day) partials
+    // — an activity table is orders of magnitude smaller than the
+    // event log, and a replayed batch collapses via its batch_id stamp
+    // + the operator's own distinct. Oracle = q114's SQL VERBATIM (the
+    // q92/q242/q252 equality posture).
+    "q253_retention_rollup" -> ((s, d) => {
+      val base = "spark-warehouse/graft_bench_activity_q253"
+      ensureStoredIndex("graft_bench_activity_q253", d) {
+        val hp = new org.apache.hadoop.fs.Path(base)
+        val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(hp)) fs.delete(hp, true)
+        val act = CoreQueries.events(s, d)
+          .select(col("user_id"),
+            expr(s"(ts_ns div 1000) div $DayUs").as("b"))
+          .distinct()
+        val mid = act.agg(expr("(min(b) + max(b)) div 2")).head().getLong(0)
+        def append(batch: DataFrame, bid: Long): Unit =
+          batch.withColumn("batch_id", lit(bid))
+            .write.mode("append").parquet(base)
+        append(act.filter(col("b") <= mid), 0L)
+        append(act.filter(col("b") > mid), 1L)
+        append(act.filter(col("b") > mid), 1L) // replay
+      }
+      Behavior.retentionFromActivity(
+          s.read.parquet(base)
+            .dropDuplicates("batch_id", "user_id", "b").drop("batch_id"),
+          "user_id", "b")
+        .withColumnRenamed("offset", "day_offset")
     }),
 
     // Tokenizer model at rest (r13, Warehouse.saveBpeMerges +
@@ -5181,11 +5221,10 @@ object ExtQueries {
     // replay (the q92/q242 equality posture)
     "q252_streaming_funnel" -> funnelOracleSql,
     // q114: distinct (user, day) activity joined to min-day cohorts
-    "q114_retention" ->
-      (s"WITH a AS (SELECT DISTINCT user_id, epoch_us(ts) // $DayUs AS b FROM events), " +
-        "c AS (SELECT user_id, min(b) AS cohort FROM a GROUP BY 1) " +
-        "SELECT c.cohort, a.b - c.cohort AS day_offset, count(*) AS n_entities " +
-        "FROM a JOIN c USING (user_id) GROUP BY 1, 2 ORDER BY 1, 2"),
+    "q114_retention" -> retentionOracleSql,
+    // q253: q114's oracle VERBATIM — the triangle rebuilt from stored
+    // activity partials equals the event-level run
+    "q253_retention_rollup" -> retentionOracleSql,
     // q115: lag-flag + running-sum run ids (sum cast: DuckDB sums
     // integers to HUGEINT, Spark to BIGINT), lead() opens valid_to
     "q115_change_intervals" ->
