@@ -44,6 +44,64 @@ object Dedup {
   }
 
   /**
+   * Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+   * SIGMOD'03 — the classic local selection scheme behind MOSS-style
+   * plagiarism/near-dup detection): hash every positional word
+   * `k`-gram, slide a window of `w` consecutive hashes, and in each
+   * FULL window select the minimum hash, ties broken by the RIGHTMOST
+   * occurrence. The selected set is a position-stable O(2/(w+1))
+   * sample of the gram stream that two documents sharing a long run
+   * are guaranteed to sample identically — the guarantee threshold is
+   * runs of length ≥ w + k − 1 words.
+   *
+   * Cross-engine determinism: the gram hash is the 40-bit md5 prefix
+   * (`conv(substr(md5(g),1,10),16,10)` — the q228 hex-parse trick),
+   * and (hash asc, pos desc) selection packs into ONE comparable long,
+   * `hash·2^20 + (2^20−1−pos)` — min of the packed key IS the
+   * winnowing rule, and both engines take the min of identical
+   * integers (no arg_min-by-struct, which DuckDB lacks). 40+20 bits
+   * keeps the pack below 2^62; the 20-bit position field bounds
+   * documents at 2^20 grams (~1M words — far past web-document size;
+   * a longer doc would need a wider field and a narrower hash).
+   *
+   * Scale shape: one gram explode + ONE per-document window (the
+   * doc-keyed shuffle), then a distinct on the batch-bounded selected
+   * rows — map-side combinable, never corpus×corpus.
+   *
+   * Output: one row per selected fingerprint,
+   * `(id, fp, fp_hash, fp_pos)` where `fp` is the packed key and
+   * `fp_hash`/`fp_pos` its unpacked halves. Documents with fewer than
+   * `k + w − 1` words produce no full window and no rows (same as the
+   * oracle).
+   */
+  def winnowingFingerprints(docs: DataFrame, idCol: String, textCol: String,
+                            k: Int, w: Int): DataFrame = {
+    require(k >= 1 && w >= 1, s"winnowing needs k >= 1, w >= 1, got k=$k w=$w")
+    val words = split(col(textCol), " ")
+    val grams = docs
+      .select(col(idCol), words.as("_ws"))
+      .filter(size(col("_ws")) >= k)
+      .select(col(idCol), posexplode(
+        transform(sequence(lit(1), size(col("_ws")) - (k - 1)),
+          i => concat_ws(" ", slice(col("_ws"), i, lit(k))))))
+      .select(col(idCol), col("pos"),
+        (conv(substring(md5(col("col")), 1, 10), 16, 10).cast("long") *
+          lit(1048576L) + (lit(1048575L) - col("pos"))).as("_pack"))
+    val win = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(-(w - 1), Window.currentRow)
+    grams
+      .withColumn("_sel", min(col("_pack")).over(win))
+      .filter(col("pos") >= w - 1) // full windows only
+      .select(col(idCol), col("_sel").as("fp"))
+      .distinct()
+      .select(col(idCol), col("fp"),
+        // integer div, NOT Column./ (double division drops bits past
+        // 2^53 — the pack is 60-bit)
+        expr("fp div 1048576").as("fp_hash"),
+        (lit(1048575L) - pmod(col("fp"), lit(1048576L))).as("fp_pos"))
+  }
+
+  /**
    * Exact near-duplicate pairs by word-n-gram Jaccard similarity, found
    * with shingle blocking (only pairs sharing ≥1 shingle are scored —
    * never an all-pairs product). Output: (da, db, jac) with da < db and

@@ -480,6 +480,12 @@ object ExtQueries {
       "ORDER BY da, db"
   private val jaccardPairsSql: String = jaccardSql(None)
 
+  /** q254 winnowing constants — one source for the Spark entry AND the
+    * generated oracle (gram width, window width, and the 40+20-bit
+    * pack layout of [[Dedup.winnowingFingerprints]]). */
+  private val WinnowK = 3
+  private val WinnowW = 4
+
   /** q114's cohort-triangle SQL (distinct (user, day) activity joined
     * to min-day cohorts) — shared VERBATIM with q253 (triangle from
     * stored activity partials ≡ event-level run). */
@@ -1922,6 +1928,21 @@ object ExtQueries {
           "user_id", "b")
         .withColumnRenamed("offset", "day_offset")
     }),
+
+    // Winnowing fingerprints (r14, Dedup.winnowingFingerprints — the
+    // SIGMOD'03 local selection scheme behind MOSS): positional
+    // 3-gram 40-bit hashes, rightmost-min over every full 4-window,
+    // selection packed into one comparable long on BOTH engines. The
+    // per-doc scorecard is fully data-bearing (counts + min/max of the
+    // exact selected packs); density sits near the 2/(w+1) theory.
+    "q254_winnowing" -> ((s, d) =>
+      Dedup.winnowingFingerprints(t(s, d, "documents"), "doc_id", "text",
+          k = WinnowK, w = WinnowW)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_selected"),
+          countDistinct("fp_hash").as("n_hashes"),
+          min("fp").as("min_fp"), max("fp").as("max_fp"))
+        .orderBy("doc_id")),
 
     // Tokenizer model at rest (r13, Warehouse.saveBpeMerges +
     // Bpe.applyStats): q185's merges learned on the EVEN docs, stored,
@@ -5483,6 +5504,21 @@ object ExtQueries {
         "SELECT doc_id, lang FROM documents WHERE doc_id % 2 = 1 " +
         "AND doc_id NOT IN (SELECT node FROM nonrep) " +
         "AND doc_id NOT IN (SELECT od FROM matched) ORDER BY doc_id"),
+    // q254: the winnowing selection replayed — positional grams, the
+    // same 40-bit md5-prefix hash (q228's hex parse), the same
+    // hash·2^20 + (2^20−1−pos) pack, window min over full windows,
+    // distinct, per-doc scorecard. Constants interpolated from the
+    // shared WinnowK/WinnowW/pack layout
+    "q254_winnowing" ->
+      (s"WITH docs AS (SELECT doc_id, string_split(text,' ') words FROM documents), " +
+        s"g AS (SELECT doc_id, unnest([{'pos': i-1, 'gram': array_to_string(words[i:i+${WinnowK - 1}],' ')} for i in range(1, len(words)-${WinnowK - 1}+1)], recursive := true) FROM docs WHERE len(words) >= $WinnowK), " +
+        "p AS (SELECT doc_id, pos, CAST(CAST(concat('0x', substr(md5(gram),1,10)) AS UBIGINT) AS BIGINT)*1048576 + (1048575 - pos) AS pack FROM g), " +
+        s"sw AS (SELECT doc_id, pos, min(pack) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN ${WinnowW - 1} PRECEDING AND CURRENT ROW) AS sel FROM p), " +
+        s"sel AS (SELECT DISTINCT doc_id, sel FROM sw WHERE pos >= ${WinnowW - 1}) " +
+        "SELECT doc_id, count(*) AS n_selected, " +
+        "CAST(count(DISTINCT sel // 1048576) AS BIGINT) AS n_hashes, " +
+        "min(sel) AS min_fp, max(sel) AS max_fp " +
+        "FROM sel GROUP BY doc_id ORDER BY doc_id"),
     // q186: the same chain, final select swapped for the token explode
     "q186_bpe_tokens" -> Bpe.tokenTableSql(8, 25),
     // q164: integer day diffs — exact mean, element p95

@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The winnowing selection contract ([[Dedup.winnowingFingerprints]]):
+  * full-windows-only selection, rightmost-min tie break via the packed
+  * key, the shared-run sampling guarantee, and the ~2/(w+1) density
+  * band on real text. */
+class WinnowingSpec extends AnyFunSuite with SparkTestSession {
+
+  import spark.implicits._
+
+  test("selection matches a hand winnowing over the unpacked hashes") {
+    // one 8-word doc, k=2, w=3 → 7 grams, 5 full windows; replay the
+    // rule in plain Scala from the SAME hashes the operator computes
+    val text = "a b c d a b c e"
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val words = text.split(" ")
+    val grams = words.sliding(2).map(_.mkString(" ")).toVector
+    def h40(g: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(g.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.take(10), 16)
+    }
+    val packs = grams.zipWithIndex.map { case (g, p) =>
+      h40(g) * 1048576L + (1048575L - p)
+    }
+    val expected = (2 until packs.length)
+      .map(i => packs.slice(i - 2, i + 1).min).toSet
+    val got = Dedup.winnowingFingerprints(docs, "doc_id", "text", k = 2, w = 3)
+      .collect().map(_.getAs[Long]("fp")).toSet
+    assert(got == expected)
+    // the repeated run "a b c" must select the same (hash) twice at
+    // different positions only if both windows picked it — and every
+    // selected pos must be a real gram position
+    val rows = Dedup.winnowingFingerprints(docs, "doc_id", "text", 2, 3)
+      .collect().map(r => (r.getAs[Long]("fp_hash"), r.getAs[Long]("fp_pos")))
+    assert(rows.forall { case (h, p) =>
+      p >= 0 && p < grams.length && h == h40(grams(p.toInt)) })
+  }
+
+  test("shared-run guarantee: two docs sharing a run of >= w+k-1 words select a common fingerprint hash") {
+    val shared = "x1 x2 x3 x4 x5 x6 x7 x8" // 8 words >= w+k-1 = 6 at k=3,w=4
+    val docs = Seq(
+      (1L, s"p q r $shared s t"),
+      (2L, s"m n $shared u v w")).toDF("doc_id", "text")
+    val sel = Dedup.winnowingFingerprints(docs, "doc_id", "text", 3, 4)
+      .select("doc_id", "fp_hash").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert((sel(1L) intersect sel(2L)).nonEmpty,
+      "winnowing guarantee violated: no common fingerprint on a shared run")
+  }
+
+  test("density on the corpus sits in the 2/(w+1) band; short docs drop") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val sel = Dedup.winnowingFingerprints(docs, "doc_id", "text", 3, 4)
+    val stats = sel.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .join(docs.select(col("doc_id"),
+        (size(split(col("text"), " ")) - 2).as("grams")), "doc_id")
+      .agg(sum("n").as("sel"), sum("grams").as("g")).head()
+    val density = stats.getLong(0).toDouble / stats.getLong(1)
+    // theory: expected 2/(w+1) = 0.4 for random hashes; wide band for
+    // the small repetitive-vocabulary corpus
+    assert(density > 0.2 && density < 0.6, s"density $density")
+    // a doc below k+w-1 words yields no rows
+    val tiny = Seq((9L, "a b c d")).toDF("doc_id", "text")
+    assert(Dedup.winnowingFingerprints(tiny, "doc_id", "text", 3, 4).isEmpty)
+  }
+}
