@@ -1068,7 +1068,7 @@ object ScaleBench {
         "admit_batch", "q40_probe", "q40_cand", "minhash_admit", "lexical_admit",
         "trigram_admit", "cc_augment",
         "q92_bloom", "q99_spans", "q102_edit", "q103_bigram", "q104_sn",
-        "q107_entropy", "q107_exploded", "q160_vocab")
+        "q107_entropy", "q107_exploded", "q160_vocab", "winnow_pairs")
       val embOps = Seq("q83_pq", "q41c_probe", "q41c_logbits",
         "ivf_append", "pq_append", "ivfpq_append", "ivfpq_probe",
         "jl_project", "semantic_admit", "ivfpq_nlist")
@@ -1103,6 +1103,24 @@ object ScaleBench {
       if (want("q104_sn")) record("q104_sn", k, time(
         Dedup.sortedNeighborhoodPairs(docs, "doc_id",
           substring(col("text"), 1, 16), 3)))
+
+      // winnowing match at k× docs: selection is one gram explode +
+      // one doc-keyed window (linear); the pair join blocks on the
+      // 2/(w+1)-sampled hashes with the df cap bounding hot grams, so
+      // pair volume tracks true near-dup mass, not corpus²
+      if (want("winnow_pairs")) record("winnow_pairs", k, time {
+        val sel = Dedup.winnowingFingerprints(docs, "doc_id", "text", 3, 4)
+          .select(col("doc_id"), col("fp_hash")).distinct()
+        val rare = sel.groupBy("fp_hash").agg(count(lit(1)).as("_df"))
+          .filter(col("_df") <= 200L).select("fp_hash")
+        val kept = sel.join(rare, "fp_hash")
+        kept.select(col("doc_id").as("da"), col("fp_hash"))
+          .join(kept.select(col("doc_id").as("db"), col("fp_hash")),
+            "fp_hash")
+          .filter(col("da") < col("db"))
+          .groupBy("da", "db").agg(count(lit(1)).as("n_shared"))
+          .filter(col("n_shared") >= 3L)
+      })
 
       // dup-span audit after the round-10 rewrite: the span stream
       // crosses ONE exchange (to the (span, doc) level, map-side

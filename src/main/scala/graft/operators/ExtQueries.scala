@@ -485,6 +485,12 @@ object ExtQueries {
     * pack layout of [[Dedup.winnowingFingerprints]]). */
   private val WinnowK = 3
   private val WinnowW = 4
+  /** q255 match knobs: hashes shared by more than WinnowMaxDf docs are
+    * screened (hot-gram skew, the q26 df-cap discipline — part of the
+    * contract, mirrored in the oracle); pairs need >= WinnowMinShared
+    * surviving shared hashes. */
+  private val WinnowMaxDf = 200L
+  private val WinnowMinShared = 3L
 
   /** q114's cohort-triangle SQL (distinct (user, day) activity joined
     * to min-day cohorts) — shared VERBATIM with q253 (triangle from
@@ -1943,6 +1949,28 @@ object ExtQueries {
           countDistinct("fp_hash").as("n_hashes"),
           min("fp").as("min_fp"), max("fp").as("max_fp"))
         .orderBy("doc_id")),
+
+    // The winnowing MATCH (q254's consumer — the MOSS shape): doc
+    // pairs sharing >= WinnowMinShared selected fingerprint hashes.
+    // The join blocks on the selected hashes only (a 2/(w+1) sample of
+    // the gram stream — the selection IS the candidate pruning), with
+    // the q26 df-cap discipline against hot-gram skew (cap mirrored in
+    // the oracle, so the screen is part of the contract).
+    "q255_winnow_pairs" -> ((s, d) => {
+      val sel = Dedup.winnowingFingerprints(t(s, d, "documents"),
+          "doc_id", "text", k = WinnowK, w = WinnowW)
+        .select(col("doc_id"), col("fp_hash")).distinct()
+      val rare = sel.groupBy("fp_hash").agg(count(lit(1)).as("_df"))
+        .filter(col("_df") <= WinnowMaxDf).select("fp_hash")
+      val kept = sel.join(rare, "fp_hash")
+      kept.select(col("doc_id").as("da"), col("fp_hash"))
+        .join(kept.select(col("doc_id").as("db"), col("fp_hash")), "fp_hash")
+        .filter(col("da") < col("db"))
+        .groupBy("da", "db")
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= WinnowMinShared)
+        .orderBy("da", "db")
+    }),
 
     // Tokenizer model at rest (r13, Warehouse.saveBpeMerges +
     // Bpe.applyStats): q185's merges learned on the EVEN docs, stored,
@@ -5519,6 +5547,19 @@ object ExtQueries {
         "CAST(count(DISTINCT sel // 1048576) AS BIGINT) AS n_hashes, " +
         "min(sel) AS min_fp, max(sel) AS max_fp " +
         "FROM sel GROUP BY doc_id ORDER BY doc_id"),
+    // q255: the q254 chain + per-doc distinct hash sets, df screen,
+    // self-join on shared hashes, pair threshold
+    "q255_winnow_pairs" ->
+      (s"WITH docs AS (SELECT doc_id, string_split(text,' ') words FROM documents), " +
+        s"g AS (SELECT doc_id, unnest([{'pos': i-1, 'gram': array_to_string(words[i:i+${WinnowK - 1}],' ')} for i in range(1, len(words)-${WinnowK - 1}+1)], recursive := true) FROM docs WHERE len(words) >= $WinnowK), " +
+        "p AS (SELECT doc_id, pos, CAST(CAST(concat('0x', substr(md5(gram),1,10)) AS UBIGINT) AS BIGINT)*1048576 + (1048575 - pos) AS pack FROM g), " +
+        s"sw AS (SELECT doc_id, pos, min(pack) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN ${WinnowW - 1} PRECEDING AND CURRENT ROW) AS sel FROM p), " +
+        s"selh AS (SELECT DISTINCT doc_id, sel // 1048576 AS h FROM sw WHERE pos >= ${WinnowW - 1}), " +
+        s"rare AS (SELECT h FROM selh GROUP BY h HAVING count(*) <= $WinnowMaxDf), " +
+        "k AS (SELECT doc_id, h FROM selh JOIN rare USING (h)) " +
+        "SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS n_shared " +
+        "FROM k a JOIN k b ON a.h = b.h AND a.doc_id < b.doc_id " +
+        s"GROUP BY 1, 2 HAVING count(*) >= $WinnowMinShared ORDER BY da, db"),
     // q186: the same chain, final select swapped for the token explode
     "q186_bpe_tokens" -> Bpe.tokenTableSql(8, 25),
     // q164: integer day diffs — exact mean, element p95
