@@ -1068,7 +1068,7 @@ object ScaleBench {
         "admit_batch", "q40_probe", "q40_cand", "minhash_admit", "lexical_admit",
         "trigram_admit", "cc_augment",
         "q92_bloom", "q99_spans", "q102_edit", "q103_bigram", "q104_sn",
-        "q107_entropy", "q107_exploded", "q160_vocab", "winnow_pairs")
+        "q107_entropy", "q107_exploded", "q160_vocab", "winnow_pairs", "winnow_sel")
       val embOps = Seq("q83_pq", "q41c_probe", "q41c_logbits",
         "ivf_append", "pq_append", "ivfpq_append", "ivfpq_probe",
         "jl_project", "semantic_admit", "ivfpq_nlist")
@@ -1109,8 +1109,10 @@ object ScaleBench {
       // 2/(w+1)-sampled hashes with the df cap bounding hot grams, so
       // pair volume tracks true near-dup mass, not corpus²
       if (want("winnow_pairs")) record("winnow_pairs", k, time {
+        // eager localCheckpoint: one selection pass, not four (q255)
         val sel = Dedup.winnowingFingerprints(docs, "doc_id", "text", 3, 4)
           .select(col("doc_id"), col("fp_hash")).distinct()
+          .localCheckpoint()
         val rare = sel.groupBy("fp_hash").agg(count(lit(1)).as("_df"))
           .filter(col("_df") <= 200L).select("fp_hash")
         val kept = sel.join(rare, "fp_hash")
@@ -1121,6 +1123,13 @@ object ScaleBench {
           .groupBy("da", "db").agg(count(lit(1)).as("n_shared"))
           .filter(col("n_shared") >= 3L)
       })
+
+      // decomposition: the selection half alone (gram explode + one
+      // doc-keyed window + distinct) — attributes winnow_pairs'
+      // superlinear residue to the window sort vs the pair join
+      if (want("winnow_sel")) record("winnow_sel", k, time(
+        Dedup.winnowingFingerprints(docs, "doc_id", "text", 3, 4)
+          .select(col("doc_id"), col("fp_hash")).distinct()))
 
       // dup-span audit after the round-10 rewrite: the span stream
       // crosses ONE exchange (to the (span, doc) level, map-side

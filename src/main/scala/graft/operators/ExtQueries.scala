@@ -1957,9 +1957,16 @@ object ExtQueries {
     // the q26 df-cap discipline against hot-gram skew (cap mirrored in
     // the oracle, so the screen is part of the contract).
     "q255_winnow_pairs" -> ((s, d) => {
+      // localCheckpoint (eager): the selected frame feeds the df
+      // screen AND both sides of the pair join — lazy, the 65M-gram
+      // explode + window would execute FOUR times in one plan
+      // (measured 214 s vs 62 s for one selection pass at 100×; the
+      // rejectedIds technique). The frame is 2/(w+1) of the gram
+      // stream — batch-bounded, never corpus².
       val sel = Dedup.winnowingFingerprints(t(s, d, "documents"),
           "doc_id", "text", k = WinnowK, w = WinnowW)
         .select(col("doc_id"), col("fp_hash")).distinct()
+        .localCheckpoint()
       val rare = sel.groupBy("fp_hash").agg(count(lit(1)).as("_df"))
         .filter(col("_df") <= WinnowMaxDf).select("fp_hash")
       val kept = sel.join(rare, "fp_hash")
