@@ -1068,7 +1068,7 @@ object ScaleBench {
         "admit_batch", "q40_probe", "q40_cand", "minhash_admit", "lexical_admit",
         "trigram_admit", "cc_augment",
         "q92_bloom", "q99_spans", "q102_edit", "q103_bigram", "q104_sn",
-        "q107_entropy", "q107_exploded", "q160_vocab", "winnow_pairs", "winnow_sel")
+        "q107_entropy", "q107_exploded", "q160_vocab", "winnow_pairs", "winnow_sel", "winnow_probe")
       val embOps = Seq("q83_pq", "q41c_probe", "q41c_logbits",
         "ivf_append", "pq_append", "ivfpq_append", "ivfpq_probe",
         "jl_project", "semantic_admit", "ivfpq_nlist")
@@ -1130,6 +1130,30 @@ object ScaleBench {
       if (want("winnow_sel")) record("winnow_sel", k, time(
         Dedup.winnowingFingerprints(docs, "doc_id", "text", 3, 4)
           .select(col("doc_id"), col("fp_hash")).distinct()))
+
+      // winnowing PROBE posture: index built from the k× corpus and
+      // stored bucketed by fp_hash (excluded from timing), a FIXED
+      // 1×-sized batch probed against it — the timed cost is the
+      // batch-side selection + the hash join against the bucketed
+      // table (stored side never shuffles; the scan of its buckets is
+      // the honest corpus-proportional residue)
+      if (want("winnow_probe")) {
+        val tbl = "graft_bench_scale_winnow"
+        Warehouse.dropWithLocation(spark, tbl)
+        val sel = Dedup.winnowingFingerprints(docs, "doc_id", "text", 3, 4)
+          .select(col("doc_id"), col("fp_hash")).distinct().localCheckpoint()
+        val rare = sel.groupBy("fp_hash").agg(count(lit(1)).as("_df"))
+          .filter(col("_df") <= 200L).select("fp_hash")
+        Warehouse.saveWinnowIndex(sel.join(rare, "fp_hash"), tbl)
+        val probe = scaleDocs(spark, sf, 1)
+          .select((col("doc_id") + 900000000L).as("doc_id"), col("text"))
+        record("winnow_probe", k, time(
+          Dedup.winnowMatchesAgainst(
+            Dedup.winnowingFingerprints(probe, "doc_id", "text", 3, 4)
+              .select(col("doc_id"), col("fp_hash")).distinct(),
+            spark.table(tbl), "doc_id", minShared = 3L)))
+        Warehouse.dropWithLocation(spark, tbl)
+      }
 
       // dup-span audit after the round-10 rewrite: the span stream
       // crosses ONE exchange (to the (span, doc) level, map-side

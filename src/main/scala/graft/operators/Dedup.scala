@@ -102,6 +102,24 @@ object Dedup {
   }
 
   /**
+   * Cross-corpus winnowing probe — which probe docs share at least
+   * `minShared` selected fingerprint hashes with some indexed doc?
+   * The incremental MOSS shape over the at-rest index
+   * ([[graft.sources.Warehouse.saveWinnowIndex]]): both sides are
+   * `(id, fp_hash)` selections; the join blocks on the hash, with the
+   * stored side pre-distributed on it (bucketBy — only the probe side
+   * shuffles). Output: `(probe_id, match_id, n_shared)`.
+   */
+  def winnowMatchesAgainst(probeSel: DataFrame, indexSel: DataFrame,
+                           idCol: String, minShared: Long): DataFrame =
+    probeSel.select(col(idCol).as("probe_id"), col("fp_hash"))
+      .join(indexSel.select(col(idCol).as("match_id"), col("fp_hash")),
+        "fp_hash")
+      .groupBy("probe_id", "match_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+
+  /**
    * Exact near-duplicate pairs by word-n-gram Jaccard similarity, found
    * with shingle blocking (only pairs sharing ≥1 shingle are scored —
    * never an all-pairs product). Output: (da, db, jac) with da < db and

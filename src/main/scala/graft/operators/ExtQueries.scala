@@ -492,6 +492,22 @@ object ExtQueries {
   private val WinnowMaxDf = 200L
   private val WinnowMinShared = 3L
 
+  /** q255's winnowing-match SQL (the q254 chain + per-doc distinct
+    * hash sets, df screen, self-join, pair threshold) — shared
+    * VERBATIM with q256 (pairs from the stored bucketed selection ≡
+    * the direct run). */
+  private lazy val winnowPairsOracleSql: String =
+    s"WITH docs AS (SELECT doc_id, string_split(text,' ') words FROM documents), " +
+      s"g AS (SELECT doc_id, unnest([{'pos': i-1, 'gram': array_to_string(words[i:i+${WinnowK - 1}],' ')} for i in range(1, len(words)-${WinnowK - 1}+1)], recursive := true) FROM docs WHERE len(words) >= $WinnowK), " +
+      "p AS (SELECT doc_id, pos, CAST(CAST(concat('0x', substr(md5(gram),1,10)) AS UBIGINT) AS BIGINT)*1048576 + (1048575 - pos) AS pack FROM g), " +
+      s"sw AS (SELECT doc_id, pos, min(pack) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN ${WinnowW - 1} PRECEDING AND CURRENT ROW) AS sel FROM p), " +
+      s"selh AS (SELECT DISTINCT doc_id, sel // 1048576 AS h FROM sw WHERE pos >= ${WinnowW - 1}), " +
+      s"rare AS (SELECT h FROM selh GROUP BY h HAVING count(*) <= $WinnowMaxDf), " +
+      "k AS (SELECT doc_id, h FROM selh JOIN rare USING (h)) " +
+      "SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS n_shared " +
+      "FROM k a JOIN k b ON a.h = b.h AND a.doc_id < b.doc_id " +
+      s"GROUP BY 1, 2 HAVING count(*) >= $WinnowMinShared ORDER BY da, db"
+
   /** q114's cohort-triangle SQL (distinct (user, day) activity joined
     * to min-day cohorts) — shared VERBATIM with q253 (triangle from
     * stored activity partials ≡ event-level run). */
@@ -1970,6 +1986,37 @@ object ExtQueries {
       val rare = sel.groupBy("fp_hash").agg(count(lit(1)).as("_df"))
         .filter(col("_df") <= WinnowMaxDf).select("fp_hash")
       val kept = sel.join(rare, "fp_hash")
+      kept.select(col("doc_id").as("da"), col("fp_hash"))
+        .join(kept.select(col("doc_id").as("db"), col("fp_hash")), "fp_hash")
+        .filter(col("da") < col("db"))
+        .groupBy("da", "db")
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= WinnowMinShared)
+        .orderBy("da", "db")
+    }),
+
+    // q255 THROUGH the at-rest index (the q40 pattern — thirteenth
+    // at-rest family, Warehouse.saveWinnowIndex): the screened
+    // selection is persisted bucketed by fp_hash in two halves (save +
+    // blind append — the composition contract in the entry itself) and
+    // the pair join consumes the STORED table, pre-distributed on the
+    // hash. Oracle = q255's SQL VERBATIM: the stored path is not an
+    // approximation.
+    "q256_winnow_stored" -> ((s, d) => {
+      ensureStoredIndex("graft_bench_winnow_q256", d) {
+        val sel = Dedup.winnowingFingerprints(t(s, d, "documents"),
+            "doc_id", "text", k = WinnowK, w = WinnowW)
+          .select(col("doc_id"), col("fp_hash")).distinct()
+          .localCheckpoint()
+        val rare = sel.groupBy("fp_hash").agg(count(lit(1)).as("_df"))
+          .filter(col("_df") <= WinnowMaxDf).select("fp_hash")
+        val kept = sel.join(rare, "fp_hash")
+        graft.sources.Warehouse.saveWinnowIndex(
+          kept.filter(col("doc_id") % 2 === 0), "graft_bench_winnow_q256")
+        graft.sources.Warehouse.appendWinnowIndex(
+          kept.filter(col("doc_id") % 2 === 1), "graft_bench_winnow_q256")
+      }
+      val kept = s.table("graft_bench_winnow_q256")
       kept.select(col("doc_id").as("da"), col("fp_hash"))
         .join(kept.select(col("doc_id").as("db"), col("fp_hash")), "fp_hash")
         .filter(col("da") < col("db"))
@@ -5556,17 +5603,10 @@ object ExtQueries {
         "FROM sel GROUP BY doc_id ORDER BY doc_id"),
     // q255: the q254 chain + per-doc distinct hash sets, df screen,
     // self-join on shared hashes, pair threshold
-    "q255_winnow_pairs" ->
-      (s"WITH docs AS (SELECT doc_id, string_split(text,' ') words FROM documents), " +
-        s"g AS (SELECT doc_id, unnest([{'pos': i-1, 'gram': array_to_string(words[i:i+${WinnowK - 1}],' ')} for i in range(1, len(words)-${WinnowK - 1}+1)], recursive := true) FROM docs WHERE len(words) >= $WinnowK), " +
-        "p AS (SELECT doc_id, pos, CAST(CAST(concat('0x', substr(md5(gram),1,10)) AS UBIGINT) AS BIGINT)*1048576 + (1048575 - pos) AS pack FROM g), " +
-        s"sw AS (SELECT doc_id, pos, min(pack) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN ${WinnowW - 1} PRECEDING AND CURRENT ROW) AS sel FROM p), " +
-        s"selh AS (SELECT DISTINCT doc_id, sel // 1048576 AS h FROM sw WHERE pos >= ${WinnowW - 1}), " +
-        s"rare AS (SELECT h FROM selh GROUP BY h HAVING count(*) <= $WinnowMaxDf), " +
-        "k AS (SELECT doc_id, h FROM selh JOIN rare USING (h)) " +
-        "SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS n_shared " +
-        "FROM k a JOIN k b ON a.h = b.h AND a.doc_id < b.doc_id " +
-        s"GROUP BY 1, 2 HAVING count(*) >= $WinnowMinShared ORDER BY da, db"),
+    "q255_winnow_pairs" -> winnowPairsOracleSql,
+    // q256: q255's oracle VERBATIM — pairs from the stored bucketed
+    // selection (save + blind append) equal the direct run
+    "q256_winnow_stored" -> winnowPairsOracleSql,
     // q186: the same chain, final select swapped for the token explode
     "q186_bpe_tokens" -> Bpe.tokenTableSql(8, 25),
     // q164: integer day diffs — exact mean, element p95

@@ -198,6 +198,34 @@ object Warehouse {
   }
 
   /**
+   * Persist a winnowing fingerprint frame
+   * ([[graft.operators.Dedup.winnowingFingerprints]] after the
+   * df screen: distinct `(doc_id, fp_hash)`) bucketed by `fp_hash` —
+   * the THIRTEENTH at-rest family, the MOSS-style match index: a probe
+   * batch's selected hashes join the stored side pre-distributed on
+   * the hash (the batch side shuffles, the standing table never does),
+   * and growing the corpus is [[appendWinnowIndex]] — a blind bucketed
+   * append (selection is per-document and stateless, so appended
+   * batches screened under the same df discipline compose exactly).
+   */
+  def saveWinnowIndex(selected: DataFrame, table: String, buckets: Int = 32,
+                      mode: SaveMode = SaveMode.Overwrite): Unit = {
+    if (mode == SaveMode.Overwrite)
+      dropWithLocation(selected.sparkSession, table)
+    selected.write.mode(mode)
+      .bucketBy(buckets, "fp_hash")
+      .sortBy("fp_hash")
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
+  /** Grow a stored winnowing index by one batch's selected fingerprints
+    * — blind bucketed append (`buckets` must match the original save). */
+  def appendWinnowIndex(selected: DataFrame, table: String,
+                        buckets: Int = 32): Unit =
+    appendBucketedTable(selected, table, "fp_hash", buckets)
+
+  /**
    * Persist a char-trigram posting frame
    * ([[graft.operators.Search.trigramPostings]]: distinct
    * `(doc_id, gram)`) bucketed by `gram` — the substring-search index

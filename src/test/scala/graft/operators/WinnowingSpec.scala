@@ -53,6 +53,36 @@ class WinnowingSpec extends AnyFunSuite with SparkTestSession {
       "winnowing guarantee violated: no common fingerprint on a shared run")
   }
 
+  test("winnowing index at rest: save + blind append reproduces the direct selection; cross-corpus probe matches a planted near-dup") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val sel = Dedup.winnowingFingerprints(docs, "doc_id", "text", 3, 4)
+      .select(col("doc_id"), col("fp_hash")).distinct().localCheckpoint()
+    val tbl = "graft_bench_winnow_spec"
+    graft.sources.Warehouse.dropWithLocation(spark, tbl)
+    graft.sources.Warehouse.saveWinnowIndex(
+      sel.filter(col("doc_id") % 2 === 0), tbl)
+    graft.sources.Warehouse.appendWinnowIndex(
+      sel.filter(col("doc_id") % 2 === 1), tbl)
+    val stored = spark.table(tbl)
+      .select("doc_id", "fp_hash").orderBy("doc_id", "fp_hash")
+      .collect().toSeq
+    val direct = sel.select("doc_id", "fp_hash").orderBy("doc_id", "fp_hash")
+      .collect().toSeq
+    assert(stored == direct)
+    // probe: a near-copy of doc 0 (shares its full text = shares every
+    // full-window selection) must match it with n_shared >= 3
+    val probeDoc = docs.filter(col("doc_id") === 0)
+      .select(lit(900000L).as("doc_id"), col("text"))
+    val probeSel = Dedup.winnowingFingerprints(probeDoc, "doc_id", "text",
+        3, 4)
+      .select(col("doc_id"), col("fp_hash")).distinct()
+    val hits = Dedup.winnowMatchesAgainst(probeSel, spark.table(tbl),
+        "doc_id", minShared = 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits.contains((900000L, 0L)), s"probe missed its source: $hits")
+    graft.sources.Warehouse.dropWithLocation(spark, tbl)
+  }
+
   test("density on the corpus sits in the 2/(w+1) band; short docs drop") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val sel = Dedup.winnowingFingerprints(docs, "doc_id", "text", 3, 4)
