@@ -492,6 +492,19 @@ object ExtQueries {
   private val WinnowMaxDf = 200L
   private val WinnowMinShared = 3L
 
+  /** Per-source winnowing-selection CTE chain (grams → 40-bit packed
+    * hashes → window min → distinct screened per-doc hash sets) with a
+    * name prefix, so q257 can instantiate it once per corpus slice.
+    * Yields `<p>k (doc_id, h)`. */
+  private def winnowSelCtes(source: String, p: String): String =
+    s"${p}docs AS (SELECT doc_id, string_split(text,' ') words FROM $source), " +
+      s"${p}g AS (SELECT doc_id, unnest([{'pos': i-1, 'gram': array_to_string(words[i:i+${WinnowK - 1}],' ')} for i in range(1, len(words)-${WinnowK - 1}+1)], recursive := true) FROM ${p}docs WHERE len(words) >= $WinnowK), " +
+      s"${p}p AS (SELECT doc_id, pos, CAST(CAST(concat('0x', substr(md5(gram),1,10)) AS UBIGINT) AS BIGINT)*1048576 + (1048575 - pos) AS pack FROM ${p}g), " +
+      s"${p}sw AS (SELECT doc_id, pos, min(pack) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN ${WinnowW - 1} PRECEDING AND CURRENT ROW) AS sel FROM ${p}p), " +
+      s"${p}selh AS (SELECT DISTINCT doc_id, sel // 1048576 AS h FROM ${p}sw WHERE pos >= ${WinnowW - 1}), " +
+      s"${p}rare AS (SELECT h FROM ${p}selh GROUP BY h HAVING count(*) <= $WinnowMaxDf), " +
+      s"${p}k AS (SELECT doc_id, h FROM ${p}selh JOIN ${p}rare USING (h))"
+
   /** q255's winnowing-match SQL (the q254 chain + per-doc distinct
     * hash sets, df screen, self-join, pair threshold) — shared
     * VERBATIM with q256 (pairs from the stored bucketed selection ≡
@@ -2024,6 +2037,37 @@ object ExtQueries {
         .agg(count(lit(1)).as("n_shared"))
         .filter(col("n_shared") >= WinnowMinShared)
         .orderBy("da", "db")
+    }),
+
+    // Batch winnowing admission, oracle-checked (r14 — the q251
+    // composition for the SIXTH admission axis): standing winnowing
+    // index from the even docs, odd docs arrive as one batch; admitted
+    // = batch minus within-batch shared-fingerprint cluster
+    // non-representatives (>= WinnowMinShared shared screened hashes,
+    // min-id rep) minus docs matching ANY indexed doc at the same
+    // threshold. Short docs (< k+w-1 words) admitted by contract.
+    "q257_winnow_admission" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val outPath = "spark-warehouse/graft_bench_wadmit_q257_out"
+      ensureStoredIndex("graft_bench_wadmit_q257", d) {
+        val hp = new org.apache.hadoop.fs.Path(outPath)
+        val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(hp)) fs.delete(hp, true)
+        val idx = docs.filter(col("doc_id") % 2 === 0)
+        val sel = Dedup.winnowingFingerprints(idx, "doc_id", "text",
+            WinnowK, WinnowW)
+          .select(col("doc_id"), col("fp_hash")).distinct().localCheckpoint()
+        val rare = sel.groupBy("fp_hash").agg(count(lit(1)).as("_df"))
+          .filter(col("_df") <= WinnowMaxDf).select("fp_hash")
+        graft.sources.Warehouse.saveWinnowIndex(sel.join(rare, "fp_hash"),
+          "graft_bench_wadmit_q257")
+        graft.streaming.StreamingDedup.admitBatchWinnow(
+          docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+          "graft_bench_wadmit_q257", outPath,
+          k = WinnowK, w = WinnowW, maxDf = WinnowMaxDf,
+          minShared = WinnowMinShared)
+      }
+      s.read.parquet(outPath).select("doc_id", "lang").orderBy("doc_id")
     }),
 
     // Tokenizer model at rest (r13, Warehouse.saveBpeMerges +
@@ -5607,6 +5651,23 @@ object ExtQueries {
     // q256: q255's oracle VERBATIM — pairs from the stored bucketed
     // selection (save + blind append) equal the direct run
     "q256_winnow_stored" -> winnowPairsOracleSql,
+    // q257: the admission contract replayed declaratively — per-slice
+    // winnowing selections (odd batch, even index), within-batch pair
+    // closure (q67 CTEs) drops non-reps, cross-match semi-join drops
+    // index hits
+    "q257_winnow_admission" ->
+      ("WITH RECURSIVE " +
+        winnowSelCtes("(SELECT * FROM documents WHERE doc_id % 2 = 1)", "od") + ", " +
+        winnowSelCtes("(SELECT * FROM documents WHERE doc_id % 2 = 0)", "ev") + ", " +
+        s"pairs AS (SELECT a.doc_id da, b.doc_id db FROM odk a JOIN odk b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2 HAVING count(*) >= $WinnowMinShared), " +
+        "edges AS (SELECT da x, db y FROM pairs UNION ALL SELECT db, da FROM pairs), " +
+        "reach(node, lbl) AS (SELECT x, x FROM (SELECT DISTINCT x FROM edges) t UNION SELECT e.x, r.lbl FROM edges e JOIN reach r ON e.y = r.node), " +
+        "nonrep AS (SELECT node FROM (SELECT node, min(lbl) AS lbl FROM reach GROUP BY node) t WHERE node <> lbl), " +
+        "m0 AS (SELECT a.doc_id od, e.doc_id ed, count(*) c FROM odk a JOIN evk e ON a.h = e.h GROUP BY 1, 2), " +
+        s"matched AS (SELECT DISTINCT od FROM m0 WHERE c >= $WinnowMinShared) " +
+        "SELECT doc_id, lang FROM documents WHERE doc_id % 2 = 1 " +
+        "AND doc_id NOT IN (SELECT node FROM nonrep) " +
+        "AND doc_id NOT IN (SELECT od FROM matched) ORDER BY doc_id"),
     // q186: the same chain, final select swapped for the token explode
     "q186_bpe_tokens" -> Bpe.tokenTableSql(8, 25),
     // q164: integer day diffs — exact mean, element p95

@@ -607,4 +607,98 @@ object StreamingDedup {
       bCapped.unpersist()
     } finally b.unpersist()
   }
+
+  // ------------------------------------------------------------------
+  // Axis 6: winnowing fingerprints (shared-run plagiarism/near-dup)
+  // ------------------------------------------------------------------
+
+  /**
+   * Winnowing admission — the SIXTH axis (SimHash hamming, MinHash
+   * Jaccard, lexical cosine, semantic cosine, trigram containment,
+   * and now MOSS-style shared-fingerprint matching), over the at-rest
+   * winnowing index ([[graft.sources.Warehouse.saveWinnowIndex]]): a
+   * document is admitted only if no already-admitted document shares
+   * ≥ `minShared` of its selected fingerprint hashes
+   * ([[graft.operators.Dedup.winnowingFingerprints]], screened at
+   * df ≤ `maxDf` within each batch — the corpus-local cap discipline).
+   * Same four-step batch shape (stateless selection → within-batch
+   * cluster reps → index probe → manifest commit), same exactly-once
+   * contract.
+   */
+  def winnowAdmission(docs: DataFrame, idCol: String, textCol: String,
+                      indexTable: String, outPath: String,
+                      checkpointDir: String,
+                      k: Int = 3, w: Int = 4, maxDf: Long = 200L,
+                      minShared: Long = 3L,
+                      indexBuckets: Int = 32): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        admitBatchWinnow(batch, idCol, textCol, indexTable, outPath,
+          k, w, maxDf, minShared, indexBuckets, Some(bid))
+      }
+      .start()
+
+  /** One winnowing admission round — also the BATCH incremental API
+    * (ship a day's partition against the standing index without a
+    * stream). */
+  def admitBatchWinnow(batch: DataFrame, idCol: String, textCol: String,
+                       indexTable: String, outPath: String,
+                       k: Int = 3, w: Int = 4, maxDf: Long = 200L,
+                       minShared: Long = 3L,
+                       indexBuckets: Int = 32,
+                       batchId: Option[Long] = None): Unit = {
+    val spark = batch.sparkSession
+    // screened selection of a frame — the batch is its own small
+    // corpus for the df cap (the lexicalAdmission precedent); eager
+    // localCheckpoint because the selection feeds the screen AND every
+    // downstream consumer (the q255 four-executions lesson)
+    def selOf(s: DataFrame): DataFrame = {
+      val sel = graft.operators.Dedup
+        .winnowingFingerprints(s, idCol, textCol, k, w)
+        .select(col(idCol), col("fp_hash")).distinct()
+        .localCheckpoint()
+      val rare = sel.groupBy("fp_hash").agg(count(lit(1)).as("_df"))
+        .filter(col("_df") <= maxDf).select("fp_hash")
+      sel.join(rare, "fp_hash")
+    }
+    def appendIdx(s: DataFrame): Unit =
+      Warehouse.saveWinnowIndex(selOf(s), indexTable,
+        buckets = indexBuckets, mode = appendModeFor(spark, indexTable))
+    def ensureIdx(s: DataFrame): Unit =
+      if (!indexHasIds(spark, indexTable, s.select(idCol), idCol, idCol))
+        Warehouse.appendBucketedTable(selOf(s), indexTable, "fp_hash",
+          indexBuckets)
+    if (batchId.exists(recoverPartialCommit(spark, outPath, _, idCol, ensureIdx)))
+      return
+    val b = batch.persist()
+    try {
+      val kept = selOf(b).localCheckpoint()
+      // within-batch: one representative per shared-fingerprint cluster
+      val pairs = kept.select(col(idCol).as("da"), col("fp_hash"))
+        .join(kept.select(col(idCol).as("db"), col("fp_hash")), "fp_hash")
+        .filter(col("da") < col("db"))
+        .groupBy("da", "db").agg(count(lit(1)).as("_n"))
+        .filter(col("_n") >= minShared)
+        .select("da", "db")
+      val dropWithin = graft.operators.Dedup
+        .dedupClustersStar(pairs, "da", "db")
+        .filter(col("node") =!= col("lbl"))
+        .select(col("node").as(idCol))
+      // vs the standing index (rejection tracked by ID — a doc below
+      // k+w-1 words has no selection rows but is not a duplicate and
+      // must still be admitted; the minHash-axis contract)
+      val rejectedIds = (
+        if (spark.catalog.tableExists(indexTable)) {
+          val repSel = kept.join(dropWithin, Seq(idCol), "left_anti")
+          val hit = graft.operators.Dedup.winnowMatchesAgainst(
+              repSel, spark.table(indexTable), idCol, minShared)
+            .select(col("probe_id").as(idCol)).distinct()
+          dropWithin.union(hit)
+        } else dropWithin
+      ).localCheckpoint()
+      val survivors = b.join(rejectedIds, Seq(idCol), "left_anti")
+      commitAdmission(survivors, outPath, batchId, appendIdx)
+    } finally b.unpersist()
+  }
 }

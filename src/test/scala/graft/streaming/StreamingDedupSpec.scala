@@ -355,4 +355,45 @@ class StreamingDedupSpec extends AnyFunSuite with SparkTestSession {
     assert(idx.count() == 24L)
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
+
+  test("winnowing admission: streamed batches dedup by shared fingerprints through the stored index") {
+    import spark.implicits._
+    val srcDir = Files.createTempDirectory("graft-wnx-src").toString
+    val outDir = Files.createTempDirectory("graft-wnx-out").toString + "/out"
+    val ckpt = Files.createTempDirectory("graft-wnx-ckpt").toString
+    val tbl = "graft_bench_stream_wnx"
+    Warehouse.dropWithLocation(spark, tbl)
+
+    // a one-token mutation of a 40-token doc leaves long shared runs
+    // on both sides — the winnowing guarantee samples common
+    // fingerprints from any run >= w+k-1 = 6 words, far above the
+    // minShared=3 bar; disjoint vocabularies share nothing
+    val base = doc("alpha")
+    def runOnce(): Unit = {
+      val q = StreamingDedup.winnowAdmission(
+        spark.readStream.schema(schema).parquet(srcDir),
+        "doc_id", "text", tbl, outDir, ckpt)
+      q.processAllAvailable(); q.stop()
+    }
+
+    // batch 1: 1 and 2 are near-copies (min-id 1 survives), 3 is a
+    // stranger, 6 is too short to gram (admitted by contract)
+    Seq((1L, base), (2L, mutate(base, 5)), (3L, doc("beta")), (6L, "hi"))
+      .toDF("doc_id", "text").write.mode("append").parquet(srcDir)
+    runOnce()
+    // batch 2: 4 is a near-copy of ADMITTED 1 (only the stored index
+    // can reject it); 5 is a stranger
+    Seq((4L, mutate(base, 7)), (5L, doc("gamma")))
+      .toDF("doc_id", "text").write.mode("append").parquet(srcDir)
+    runOnce()
+
+    val admitted = spark.read.parquet(outDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(admitted == Set(1L, 3L, 5L, 6L), s"admitted $admitted")
+    // the index holds selections for the grammable survivors only
+    val idx = spark.table(tbl)
+    assert(idx.select("doc_id").distinct().collect()
+      .map(_.getLong(0)).toSet == Set(1L, 3L, 5L))
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
 }
