@@ -25,9 +25,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  * scan — spec-asserted); over a raw log they filter parsed event time.
  *
  * Reports: `profile` (top digests by rate-scaled load, with the
- * worst-case example query), `sparkline` (per-digest time buckets),
- * `load` (db/user breakdown), `apdex` (latency satisfaction per
- * digest), `percentiles` (p50/p95/p99 per digest via the mergeable
+ * worst-case example query), `sparkline` (per-digest time buckets;
+ * with a `rollup:<prefix>` source the hour-grain series rebuilds from
+ * the stored core partials, totals rounded once at the presentation
+ * edge), `load` (db/user breakdown), `apdex` (latency satisfaction per
+ * digest; with a `rollup:<prefix>` source served from the stored
+ * n_sat/n_tol counters at the threshold the partials were built with —
+ * `-apdexT` is ignored there), `percentiles` (p50/p95/p99 per digest via the mergeable
  * HDR sketch; with a `rollup:<table|path>` source it reads a STORED
  * latencySketch table — digest × day × bucket counts, day-sliced by
  * `-since`/`-until` before the merge — so the band report costs a
@@ -59,6 +63,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  * an event rescan, and is bit-identical to the event-level run), and
  * `seasonal` (hour-buckets that broke their own hour-of-day profile,
  * q207's integer z-test).
+ *
+ * Partials-fed coverage is now every mode the digest-grain partials
+ * CAN serve exactly: digest, pareto, cusum, percentiles, anomaly,
+ * sparkline, apdex. The two that stay event-level do so by design:
+ * `profile`'s dispersion/percentile columns (stddev, V/M, approx p95,
+ * first/last seen, rows sums) are statistics the partials deliberately
+ * don't carry (the drill-down profile SECTION is partials-fed via
+ * `-report digest`), and `load`'s db×user grain is finer than the
+ * per-(digest, label) side tables.
  *
  * A `parquet:` source reads the [[graft.sources.Warehouse]] layout the
  * ingest CLI writes (date-partitioned wide table), so
@@ -140,10 +153,34 @@ object Report {
       dedup(read("_examples"), Seq("digest", "query", "ts", "offset")))
   }
 
+  /** The CORE digest-partial frame alone (no side tables) — for
+    * reports that need only the (digest, hr) counters: anomaly,
+    * sparkline, apdex. */
+  private def rollupCoreTable(spark: SparkSession,
+                              c: Config): DataFrame = {
+    val src = c.source.stripPrefix("rollup:")
+    val stored =
+      if (src.contains("/")) spark.read.parquet(src) else spark.table(src)
+    if (stored.columns.contains("batch_id"))
+      stored.dropDuplicates("batch_id", "digest", "hr").drop("batch_id")
+    else stored
+  }
+
   /** The selected report as a frame (the testable surface). */
   def run(spark: SparkSession, c: Config): DataFrame = {
     lazy val wide = wideFor(spark, c)
     c.report match {
+      case "sparkline" if c.source.startsWith("rollup:") =>
+        // hour-grain sparkline from the stored core partials; time
+        // totals round once at the presentation edge (integer-µs
+        // partials — the q201 rule)
+        Qan.sparklineFromPartials(rollupCoreTable(spark, c))
+      case "apdex" if c.source.startsWith("rollup:") =>
+        // satisfaction index from the stored n_sat/n_tol counters —
+        // served at the threshold the partials were BUILT with
+        // (-apdexT is ignored for rollup sources; a different t needs
+        // the event scan)
+        Qan.apdexFromPartials(rollupCoreTable(spark, c)).limit(c.top)
       case "cusum" if c.source.startsWith("rollup:") =>
         // monitor WITHOUT the event rescan: read a stored q201-layout
         // partial table (blind-appended by daily/streamed batches),
@@ -205,14 +242,7 @@ object Report {
         // page needs) — an anomaly sweep shouldn't require or touch
         // the drill-down side frames.
         import org.apache.spark.sql.functions.col
-        val src = c.source.stripPrefix("rollup:")
-        val stored =
-          if (src.contains("/")) spark.read.parquet(src) else spark.table(src)
-        val core =
-          if (stored.columns.contains("batch_id"))
-            stored.dropDuplicates("batch_id", "digest", "hr").drop("batch_id")
-          else stored
-        Qan.latencyAnomalyFromPartials(core)
+        Qan.latencyAnomalyFromPartials(rollupCoreTable(spark, c))
           .filter(col("is_anomaly"))
           .orderBy(col("load").desc, col("digest"), col("hr"))
           .limit(c.top)

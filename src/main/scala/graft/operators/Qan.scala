@@ -85,6 +85,24 @@ object Qan {
           .as("total_time_scaled"))
       .orderBy("bucket", "digest")
 
+  /** [[sparkline]] (hour grain) WITHOUT the event rescan — rebuilt from
+    * the digest-grain core partials ([[digestPartials]]: integer-µs
+    * sums per (digest, hr)). Time columns round once at the
+    * presentation edge (the q201/q105 sum-magnitude rule — the stored
+    * integers are exact, a raw double re-sum is not), so readers
+    * compare this against an event-level sparkline rounded the same
+    * way. Hour is the partials' native grain; coarser buckets
+    * re-aggregate the calendar-sized frame, never events. */
+  def sparklineFromPartials(core: DataFrame): DataFrame =
+    core.groupBy("digest", "hr")
+      .agg(sum("cnt").as("cnt"), sum("sum_rate").as("cnt_scaled"),
+        sum("sum_time_us").as("_tus"), sum("sum_load_us").as("_lus"))
+      .select(timestamp_micros(col("hr") * 3600000000L).as("bucket"),
+        col("digest"), col("cnt"), col("cnt_scaled"),
+        round(col("_tus") / 1e6, 4).as("total_time"),
+        round(col("_lus") / 1e6, 4).as("total_time_scaled"))
+      .orderBy("bucket", "digest")
+
   /**
    * Two-window trend comparison — pt-query-digest's `--history` question
    * ("which queries got worse?") as one operator: per key, load and call
@@ -140,6 +158,21 @@ object Qan {
       .withColumn("apdex",
         round((col("satisfied") + col("tolerating") / lit(2.0)) / col("cnt"), 4))
       .orderBy(col("apdex").asc, col(keyCol))
+
+  /** [[apdex]] WITHOUT the event rescan — the satisfaction index from
+    * the digest-grain core partials' n_sat/n_tol counters. The
+    * threshold is the one the partials were BUILT with
+    * ([[digestPartials]]'s apdexT) — a different t needs the event
+    * scan, which is why the counters persist at all. Exact integers +
+    * the same single division → bit-identical to the event-level run
+    * at the stored t. */
+  def apdexFromPartials(core: DataFrame): DataFrame =
+    core.groupBy("digest")
+      .agg(sum("cnt").as("cnt"), sum("n_sat").as("satisfied"),
+        sum("n_tol").as("tolerating"))
+      .withColumn("apdex",
+        round((col("satisfied") + col("tolerating") / lit(2.0)) / col("cnt"), 4))
+      .orderBy(col("apdex").asc, col("digest"))
 
   /**
    * Series densification — fill the missing buckets of an aggregated

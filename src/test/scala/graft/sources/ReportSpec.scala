@@ -256,6 +256,24 @@ class ReportSpec extends AnyFunSuite with SparkTestSession {
     // and the CLI path parses + runs (filtered head may be empty)
     Report.run(spark, Report.Config(source = s"rollup:$dgDir",
       report = "anomaly")).collect()
+    // sparkline from the same core partials: equals the event-level
+    // hour sparkline with the totals rounded the same way (integer-µs
+    // partials round once at the presentation edge)
+    import org.apache.spark.sql.functions.round
+    val spR = Report.run(spark, Report.Config(source = s"rollup:$dgDir",
+      report = "sparkline")).collect()
+    val spD = graft.operators.Qan.sparkline(wide, "hour")
+      .withColumn("total_time", round(col("total_time"), 4))
+      .withColumn("total_time_scaled", round(col("total_time_scaled"), 4))
+      .collect()
+    assert(spR.nonEmpty && spR.sameElements(spD))
+    // apdex from the stored n_sat/n_tol counters: bit-identical to the
+    // event-level run at the partials' own threshold (0.5 default)
+    val apR = Report.run(spark, Report.Config(source = s"rollup:$dgDir",
+      report = "apdex")).collect()
+    val apD = Report.run(spark, Report.Config(source = warehouse,
+      report = "apdex")).collect()
+    assert(apR.nonEmpty && apR.sameElements(apD))
   }
 
   test("compare report splits rate-scaled load at -splitAt") {
