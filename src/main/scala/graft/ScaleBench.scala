@@ -1066,7 +1066,7 @@ object ScaleBench {
         "q52_shingles", "q40_minhash",
         "q67_clusters", "q67_cluster_only", "q84_star_only", "lpa_only", "q75_probe",
         "admit_batch", "q40_probe", "q40_cand", "minhash_admit", "lexical_admit",
-        "trigram_admit", "cc_augment",
+        "trigram_admit", "winnow_admit", "cc_augment",
         "q92_bloom", "q99_spans", "q102_edit", "q103_bigram", "q104_sn",
         "q107_entropy", "q107_exploded", "q160_vocab", "winnow_pairs", "winnow_sel", "winnow_probe")
       val embOps = Seq("q83_pq", "q41c_probe", "q41c_logbits",
@@ -1346,6 +1346,39 @@ object ScaleBench {
           (System.nanoTime() - t0) / 1e9
         }
         record("trigram_admit", k, math.min(onceTri(1), onceTri(2)))
+        Warehouse.dropWithLocation(spark, tbl)
+      }
+
+      // winnowing admission (axis 6): index selection grows k×, the
+      // admitted batch is a FIXED fresh 1× slice (salted tokens — its
+      // grams hash away from every indexed doc's) — batch-side
+      // selection + the hash join against the bucketed stored table,
+      // expected in the flat admission band (winnow_probe's shape +
+      // the within-batch closure on the fixed batch)
+      if (want("winnow_admit")) {
+        val tbl = "graft_bench_scale_wn_admit"
+        Warehouse.dropWithLocation(spark, tbl)
+        val idxSel = Dedup.winnowingFingerprints(
+            docs.repartition(32), "doc_id", "text", 3, 4)
+          .select(col("doc_id"), col("fp_hash")).distinct().localCheckpoint()
+        val idxRare = idxSel.groupBy("fp_hash")
+          .agg(count(lit(1)).as("_df"))
+          .filter(col("_df") <= 200L).select("fp_hash")
+        Warehouse.saveWinnowIndex(idxSel.join(idxRare, "fp_hash"), tbl)
+        val outDir = java.nio.file.Files
+          .createTempDirectory("graft-scale-wn-admit").toString + "/out"
+        def freshWnBatch(tag: Int): DataFrame = scaleDocs(spark, sf, 1)
+          .select((col("doc_id") + 700000000L + tag * 1000000L).as("doc_id"),
+            array_join(transform(split(col("text"), " "),
+              x => concat(x, lit("_w"), lit(tag))), " ").as("text"))
+        def onceWn(tag: Int): Double = {
+          val b = freshWnBatch(tag)
+          val t0 = System.nanoTime()
+          graft.streaming.StreamingDedup.admitBatchWinnow(
+            b, "doc_id", "text", tbl, outDir)
+          (System.nanoTime() - t0) / 1e9
+        }
+        record("winnow_admit", k, math.min(onceWn(1), onceWn(2)))
         Warehouse.dropWithLocation(spark, tbl)
       }
 
