@@ -2039,6 +2039,38 @@ object ExtQueries {
         .orderBy("da", "db")
     }),
 
+    // Schema evolution across parquet generations (r14): a standing
+    // corpus whose NEWER batches carry an added column — the 100-TB
+    // reality of years-old datasets. Generation A (even docs) is
+    // written WITHOUT n_chars, generation B (odd docs) WITH it; the
+    // reader merges schemas (`mergeSchema`) and the absent column
+    // surfaces as NULL for old-generation rows. The oracle computes
+    // the merged aggregate directly from the documents table (the
+    // generations are deterministic slices), so the entry hash-checks
+    // Spark's merge + null-coalescing semantics end to end.
+    "q258_schema_evolution" -> ((s, d) => {
+      val base = "spark-warehouse/graft_bench_schevo_q258"
+      ensureStoredIndex("graft_bench_schevo_q258", d) {
+        val hp = new org.apache.hadoop.fs.Path(base)
+        val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(hp)) fs.delete(hp, true)
+        val docs = t(s, d, "documents")
+        docs.filter(col("doc_id") % 2 === 0)
+          .select("doc_id", "text", "lang")
+          .write.parquet(s"$base/gen=a")
+        docs.filter(col("doc_id") % 2 === 1)
+          .select(col("doc_id"), col("text"), col("lang"),
+            length(col("text")).cast("long").as("n_chars"))
+          .write.parquet(s"$base/gen=b")
+      }
+      s.read.option("mergeSchema", "true").parquet(base)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("cnt"),
+          count(col("n_chars")).as("n_with"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy("lang")
+    }),
+
     // Batch winnowing admission, oracle-checked (r14 — the q251
     // composition for the SIXTH admission axis): standing winnowing
     // index from the even docs, odd docs arrive as one batch; admitted
@@ -5651,6 +5683,15 @@ object ExtQueries {
     // q256: q255's oracle VERBATIM — pairs from the stored bucketed
     // selection (save + blind append) equal the direct run
     "q256_winnow_stored" -> winnowPairsOracleSql,
+    // q258: the merged-schema aggregate computed directly from the
+    // documents table (the generations are deterministic slices; the
+    // old generation's absent column is NULL — count/sum skip it on
+    // both engines)
+    "q258_schema_evolution" ->
+      ("SELECT lang, count(*) AS cnt, " +
+        "count(CASE WHEN doc_id % 2 = 1 THEN 1 END) AS n_with, " +
+        "CAST(sum(CASE WHEN doc_id % 2 = 1 THEN length(text) END) AS BIGINT) AS sum_chars " +
+        "FROM documents GROUP BY lang ORDER BY lang"),
     // q257: the admission contract replayed declaratively — per-slice
     // winnowing selections (odd batch, even index), within-batch pair
     // closure (q67 CTEs) drops non-reps, cross-match semi-join drops
