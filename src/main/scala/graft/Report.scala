@@ -85,7 +85,7 @@ object Report {
       report: String = "profile",
       top: Int = 20,
       bucket: String = "hour",
-      apdexT: Double = 0.5,
+      apdexT: Option[Double] = None,
       splitAt: Option[String] = None,
       since: Option[String] = None,
       until: Option[String] = None,
@@ -99,7 +99,7 @@ object Report {
       case "-report" :: v :: t => loop(t, c.copy(report = v))
       case "-top" :: v :: t => loop(t, c.copy(top = v.toInt))
       case "-bucket" :: v :: t => loop(t, c.copy(bucket = v))
-      case "-apdexT" :: v :: t => loop(t, c.copy(apdexT = v.toDouble))
+      case "-apdexT" :: v :: t => loop(t, c.copy(apdexT = Some(v.toDouble)))
       case "-splitAt" :: v :: t => loop(t, c.copy(splitAt = Some(v)))
       case "-since" :: v :: t => loop(t, c.copy(since = Some(v)))
       case "-until" :: v :: t => loop(t, c.copy(until = Some(v)))
@@ -155,15 +155,26 @@ object Report {
 
   /** The CORE digest-partial frame alone (no side tables) — for
     * reports that need only the (digest, hr) counters: anomaly,
-    * sparkline, apdex. */
+    * sparkline, apdex, pareto. `-since`/`-until` slice on the `hr`
+    * epoch-hour column (midnight bounds are exact hour multiples, so
+    * the date window maps losslessly onto the partial grain) — a
+    * ranged rollup report covers the SAME window as its event-level
+    * twin, never silently full history. */
   private def rollupCoreTable(spark: SparkSession,
                               c: Config): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
     val src = c.source.stripPrefix("rollup:")
     val stored =
       if (src.contains("/")) spark.read.parquet(src) else spark.table(src)
-    if (stored.columns.contains("batch_id"))
-      stored.dropDuplicates("batch_id", "digest", "hr").drop("batch_id")
-    else stored
+    val collapsed =
+      if (stored.columns.contains("batch_id"))
+        stored.dropDuplicates("batch_id", "digest", "hr").drop("batch_id")
+      else stored
+    def hrBound(d: String) =
+      expr(s"unix_micros(to_timestamp('$d')) div 3600000000")
+    val lo = c.since.map(s => col("hr") >= hrBound(s))
+    val hi = c.until.map(u => col("hr") < hrBound(u))
+    (lo.toSeq ++ hi.toSeq).foldLeft(collapsed)(_ filter _)
   }
 
   /** The selected report as a frame (the testable surface). */
@@ -173,13 +184,22 @@ object Report {
       case "sparkline" if c.source.startsWith("rollup:") =>
         // hour-grain sparkline from the stored core partials; time
         // totals round once at the presentation edge (integer-µs
-        // partials — the q201 rule)
+        // partials — the q201 rule). The partial grain is FIXED at
+        // hour, so a different -bucket cannot be served from this
+        // source — fail loudly rather than return mislabeled buckets.
+        require(c.bucket == "hour", s"rollup-sourced sparkline serves " +
+          s"the stored hour grain; -bucket ${c.bucket} needs an " +
+          "event-level source")
         Qan.sparklineFromPartials(rollupCoreTable(spark, c))
       case "apdex" if c.source.startsWith("rollup:") =>
         // satisfaction index from the stored n_sat/n_tol counters —
-        // served at the threshold the partials were BUILT with
-        // (-apdexT is ignored for rollup sources; a different t needs
-        // the event scan)
+        // served at the threshold the partials were BUILT with. An
+        // explicit -apdexT cannot be honored (classification is baked,
+        // not mergeable across thresholds) — fail loudly rather than
+        // return numbers at a different t than asked.
+        require(c.apdexT.isEmpty, "rollup-sourced apdex serves the " +
+          "threshold the partials were built with; -apdexT needs an " +
+          "event-level source")
         Qan.apdexFromPartials(rollupCoreTable(spark, c)).limit(c.top)
       case "cusum" if c.source.startsWith("rollup:") =>
         // monitor WITHOUT the event rescan: read a stored q201-layout
@@ -187,16 +207,27 @@ object Report {
         // collapse replayed micro-batches if the stream stamped them,
         // merge on read, and feed the calendar-sized daily frame to
         // the changepoint check — bit-identical to the event-level
-        // run (exact-integer partials; spec-proven composition)
-        import org.apache.spark.sql.functions.{col, sum}
+        // run (exact-integer partials; spec-proven composition).
+        // -since/-until slice the day-grain partials before the merge,
+        // mirroring the event-level path's wideFor window.
+        import org.apache.spark.sql.functions.{col, lit, sum}
         val src = c.source.stripPrefix("rollup:")
         val stored =
           if (src.contains("/")) spark.read.parquet(src) else spark.table(src)
-        val partials =
+        val collapsed =
           if (stored.columns.contains("batch_id"))
             stored.dropDuplicates("batch_id", "day", "event_type")
               .drop("batch_id")
           else stored
+        // `day` is the epoch-day long of the q201 layout
+        // (ts_ns div 86400000000000) — bound with unix_date
+        val loB = c.since.map(s =>
+          col("day") >= org.apache.spark.sql.functions.expr(
+            s"unix_date(to_date('$s'))"))
+        val hiB = c.until.map(u =>
+          col("day") < org.apache.spark.sql.functions.expr(
+            s"unix_date(to_date('$u'))"))
+        val partials = (loB.toSeq ++ hiB.toSeq).foldLeft(collapsed)(_ filter _)
         val daily = graft.operators.Rollup.mergePartials(partials)
           .groupBy("day")
           .agg(sum("cnt").as("n"), sum("sum_v").as("_s"))
@@ -209,9 +240,14 @@ object Report {
         // batches collapse via their batch_id stamp first
         val id = c.digestId.getOrElse(throw new IllegalArgumentException(
           "-report digest needs -digest <digest-id>"))
+        // the _users/_schemas side tables are (digest, label)-grain
+        // with no time column, so a ranged drill-down page cannot be
+        // rebuilt from partials consistently — fail loudly
+        require(c.since.isEmpty && c.until.isEmpty, "rollup-sourced " +
+          "digest page cannot be range-sliced (side tables carry no " +
+          "time column); -since/-until need an event-level source")
         val (core, users, schemas, examples) = rollupDigestTables(spark, c)
-        Qan.digestDetailFromPartials(core, users, schemas, examples, id,
-          c.apdexT)
+        Qan.digestDetailFromPartials(core, users, schemas, examples, id)
       case "percentiles" if c.source.startsWith("rollup:") =>
         // percentile bands WITHOUT the event rescan: a stored
         // latencySketch frame (digest × day × bucket counts, blind-
@@ -248,17 +284,19 @@ object Report {
           .limit(c.top)
       case "pareto" if c.source.startsWith("rollup:") =>
         // concentration head from stored partials: merge → one
-        // presentation division per digest → the q134 ranking
+        // presentation division per digest → the q134 ranking.
+        // rollupCoreTable (not rollupDigestTables) so -since/-until
+        // slice on hr like the other core-fed modes.
         import org.apache.spark.sql.functions.col
-        val (core, _, _, _) = rollupDigestTables(spark, c)
-        Qan.paretoLoad(Qan.digestLoadsFromPartials(core), "digest",
-          col("load"), c.threshold)
+        Qan.paretoLoad(Qan.digestLoadsFromPartials(rollupCoreTable(spark, c)),
+          "digest", col("load"), c.threshold)
       case "profile" => Qan.profile(wide, c.top)
       case "sparkline" => Qan.sparkline(wide, c.bucket)
       case "load" => Qan.loadByDbUser(wide)
       case "apdex" =>
         import org.apache.spark.sql.functions.col
-        Qan.apdex(wide, "digest", col("query_time"), c.apdexT).limit(c.top)
+        Qan.apdex(wide, "digest", col("query_time"),
+          c.apdexT.getOrElse(0.5)).limit(c.top)
       case "percentiles" =>
         Qan.latencyPercentilesFrom(Qan.latencySketch(wide))
           .orderBy(org.apache.spark.sql.functions.col("p95_time").desc,
@@ -340,7 +378,7 @@ object Report {
         // links for ONE digest, the review-UI page behind a profile row
         val id = c.digestId.getOrElse(throw new IllegalArgumentException(
           "-report digest needs -digest <digest-id>"))
-        graft.operators.Qan.digestDetail(wide, id, c.apdexT)
+        graft.operators.Qan.digestDetail(wide, id, c.apdexT.getOrElse(0.5))
       case "histogram" =>
         // equi-depth latency histogram: -top buckets with equal query
         // counts — where the mass actually sits (equi-width starves on

@@ -473,7 +473,12 @@ object Behavior {
     * the corpus-sized monitor aggregates keep their one-exchange
     * shape. */
   private def guardedSum(term: Column, what: String): Column = {
-    val shadow = sum(abs(term).cast("double"))
+    // coalesce: a global agg over ZERO rows (e.g. a ranged report whose
+    // window slices the series empty) yields a NULL sum, and
+    // assert_true(NULL) raises with a null message — an empty series
+    // is a legal input that must flow through as an empty result, not
+    // a magnitude violation
+    val shadow = coalesce(sum(abs(term).cast("double")), lit(0.0))
     when(assert_true(shadow < lit(4.4e18),
       concat(lit(s"$what exceeds the integer-exact magnitude bound " +
         "(sum(|term|) >= 4.4e18) - segment the series (per month / " +

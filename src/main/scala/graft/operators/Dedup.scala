@@ -85,8 +85,17 @@ object Dedup {
         transform(sequence(lit(1), size(col("_ws")) - (k - 1)),
           i => concat_ws(" ", slice(col("_ws"), i, lit(k))))))
       .select(col(idCol), col("pos"),
+        // loud guard on the 20-bit position field: a doc past 2^20
+        // grams would drive (2^20−1−pos) negative and silently corrupt
+        // the packed ordering + fp_pos unpacking — raise in the plan
+        // instead (zero cost on the common branch)
         (conv(substring(md5(col("col")), 1, 10), 16, 10).cast("long") *
-          lit(1048576L) + (lit(1048575L) - col("pos"))).as("_pack"))
+          lit(1048576L) + (lit(1048575L) -
+            when(col("pos") < lit(1048576L), col("pos"))
+              .otherwise(raise_error(concat(
+                lit("winnowing: document "), col(idCol).cast("string"),
+                lit(" exceeds the 2^20-gram position bound (pos="),
+                col("pos").cast("string"), lit(")")))))).as("_pack"))
     val win = Window.partitionBy(col(idCol)).orderBy(col("pos"))
       .rowsBetween(-(w - 1), Window.currentRow)
     grams

@@ -701,7 +701,7 @@ object Qan {
    */
   def digestDetailFromPartials(core: DataFrame, users: DataFrame,
                                schemas: DataFrame, examples: DataFrame,
-                               digest: String, apdexT: Double = 0.5,
+                               digest: String,
                                topExamples: Int = 3,
                                topDrill: Int = 5): DataFrame = {
     val c = core.filter(col("digest") === digest)

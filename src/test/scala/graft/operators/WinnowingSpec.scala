@@ -98,4 +98,21 @@ class WinnowingSpec extends AnyFunSuite with SparkTestSession {
     val tiny = Seq((9L, "a b c d")).toDF("doc_id", "text")
     assert(Dedup.winnowingFingerprints(tiny, "doc_id", "text", 3, 4).isEmpty)
   }
+
+  test("a doc past the 2^20-gram position bound fails loudly, not silently") {
+    // 2^20 + 8 one-char words → positions past 1048575 would corrupt
+    // the packed (hash, pos) key; the plan-side guard raises instead
+    val words = new StringBuilder
+    (0 until (1 << 20) + 8).foreach { i =>
+      words.append("w").append(i % 7).append(' ')
+    }
+    val huge = Seq((1L, words.result().trim)).toDF("doc_id", "text")
+    val e = intercept[Exception](
+      Dedup.winnowingFingerprints(huge, "doc_id", "text", 1, 4).count())
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("2^20-gram position bound")),
+      s"unexpected failure: $e")
+  }
 }

@@ -24,7 +24,7 @@ class ReportSpec extends AnyFunSuite with SparkTestSession {
     val c = Report.parseArgs(Array("-source", "parquet:/w", "-report",
       "apdex", "-top", "5", "-apdexT", "0.25"))
     assert(c.source == "parquet:/w" && c.report == "apdex")
-    assert(c.top == 5 && c.apdexT == 0.25)
+    assert(c.top == 5 && c.apdexT.contains(0.25))
     assert(Report.parseArgs(Array("-source", "x")).report == "profile")
     intercept[IllegalArgumentException](Report.parseArgs(Array("-bogus", "x")))
     intercept[IllegalArgumentException](Report.parseArgs(Array.empty))
@@ -174,6 +174,13 @@ class ReportSpec extends AnyFunSuite with SparkTestSession {
       val direct = Report.run(spark, Report.Config(
         source = warehouse, report = "cusum")).collect()
       assert(viaRollup.sameElements(direct))
+      // -since/-until slice the day-grain partials: an enclosing
+      // window equals the unsliced run, a disjoint window is empty
+      assert(Report.run(spark, Report.Config(source = s"rollup:$tbl",
+        report = "cusum", since = Some("2024-01-01"),
+        until = Some("2024-02-01"))).collect().sameElements(viaRollup))
+      assert(Report.run(spark, Report.Config(source = s"rollup:$tbl",
+        report = "cusum", since = Some("2030-01-01"))).collect().isEmpty)
     } finally Warehouse.dropWithLocation(spark, tbl)
   }
 
@@ -337,5 +344,38 @@ class ReportSpec extends AnyFunSuite with SparkTestSession {
       assert(est <= exact + 1e-4 && exact < est * 1.125 + 1e-4,
         s"${r.getAs[String]("digest")}: sketch $est vs profile $exact")
     }
+  }
+
+  test("ranged rollup reports slice on hr; unservable knobs fail loudly") {
+    import org.apache.spark.sql.functions.lit
+    val wide = Report.wideFor(spark, Report.Config(source = warehouse))
+    val dir = Files.createTempDirectory("graft-report-rg").toString + "/dg"
+    val (core, _, _, _) = graft.operators.Qan.digestPartials(wide)
+    core.withColumn("batch_id", lit(0L)).write.mode("append").parquet(dir)
+    val src = s"rollup:$dir"
+    def run(report: String, f: Report.Config => Report.Config) =
+      Report.run(spark, f(Report.Config(source = src, report = report)))
+        .collect()
+    // fixture events are dated 2024-01-15: an enclosing window equals
+    // the unsliced run, a disjoint window is empty — ranged rollup
+    // reports no longer silently return full-history numbers
+    val spAll = run("sparkline", identity)
+    assert(spAll.nonEmpty)
+    assert(run("sparkline", _.copy(since = Some("2024-01-01"),
+      until = Some("2024-02-01"))).sameElements(spAll))
+    assert(run("sparkline", _.copy(since = Some("2024-06-01"))).isEmpty)
+    assert(run("apdex", _.copy(until = Some("2024-01-01"))).isEmpty)
+    val paAll = run("pareto", identity)
+    assert(paAll.nonEmpty &&
+      run("pareto", _.copy(since = Some("2024-01-01"))).sameElements(paAll))
+    // a grain or threshold the partials cannot serve fails loudly
+    // instead of returning numbers at a different grain/t than asked
+    intercept[IllegalArgumentException](
+      run("sparkline", _.copy(bucket = "minute")))
+    intercept[IllegalArgumentException](
+      run("apdex", _.copy(apdexT = Some(0.25))))
+    intercept[IllegalArgumentException](
+      run("digest", _.copy(digestId = Some("x"),
+        since = Some("2024-01-01"))))
   }
 }
