@@ -736,6 +736,25 @@ object ScaleBench {
       // DSIR weights at k× the corpus: the salted vocabulary grows k×
       // (the q185 axis), stressing the vocab aggregate + model join
       // while the per-doc aggregate stays entity-sized
+      // URL parse + per-domain cap at k× the corpus (the q260 path):
+      // the parse is map-only, the cap one rank window on the ~45
+      // synthetic registered domains — per-domain rows grow k×, so
+      // this measures the skewed-window cost the scaladoc's salting
+      // note is about. Expect ~linear.
+      if (want("domain_cap")) {
+        val docs = scaleDocs(spark, sf, k).persist()
+        val nDocs = docs.count()
+        System.err.println(s"SCALE inputs ${k}x: $nDocs docs (domain_cap)")
+        record("domain_cap", k, time(
+          graft.operators.Url.perDomainCap(
+            graft.operators.Url.urlParts(
+              docs.withColumn("url", graft.operators.Url.syntheticUrl(
+                col("doc_id"), col("lang"))),
+              col("url")),
+            "doc_id", 15)))
+        docs.unpersist()
+      }
+
       if (want("q223_dsir")) {
         val docs = scaleDocs(spark, sf, k).persist()
         val nDocs = docs.count()

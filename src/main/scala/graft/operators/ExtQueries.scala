@@ -492,6 +492,40 @@ object ExtQueries {
   private val WinnowMaxDf = 200L
   private val WinnowMinShared = 3L
 
+  /** q260 per-domain document cap and q261 near-dup verify threshold —
+    * one source for the Spark entries AND the generated oracles. */
+  private val DomainCapK = 15
+  private val DomainDupJac = 0.6
+
+  /** Shared URL-synthesis + parse + registered-domain CTE chain for the
+    * q259–q261 oracles — the DuckDB twin of [[Url.syntheticUrl]] +
+    * [[Url.urlParts]] (md5 16-bit hex decode, regex parse, eTLD+1
+    * heuristic). Yields `pr (doc_id, lang, n_chars, text, url, host,
+    * url_path, q_param, reg_domain)`. Keep in lockstep with Url.scala —
+    * any drift here fails three hash oracles at once. */
+  private def urlCtes(source: String = "documents"): String =
+    "u AS (SELECT doc_id, lang, n_chars, text, 'https://' || " +
+      "['www.','news.','blog.',''][h % 4 + 1] || 'site' || " +
+      "CAST(h % 5 AS VARCHAR) || '.' || " +
+      "['com','org','net','io','de','co.uk','com.au','ac.uk','edu.au'][h % 9 + 1] || " +
+      "(CASE WHEN h % 11 = 0 THEN ':8080' ELSE '' END) || '/p/' || " +
+      "CAST(doc_id % 100 AS VARCHAR) || " +
+      "(CASE WHEN h % 3 = 0 THEN '?q=' || lang ELSE '' END) AS url " +
+      "FROM (SELECT doc_id, lang, n_chars, text, " +
+      "CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),1,4)) AS UBIGINT) AS BIGINT) AS h " +
+      s"FROM $source)), " +
+      "pu AS (SELECT *, regexp_extract(url, '^https://([^/:?#]+)', 1) AS host, " +
+      "regexp_extract(url, '^https://[^/?#]*(/[^?#]*)', 1) AS url_path, " +
+      "nullif(regexp_extract(url, '[?&]q=([^&#]*)', 1), '') AS q_param FROM u), " +
+      "pd AS (SELECT *, string_split(host, '.') AS ls, " +
+      "len(string_split(host, '.')) AS nl FROM pu), " +
+      "pr AS (SELECT doc_id, lang, n_chars, text, url, host, url_path, q_param, " +
+      "CASE WHEN nl <= 1 THEN host " +
+      "WHEN nl >= 3 AND length(ls[-1]) = 2 AND ls[-2] IN " +
+      "('co','com','net','org','gov','ac','edu') " +
+      "THEN ls[-3] || '.' || ls[-2] || '.' || ls[-1] " +
+      "ELSE ls[-2] || '.' || ls[-1] END AS reg_domain FROM pd)"
+
   /** Per-source winnowing-selection CTE chain (grams → 40-bit packed
     * hashes → window min → distinct screened per-doc hash sets) with a
     * name prefix, so q257 can instantiate it once per corpus slice.
@@ -1924,7 +1958,13 @@ object ExtQueries {
             .outputMode("append")
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
             .start()
-          q.awaitTermination(300000); q.stop()
+          // fail loudly on a hung replay: a false return means the
+          // AvailableNow query was still running at the deadline, and
+          // stopping it mid-replay would surface later as an opaque
+          // oracle hash mismatch instead of a timeout here
+          val done = q.awaitTermination(300000)
+          q.stop()
+          require(done, "q252 streaming-funnel replay timed out (300 s)")
         }
         replay(ev.filter(col("ts") <= mid))
         replay(ev.filter(col("ts") > mid))
@@ -2101,6 +2141,51 @@ object ExtQueries {
       }
       s.read.parquet(outPath).select("doc_id", "lang").orderBy("doc_id")
     }),
+
+    // URL parse + registered domain (r15 — the named web-curation
+    // stage with no operator until now): a deterministic URL per doc
+    // (md5 arithmetic both engines reproduce), parsed by the built-in
+    // parse_url into host/path/q-param, host rolled to eTLD+1 under
+    // the documented heuristic. Map-only — no shuffle, no UDF.
+    "q259_url_parse" -> ((s, d) =>
+      Url.urlParts(
+          t(s, d, "documents").withColumn("url",
+            Url.syntheticUrl(col("doc_id"), col("lang"))),
+          col("url"))
+        .select("doc_id", "url", "host", "reg_domain", "url_path",
+          "q_param")
+        .orderBy("doc_id")),
+
+    // Per-domain census + the C4-style document cap (r15): registered
+    // domains rolled up (docs, hosts, langs, chars), then at most
+    // DomainCapK docs kept per domain by the content-keyed (md5, id)
+    // rank — kept set pinned by the exact id-sum checksum (q132 rule).
+    "q260_domain_cap" -> ((s, d) => {
+      val parts = Url.urlParts(
+        t(s, d, "documents").withColumn("url",
+          Url.syntheticUrl(col("doc_id"), col("lang"))),
+        col("url"))
+      val kept = Url.perDomainCap(parts, "doc_id", DomainCapK)
+        .groupBy("reg_domain")
+        .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("kept_id_sum"))
+      Url.domainRollup(parts, col("n_chars"))
+        .join(kept, "reg_domain")
+        .orderBy("reg_domain")
+    }),
+
+    // Per-domain duplication audit (r15): exact-dup surplus (q25's
+    // hash-groupBy keyed by domain) + verified near-dup pairs with
+    // BOTH sides in the same domain (q26's generator composed with
+    // the domain map) — the "is this domain a mirror farm" readout
+    // that drives per-domain cap/ban decisions.
+    "q261_domain_dup" -> ((s, d) =>
+      Url.domainDupStats(
+          Url.urlParts(
+            t(s, d, "documents").withColumn("url",
+              Url.syntheticUrl(col("doc_id"), col("lang"))),
+            col("url")),
+          "doc_id", "text", DomainDupJac)
+        .orderBy("reg_domain")),
 
     // Tokenizer model at rest (r13, Warehouse.saveBpeMerges +
     // Bpe.applyStats): q185's merges learned on the EVEN docs, stored,
@@ -5709,6 +5794,48 @@ object ExtQueries {
         "SELECT doc_id, lang FROM documents WHERE doc_id % 2 = 1 " +
         "AND doc_id NOT IN (SELECT node FROM nonrep) " +
         "AND doc_id NOT IN (SELECT od FROM matched) ORDER BY doc_id"),
+    // q259: synthesis + parse + eTLD+1 — the generated chain mirrors
+    // Url.syntheticUrl/urlParts verbatim (regex parse ≡ java.net.URI
+    // on the synthesized shapes: no userinfo, port stripped by the
+    // [^/:?#] class, q-param NULL when absent via nullif)
+    "q259_url_parse" ->
+      (s"WITH ${urlCtes()} SELECT doc_id, url, host, reg_domain, " +
+        "url_path, q_param FROM pr ORDER BY doc_id"),
+    // q260: census + cap — kept set pinned by the exact id-sum
+    // checksum (q132 rule: the md5 rank agrees byte-for-byte)
+    "q260_domain_cap" ->
+      (s"WITH ${urlCtes()}, " +
+        "rk AS (SELECT reg_domain, doc_id, row_number() OVER " +
+        "(PARTITION BY reg_domain ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn FROM pr), " +
+        "roll AS (SELECT reg_domain, count(*) AS n_docs, " +
+        "count(DISTINCT host) AS n_hosts, count(DISTINCT lang) AS n_langs, " +
+        "CAST(sum(n_chars) AS BIGINT) AS total_chars FROM pr GROUP BY 1), " +
+        s"k AS (SELECT reg_domain, count(*) AS n_kept, " +
+        "CAST(sum(doc_id) AS BIGINT) AS kept_id_sum FROM rk " +
+        s"WHERE rn <= $DomainCapK GROUP BY 1) " +
+        "SELECT roll.reg_domain, n_docs, n_hosts, n_langs, total_chars, " +
+        "n_kept, kept_id_sum FROM roll JOIN k ON roll.reg_domain = k.reg_domain " +
+        "ORDER BY roll.reg_domain"),
+    // q261: exact-dup surplus per domain + same-domain verified
+    // near-dup pairs (the q26 CTE chain at the q261 threshold; the
+    // threshold compares the EXACT ratio — q144 rule)
+    "q261_domain_dup" ->
+      (s"WITH ${urlCtes()}, " +
+        "eh AS (SELECT reg_domain, md5(text) AS th, count(*) AS n FROM pr GROUP BY 1, 2), " +
+        "ex AS (SELECT reg_domain, CAST(sum(n) AS BIGINT) AS n_docs, " +
+        "CAST(sum(n - 1) AS BIGINT) AS n_exact_dup FROM eh GROUP BY 1), " +
+        s"${jaccardCtes(None, "pr")}, " +
+        "dj AS (SELECT da, db FROM p0 JOIN cnt ca ON da = ca.doc_id " +
+        "JOIN cnt cb ON db = cb.doc_id " +
+        s"WHERE overlap*1.0/(ca.n + cb.n - overlap) >= $DomainDupJac), " +
+        "nd AS (SELECT x.reg_domain, count(*) AS n_near_pairs FROM dj " +
+        "JOIN pr x ON dj.da = x.doc_id JOIN pr y ON dj.db = y.doc_id " +
+        "WHERE x.reg_domain = y.reg_domain GROUP BY 1) " +
+        "SELECT ex.reg_domain, n_docs, n_exact_dup, " +
+        "round(n_exact_dup*1.0/n_docs, 4) AS exact_dup_rate, " +
+        "coalesce(n_near_pairs, 0) AS n_near_pairs " +
+        "FROM ex LEFT JOIN nd ON ex.reg_domain = nd.reg_domain " +
+        "ORDER BY ex.reg_domain"),
     // q186: the same chain, final select swapped for the token explode
     "q186_bpe_tokens" -> Bpe.tokenTableSql(8, 25),
     // q164: integer day diffs — exact mean, element p95

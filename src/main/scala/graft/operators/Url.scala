@@ -1,0 +1,164 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * URL / domain curation operators — the named web-corpus stage the
+ * C4/RefinedWeb-style recipes run between raw fetch and dedup: parse
+ * each document's URL into host/path/query, roll hosts up to a
+ * registered domain (eTLD+1), cap documents per domain, and audit
+ * per-domain duplication. The corpus schema carries only a symbolic
+ * `source`, so the oracle entries synthesize a deterministic URL per
+ * document ([[syntheticUrl]] — md5 arithmetic both engines reproduce);
+ * a real corpus passes its own url column to the same operators.
+ *
+ * Scale shape: parse + registered-domain are MAP-ONLY column
+ * expressions (no shuffle, no UDF — Spark's built-in `parse_url`);
+ * the rollup is one hash aggregation on the domain key; the cap is
+ * [[Pipeline.deterministicGroupSample]]'s single rank window on the
+ * domain key (content-keyed md5 order — reproducible across runs,
+ * engines, and partitionings). At 100 TB the window's domain key is
+ * power-law-skewed; the documented mitigation is the same as q57's:
+ * pre-filter with an approximate per-domain count and salt only the
+ * few mega-domains past the cap by orders of magnitude (everything
+ * under ~k·p rows per domain flows through the plain window).
+ *
+ * Registered-domain boundary (documented, not hidden): the real
+ * eTLD+1 rule needs the Mozilla Public Suffix List, which is a
+ * network-fetched artifact this environment cannot carry. The
+ * heuristic here — last two labels, or last three when the
+ * second-to-last label is a common second-level suffix (`co`, `com`,
+ * `net`, `org`, `gov`, `ac`, `edu`) under a two-letter ccTLD — covers
+ * the dominant registries (`co.uk`, `com.au`, `ac.uk`, …) and is
+ * exact on the synthesized corpus; swap [[registeredDomain]] for a
+ * PSL-backed lookup (broadcast map join) when the list is available.
+ */
+object Url {
+
+  /** Second-level labels treated as public suffixes under a two-letter
+    * ccTLD (the registered-domain heuristic's whole vocabulary). */
+  private val SecondLevelSuffixes =
+    Seq("co", "com", "net", "org", "gov", "ac", "edu")
+
+  /** Suffix mix for [[syntheticUrl]] — both 2-label and 3-label
+    * registrations so the eTLD+1 heuristic's branches are exercised. */
+  private val SynthSuffixes =
+    Seq("com", "org", "net", "io", "de", "co.uk", "com.au", "ac.uk",
+      "edu.au")
+
+  /**
+   * Deterministic URL for a document — md5 arithmetic the DuckDB
+   * oracle reproduces verbatim (the q228 hex-decode trick): subdomain,
+   * site index, suffix, an occasional `:8080` port and `?q=<lang>`
+   * query all derive from the 16-bit md5 prefix of the id, so the
+   * parser sees hosts with/without subdomains, 2- and 3-label
+   * registered domains, ports, and absent queries.
+   */
+  def syntheticUrl(docId: Column, langCol: Column): Column = {
+    val h = conv(substring(md5(docId.cast("string")), 1, 4), 16, 10)
+      .cast("long")
+    val suffix = element_at(array(SynthSuffixes.map(lit): _*),
+      (pmod(h, lit(9)) + 1).cast("int"))
+    val sub = element_at(
+      array(lit("www."), lit("news."), lit("blog."), lit("")),
+      (pmod(h, lit(4)) + 1).cast("int"))
+    val port = when(pmod(h, lit(11)) === 0, lit(":8080")).otherwise(lit(""))
+    val qs = when(pmod(h, lit(3)) === 0, concat(lit("?q="), langCol))
+      .otherwise(lit(""))
+    // 5 site names × 9 suffixes = 45 registered domains — small enough
+    // that the per-domain cap and dup audits bite at every oracle SF
+    concat(lit("https://"), sub, lit("site"),
+      pmod(h, lit(5)).cast("string"), lit("."), suffix, port,
+      lit("/p/"), pmod(docId, lit(100)).cast("string"), qs)
+  }
+
+  /**
+   * Registered domain (eTLD+1) of a host under the documented
+   * heuristic. NULL host → NULL; a bare label passes through (no dot
+   * to split a registration on). CASE branches guard every
+   * `element_at` so ANSI mode cannot see an out-of-range index.
+   */
+  def registeredDomain(host: Column): Column = {
+    val labels = split(host, "\\.")
+    val n = size(labels)
+    val tld = element_at(labels, -1)
+    val sld = element_at(labels, -2)
+    when(host.isNull, lit(null).cast("string"))
+      .when(n <= 1, host)
+      .when(n >= 3 && length(tld) === 2 &&
+          sld.isin(SecondLevelSuffixes: _*),
+        concat_ws(".", element_at(labels, -3), sld, tld))
+      .otherwise(concat_ws(".", sld, tld))
+  }
+
+  /**
+   * Parse a URL column into `host`, `url_path`, `q_param` (the `q`
+   * query parameter, NULL when absent) and `reg_domain` — four
+   * map-only derived columns via the built-in `try_parse_url`
+   * expression (java.net.URI semantics: the port and userinfo never
+   * leak into HOST). The `try_` form is deliberate: web corpora carry
+   * malformed URLs, and a curation scan must surface them as NULLs to
+   * filter on, not abort a 100-TB job (ANSI `parse_url` raises).
+   */
+  def urlParts(df: DataFrame, urlCol: Column): DataFrame =
+    df.withColumn("host", try_parse_url(urlCol, lit("HOST")))
+      .withColumn("url_path", try_parse_url(urlCol, lit("PATH")))
+      .withColumn("q_param", try_parse_url(urlCol, lit("QUERY"), lit("q")))
+      .withColumn("reg_domain", registeredDomain(col("host")))
+
+  /**
+   * Per-registered-domain corpus census: document count, distinct
+   * hosts, distinct languages, total characters. One hash aggregation
+   * on the domain key (distincts expand to the standard two-phase
+   * plan; domain cardinality is web-scale-bounded — millions, not
+   * corpus-sized).
+   */
+  def domainRollup(parts: DataFrame, charsCol: Column): DataFrame =
+    parts.groupBy("reg_domain")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("host")).as("n_hosts"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(charsCol).as("total_chars"))
+
+  /**
+   * The C4-style per-domain document cap: keep at most `k` documents
+   * per registered domain, selected by the content-keyed
+   * `(md5(id), id)` rank so the kept subset is reproducible across
+   * runs and engines. Delegates to
+   * [[Pipeline.deterministicGroupSample]] — the cap IS the exact-k
+   * per-group sample keyed by `reg_domain`.
+   */
+  def perDomainCap(parts: DataFrame, idCol: String, k: Int): DataFrame =
+    Pipeline.deterministicGroupSample(parts, "reg_domain", idCol, k)
+
+  /**
+   * Per-domain duplication audit: exact-duplicate surplus (documents
+   * past the first in each identical-text group — q25's hash-groupBy
+   * keyed by domain) and near-duplicate pair counts (verified
+   * shingle-Jaccard ≥ `threshold` where BOTH sides live in the same
+   * domain — the q26 pair generator composed with the domain map).
+   * Rates are one rounded division of exact longs per domain.
+   */
+  def domainDupStats(parts: DataFrame, idCol: String, textCol: String,
+                     threshold: Double): DataFrame = {
+    val dom = parts.select(col(idCol), col("reg_domain"))
+    val exact = parts
+      .groupBy(col("reg_domain"), md5(col(textCol)).as("_h"))
+      .agg(count(lit(1)).as("_n"))
+      .groupBy("reg_domain")
+      .agg(sum("_n").as("n_docs"), sum(col("_n") - 1).as("n_exact_dup"))
+    val near = Dedup.jaccardPairsAuto(parts, idCol, textCol,
+        n = 3, threshold = threshold)
+      .join(dom.select(col(idCol).as("da"), col("reg_domain")), "da")
+      .join(dom.select(col(idCol).as("db"), col("reg_domain").as("_rb")),
+        "db")
+      .filter(col("reg_domain") === col("_rb"))
+      .groupBy("reg_domain")
+      .agg(count(lit(1)).as("n_near_pairs"))
+    exact.join(near, Seq("reg_domain"), "left")
+      .select(col("reg_domain"), col("n_docs"), col("n_exact_dup"),
+        round(col("n_exact_dup") / col("n_docs"), 4).as("exact_dup_rate"),
+        coalesce(col("n_near_pairs"), lit(0L)).as("n_near_pairs"))
+  }
+}

@@ -1,0 +1,107 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** URL/domain curation contract ([[Url]]): parse_url extraction on
+  * hand-built URLs (ports, subdomains, absent queries), the
+  * registered-domain heuristic's branches (2-label, 3-label ccTLD,
+  * bare host, NULL), the per-domain cap's exact-k + determinism, and
+  * the dup-audit's hand-checkable counts. */
+class UrlSpec extends AnyFunSuite with SparkTestSession {
+
+  import spark.implicits._
+
+  test("urlParts: host/path/q-param across ports, subdomains, no-query") {
+    val df = Seq(
+      (1L, "https://www.site3.co.uk:8080/p/5?q=en"),
+      (2L, "https://site1.com/p/7"),
+      (3L, "https://blog.site2.edu.au/a/b?x=1&q=de&y=2"),
+      (4L, "not a url")).toDF("id", "url")
+    val out = Url.urlParts(df, col("url")).orderBy("id")
+      .select("host", "url_path", "q_param", "reg_domain")
+      .collect()
+    assert(out(0).getString(0) == "www.site3.co.uk") // port stripped
+    assert(out(0).getString(1) == "/p/5" && out(0).getString(2) == "en")
+    assert(out(0).getString(3) == "site3.co.uk")
+    assert(out(1).getString(0) == "site1.com" && out(1).getString(2) == null)
+    assert(out(1).getString(3) == "site1.com")
+    assert(out(2).getString(2) == "de") // q among other params
+    assert(out(2).getString(3) == "site2.edu.au")
+    assert(out(3).getString(0) == null && out(3).getString(3) == null)
+  }
+
+  test("registeredDomain: heuristic branches incl. bare host and deep subdomains") {
+    val df = Seq(
+      ("a.b.site9.com", "site9.com"),      // deep subdomain, gTLD
+      ("x.y.site9.ac.uk", "site9.ac.uk"),  // deep subdomain, ccTLD 2LD
+      ("site9.gov.br", "site9.gov.br"),    // gov under 2-letter ccTLD
+      ("site9.co.com", "site9.co.com"),    // 'co' NOT under 2-letter tld? com has 3 letters -> 2 labels... see assert
+      ("localhost", "localhost"),          // bare label passes through
+      ("site9.io", "site9.io")
+    ).toDF("host", "expected")
+    // 'site9.co.com': tld 'com' has length 3, so the 3-label branch
+    // must NOT fire — registered domain is 'co.com'
+    val out = df.withColumn("got", Url.registeredDomain(col("host")))
+      .collect()
+    out.foreach { r =>
+      val host = r.getString(0)
+      val exp = if (host == "site9.co.com") "co.com" else r.getString(1)
+      assert(r.getString(2) == exp, s"$host -> ${r.getString(2)} != $exp")
+    }
+  }
+
+  test("perDomainCap: exact k per domain, content-keyed determinism") {
+    val docs = (0L until 100L).map(i => (i, s"site${i % 3}.com", s"t$i"))
+      .toDF("doc_id", "reg_domain", "text")
+    val kept = Url.perDomainCap(docs, "doc_id", 10)
+    val sizes = kept.groupBy("reg_domain").count().collect()
+      .map(_.getLong(1))
+    assert(sizes.length == 3 && sizes.forall(_ == 10))
+    // reproducible across a different partitioning
+    val kept2 = Url.perDomainCap(docs.repartition(7), "doc_id", 10)
+    assert(kept.select("doc_id").orderBy("doc_id").collect()
+      .sameElements(kept2.select("doc_id").orderBy("doc_id").collect()))
+    // a group smaller than k keeps everything
+    val small = Url.perDomainCap(docs.filter(col("doc_id") < 5), "doc_id", 10)
+    assert(small.count() == 5)
+  }
+
+  test("domainDupStats: hand-checkable exact and near counts") {
+    val docs = Seq(
+      (1L, "d1.com", "the quick brown fox jumps over the lazy dog"),
+      (2L, "d1.com", "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+      (3L, "d1.com", "the quick brown fox jumps over the lazy cat"), // near dup of 1/2
+      (4L, "d2.com", "the quick brown fox jumps over the lazy dog"), // exact text, OTHER domain
+      (5L, "d2.com", "completely different words entirely here now")
+    ).toDF("doc_id", "reg_domain", "text")
+    val out = Url.domainDupStats(docs, "doc_id", "text", 0.6)
+      .orderBy("reg_domain").collect()
+    // d1: 3 docs, one exact surplus (2 of the identical text), near
+    // pairs within d1 at >= 0.6: (1,3),(2,3) [(1,2) too: jac 1.0] = 3
+    assert(out(0).getString(0) == "d1.com")
+    assert(out(0).getLong(1) == 3 && out(0).getLong(2) == 1)
+    assert(out(0).getDouble(3) == 0.3333)
+    assert(out(0).getLong(4) == 3)
+    // d2: no within-domain duplication (doc 4's twin lives in d1)
+    assert(out(1).getString(0) == "d2.com")
+    assert(out(1).getLong(2) == 0 && out(1).getLong(4) == 0)
+  }
+
+  test("syntheticUrl is deterministic and parse round-trips it") {
+    val docs = Seq((0L, "en"), (1L, "de"), (42L, "fr"))
+      .toDF("doc_id", "lang")
+    val a = docs.withColumn("url",
+      Url.syntheticUrl(col("doc_id"), col("lang"))).collect()
+    val b = docs.repartition(3).withColumn("url",
+      Url.syntheticUrl(col("doc_id"), col("lang")))
+      .orderBy("doc_id").collect()
+    assert(a.map(_.getString(2)).sameElements(b.map(_.getString(2))))
+    // every synthesized URL parses to a non-null host + reg_domain
+    val parts = Url.urlParts(docs.withColumn("url",
+      Url.syntheticUrl(col("doc_id"), col("lang"))), col("url"))
+    assert(parts.filter(col("host").isNull ||
+      col("reg_domain").isNull).count() == 0)
+  }
+}
