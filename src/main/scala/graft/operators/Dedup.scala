@@ -111,6 +111,58 @@ object Dedup {
   }
 
   /**
+   * Segment-level winnowing fingerprints — [[winnowingFingerprints]]
+   * at sub-document granularity, the MOSS report unit (and the q98
+   * segment-dedup precedent): documents split into fixed
+   * `segWords`-word positional stride segments, each segment winnowed
+   * INDEPENDENTLY (its own gram positions, its own full windows), so a
+   * copied section inside an otherwise-novel document surfaces as a
+   * matched SEGMENT pair — with locality (which segment of which doc)
+   * that whole-document selection cannot report. Segments shorter than
+   * `k + w − 1` words produce no rows (the whole-doc contract, applied
+   * per segment).
+   *
+   * Fixed-stride caveat (documented, inherent): a copied run is caught
+   * when some ≥ `k + w − 1`-word piece of it lands inside ONE segment
+   * on BOTH sides; differing alignments chop the run differently, so
+   * runs shorter than ~2·(k+w−1) near a boundary can slip. Size
+   * `segWords` ≫ k+w−1 (the default entries use 16 vs 6).
+   *
+   * Scale shape: the segmentation is per-row array arithmetic inside
+   * the same projection as the gram explode — the packed sub-document
+   * key (`id·segFactor + seg_id`, in-plan guard raises past the
+   * bound) reuses the whole-doc operator unchanged, so the cost is
+   * one gram explode + ONE window keyed by (doc, segment) — finer
+   * keys than the whole-doc window, i.e. better parallelism, same
+   * shuffle count.
+   *
+   * Output: `(idCol, seg_id, fp, fp_hash, fp_pos)`.
+   */
+  def winnowingSegmentFingerprints(docs: DataFrame, idCol: String,
+                                   textCol: String, segWords: Int,
+                                   k: Int, w: Int,
+                                   segFactor: Long = 100000L): DataFrame = {
+    require(segWords >= 1, s"segWords must be >= 1, got $segWords")
+    val ws = split(col(textCol), " ")
+    val segs = docs
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(1), size(ws), lit(segWords)),
+        s => concat_ws(" ", slice(ws, s, lit(segWords))))))
+      .select((col(idCol) * segFactor +
+          when(col("pos") < segFactor, col("pos"))
+            .otherwise(raise_error(concat(
+              lit("winnowing segments: document "),
+              col(idCol).cast("string"),
+              lit(s" exceeds the $segFactor-segment key bound")))))
+          .as("_sid"),
+        col("col").as("_seg"))
+    winnowingFingerprints(segs, "_sid", "_seg", k, w)
+      .select(expr(s"_sid div $segFactor").as(idCol),
+        pmod(col("_sid"), lit(segFactor)).as("seg_id"),
+        col("fp"), col("fp_hash"), col("fp_pos"))
+  }
+
+  /**
    * Cross-corpus winnowing probe — which probe docs share at least
    * `minShared` selected fingerprint hashes with some indexed doc?
    * The incremental MOSS shape over the at-rest index

@@ -497,6 +497,13 @@ object ExtQueries {
   private val DomainCapK = 15
   private val DomainDupJac = 0.6
 
+  /** q262 segment-winnowing knobs: 16-word stride segments (≫ k+w−1=6,
+    * the fixed-stride alignment caveat), pairs need ≥ 2 shared screened
+    * hashes at SEGMENT grain (segments carry ~4–5 selections each vs a
+    * whole doc's ~30, so the whole-doc threshold of 3 would starve). */
+  private val SegWinnowWords = 16
+  private val SegWinnowMinShared = 2L
+
   /** Shared URL-synthesis + parse + registered-domain CTE chain for the
     * q259–q261 oracles — the DuckDB twin of [[Url.syntheticUrl]] +
     * [[Url.urlParts]] (md5 16-bit hex decode, regex parse, eTLD+1
@@ -2046,6 +2053,31 @@ object ExtQueries {
         .agg(count(lit(1)).as("n_shared"))
         .filter(col("n_shared") >= WinnowMinShared)
         .orderBy("da", "db")
+    }),
+
+    // Segment-level winnowing match (r15 — verdict item 4): q255's
+    // MOSS shape at SUB-document granularity, so a copied section
+    // inside an otherwise-novel doc is caught AND located (which
+    // segment of which doc). Same df screen + localCheckpoint
+    // discipline as q255; the pair join carries (doc, segment) keys.
+    "q262_winnow_segments" -> ((s, d) => {
+      val sel = Dedup.winnowingSegmentFingerprints(t(s, d, "documents"),
+          "doc_id", "text", segWords = SegWinnowWords,
+          k = WinnowK, w = WinnowW)
+        .select(col("doc_id"), col("seg_id"), col("fp_hash")).distinct()
+        .localCheckpoint()
+      val rare = sel.groupBy("fp_hash").agg(count(lit(1)).as("_df"))
+        .filter(col("_df") <= WinnowMaxDf).select("fp_hash")
+      val kept = sel.join(rare, "fp_hash")
+      kept.select(col("doc_id").as("da"), col("seg_id").as("sa"),
+          col("fp_hash"))
+        .join(kept.select(col("doc_id").as("db"), col("seg_id").as("sb"),
+          col("fp_hash")), "fp_hash")
+        .filter(col("da") < col("db"))
+        .groupBy("da", "sa", "db", "sb")
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= SegWinnowMinShared)
+        .orderBy("da", "sa", "db", "sb")
     }),
 
     // q255 THROUGH the at-rest index (the q40 pattern — thirteenth
@@ -5794,6 +5826,25 @@ object ExtQueries {
         "SELECT doc_id, lang FROM documents WHERE doc_id % 2 = 1 " +
         "AND doc_id NOT IN (SELECT node FROM nonrep) " +
         "AND doc_id NOT IN (SELECT od FROM matched) ORDER BY doc_id"),
+    // q262: the q255 winnowing chain instantiated at SEGMENT grain —
+    // stride segmentation (q98's clamped list slice) feeds the same
+    // 40+20-bit pack / window-min / df-screen CTEs keyed by
+    // (doc_id, seg_id)
+    "q262_winnow_segments" ->
+      (s"WITH words AS (SELECT doc_id, string_split(text,' ') ws FROM documents), " +
+        "segs AS (SELECT doc_id, r['seg_id'] AS seg_id, r['seg'] AS seg FROM " +
+        s"(SELECT doc_id, unnest([{'seg_id': i-1, 'seg': array_to_string(ws[(i-1)*$SegWinnowWords+1:i*$SegWinnowWords], ' ')} for i in range(1, CAST(ceil(len(ws)/$SegWinnowWords.0) AS INT)+1)]) r FROM words) t), " +
+        "sww AS (SELECT doc_id, seg_id, string_split(seg,' ') words FROM segs), " +
+        s"g AS (SELECT doc_id, seg_id, unnest([{'pos': i-1, 'gram': array_to_string(words[i:i+${WinnowK - 1}],' ')} for i in range(1, len(words)-${WinnowK - 1}+1)], recursive := true) FROM sww WHERE len(words) >= $WinnowK), " +
+        "p AS (SELECT doc_id, seg_id, pos, CAST(CAST(concat('0x', substr(md5(gram),1,10)) AS UBIGINT) AS BIGINT)*1048576 + (1048575 - pos) AS pack FROM g), " +
+        s"sw AS (SELECT doc_id, seg_id, pos, min(pack) OVER (PARTITION BY doc_id, seg_id ORDER BY pos ROWS BETWEEN ${WinnowW - 1} PRECEDING AND CURRENT ROW) AS sel FROM p), " +
+        s"selh AS (SELECT DISTINCT doc_id, seg_id, sel // 1048576 AS h FROM sw WHERE pos >= ${WinnowW - 1}), " +
+        s"rare AS (SELECT h FROM selh GROUP BY h HAVING count(*) <= $WinnowMaxDf), " +
+        "k AS (SELECT doc_id, seg_id, h FROM selh JOIN rare USING (h)) " +
+        "SELECT a.doc_id AS da, a.seg_id AS sa, b.doc_id AS db, b.seg_id AS sb, count(*) AS n_shared " +
+        "FROM k a JOIN k b ON a.h = b.h AND a.doc_id < b.doc_id " +
+        s"GROUP BY 1, 2, 3, 4 HAVING count(*) >= $SegWinnowMinShared " +
+        "ORDER BY da, sa, db, sb"),
     // q259: synthesis + parse + eTLD+1 — the generated chain mirrors
     // Url.syntheticUrl/urlParts verbatim (regex parse ≡ java.net.URI
     // on the synthesized shapes: no userinfo, port stripped by the

@@ -99,6 +99,42 @@ class WinnowingSpec extends AnyFunSuite with SparkTestSession {
     assert(Dedup.winnowingFingerprints(tiny, "doc_id", "text", 3, 4).isEmpty)
   }
 
+  test("segment winnowing locates a copied paragraph inside otherwise-novel docs") {
+    // two 80-word docs sharing ONLY a 48-word planted paragraph, at
+    // different offsets (16 vs 32) so the 16-word stride chops it
+    // differently on each side — the alignment the fixed-stride caveat
+    // is about; 48 >= 2*(k+w-1) guarantees some >= k+w-1 piece lands
+    // inside one segment on both sides
+    val para = (0 until 48).map(i => s"copy$i").mkString(" ")
+    val docA = ((0 until 16).map(i => s"a$i") :+ para).mkString(" ") +
+      " " + (0 until 16).map(i => s"z$i").mkString(" ")
+    val docB = ((0 until 32).map(i => s"b$i") :+ para).mkString(" ")
+    val docs = Seq((1L, docA), (2L, docB)).toDF("doc_id", "text")
+    val sel = Dedup.winnowingSegmentFingerprints(docs, "doc_id", "text",
+      segWords = 16, k = 3, w = 4)
+    // unpacked halves stay consistent at segment grain
+    assert(sel.filter(col("fp") =!=
+      col("fp_hash") * 1048576L + (lit(1048575L) - col("fp_pos")))
+      .count() == 0)
+    // the match: >= 1 cross-doc segment pair shares hashes, and every
+    // matched segment overlaps the planted paragraph's word range
+    // (doc A words 16..63 -> segs 1..3; doc B words 32..79 -> segs 2..4)
+    val pairs = sel.select(col("doc_id").as("da"), col("seg_id").as("sa"),
+        col("fp_hash"))
+      .join(sel.select(col("doc_id").as("db"), col("seg_id").as("sb"),
+        col("fp_hash")), "fp_hash")
+      .filter(col("da") < col("db"))
+      .select("sa", "sb").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "copied paragraph not caught")
+    assert(pairs.forall { case (sa, sb) =>
+      sa >= 1 && sa <= 3 && sb >= 2 && sb <= 4
+    }, s"match outside the planted range: ${pairs.mkString(",")}")
+    // segments are winnowed independently: no selection crosses a
+    // segment boundary (every fp_pos fits inside one segment's grams)
+    assert(sel.filter(col("fp_pos") > 16 - 3).count() == 0)
+  }
+
   test("a doc past the 2^20-gram position bound fails loudly, not silently") {
     // 2^20 + 8 one-char words → positions past 1048575 would corrupt
     // the packed (hash, pos) key; the plan-side guard raises instead
