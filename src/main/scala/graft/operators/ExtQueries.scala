@@ -4789,6 +4789,38 @@ object ExtQueries {
         .select("probe_id", "nn_id", "sim", "rn")
         .orderBy("probe_id", "rn")
     }),
+    // Winnowing probe over the STORED q256 selection (r15 — the
+    // missing in-board probe split for the thirteenth index family):
+    // 20 head docs re-fingerprint (the recurring cost) and match
+    // against the bucketed standing table via the hash join alone —
+    // the incremental MOSS query once the index is at rest. ScaleBench
+    // `winnow_probe` carries the decade exponents; this entry puts the
+    // same path on the per-round bench board (guarded build, q75b
+    // pattern).
+    "q256b_winnow_probe" -> ((s, d) => {
+      ensureStoredIndex("graft_bench_winnow_q256", d) {
+        val sel = Dedup.winnowingFingerprints(t(s, d, "documents"),
+            "doc_id", "text", k = WinnowK, w = WinnowW)
+          .select(col("doc_id"), col("fp_hash")).distinct()
+          .localCheckpoint()
+        val rare = sel.groupBy("fp_hash").agg(count(lit(1)).as("_df"))
+          .filter(col("_df") <= WinnowMaxDf).select("fp_hash")
+        val kept = sel.join(rare, "fp_hash")
+        graft.sources.Warehouse.saveWinnowIndex(
+          kept.filter(col("doc_id") % 2 === 0), "graft_bench_winnow_q256")
+        graft.sources.Warehouse.appendWinnowIndex(
+          kept.filter(col("doc_id") % 2 === 1), "graft_bench_winnow_q256")
+      }
+      Dedup.winnowMatchesAgainst(
+          Dedup.winnowingFingerprints(
+            t(s, d, "documents").filter(col("doc_id") < 20),
+            "doc_id", "text", k = WinnowK, w = WinnowW)
+            .select(col("doc_id"), col("fp_hash")).distinct(),
+          s.table("graft_bench_winnow_q256"), "doc_id",
+          minShared = WinnowMinShared)
+        .orderBy("probe_id", "match_id")
+    }),
+
     "q75b_neardup_probe" -> ((s, d) => {
       ensureStoredIndex("graft_bench_simhash_q75", d) {
         val bands = Dedup.simHashBandFrame(t(s, d, "documents"), "doc_id",
