@@ -37,9 +37,13 @@ import org.apache.spark.sql.SparkSession
  * `-checkpoint` after restarts (the analog of its byte-offset file).
  *
  * The driver class is inferred for `jdbc:duckdb:` DSNs (the offline
- * test sink); any other target needs `-driver`. Embedded DuckDB is a
- * single-writer store, so its default `numPartitions` is 1; cluster
- * sinks default to the upstream partitioning (one connection per task).
+ * test sink) and `jdbc:clickhouse:`/`jdbc:ch:` DSNs (the reference's
+ * actual target: dialect + generated MergeTree DDL wired end-to-end,
+ * execution gated only on a live server + driver jar — see
+ * [[graft.sources.ClickHouseSink]]); any other target needs `-driver`.
+ * Embedded DuckDB is a single-writer store, so its default
+ * `numPartitions` is 1; cluster sinks default to the upstream
+ * partitioning (one connection per task).
  */
 object Ingest {
 
@@ -102,9 +106,26 @@ object Ingest {
 
   private def driverFor(c: Config): String = c.driver.getOrElse {
     if (c.dsn.startsWith("jdbc:duckdb:")) "org.duckdb.DuckDBDriver"
+    else if (graft.sources.ClickHouseDialect.canHandle(c.dsn))
+      "com.clickhouse.jdbc.ClickHouseDriver"
     else throw new IllegalArgumentException(
       s"cannot infer a JDBC driver class for '${c.dsn}' — pass -driver")
   }
+
+  /** ClickHouse DSNs (`jdbc:clickhouse:` / `jdbc:ch:`) get the
+    * reference's full sink contract: dialect registered, then
+    * create-if-missing via the GENERATED MergeTree DDL
+    * ([[graft.sources.ClickHouseSink.ensureTable]]) before the batch
+    * insert — a bare Spark JDBC create is invalid in ClickHouse (no
+    * ENGINE clause). Generation is golden-tested offline; execution
+    * needs the live server + driver jar (README boundary). */
+  private def prepareClickHouse(c: Config,
+      schema: org.apache.spark.sql.types.StructType): Unit =
+    if (graft.sources.ClickHouseDialect.canHandle(c.dsn)) {
+      graft.sources.ClickHouseDialect.register()
+      graft.sources.ClickHouseSink.ensureTable(c.dsn, driverFor(c),
+        schema, c.table)
+    }
 
   /** Single-writer embedded targets cannot take concurrent connections. */
   private def defaultPartitions(c: Config): Option[Int] =
@@ -128,6 +149,7 @@ object Ingest {
         }
         graft.sources.Warehouse.writePartitioned(wide, path, save)
       case None =>
+        prepareClickHouse(c, wide.schema)
         JdbcSink.write(wide, c.dsn, c.table,
           driverFor(c), mode = c.mode, batchSize = c.batchSize,
           numPartitions = c.numPartitions.orElse(defaultPartitions(c)))
@@ -157,6 +179,7 @@ object Ingest {
         trigger.foreach(w.trigger)
         w.start()
       case None =>
+        prepareClickHouse(c, wide.schema)
         graft.streaming.SlowLogStream.startJdbcSink(
           wide, c.dsn, c.table, driverFor(c), c.checkpoint.get, trigger,
           batchSize = c.batchSize,

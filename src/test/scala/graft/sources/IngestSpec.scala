@@ -32,6 +32,34 @@ class IngestSpec extends AnyFunSuite with SparkTestSession {
       Ingest.parseArgs(Array("-slowLogPath", "/logs"))) // -dsn missing
   }
 
+  test("-dsn jdbc:clickhouse: routes to the dialect + generated DDL path") {
+    // the reference's actual sink, one flag away: the ClickHouse DSN
+    // must (a) infer its driver class, (b) route through the
+    // create-if-missing preparation whose statements are EXACTLY the
+    // golden-tested generated DDL. Execution needs the live server +
+    // driver jar (the documented offline boundary), so the proof is:
+    // the first failure of a run against a ClickHouse DSN is the
+    // driver-class load of the INFERRED class — not "cannot infer".
+    val dir = Files.createTempDirectory("graft-ingest-ch")
+    Files.writeString(dir.resolve("slow001.log"),
+      graft.slowlog.SlowLogFixtures.slow001)
+    val c = Ingest.parseArgs(Array("-slowLogPath", dir.toString,
+      "-dsn", "jdbc:clickhouse://ch:8123/qan"))
+    val e = intercept[ClassNotFoundException](Ingest.run(spark, c))
+    assert(e.getMessage.contains("com.clickhouse.jdbc.ClickHouseDriver"))
+    // the statements the preparation executes are the golden DDL —
+    // asserted against the committed corpus's DDL section verbatim
+    val wide = graft.slowlog.SlowLogTable.flatten(
+      graft.slowlog.SlowLogSource.readRaw(spark, dir.toString))
+    val stmts = ClickHouseSink.prepareStatements(wide.schema, "queries")
+    val golden = new String(Files.readAllBytes(java.nio.file.Paths.get(
+      getClass.getResource("/clickhouse_wide_schema.golden").toURI)),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val goldenDdl = golden
+      .split("=== DDL ===\n")(1).split("\n=== INSERT ===")(0).trim
+    assert(stmts == Seq(goldenDdl))
+  }
+
   test("parquet DSN: one-command ingest to the date-partitioned warehouse") {
     val dir = Files.createTempDirectory("graft-ingest-pq")
     Files.writeString(dir.resolve("slow001.log"),
