@@ -2143,6 +2143,40 @@ object ExtQueries {
         .orderBy("lang")
     }),
 
+    // Schema migration — the WRITE half of q258 (r15 verdict stretch):
+    // the same two-generation layout is rewritten ONCE to a unified
+    // schema (lang RENAMED to language, n_chars added with an explicit
+    // length(text) default + long cast for the old generation), via
+    // the staging-dir + atomic-rename discipline. The readback is a
+    // PLAIN parquet read — no mergeSchema, no coalescing: the proof
+    // the migration removed the read-time tax. Oracle computes the
+    // unified aggregate from the documents table directly.
+    "q263_schema_migrate" -> ((s, d) => {
+      val base = "spark-warehouse/graft_bench_schmig_q263"
+      ensureStoredIndex("graft_bench_schmig_q263", d) {
+        val hp = new org.apache.hadoop.fs.Path(base)
+        val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(hp)) fs.delete(hp, true)
+        val docs = t(s, d, "documents")
+        docs.filter(col("doc_id") % 2 === 0)
+          .select("doc_id", "text", "lang")
+          .write.parquet(s"$base/gen=a")
+        docs.filter(col("doc_id") % 2 === 1)
+          .select(col("doc_id"), col("text"), col("lang"),
+            length(col("text")).cast("long").as("n_chars"))
+          .write.parquet(s"$base/gen=b")
+        graft.sources.Warehouse.migrateSchema(s, base,
+          renames = Map("lang" -> "language"),
+          casts = Map("n_chars" -> "long"),
+          addDefaults = Map("n_chars" -> length(col("text")).cast("long")),
+          partitionCols = Seq("gen"))
+      }
+      s.read.parquet(base)
+        .groupBy("language")
+        .agg(count(lit(1)).as("cnt"), sum("n_chars").as("sum_chars"))
+        .orderBy("language")
+    }),
+
     // Batch winnowing admission, oracle-checked (r14 — the q251
     // composition for the SIXTH admission axis): standing winnowing
     // index from the even docs, odd docs arrive as one batch; admitted
@@ -5841,6 +5875,13 @@ object ExtQueries {
         "count(CASE WHEN doc_id % 2 = 1 THEN 1 END) AS n_with, " +
         "CAST(sum(CASE WHEN doc_id % 2 = 1 THEN length(text) END) AS BIGINT) AS sum_chars " +
         "FROM documents GROUP BY lang ORDER BY lang"),
+    // q263: the unified post-migration aggregate, computed from the
+    // source table directly (both generations carry length(text) after
+    // the add-with-default)
+    "q263_schema_migrate" ->
+      ("SELECT lang AS language, count(*) AS cnt, " +
+        "CAST(sum(length(text)) AS BIGINT) AS sum_chars " +
+        "FROM documents GROUP BY 1 ORDER BY 1"),
     // q257: the admission contract replayed declaratively — per-slice
     // winnowing selections (odd batch, even index), within-batch pair
     // closure (q67 CTEs) drops non-reps, cross-match semi-join drops

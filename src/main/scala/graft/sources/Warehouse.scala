@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
@@ -677,5 +677,78 @@ object Warehouse {
     spark.sql(s"DROP TABLE $retired")
     spark.catalog.refreshTable(table)
     (before, tableFileCount(spark, table))
+  }
+
+  /**
+   * Schema migration across parquet partition generations — the WRITE
+   * half of the q258 story: a standing path-based dataset whose older
+   * batches lack columns (or carry old names/types) is rewritten ONCE
+   * to one unified schema, so every future reader drops the
+   * `mergeSchema` tax and the null-coalescing special cases.
+   *
+   *  - `renames`: old → new column name (applied where the old name
+   *    exists; generations already on the new name pass through).
+   *  - `casts`: column → target SQL type, applied EXPLICITLY — the
+   *    migration is where a type unifies, never silently at read time.
+   *  - `addDefaults`: column → default expression; generations missing
+   *    the column (merged read surfaces NULL) take the default via
+   *    coalesce, generations that never had it at all gain it.
+   *
+   * Crash safety is [[compactTable]]'s staging-rename discipline on
+   * directories: the migrated copy writes COMPLETELY to
+   * `<path>_migrating`, then `path → <path>_old`,
+   * `<path>_migrating → path`, delete `<path>_old` — every crash point
+   * leaves a full copy under some name. The entry is self-healing: a
+   * missing live dir with a retired copy present (death between the
+   * two renames) restores the retired copy first, and stale
+   * `_migrating`/`_old` leftovers from any prior crash are cleared
+   * before the rewrite, so re-running the SAME migration after any
+   * crash converges (the spec drives each window).
+   *
+   * Scale shape: one read + one write of the dataset — the same cost
+   * class as compaction, amortized over every subsequent read; the
+   * transform itself is map-only column arithmetic.
+   */
+  def migrateSchema(spark: SparkSession, path: String,
+                    renames: Map[String, String] = Map.empty,
+                    casts: Map[String, String] = Map.empty,
+                    addDefaults: Map[String, Column] = Map.empty,
+                    partitionCols: Seq[String] = Seq.empty): Unit = {
+    val live = new org.apache.hadoop.fs.Path(path)
+    val staging = new org.apache.hadoop.fs.Path(path + "_migrating")
+    val retired = new org.apache.hadoop.fs.Path(path + "_old")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // heal a prior crash between the two renames: the retired copy is
+    // the complete pre-migration dataset — restore it and redo
+    if (!fs.exists(live) && fs.exists(retired))
+      require(fs.rename(retired, live), s"crash recovery rename failed: " +
+        s"$retired -> $live")
+    require(fs.exists(live), s"migrateSchema: no dataset at $path")
+    if (fs.exists(staging)) fs.delete(staging, true) // stale half-write
+    if (fs.exists(retired)) fs.delete(retired, true) // stale retired copy
+    val merged = spark.read.option("mergeSchema", "true").parquet(path)
+    val renamed = renames.foldLeft(merged) { case (df, (o, n)) =>
+      if (!df.columns.contains(o)) df
+      // generations split ACROSS the rename (old batches wrote `o`,
+      // new batches already write `n`): the merged frame carries both
+      // columns, each NULL on the other generation's rows — fold the
+      // old into the new, then drop it (a bare rename would collide)
+      else if (df.columns.contains(n))
+        df.withColumn(n, coalesce(col(n), col(o))).drop(o)
+      else df.withColumnRenamed(o, n)
+    }
+    val casted = casts.foldLeft(renamed) { case (df, (c, t)) =>
+      if (df.columns.contains(c)) df.withColumn(c, col(c).cast(t)) else df
+    }
+    val unified = addDefaults.foldLeft(casted) { case (df, (c, dflt)) =>
+      if (df.columns.contains(c)) df.withColumn(c, coalesce(col(c), dflt))
+      else df.withColumn(c, dflt)
+    }
+    val w = unified.write.mode(SaveMode.Overwrite)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(staging.toString)
+    require(fs.rename(live, retired), s"swap rename failed: $live -> $retired")
+    require(fs.rename(staging, live), s"swap rename failed: $staging -> $live")
+    fs.delete(retired, true)
   }
 }

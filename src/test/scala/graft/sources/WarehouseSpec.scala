@@ -835,4 +835,57 @@ class WarehouseSpec extends AnyFunSuite with SparkTestSession {
       spark.sql("DROP TABLE IF EXISTS queries_bucketed")
     }
   }
+
+  test("migrateSchema: rename+add+cast unify generations; every crash window converges") {
+    import org.apache.spark.sql.types.LongType
+    val root = Files.createTempDirectory("graft-migrate").toString
+    val base = s"$root/docs"
+    def hp(p: String) = new org.apache.hadoop.fs.Path(p)
+    val fs = hp(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    import spark.implicits._
+    def writeGenerations(): Unit = {
+      if (fs.exists(hp(base))) fs.delete(hp(base), true)
+      // gen a: old name `lang`, no n_chars; gen b: new name, int n_chars
+      Seq((1L, "aa bb", "en"), (2L, "cc", "de"))
+        .toDF("doc_id", "text", "lang").write.parquet(s"$base/gen=a")
+      Seq((3L, "dd ee ff", "en", 8))
+        .toDF("doc_id", "text", "language", "n_chars")
+        .write.parquet(s"$base/gen=b")
+    }
+    def migrate(): Unit = Warehouse.migrateSchema(spark, base,
+      renames = Map("lang" -> "language"),
+      casts = Map("n_chars" -> "long"),
+      addDefaults = Map("n_chars" -> length(col("text")).cast("long")),
+      partitionCols = Seq("gen"))
+    def check(): Unit = {
+      val out = spark.read.parquet(base) // PLAIN read — no mergeSchema
+      assert(out.schema("n_chars").dataType == LongType)
+      assert(!out.columns.contains("lang"))
+      val rows = out.select("doc_id", "language", "n_chars")
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      assert(rows.toSeq == Seq((1L, "en", 5L), (2L, "de", 2L),
+        (3L, "en", 8L)))
+      assert(!fs.exists(hp(base + "_migrating")) &&
+        !fs.exists(hp(base + "_old")))
+    }
+    // happy path
+    writeGenerations(); migrate(); check()
+    // window 1: died mid-staging-write — stale half-written _migrating
+    writeGenerations()
+    fs.mkdirs(hp(base + "_migrating/garbage"))
+    migrate(); check()
+    // window 2: died between the two renames — live missing, retired
+    // copy complete, staging complete; rerun restores + redoes
+    writeGenerations()
+    val unified = spark.read.option("mergeSchema", "true").parquet(base)
+    unified.write.partitionBy("gen").parquet(base + "_migrating")
+    assert(fs.rename(hp(base), hp(base + "_old")))
+    migrate(); check()
+    // window 3: died after the swap, before cleanup — live already
+    // migrated, stale _old; the SAME migration re-applied is a no-op
+    // on migrated data (rename source absent, defaults all coalesce)
+    fs.mkdirs(hp(base + "_old/garbage"))
+    migrate(); check()
+  }
 }
