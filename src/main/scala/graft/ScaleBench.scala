@@ -736,6 +736,20 @@ object ScaleBench {
       // DSIR weights at k× the corpus: the salted vocabulary grows k×
       // (the q185 axis), stressing the vocab aggregate + model join
       // while the per-doc aggregate stays entity-sized
+      // Segment-level winnowing selection at k× the corpus (the q262
+      // path): same gram explode as winnow_sel but the window keys on
+      // (doc, segment) — finer keys, same shuffle count; expect the
+      // whole-doc op's ~linear shape.
+      if (want("winnow_seg")) {
+        val docs = scaleDocs(spark, sf, k).repartition(32).persist()
+        val nDocs = docs.count()
+        System.err.println(s"SCALE inputs ${k}x: $nDocs docs (winnow_seg)")
+        record("winnow_seg", k, time(
+          graft.operators.Dedup.winnowingSegmentFingerprints(
+            docs, "doc_id", "text", segWords = 16, k = 3, w = 4)))
+        docs.unpersist()
+      }
+
       // URL parse + per-domain cap at k× the corpus (the q260 path):
       // the parse is map-only, the cap one rank window on the ~45
       // synthetic registered domains — per-domain rows grow k×, so
