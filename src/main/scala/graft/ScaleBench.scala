@@ -1099,7 +1099,7 @@ object ScaleBench {
         "q52_shingles", "q40_minhash",
         "q67_clusters", "q67_cluster_only", "q84_star_only", "lpa_only", "q75_probe",
         "admit_batch", "q40_probe", "q40_cand", "minhash_admit", "lexical_admit",
-        "trigram_admit", "winnow_admit", "cc_augment",
+        "trigram_admit", "winnow_admit", "domain_admit", "cc_augment",
         "q92_bloom", "q99_spans", "q102_edit", "q103_bigram", "q104_sn",
         "q107_entropy", "q107_exploded", "q160_vocab", "winnow_pairs", "winnow_sel", "winnow_probe")
       val embOps = Seq("q83_pq", "q41c_probe", "q41c_logbits",
@@ -1412,6 +1412,43 @@ object ScaleBench {
           (System.nanoTime() - t0) / 1e9
         }
         record("winnow_admit", k, math.min(onceWn(1), onceWn(2)))
+        Warehouse.dropWithLocation(spark, tbl)
+      }
+
+      // Axis-7 quota admission at k× standing history: the counts
+      // table holds k× the per-domain usage (one stamped partial per
+      // synthetic past batch), a FIXED 1× batch arrives — the standing
+      // read is domain-cardinality × batches, so expect near-flat
+      // like the other admission axes.
+      if (want("domain_admit")) {
+        val tbl = "graft_bench_scale_dom_admit"
+        Warehouse.dropWithLocation(spark, tbl)
+        val perDomain = graft.operators.Url.urlParts(
+            scaleDocs(spark, sf, 1).withColumn("url",
+              graft.operators.Url.syntheticUrl(col("doc_id"), lit("en"))),
+            col("url"))
+          .select(coalesce(col("reg_domain"), lit("(invalid-url)"))
+            .as("reg_domain"))
+          .groupBy("reg_domain").agg(count(lit(1)).as("n"))
+        // k stamped partials = k past batches: the merge-on-read input
+        // the admission pays grows k× while the batch stays 1×
+        val standing = perDomain
+          .crossJoin(spark.range(k).toDF("batch_id"))
+        Warehouse.saveDomainCounts(standing, tbl)
+        val outDir = java.nio.file.Files
+          .createTempDirectory("graft-scale-dom-admit").toString + "/out"
+        def freshDomBatch(tag: Int): DataFrame = scaleDocs(spark, sf, 1)
+          .select((col("doc_id") + 800000000L + tag * 1000000L).as("doc_id"))
+          .withColumn("url", graft.operators.Url.syntheticUrl(
+            col("doc_id"), lit("en")))
+        def onceDom(tag: Int): Double = {
+          val b = freshDomBatch(tag)
+          val t0 = System.nanoTime()
+          graft.streaming.StreamingDedup.admitBatchDomainCap(
+            b, "doc_id", "url", tbl, outDir, cap = 1000000L * k)
+          (System.nanoTime() - t0) / 1e9
+        }
+        record("domain_admit", k, math.min(onceDom(1), onceDom(2)))
         Warehouse.dropWithLocation(spark, tbl)
       }
 

@@ -497,6 +497,12 @@ object ExtQueries {
   private val DomainCapK = 15
   private val DomainDupJac = 0.6
 
+  /** q264 per-domain admission cap — the lifetime quota each
+    * registered domain gets across ingest history (8 bites at every
+    * oracle SF: partial admission at sf0.001/0.01, hard rejection with
+    * a nonzero survivor set at sf0.1). */
+  private val DomainCapAdmit = 8L
+
   /** q262 segment-winnowing knobs: 16-word stride segments (≫ k+w−1=6,
     * the fixed-stride alignment caveat), pairs need ≥ 2 shared screened
     * hashes at SEGMENT grain (segments carry ~4–5 selections each vs a
@@ -2141,6 +2147,36 @@ object ExtQueries {
           count(col("n_chars")).as("n_with"),
           sum(col("n_chars")).as("sum_chars"))
         .orderBy("lang")
+    }),
+
+    // Per-domain cap ADMISSION, oracle-checked (r15 — the SEVENTH
+    // admission axis, and the first source-governance one: quota, not
+    // similarity): standing per-domain counts from the already-ingested
+    // history (every 10th doc), one batch of odd docs admitted up to
+    // DomainCapAdmit per registered domain by the content-keyed rank.
+    "q264_domain_cap_admission" -> ((s, d) => {
+      val outPath = "spark-warehouse/graft_bench_domadmit_q264_out"
+      ensureStoredIndex("graft_bench_domadmit_q264", d) {
+        val hp = new org.apache.hadoop.fs.Path(outPath)
+        val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(hp)) fs.delete(hp, true)
+        val withUrl = t(s, d, "documents").withColumn("url",
+          Url.syntheticUrl(col("doc_id"), col("lang")))
+        val standing = Url.urlParts(
+            withUrl.filter(col("doc_id") % 10 === 0), col("url"))
+          .select(coalesce(col("reg_domain"), lit("(invalid-url)"))
+            .as("reg_domain"))
+          .groupBy("reg_domain").agg(count(lit(1)).as("n"))
+          .withColumn("batch_id", lit(0L))
+        graft.sources.Warehouse.saveDomainCounts(standing,
+          "graft_bench_domadmit_q264")
+        graft.streaming.StreamingDedup.admitBatchDomainCap(
+          withUrl.filter(col("doc_id") % 2 === 1)
+            .select("doc_id", "lang", "url"),
+          "doc_id", "url", "graft_bench_domadmit_q264", outPath,
+          cap = DomainCapAdmit)
+      }
+      s.read.parquet(outPath).select("doc_id", "lang").orderBy("doc_id")
     }),
 
     // Schema migration — the WRITE half of q258 (r15 verdict stretch):
@@ -5875,6 +5911,19 @@ object ExtQueries {
         "count(CASE WHEN doc_id % 2 = 1 THEN 1 END) AS n_with, " +
         "CAST(sum(CASE WHEN doc_id % 2 = 1 THEN length(text) END) AS BIGINT) AS sum_chars " +
         "FROM documents GROUP BY lang ORDER BY lang"),
+    // q264: the admission replayed declaratively — standing counts
+    // from the every-10th-doc history, batch rank per domain, quota
+    // filter (synthesized URL/domain via the shared urlCtes chain)
+    "q264_domain_cap_admission" ->
+      (s"WITH ${urlCtes()}, " +
+        "used AS (SELECT reg_domain, count(*) AS n FROM pr " +
+        "WHERE doc_id % 10 = 0 GROUP BY 1), " +
+        "batch AS (SELECT doc_id, lang, reg_domain, row_number() OVER " +
+        "(PARTITION BY reg_domain ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk " +
+        "FROM pr WHERE doc_id % 2 = 1) " +
+        "SELECT doc_id, lang FROM batch LEFT JOIN used USING (reg_domain) " +
+        s"WHERE rk <= greatest($DomainCapAdmit - coalesce(n, 0), 0) " +
+        "ORDER BY doc_id"),
     // q263: the unified post-migration aggregate, computed from the
     // source table directly (both generations carry length(text) after
     // the add-with-default)

@@ -279,6 +279,28 @@ object Warehouse {
   }
 
   /**
+   * Persist per-domain admitted-count PARTIALS
+   * `(reg_domain, n, batch_id)` bucketed by domain — the q201 rollup
+   * discipline applied to the domain-cap admission axis
+   * ([[graft.streaming.StreamingDedup.admitBatchDomainCap]]): appends
+   * are blind (the standing table is never read at write time), and a
+   * replayed batch collapses via its batch_id stamp when the counts
+   * merge on read. Bucketing by `reg_domain` keeps the merge
+   * aggregate exchange-free off the scan.
+   */
+  def saveDomainCounts(partials: DataFrame, table: String,
+                       buckets: Int = 8,
+                       mode: SaveMode = SaveMode.Overwrite): Unit = {
+    if (mode == SaveMode.Overwrite)
+      dropWithLocation(partials.sparkSession, table)
+    partials.write.mode(mode)
+      .bucketBy(buckets, "reg_domain")
+      .sortBy("reg_domain")
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
+  /**
    * Persist a lexical cosine index: the CAPPED tf frame
    * ([[graft.operators.Dedup.cappedLexicalTf]]: `(doc_id, tok, tf)`)
    * bucketed by token — a probe batch's candidate join shuffles only

@@ -701,4 +701,117 @@ object StreamingDedup {
       commitAdmission(survivors, outPath, batchId, appendIdx)
     } finally b.unpersist()
   }
+
+  // ------------------------------------------------------------------
+  // Axis 7: per-domain document cap (source governance — the C4/
+  // RefinedWeb "limit docs per domain" rule enforced at the ingest
+  // door, not similarity-based like axes 1–6)
+  // ------------------------------------------------------------------
+
+  /** Merged per-domain admitted counts from the standing partials
+    * table ([[graft.sources.Warehouse.saveDomainCounts]] layout) —
+    * replayed batches collapse via their batch_id stamp BEFORE the
+    * sum; an absent table reads as zero everywhere. */
+  def domainCountsOf(spark: SparkSession, table: String): DataFrame =
+    if (spark.catalog.tableExists(table))
+      spark.table(table).dropDuplicates("batch_id", "reg_domain")
+        .groupBy("reg_domain").agg(sum("n").as("n_used"))
+    else
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("reg_domain",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("n_used",
+            org.apache.spark.sql.types.LongType))))
+
+  /**
+   * Streaming per-domain cap admission: each micro-batch of documents
+   * (carrying a URL column) is admitted up to `cap` documents per
+   * registered domain ACROSS THE WHOLE HISTORY — the standing state is
+   * the per-domain admitted-count partial table, blind-appended per
+   * batch and merged on read (never rewritten). Within a batch, the
+   * winners are the content-keyed `(md5(id), id)` rank — reproducible
+   * across replays, so the exactly-once manifest protocol applies
+   * unchanged. Docs whose URL fails to parse land in the
+   * `(invalid-url)` quarantine domain and compete for ITS cap — never
+   * silently dropped, never uncounted.
+   */
+  def domainCapAdmission(docs: DataFrame, idCol: String, urlCol: String,
+                         countsTable: String, outPath: String,
+                         checkpointDir: String, cap: Long,
+                         buckets: Int = 8): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        admitBatchDomainCap(batch, idCol, urlCol, countsTable, outPath,
+          cap, buckets, Some(bid))
+      }
+      .start()
+
+  /** One domain-cap admission round — also the BATCH incremental API.
+    * Cost shape: URL parse is map-only, the standing read is
+    * domain-cardinality-sized (bucketed, exchange-free merge), and the
+    * only batch-sized shuffle is the per-domain rank window. */
+  def admitBatchDomainCap(batch: DataFrame, idCol: String, urlCol: String,
+                          countsTable: String, outPath: String, cap: Long,
+                          buckets: Int = 8,
+                          batchId: Option[Long] = None): Unit = {
+    require(cap >= 0, s"cap must be >= 0, got $cap")
+    val spark = batch.sparkSession
+    def domOf(s: DataFrame): DataFrame =
+      graft.operators.Url.urlParts(s.select(col(idCol), col(urlCol)),
+          col(urlCol))
+        .select(col(idCol),
+          coalesce(col("reg_domain"), lit("(invalid-url)"))
+            .as("reg_domain"))
+    def appendCounts(s: DataFrame): Unit =
+      Warehouse.saveDomainCounts(
+        domOf(s).groupBy("reg_domain").agg(count(lit(1)).as("n"))
+          .withColumn("batch_id", lit(batchId.getOrElse(-1L))),
+        countsTable, buckets, appendModeFor(spark, countsTable))
+    // recovery probe: counts rows are batch-stamped, so presence of
+    // this batch's stamp means the counts append committed (and a
+    // double append would collapse on read anyway — belt and braces)
+    def ensureCounts(s: DataFrame): Unit =
+      if (!spark.catalog.tableExists(countsTable) ||
+          spark.table(countsTable)
+            .filter(col("batch_id") === batchId.get).isEmpty)
+        appendCounts(s)
+    if (batchId.exists(recoverPartialCommit(spark, outPath, _, idCol,
+        ensureCounts)))
+      return
+    // replay guard the similarity axes get for free (a replayed doc
+    // matches itself in the index and self-rejects) but quota cannot
+    // (the counts don't know WHICH ids were admitted, so a re-run with
+    // remaining quota would re-admit): the commit order writes this
+    // batch's counts stamp BEFORE the output append, and a crash
+    // between the two leaves the manifest for recoverPartialCommit —
+    // so stamp present with NO manifest proves the batch fully
+    // committed. Skip it. (The probe is a domain-cardinality-sized
+    // bucketed scan, not an output read.)
+    if (batchId.exists(id => spark.catalog.tableExists(countsTable) &&
+        !spark.table(countsTable).filter(col("batch_id") === id).isEmpty))
+      return
+    val b = batch.persist()
+    try {
+      val ranked = domOf(b).withColumn("_rk",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("reg_domain")
+          .orderBy(md5(col(idCol).cast("string")), col(idCol))))
+      // localCheckpoint (eager): the decision's lineage READS the
+      // standing counts table that commitAdmission is about to APPEND
+      // to — left lazy, the output write would re-plan against the
+      // post-append counts and the batch's own quota would deduct
+      // against itself (the rejectedIds lesson, quota flavor)
+      val admitIds = ranked
+        .join(domainCountsOf(spark, countsTable), Seq("reg_domain"), "left")
+        .filter(col("_rk") <=
+          greatest(lit(cap) - coalesce(col("n_used"), lit(0L)), lit(0L)))
+        .select(idCol)
+        .localCheckpoint()
+      val survivors = b.join(admitIds, Seq(idCol), "left_semi")
+      commitAdmission(survivors, outPath, batchId, appendCounts)
+    } finally b.unpersist()
+  }
 }

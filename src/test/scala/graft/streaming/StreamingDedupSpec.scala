@@ -396,4 +396,60 @@ class StreamingDedupSpec extends AnyFunSuite with SparkTestSession {
       .map(_.getLong(0)).toSet == Set(1L, 3L, 5L))
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
+
+  test("domain-cap admission: lifetime quota per registered domain across batches and replays") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, sum}
+    val srcDir = Files.createTempDirectory("graft-dcx-src").toString
+    val outDir = Files.createTempDirectory("graft-dcx-out").toString + "/out"
+    val ckpt = Files.createTempDirectory("graft-dcx-ckpt").toString
+    val tbl = "graft_bench_stream_dcx"
+    Warehouse.dropWithLocation(spark, tbl)
+    val urlSchema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("url", StringType)))
+    def runOnce(): Unit = {
+      val q = StreamingDedup.domainCapAdmission(
+        spark.readStream.schema(urlSchema).parquet(srcDir),
+        "doc_id", "url", tbl, outDir, ckpt, cap = 2L)
+      q.processAllAvailable(); q.stop()
+    }
+    def u(host: String, p: Long) = s"https://$host/p/$p"
+    // batch 1: three docs on a.com (cap 2 -> content-keyed pick of 2),
+    // one on b.org, one malformed URL (quarantine domain)
+    Seq((1L, u("www.a.com", 1)), (2L, u("a.com", 2)), (3L, u("news.a.com", 3)),
+      (4L, u("b.org", 4)), (5L, "not a url"))
+      .toDF("doc_id", "url").write.mode("append").parquet(srcDir)
+    runOnce()
+    val after1 = spark.read.parquet(outDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val aAfter1 = after1.intersect(Set(1L, 2L, 3L))
+    assert(aAfter1.size == 2, s"a.com quota: $after1")
+    assert(after1.contains(4L) && after1.contains(5L))
+    // batch 2: a.com is FULL (lifetime quota, enforced via the standing
+    // counts — only the stored table can know); b.org has one slot left
+    Seq((6L, u("a.com", 6)), (7L, u("blog.b.org", 7)), (8L, u("b.org", 8)),
+      (9L, u("c.net", 9)))
+      .toDF("doc_id", "url").write.mode("append").parquet(srcDir)
+    runOnce()
+    val after2 = spark.read.parquet(outDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!after2.contains(6L), s"a.com over quota: $after2")
+    assert(after2.intersect(Set(7L, 8L)).size == 1, s"b.org quota: $after2")
+    assert(after2.contains(9L))
+    // replay: a foreachBatch restart re-delivers batch 2 — the
+    // batch-stamped counts collapse on read and the manifest protocol
+    // keeps the output exactly-once
+    val rows2 = spark.read.parquet(outDir).count()
+    StreamingDedup.admitBatchDomainCap(
+      Seq((6L, u("a.com", 6)), (7L, u("blog.b.org", 7)), (8L, u("b.org", 8)),
+        (9L, u("c.net", 9))).toDF("doc_id", "url"),
+      "doc_id", "url", tbl, outDir, cap = 2L, batchId = Some(1L))
+    assert(spark.read.parquet(outDir).count() == rows2, "replay duplicated output")
+    val merged = StreamingDedup.domainCountsOf(spark, tbl)
+    assert(merged.agg(sum("n_used")).head.getLong(0) == rows2,
+      "counts drifted from admitted output")
+    // quota arithmetic: no domain exceeds the cap
+    assert(merged.filter(col("n_used") > 2L).isEmpty)
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
 }
