@@ -2149,6 +2149,42 @@ object ExtQueries {
         .orderBy("lang")
     }),
 
+    // Web-curation capstone (r15 — the one-recipe entry over the new
+    // family, the q90/q230/q250 precedent): parse URLs → exact dedup
+    // (min-id per identical text) → near-dup clusters at 0.6 (q67
+    // closure, min-id rep survives) → per-domain cap → per-domain
+    // scorecard (raw / deduped / kept / kept-id checksum). The stage
+    // ORDER is the standard recipe's: dedup globally on content FIRST
+    // (a mirror on two domains burns quota nowhere), cap per domain
+    // LAST (the quota applies to unique content).
+    "q265_curation_recipe" -> ((s, d) => {
+      val parts = Url.urlParts(
+        t(s, d, "documents").withColumn("url",
+          Url.syntheticUrl(col("doc_id"), col("lang"))),
+        col("url"))
+      val keepExact = parts.groupBy(md5(col("text")).as("_h"))
+        .agg(min("doc_id").as("doc_id")).select("doc_id")
+      val s1 = parts.join(keepExact, Seq("doc_id"), "left_semi")
+      val pairs = Dedup.ngramJaccardPairs(s1, "doc_id", "text",
+        n = 3, threshold = 0.6)
+      val drop = Dedup.dedupClusters(pairs, "da", "db")
+        .filter(col("node") =!= col("lbl"))
+        .select(col("node").as("doc_id"))
+      val s2 = s1.join(drop, Seq("doc_id"), "left_anti")
+      val s3 = Url.perDomainCap(s2, "doc_id", DomainCapK)
+      parts.groupBy("reg_domain").agg(count(lit(1)).as("n_raw"))
+        .join(s2.groupBy("reg_domain")
+          .agg(count(lit(1)).as("_nd")), Seq("reg_domain"), "left")
+        .join(s3.groupBy("reg_domain")
+          .agg(count(lit(1)).as("_nk"), sum("doc_id").as("_ks")),
+          Seq("reg_domain"), "left")
+        .select(col("reg_domain"), col("n_raw"),
+          coalesce(col("_nd"), lit(0L)).as("n_deduped"),
+          coalesce(col("_nk"), lit(0L)).as("n_kept"),
+          coalesce(col("_ks"), lit(0L)).as("kept_id_sum"))
+        .orderBy("reg_domain")
+    }),
+
     // Per-domain cap ADMISSION, oracle-checked (r15 — the SEVENTH
     // admission axis, and the first source-governance one: quota, not
     // similarity): standing per-domain counts from the already-ingested
@@ -5911,6 +5947,25 @@ object ExtQueries {
         "count(CASE WHEN doc_id % 2 = 1 THEN 1 END) AS n_with, " +
         "CAST(sum(CASE WHEN doc_id % 2 = 1 THEN length(text) END) AS BIGINT) AS sum_chars " +
         "FROM documents GROUP BY lang ORDER BY lang"),
+    // q265: the recipe replayed declaratively — exact-dedup keeps,
+    // q67's recursive closure over the survivors, the cap rank, three
+    // per-domain rollups stitched left
+    "q265_curation_recipe" ->
+      (s"WITH RECURSIVE ${urlCtes()}, " +
+        "keepx AS (SELECT min(doc_id) AS doc_id FROM pr GROUP BY md5(text)), " +
+        "s1 AS (SELECT pr.* FROM pr JOIN keepx USING (doc_id)), " +
+        s"${dedupClosureCtesFrom("s1")}, " +
+        "nonrep AS (SELECT node FROM (SELECT node, min(lbl) AS lbl FROM reach GROUP BY node) t WHERE node <> lbl), " +
+        "s2 AS (SELECT * FROM s1 WHERE doc_id NOT IN (SELECT node FROM nonrep)), " +
+        "rk AS (SELECT doc_id, reg_domain, row_number() OVER (PARTITION BY reg_domain ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn FROM s2), " +
+        s"s3 AS (SELECT doc_id, reg_domain FROM rk WHERE rn <= $DomainCapK), " +
+        "raw AS (SELECT reg_domain, count(*) AS n_raw FROM pr GROUP BY 1), " +
+        "d2 AS (SELECT reg_domain, count(*) AS n_deduped FROM s2 GROUP BY 1), " +
+        "d3 AS (SELECT reg_domain, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS kept_id_sum FROM s3 GROUP BY 1) " +
+        "SELECT raw.reg_domain, n_raw, coalesce(n_deduped, 0) AS n_deduped, " +
+        "coalesce(n_kept, 0) AS n_kept, coalesce(kept_id_sum, 0) AS kept_id_sum " +
+        "FROM raw LEFT JOIN d2 USING (reg_domain) LEFT JOIN d3 USING (reg_domain) " +
+        "ORDER BY raw.reg_domain"),
     // q264: the admission replayed declaratively — standing counts
     // from the every-10th-doc history, batch rank per domain, quota
     // filter (synthesized URL/domain via the shared urlCtes chain)
