@@ -2149,6 +2149,55 @@ object ExtQueries {
         .orderBy("lang")
     }),
 
+    // URL canonicalization (r15): the cheap PRE-content dedup key —
+    // deterministic mess (uppercased hosts, tracking params,
+    // fragments, explicit :443) layered onto the clean form, folded
+    // back by pure string expressions; `is_clean` certifies every
+    // dirty variant canonicalizes to its clean twin, and the emitted
+    // canon strings hash-check the whole chain.
+    "q266_url_canonical" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      docs.select(col("doc_id"),
+          Url.syntheticUrl(col("doc_id"), col("lang")).as("url"),
+          Url.syntheticDirtyUrl(col("doc_id"), col("lang")).as("dirty"))
+        .withColumn("canon", Url.canonicalizeUrl(col("dirty")))
+        .select(col("doc_id"), col("dirty"), col("canon"),
+          (col("canon") === col("url")).as("is_clean"))
+        .orderBy("doc_id")
+    }),
+
+    // Per-domain quality scorecard (r15): q82's composite quality
+    // score grouped by registered domain instead of lang — the
+    // domain-level ban/keep signal a curation pass ranks sources by.
+    // (EXACT-integer scoring: the double qualityScore lands exactly on
+    // a 4-dp half for real docs — doc 299 at sf0.001 scores 0.53575,
+    // which Spark's decimal-repr HALF_UP rounds to .5358 and DuckDB's
+    // binary round to .5357. The 45-domain groups are too small to
+    // dilute the 1e-4, so q267 derives the ×10⁴ score as one exact
+    // rational over integer components — (20000·N + D) div (2·D), the
+    // q119 rule — identical longs on both engines by construction.)
+    "q267_domain_quality" -> ((s, d) =>
+      Url.urlParts(
+          t(s, d, "documents").withColumn("url",
+            Url.syntheticUrl(col("doc_id"), col("lang"))),
+          col("url"))
+        .select(col("reg_domain"),
+          TextAnalysis.wordCount(col("text")).cast("long").as("_wc"),
+          TextAnalysis.stopwordCount(col("text")).cast("long").as("_ns"),
+          TextAnalysis.punctCount(col("text")).cast("long").as("_np"),
+          length(col("text")).cast("long").as("_len"))
+        .withColumn("_n", lit(400L) * col("_ns") * col("_len") +
+          lit(300L) * (col("_len") - col("_np")) * col("_wc") +
+          lit(3L) * least(lit(100L), col("_wc")) * col("_wc") * col("_len"))
+        .withColumn("_d", lit(1000L) * col("_wc") * col("_len"))
+        .withColumn("_si", expr("(20000 * _n + _d) div (2 * _d)"))
+        .groupBy("reg_domain")
+        .agg(count(lit(1)).as("n_docs"),
+          round(sum("_si") / (lit(10000.0) * count(lit(1))), 4)
+            .as("avg_score"),
+          sum(when(col("_si") >= 6000L, 1L).otherwise(0L)).as("n_high"))
+        .orderBy("reg_domain")),
+
     // Web-curation capstone (r15 — the one-recipe entry over the new
     // family, the q90/q230/q250 precedent): parse URLs → exact dedup
     // (min-id per identical text) → near-dup clusters at 0.6 (q67
@@ -5947,6 +5996,50 @@ object ExtQueries {
         "count(CASE WHEN doc_id % 2 = 1 THEN 1 END) AS n_with, " +
         "CAST(sum(CASE WHEN doc_id % 2 = 1 THEN length(text) END) AS BIGINT) AS sum_chars " +
         "FROM documents GROUP BY lang ORDER BY lang"),
+    // q266: clean + dirty generation and the canonicalization chain
+    // replayed in SQL — regexp_replace needs the explicit 'g' flag
+    // (Spark replaces all matches by default, DuckDB only the first)
+    "q266_url_canonical" ->
+      ("WITH b AS (SELECT doc_id, lang, CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),1,4)) AS UBIGINT) AS BIGINT) AS h FROM documents), " +
+        "parts AS (SELECT doc_id, lang, h, " +
+        "['www.','news.','blog.',''][h % 4 + 1] || 'site' || CAST(h % 5 AS VARCHAR) || '.' || " +
+        "['com','org','net','io','de','co.uk','com.au','ac.uk','edu.au'][h % 9 + 1] AS host, " +
+        "CASE WHEN h % 11 = 0 THEN ':8080' ELSE '' END AS port, " +
+        "'/p/' || CAST(doc_id % 100 AS VARCHAR) AS pth, " +
+        "CASE WHEN h % 3 = 0 THEN '?q=' || lang ELSE '' END AS qs FROM b), " +
+        "u AS (SELECT doc_id, h % 7 AS m, 'https://' || host || port || pth || qs AS url, host, port, pth, qs, " +
+        "CASE WHEN qs = '' THEN '?utm_source=news&utm_medium=email' ELSE '&utm_source=news&utm_medium=email' END AS utm FROM parts), " +
+        "d0 AS (SELECT doc_id, url, CASE " +
+        "WHEN m = 0 THEN 'https://' || upper(host) || port || pth || qs " +
+        "WHEN m = 1 THEN url || utm " +
+        "WHEN m = 2 THEN url || '#sec2' " +
+        "WHEN m = 3 THEN (CASE WHEN port = '' THEN 'https://' || host || ':443' || pth || qs ELSE url END) " +
+        "WHEN m = 4 THEN url || (CASE WHEN qs = '' THEN '?utm_source=news' ELSE '&utm_source=news' END) || '#frag' " +
+        "ELSE url END AS dirty FROM u), " +
+        "c1 AS (SELECT doc_id, url, dirty, " +
+        "regexp_replace(regexp_replace(regexp_replace(dirty, '#.*', '', 'g'), " +
+        "'(?:utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*&?', '', 'g'), '[?&]+$', '', 'g') AS u3 FROM d0), " +
+        "c2 AS (SELECT doc_id, url, dirty, " +
+        "lower(regexp_replace(regexp_extract(u3, '^[A-Za-z]+://[^/?#]*'), ':443$', '', 'g')) || " +
+        "substr(u3, length(regexp_extract(u3, '^[A-Za-z]+://[^/?#]*')) + 1) AS canon FROM c1) " +
+        "SELECT doc_id, dirty, canon, canon = url AS is_clean FROM c2 ORDER BY doc_id"),
+    // q267: q82's scorecard keyed by registered domain (urlCtes chain)
+    "q267_domain_quality" -> {
+      val stopList = TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
+      val wcS = "(length(text)-length(replace(text,' ',''))+1)"
+      val nsS = s"len(list_filter(string_split(text,' '), t -> t IN ($stopList)))"
+      val npS = "(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))"
+      s"WITH ${urlCtes()}, " +
+        s"c AS (SELECT reg_domain, CAST($wcS AS BIGINT) AS wc, " +
+        s"CAST($nsS AS BIGINT) AS ns, CAST($npS AS BIGINT) AS np, " +
+        "CAST(length(text) AS BIGINT) AS len FROM pr), " +
+        "si AS (SELECT reg_domain, (20000 * (400*ns*len + 300*(len-np)*wc + " +
+        "3*least(100, wc)*wc*len) + 1000*wc*len) // (2 * 1000*wc*len) AS s FROM c) " +
+        "SELECT reg_domain, count(*) AS n_docs, " +
+        "round(CAST(sum(s) AS DOUBLE) / (10000.0 * count(*)), 4) AS avg_score, " +
+        "CAST(sum(CASE WHEN s >= 6000 THEN 1 ELSE 0 END) AS BIGINT) AS n_high " +
+        "FROM si GROUP BY reg_domain ORDER BY reg_domain"
+    },
     // q265: the recipe replayed declaratively — exact-dedup keeps,
     // q67's recursive closure over the survivors, the cap rank, three
     // per-domain rollups stitched left

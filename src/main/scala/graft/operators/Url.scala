@@ -55,7 +55,11 @@ object Url {
    * parser sees hosts with/without subdomains, 2- and 3-label
    * registered domains, ports, and absent queries.
    */
-  def syntheticUrl(docId: Column, langCol: Column): Column = {
+  /** The deterministic URL components (hash, host, port, path, query)
+    * [[syntheticUrl]] and [[syntheticDirtyUrl]] assemble — one
+    * derivation so the clean and dirty forms cannot drift. */
+  private def urlPieces(docId: Column, langCol: Column)
+      : (Column, Column, Column, Column, Column) = {
     val h = conv(substring(md5(docId.cast("string")), 1, 4), 16, 10)
       .cast("long")
     val suffix = element_at(array(SynthSuffixes.map(lit): _*),
@@ -63,14 +67,63 @@ object Url {
     val sub = element_at(
       array(lit("www."), lit("news."), lit("blog."), lit("")),
       (pmod(h, lit(4)) + 1).cast("int"))
-    val port = when(pmod(h, lit(11)) === 0, lit(":8080")).otherwise(lit(""))
-    val qs = when(pmod(h, lit(3)) === 0, concat(lit("?q="), langCol))
-      .otherwise(lit(""))
     // 5 site names × 9 suffixes = 45 registered domains — small enough
     // that the per-domain cap and dup audits bite at every oracle SF
-    concat(lit("https://"), sub, lit("site"),
-      pmod(h, lit(5)).cast("string"), lit("."), suffix, port,
-      lit("/p/"), pmod(docId, lit(100)).cast("string"), qs)
+    val host = concat(sub, lit("site"), pmod(h, lit(5)).cast("string"),
+      lit("."), suffix)
+    val port = when(pmod(h, lit(11)) === 0, lit(":8080")).otherwise(lit(""))
+    val path = concat(lit("/p/"), pmod(docId, lit(100)).cast("string"))
+    val qs = when(pmod(h, lit(3)) === 0, concat(lit("?q="), langCol))
+      .otherwise(lit(""))
+    (h, host, port, path, qs)
+  }
+
+  def syntheticUrl(docId: Column, langCol: Column): Column = {
+    val (_, host, port, path, qs) = urlPieces(docId, langCol)
+    concat(lit("https://"), host, port, path, qs)
+  }
+
+  /** [[syntheticUrl]] with deterministic mess layered on (h mod 7):
+    * uppercased host, appended tracking params, a fragment, an
+    * explicit default port — the shapes [[canonicalizeUrl]] must fold
+    * back to the clean form; two residues stay clean so the identity
+    * path is exercised too. */
+  def syntheticDirtyUrl(docId: Column, langCol: Column): Column = {
+    val (h, host, port, path, qs) = urlPieces(docId, langCol)
+    val clean = concat(lit("https://"), host, port, path, qs)
+    val utm = when(qs === "", lit("?utm_source=news&utm_medium=email"))
+      .otherwise(lit("&utm_source=news&utm_medium=email"))
+    val m = pmod(h, lit(7))
+    when(m === 0, concat(lit("https://"), upper(host), port, path, qs))
+      .when(m === 1, concat(clean, utm))
+      .when(m === 2, concat(clean, lit("#sec2")))
+      .when(m === 3, when(port === "",
+          concat(lit("https://"), host, lit(":443"), path, qs))
+        .otherwise(clean))
+      .when(m === 4, concat(clean,
+        when(qs === "", lit("?utm_source=news")).otherwise(lit("&utm_source=news")),
+        lit("#frag")))
+      .otherwise(clean)
+  }
+
+  /**
+   * Canonical URL form — the cheap pre-content dedup key every web
+   * recipe computes first (URL-level dedup costs a hash groupBy; the
+   * content passes cost shingles): drop the fragment, strip tracking
+   * parameters (`utm_*`, `fbclid`, `gclid`), strip a now-empty query,
+   * lowercase scheme+host (NOT the path — paths are case-sensitive),
+   * and drop the https default port `:443`. Pure string expressions —
+   * map-only, no UDF, identical regex semantics in the DuckDB twin
+   * (which needs the 'g' flag Spark applies by default).
+   */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*", "")
+    val noTrack = regexp_replace(noFrag,
+      "(?:utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*&?", "")
+    val trimmed = regexp_replace(noTrack, "[?&]+$", "")
+    val head = regexp_extract(trimmed, "^[A-Za-z]+://[^/?#]*", 0)
+    concat(lower(regexp_replace(head, ":443$", "")),
+      trimmed.substr(length(head) + 1, length(trimmed)))
   }
 
   /**

@@ -89,6 +89,23 @@ class UrlSpec extends AnyFunSuite with SparkTestSession {
     assert(out(1).getLong(2) == 0 && out(1).getLong(4) == 0)
   }
 
+  test("canonicalizeUrl: fragment, tracking params, :443, host case — path case preserved") {
+    val cases = Seq(
+      ("https://WWW.Site3.CO.UK/P/5?q=en", "https://www.site3.co.uk/P/5?q=en"),
+      ("https://a.com:443/p/7", "https://a.com/p/7"),
+      ("https://a.com:8080/p?q=en&utm_source=n&utm_medium=e",
+        "https://a.com:8080/p?q=en"), // non-default port survives
+      ("https://a.io/p?utm_source=n&utm_medium=e", "https://a.io/p"),
+      ("https://a.de/p/1?q=fr#sec2", "https://a.de/p/1?q=fr"),
+      ("https://a.de/p/1#sec2", "https://a.de/p/1"),
+      ("https://a.de/p?fbclid=xyz&q=de&gclid=2", "https://a.de/p?q=de"),
+      ("https://a.de/clean", "https://a.de/clean"))
+    val out = cases.toDF("u", "want")
+      .withColumn("got", Url.canonicalizeUrl(col("u"))).collect()
+    out.foreach(r => assert(r.getString(2) == r.getString(1),
+      s"${r.getString(0)} -> ${r.getString(2)} != ${r.getString(1)}"))
+  }
+
   test("syntheticUrl is deterministic and parse round-trips it") {
     val docs = Seq((0L, "en"), (1L, "de"), (42L, "fr"))
       .toDF("doc_id", "lang")
