@@ -2214,7 +2214,9 @@ object ExtQueries {
       val keepExact = parts.groupBy(md5(col("text")).as("_h"))
         .agg(min("doc_id").as("doc_id")).select("doc_id")
       val s1 = parts.join(keepExact, Seq("doc_id"), "left_semi")
-      val pairs = Dedup.ngramJaccardPairs(s1, "doc_id", "text",
+      // jaccardPairsAuto: the cost-based direct-vs-PPJoin dispatch
+      // (q26's posture) — identical exact output either way
+      val pairs = Dedup.jaccardPairsAuto(s1, "doc_id", "text",
         n = 3, threshold = 0.6)
       val drop = Dedup.dedupClusters(pairs, "da", "db")
         .filter(col("node") =!= col("lbl"))
