@@ -736,6 +736,30 @@ object ScaleBench {
       // DSIR weights at k× the corpus: the salted vocabulary grows k×
       // (the q185 axis), stressing the vocab aggregate + model join
       // while the per-doc aggregate stays entity-sized
+      // The cap path under PLANTED power-law skew: 90% of k× docs
+      // forced into ONE mega-domain. The question the operator scaladoc
+      // raises — does the per-domain rank window melt on a hot key? —
+      // is answered by Spark's WindowGroupLimit rewrite: each input
+      // partition pre-caps to k rows per domain BEFORE the shuffle, so
+      // the exchanged rows stay ~domains × partitions × cap regardless
+      // of the hot key's share.
+      if (want("domain_cap_skew")) {
+        val docs = scaleDocs(spark, sf, k).repartition(32).persist()
+        val nDocs = docs.count()
+        System.err.println(s"SCALE inputs ${k}x: $nDocs docs (cap skew)")
+        val parts = graft.operators.Url.urlParts(
+          docs.withColumn("url",
+            when(pmod(col("doc_id"), lit(10)) < 9,
+              concat(lit("https://mega.com/p/"),
+                pmod(col("doc_id"), lit(100)).cast("string")))
+              .otherwise(graft.operators.Url.syntheticUrl(
+                col("doc_id"), col("lang")))),
+          col("url"))
+        record("domain_cap_skew", k, time(
+          graft.operators.Url.perDomainCap(parts, "doc_id", 15)))
+        docs.unpersist()
+      }
+
       // Segment-level winnowing selection at k× the corpus (the q262
       // path): same gram explode as winnow_sel but the window keys on
       // (doc, segment) — finer keys, same shuffle count; expect the
