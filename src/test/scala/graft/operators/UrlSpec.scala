@@ -89,6 +89,16 @@ class UrlSpec extends AnyFunSuite with SparkTestSession {
     assert(out(1).getLong(2) == 0 && out(1).getLong(4) == 0)
   }
 
+  test("urlParts + canonicalizeUrl are map-only: zero exchanges in the executed plan") {
+    val docs = (0L until 100L).map(i => (i, "en")).toDF("doc_id", "lang")
+    val plan = Url.urlParts(
+        docs.withColumn("url", Url.syntheticUrl(col("doc_id"), col("lang"))),
+        col("url"))
+      .withColumn("canon", Url.canonicalizeUrl(col("url")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"parse path shuffled:\n$plan")
+  }
+
   test("canonicalizeUrl: fragment, tracking params, :443, host case — path case preserved") {
     val cases = Seq(
       ("https://WWW.Site3.CO.UK/P/5?q=en", "https://www.site3.co.uk/P/5?q=en"),
