@@ -116,6 +116,28 @@ class UrlSpec extends AnyFunSuite with SparkTestSession {
       s"${r.getString(0)} -> ${r.getString(2)} != ${r.getString(1)}"))
   }
 
+  test("canonicalizeUrl is idempotent; registeredDomain is a 2-3 label host suffix") {
+    // the whole synthetic corpus, clean AND dirty forms — canon of a
+    // canonical URL must be a fixpoint, or repeated pipeline passes
+    // would keep rewriting keys
+    val docs = (0L until 500L).map(i => (i, if (i % 2 == 0) "en" else "de"))
+      .toDF("doc_id", "lang")
+    val urls = docs.select(
+        Url.syntheticUrl(col("doc_id"), col("lang")).as("u"))
+      .union(docs.select(
+        Url.syntheticDirtyUrl(col("doc_id"), col("lang")).as("u")))
+    val c = urls.withColumn("c1", Url.canonicalizeUrl(col("u")))
+      .withColumn("c2", Url.canonicalizeUrl(col("c1")))
+    assert(c.filter(col("c1") =!= col("c2")).count() == 0)
+    // registered domain: always a dot-suffix of the (lowercased) host
+    // with exactly 2 or 3 labels
+    val rd = Url.urlParts(c.select(col("c1").as("u")), col("u"))
+      .select("host", "reg_domain")
+    assert(rd.filter(!col("host").endsWith(col("reg_domain"))).count() == 0)
+    assert(rd.filter(!org.apache.spark.sql.functions.size(
+      split(col("reg_domain"), "\\.")).isin(2, 3)).count() == 0)
+  }
+
   test("syntheticUrl is deterministic and parse round-trips it") {
     val docs = Seq((0L, "en"), (1L, "de"), (42L, "fr"))
       .toDF("doc_id", "lang")
