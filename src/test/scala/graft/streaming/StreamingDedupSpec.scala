@@ -450,6 +450,14 @@ class StreamingDedupSpec extends AnyFunSuite with SparkTestSession {
       "counts drifted from admitted output")
     // quota arithmetic: no domain exceeds the cap
     assert(merged.filter(col("n_used") > 2L).isEmpty)
+    // maintenance: the batch-stamped partials table compacts through
+    // the generic staging-rename path with merge-on-read unchanged
+    // (append history collapses to <= buckets files, counts identical)
+    val before = merged.orderBy("reg_domain").collect()
+    val (nb, na) = Warehouse.compactTable(spark, tbl)
+    assert(na <= nb)
+    assert(StreamingDedup.domainCountsOf(spark, tbl)
+      .orderBy("reg_domain").collect().sameElements(before))
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 }
