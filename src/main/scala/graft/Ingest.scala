@@ -131,6 +131,14 @@ object Ingest {
   private def defaultPartitions(c: Config): Option[Int] =
     if (c.dsn.startsWith("jdbc:duckdb:")) Some(1) else None
 
+  /** `-mode overwrite` against a ClickHouse DSN maps to the JDBC
+    * writer's truncate path (keep the prepared MergeTree table, empty
+    * it) — drop-and-recreate would re-issue Spark's ENGINE-less
+    * CREATE TABLE, which ClickHouse rejects. */
+  private[graft] def truncateForOverwrite(dsn: String, mode: String): Boolean =
+    graft.sources.ClickHouseDialect.canHandle(dsn) &&
+      mode.equalsIgnoreCase("overwrite")
+
   /** The whole reference job as one declarative plan. */
   def run(spark: SparkSession, c: Config): Unit = {
     val events = SlowLogSource.readRaw(spark, c.slowLogPath).drop("file")
@@ -150,9 +158,14 @@ object Ingest {
         graft.sources.Warehouse.writePartitioned(wide, path, save)
       case None =>
         prepareClickHouse(c, wide.schema)
+        // overwrite on ClickHouse must TRUNCATE the prepared table:
+        // Spark's default overwrite drops and re-creates with an
+        // ENGINE-less CREATE TABLE, invalid on a live server — the
+        // prepared MergeTree DDL would be thrown away mid-run
         JdbcSink.write(wide, c.dsn, c.table,
           driverFor(c), mode = c.mode, batchSize = c.batchSize,
-          numPartitions = c.numPartitions.orElse(defaultPartitions(c)))
+          numPartitions = c.numPartitions.orElse(defaultPartitions(c)),
+          truncate = truncateForOverwrite(c.dsn, c.mode))
     }
   }
 

@@ -1455,9 +1455,13 @@ object ScaleBench {
             .as("reg_domain"))
           .groupBy("reg_domain").agg(count(lit(1)).as("n"))
         // k stamped partials = k past batches: the merge-on-read input
-        // the admission pays grows k× while the batch stays 1×
+        // the admission pays grows k× while the batch stays 1× (seeds
+        // stamped NEGATIVE per the saveDomainCounts namespace contract
+        // — non-negative stamps belong to admission rounds)
         val standing = perDomain
-          .crossJoin(spark.range(k).toDF("batch_id"))
+          .crossJoin(spark.range(k).toDF("_i"))
+          .withColumn("batch_id", -col("_i") - 1)
+          .drop("_i")
         Warehouse.saveDomainCounts(standing, tbl)
         val outDir = java.nio.file.Files
           .createTempDirectory("graft-scale-dom-admit").toString + "/out"

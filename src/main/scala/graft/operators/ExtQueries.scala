@@ -2152,9 +2152,12 @@ object ExtQueries {
     // URL canonicalization (r15): the cheap PRE-content dedup key —
     // deterministic mess (uppercased hosts, tracking params,
     // fragments, explicit :443) layered onto the clean form, folded
-    // back by pure string expressions; `is_clean` certifies every
-    // dirty variant canonicalizes to its clean twin, and the emitted
-    // canon strings hash-check the whole chain.
+    // back by pure string expressions; `is_clean` certifies each
+    // foldable dirty variant canonicalizes to its clean twin (residue
+    // 5's HOSTILE param names — myfbclid=/xutm_source= — must instead
+    // SURVIVE, so its is_clean is false by design), and the emitted
+    // canon strings hash-check the whole chain including the
+    // preserved hostile params.
     "q266_url_canonical" -> ((s, d) => {
       val docs = t(s, d, "documents")
       docs.select(col("doc_id"),
@@ -2197,6 +2200,22 @@ object ExtQueries {
             .as("avg_score"),
           sum(when(col("_si") >= 6000L, 1L).otherwise(0L)).as("n_high"))
         .orderBy("reg_domain")),
+
+    // PSL-backed eTLD+1 (r16 — the injectable-suffix-table verdict
+    // ask): hosts drawn from every rule SHAPE the published list
+    // carries (exact TLD, multi-label registry, private suffix,
+    // wildcard zone, wildcard exception), resolved per-doc by the
+    // codegen'd RegisteredDomainPslExpr over the in-repo fixture —
+    // full value check of every host including the NULL
+    // no-registrable-domain case (a bare `siteN.ck` host IS a public
+    // suffix under `*.ck`).
+    "q268_psl_domain" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          Url.syntheticPslHost(col("doc_id")).as("host"))
+        .withColumn("reg_psl",
+          Url.registeredDomainPsl(col("host"), Url.PslFixture))
+        .orderBy("doc_id")),
 
     // Web-curation capstone (r15 — the one-recipe entry over the new
     // family, the q90/q230/q250 precedent): parse URLs → exact dedup
@@ -2254,7 +2273,10 @@ object ExtQueries {
           .select(coalesce(col("reg_domain"), lit("(invalid-url)"))
             .as("reg_domain"))
           .groupBy("reg_domain").agg(count(lit(1)).as("n"))
-          .withColumn("batch_id", lit(0L))
+          // seeded history lives in the NEGATIVE stamp namespace
+          // (saveDomainCounts contract) — a 0 stamp would collide with
+          // a streaming run's first micro-batch id
+          .withColumn("batch_id", lit(-1L))
         graft.sources.Warehouse.saveDomainCounts(standing,
           "graft_bench_domadmit_q264")
         graft.streaming.StreamingDedup.admitBatchDomainCap(
@@ -6017,10 +6039,12 @@ object ExtQueries {
         "WHEN m = 2 THEN url || '#sec2' " +
         "WHEN m = 3 THEN (CASE WHEN port = '' THEN 'https://' || host || ':443' || pth || qs ELSE url END) " +
         "WHEN m = 4 THEN url || (CASE WHEN qs = '' THEN '?utm_source=news' ELSE '&utm_source=news' END) || '#frag' " +
+        "WHEN m = 5 THEN url || (CASE WHEN qs = '' THEN '?myfbclid=keep&xutm_source=keep' ELSE '&myfbclid=keep&xutm_source=keep' END) " +
         "ELSE url END AS dirty FROM u), " +
         "c1 AS (SELECT doc_id, url, dirty, " +
-        "regexp_replace(regexp_replace(regexp_replace(dirty, '#.*', '', 'g'), " +
-        "'(?:utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*&?', '', 'g'), '[?&]+$', '', 'g') AS u3 FROM d0), " +
+        "regexp_replace(regexp_replace(regexp_replace(regexp_replace(dirty, '#.*', '', 'g'), " +
+        "'([?&])(?:utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*', '\\1', 'g'), " +
+        "'([?&])&+', '\\1', 'g'), '[?&]+$', '', 'g') AS u3 FROM d0), " +
         "c2 AS (SELECT doc_id, url, dirty, " +
         "lower(regexp_replace(regexp_extract(u3, '^[A-Za-z]+://[^/?#]*'), ':443$', '', 'g')) || " +
         "substr(u3, length(regexp_extract(u3, '^[A-Za-z]+://[^/?#]*')) + 1) AS canon FROM c1) " +
@@ -6117,6 +6141,23 @@ object ExtQueries {
         "FROM k a JOIN k b ON a.h = b.h AND a.doc_id < b.doc_id " +
         s"GROUP BY 1, 2, 3, 4 HAVING count(*) >= $SegWinnowMinShared " +
         "ORDER BY da, sa, db, sb"),
+    // q268: the PSL longest-match algorithm replayed as a CASE
+    // cascade over the FIXTURE's rules (fixed and small, so the SQL
+    // can enumerate them): exception first, then wildcard (last-3
+    // labels, NULL when the host IS the public suffix), then the
+    // multi-label exact registries, then the 2-label default
+    "q268_psl_domain" ->
+      ("WITH b AS (SELECT doc_id, CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),1,4)) AS UBIGINT) AS BIGINT) AS h FROM documents), " +
+        "hosts AS (SELECT doc_id, ['www.','blog.',''][h % 3 + 1] || 'site' || CAST(h % 5 AS VARCHAR) || '.' || " +
+        "['com','org','de','co.uk','co.jp','com.br','github.io','ck','www.ck'][h % 9 + 1] AS host FROM b), " +
+        "r AS (SELECT doc_id, host, string_split(host, '.') AS labs FROM hosts) " +
+        "SELECT doc_id, host, CASE " +
+        "WHEN host = 'www.ck' OR host LIKE '%.www.ck' THEN 'www.ck' " +
+        "WHEN host LIKE '%.ck' THEN (CASE WHEN len(labs) >= 3 THEN array_to_string(labs[len(labs)-2:len(labs)], '.') ELSE NULL END) " +
+        "WHEN host LIKE '%.co.uk' OR host LIKE '%.co.jp' OR host LIKE '%.com.br' OR host LIKE '%.github.io' " +
+        "THEN array_to_string(labs[len(labs)-2:len(labs)], '.') " +
+        "ELSE array_to_string(labs[len(labs)-1:len(labs)], '.') END AS reg_psl " +
+        "FROM r ORDER BY doc_id"),
     // q259: synthesis + parse + eTLD+1 — the generated chain mirrors
     // Url.syntheticUrl/urlParts verbatim (regex parse ≡ java.net.URI
     // on the synthesized shapes: no userinfo, port stripped by the

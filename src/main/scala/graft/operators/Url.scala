@@ -83,11 +83,38 @@ object Url {
     concat(lit("https://"), host, port, path, qs)
   }
 
+  /** Suffix mix for [[syntheticPslHost]]: the [[PslFixture]]'s exotic
+    * shapes — multi-label registries, a private suffix, the wildcard
+    * zone (`ck` — a bare `siteN.ck` host IS a public suffix there,
+    * registrable domain NULL) and the wildcard's exception
+    * (`www.ck`). */
+  private val PslSynthSuffixes =
+    Seq("com", "org", "de", "co.uk", "co.jp", "com.br", "github.io",
+      "ck", "www.ck")
+
+  /** Deterministic host for the PSL oracle entry — same md5 16-bit
+    * arithmetic as [[syntheticUrl]] but drawing suffixes from
+    * [[PslSynthSuffixes]] so every rule shape in [[PslFixture]]
+    * (exact, multi-label, private, wildcard, exception, and the
+    * no-registrable-domain NULL) is exercised at every SF. */
+  def syntheticPslHost(docId: Column): Column = {
+    val h = conv(substring(md5(docId.cast("string")), 1, 4), 16, 10)
+      .cast("long")
+    val sub = element_at(array(lit("www."), lit("blog."), lit("")),
+      (pmod(h, lit(3)) + 1).cast("int"))
+    val suffix = element_at(array(PslSynthSuffixes.map(lit): _*),
+      (pmod(h, lit(9)) + 1).cast("int"))
+    concat(sub, lit("site"), pmod(h, lit(5)).cast("string"),
+      lit("."), suffix)
+  }
+
   /** [[syntheticUrl]] with deterministic mess layered on (h mod 7):
     * uppercased host, appended tracking params, a fragment, an
     * explicit default port — the shapes [[canonicalizeUrl]] must fold
-    * back to the clean form; two residues stay clean so the identity
-    * path is exercised too. */
+    * back to the clean form; residue 5 appends HOSTILE param names
+    * (`myfbclid=`, `xutm_source=` — names merely containing a tracking
+    * name) that canonicalization must PRESERVE, and residue 6 stays
+    * clean so the identity path is exercised too. */
   def syntheticDirtyUrl(docId: Column, langCol: Column): Column = {
     val (h, host, port, path, qs) = urlPieces(docId, langCol)
     val clean = concat(lit("https://"), host, port, path, qs)
@@ -103,6 +130,9 @@ object Url {
       .when(m === 4, concat(clean,
         when(qs === "", lit("?utm_source=news")).otherwise(lit("&utm_source=news")),
         lit("#frag")))
+      .when(m === 5, concat(clean,
+        when(qs === "", lit("?myfbclid=keep&xutm_source=keep"))
+          .otherwise(lit("&myfbclid=keep&xutm_source=keep"))))
       .otherwise(clean)
   }
 
@@ -118,9 +148,15 @@ object Url {
    */
   def canonicalizeUrl(url: Column): Column = {
     val noFrag = regexp_replace(url, "#.*", "")
+    // anchored to a parameter boundary: the tracking name must follow
+    // a literal ?/& (captured and re-emitted, since RE2 — the oracle's
+    // engine — has no lookbehind), so a param merely CONTAINING a
+    // tracking name (`myfbclid=x`, `xutm_source=y`) survives intact;
+    // the follow-up collapse removes the ?&/&& runs the re-emit leaves
     val noTrack = regexp_replace(noFrag,
-      "(?:utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*&?", "")
-    val trimmed = regexp_replace(noTrack, "[?&]+$", "")
+      "([?&])(?:utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*", "$1")
+    val collapsed = regexp_replace(noTrack, "([?&])&+", "$1")
+    val trimmed = regexp_replace(collapsed, "[?&]+$", "")
     val head = regexp_extract(trimmed, "^[A-Za-z]+://[^/?#]*", 0)
     concat(lower(regexp_replace(head, ":443$", "")),
       trimmed.substr(length(head) + 1, length(trimmed)))
@@ -144,6 +180,47 @@ object Url {
         concat_ws(".", element_at(labels, -3), sld, tld))
       .otherwise(concat_ws(".", sld, tld))
   }
+
+  /**
+   * Registered domain under an INJECTED public-suffix rule table (the
+   * published PSL line format: exact / `*.` wildcard / `!` exception
+   * rules) — the documented upgrade path from [[registeredDomain]]'s
+   * 7-suffix heuristic. The rules ride INSIDE the codegen'd expression
+   * ([[graft.functions.RegisteredDomainPslExpr]], the `InSet` pattern)
+   * so the lookup is map-only: no join, no shuffle, no UDF. A real PSL
+   * snapshot is ~9k rules (~250 KB) — task-binary-sized; at 100 TB the
+   * rollup stays one hash aggregation on the derived key exactly as
+   * with the heuristic. Hosts with NO registrable domain (the host IS
+   * a public suffix) yield NULL — quarantine them, don't mis-bucket.
+   */
+  def registeredDomainPsl(host: Column, rules: Seq[String]): Column =
+    org.apache.spark.sql.graftbridge.GraftColumnBridge.column(
+      graft.functions.RegisteredDomainPslExpr(
+        org.apache.spark.sql.graftbridge.GraftColumnBridge.expression(host),
+        graft.functions.PslRules.parse(rules)))
+
+  /** [[registeredDomainPsl]] from a caller-provided one-column rule
+    * TABLE (e.g. a parquet'd PSL snapshot): the collect is bounded by
+    * the list's published size (~9k rows — a model-parameter collect,
+    * not a data collect). */
+  def registeredDomainPsl(host: Column, rulesDf: DataFrame): Column =
+    registeredDomainPsl(host,
+      rulesDf.collect().toSeq.map(_.getString(0)))
+
+  /** In-repo public-suffix FIXTURE for specs and the oracle entry —
+    * one rule of each published shape the heuristic cannot express:
+    * multi-label ccTLD registries (`com.br`, `co.jp`), a private-
+    * registry suffix (`github.io`), a wildcard zone (`*.ck`) and its
+    * exception (`!www.ck`), plus the plain TLDs the synthesizer
+    * emits. NOT a PSL snapshot — a shape-complete stand-in (the real
+    * list is a network artifact; see the registeredDomain scaladoc). */
+  val PslFixture: Seq[String] = Seq(
+    "// in-repo fixture — published PSL line format",
+    "com", "org", "net", "io", "de",
+    "co.uk", "com.au", "ac.uk", "edu.au",
+    "com.br", "co.jp",
+    "github.io",
+    "*.ck", "!www.ck")
 
   /**
    * Parse a URL column into `host`, `url_path`, `q_param` (the `q`

@@ -45,6 +45,21 @@ object ClickHouseDialect extends JdbcDialect {
   override def quoteIdentifier(colName: String): String =
     s"`${colName.replace("`", "``")}`"
 
+  /** ClickHouse TRUNCATE never cascades (no foreign keys exist), and
+    * declaring it lets Spark's JDBC writer take the `truncate=true`
+    * overwrite path — which is the ONLY valid overwrite for ClickHouse:
+    * the drop-and-recreate default would re-issue Spark's ENGINE-less
+    * CREATE TABLE, invalid on a live server. [[graft.Ingest]] maps
+    * `-mode overwrite` on a ClickHouse DSN to this path. */
+  override def isCascadingTruncateTable(): Option[Boolean] = Some(false)
+
+  /** Standard ClickHouse truncate statement (the base dialect's shape,
+    * pinned here so a Spark default change cannot silently emit
+    * unsupported SQL). */
+  override def getTruncateQuery(table: String,
+      cascade: Option[Boolean] = isCascadingTruncateTable()): String =
+    s"TRUNCATE TABLE $table"
+
   /** ClickHouse reports a missing table as error code 60
     * (`UNKNOWN_TABLE`); the JDBC driver surfaces it as an SQLException
     * whose message carries the server error ("Code: 60" and/or the

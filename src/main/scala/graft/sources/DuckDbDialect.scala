@@ -24,6 +24,13 @@ object DuckDbDialect extends JdbcDialect {
   override def canHandle(url: String): Boolean =
     url.toLowerCase(java.util.Locale.ROOT).startsWith("jdbc:duckdb:")
 
+  // DuckDB TRUNCATE never cascades (no FK actions) — and Spark's JDBC
+  // writer only takes the truncate=true overwrite path when the dialect
+  // says Some(false); the default None silently falls back to
+  // drop-and-recreate, defeating the option (the ClickHouse contract's
+  // executable stand-in needs the real truncate path)
+  override def isCascadingTruncateTable(): Option[Boolean] = Some(false)
+
   // Only the table-missing shape: a broad "Catalog Error" match would
   // classify missing functions/columns as table-not-found and send
   // Spark down the create-table path instead of surfacing the error.

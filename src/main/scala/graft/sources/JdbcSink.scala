@@ -25,7 +25,8 @@ object JdbcSink {
       mode: String = "append",
       batchSize: Int = 10000,
       numPartitions: Option[Int] = None,
-      createTableColumnTypes: Option[String] = None): Unit = {
+      createTableColumnTypes: Option[String] = None,
+      truncate: Boolean = false): Unit = {
     if (url.startsWith("jdbc:duckdb:")) DuckDbDialect.register()
     if (ClickHouseDialect.canHandle(url)) ClickHouseDialect.register()
     // repartition, NOT coalesce: coalesce(n) is a narrow dependency that
@@ -43,6 +44,11 @@ object JdbcSink {
       .option("batchsize", batchSize.toLong)
       .option("isolationLevel", "READ_COMMITTED")
     createTableColumnTypes.foreach(t => w.option("createTableColumnTypes", t))
+    // truncate-on-overwrite preserves a pre-created table (engine
+    // clause, column types, grants) instead of drop-and-recreate —
+    // mandatory for ClickHouse, whose tables Spark cannot CREATE
+    // without an ENGINE clause (Ingest.prepareClickHouse owns the DDL)
+    if (truncate) w.option("truncate", "true")
     w.mode(mode).save()
   }
 

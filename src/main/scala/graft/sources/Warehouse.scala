@@ -287,6 +287,16 @@ object Warehouse {
    * replayed batch collapses via its batch_id stamp when the counts
    * merge on read. Bucketing by `reg_domain` keeps the merge
    * aggregate exchange-free off the scan.
+   *
+   * Stamp namespace contract (see
+   * [[graft.streaming.StreamingDedup.domainCountsOf]]): batch_id >= 0
+   * is RESERVED for admission rounds — the admission's committed-probe
+   * treats a present non-negative stamp as proof that round committed,
+   * so a caller SEEDING history here with batch_id 0 would silently
+   * swallow structured streaming's first micro-batch (bids start at
+   * 0). Direct caller-seeded history must use NEGATIVE stamps (e.g.
+   * -1, or -(i+1) per synthetic past batch); negative-stamp rows
+   * always sum on read and are never probed.
    */
   def saveDomainCounts(partials: DataFrame, table: String,
                        buckets: Int = 8,

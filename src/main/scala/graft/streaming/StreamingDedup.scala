@@ -709,13 +709,28 @@ object StreamingDedup {
   // ------------------------------------------------------------------
 
   /** Merged per-domain admitted counts from the standing partials
-    * table ([[graft.sources.Warehouse.saveDomainCounts]] layout) —
-    * replayed batches collapse via their batch_id stamp BEFORE the
-    * sum; an absent table reads as zero everywhere. */
+    * table ([[graft.sources.Warehouse.saveDomainCounts]] layout).
+    * Stamp namespaces (the r15-advice collision fix): batch_id >= 0 is
+    * RESERVED for admission rounds — replayed appends collapse via the
+    * stamp before the sum, and the committed-probe in
+    * [[admitBatchDomainCap]] treats a present stamp as proof the round
+    * committed. batch_id < 0 is the seed/unstamped-history namespace:
+    * rows always SUM (two unstamped rounds are two real contributions,
+    * not one replay), are never probed, and carry no exactly-once
+    * guarantee. Caller-seeded history MUST therefore use negative
+    * stamps — a seed stamped 0 would silently swallow structured
+    * streaming's first micro-batch (bids start at 0). Both aggregates
+    * run exchange-free off the reg_domain-bucketed scan (the first
+    * groups on a superset of the bucket key, the second on the key
+    * itself). An absent table reads as zero everywhere. */
   def domainCountsOf(spark: SparkSession, table: String): DataFrame =
     if (spark.catalog.tableExists(table))
-      spark.table(table).dropDuplicates("batch_id", "reg_domain")
-        .groupBy("reg_domain").agg(sum("n").as("n_used"))
+      spark.table(table)
+        .groupBy("reg_domain", "batch_id")
+        .agg(max("n").as("_n1"), sum("n").as("_ns"))
+        .groupBy("reg_domain")
+        .agg(sum(when(col("batch_id") >= 0, col("_n1"))
+          .otherwise(col("_ns"))).as("n_used"))
     else
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -758,6 +773,12 @@ object StreamingDedup {
                           buckets: Int = 8,
                           batchId: Option[Long] = None): Unit = {
     require(cap >= 0, s"cap must be >= 0, got $cap")
+    // non-negative stamps are the admission-round namespace (see
+    // domainCountsOf) — a negative stamp here would masquerade as
+    // seeded history and lose the replay collapse + committed-probe
+    require(batchId.forall(_ >= 0),
+      s"batchId must be >= 0 (negative stamps are the seeded-history " +
+        s"namespace), got $batchId")
     val spark = batch.sparkSession
     def domOf(s: DataFrame): DataFrame =
       graft.operators.Url.urlParts(s.select(col(idCol), col(urlCol)),
@@ -765,10 +786,19 @@ object StreamingDedup {
         .select(col(idCol),
           coalesce(col("reg_domain"), lit("(invalid-url)"))
             .as("reg_domain"))
+    // unstamped (batchId=None) rounds land in the negative namespace
+    // at the -1 sentinel: domainCountsOf SUMS every row in a negative
+    // stamp group, so two unstamped rounds both count (the old
+    // dropDuplicates merge collapsed distinct -1 rounds to one
+    // arbitrary row per domain and the lifetime cap over-admitted —
+    // the r15-advice bug). The price is documented: unstamped rounds
+    // get no replay collapse and no committed-probe, i.e. no
+    // exactly-once — stamp your batches.
+    val stamp = batchId.getOrElse(-1L)
     def appendCounts(s: DataFrame): Unit =
       Warehouse.saveDomainCounts(
         domOf(s).groupBy("reg_domain").agg(count(lit(1)).as("n"))
-          .withColumn("batch_id", lit(batchId.getOrElse(-1L))),
+          .withColumn("batch_id", lit(stamp)),
         countsTable, buckets, appendModeFor(spark, countsTable))
     // recovery probe: counts rows are batch-stamped, so presence of
     // this batch's stamp means the counts append committed (and a

@@ -109,6 +109,15 @@ class UrlSpec extends AnyFunSuite with SparkTestSession {
       ("https://a.de/p/1?q=fr#sec2", "https://a.de/p/1?q=fr"),
       ("https://a.de/p/1#sec2", "https://a.de/p/1"),
       ("https://a.de/p?fbclid=xyz&q=de&gclid=2", "https://a.de/p?q=de"),
+      // HOSTILE names — params merely CONTAINING a tracking name must
+      // survive (the strip is anchored to the [?&] parameter boundary)
+      ("https://a.de/p?myfbclid=x", "https://a.de/p?myfbclid=x"),
+      ("https://a.de/p?xutm_source=y&q=de", "https://a.de/p?xutm_source=y&q=de"),
+      ("https://a.de/p?myfbclid=x&utm_source=n", "https://a.de/p?myfbclid=x"),
+      // consecutive tracking params straddling the ? boundary collapse
+      // to a clean no-query URL, not a dangling '?&'
+      ("https://a.de/p?utm_a=1&utm_b=2&utm_c=3", "https://a.de/p"),
+      ("https://a.de/p?fbclid=&q=de", "https://a.de/p?q=de"),
       ("https://a.de/clean", "https://a.de/clean"))
     val out = cases.toDF("u", "want")
       .withColumn("got", Url.canonicalizeUrl(col("u"))).collect()
@@ -136,6 +145,59 @@ class UrlSpec extends AnyFunSuite with SparkTestSession {
     assert(rd.filter(!col("host").endsWith(col("reg_domain"))).count() == 0)
     assert(rd.filter(!org.apache.spark.sql.functions.size(
       split(col("reg_domain"), "\\.")).isin(2, 3)).count() == 0)
+  }
+
+  test("registeredDomainPsl: every published rule shape over the fixture") {
+    // cases follow the PSL's published matching rules (longest match,
+    // exceptions prevail, implicit * fallback, wildcard = one label)
+    val cases = Seq(
+      ("a.b.example.com", "example.com"),       // exact TLD
+      ("example.com.br", "example.com.br"),     // multi-label registry
+      ("x.y.example.co.jp", "example.co.jp"),
+      ("com.br", null),                         // host IS a public suffix
+      ("whatever.github.io", "whatever.github.io"), // private suffix
+      ("deep.whatever.github.io", "whatever.github.io"),
+      ("a.b.test.ck", "b.test.ck"),             // *.ck: test.ck is public
+      ("test.ck", null),                        // wildcard swallows 2 labels
+      ("www.ck", "www.ck"),                     // !www.ck exception
+      ("x.www.ck", "www.ck"),
+      ("example.zz", "example.zz"),             // unknown TLD: implicit *
+      ("zz", null),                             // bare unknown TLD
+      ("MIXED.Example.COM", "example.com"),     // case-folds
+      (null, null))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(cases.map(c =>
+        org.apache.spark.sql.Row(c._1, c._2))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("host",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("want",
+          org.apache.spark.sql.types.StringType))))
+    val out = df.withColumn("got",
+      Url.registeredDomainPsl(col("host"), Url.PslFixture)).collect()
+    out.foreach(r => assert(r.getAs[String]("got") == r.getAs[String]("want"),
+      s"${r.getAs[String]("host")} -> ${r.getAs[String]("got")} != ${r.getAs[String]("want")}"))
+  }
+
+  test("registeredDomainPsl: DataFrame-injected rules match Seq rules; comments skipped") {
+    import graft.functions.PslRules
+    val parsed = PslRules.parse(Url.PslFixture)
+    assert(parsed.exact.contains("com.br") && !parsed.exact.contains("*.ck"))
+    assert(parsed.wildcard == Set("ck") && parsed.exception == Set("www.ck"))
+    assert(!parsed.exact.exists(_.startsWith("//")))
+    val rulesDf = Url.PslFixture.toDF("suffix")
+    val hosts = (0L until 200L).toDF("doc_id")
+      .select(Url.syntheticPslHost(col("doc_id")).as("host"))
+    val a = hosts.select(
+      Url.registeredDomainPsl(col("host"), Url.PslFixture).as("r")).collect()
+    val b = hosts.select(
+      Url.registeredDomainPsl(col("host"), rulesDf).as("r")).collect()
+    assert(a.sameElements(b))
+    // map-only: no exchange in the executed plan
+    val plan = hosts.withColumn("r",
+        Url.registeredDomainPsl(col("host"), Url.PslFixture))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"PSL lookup shuffled:\n$plan")
   }
 
   test("syntheticUrl is deterministic and parse round-trips it") {

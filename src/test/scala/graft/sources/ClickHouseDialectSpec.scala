@@ -22,6 +22,15 @@ class ClickHouseDialectSpec extends AnyFunSuite with SparkTestSession {
     assert(ClickHouseDialect.quoteIdentifier("we`ird") == "`we``ird`")
   }
 
+  test("truncate contract: non-cascading, standard TRUNCATE TABLE statement") {
+    // lets Spark's JDBC writer take the truncate=true overwrite path —
+    // the only overwrite valid against a live server (drop-recreate
+    // would re-issue an ENGINE-less CREATE TABLE)
+    assert(ClickHouseDialect.isCascadingTruncateTable().contains(false))
+    assert(ClickHouseDialect.getTruncateQuery("`queries`") ==
+      "TRUNCATE TABLE `queries`")
+  }
+
   test("type mapping covers the wide table and wraps nullable as Nullable(T)") {
     def t(dt: DataType, nullable: Boolean = false): String =
       ClickHouseDialect.clickHouseType(StructField("c", dt, nullable))

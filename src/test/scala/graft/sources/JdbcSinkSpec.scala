@@ -41,4 +41,48 @@ class JdbcSinkSpec extends AnyFunSuite with SparkTestSession {
     assert(r.length == 1)
     assert(r.head.getAs[Number]("innodb_io_r_bytes").longValue == 1638400L)
   }
+
+  test("overwrite with truncate=true keeps the pre-created table, drop-recreate does not") {
+    // the ClickHouse overwrite contract, executable on DuckDB: a table
+    // prepared out-of-band (custom column type standing in for the
+    // MergeTree ENGINE clause Spark can't emit) must SURVIVE an
+    // overwrite run when truncate is requested
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-jdbc-trunc")
+    val url = s"jdbc:duckdb:${dir.resolve("t.db")}"
+    def colType(): String = {
+      val c = java.sql.DriverManager.getConnection(url)
+      try {
+        val rs = c.createStatement().executeQuery(
+          "SELECT data_type FROM information_schema.columns " +
+            "WHERE table_name = 't1' AND column_name = 'v'")
+        rs.next(); rs.getString(1)
+      } finally c.close()
+    }
+    val prep = java.sql.DriverManager.getConnection(url)
+    try prep.createStatement().execute(
+      "CREATE TABLE t1 (k BIGINT, v DECIMAL(20,3))")
+    finally prep.close()
+    val df = Seq((1L, 2.5), (2L, 3.5)).toDF("k", "v")
+    JdbcSink.write(df, url, "t1", driver, mode = "overwrite",
+      numPartitions = Some(1), truncate = true)
+    assert(colType() == "DECIMAL(20,3)", "truncate path dropped the table")
+    assert(JdbcSink.read(spark, url, "t1", driver).count() == 2L)
+    // idempotent re-run: truncated, not appended
+    JdbcSink.write(df, url, "t1", driver, mode = "overwrite",
+      numPartitions = Some(1), truncate = true)
+    assert(JdbcSink.read(spark, url, "t1", driver).count() == 2L)
+    // the default overwrite re-creates with Spark's own types — the
+    // behavior that is INVALID on ClickHouse, hence the Ingest mapping
+    JdbcSink.write(df, url, "t1", driver, mode = "overwrite",
+      numPartitions = Some(1))
+    assert(colType() != "DECIMAL(20,3)")
+  }
+
+  test("Ingest maps overwrite to truncate for ClickHouse DSNs only") {
+    assert(graft.Ingest.truncateForOverwrite("jdbc:clickhouse://h:8123/db", "overwrite"))
+    assert(graft.Ingest.truncateForOverwrite("jdbc:ch://h:8123/db", "Overwrite"))
+    assert(!graft.Ingest.truncateForOverwrite("jdbc:clickhouse://h:8123/db", "append"))
+    assert(!graft.Ingest.truncateForOverwrite("jdbc:duckdb:/tmp/x.db", "overwrite"))
+  }
 }

@@ -460,4 +460,70 @@ class StreamingDedupSpec extends AnyFunSuite with SparkTestSession {
       .orderBy("reg_domain").collect().sameElements(before))
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
+
+  test("domain-cap: seeded history (negative stamps) does not swallow micro-batch 0") {
+    // r15-advice regression: the committed-probe keys on the stamp, and
+    // streaming bids start at 0 — history seeded at stamp 0 made the
+    // first micro-batch look already-committed and it vanished. Seeds
+    // now live in the negative namespace; batch 0 must produce output.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val srcDir = Files.createTempDirectory("graft-dcs-src").toString
+    val outDir = Files.createTempDirectory("graft-dcs-out").toString + "/out"
+    val ckpt = Files.createTempDirectory("graft-dcs-ckpt").toString
+    val tbl = "graft_bench_stream_dcseed"
+    Warehouse.dropWithLocation(spark, tbl)
+    // seeded history: a.com already used 1 of its 2 slots
+    Warehouse.saveDomainCounts(
+      Seq(("a.com", 1L, -1L)).toDF("reg_domain", "n", "batch_id"), tbl)
+    val urlSchema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("url", StringType)))
+    Seq((1L, "https://a.com/p/1"), (2L, "https://www.a.com/p/2"),
+      (3L, "https://b.org/p/3"))
+      .toDF("doc_id", "url").write.mode("append").parquet(srcDir)
+    val q = StreamingDedup.domainCapAdmission(
+      spark.readStream.schema(urlSchema).parquet(srcDir),
+      "doc_id", "url", tbl, outDir, ckpt, cap = 2L)
+    q.processAllAvailable(); q.stop()
+    val admitted = spark.read.parquet(outDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // batch 0 ran: b.org admitted, and a.com got exactly ONE more doc
+    // (seeded usage 1 + 1 admitted = cap 2)
+    assert(admitted.contains(3L), s"micro-batch 0 swallowed: $admitted")
+    assert(admitted.intersect(Set(1L, 2L)).size == 1, s"seed ignored: $admitted")
+    // merged counts: seed row + batch-0 partials both contribute
+    val aUsed = StreamingDedup.domainCountsOf(spark, tbl)
+      .filter(col("reg_domain") === "a.com").head.getLong(1)
+    assert(aUsed == 2L)
+    // admission rounds may not stamp into the seeded namespace
+    intercept[IllegalArgumentException] {
+      StreamingDedup.admitBatchDomainCap(
+        Seq((9L, "https://c.net/p/9")).toDF("doc_id", "url"),
+        "doc_id", "url", tbl, outDir, cap = 2L, batchId = Some(-5L))
+    }
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
+  test("domain-cap: two UNSTAMPED batch rounds both count toward the lifetime quota") {
+    // r15-advice regression: both batchId=None rounds stamp the -1
+    // sentinel; the old dropDuplicates merge collapsed them to one
+    // arbitrary row per domain, under-counting history and over-
+    // admitting. Negative stamps now always SUM.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val outDir = Files.createTempDirectory("graft-dcu-out").toString + "/out"
+    val tbl = "graft_bench_stream_dcunst"
+    Warehouse.dropWithLocation(spark, tbl)
+    def round(ids: Seq[Long]): Unit =
+      StreamingDedup.admitBatchDomainCap(
+        ids.map(i => (i, s"https://a.com/p/$i")).toDF("doc_id", "url"),
+        "doc_id", "url", tbl, outDir, cap = 3L)
+    round(Seq(1L, 2L)) // admits 2 of 3 lifetime slots
+    round(Seq(3L, 4L)) // must see n_used=2 and admit exactly 1
+    val admitted = spark.read.parquet(outDir).count()
+    assert(admitted == 3L, s"unstamped rounds collapsed: admitted $admitted")
+    assert(StreamingDedup.domainCountsOf(spark, tbl)
+      .filter(col("reg_domain") === "a.com").head.getLong(1) == 3L)
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
 }
