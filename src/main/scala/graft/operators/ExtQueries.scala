@@ -2217,6 +2217,45 @@ object ExtQueries {
           Url.registeredDomainPsl(col("host"), Url.PslFixture))
         .orderBy("doc_id")),
 
+    // IDN + percent-encoding canonicalization (r16): encoding TWINS —
+    // a punycode host, unreserved percent-escapes, a lowercase-hex
+    // reserved escape — synthesized from known clean forms; Spark must
+    // actually DECODE (canonicalizeUrlExt: java.net.IDN + RFC 3986
+    // escape normalization) while the oracle just re-emits the clean
+    // twin it generated from, so the hash compare proves the decode,
+    // not a shared shortcut. Unicode literals are \uXXXX escapes
+    // (q229 rule); DuckDB builds them with chr().
+    "q269_url_idn" -> ((s, d) => {
+      val h = conv(substring(md5(col("doc_id").cast("string")), 1, 4),
+        16, 10).cast("long")
+      val m = pmod(h, lit(4))
+      val site = concat(lit("site"), pmod(h, lit(5)).cast("string"))
+      val pth = concat(lit("/p/"), pmod(col("doc_id"), lit(100)).cast("string"))
+      val puny = element_at(array(lit("xn--mnchen-3ya"),
+        lit("xn--bcher-kva"), lit("xn--caf-dma")),
+        (pmod(h, lit(3)) + 1).cast("int"))
+      val uni = element_at(array(lit("m\u00FCnchen"), lit("b\u00FCcher"),
+        lit("caf\u00E9")), (pmod(h, lit(3)) + 1).cast("int"))
+      val base = concat(lit("https://"), site, lit(".com"))
+      val n100 = pmod(col("doc_id"), lit(100)).cast("string")
+      val dirty = when(m === 0,
+          concat(lit("https://"), puny, lit("."), site, lit(".de"), pth))
+        .when(m === 1, concat(base, lit("/p/%64%6Fc-"), n100, lit("#x")))
+        .when(m === 2, concat(base, pth, lit("%3fq")))
+        .otherwise(concat(base, pth))
+      val clean = when(m === 0,
+          concat(lit("https://"), uni, lit("."), site, lit(".de"), pth))
+        .when(m === 1, concat(base, lit("/p/doc-"), n100))
+        .when(m === 2, concat(base, pth, lit("%3Fq")))
+        .otherwise(concat(base, pth))
+      t(s, d, "documents")
+        .select(col("doc_id"), dirty.as("dirty"), clean.as("_want"))
+        .withColumn("canon", Url.canonicalizeUrlExt(col("dirty")))
+        .select(col("doc_id"), col("dirty"), col("canon"),
+          (col("canon") === col("_want")).as("is_clean"))
+        .orderBy("doc_id")
+    }),
+
     // Web-curation capstone (r15 — the one-recipe entry over the new
     // family, the q90/q230/q250 precedent): parse URLs → exact dedup
     // (min-id per identical text) → near-dup clusters at 0.6 (q67
@@ -6158,6 +6197,26 @@ object ExtQueries {
         "THEN array_to_string(labs[len(labs)-2:len(labs)], '.') " +
         "ELSE array_to_string(labs[len(labs)-1:len(labs)], '.') END AS reg_psl " +
         "FROM r ORDER BY doc_id"),
+    // q269: the oracle re-emits the clean twin each dirty URL was
+    // GENERATED from (chr() builds the Unicode hosts) — it never
+    // decodes; only the Spark side runs IDN/percent normalization,
+    // so a decode bug breaks the hash
+    "q269_url_idn" ->
+      ("WITH b AS (SELECT doc_id, CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),1,4)) AS UBIGINT) AS BIGINT) AS h FROM documents), " +
+        "g AS (SELECT doc_id, h % 4 AS m, 'site' || CAST(h % 5 AS VARCHAR) AS site, " +
+        "'/p/' || CAST(doc_id % 100 AS VARCHAR) AS pth, CAST(doc_id % 100 AS VARCHAR) AS n100, " +
+        "['xn--mnchen-3ya','xn--bcher-kva','xn--caf-dma'][h % 3 + 1] AS puny, " +
+        "['m' || chr(252) || 'nchen', 'b' || chr(252) || 'cher', 'caf' || chr(233)][h % 3 + 1] AS uni FROM b), " +
+        "p AS (SELECT doc_id, " +
+        "CASE WHEN m = 0 THEN 'https://' || puny || '.' || site || '.de' || pth " +
+        "WHEN m = 1 THEN 'https://' || site || '.com/p/%64%6Fc-' || n100 || '#x' " +
+        "WHEN m = 2 THEN 'https://' || site || '.com' || pth || '%3fq' " +
+        "ELSE 'https://' || site || '.com' || pth END AS dirty, " +
+        "CASE WHEN m = 0 THEN 'https://' || uni || '.' || site || '.de' || pth " +
+        "WHEN m = 1 THEN 'https://' || site || '.com/p/doc-' || n100 " +
+        "WHEN m = 2 THEN 'https://' || site || '.com' || pth || '%3Fq' " +
+        "ELSE 'https://' || site || '.com' || pth END AS canon FROM g) " +
+        "SELECT doc_id, dirty, canon, TRUE AS is_clean FROM p ORDER BY doc_id"),
     // q259: synthesis + parse + eTLD+1 — the generated chain mirrors
     // Url.syntheticUrl/urlParts verbatim (regex parse ≡ java.net.URI
     // on the synthesized shapes: no userinfo, port stripped by the

@@ -163,6 +163,22 @@ object Url {
   }
 
   /**
+   * Extended canonical form: [[canonicalizeUrl]] (fragment / tracking
+   * params / default port / scheme+host case) followed by the
+   * codegen'd [[graft.functions.UrlIdnNormExpr]] (punycode host
+   * decode + RFC 3986 percent-escape normalization) — folds the
+   * encoding twins real crawls carry (`xn--…` hosts, `%61bc` vs
+   * `abc`, `%3f` vs `%3F`) that pure string regexes cannot. Still
+   * map-only; still idempotent (both passes are fixpoints on their
+   * own output).
+   */
+  def canonicalizeUrlExt(url: Column): Column =
+    org.apache.spark.sql.graftbridge.GraftColumnBridge.column(
+      graft.functions.UrlIdnNormExpr(
+        org.apache.spark.sql.graftbridge.GraftColumnBridge.expression(
+          canonicalizeUrl(url))))
+
+  /**
    * Registered domain (eTLD+1) of a host under the documented
    * heuristic. NULL host → NULL; a bare label passes through (no dot
    * to split a registration on). CASE branches guard every

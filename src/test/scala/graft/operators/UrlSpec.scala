@@ -147,6 +147,35 @@ class UrlSpec extends AnyFunSuite with SparkTestSession {
       split(col("reg_domain"), "\\.")).isin(2, 3)).count() == 0)
   }
 
+  test("canonicalizeUrlExt: IDN hosts and percent-escapes fold to one key; idempotent") {
+    val cases = Seq(
+      // punycode host decodes; ascii hosts untouched
+      ("https://xn--mnchen-3ya.example.de/p/1", "https://m\u00FCnchen.example.de/p/1"),
+      ("https://a.xn--bcher-kva.de:8080/p", "https://a.b\u00FCcher.de:8080/p"),
+      ("https://plain.example.com/p", "https://plain.example.com/p"),
+      // unreserved escapes decode, case-insensitively
+      ("https://a.com/p/%61%62%63", "https://a.com/p/abc"),
+      ("https://a.com/p/%7Eu%2Dx", "https://a.com/p/~u-x"),
+      // reserved escapes stay encoded, hex uppercased
+      ("https://a.com/p?x=%3fy%2f", "https://a.com/p?x=%3Fy%2F"),
+      // malformed % passes through
+      ("https://a.com/p/%zz%4", "https://a.com/p/%zz%4"),
+      // malformed xn-- label keeps its original bytes (tolerate)
+      ("https://xn--!!!bad.example.com/p", "https://xn--!!!bad.example.com/p"),
+      // composes with the string canonicalizer (fragment + tracking)
+      ("https://XN--CAF-DMA.COM/p?utm_source=n&q=%64#f",
+        "https://caf\u00E9.com/p?q=d"))
+    val out = cases.toDF("u", "want")
+      .withColumn("got", Url.canonicalizeUrlExt(col("u"))).collect()
+    out.foreach(r => assert(r.getString(2) == r.getString(1),
+      s"${r.getString(0)} -> ${r.getString(2)} != ${r.getString(1)}"))
+    // idempotence over the whole case set
+    val c2 = cases.toDF("u", "want")
+      .withColumn("c1", Url.canonicalizeUrlExt(col("u")))
+      .withColumn("c2", Url.canonicalizeUrlExt(col("c1")))
+    assert(c2.filter(col("c1") =!= col("c2")).count() == 0)
+  }
+
   test("registeredDomainPsl: every published rule shape over the fixture") {
     // cases follow the PSL's published matching rules (longest match,
     // exceptions prevail, implicit * fallback, wildcard = one label)
