@@ -2256,6 +2256,34 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // Canonical-URL exact-dedup ADMISSION, oracle-checked (r16 — the
+    // EIGHTH admission axis, the crawler's cheap pre-content gate):
+    // standing canonical keys from the every-10th-doc history, one
+    // batch of odd docs carrying DIRTY urls admitted one-per-canonical-
+    // key (content-keyed rank) and rejected against the stored index.
+    "q270_url_dedup_admission" -> ((s, d) => {
+      val outPath = "spark-warehouse/graft_bench_urldedup_q270_out"
+      ensureStoredIndex("graft_bench_urldedup_q270", d) {
+        val hp = new org.apache.hadoop.fs.Path(outPath)
+        val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(hp)) fs.delete(hp, true)
+        val docs = t(s, d, "documents")
+        val hist = docs.filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id"),
+            Url.syntheticUrl(col("doc_id"), col("lang")).as("url"))
+        graft.sources.Warehouse.saveUrlKeyIndex(
+          hist.select(col("doc_id"),
+            Url.canonicalizeUrlExt(col("url")).as("url_key")),
+          "graft_bench_urldedup_q270")
+        graft.streaming.StreamingDedup.admitBatchUrlDedup(
+          docs.filter(col("doc_id") % 2 === 1)
+            .select(col("doc_id"), col("lang"),
+              Url.syntheticDirtyUrl(col("doc_id"), col("lang")).as("url")),
+          "doc_id", "url", "graft_bench_urldedup_q270", outPath)
+      }
+      s.read.parquet(outPath).select("doc_id", "lang").orderBy("doc_id")
+    }),
+
     // Web-curation capstone (r15 — the one-recipe entry over the new
     // family, the q90/q230/q250 precedent): parse URLs → exact dedup
     // (min-id per identical text) → near-dup clusters at 0.6 (q67
@@ -6217,6 +6245,42 @@ object ExtQueries {
         "WHEN m = 2 THEN 'https://' || site || '.com' || pth || '%3Fq' " +
         "ELSE 'https://' || site || '.com' || pth END AS canon FROM g) " +
         "SELECT doc_id, dirty, canon, TRUE AS is_clean FROM p ORDER BY doc_id"),
+    // q270: the admission replayed declaratively — history keys are
+    // the CLEAN synthetic urls (canonical fixpoints, spec-proven; the
+    // IDN/percent pass is a no-op on unencoded ASCII), the batch's
+    // canon keys come from the q266 canonicalization chain over the
+    // dirty forms, winners by the content-keyed rank, stored-key
+    // rejects by NOT IN
+    "q270_url_dedup_admission" ->
+      ("WITH b AS (SELECT doc_id, lang, CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),1,4)) AS UBIGINT) AS BIGINT) AS h FROM documents), " +
+        "parts AS (SELECT doc_id, lang, h, " +
+        "['www.','news.','blog.',''][h % 4 + 1] || 'site' || CAST(h % 5 AS VARCHAR) || '.' || " +
+        "['com','org','net','io','de','co.uk','com.au','ac.uk','edu.au'][h % 9 + 1] AS host, " +
+        "CASE WHEN h % 11 = 0 THEN ':8080' ELSE '' END AS port, " +
+        "'/p/' || CAST(doc_id % 100 AS VARCHAR) AS pth, " +
+        "CASE WHEN h % 3 = 0 THEN '?q=' || lang ELSE '' END AS qs FROM b), " +
+        "u AS (SELECT doc_id, lang, h % 7 AS m, 'https://' || host || port || pth || qs AS url, host, port, pth, qs, " +
+        "CASE WHEN qs = '' THEN '?utm_source=news&utm_medium=email' ELSE '&utm_source=news&utm_medium=email' END AS utm FROM parts), " +
+        "d0 AS (SELECT doc_id, lang, url, CASE " +
+        "WHEN m = 0 THEN 'https://' || upper(host) || port || pth || qs " +
+        "WHEN m = 1 THEN url || utm " +
+        "WHEN m = 2 THEN url || '#sec2' " +
+        "WHEN m = 3 THEN (CASE WHEN port = '' THEN 'https://' || host || ':443' || pth || qs ELSE url END) " +
+        "WHEN m = 4 THEN url || (CASE WHEN qs = '' THEN '?utm_source=news' ELSE '&utm_source=news' END) || '#frag' " +
+        "WHEN m = 5 THEN url || (CASE WHEN qs = '' THEN '?myfbclid=keep&xutm_source=keep' ELSE '&myfbclid=keep&xutm_source=keep' END) " +
+        "ELSE url END AS dirty FROM u), " +
+        "c1 AS (SELECT doc_id, lang, " +
+        "regexp_replace(regexp_replace(regexp_replace(regexp_replace(dirty, '#.*', '', 'g'), " +
+        "'([?&])(?:utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*', '\\1', 'g'), " +
+        "'([?&])&+', '\\1', 'g'), '[?&]+$', '', 'g') AS u3 FROM d0 WHERE doc_id % 2 = 1), " +
+        "c2 AS (SELECT doc_id, lang, " +
+        "lower(regexp_replace(regexp_extract(u3, '^[A-Za-z]+://[^/?#]*'), ':443$', '', 'g')) || " +
+        "substr(u3, length(regexp_extract(u3, '^[A-Za-z]+://[^/?#]*')) + 1) AS canon FROM c1), " +
+        "hist AS (SELECT url AS k FROM u WHERE doc_id % 10 = 0), " +
+        "rk AS (SELECT doc_id, lang, canon, row_number() OVER " +
+        "(PARTITION BY canon ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn FROM c2) " +
+        "SELECT doc_id, lang FROM rk WHERE rn = 1 " +
+        "AND canon NOT IN (SELECT k FROM hist) ORDER BY doc_id"),
     // q259: synthesis + parse + eTLD+1 — the generated chain mirrors
     // Url.syntheticUrl/urlParts verbatim (regex parse ≡ java.net.URI
     // on the synthesized shapes: no userinfo, port stripped by the

@@ -311,6 +311,27 @@ object Warehouse {
   }
 
   /**
+   * Persist canonical-URL keys `(<id>, url_key)` bucketed by the key —
+   * the stored half of URL-level exact dedup
+   * ([[graft.streaming.StreamingDedup.urlDedupAdmission]]): a probe
+   * batch's anti-join shuffles only the batch side (the standing scan
+   * is bucket-partitioned on `url_key`). Stateless like the trigram
+   * saver — keys are content-derived, so blind Append is safe; the id
+   * column rides along for the crash-recovery presence probe.
+   */
+  def saveUrlKeyIndex(keys: DataFrame, table: String,
+                      buckets: Int = 32,
+                      mode: SaveMode = SaveMode.Overwrite): Unit = {
+    if (mode == SaveMode.Overwrite)
+      dropWithLocation(keys.sparkSession, table)
+    keys.write.mode(mode)
+      .bucketBy(buckets, "url_key")
+      .sortBy("url_key")
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
+  /**
    * Persist a lexical cosine index: the CAPPED tf frame
    * ([[graft.operators.Dedup.cappedLexicalTf]]: `(doc_id, tok, tf)`)
    * bucketed by token — a probe batch's candidate join shuffles only

@@ -755,12 +755,27 @@ object StreamingDedup {
   def domainCapAdmission(docs: DataFrame, idCol: String, urlCol: String,
                          countsTable: String, outPath: String,
                          checkpointDir: String, cap: Long,
-                         buckets: Int = 8): StreamingQuery =
+                         buckets: Int = 8,
+                         compactEvery: Int = 0): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, bid: Long) =>
         admitBatchDomainCap(batch, idCol, urlCol, countsTable, outPath,
           cap, buckets, Some(bid))
+        // maintenance cadence (r15-verdict #5): every blind append lays
+        // one more file per bucket, so a long-lived admission stream
+        // accretes k files/bucket after k batches — compact every N
+        // batches through the generic staging-rename path. Runs AFTER
+        // the batch commits; a crash mid-compaction leaves a complete
+        // queryable copy under some name (compactTable's discipline),
+        // and the batch's stamp/manifest state is already final, so
+        // replay semantics are untouched. Merge-on-read is provably
+        // unchanged across a mid-stream compaction (spec).
+        if (compactEvery > 0 && (bid + 1) % compactEvery == 0 &&
+            batch.sparkSession.catalog.tableExists(countsTable)) {
+          Warehouse.compactTable(batch.sparkSession, countsTable)
+          ()
+        }
       }
       .start()
 
@@ -842,6 +857,85 @@ object StreamingDedup {
         .localCheckpoint()
       val survivors = b.join(admitIds, Seq(idCol), "left_semi")
       commitAdmission(survivors, outPath, batchId, appendCounts)
+    } finally b.unpersist()
+  }
+
+  // ------------------------------------------------------------------
+  // Axis 8: canonical-URL exact dedup (the cheap PRE-content gate —
+  // every crawler pipeline's first reject: same URL modulo fragments,
+  // tracking params, IDN/percent encoding ⇒ same fetch, drop before
+  // paying shingles or embeddings)
+  // ------------------------------------------------------------------
+
+  /**
+   * URL-level exact-dedup admission: each micro-batch keeps ONE
+   * document per canonical URL key
+   * ([[graft.operators.Url.canonicalizeUrlExt]] — fragment/tracking
+   * strip + IDN + percent normalization) and rejects keys already in
+   * the standing index ([[graft.sources.Warehouse.saveUrlKeyIndex]],
+   * bucketed by key so the probe anti-join shuffles only the batch).
+   * Within-batch winners are the content-keyed `(md5(id), id)` rank —
+   * reproducible across replays; survivors' keys blind-append to the
+   * index so the NEXT batch sees them. Same manifest exactly-once
+   * protocol as the similarity axes (a replayed doc's key matches
+   * itself in the index and self-rejects). A NULL url gets the
+   * per-doc quarantine key `(invalid-url):<id>` (always passes URL
+   * dedup, flows on to the content axes); a non-URL string
+   * canonicalizes to itself — two docs with the same garbage string
+   * are the same fetch and DO collapse.
+   */
+  def urlDedupAdmission(docs: DataFrame, idCol: String, urlCol: String,
+                        keysTable: String, outPath: String,
+                        checkpointDir: String,
+                        keyBuckets: Int = 32): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        admitBatchUrlDedup(batch, idCol, urlCol, keysTable, outPath,
+          keyBuckets, Some(bid))
+      }
+      .start()
+
+  /** One URL-dedup admission round — also the BATCH incremental API. */
+  def admitBatchUrlDedup(batch: DataFrame, idCol: String, urlCol: String,
+                         keysTable: String, outPath: String,
+                         keyBuckets: Int = 32,
+                         batchId: Option[Long] = None): Unit = {
+    val spark = batch.sparkSession
+    def keysOf(s: DataFrame): DataFrame =
+      s.select(col(idCol),
+        coalesce(graft.operators.Url.canonicalizeUrlExt(col(urlCol)),
+          concat(lit("(invalid-url):"), col(idCol).cast("string")))
+          .as("url_key"))
+    def appendKeys(s: DataFrame): Unit =
+      Warehouse.saveUrlKeyIndex(keysOf(s), keysTable,
+        buckets = keyBuckets, mode = appendModeFor(spark, keysTable))
+    def ensureKeys(s: DataFrame): Unit =
+      if (!indexHasIds(spark, keysTable, s.select(idCol), idCol, idCol))
+        appendKeys(s)
+    if (batchId.exists(recoverPartialCommit(spark, outPath, _, idCol,
+        ensureKeys)))
+      return
+    val b = batch.persist()
+    try {
+      val keyed = keysOf(b)
+      // within-batch: one winner per canonical key, content-keyed rank
+      val winners = keyed.withColumn("_rk",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("url_key")
+          .orderBy(md5(col(idCol).cast("string")), col(idCol))))
+        .filter(col("_rk") === 1).drop("_rk")
+      // vs the standing index — localCheckpoint severs the decision's
+      // lineage from the table the commit appends to (the simhash
+      // axis's self-rejection lesson)
+      val admitIds = (
+        if (spark.catalog.tableExists(keysTable))
+          winners.join(spark.table(keysTable).select("url_key"),
+            Seq("url_key"), "left_anti")
+        else winners
+      ).select(idCol).localCheckpoint()
+      val survivors = b.join(admitIds, Seq(idCol), "left_semi")
+      commitAdmission(survivors, outPath, batchId, appendKeys)
     } finally b.unpersist()
   }
 }

@@ -504,6 +504,104 @@ class StreamingDedupSpec extends AnyFunSuite with SparkTestSession {
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  test("domain-cap: compactEvery cadence mid-stream leaves merge-on-read and quota unchanged") {
+    // the r15-verdict maintenance ask wired in: compaction fires
+    // BETWEEN micro-batches of one streaming run; the second batch's
+    // quota must still see the first batch's (now-compacted) history,
+    // and the file count must not accrete one-file-per-append
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val srcDir = Files.createTempDirectory("graft-dcc-src").toString
+    val outDir = Files.createTempDirectory("graft-dcc-out").toString + "/out"
+    val ckpt = Files.createTempDirectory("graft-dcc-ckpt").toString
+    val tbl = "graft_bench_stream_dccomp"
+    Warehouse.dropWithLocation(spark, tbl)
+    val urlSchema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("url", StringType)))
+    def runOnce(): Unit = {
+      val q = StreamingDedup.domainCapAdmission(
+        spark.readStream.schema(urlSchema).parquet(srcDir),
+        "doc_id", "url", tbl, outDir, ckpt, cap = 2L, compactEvery = 1)
+      q.processAllAvailable(); q.stop()
+    }
+    Seq((1L, "https://a.com/p/1"), (2L, "https://www.a.com/p/2"))
+      .toDF("doc_id", "url").write.mode("append").parquet(srcDir)
+    runOnce() // batch 0 admits both, then compacts
+    val files1 = Warehouse.tableFileCount(spark, tbl)
+    Seq((3L, "https://a.com/p/3"), (4L, "https://b.org/p/4"))
+      .toDF("doc_id", "url").write.mode("append").parquet(srcDir)
+    runOnce() // batch 1: a.com full (compacted history must say 2)
+    val admitted = spark.read.parquet(outDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(admitted == Set(1L, 2L, 4L), s"compacted history lost: $admitted")
+    val merged = StreamingDedup.domainCountsOf(spark, tbl)
+      .orderBy("reg_domain").collect()
+    assert(merged.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("a.com", 2L), ("b.org", 1L)))
+    // cadence holds the file count at the compacted level: at most one
+    // file per NON-EMPTY bucket (2 domains here), not the accreted
+    // one-more-file-per-append level (batch0 file + 2 batch1 files +
+    // the seed = 3+ without compaction)
+    assert(files1 == 1)
+    assert(Warehouse.tableFileCount(spark, tbl) <= 2)
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
+  test("url-dedup admission: canonical twins collapse within batch, stored keys reject, replays exactly-once") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val srcDir = Files.createTempDirectory("graft-udx-src").toString
+    val outDir = Files.createTempDirectory("graft-udx-out").toString + "/out"
+    val ckpt = Files.createTempDirectory("graft-udx-ckpt").toString
+    val tbl = "graft_bench_stream_urlkeys"
+    Warehouse.dropWithLocation(spark, tbl)
+    val urlSchema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("url", StringType)))
+    def runOnce(): Unit = {
+      val q = StreamingDedup.urlDedupAdmission(
+        spark.readStream.schema(urlSchema).parquet(srcDir),
+        "doc_id", "url", tbl, outDir, ckpt)
+      q.processAllAvailable(); q.stop()
+    }
+    // batch 1: docs 1/2/3 are encoding twins of ONE resource (tracking
+    // params, fragment+case, punycode host); 4 is distinct; 5 invalid
+    Seq((1L, "https://a.com/p/1?utm_source=x"),
+      (2L, "https://A.COM/p/1#frag"),
+      (3L, "https://xn--a-0fa.com/p/9"), // decodes to a different host — distinct
+      (4L, "https://b.org/p/2"),
+      (5L, "not a url"))
+      .toDF("doc_id", "url").write.mode("append").parquet(srcDir)
+    runOnce()
+    val after1 = spark.read.parquet(outDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // 1 and 2 share the canonical key https://a.com/p/1 — one winner;
+    // 3 (distinct host), 4, and the invalid 5 all pass
+    assert(after1.intersect(Set(1L, 2L)).size == 1, s"twin not collapsed: $after1")
+    assert(after1.contains(3L) && after1.contains(4L) && after1.contains(5L))
+    // batch 2: 6 re-fetches the batch-1 resource (new dirty variant) —
+    // stored key rejects; 7 is fresh; 8 is another invalid URL (unique
+    // quarantine key — must NOT collide with doc 5's)
+    Seq((6L, "https://a.com:443/p/1"), (7L, "https://c.net/p/3"),
+      (8L, "also not a url"))
+      .toDF("doc_id", "url").write.mode("append").parquet(srcDir)
+    runOnce()
+    val after2 = spark.read.parquet(outDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!after2.contains(6L), s"stored key missed: $after2")
+    assert(after2.contains(7L) && after2.contains(8L))
+    // replay batch 2 through the batch API with the same stamp — the
+    // manifest protocol plus key self-rejection keep output unchanged
+    val rows2 = spark.read.parquet(outDir).count()
+    StreamingDedup.admitBatchUrlDedup(
+      Seq((6L, "https://a.com:443/p/1"), (7L, "https://c.net/p/3"),
+        (8L, "also not a url")).toDF("doc_id", "url"),
+      "doc_id", "url", tbl, outDir, batchId = Some(1L))
+    assert(spark.read.parquet(outDir).count() == rows2, "replay duplicated output")
+    // the stored index carries exactly the admitted keys
+    assert(spark.table(tbl).count() == spark.read.parquet(outDir).count())
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   test("domain-cap: two UNSTAMPED batch rounds both count toward the lifetime quota") {
     // r15-advice regression: both batchId=None rounds stamp the -1
     // sentinel; the old dropDuplicates merge collapsed them to one
