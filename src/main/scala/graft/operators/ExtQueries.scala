@@ -497,6 +497,11 @@ object ExtQueries {
   private val DomainCapK = 15
   private val DomainDupJac = 0.6
 
+  /** q265 blocklist fixture (r16: the recipe's governance gate) —
+    * three of the 45 synthesized registered domains, banned at parse
+    * time in the Spark entry AND the oracle. */
+  private val BlockedDomains = Seq("site0.com", "site2.co.uk", "site4.de")
+
   /** q264 per-domain admission cap — the lifetime quota each
     * registered domain gets across ingest history (8 bites at every
     * oracle SF: partial admission at sf0.001/0.01, hard rejection with
@@ -2285,18 +2290,23 @@ object ExtQueries {
     }),
 
     // Web-curation capstone (r15 — the one-recipe entry over the new
-    // family, the q90/q230/q250 precedent): parse URLs → exact dedup
-    // (min-id per identical text) → near-dup clusters at 0.6 (q67
-    // closure, min-id rep survives) → per-domain cap → per-domain
-    // scorecard (raw / deduped / kept / kept-id checksum). The stage
-    // ORDER is the standard recipe's: dedup globally on content FIRST
-    // (a mirror on two domains burns quota nowhere), cap per domain
-    // LAST (the quota applies to unique content).
+    // family, the q90/q230/q250 precedent): parse URLs → blocklist
+    // gate (r16: three banned domains anti-joined broadcast at parse
+    // time — governance rejects must not burn quota or pair budget) →
+    // exact dedup (min-id per identical text) → near-dup clusters at
+    // 0.6 (q67 closure, min-id rep survives) → per-domain cap →
+    // per-domain scorecard (raw / deduped / kept / kept-id checksum).
+    // The stage ORDER is the standard recipe's: dedup globally on
+    // content FIRST (a mirror on two domains burns quota nowhere),
+    // cap per domain LAST (the quota applies to unique content).
     "q265_curation_recipe" -> ((s, d) => {
-      val parts = Url.urlParts(
-        t(s, d, "documents").withColumn("url",
-          Url.syntheticUrl(col("doc_id"), col("lang"))),
-        col("url"))
+      import s.implicits._
+      val parts = Url.blocklistFilter(
+        Url.urlParts(
+          t(s, d, "documents").withColumn("url",
+            Url.syntheticUrl(col("doc_id"), col("lang"))),
+          col("url")),
+        BlockedDomains.toDF("reg_domain"))
       val keepExact = parts.groupBy(md5(col("text")).as("_h"))
         .agg(min("doc_id").as("doc_id")).select("doc_id")
       val s1 = parts.join(keepExact, Seq("doc_id"), "left_semi")
@@ -6138,14 +6148,16 @@ object ExtQueries {
     // per-domain rollups stitched left
     "q265_curation_recipe" ->
       (s"WITH RECURSIVE ${urlCtes()}, " +
-        "keepx AS (SELECT min(doc_id) AS doc_id FROM pr GROUP BY md5(text)), " +
-        "s1 AS (SELECT pr.* FROM pr JOIN keepx USING (doc_id)), " +
+        s"prb AS (SELECT * FROM pr WHERE reg_domain NOT IN (${
+          BlockedDomains.map(b => s"'$b'").mkString(", ")})), " +
+        "keepx AS (SELECT min(doc_id) AS doc_id FROM prb GROUP BY md5(text)), " +
+        "s1 AS (SELECT prb.* FROM prb JOIN keepx USING (doc_id)), " +
         s"${dedupClosureCtesFrom("s1")}, " +
         "nonrep AS (SELECT node FROM (SELECT node, min(lbl) AS lbl FROM reach GROUP BY node) t WHERE node <> lbl), " +
         "s2 AS (SELECT * FROM s1 WHERE doc_id NOT IN (SELECT node FROM nonrep)), " +
         "rk AS (SELECT doc_id, reg_domain, row_number() OVER (PARTITION BY reg_domain ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn FROM s2), " +
         s"s3 AS (SELECT doc_id, reg_domain FROM rk WHERE rn <= $DomainCapK), " +
-        "raw AS (SELECT reg_domain, count(*) AS n_raw FROM pr GROUP BY 1), " +
+        "raw AS (SELECT reg_domain, count(*) AS n_raw FROM prb GROUP BY 1), " +
         "d2 AS (SELECT reg_domain, count(*) AS n_deduped FROM s2 GROUP BY 1), " +
         "d3 AS (SELECT reg_domain, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS kept_id_sum FROM s3 GROUP BY 1) " +
         "SELECT raw.reg_domain, n_raw, coalesce(n_deduped, 0) AS n_deduped, " +

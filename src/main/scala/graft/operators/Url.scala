@@ -254,6 +254,22 @@ object Url {
       .withColumn("reg_domain", registeredDomain(col("host")))
 
   /**
+   * Domain blocklist gate — the governance face of the curation
+   * recipe (robots denials, abuse/spam domains, takedown lists): drop
+   * every document whose registered domain appears in `blocked` (one
+   * string column). A blocklist is domain-cardinality-bounded
+   * (thousands, not corpus-sized), so the anti-join BROADCASTS the
+   * list and the gate stays map-side — zero shuffle of the corpus at
+   * any scale. Runs at parse time, BEFORE dedup/caps: a blocked
+   * domain must not burn anyone's quota or pair-generation budget.
+   */
+  def blocklistFilter(parts: DataFrame, blocked: DataFrame): DataFrame = {
+    val b = broadcast(
+      blocked.toDF("reg_domain").dropDuplicates("reg_domain"))
+    parts.join(b, Seq("reg_domain"), "left_anti")
+  }
+
+  /**
    * Per-registered-domain corpus census: document count, distinct
    * hosts, distinct languages, total characters. One hash aggregation
    * on the domain key (distincts expand to the standard two-phase

@@ -1,0 +1,91 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The curation CLI end-to-end on a hand-checkable fixture: every
+  * stage of the recipe (blocklist, quality, URL dedup, exact dedup,
+  * near dedup, cap, HRW shards) attritions exactly the planted docs,
+  * and the scorecard ledgers each stage. */
+class CurateSpec extends AnyFunSuite with SparkTestSession {
+
+  import spark.implicits._
+
+  private def prose(stem: String): String =
+    (0 until 40).map(i => s"the $stem word$i is here and").mkString(" ")
+
+  test("fixture run: planted docs attrition at the right stage; shards cover the kept set") {
+    val in = Files.createTempDirectory("graft-curate-in").toString
+    val out = Files.createTempDirectory("graft-curate-out").toString + "/c"
+    val docs = Seq(
+      // a.com: 1+2 are canonical-URL twins of one fetch; 3 is an exact
+      // text dup of 1; 4 is a near dup (one-word mutation); 5 distinct
+      (1L, "https://a.com/p/1?utm_source=x", prose("alpha")),
+      (2L, "https://A.COM/p/1#f", prose("beta")),
+      (3L, "https://a.com/p/3", prose("alpha")),
+      (4L, "https://a.com/p/4",
+        prose("alpha").replace("word7", "changed7")),
+      (5L, "https://a.com/p/5", prose("gamma")),
+      // blocked.org: governance-rejected whole domain
+      (6L, "https://blocked.org/p/6", prose("delta")),
+      (7L, "https://blocked.org/p/7", prose("epsilon")),
+      // b.net: one good doc, one punctuation-spam doc the quality
+      // gate drops
+      (8L, "https://b.net/p/8", prose("zeta")),
+      (9L, "https://b.net/p/9", ";;;;; !!!! ???? ;;;; ###" * 10))
+      .toDF("doc_id", "url", "text")
+    docs.write.mode("overwrite").parquet(in)
+    val c = Curate.parseArgs(Array(
+      "-in", in, "-out", out, "-url", "url",
+      "-threshold", "0.6", "-cap", "2", "-shards", "3",
+      "-minQuality", "0.35", "-blocklist", "blocked.org"))
+    val card = Curate.run(spark, c).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val kept = spark.read.parquet(out)
+    val keptIds = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    // a.com: twins 1/2 -> one; 3 exact-dups whichever of 1/2 won (same
+    // text as 1; if 2 won, 3 survives exact but near-dups 2) — either
+    // way the near stage leaves ONE alpha-family doc; 5 survives; cap=2
+    assert(keptIds.intersect(Set(1L, 2L, 3L, 4L)).size == 1,
+      s"alpha family not collapsed: $keptIds")
+    assert(keptIds.contains(5L))
+    assert(!keptIds.contains(6L) && !keptIds.contains(7L), "blocklist leaked")
+    assert(keptIds.contains(8L) && !keptIds.contains(9L), "quality gate")
+    // scorecard ledgers the attrition
+    val a = card("a.com")
+    assert(a.getAs[Long]("n_raw") == 5 && a.getAs[Long]("n_url_uniq") == 4)
+    assert(a.getAs[Long]("n_kept") == 2)
+    val b = card("blocked.org")
+    assert(b.getAs[Long]("n_raw") == 2 && b.getAs[Long]("n_allowed") == 0 &&
+      b.getAs[Long]("n_kept") == 0)
+    val bn = card("b.net")
+    assert(bn.getAs[Long]("n_quality") == 1 && bn.getAs[Long]("n_kept") == 1)
+    // shards partition the kept set; routing is the deterministic HRW
+    assert(kept.select("shard").distinct().collect()
+      .map(_.getInt(0)).forall(s => s >= 0 && s < 3))
+    val re = spark.read.parquet(out)
+      .withColumn("re", graft.operators.Pipeline.rendezvousShard(
+        col("doc_id").cast("string"), 3))
+    assert(re.filter(col("shard") =!= col("re")).count() == 0)
+  }
+
+  test("parseArgs: url-vs-synthesize exclusivity and bounds") {
+    intercept[IllegalArgumentException] {
+      Curate.parseArgs(Array("-in", "x", "-out", "y"))
+    }
+    intercept[IllegalArgumentException] {
+      Curate.parseArgs(Array("-in", "x", "-out", "y", "-url", "u",
+        "-synthesize"))
+    }
+    intercept[IllegalArgumentException] {
+      Curate.parseArgs(Array("-in", "x", "-out", "y", "-url", "u",
+        "-cap", "0"))
+    }
+    val c = Curate.parseArgs(Array("-in", "x", "-out", "y", "-synthesize",
+      "-blocklist", "a.com,b.org", "-minQuality", "0.3"))
+    assert(c.synthesize && c.blocklist == Seq("a.com", "b.org") &&
+      c.minQuality.contains(0.3))
+  }
+}

@@ -147,6 +147,22 @@ class UrlSpec extends AnyFunSuite with SparkTestSession {
       split(col("reg_domain"), "\\.")).isin(2, 3)).count() == 0)
   }
 
+  test("blocklistFilter: banned domains vanish via a BROADCAST anti-join") {
+    val docs = (0L until 200L).map(i => (i, s"site${i % 5}.com"))
+      .toDF("doc_id", "reg_domain")
+    val blocked = Seq("site1.com", "site3.com", "absent.org")
+      .toDF("reg_domain")
+    val out = Url.blocklistFilter(docs, blocked)
+    assert(out.count() == 120)
+    assert(out.filter(col("reg_domain").isin("site1.com", "site3.com"))
+      .count() == 0)
+    // the gate must stay map-side: a blocklist is domain-cardinality-
+    // bounded, so the anti-join broadcasts — no corpus shuffle
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"blocklist gate shuffled the corpus:\n$plan")
+  }
+
   test("canonicalizeUrlExt: IDN hosts and percent-escapes fold to one key; idempotent") {
     val cases = Seq(
       // punycode host decodes; ascii hosts untouched
