@@ -1123,7 +1123,8 @@ object ScaleBench {
         "q52_shingles", "q40_minhash",
         "q67_clusters", "q67_cluster_only", "q84_star_only", "lpa_only", "q75_probe",
         "admit_batch", "q40_probe", "q40_cand", "minhash_admit", "lexical_admit",
-        "trigram_admit", "winnow_admit", "domain_admit", "cc_augment",
+        "trigram_admit", "winnow_admit", "domain_admit", "url_admit",
+        "cc_augment",
         "q92_bloom", "q99_spans", "q102_edit", "q103_bigram", "q104_sn",
         "q107_entropy", "q107_exploded", "q160_vocab", "winnow_pairs", "winnow_sel", "winnow_probe")
       val embOps = Seq("q83_pq", "q41c_probe", "q41c_logbits",
@@ -1477,6 +1478,36 @@ object ScaleBench {
           (System.nanoTime() - t0) / 1e9
         }
         record("domain_admit", k, math.min(onceDom(1), onceDom(2)))
+        Warehouse.dropWithLocation(spark, tbl)
+      }
+
+      // Axis-8 URL-dedup admission at scale: the standing canonical-key
+      // index holds k× keys, a FIXED 1× batch of FRESH urls arrives —
+      // the within-batch rank window is batch-sized, the reject
+      // anti-join shuffles only the batch, and the standing side is a
+      // sequential bucketed key scan; expect the near-flat admission
+      // band of the other stored-index axes.
+      if (want("url_admit")) {
+        val tbl = "graft_bench_scale_url_admit"
+        Warehouse.dropWithLocation(spark, tbl)
+        val urlOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+          id => graft.operators.Url.syntheticUrl(id, lit("en"))
+        Warehouse.saveUrlKeyIndex(
+          scaleDocs(spark, sf, k).select(col("doc_id"),
+            graft.operators.Url.canonicalizeUrlExt(urlOf(col("doc_id")))
+              .as("url_key")), tbl)
+        val outDir = java.nio.file.Files
+          .createTempDirectory("graft-scale-url-admit").toString + "/out"
+        def onceUrl(tag: Int): Double = {
+          val b = scaleDocs(spark, sf, 1)
+            .select((col("doc_id") + 950000000L + tag * 1000000L).as("doc_id"))
+            .withColumn("url", urlOf(col("doc_id")))
+          val t0 = System.nanoTime()
+          graft.streaming.StreamingDedup.admitBatchUrlDedup(
+            b, "doc_id", "url", tbl, outDir)
+          (System.nanoTime() - t0) / 1e9
+        }
+        record("url_admit", k, math.min(onceUrl(1), onceUrl(2)))
         Warehouse.dropWithLocation(spark, tbl)
       }
 
