@@ -46,7 +46,8 @@ object Curate {
       cap: Int = 15,
       shards: Int = 8,
       minQuality: Option[Double] = None,
-      blocklist: Seq[String] = Nil)
+      blocklist: Seq[String] = Nil,
+      robots: Seq[(String, String)] = Nil)
 
   def parseArgs(args: Array[String]): Config = {
     @annotation.tailrec
@@ -64,6 +65,14 @@ object Curate {
         loop(t, c.copy(minQuality = Some(v.toDouble)))
       case "-blocklist" :: v :: t =>
         loop(t, c.copy(blocklist = v.split(',').toSeq.filter(_.nonEmpty)))
+      case "-robots" :: v :: t =>
+        // dom=/prefix pairs, comma-separated: -robots a.com=/search,b.org=/
+        loop(t, c.copy(robots = v.split(',').toSeq.filter(_.nonEmpty).map { r =>
+          val i = r.indexOf('=')
+          require(i > 0 && i < r.length - 1,
+            s"-robots expects dom=/prefix pairs, got '$r'")
+          (r.substring(0, i), r.substring(i + 1))
+        }))
       case Nil => c
       case other :: _ =>
         throw new IllegalArgumentException(s"unknown flag: $other")
@@ -98,12 +107,17 @@ object Curate {
       .withColumn("reg_domain",
         coalesce(col("reg_domain"), lit("(invalid-url)")))
     val rawCensus = parts.groupBy("reg_domain").agg(count(lit(1)).as("n_raw"))
-    // stage 2: blocklist gate (broadcast anti-join, map-side)
-    val gated =
+    // stage 2: governance gates (both broadcast anti-joins, map-side):
+    // whole-domain blocklist, then robots-style path-prefix disallows
+    val blocked =
       if (c.blocklist.isEmpty) parts
       else Url.blocklistFilter(parts,
         spark.createDataFrame(c.blocklist.map(Tuple1(_)))
           .toDF("reg_domain"))
+    val gated =
+      if (c.robots.isEmpty) blocked
+      else Url.robotsGate(blocked,
+        spark.createDataFrame(c.robots).toDF("reg_domain", "path_prefix"))
     // stage 3: quality gate (per-doc codegen metrics, map-only)
     val surviving = c.minQuality match {
       case Some(t) =>

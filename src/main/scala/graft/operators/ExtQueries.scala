@@ -502,6 +502,13 @@ object ExtQueries {
     * time in the Spark entry AND the oracle. */
   private val BlockedDomains = Seq("site0.com", "site2.co.uk", "site4.de")
 
+  /** q271 robots fixture — per-domain path-prefix disallows of each
+    * interesting shape: a narrow prefix (`/p/1` also swallows
+    * /p/10–/p/19), a whole-domain `/`, and a rule on a domain whose
+    * docs never match. One source for the entry AND the oracle. */
+  private val RobotsRules = Seq(
+    ("site1.com", "/p/1"), ("site3.co.uk", "/"), ("site2.net", "/p/999"))
+
   /** q264 per-domain admission cap — the lifetime quota each
     * registered domain gets across ingest history (8 bites at every
     * oracle SF: partial admission at sf0.001/0.01, hard rejection with
@@ -2259,6 +2266,23 @@ object ExtQueries {
         .select(col("doc_id"), col("dirty"), col("canon"),
           (col("canon") === col("_want")).as("is_clean"))
         .orderBy("doc_id")
+    }),
+
+    // Robots-style path-prefix disallow gate (r16): per-domain
+    // Disallow rules — a narrow prefix, a whole-domain '/', and a
+    // never-matching rule — applied as a broadcast conditional
+    // anti-join; the census proves exactly the disallowed paths
+    // vanished and untouched domains pass byte-identically.
+    "q271_robots_gate" -> ((s, d) => {
+      import s.implicits._
+      val parts = Url.urlParts(
+        t(s, d, "documents").withColumn("url",
+          Url.syntheticUrl(col("doc_id"), col("lang"))),
+        col("url"))
+      Url.robotsGate(parts, RobotsRules.toDF("reg_domain", "path_prefix"))
+        .groupBy("reg_domain")
+        .agg(count(lit(1)).as("n_allowed"), sum("doc_id").as("id_sum"))
+        .orderBy("reg_domain")
     }),
 
     // Canonical-URL exact-dedup ADMISSION, oracle-checked (r16 — the
@@ -6257,6 +6281,20 @@ object ExtQueries {
         "WHEN m = 2 THEN 'https://' || site || '.com' || pth || '%3Fq' " +
         "ELSE 'https://' || site || '.com' || pth END AS canon FROM g) " +
         "SELECT doc_id, dirty, canon, TRUE AS is_clean FROM p ORDER BY doc_id"),
+    // q271: the robots gate replayed via the shared urlCtes chain —
+    // NOT EXISTS over the inlined rule rows
+    "q271_robots_gate" -> {
+      val ruleRows = RobotsRules
+        .map { case (dom, p) => s"('$dom', '$p')" }.mkString(", ")
+      s"WITH ${urlCtes()}, " +
+        s"rules(dom, pfx) AS (VALUES $ruleRows) " +
+        "SELECT reg_domain, count(*) AS n_allowed, " +
+        "CAST(sum(doc_id) AS BIGINT) AS id_sum FROM pr " +
+        "WHERE NOT EXISTS (SELECT 1 FROM rules " +
+        "WHERE pr.reg_domain = rules.dom AND pr.url_path LIKE rules.pfx || '%') " +
+        "GROUP BY reg_domain ORDER BY reg_domain"
+    },
+
     // q270: the admission replayed declaratively — history keys are
     // the CLEAN synthetic urls (canonical fixpoints, spec-proven; the
     // IDN/percent pass is a no-op on unencoded ASCII), the batch's

@@ -270,6 +270,26 @@ object Url {
   }
 
   /**
+   * Robots-style per-domain path-prefix disallow gate —
+   * [[blocklistFilter]]'s finer-grained sibling (a whole-domain ban is
+   * the blocklist; `Disallow: /search` is this): drop documents whose
+   * `url_path` starts with any disallowed prefix registered for their
+   * domain. `rules` is a two-column `(reg_domain, path_prefix)` table
+   * — crawl-policy-sized, never corpus-sized — so the conditional
+   * anti-join BROADCASTS it and the gate stays map-side. A domain with
+   * no rules passes everything; prefix `/` disallows the whole domain
+   * (equivalent to a blocklist row).
+   */
+  def robotsGate(parts: DataFrame, rules: DataFrame): DataFrame = {
+    val r = broadcast(rules.toDF("_rg_dom", "_rg_prefix")
+      .dropDuplicates("_rg_dom", "_rg_prefix"))
+    parts.join(r,
+      parts("reg_domain") === r("_rg_dom") &&
+        parts("url_path").startsWith(r("_rg_prefix")),
+      "left_anti")
+  }
+
+  /**
    * Per-registered-domain corpus census: document count, distinct
    * hosts, distinct languages, total characters. One hash aggregation
    * on the domain key (distincts expand to the standard two-phase

@@ -84,8 +84,32 @@ class CurateSpec extends AnyFunSuite with SparkTestSession {
         "-cap", "0"))
     }
     val c = Curate.parseArgs(Array("-in", "x", "-out", "y", "-synthesize",
-      "-blocklist", "a.com,b.org", "-minQuality", "0.3"))
+      "-blocklist", "a.com,b.org", "-minQuality", "0.3",
+      "-robots", "a.com=/search,b.org=/"))
     assert(c.synthesize && c.blocklist == Seq("a.com", "b.org") &&
       c.minQuality.contains(0.3))
+    assert(c.robots == Seq(("a.com", "/search"), ("b.org", "/")))
+    intercept[IllegalArgumentException] {
+      Curate.parseArgs(Array("-in", "x", "-out", "y", "-synthesize",
+        "-robots", "nodelimiter"))
+    }
+  }
+
+  test("robots flag drops disallowed paths in the run") {
+    val in = Files.createTempDirectory("graft-curate-rob-in").toString
+    val out = Files.createTempDirectory("graft-curate-rob-out").toString + "/c"
+    Seq(
+      (1L, "https://a.com/search?q=x", prose("alpha")),
+      (2L, "https://a.com/article/1", prose("beta")),
+      (3L, "https://b.net/search?q=y", prose("gamma")))
+      .toDF("doc_id", "url", "text")
+      .write.mode("overwrite").parquet(in)
+    Curate.run(spark, Curate.parseArgs(Array(
+      "-in", in, "-out", out, "-url", "url",
+      "-robots", "a.com=/search")))
+    val kept = spark.read.parquet(out)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // a.com/search disallowed; b.net's /search has no rule and passes
+    assert(kept == Set(2L, 3L))
   }
 }

@@ -163,6 +163,23 @@ class UrlSpec extends AnyFunSuite with SparkTestSession {
       s"blocklist gate shuffled the corpus:\n$plan")
   }
 
+  test("robotsGate: per-domain path-prefix disallows, broadcast, rule-less domains pass") {
+    val docs = Seq(
+      (1L, "a.com", "/p/1"), (2L, "a.com", "/p/12"), // both under /p/1
+      (3L, "a.com", "/p/2"),
+      (4L, "b.org", "/x"), (5L, "b.org", "/y"),      // '/' bans all of b.org
+      (6L, "c.net", "/p/1")                          // no c.net rule: passes
+    ).toDF("doc_id", "reg_domain", "url_path")
+    val rules = Seq(("a.com", "/p/1"), ("b.org", "/"))
+      .toDF("reg_domain", "path_prefix")
+    val out = Url.robotsGate(docs, rules)
+    assert(out.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      Set(3L, 6L))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("Broadcast") && plan.contains("LeftAnti"),
+      s"robots gate shuffled the corpus:\n$plan")
+  }
+
   test("canonicalizeUrlExt: IDN hosts and percent-escapes fold to one key; idempotent") {
     val cases = Seq(
       // punycode host decodes; ascii hosts untouched
