@@ -2285,6 +2285,37 @@ object ExtQueries {
         .orderBy("reg_domain")
     }),
 
+    // Domain authority (r16): outlinks HARVESTED from text
+    // (Url.extractUrls — two deterministic embedded links per doc) →
+    // registered-domain edge set → 3-iteration PageRank over the
+    // 45-domain graph (q118's operator, directed: in-links confer
+    // authority) → top-20 — the centrality signal curation recipes
+    // rank sources by. The oracle never extracts: it derives each
+    // link's DOMAIN from the same md5 arithmetic, so the hash compare
+    // proves the extract→parse→rollup chain.
+    "q272_domain_authority" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val h = conv(substring(md5(col("doc_id").cast("string")), 1, 4),
+        16, 10).cast("long")
+      val t1 = pmod(h + col("doc_id") * 3 + 1, lit(997))
+      val t2 = pmod(h * 5 + col("doc_id") + 2, lit(997))
+      val withLinks = docs.select(
+        Url.syntheticUrl(col("doc_id"), col("lang")).as("url"),
+        concat(col("text"), lit(" see "),
+          Url.syntheticUrl(t1, lit("en")), lit(" and "),
+          Url.syntheticUrl(t2, lit("en")), lit(" end")).as("text2"))
+      val e = withLinks
+        .select(col("url"),
+          explode(Url.extractUrls(col("text2"))).as("link"))
+        .select(
+          Url.registeredDomain(try_parse_url(col("url"), lit("HOST")))
+            .as("src"),
+          Url.registeredDomain(try_parse_url(col("link"), lit("HOST")))
+            .as("dst"))
+        .filter(col("src") =!= col("dst"))
+      Graph.pageRankTopK(e, "src", "dst", PrIters, PrTopK, PrDamping)
+    }),
+
     // Canonical-URL exact-dedup ADMISSION, oracle-checked (r16 — the
     // EIGHTH admission axis, the crawler's cheap pre-content gate):
     // standing canonical keys from the every-10th-doc history, one
@@ -6293,6 +6324,33 @@ object ExtQueries {
         "WHERE NOT EXISTS (SELECT 1 FROM rules " +
         "WHERE pr.reg_domain = rules.dom AND pr.url_path LIKE rules.pfx || '%') " +
         "GROUP BY reg_domain ORDER BY reg_domain"
+    },
+
+    // q272: the link domains re-derived ARITHMETICALLY (no extraction
+    // — an independent route to the same edge set), then q118's
+    // unrolled contribute-and-sum CTEs over the domain graph
+    "q272_domain_authority" -> {
+      val sfxArr = "['com','org','net','io','de','co.uk','com.au','ac.uk','edu.au']"
+      def domOf(hExpr: String) =
+        s"'site' || CAST($hExpr % 5 AS VARCHAR) || '.' || $sfxArr[$hExpr % 9 + 1]"
+      def hOf(idExpr: String) =
+        s"CAST(CAST(concat('0x', substr(md5(CAST($idExpr AS VARCHAR)),1,4)) AS UBIGINT) AS BIGINT)"
+      val iters = (1 to PrIters).map { i =>
+        s"r$i AS (SELECT n.node, ${1.0 - PrDamping} + $PrDamping * coalesce(c.m, 0) AS rank " +
+          s"FROM nodes n LEFT JOIN (SELECT e.dst AS node, sum(r.rank / d.deg) AS m " +
+          s"FROM e JOIN r${i - 1} r ON r.node = e.src JOIN deg d ON d.src = e.src GROUP BY 1) c ON c.node = n.node)"
+      }.mkString(", ")
+      s"WITH b AS (SELECT doc_id, ${hOf("doc_id")} AS h FROM documents), " +
+        "t AS (SELECT h, unnest([(h + doc_id*3 + 1) % 997, (h*5 + doc_id + 2) % 997]) AS tid FROM b), " +
+        s"hh AS (SELECT h AS sh, ${hOf("tid")} AS th FROM t), " +
+        s"e0 AS (SELECT ${domOf("sh")} AS src, ${domOf("th")} AS dst FROM hh), " +
+        "e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst), " +
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e), " +
+        "deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1), " +
+        s"r0 AS (SELECT node, 1.0 AS rank FROM nodes), $iters " +
+        s"SELECT rn, node, rank FROM (SELECT node, round(rank, 4) AS rank, " +
+        s"row_number() OVER (ORDER BY round(rank, 4) DESC, node) AS rn FROM r$PrIters) " +
+        s"WHERE rn <= $PrTopK ORDER BY rn"
     },
 
     // q270: the admission replayed declaratively — history keys are

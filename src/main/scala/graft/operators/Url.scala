@@ -270,6 +270,18 @@ object Url {
   }
 
   /**
+   * Embedded-URL extraction from free text — the outlink harvest that
+   * feeds a domain link graph (and, composed with
+   * [[graft.operators.Graph.pageRank]], the authority/centrality
+   * signal web-curation recipes rank sources by). One
+   * `regexp_extract_all` — map-only, codegen'd; the pattern stops at
+   * whitespace, quotes and angle brackets (the delimiters that
+   * terminate a URL in prose, HTML attributes, and markdown alike).
+   */
+  def extractUrls(text: Column): Column =
+    regexp_extract_all(text, lit("https?://[^\\s\"'<>]+"), lit(0))
+
+  /**
    * Robots-style per-domain path-prefix disallow gate —
    * [[blocklistFilter]]'s finer-grained sibling (a whole-domain ban is
    * the blocklist; `Disallow: /search` is this): drop documents whose

@@ -163,6 +163,20 @@ class UrlSpec extends AnyFunSuite with SparkTestSession {
       s"blocklist gate shuffled the corpus:\n$plan")
   }
 
+  test("extractUrls: prose/HTML/markdown delimiters terminate; no match yields empty array") {
+    val cases = Seq(
+      ("see https://a.com/p?x=1 and http://b.org/q.",
+        Seq("https://a.com/p?x=1", "http://b.org/q.")),
+      ("""<a href="https://c.net/x">link</a>""", Seq("https://c.net/x")),
+      ("[md](https://d.io/y) tail", Seq("https://d.io/y)")),
+      ("no links here", Seq()),
+      ("ftp://not.matched and httpsx://also.not", Seq()))
+    val out = cases.toDF("t", "want")
+      .withColumn("got", Url.extractUrls(col("t"))).collect()
+    out.foreach(r => assert(r.getSeq[String](2) == r.getSeq[String](1),
+      s"${r.getString(0)} -> ${r.getSeq[String](2)}"))
+  }
+
   test("robotsGate: per-domain path-prefix disallows, broadcast, rule-less domains pass") {
     val docs = Seq(
       (1L, "a.com", "/p/1"), (2L, "a.com", "/p/12"), // both under /p/1
