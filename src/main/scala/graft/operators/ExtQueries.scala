@@ -2285,6 +2285,27 @@ object ExtQueries {
         .orderBy("reg_domain")
     }),
 
+    // Tiered per-domain cap (r16): the RefinedWeb-style differentiated
+    // quota — a (reg_domain, cap) table (here md5-derived tiers over a
+    // third of the domains; the rest fall back to the default) drives
+    // perDomainCapBy's variable rank filter; kept sets pinned by the
+    // exact id-sum checksum (q132 rule).
+    "q273_tiered_domain_cap" -> ((s, d) => {
+      val parts = Url.urlParts(
+        t(s, d, "documents").withColumn("url",
+          Url.syntheticUrl(col("doc_id"), col("lang"))),
+        col("url"))
+      val hd = conv(substring(md5(col("reg_domain")), 1, 4), 16, 10)
+        .cast("long")
+      val caps = parts.select("reg_domain").distinct()
+        .filter(pmod(hd, lit(3)) === 0)
+        .select(col("reg_domain"), (lit(4L) + pmod(hd, lit(5))).as("cap"))
+      Url.perDomainCapBy(parts, "doc_id", caps, defaultCap = 12L)
+        .groupBy("reg_domain")
+        .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("kept_id_sum"))
+        .orderBy("reg_domain")
+    }),
+
     // Domain authority (r16): outlinks HARVESTED from text
     // (Url.extractUrls — two deterministic embedded links per doc) →
     // registered-domain edge set → 3-iteration PageRank over the
@@ -6323,6 +6344,22 @@ object ExtQueries {
         "CAST(sum(doc_id) AS BIGINT) AS id_sum FROM pr " +
         "WHERE NOT EXISTS (SELECT 1 FROM rules " +
         "WHERE pr.reg_domain = rules.dom AND pr.url_path LIKE rules.pfx || '%') " +
+        "GROUP BY reg_domain ORDER BY reg_domain"
+    },
+
+    // q273: the tiered cap replayed — md5-derived caps for a third of
+    // the domains, default for the rest, same content-keyed rank
+    "q273_tiered_domain_cap" -> {
+      val hd = "CAST(CAST(concat('0x', substr(md5(reg_domain),1,4)) AS UBIGINT) AS BIGINT)"
+      s"WITH ${urlCtes()}, " +
+        s"caps AS (SELECT reg_domain, 4 + $hd % 5 AS cap FROM " +
+        s"(SELECT DISTINCT reg_domain FROM pr) WHERE $hd % 3 = 0), " +
+        "rk AS (SELECT doc_id, reg_domain, row_number() OVER " +
+        "(PARTITION BY reg_domain ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn FROM pr) " +
+        "SELECT reg_domain, count(*) AS n_kept, " +
+        "CAST(sum(doc_id) AS BIGINT) AS kept_id_sum " +
+        "FROM rk LEFT JOIN caps USING (reg_domain) " +
+        "WHERE rn <= coalesce(cap, 12) " +
         "GROUP BY reg_domain ORDER BY reg_domain"
     },
 

@@ -253,6 +253,17 @@ object Url {
       .withColumn("q_param", try_parse_url(urlCol, lit("QUERY"), lit("q")))
       .withColumn("reg_domain", registeredDomain(col("host")))
 
+  /** [[urlParts]] with the PSL-backed `reg_domain`
+    * ([[registeredDomainPsl]] over caller-provided rules) — the whole
+    * census/cap/dup family runs against real-registry eTLD+1 by
+    * swapping this in; still map-only. */
+  def urlParts(df: DataFrame, urlCol: Column,
+               pslRules: Seq[String]): DataFrame =
+    df.withColumn("host", try_parse_url(urlCol, lit("HOST")))
+      .withColumn("url_path", try_parse_url(urlCol, lit("PATH")))
+      .withColumn("q_param", try_parse_url(urlCol, lit("QUERY"), lit("q")))
+      .withColumn("reg_domain", registeredDomainPsl(col("host"), pslRules))
+
   /**
    * Domain blocklist gate — the governance face of the curation
    * recipe (robots denials, abuse/spam domains, takedown lists): drop
@@ -325,6 +336,31 @@ object Url {
    */
   def perDomainCap(parts: DataFrame, idCol: String, k: Int): DataFrame =
     Pipeline.deterministicGroupSample(parts, "reg_domain", idCol, k)
+
+  /**
+   * Differentiated per-domain cap — the RefinedWeb-style refinement of
+   * the flat C4 cap: each domain gets ITS OWN quota from a
+   * `(reg_domain, cap)` table (e.g. derived from the q267 quality
+   * scorecard or q272 authority: trusted sources keep more). Domains
+   * absent from the table fall back to `defaultCap`. The cap table is
+   * domain-cardinality-bounded → broadcast left join; the rank filter
+   * is NOT a plan-visible constant, so Spark cannot rewrite it to a
+   * WindowGroupLimit pre-cap — the window shuffles the full corpus on
+   * the domain key (the q264 quota shape). Mitigation at 100 TB is the
+   * operator scaladoc's: pre-screen with approximate per-domain counts
+   * and route only over-cap domains through the window.
+   */
+  def perDomainCapBy(parts: DataFrame, idCol: String, caps: DataFrame,
+                     defaultCap: Long): DataFrame = {
+    val c = broadcast(caps.toDF("reg_domain", "_cap")
+      .dropDuplicates("reg_domain"))
+    parts.join(c, Seq("reg_domain"), "left")
+      .withColumn("_rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("reg_domain")
+          .orderBy(md5(col(idCol).cast("string")), col(idCol))))
+      .filter(col("_rk") <= coalesce(col("_cap"), lit(defaultCap)))
+      .drop("_rk", "_cap")
+  }
 
   /**
    * Per-domain duplication audit: exact-duplicate surplus (documents

@@ -163,6 +163,40 @@ class UrlSpec extends AnyFunSuite with SparkTestSession {
       s"blocklist gate shuffled the corpus:\n$plan")
   }
 
+  test("perDomainCapBy: per-domain quotas with default fallback, deterministic winners") {
+    val docs = (0L until 90L).map(i => (i, s"site${i % 3}.com", s"t$i"))
+      .toDF("doc_id", "reg_domain", "text")
+    val caps = Seq(("site0.com", 5L), ("site1.com", 40L))
+      .toDF("reg_domain", "cap")
+    val kept = Url.perDomainCapBy(docs, "doc_id", caps, defaultCap = 10L)
+    val sizes = kept.groupBy("reg_domain").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // site0 capped at 5; site1's 40 exceeds its 30 docs (keeps all);
+    // site2 absent from the table -> default 10
+    assert(sizes == Map("site0.com" -> 5L, "site1.com" -> 30L,
+      "site2.com" -> 10L))
+    // same winners across a different partitioning
+    val kept2 = Url.perDomainCapBy(docs.repartition(7), "doc_id", caps, 10L)
+    assert(kept.select("doc_id").orderBy("doc_id").collect()
+      .sameElements(kept2.select("doc_id").orderBy("doc_id").collect()))
+    // the flat-cap operator is the constant-quota special case
+    val flat = Url.perDomainCap(docs, "doc_id", 10)
+    val flatBy = Url.perDomainCapBy(docs, "doc_id",
+      caps.limit(0), defaultCap = 10L)
+    assert(flat.select("doc_id").orderBy("doc_id").collect()
+      .sameElements(flatBy.select("doc_id").orderBy("doc_id").collect()))
+  }
+
+  test("urlParts PSL overload: reg_domain comes from the injected rules") {
+    val df = Seq((1L, "https://a.example.com.br/p"),
+      (2L, "https://x.y.site.co.jp/q"),
+      (3L, "https://deep.whatever.github.io/r")).toDF("id", "url")
+    val out = Url.urlParts(df, col("url"), Url.PslFixture)
+      .orderBy("id").select("reg_domain").collect().map(_.getString(0))
+    assert(out.toSeq == Seq("example.com.br", "site.co.jp",
+      "whatever.github.io"))
+  }
+
   test("extractUrls: prose/HTML/markdown delimiters terminate; no match yields empty array") {
     val cases = Seq(
       ("see https://a.com/p?x=1 and http://b.org/q.",
