@@ -47,7 +47,8 @@ object Curate {
       shards: Int = 8,
       minQuality: Option[Double] = None,
       blocklist: Seq[String] = Nil,
-      robots: Seq[(String, String)] = Nil)
+      robots: Seq[(String, String)] = Nil,
+      psl: Option[String] = None)
 
   def parseArgs(args: Array[String]): Config = {
     @annotation.tailrec
@@ -73,6 +74,7 @@ object Curate {
             s"-robots expects dom=/prefix pairs, got '$r'")
           (r.substring(0, i), r.substring(i + 1))
         }))
+      case "-psl" :: v :: t => loop(t, c.copy(psl = Some(v)))
       case Nil => c
       case other :: _ =>
         throw new IllegalArgumentException(s"unknown flag: $other")
@@ -100,12 +102,19 @@ object Curate {
     }
     // stage 0+1: canonical key + parse — both map-only; the canonical
     // form (not the raw URL) feeds the parse so host/domain keys agree
-    // with the dedup key
-    val parts = Url.urlParts(
-      withUrl.withColumn("url_canon", Url.canonicalizeUrlExt(col("_url"))),
-      col("url_canon"))
-      .withColumn("reg_domain",
-        coalesce(col("reg_domain"), lit("(invalid-url)")))
+    // with the dedup key. -psl <file> swaps the eTLD+1 heuristic for a
+    // public-suffix-list snapshot (published line format).
+    val canon = withUrl.withColumn("url_canon",
+      Url.canonicalizeUrlExt(col("_url")))
+    val parts = (c.psl match {
+      case Some(f) =>
+        import scala.jdk.CollectionConverters._
+        Url.urlParts(canon, col("url_canon"),
+          java.nio.file.Files.readAllLines(
+            java.nio.file.Paths.get(f)).asScala.toSeq)
+      case None => Url.urlParts(canon, col("url_canon"))
+    }).withColumn("reg_domain",
+      coalesce(col("reg_domain"), lit("(invalid-url)")))
     val rawCensus = parts.groupBy("reg_domain").agg(count(lit(1)).as("n_raw"))
     // stage 2: governance gates (both broadcast anti-joins, map-side):
     // whole-domain blocklist, then robots-style path-prefix disallows

@@ -95,6 +95,29 @@ class CurateSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("-psl file swaps the eTLD+1 rule: com.br hosts roll up correctly") {
+    val in = Files.createTempDirectory("graft-curate-psl-in").toString
+    val out = Files.createTempDirectory("graft-curate-psl-out").toString + "/c"
+    val pslFile = Files.createTempDirectory("graft-curate-psl").resolve("psl.dat")
+    Files.writeString(pslFile,
+      "// fixture snapshot\ncom\ncom.br\ngithub.io\n*.ck\n!www.ck\n")
+    Seq(
+      (1L, "https://a.example.com.br/p", prose("alpha")),
+      (2L, "https://usera.github.io/p", prose("beta")),
+      (3L, "https://userb.github.io/q", prose("gamma")),
+      (4L, "https://c.other.com/r", prose("delta")))
+      .toDF("doc_id", "url", "text")
+      .write.mode("overwrite").parquet(in)
+    val card = Curate.run(spark, Curate.parseArgs(Array(
+      "-in", in, "-out", out, "-url", "url", "-psl", pslFile.toString)))
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n_raw")).toMap
+    // the private suffix is the case the heuristic CANNOT express: it
+    // would lump both github-pages users into one 'github.io' domain;
+    // the PSL keeps each user a separate registrable domain
+    assert(card == Map("example.com.br" -> 1L, "usera.github.io" -> 1L,
+      "userb.github.io" -> 1L, "other.com" -> 1L))
+  }
+
   test("robots flag drops disallowed paths in the run") {
     val in = Files.createTempDirectory("graft-curate-rob-in").toString
     val out = Files.createTempDirectory("graft-curate-rob-out").toString + "/c"
