@@ -50,19 +50,29 @@ class JdbcSinkSpec extends AnyFunSuite with SparkTestSession {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-jdbc-trunc")
     val url = s"jdbc:duckdb:${dir.resolve("t.db")}"
-    def colType(): String = {
-      val c = java.sql.DriverManager.getConnection(url)
-      try {
-        val rs = c.createStatement().executeQuery(
-          "SELECT data_type FROM information_schema.columns " +
-            "WHERE table_name = 't1' AND column_name = 'v'")
-        rs.next(); rs.getString(1)
-      } finally c.close()
+    // embedded DuckDB is single-writer: under full-suite load a raw
+    // open can race Spark's just-released write handle on the same
+    // file (transient startup deserialize error) — retry briefly
+    def withConn[A](f: java.sql.Connection => A): A = {
+      var last: Throwable = null
+      for (_ <- 1 to 10) {
+        try {
+          val c = java.sql.DriverManager.getConnection(url)
+          try return f(c) finally c.close()
+        } catch {
+          case e: java.sql.SQLException => last = e; Thread.sleep(500)
+        }
+      }
+      throw last
     }
-    val prep = java.sql.DriverManager.getConnection(url)
-    try prep.createStatement().execute(
-      "CREATE TABLE t1 (k BIGINT, v DECIMAL(20,3))")
-    finally prep.close()
+    def colType(): String = withConn { c =>
+      val rs = c.createStatement().executeQuery(
+        "SELECT data_type FROM information_schema.columns " +
+          "WHERE table_name = 't1' AND column_name = 'v'")
+      rs.next(); rs.getString(1)
+    }
+    withConn(_.createStatement().execute(
+      "CREATE TABLE t1 (k BIGINT, v DECIMAL(20,3))"))
     val df = Seq((1L, 2.5), (2L, 3.5)).toDF("k", "v")
     JdbcSink.write(df, url, "t1", driver, mode = "overwrite",
       numPartitions = Some(1), truncate = true)
