@@ -2306,6 +2306,54 @@ object ExtQueries {
         .orderBy("reg_domain")
     }),
 
+    // Authority-weighted quotas (r16): the full-circle composition —
+    // q272's link-graph PageRank sets each domain's cap (5 + ⌊rank·8⌋:
+    // ·8 is a POWER OF TWO so the product of the 4-dp-rounded rank is
+    // exact and the floor cannot straddle an engine ulp), q273's
+    // variable-cap operator enforces it. Trusted (linked-to) sources
+    // keep more documents; the scorecard carries rank, cap, and the
+    // kept checksum per domain.
+    "q274_authority_cap" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val h = conv(substring(md5(col("doc_id").cast("string")), 1, 4),
+        16, 10).cast("long")
+      val t1 = pmod(h + col("doc_id") * 3 + 1, lit(997))
+      val t2 = pmod(h * 5 + col("doc_id") + 2, lit(997))
+      val withLinks = docs.select(
+        Url.syntheticUrl(col("doc_id"), col("lang")).as("url"),
+        concat(col("text"), lit(" see "),
+          Url.syntheticUrl(t1, lit("en")), lit(" and "),
+          Url.syntheticUrl(t2, lit("en")), lit(" end")).as("text2"))
+      val e = withLinks
+        .select(col("url"),
+          explode(Url.extractUrls(col("text2"))).as("link"))
+        .select(
+          Url.registeredDomain(try_parse_url(col("url"), lit("HOST")))
+            .as("src"),
+          Url.registeredDomain(try_parse_url(col("link"), lit("HOST")))
+            .as("dst"))
+        .filter(col("src") =!= col("dst"))
+      val authority = Graph.pageRank(e, "src", "dst", PrIters, PrDamping)
+        .select(col("node").as("reg_domain"),
+          round(col("rank"), 4).as("rank"))
+      val caps = authority.select(col("reg_domain"),
+        (lit(5L) + floor(col("rank") * 8).cast("long")).as("cap"))
+      val parts = Url.urlParts(
+        docs.withColumn("url",
+          Url.syntheticUrl(col("doc_id"), col("lang"))),
+        col("url"))
+      Url.perDomainCapBy(parts, "doc_id", caps, defaultCap = 12L)
+        .groupBy("reg_domain")
+        .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("kept_id_sum"))
+        .join(authority, Seq("reg_domain"), "left")
+        .join(caps.withColumnRenamed("cap", "cap_used"),
+          Seq("reg_domain"), "left")
+        .select(col("reg_domain"), col("rank"),
+          coalesce(col("cap_used"), lit(12L)).as("cap"),
+          col("n_kept"), col("kept_id_sum"))
+        .orderBy("reg_domain")
+    }),
+
     // Domain authority (r16): outlinks HARVESTED from text
     // (Url.extractUrls — two deterministic embedded links per doc) →
     // registered-domain edge set → 3-iteration PageRank over the
@@ -6361,6 +6409,41 @@ object ExtQueries {
         "FROM rk LEFT JOIN caps USING (reg_domain) " +
         "WHERE rn <= coalesce(cap, 12) " +
         "GROUP BY reg_domain ORDER BY reg_domain"
+    },
+
+    // q274: q272's rank CTEs (full 45-domain ranks, no top-k) feed the
+    // cap rule, then q273's rank-window shape enforces it
+    "q274_authority_cap" -> {
+      val sfxArr = "['com','org','net','io','de','co.uk','com.au','ac.uk','edu.au']"
+      def domOf(hExpr: String) =
+        s"'site' || CAST($hExpr % 5 AS VARCHAR) || '.' || $sfxArr[$hExpr % 9 + 1]"
+      def hOf(idExpr: String) =
+        s"CAST(CAST(concat('0x', substr(md5(CAST($idExpr AS VARCHAR)),1,4)) AS UBIGINT) AS BIGINT)"
+      val iters = (1 to PrIters).map { i =>
+        s"r$i AS (SELECT n.node, ${1.0 - PrDamping} + $PrDamping * coalesce(c.m, 0) AS rank " +
+          s"FROM nodes n LEFT JOIN (SELECT e.dst AS node, sum(r.rank / d.deg) AS m " +
+          s"FROM e JOIN r${i - 1} r ON r.node = e.src JOIN deg d ON d.src = e.src GROUP BY 1) c ON c.node = n.node)"
+      }.mkString(", ")
+      s"WITH ${urlCtes()}, " +
+        s"b2 AS (SELECT doc_id, ${hOf("doc_id")} AS h FROM documents), " +
+        "t2 AS (SELECT h, unnest([(h + doc_id*3 + 1) % 997, (h*5 + doc_id + 2) % 997]) AS tid FROM b2), " +
+        s"hh AS (SELECT h AS sh, ${hOf("tid")} AS th FROM t2), " +
+        s"e0 AS (SELECT ${domOf("sh")} AS src, ${domOf("th")} AS dst FROM hh), " +
+        "e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst), " +
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e), " +
+        "deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1), " +
+        s"r0 AS (SELECT node, 1.0 AS rank FROM nodes), $iters, " +
+        s"auth AS (SELECT node AS reg_domain, round(rank, 4) AS rank FROM r$PrIters), " +
+        "caps AS (SELECT reg_domain, 5 + CAST(floor(rank * 8) AS BIGINT) AS cap FROM auth), " +
+        "rk AS (SELECT doc_id, reg_domain, row_number() OVER " +
+        "(PARTITION BY reg_domain ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn FROM pr), " +
+        "kept AS (SELECT reg_domain, count(*) AS n_kept, " +
+        "CAST(sum(doc_id) AS BIGINT) AS kept_id_sum " +
+        "FROM rk LEFT JOIN caps USING (reg_domain) " +
+        "WHERE rn <= coalesce(cap, 12) GROUP BY reg_domain) " +
+        "SELECT reg_domain, rank, coalesce(cap, 12) AS cap, n_kept, kept_id_sum " +
+        "FROM kept LEFT JOIN auth USING (reg_domain) LEFT JOIN caps USING (reg_domain) " +
+        "ORDER BY reg_domain"
     },
 
     // q272: the link domains re-derived ARITHMETICALLY (no extraction
