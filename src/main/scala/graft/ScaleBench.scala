@@ -1124,7 +1124,7 @@ object ScaleBench {
         "q67_clusters", "q67_cluster_only", "q84_star_only", "lpa_only", "q75_probe",
         "admit_batch", "q40_probe", "q40_cand", "minhash_admit", "lexical_admit",
         "trigram_admit", "winnow_admit", "domain_admit", "url_admit",
-        "cc_augment",
+        "tiered_cap", "tiered_cap_skew", "cc_augment",
         "q92_bloom", "q99_spans", "q102_edit", "q103_bigram", "q104_sn",
         "q107_entropy", "q107_exploded", "q160_vocab", "winnow_pairs", "winnow_sel", "winnow_probe")
       val embOps = Seq("q83_pq", "q41c_probe", "q41c_logbits",
@@ -1479,6 +1479,42 @@ object ScaleBench {
         }
         record("domain_admit", k, math.min(onceDom(1), onceDom(2)))
         Warehouse.dropWithLocation(spark, tbl)
+      }
+
+      // Variable per-domain cap (q273/q274's perDomainCapBy) at k× —
+      // the rank filter is NOT a plan-visible constant, so NO
+      // WindowGroupLimit pre-cap: the full corpus shuffles through the
+      // per-domain windows (expect ~linear), and a planted 90%-hot
+      // domain concentrates one window partition (the documented
+      // salting case — measure it, don't hope)
+      if (want("tiered_cap") || want("tiered_cap_skew")) {
+        def capsOf(parts: DataFrame): DataFrame =
+          parts.select("reg_domain").distinct()
+            .select(col("reg_domain"),
+              (lit(4L) + pmod(conv(substring(md5(col("reg_domain")), 1, 4),
+                16, 10).cast("long"), lit(5))).as("cap"))
+        def partsOf(k0: Int, hot: Boolean): DataFrame = {
+          val base = scaleDocs(spark, sf, k0)
+          val url =
+            if (hot) when(pmod(col("doc_id"), lit(10)) =!= 0,
+                concat(lit("https://hot.example.com/p/"),
+                  col("doc_id").cast("string")))
+              .otherwise(graft.operators.Url.syntheticUrl(col("doc_id"),
+                lit("en")))
+            else graft.operators.Url.syntheticUrl(col("doc_id"), lit("en"))
+          graft.operators.Url.urlParts(
+            base.withColumn("url", url), col("url"))
+        }
+        if (want("tiered_cap")) {
+          val p = partsOf(k, hot = false)
+          record("tiered_cap", k, time(
+            graft.operators.Url.perDomainCapBy(p, "doc_id", capsOf(p), 12L)))
+        }
+        if (want("tiered_cap_skew")) {
+          val p = partsOf(k, hot = true)
+          record("tiered_cap_skew", k, time(
+            graft.operators.Url.perDomainCapBy(p, "doc_id", capsOf(p), 12L)))
+        }
       }
 
       // Axis-8 URL-dedup admission at scale: the standing canonical-key
