@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Pipeline, TextAnalysis, Url}
+import graft.operators.{Dedup, Pii, Pipeline, TextAnalysis, Url}
 
 /**
  * Web-curation CLI — the one-command entry point over the URL/domain
@@ -23,7 +23,7 @@ import graft.operators.{Dedup, Pipeline, TextAnalysis, Url}
  *   runMain graft.Curate -in <parquet> -out <dir>
  *     [-id doc_id] [-text text] [-url url | -synthesize]
  *     [-threshold 0.6] [-cap 15] [-shards 8]
- *     [-minQuality 0.35] [-blocklist d1,d2,...]
+ *     [-minQuality 0.35] [-blocklist d1,d2,...] [-redactPii]
  *
  * `-synthesize` derives the deterministic demo URL from (id, lang) —
  * the oracle corpus carries no url column; a real crawl passes
@@ -48,7 +48,8 @@ object Curate {
       minQuality: Option[Double] = None,
       blocklist: Seq[String] = Nil,
       robots: Seq[(String, String)] = Nil,
-      psl: Option[String] = None)
+      psl: Option[String] = None,
+      redactPii: Boolean = false)
 
   def parseArgs(args: Array[String]): Config = {
     @annotation.tailrec
@@ -75,6 +76,7 @@ object Curate {
           (r.substring(0, i), r.substring(i + 1))
         }))
       case "-psl" :: v :: t => loop(t, c.copy(psl = Some(v)))
+      case "-redactPii" :: t => loop(t, c.copy(redactPii = true))
       case Nil => c
       case other :: _ =>
         throw new IllegalArgumentException(s"unknown flag: $other")
@@ -153,8 +155,15 @@ object Curate {
     val nearDeduped = exactDeduped.join(drop, Seq(c.idCol), "left_anti")
     // stage 7: per-domain cap (WindowGroupLimit pre-caps map-side)
     val kept = Url.perDomainCap(nearDeduped, c.idCol, c.cap)
+    // stage 7.5 (optional): PII scrub on the KEPT set only — redaction
+    // after all attrition stages so rejected docs never pay the regex
+    // pass; map-only, so it adds zero shuffles to the plan
+    val scrubbed =
+      if (c.redactPii)
+        kept.withColumn(c.textCol, Pii.redactPii(col(c.textCol)))
+      else kept
     // stage 8: HRW shard routing + write
-    kept.withColumn("shard",
+    scrubbed.withColumn("shard",
         Pipeline.rendezvousShard(id.cast("string"), c.shards))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("shard")

@@ -793,6 +793,36 @@ object ScaleBench {
         docs.unpersist()
       }
 
+      // PII scan+redact (q275/q276's scale shape): plant synthetic PII
+      // at k×, then count five regex classes AND produce the redacted
+      // text in one map-only pass — per-row cost is O(|text|) regex
+      // scans, so the expected exponent is ~1.0 (pure data-linear).
+      if (want("pii_scan")) {
+        val docs = scaleDocs(spark, sf, k).persist()
+        val nDocs = docs.count()
+        System.err.println(s"SCALE inputs ${k}x: $nDocs docs (pii_scan)")
+        record("pii_scan", k, time(
+          docs.select(col("doc_id"),
+              graft.operators.Pii.syntheticPiiText(
+                col("doc_id"), col("text")).as("dirty"))
+            .select(col("doc_id"),
+              graft.operators.Pii.piiCounts(col("dirty")).as("c"),
+              graft.operators.Pii.redactPii(col("dirty")).as("redacted"))))
+        docs.unpersist()
+      }
+
+      // Span corruption (q279's scale shape): map-only, HOF lambdas
+      // over per-row token arrays — expected ~linear (per-row cost is
+      // a constant multiple of tokenization).
+      if (want("span_corrupt")) {
+        val docs = scaleDocs(spark, sf, k).persist()
+        val nDocs = docs.count()
+        System.err.println(s"SCALE inputs ${k}x: $nDocs docs (span_corrupt)")
+        record("span_corrupt", k, time(
+          graft.operators.Pipeline.spanCorrupt(docs, "doc_id", "text")))
+        docs.unpersist()
+      }
+
       if (want("q223_dsir")) {
         val docs = scaleDocs(spark, sf, k).persist()
         val nDocs = docs.count()
@@ -1124,7 +1154,8 @@ object ScaleBench {
         "q67_clusters", "q67_cluster_only", "q84_star_only", "lpa_only", "q75_probe",
         "admit_batch", "q40_probe", "q40_cand", "minhash_admit", "lexical_admit",
         "trigram_admit", "winnow_admit", "domain_admit", "url_admit",
-        "tiered_cap", "tiered_cap_skew", "cc_augment",
+        "tiered_cap", "tiered_cap_skew", "cc_augment", "pii_scan",
+        "span_corrupt",
         "q92_bloom", "q99_spans", "q102_edit", "q103_bigram", "q104_sn",
         "q107_entropy", "q107_exploded", "q160_vocab", "winnow_pairs", "winnow_sel", "winnow_probe")
       val embOps = Seq("q83_pq", "q41c_probe", "q41c_logbits",

@@ -551,6 +551,37 @@ object ExtQueries {
       "THEN ls[-3] || '.' || ls[-2] || '.' || ls[-1] " +
       "ELSE ls[-2] || '.' || ls[-1] END AS reg_domain FROM pd)"
 
+  /** Synthetic-PII CTE chain — the DuckDB twin of
+    * [[Pii.syntheticPiiText]]'s derivation (same md5 hash pair, same
+    * piece formats, same planting mods). Yields `p (doc_id, lang,
+    * dirty)`. */
+  private def piiCtes(source: String = "documents"): String = {
+    def h16(off: Int) =
+      s"CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),$off,4)) AS UBIGINT) AS BIGINT)"
+    s"b AS (SELECT doc_id, lang, text, ${h16(1)} AS h, ${h16(5)} AS h2 FROM $source), " +
+      "p AS (SELECT doc_id, lang, text || " +
+      "(CASE WHEN h % 2 = 0 THEN ' user' || CAST(doc_id % 1000 AS VARCHAR) || " +
+      "'@mail' || CAST(h % 5 AS VARCHAR) || '.example.com' ELSE '' END) || " +
+      "(CASE WHEN h % 3 = 0 THEN ' ip ' || CAST(h % 200 AS VARCHAR) || '.' || " +
+      "CAST(h2 % 256 AS VARCHAR) || '.' || CAST(doc_id % 256 AS VARCHAR) || '.' || " +
+      "CAST(h % 254 + 1 AS VARCHAR) " +
+      "WHEN h % 3 = 1 THEN ' ip 999.' || CAST(h % 90 + 10 AS VARCHAR) || '.' || " +
+      "CAST(h2 % 90 + 10 AS VARCHAR) || '.1' ELSE '' END) || " +
+      "(CASE WHEN h2 % 2 = 0 THEN ' tel 555-' || CAST(h % 900 + 100 AS VARCHAR) || " +
+      "'-' || CAST(doc_id % 9000 + 1000 AS VARCHAR) ELSE '' END) || " +
+      "(CASE WHEN h2 % 3 = 0 THEN ' id ' || CAST(h2 % 900 + 100 AS VARCHAR) || '-' || " +
+      "CAST(h % 89 + 10 AS VARCHAR) || '-' || CAST(h2 % 9000 + 1000 AS VARCHAR) ELSE '' END) || " +
+      "' card 4' || lpad(CAST(h % 100000 AS VARCHAR), 5, '0') || " +
+      "lpad(CAST(h2 % 100000 AS VARCHAR), 5, '0') || " +
+      "lpad(CAST(doc_id % 100000 AS VARCHAR), 5, '0') || ' end' AS dirty FROM b)"
+  }
+
+  /** Per-class non-overlapping match count in DuckDB. */
+  private def piiCountSql(cls: String): String = {
+    val pat = Pii.Classes.find(_._1 == cls).get._2
+    s"len(regexp_extract_all(dirty, '$pat'))"
+  }
+
   /** Per-source winnowing-selection CTE chain (grams → 40-bit packed
     * hashes → window min → distinct screened per-doc hash sets) with a
     * name prefix, so q257 can instantiate it once per corpus slice.
@@ -2313,6 +2344,88 @@ object ExtQueries {
     // variable-cap operator enforces it. Trusted (linked-to) sources
     // keep more documents; the scorecard carries rank, cap, and the
     // kept checksum per domain.
+    // Route-template census (r16): digit runs in paths collapse to
+    // '{n}' and each (domain, template) is counted with its EXACT
+    // integer within-domain share — the crawl-trap detector (a
+    // calendar route shows up as one template with outsized share).
+    // The synthetic mix plants three route families per domain.
+    "q278_url_templates" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val h = conv(substring(md5(col("doc_id").cast("string")), 1, 4),
+        16, 10).cast("long")
+      val pth = when(pmod(h, lit(3)) === 0,
+          concat(lit("/article/"), col("doc_id").cast("string")))
+        .when(pmod(h, lit(3)) === 1,
+          concat(lit("/p/"), pmod(col("doc_id"), lit(100)).cast("string"),
+            lit("/rev"), pmod(h, lit(7)).cast("string")))
+        .otherwise(concat(lit("/cal/2021/"),
+          (pmod(h, lit(12)) + 1).cast("string")))
+      val url = concat(lit("https://site"), pmod(h, lit(5)).cast("string"),
+        lit(".com"), pth)
+      val parts = Url.urlParts(docs.withColumn("url", url), col("url"))
+      Url.routeCensus(parts).orderBy("reg_domain", "template")
+    }),
+
+    // Span corruption (r16): deterministic T5/UL2 denoising data prep
+    // — md5-marked token blocks become numbered sentinels in the
+    // input, the target lists each sentinel + its hidden tokens; both
+    // full strings ride the hash compare, so block selection, sentinel
+    // numbering AND token reassembly are all proven byte-identical.
+    "q279_span_corrupt" -> ((s, d) =>
+      Pipeline.spanCorrupt(t(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // PII scorecard (r16): deterministic synthetic PII planted on the
+    // corpus (md5 arithmetic both engines reproduce — emails, valid
+    // AND out-of-range IPv4s, phones, SSNs, a card number per doc),
+    // then per-language totals per class + the multi-class doc count.
+    // Map-only detection (codegen'd regexp_count), one hash agg.
+    "q275_pii_scorecard" -> ((s, d) => {
+      val dirty = t(s, d, "documents").select(col("lang"),
+        Pii.syntheticPiiText(col("doc_id"), col("text")).as("dirty"))
+      val classes = Pii.Classes.map(_._1)
+      val present = classes.map(n =>
+        when(col(s"c.n_$n") > 0, 1L).otherwise(0L)).reduce(_ + _)
+      dirty.select(col("lang"), Pii.piiCounts(col("dirty")).as("c"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          classes.map(n => sum(col(s"c.n_$n")).as(s"n_$n")) :+
+            sum(when(present >= 3, 1L).otherwise(0L)).as("n_docs_multi"): _*)
+        .orderBy("lang")
+    }),
+
+    // PII redaction (r16): every class replaced with its typed
+    // placeholder in Pii.Classes order; the full redacted text rides
+    // the hash compare, so byte-identical replacement (order, 'g'
+    // semantics, boundary anchoring) is what the oracle proves.
+    "q276_pii_redact" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          Pii.syntheticPiiText(col("doc_id"), col("text")).as("dirty"))
+        .select(col("doc_id"), Pii.piiHits(col("dirty")).as("n_hits"),
+          Pii.redactPii(col("dirty")).as("redacted"))
+        .orderBy("doc_id")),
+
+    // Luhn precision census (r16): 16-digit FORMAT hits vs checksum-
+    // VALID hits per language — the scrubber-precision split. The
+    // 16-term Luhn sum is generated from one Scala loop on both sides
+    // (Pii.luhnValid / Pii.luhnValidSql), so the arithmetic cannot
+    // drift between engines.
+    "q277_cc_luhn" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("lang"),
+          regexp_extract(
+            Pii.syntheticPiiText(col("doc_id"), col("text")),
+            Pii.CcRe, 0).as("cc"))
+        .filter(col("cc") =!= "")
+        .select(col("lang"), Pii.luhnValid(col("cc")).as("ok"),
+          pmod(col("cc").cast("long"), lit(1000000007L)).as("m"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_cc"),
+          sum(when(col("ok"), 1L).otherwise(0L)).as("n_luhn_valid"),
+          sum("m").as("cc_checksum"))
+        .orderBy("lang")),
+
     "q274_authority_cap" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val h = conv(substring(md5(col("doc_id").cast("string")), 1, 4),
@@ -6413,6 +6526,71 @@ object ExtQueries {
 
     // q274: q272's rank CTEs (full 45-domain ranks, no top-k) feed the
     // cap rule, then q273's rank-window shape enforces it
+    // q278: the route census replayed — same path mix, DuckDB's 'g'
+    // regexp_replace and integer // share
+    "q278_url_templates" ->
+      ("WITH b AS (SELECT doc_id, CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),1,4)) AS UBIGINT) AS BIGINT) AS h FROM documents), " +
+        "u AS (SELECT 'site' || CAST(h % 5 AS VARCHAR) || '.com' AS reg_domain, " +
+        "CASE WHEN h % 3 = 0 THEN '/article/' || CAST(doc_id AS VARCHAR) " +
+        "WHEN h % 3 = 1 THEN '/p/' || CAST(doc_id % 100 AS VARCHAR) || '/rev' || CAST(h % 7 AS VARCHAR) " +
+        "ELSE '/cal/2021/' || CAST(h % 12 + 1 AS VARCHAR) END AS pth FROM b), " +
+        "tpl AS (SELECT reg_domain, regexp_replace(pth, '[0-9]+', '{n}', 'g') AS template, " +
+        "count(*) AS n_urls FROM u GROUP BY 1, 2) " +
+        "SELECT reg_domain, template, n_urls, " +
+        "CAST((10000 * n_urls) // (sum(n_urls) OVER (PARTITION BY reg_domain)) AS BIGINT) AS share_bp " +
+        "FROM tpl ORDER BY reg_domain, template"),
+
+    // q279: span corruption replayed via list comprehensions over the
+    // same md5 block draw (blocks of 3, 1-in-6 marked)
+    "q279_span_corrupt" ->
+      ("WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents), " +
+        "n AS (SELECT doc_id, words, (len(words) + 2) // 3 AS nb FROM w), " +
+        "c AS (SELECT doc_id, words, nb, [b for b in range(nb) if " +
+        "CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(b AS VARCHAR)),1,4)) AS UBIGINT) AS BIGINT) % 6 = 0] AS corr FROM n) " +
+        "SELECT doc_id, CAST(len(corr) AS BIGINT) AS n_spans, " +
+        "array_to_string(flatten([CASE WHEN list_contains(corr, b) " +
+        "THEN ['<extra_id_' || CAST(list_position(corr, b) - 1 AS VARCHAR) || '>'] " +
+        "ELSE words[3*b+1 : 3*b+3] END for b in range(nb)]), ' ') AS input, " +
+        "coalesce(array_to_string(flatten([['<extra_id_' || CAST(k AS VARCHAR) || '>'] || " +
+        "words[3*corr[k+1]+1 : 3*corr[k+1]+3] for k in range(len(corr))]), ' '), '') AS target " +
+        "FROM c ORDER BY doc_id"),
+
+    // q275: the planted-PII scorecard replayed — same md5-derived
+    // pieces, same regex classes (patterns interpolated from
+    // Pii.Classes so the two engines share ONE pattern source)
+    "q275_pii_scorecard" -> {
+      val classes = Pii.Classes.map(_._1)
+      val perDoc = classes.map(n => s"${piiCountSql(n)} AS n_$n").mkString(", ")
+      val sums = classes.map(n => s"CAST(sum(n_$n) AS BIGINT) AS n_$n").mkString(", ")
+      val presentCnt = classes.map(n => s"(CASE WHEN n_$n > 0 THEN 1 ELSE 0 END)").mkString(" + ")
+      s"WITH ${piiCtes()}, c AS (SELECT lang, $perDoc FROM p) " +
+        "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, " + sums + ", " +
+        s"CAST(sum(CASE WHEN $presentCnt >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_multi " +
+        "FROM c GROUP BY lang ORDER BY lang"
+    },
+
+    // q276: redaction replayed with the same class order and the 'g'
+    // flag (DuckDB replaces first-only without it); the full redacted
+    // text is hash-compared
+    "q276_pii_redact" -> {
+      val redacted = Pii.Classes.foldLeft("dirty") { case (e, (_, pat, rep)) =>
+        s"regexp_replace($e, '$pat', '$rep', 'g')"
+      }
+      val hits = Pii.Classes.map(c => piiCountSql(c._1)).mkString(" + ")
+      s"WITH ${piiCtes()} SELECT doc_id, CAST($hits AS BIGINT) AS n_hits, " +
+        s"$redacted AS redacted FROM p ORDER BY doc_id"
+    },
+
+    // q277: the Luhn census — the 16-term sum comes from the SAME
+    // Scala loop that builds the Spark expression (Pii.luhnValidSql)
+    "q277_cc_luhn" ->
+      (s"WITH ${piiCtes()}, e AS (SELECT lang, " +
+        s"regexp_extract(dirty, '${Pii.CcRe}') AS cc FROM p) " +
+        "SELECT lang, CAST(count(*) AS BIGINT) AS n_cc, " +
+        s"CAST(sum(CASE WHEN ${Pii.luhnValidSql("cc")} THEN 1 ELSE 0 END) AS BIGINT) AS n_luhn_valid, " +
+        "CAST(sum(CAST(cc AS BIGINT) % 1000000007) AS BIGINT) AS cc_checksum " +
+        "FROM e WHERE cc <> '' GROUP BY lang ORDER BY lang"),
+
     "q274_authority_cap" -> {
       val sfxArr = "['com','org','net','io','de','co.uk','com.au','ac.uk','edu.au']"
       def domOf(hExpr: String) =

@@ -109,6 +109,53 @@ object Pipeline {
   }
 
   /**
+   * Deterministic T5/UL2-style span corruption — the denoising
+   * objective's DATA PREP: tokens are grouped into fixed blocks, a
+   * deterministic md5 draw on `(doc_id, block)` marks ~1/denom of the
+   * blocks, and each marked block is replaced by a numbered sentinel
+   * in the encoder input while the decoder target lists each sentinel
+   * followed by the tokens it hides. Returns
+   * `(idCol, n_spans, input, target)`.
+   *
+   * Determinism is the point: re-runs, re-partitionings, and the
+   * DuckDB twin (list comprehensions over the same md5 arithmetic)
+   * produce byte-identical pairs, so the corruption is reproducible
+   * across epochs and auditable. Map-only (no shuffle); the lambdas
+   * are HOF-interpreted rather than codegen'd, but the corrupted-block
+   * array is projected ONCE per row and each lambda pass is O(tokens)
+   * — the per-row cost is a small constant multiple of tokenization,
+   * flat at any corpus size (ScaleBench `span_corrupt`).
+   */
+  def spanCorrupt(docs: DataFrame, idCol: String, textCol: String,
+                  block: Int = 3, denom: Int = 6): DataFrame = {
+    val toks = split(col(textCol), " ")
+    // number of blocks = ceil(n/block); n <= 2^26 keeps the float
+    // floor exact (token counts are nowhere near the 2^53 boundary)
+    val nBlocks = floor((size(toks) + lit(block - 1)) / lit(block)).cast("int")
+    def isCorrupt(b: Column): Column =
+      pmod(conv(substring(md5(concat(col(idCol).cast("string"), lit(":"),
+        b.cast("string"))), 1, 4), 16, 10).cast("long"), lit(denom)) === 0
+    def sentinel(k: Column): Column =
+      concat(lit("<extra_id_"), k.cast("string"), lit(">"))
+    def chunk(tk: Column, b: Column): Column =
+      slice(tk, b * block + 1, lit(block))
+    docs
+      .select(col(idCol), toks.as("_toks"),
+        filter(sequence(lit(0), nBlocks - 1), isCorrupt _).as("_corr"))
+      .select(col(idCol),
+        size(col("_corr")).cast("long").as("n_spans"),
+        array_join(flatten(transform(
+          sequence(lit(0), floor((size(col("_toks")) + lit(block - 1)) /
+            lit(block)).cast("int") - 1),
+          b => when(isCorrupt(b),
+              array(sentinel(array_position(col("_corr"), b) - 1)))
+            .otherwise(chunk(col("_toks"), b)))), " ").as("input"),
+        array_join(flatten(transform(col("_corr"),
+          (b, k) => concat(array(sentinel(k)), chunk(col("_toks"), b)))),
+          " ").as("target"))
+  }
+
+  /**
    * Deterministic stratified downsampling: a row survives when its
    * 16-bit md5 bucket falls below `floor(rate × 65536)` for its
    * stratum. Pure per-row arithmetic — no sampling state, no shuffle,

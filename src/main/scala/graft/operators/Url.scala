@@ -281,6 +281,42 @@ object Url {
   }
 
   /**
+   * Path template — collapse every digit run in a URL path to `{n}`,
+   * so paginated/parameterized routes fold to one key:
+   * `/article/8231` and `/article/97` → `/article/{n}`,
+   * `/cal/2021/7` → `/cal/{n}/{n}`. The per-(domain, template) census
+   * is the crawl-trap detector every crawler runs — a calendar or
+   * search-pagination route shows up as ONE template carrying an
+   * outsized share of the domain's URLs, and the template key (not
+   * the raw URL) is the right unit for per-route capping. Map-only
+   * codegen'd regexp_replace; deterministic, so the DuckDB twin is
+   * the same expression.
+   */
+  def pathTemplate(urlPath: Column): Column =
+    regexp_replace(urlPath, "[0-9]+", "{n}")
+
+  /**
+   * Per-domain route census over [[pathTemplate]] keys: one row per
+   * (reg_domain, template) with its URL count, plus the template's
+   * within-domain share in basis points — EXACT integer arithmetic
+   * (`10000·n div domain_total`), no float division to drift across
+   * engines. One hash aggregation + one domain-keyed window over the
+   * TEMPLATE-level frame (bounded by route cardinality, not corpus
+   * size — the corpus never flows through the window).
+   */
+  def routeCensus(parts: DataFrame, pathCol: String = "url_path"): DataFrame = {
+    val byTemplate = parts
+      .groupBy(col("reg_domain"), pathTemplate(col(pathCol)).as("template"))
+      .agg(count(lit(1)).as("n_urls"))
+    val domTotal = org.apache.spark.sql.expressions.Window
+      .partitionBy("reg_domain")
+    byTemplate
+      .withColumn("_tot", sum("n_urls").over(domTotal))
+      .withColumn("share_bp", expr("(10000 * n_urls) div _tot"))
+      .drop("_tot")
+  }
+
+  /**
    * Embedded-URL extraction from free text — the outlink harvest that
    * feeds a domain link graph (and, composed with
    * [[graft.operators.Graph.pageRank]], the authority/centrality

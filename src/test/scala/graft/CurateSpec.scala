@@ -135,4 +135,29 @@ class CurateSpec extends AnyFunSuite with SparkTestSession {
     // a.com/search disallowed; b.net's /search has no rule and passes
     assert(kept == Set(2L, 3L))
   }
+
+  test("-redactPii scrubs the kept text; without the flag PII passes through") {
+    val in = Files.createTempDirectory("graft-curate-pii-in").toString
+    val out = Files.createTempDirectory("graft-curate-pii-out").toString + "/c"
+    Seq(
+      (1L, "https://a.com/p/1",
+        prose("alpha") + " mail me at jo@example.com or 555-123-4567"),
+      (2L, "https://b.net/p/2", prose("beta") + " server 10.0.0.1 up"))
+      .toDF("doc_id", "url", "text")
+      .write.mode("overwrite").parquet(in)
+    Curate.run(spark, Curate.parseArgs(Array(
+      "-in", in, "-out", out, "-url", "url", "-redactPii")))
+    val texts = spark.read.parquet(out)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(texts(1L).endsWith("mail me at <EMAIL> or <PHONE>"))
+    assert(texts(2L).endsWith("server <IP> up"))
+    // control: same run without the flag keeps the raw text
+    val out2 = Files.createTempDirectory("graft-curate-pii-out2").toString + "/c"
+    Curate.run(spark, Curate.parseArgs(Array(
+      "-in", in, "-out", out2, "-url", "url")))
+    val raw = spark.read.parquet(out2).filter(col("doc_id") === 1L)
+      .select("text").collect()(0).getString(0)
+    assert(raw.contains("jo@example.com"))
+  }
 }

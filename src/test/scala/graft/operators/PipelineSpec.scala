@@ -600,4 +600,38 @@ class PipelineSpec extends AnyFunSuite with SparkTestSession {
       .agg(min("s"), max("s")).collect().head
     assert(one.getInt(0) == 0 && one.getInt(1) == 0)
   }
+
+  test("spanCorrupt: sentinel numbering, round-trip reconstruction, determinism") {
+    import spark.implicits._
+    val docs = Seq.tabulate(40)(i =>
+      (i.toLong, (0 until 20).map(t => s"w$t").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Pipeline.spanCorrupt(docs, "doc_id", "text").orderBy("doc_id")
+    val rows = out.collect()
+    // structural invariants on every doc
+    rows.foreach { r =>
+      val (n, input, target) =
+        (r.getLong(1), r.getString(2), r.getString(3))
+      val sentinelsIn = "<extra_id_\\d+>".r.findAllIn(input).toSeq
+      assert(sentinelsIn.size == n)
+      // sentinels appear in order 0..n-1 in BOTH strings
+      assert(sentinelsIn == (0L until n).map(k => s"<extra_id_$k>"))
+      val sentinelsTgt = "<extra_id_\\d+>".r.findAllIn(target).toSeq
+      assert(sentinelsTgt == sentinelsIn)
+      // splicing each target span back at its sentinel restores the doc
+      var rebuilt = input
+      val spans = target.split("<extra_id_\\d+> ?").toSeq.filter(_.nonEmpty)
+      spans.zipWithIndex.foreach { case (span, k) =>
+        rebuilt = rebuilt.replace(s"<extra_id_$k>", span.trim)
+      }
+      assert(rebuilt == (0 until 20).map(t => s"w$t").mkString(" "),
+        s"round trip failed:\n$input\n$target\n$rebuilt")
+    }
+    // some docs corrupted, some untouched (1-in-6 draw over 7 blocks)
+    assert(rows.exists(_.getLong(1) > 0) && rows.exists(_.getLong(1) == 0))
+    // partitioning-proof
+    val again = Pipeline.spanCorrupt(docs.repartition(7), "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(rows.map(_.toSeq).sameElements(again.map(_.toSeq)))
+  }
 }

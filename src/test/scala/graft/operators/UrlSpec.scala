@@ -325,4 +325,24 @@ class UrlSpec extends AnyFunSuite with SparkTestSession {
     assert(parts.filter(col("host").isNull ||
       col("reg_domain").isNull).count() == 0)
   }
+
+  test("pathTemplate collapses digit runs; routeCensus shares are exact bp") {
+    val tpl = Seq("/article/8231", "/article/97", "/cal/2021/7", "/a1b22c3/x")
+      .toDF("p").select(Url.pathTemplate(col("p")).as("t"))
+      .collect().map(_.getString(0))
+    assert(tpl.sameElements(Seq(
+      "/article/{n}", "/article/{n}", "/cal/{n}/{n}", "/a{n}b{n}c{n}/x")))
+    // census: a.com has 3 urls on one template + 1 on another -> 7500/2500
+    val parts = Seq(
+      (1L, "a.com", "/p/1"), (2L, "a.com", "/p/2"), (3L, "a.com", "/p/3"),
+      (4L, "a.com", "/about"), (5L, "b.net", "/x/9"))
+      .toDF("doc_id", "reg_domain", "url_path")
+    val out = Url.routeCensus(parts)
+      .orderBy("reg_domain", "template")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3)))
+    assert(out.sameElements(Seq(
+      ("a.com", "/about", 1L, 2500L), ("a.com", "/p/{n}", 3L, 7500L),
+      ("b.net", "/x/{n}", 1L, 10000L))))
+  }
 }
