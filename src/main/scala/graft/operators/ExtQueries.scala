@@ -576,6 +576,24 @@ object ExtQueries {
       "lpad(CAST(doc_id % 100000 AS VARCHAR), 5, '0') || ' end' AS dirty FROM b)"
   }
 
+  /** [[graft.operators.Pipeline.spanCorrupt]]'s DuckDB twin, generated
+    * for any (block, denom) so the q280 mixture's R/X branches share
+    * one derivation with q279. Yields
+    * `(doc_id, n_spans, input, target)` over `srcSql`. */
+  private def spanCorruptSql(block: Int, denom: Int,
+                             srcSql: String): String =
+    "SELECT doc_id, CAST(len(corr) AS BIGINT) AS n_spans, " +
+      "array_to_string(flatten([CASE WHEN list_contains(corr, b) " +
+      "THEN ['<extra_id_' || CAST(list_position(corr, b) - 1 AS VARCHAR) || '>'] " +
+      s"ELSE words[$block*b+1 : $block*b+$block] END for b in range(nb)]), ' ') AS input, " +
+      "coalesce(array_to_string(flatten([['<extra_id_' || CAST(k AS VARCHAR) || '>'] || " +
+      s"words[$block*corr[k+1]+1 : $block*corr[k+1]+$block] for k in range(len(corr))]), ' '), '') AS target " +
+      "FROM (SELECT doc_id, words, nb, [b for b in range(nb) if " +
+      "CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(b AS VARCHAR)),1,4)) AS UBIGINT) AS BIGINT) " +
+      s"% $denom = 0] AS corr " +
+      s"FROM (SELECT doc_id, words, (len(words) + ${block - 1}) // $block AS nb " +
+      s"FROM (SELECT doc_id, string_split(text, ' ') AS words FROM $srcSql)))"
+
   /** Per-class non-overlapping match count in DuckDB. */
   private def piiCountSql(cls: String): String = {
     val pat = Pii.Classes.find(_._1 == cls).get._2
@@ -2374,6 +2392,28 @@ object ExtQueries {
     "q279_span_corrupt" -> ((s, d) =>
       Pipeline.spanCorrupt(t(s, d, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
+
+    // UL2 mixture-of-denoisers (r16): each doc draws its objective by
+    // md5 — R (short spans: block 3, 1-in-6), X (long/aggressive:
+    // block 8, 1-in-3), or S (prefix-LM 3/4 split). Three map-only
+    // branches unioned; the full input/target pairs are hash-compared
+    // per mode.
+    "q280_ul2_mixture" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val m = pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 4),
+        16, 10).cast("long"), lit(3))
+      val r = Pipeline.spanCorrupt(docs.filter(m === 0), "doc_id", "text")
+        .select(col("doc_id"), lit("r").as("mode"), col("n_spans"),
+          col("input"), col("target"))
+      val x = Pipeline.spanCorrupt(docs.filter(m === 1), "doc_id", "text",
+          block = 8, denom = 3)
+        .select(col("doc_id"), lit("x").as("mode"), col("n_spans"),
+          col("input"), col("target"))
+      val p = Pipeline.prefixLmSplit(docs.filter(m === 2), "doc_id", "text")
+        .select(col("doc_id"), lit("s").as("mode"), lit(0L).as("n_spans"),
+          col("input"), col("target"))
+      r.unionByName(x).unionByName(p).orderBy("doc_id")
+    }),
 
     // PII scorecard (r16): deterministic synthetic PII planted on the
     // corpus (md5 arithmetic both engines reproduce — emails, valid
@@ -6541,19 +6581,30 @@ object ExtQueries {
         "FROM tpl ORDER BY reg_domain, template"),
 
     // q279: span corruption replayed via list comprehensions over the
-    // same md5 block draw (blocks of 3, 1-in-6 marked)
+    // same md5 block draw (blocks of 3, 1-in-6 marked). DuckDB
+    // portability: list_position returns 0 (not NULL) on a miss —
+    // gate on list_contains; flatten([]) is NULL — coalesce.
     "q279_span_corrupt" ->
-      ("WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents), " +
-        "n AS (SELECT doc_id, words, (len(words) + 2) // 3 AS nb FROM w), " +
-        "c AS (SELECT doc_id, words, nb, [b for b in range(nb) if " +
-        "CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(b AS VARCHAR)),1,4)) AS UBIGINT) AS BIGINT) % 6 = 0] AS corr FROM n) " +
-        "SELECT doc_id, CAST(len(corr) AS BIGINT) AS n_spans, " +
-        "array_to_string(flatten([CASE WHEN list_contains(corr, b) " +
-        "THEN ['<extra_id_' || CAST(list_position(corr, b) - 1 AS VARCHAR) || '>'] " +
-        "ELSE words[3*b+1 : 3*b+3] END for b in range(nb)]), ' ') AS input, " +
-        "coalesce(array_to_string(flatten([['<extra_id_' || CAST(k AS VARCHAR) || '>'] || " +
-        "words[3*corr[k+1]+1 : 3*corr[k+1]+3] for k in range(len(corr))]), ' '), '') AS target " +
-        "FROM c ORDER BY doc_id"),
+      (s"WITH x AS (${spanCorruptSql(3, 6, "documents")}) " +
+        "SELECT * FROM x ORDER BY doc_id"),
+
+    // q280: the mixture replayed — mode filter + the shared
+    // spanCorruptSql generator per (block, denom), prefix branch inline
+    "q280_ul2_mixture" -> {
+      val hm = "CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),1,4)) AS UBIGINT) AS BIGINT) % 3"
+      def src(mode: Int) = s"(SELECT * FROM documents WHERE $hm = $mode)"
+      s"WITH r AS (${spanCorruptSql(3, 6, src(0))}), " +
+        s"x AS (${spanCorruptSql(8, 3, src(1))}), " +
+        "s AS (SELECT doc_id, CAST(0 AS BIGINT) AS n_spans, " +
+        "array_to_string(words[1:k], ' ') AS input, " +
+        "coalesce(array_to_string(words[k+1:len(words)], ' '), '') AS target " +
+        "FROM (SELECT doc_id, words, greatest((len(words) * 3) // 4, 1) AS k " +
+        s"FROM (SELECT doc_id, string_split(text, ' ') AS words FROM ${src(2)}))) " +
+        "SELECT doc_id, 'r' AS mode, n_spans, input, target FROM r " +
+        "UNION ALL SELECT doc_id, 'x', n_spans, input, target FROM x " +
+        "UNION ALL SELECT doc_id, 's', n_spans, input, target FROM s " +
+        "ORDER BY doc_id"
+    },
 
     // q275: the planted-PII scorecard replayed — same md5-derived
     // pieces, same regex classes (patterns interpolated from

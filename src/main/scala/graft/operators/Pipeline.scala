@@ -156,6 +156,27 @@ object Pipeline {
   }
 
   /**
+   * Prefix-LM split (UL2's S-denoiser data prep): the first
+   * `num/den` of a document's tokens become the encoder input, the
+   * rest the decoder target — exact integer split point
+   * (`(n·num) div den`, clamped to ≥1 so every doc has a non-empty
+   * input). Pure per-row arithmetic; the natural third mode next to
+   * [[spanCorrupt]]'s R (short-span) and X (long-span/aggressive)
+   * parameterizations.
+   */
+  def prefixLmSplit(docs: DataFrame, idCol: String, textCol: String,
+                    num: Int = 3, den: Int = 4): DataFrame = {
+    val toks = split(col(textCol), " ")
+    docs.select(col(idCol), toks.as("_toks"))
+      .withColumn("_k",
+        greatest(expr(s"(size(_toks) * $num) div $den"), lit(1)).cast("int"))
+      .select(col(idCol),
+        array_join(slice(col("_toks"), lit(1), col("_k")), " ").as("input"),
+        array_join(slice(col("_toks"), col("_k") + 1,
+          size(col("_toks"))), " ").as("target"))
+  }
+
+  /**
    * Deterministic stratified downsampling: a row survives when its
    * 16-bit md5 bucket falls below `floor(rate × 65536)` for its
    * stratum. Pure per-row arithmetic — no sampling state, no shuffle,

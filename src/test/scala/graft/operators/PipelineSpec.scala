@@ -601,6 +601,26 @@ class PipelineSpec extends AnyFunSuite with SparkTestSession {
     assert(one.getInt(0) == 0 && one.getInt(1) == 0)
   }
 
+  test("prefixLmSplit: exact integer split point, one-token clamp, reassembly") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h"), // 8 tokens -> k = 6
+      (2L, "only"),            // 1 token  -> clamp k = 1, empty target
+      (3L, "x y z"))           // 3 tokens -> (3*3) div 4 = 2
+      .toDF("doc_id", "text")
+    val out = Pipeline.prefixLmSplit(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(out(0) == ((1L, "a b c d e f", "g h")))
+    assert(out(1) == ((2L, "only", "")))
+    assert(out(2) == ((3L, "x y", "z")))
+    // reassembly restores the doc for every row
+    out.foreach { case (_, in, tgt) =>
+      val whole = if (tgt.isEmpty) in else s"$in $tgt"
+      assert(Seq("a b c d e f g h", "only", "x y z").contains(whole))
+    }
+  }
+
   test("spanCorrupt: sentinel numbering, round-trip reconstruction, determinism") {
     import spark.implicits._
     val docs = Seq.tabulate(40)(i =>
