@@ -594,6 +594,12 @@ object ExtQueries {
       s"FROM (SELECT doc_id, words, (len(words) + ${block - 1}) // $block AS nb " +
       s"FROM (SELECT doc_id, string_split(text, ' ') AS words FROM $srcSql)))"
 
+  /** q281 policy-gate knobs — shared by the entry and (via the spec)
+    * the axis's documentation; thresholds chosen so BOTH reject
+    * reasons fire on the planted corpus at every oracle SF. */
+  private val PolicyMaxPii = 2L
+  private val PolicyMinQuality = 0.5
+
   /** Per-class non-overlapping match count in DuckDB. */
   private def piiCountSql(cls: String): String = {
     val pat = Pii.Classes.find(_._1 == cls).get._2
@@ -2392,6 +2398,35 @@ object ExtQueries {
     "q279_span_corrupt" -> ((s, d) =>
       Pipeline.spanCorrupt(t(s, d, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
+
+    // Policy-gate admission (r16 — the NINTH axis, stateless): PII
+    // density + quality floor at the door, rejects QUARANTINED with a
+    // reason. The entry runs the real batch-admission API (output +
+    // quarantine side effects under spark-warehouse) and reads both
+    // back; the oracle recomputes the per-doc decision from the same
+    // planted corpus.
+    "q281_policy_gate" -> ((s, d) => {
+      val outPath = "spark-warehouse/graft_bench_policy_q281_out"
+      val qPath = "spark-warehouse/graft_bench_policy_q281_quar"
+      ensureStoredIndex("graft_bench_policy_q281", d) {
+        val conf = s.sparkContext.hadoopConfiguration
+        Seq(outPath, qPath).foreach { pth =>
+          val hp = new org.apache.hadoop.fs.Path(pth)
+          val fs = hp.getFileSystem(conf)
+          if (fs.exists(hp)) fs.delete(hp, true)
+        }
+        val batch = t(s, d, "documents").select(col("doc_id"), col("lang"),
+          Pii.syntheticPiiText(col("doc_id"), col("text")).as("text"))
+        graft.streaming.StreamingDedup.admitBatchPolicyGate(
+          batch, "doc_id", "text", outPath, qPath,
+          maxPiiHits = PolicyMaxPii, minQuality = PolicyMinQuality)
+      }
+      s.read.parquet(outPath)
+        .select(col("doc_id"), col("lang"), lit("admitted").as("status"))
+        .unionByName(s.read.parquet(qPath)
+          .select(col("doc_id"), col("lang"), col("reason").as("status")))
+        .orderBy("doc_id")
+    }),
 
     // UL2 mixture-of-denoisers (r16): each doc draws its objective by
     // md5 — R (short spans: block 3, 1-in-6), X (long/aggressive:
@@ -6587,6 +6622,24 @@ object ExtQueries {
     "q279_span_corrupt" ->
       (s"WITH x AS (${spanCorruptSql(3, 6, "documents")}) " +
         "SELECT * FROM x ORDER BY doc_id"),
+
+    // q281: the gate decision replayed — planted-PII counts + the
+    // shared qualityScoreSql (dirty aliased AS text), reasons joined
+    // with the same comma rule
+    "q281_policy_gate" -> {
+      val hits = Pii.Classes.map(c => piiCountSql(c._1)).mkString(" + ")
+      s"WITH ${piiCtes()}, " +
+        // alias dirty under BOTH names: the hit counters read `dirty`,
+        // the shared qualityScoreSql fragment reads `text`
+        "t2 AS (SELECT doc_id, lang, dirty, dirty AS text FROM p), " +
+        s"g AS (SELECT doc_id, lang, ($hits) AS pii_hits, " +
+        s"$qualityScoreSql AS quality FROM t2) " +
+        "SELECT doc_id, lang, CASE WHEN reason = '' THEN 'admitted' ELSE reason END AS status " +
+        "FROM (SELECT doc_id, lang, concat_ws(',', " +
+        s"CASE WHEN pii_hits > $PolicyMaxPii THEN 'pii' END, " +
+        s"CASE WHEN quality < $PolicyMinQuality THEN 'quality' END) AS reason FROM g) " +
+        "ORDER BY doc_id"
+    },
 
     // q280: the mixture replayed — mode filter + the shared
     // spanCorruptSql generator per (block, denom), prefix branch inline

@@ -938,4 +938,103 @@ object StreamingDedup {
       commitAdmission(survivors, outPath, batchId, appendKeys)
     } finally b.unpersist()
   }
+
+  // ------------------------------------------------------------------
+  // Axis 9: content-policy gate (PII density + quality floor — the
+  // governance reject that runs BEFORE any similarity axis pays
+  // shingles or embeddings; rejects are QUARANTINED with a reason,
+  // never silently dropped, because a governance gate that loses its
+  // audit trail is not a governance gate)
+  // ------------------------------------------------------------------
+
+  /**
+   * Policy-gate admission: each micro-batch document is admitted only
+   * if its PII hit count ([[graft.operators.Pii.piiHits]] — five
+   * regex classes, map-only) stays ≤ `maxPiiHits` AND its quality
+   * score ([[graft.operators.TextAnalysis.qualityScore]]) reaches
+   * `minQuality`. Rejects land under `quarantinePath` carrying the
+   * original columns plus `(pii_hits, quality, reason)` — reason is
+   * the comma-joined list of failed checks, so downstream triage can
+   * split scrub-and-readmit candidates (`pii`) from discards
+   * (`quality`).
+   *
+   * Unlike the similarity/quota axes this gate is STATELESS — the
+   * decision is a pure per-row function of the batch, so a replay
+   * recomputes the identical decision and the manifest protocol's only
+   * job is making the two output appends exactly-once (survivors via
+   * [[commitAdmission]]'s manifest; quarantine via the same
+   * append-on-commit hook, probed id-wise only on crash recovery).
+   * Cost per batch: two codegen'd expression passes over the batch —
+   * no standing read, no shuffle beyond the output writes.
+   */
+  def policyGateAdmission(docs: DataFrame, idCol: String, textCol: String,
+                          outPath: String, quarantinePath: String,
+                          checkpointDir: String,
+                          maxPiiHits: Long = 0L,
+                          minQuality: Double = 0.0): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        admitBatchPolicyGate(batch, idCol, textCol, outPath,
+          quarantinePath, maxPiiHits, minQuality, Some(bid))
+      }
+      .start()
+
+  /** One policy-gate round — also the BATCH incremental API.
+    *
+    * Replay guard: the gate is stateless, so nothing self-rejects a
+    * replayed batch the way the similarity axes do — the quota axis's
+    * STAMP trick applies instead. The quarantine append (run inside
+    * [[commitAdmission]]'s pre-output hook) also drops an
+    * underscore-prefixed `_stamp_<bid>` marker under `quarantinePath`
+    * (parquet readers skip underscore files), so the commit order is
+    * manifest → quarantine+stamp → output → manifest delete, and a
+    * stamp present with NO manifest proves the batch fully committed
+    * — skip it. Unstamped (batchId=None) rounds get no replay guard;
+    * the caller owns retry semantics, as with every other axis. */
+  def admitBatchPolicyGate(batch: DataFrame, idCol: String, textCol: String,
+                           outPath: String, quarantinePath: String,
+                           maxPiiHits: Long = 0L, minQuality: Double = 0.0,
+                           batchId: Option[Long] = None): Unit = {
+    val spark = batch.sparkSession
+    def gated(s: DataFrame): DataFrame =
+      s.withColumn("pii_hits", graft.operators.Pii.piiHits(col(textCol)))
+        .withColumn("quality",
+          graft.operators.TextAnalysis.qualityScore(col(textCol)))
+        .withColumn("reason", concat_ws(",",
+          when(col("pii_hits") > maxPiiHits, lit("pii")),
+          when(col("quality") < minQuality, lit("quality"))))
+    def stampPath(id: Long): (org.apache.hadoop.fs.FileSystem, Path) = {
+      val (fs, p) = fsOf(spark, quarantinePath)
+      (fs, new Path(p, s"_stamp_$id"))
+    }
+    def writeStamp(): Unit = batchId.foreach { id =>
+      val (fs, sp) = stampPath(id)
+      fs.mkdirs(sp.getParent)
+      fs.create(sp, true).close()
+    }
+    // the quarantine derivation is pure (no standing state), so both
+    // the hot path and crash recovery recompute it from the batch
+    def quarantineOf: DataFrame = gated(batch).filter(col("reason") =!= "")
+    def appendQuarantine(s: DataFrame): Unit = {
+      val q = quarantineOf
+      if (!q.isEmpty)
+        q.write.mode(SaveMode.Append).parquet(quarantinePath)
+      writeStamp() // AFTER the rows: stamp present ⇒ quarantine complete
+    }
+    def ensureQuarantine(s: DataFrame): Unit =
+      if (!batchId.exists(id => stampPath(id)._1.exists(stampPath(id)._2)))
+        appendQuarantine(s)
+    if (batchId.exists(recoverPartialCommit(spark, outPath, _, idCol,
+        ensureQuarantine)))
+      return
+    // stamp with no manifest (checked above) ⇒ this batch fully
+    // committed on a prior attempt — the stateless decision would
+    // recompute identically and double-append both outputs
+    if (batchId.exists(id => stampPath(id)._1.exists(stampPath(id)._2)))
+      return
+    val survivors = gated(batch).filter(col("reason") === "")
+      .select(batch.columns.map(col): _*)
+    commitAdmission(survivors, outPath, batchId, appendQuarantine)
+  }
 }

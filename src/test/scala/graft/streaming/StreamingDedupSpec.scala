@@ -624,4 +624,51 @@ class StreamingDedupSpec extends AnyFunSuite with SparkTestSession {
       .filter(col("reg_domain") === "a.com").head.getLong(1) == 3L)
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
+
+  test("policy-gate admission: PII/quality rejects quarantined with reasons; replay exactly-once") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val srcDir = Files.createTempDirectory("graft-pgx-src").toString
+    val outDir = Files.createTempDirectory("graft-pgx-out").toString + "/out"
+    val quarDir = Files.createTempDirectory("graft-pgx-quar").toString + "/quar"
+    val ckpt = Files.createTempDirectory("graft-pgx-ckpt").toString
+    val clean = doc("the and for plain") // stopword-heavy -> high quality
+    val pii = clean + " mail jo@example.com tel 555-123-4567 ip 10.0.0.1"
+    val junk = ";;;; !!!! ???? ####" * 20
+    def runOnce(): Unit = {
+      val q = StreamingDedup.policyGateAdmission(
+        spark.readStream.schema(schema).parquet(srcDir),
+        "doc_id", "text", outDir, quarDir, ckpt,
+        maxPiiHits = 1L, minQuality = 0.3)
+      q.processAllAvailable(); q.stop()
+    }
+    Seq((1L, clean), (2L, pii), (3L, junk)).toDF("doc_id", "text")
+      .write.mode("append").parquet(srcDir)
+    runOnce()
+    val admitted = spark.read.parquet(outDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(admitted == Set(1L), s"gate admitted: $admitted")
+    val quar = spark.read.parquet(quarDir)
+      .select("doc_id", "reason").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(quar(2L) == "pii", quar.toString) // 3 hits > 1
+    assert(quar(3L).contains("quality"), quar.toString)
+    // a doc with ONE pii hit passes the maxPiiHits=1 budget
+    Seq((4L, clean + " mail only jo@example.com here"))
+      .toDF("doc_id", "text").write.mode("append").parquet(srcDir)
+    runOnce()
+    assert(spark.read.parquet(outDir).select("doc_id")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 4L))
+    // replay batch 1 through the batch API with the same stamp: the
+    // manifest is gone (committed), the decision recomputes, and the
+    // quarantine id-probe keeps BOTH outputs exactly-once
+    val (o1, q1) = (spark.read.parquet(outDir).count(),
+      spark.read.parquet(quarDir).count())
+    StreamingDedup.admitBatchPolicyGate(
+      Seq((1L, clean), (2L, pii), (3L, junk)).toDF("doc_id", "text"),
+      "doc_id", "text", outDir, quarDir,
+      maxPiiHits = 1L, minQuality = 0.3, batchId = Some(0L))
+    assert(spark.read.parquet(outDir).count() == o1, "replay duplicated output")
+    assert(spark.read.parquet(quarDir).count() == q1, "replay duplicated quarantine")
+  }
 }
