@@ -594,6 +594,42 @@ object ExtQueries {
       s"FROM (SELECT doc_id, words, (len(words) + ${block - 1}) // $block AS nb " +
       s"FROM (SELECT doc_id, string_split(text, ' ') AS words FROM $srcSql)))"
 
+  /** The q280 UL2 mixture frame (doc_id, mode, n_spans, input,
+    * target) — shared by q280 and the q282 packing capstone. */
+  private def ul2Mixture(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val m = pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 4),
+      16, 10).cast("long"), lit(3))
+    val r = Pipeline.spanCorrupt(docs.filter(m === 0), "doc_id", "text")
+      .select(col("doc_id"), lit("r").as("mode"), col("n_spans"),
+        col("input"), col("target"))
+    val x = Pipeline.spanCorrupt(docs.filter(m === 1), "doc_id", "text",
+        block = 8, denom = 3)
+      .select(col("doc_id"), lit("x").as("mode"), col("n_spans"),
+        col("input"), col("target"))
+    val p = Pipeline.prefixLmSplit(docs.filter(m === 2), "doc_id", "text")
+      .select(col("doc_id"), lit("s").as("mode"), lit(0L).as("n_spans"),
+        col("input"), col("target"))
+    r.unionByName(x).unionByName(p)
+  }
+
+  /** The q280 UL2-mixture SELECT (no ORDER BY) — shared by q280 and
+    * the q282 packing capstone so the two oracles read one derivation. */
+  private lazy val ul2MixtureSql: String = {
+    val hm = "CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),1,4)) AS UBIGINT) AS BIGINT) % 3"
+    def src(mode: Int) = s"(SELECT * FROM documents WHERE $hm = $mode)"
+    s"WITH rr AS (${spanCorruptSql(3, 6, src(0))}), " +
+      s"xx AS (${spanCorruptSql(8, 3, src(1))}), " +
+      "ss AS (SELECT doc_id, CAST(0 AS BIGINT) AS n_spans, " +
+      "array_to_string(words[1:k], ' ') AS input, " +
+      "coalesce(array_to_string(words[k+1:len(words)], ' '), '') AS target " +
+      "FROM (SELECT doc_id, words, greatest((len(words) * 3) // 4, 1) AS k " +
+      s"FROM (SELECT doc_id, string_split(text, ' ') AS words FROM ${src(2)}))) " +
+      "SELECT doc_id, 'r' AS mode, n_spans, input, target FROM rr " +
+      "UNION ALL SELECT doc_id, 'x', n_spans, input, target FROM xx " +
+      "UNION ALL SELECT doc_id, 's', n_spans, input, target FROM ss"
+  }
+
   /** q281 policy-gate knobs — shared by the entry and (via the spec)
     * the axis's documentation; thresholds chosen so BOTH reject
     * reasons fire on the planted corpus at every oracle SF. */
@@ -2433,22 +2469,17 @@ object ExtQueries {
     // block 8, 1-in-3), or S (prefix-LM 3/4 split). Three map-only
     // branches unioned; the full input/target pairs are hash-compared
     // per mode.
-    "q280_ul2_mixture" -> ((s, d) => {
-      val docs = t(s, d, "documents")
-      val m = pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 4),
-        16, 10).cast("long"), lit(3))
-      val r = Pipeline.spanCorrupt(docs.filter(m === 0), "doc_id", "text")
-        .select(col("doc_id"), lit("r").as("mode"), col("n_spans"),
-          col("input"), col("target"))
-      val x = Pipeline.spanCorrupt(docs.filter(m === 1), "doc_id", "text",
-          block = 8, denom = 3)
-        .select(col("doc_id"), lit("x").as("mode"), col("n_spans"),
-          col("input"), col("target"))
-      val p = Pipeline.prefixLmSplit(docs.filter(m === 2), "doc_id", "text")
-        .select(col("doc_id"), lit("s").as("mode"), lit(0L).as("n_spans"),
-          col("input"), col("target"))
-      r.unionByName(x).unionByName(p).orderBy("doc_id")
-    }),
+    "q280_ul2_mixture" -> ((s, d) =>
+      ul2Mixture(t(s, d, "documents")).orderBy("doc_id")),
+
+    // Denoiser-pack capstone (r16): the mixture's encoder inputs
+    // packed into 256-token training batches per objective — q280's
+    // frame through q55's packSequences, proving the transforms
+    // compose the way a batch-prep pipeline runs them.
+    "q282_denoiser_packs" -> ((s, d) =>
+      Pipeline.packSequences(ul2Mixture(t(s, d, "documents")),
+          "doc_id", "input", byCol = "mode", capacity = 256)
+        .orderBy("mode", "pack_id")),
 
     // PII scorecard (r16): deterministic synthetic PII planted on the
     // corpus (md5 arithmetic both engines reproduce — emails, valid
@@ -6643,21 +6674,19 @@ object ExtQueries {
 
     // q280: the mixture replayed — mode filter + the shared
     // spanCorruptSql generator per (block, denom), prefix branch inline
-    "q280_ul2_mixture" -> {
-      val hm = "CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),1,4)) AS UBIGINT) AS BIGINT) % 3"
-      def src(mode: Int) = s"(SELECT * FROM documents WHERE $hm = $mode)"
-      s"WITH r AS (${spanCorruptSql(3, 6, src(0))}), " +
-        s"x AS (${spanCorruptSql(8, 3, src(1))}), " +
-        "s AS (SELECT doc_id, CAST(0 AS BIGINT) AS n_spans, " +
-        "array_to_string(words[1:k], ' ') AS input, " +
-        "coalesce(array_to_string(words[k+1:len(words)], ' '), '') AS target " +
-        "FROM (SELECT doc_id, words, greatest((len(words) * 3) // 4, 1) AS k " +
-        s"FROM (SELECT doc_id, string_split(text, ' ') AS words FROM ${src(2)}))) " +
-        "SELECT doc_id, 'r' AS mode, n_spans, input, target FROM r " +
-        "UNION ALL SELECT doc_id, 'x', n_spans, input, target FROM x " +
-        "UNION ALL SELECT doc_id, 's', n_spans, input, target FROM s " +
-        "ORDER BY doc_id"
-    },
+    "q280_ul2_mixture" ->
+      (s"WITH m AS ($ul2MixtureSql) SELECT * FROM m ORDER BY doc_id"),
+
+    // q282: the mixture's encoder inputs packed per objective — the
+    // q55 window shape over the SAME mixture CTE as q280
+    "q282_denoiser_packs" ->
+      (s"WITH m AS ($ul2MixtureSql) " +
+        "SELECT mode, pack_id, count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS pack_tokens " +
+        "FROM (SELECT mode, CAST(floor((run - tok)/256.0) AS BIGINT) pack_id, tok " +
+        "FROM (SELECT mode, doc_id, len(string_split(input,' ')) tok, " +
+        "sum(len(string_split(input,' '))) OVER (PARTITION BY mode ORDER BY doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) run FROM m) t) t2 " +
+        "GROUP BY mode, pack_id ORDER BY mode, pack_id"),
 
     // q275: the planted-PII scorecard replayed — same md5-derived
     // pieces, same regex classes (patterns interpolated from
