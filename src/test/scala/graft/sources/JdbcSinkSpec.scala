@@ -65,6 +65,23 @@ class JdbcSinkSpec extends AnyFunSuite with SparkTestSession {
       }
       throw last
     }
+    // Spark's own JDBC opens (resolveTable / savePartition) race the
+    // same single-writer file under full-suite load — same transient
+    // startup deserialize error, same brief retry
+    def retryJdbc[A](f: => A): A = {
+      var last: Throwable = null
+      for (_ <- 1 to 10) {
+        try return f
+        catch {
+          case e: Throwable
+              if Option(e.getMessage).exists(m =>
+                m.contains("Failed to deserialize") ||
+                  m.contains("Serialization Error")) =>
+            last = e; Thread.sleep(500)
+        }
+      }
+      throw last
+    }
     def colType(): String = withConn { c =>
       val rs = c.createStatement().executeQuery(
         "SELECT data_type FROM information_schema.columns " +
@@ -74,18 +91,18 @@ class JdbcSinkSpec extends AnyFunSuite with SparkTestSession {
     withConn(_.createStatement().execute(
       "CREATE TABLE t1 (k BIGINT, v DECIMAL(20,3))"))
     val df = Seq((1L, 2.5), (2L, 3.5)).toDF("k", "v")
-    JdbcSink.write(df, url, "t1", driver, mode = "overwrite",
-      numPartitions = Some(1), truncate = true)
+    retryJdbc(JdbcSink.write(df, url, "t1", driver, mode = "overwrite",
+      numPartitions = Some(1), truncate = true))
     assert(colType() == "DECIMAL(20,3)", "truncate path dropped the table")
-    assert(JdbcSink.read(spark, url, "t1", driver).count() == 2L)
+    assert(retryJdbc(JdbcSink.read(spark, url, "t1", driver).count()) == 2L)
     // idempotent re-run: truncated, not appended
-    JdbcSink.write(df, url, "t1", driver, mode = "overwrite",
-      numPartitions = Some(1), truncate = true)
-    assert(JdbcSink.read(spark, url, "t1", driver).count() == 2L)
+    retryJdbc(JdbcSink.write(df, url, "t1", driver, mode = "overwrite",
+      numPartitions = Some(1), truncate = true))
+    assert(retryJdbc(JdbcSink.read(spark, url, "t1", driver).count()) == 2L)
     // the default overwrite re-creates with Spark's own types — the
     // behavior that is INVALID on ClickHouse, hence the Ingest mapping
-    JdbcSink.write(df, url, "t1", driver, mode = "overwrite",
-      numPartitions = Some(1))
+    retryJdbc(JdbcSink.write(df, url, "t1", driver, mode = "overwrite",
+      numPartitions = Some(1)))
     assert(colType() != "DECIMAL(20,3)")
   }
 
