@@ -4,12 +4,16 @@ package graft
   * all with no args) against a sf dir — the `.explain` loop SCALE.md's
   * audits come from. With `-exec` as the first arg, each query is
   * MATERIALIZED first so the printed plan is the AQE-final one
-  * (runtime skew splits, coalesced reads, reused stages).
-  * Usage: `runMain graft.Explain [-exec] [sfDir] [q...]`. */
+  * (runtime skew splits, coalesced reads, reused stages). With `-fmt`,
+  * prints `explain("formatted")` instead (numbered operators +
+  * PushedFilters/ReadSchema details — the shape the r16 optimization
+  * round's plans/r16 evidence files carry).
+  * Usage: `runMain graft.Explain [-exec|-fmt] [sfDir] [q...]`. */
 object Explain {
   def main(args: Array[String]): Unit = {
     val exec = args.headOption.contains("-exec")
-    val rest = if (exec) args.drop(1) else args
+    val fmt = args.headOption.contains("-fmt")
+    val rest = if (exec || fmt) args.drop(1) else args
     val sfDir = rest.headOption.getOrElse("/root/testdata/sf0.001")
     val inventory = SparkEntry.queries ++ SparkEntry.benchExtra
     val names =
@@ -23,7 +27,10 @@ object Explain {
       // the same object we print; foreach materializes without
       // collecting rows to the driver
       if (exec) df.queryExecution.toRdd.foreach(_ => ())
-      println(df.queryExecution.executedPlan.toString)
+      if (fmt)
+        println(df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+      else println(df.queryExecution.executedPlan.toString)
     }
     spark.stop()
   }

@@ -316,8 +316,10 @@ object Behavior {
   def associationPairs(transactions: DataFrame, txCol: String,
                        itemCol: String, minSupport: Long,
                        topK: Int): DataFrame = {
+    // distinct basket set materialized once: read by the tx census, the
+    // item census, and both legs of the pair join (4×, r16)
     val it = transactions.select(col(txCol).as("_tx"), col(itemCol).as("_it"))
-      .distinct()
+      .distinct().localCheckpoint()
     val nTx = it.agg(countDistinct(col("_tx")).as("_n"))
     val ci = it.groupBy("_it").agg(count(lit(1)).as("_c"))
     val cp = it.select(col("_tx"), col("_it").as("ia"))

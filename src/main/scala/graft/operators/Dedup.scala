@@ -189,10 +189,17 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, threshold: Double,
                         maxShingleDf: Option[Long] = None): DataFrame = {
-    // no cache(): builders return unexecuted plans, so an explicit cache
-    // here would pin storage the caller can never unpersist; identical
-    // shingle subtrees in one plan share work via exchange reuse instead
-    val all = shingles(docs, idCol, textCol, n)
+    // The shingle frame is MATERIALIZED once (eager localCheckpoint, the
+    // dedupClusters discipline — blocks free on frame GC, unlike cache(),
+    // which would pin storage the caller can never unpersist): the plan
+    // below references it four times (both join legs + both count
+    // attaches), and the r16 optimization round measured the explode
+    // subtree executing for each reference — exchange reuse never fired
+    // because the legs' exchanges differ post-aliasing. One compute of
+    // split+explode over the corpus instead of four; the frame is
+    // bounded (Σ shingles, ≪ pair candidates) and spills via
+    // MEMORY_AND_DISK at scale.
+    val all = shingles(docs, idCol, textCol, n).localCheckpoint()
     // Optional document-frequency cap (SCALE.md §4): stop-shingles carry
     // no discrimination and all of the join skew; dropping them bounds
     // Σ(bucket²). Off by default — the oracle comparison is exact.
@@ -262,7 +269,10 @@ object Dedup {
   def prefixFilterJaccardPairs(docs: DataFrame, idCol: String,
                                textCol: String, n: Int,
                                threshold: Double): DataFrame = {
-    val sh = shingles(docs, idCol, textCol, n)
+    // materialized once (the ngramJaccardPairs discipline): referenced by
+    // the df aggregate, the rank join, and BOTH verification legs — five
+    // executions of the explode subtree without it
+    val sh = shingles(docs, idCol, textCol, n).localCheckpoint()
     val counts = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
     val freq = sh.groupBy("shingle").agg(count(lit(1)).as("_df"))
     val ranked = sh.join(freq, "shingle")
@@ -1248,7 +1258,9 @@ object Dedup {
 
   def lexicalCosinePairs(docs: DataFrame, idCol: String, textCol: String,
                          minSim: Double, maxDf: Long): DataFrame = {
-    val tfc = cappedLexicalTf(docs, idCol, textCol, maxDf)
+    // materialized once: the norm aggregate and both dot-product legs
+    // read the capped tf frame (3× tokenize + df-cap without it)
+    val tfc = cappedLexicalTf(docs, idCol, textCol, maxDf).localCheckpoint()
     val norms = lexicalNorms(tfc)
     val dots = tfc.select(col("tok"), col("doc_id").as("da"), col("tf").as("tfa"))
       .join(tfc.select(col("tok"), col("doc_id").as("db"), col("tf").as("tfb")),
@@ -1367,8 +1379,13 @@ object Dedup {
   def dbscanLabels(points: DataFrame, idCol: String, pairs: DataFrame,
                    aCol: String, bCol: String, minPts: Int): DataFrame = {
     require(minPts >= 1, s"minPts must be >= 1, got $minPts")
-    val sym = pairs.select(col(aCol).as("node"), col(bCol).as("nbr"))
-      .union(pairs.select(col(bCol).as("node"), col(aCol).as("nbr")))
+    // the caller's pair frame (for q236, an all-pairs cosine theta join)
+    // is referenced twice here and `sym` three times downstream — without
+    // the materialization the epsilon-neighborhood join executed up to
+    // six times (r16 measurement); pairs are bounded by the epsilon graph
+    val p = pairs.localCheckpoint()
+    val sym = p.select(col(aCol).as("node"), col(bCol).as("nbr"))
+      .union(p.select(col(bCol).as("node"), col(aCol).as("nbr")))
     val cores = sym.groupBy("node").agg(count(lit(1)).as("_n"))
       .filter(col("_n") >= minPts).select("node")
     val coreEdges = sym
@@ -1485,12 +1502,16 @@ object Dedup {
     // prior ends already covers it; covered = Σ (end − max(start, run))
     val w = Window.partitionBy(idCol).orderBy("span_start")
       .rowsBetween(Window.unboundedPreceding, -1)
+    // materialized once: the cut census and the interval collection both
+    // read it, and each re-read re-ran the whole anchor-gram span
+    // pipeline (r16); bounded by the span count, ≪ corpus
     val covered = spans
       .withColumn("_run", coalesce(max(col("_end")).over(w), lit(0L)))
       .select(col(idCol), col("span_start"), col("_end"), col("_run"))
       .withColumn("_cov",
         greatest(col("_end") - greatest(col("span_start"), col("_run")),
           lit(0L)))
+      .localCheckpoint()
     val cuts = covered.groupBy(col(idCol))
       .agg(sum(col("_cov")).as("cut_words"))
     // kept text: words whose position falls in no unioned interval —

@@ -2644,15 +2644,21 @@ object ExtQueries {
     // cap per domain LAST (the quota applies to unique content).
     "q265_curation_recipe" -> ((s, d) => {
       import s.implicits._
+      // parts is read by the exact-dedup key pass, the semi join, the
+      // auto-dispatch sample, and the raw census (r16: the URL parse +
+      // blocklist anti-join executed ~5× per run); s1 feeds the pair
+      // pipeline AND the two survivor censuses. One doc-sized
+      // materialization each.
       val parts = Url.blocklistFilter(
         Url.urlParts(
           t(s, d, "documents").withColumn("url",
             Url.syntheticUrl(col("doc_id"), col("lang"))),
           col("url")),
-        BlockedDomains.toDF("reg_domain"))
+        BlockedDomains.toDF("reg_domain")).localCheckpoint()
       val keepExact = parts.groupBy(md5(col("text")).as("_h"))
         .agg(min("doc_id").as("doc_id")).select("doc_id")
       val s1 = parts.join(keepExact, Seq("doc_id"), "left_semi")
+        .localCheckpoint()
       // jaccardPairsAuto: the cost-based direct-vs-PPJoin dispatch
       // (q26's posture) — identical exact output either way
       val pairs = Dedup.jaccardPairsAuto(s1, "doc_id", "text",
@@ -3464,6 +3470,11 @@ object ExtQueries {
         JwMinSim, maxBlock = Some(100L))
       val members = Dedup.dedupClustersStar(pairs, "a_id", "b_id")
         .select(col("node"), col("lbl"))
+      // attrs is read twice (canonical-lang vote + member rollup), but a
+      // checkpoint here measured SLOWER (r16: 2.3→3.1 s): members is
+      // already checkpointed by dedupClustersStar, so each re-read costs
+      // one cheap doc join while the materialization pays an extra
+      // eager pass — left as-is deliberately
       val attrs = members.join(docs.select(col("doc_id").as("node"),
         col("lang"), col("n_chars"), col("source")), "node")
       val langRank = Window.partitionBy("lbl")
@@ -3601,10 +3612,15 @@ object ExtQueries {
     // contract, checked as values like q41's literal floor.
     "q215_leakage_split" -> ((s, d) => {
       val docs = t(s, d, "documents")
+      // materialized once: consumed by the fold assignment (via the CC
+      // closure) AND re-read whole by the leak audit below — the pair
+      // pipeline executed twice per run without this (r16)
       val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-        n = 3, threshold = 0.6).select("da", "db")
+        n = 3, threshold = 0.6).select("da", "db").localCheckpoint()
+      // assign is read by the census and both audit endpoint projections
+      // (3×); one doc-sized materialization
       val assign = Pipeline.leakageSafeSplit(docs, "doc_id", pairs,
-        "da", "db", KFolds)
+        "da", "db", KFolds).localCheckpoint()
       val census = assign.groupBy("fold").agg(count(lit(1)).as("n_docs"),
         countDistinct("cluster").as("n_clusters"))
       val fa = assign.select(col("doc_id").as("da"), col("fold").as("_fa"),
@@ -3734,8 +3750,13 @@ object ExtQueries {
     // closure oracle checks. The day1/delta split is a deterministic
     // pair-hash so both engines see the same partition of history.
     "q220_cc_augment" -> ((s, d) => {
+      // pair frame materialized once: the star half checkpoints its own
+      // (filtered) input, but the augment half references the delta THREE
+      // times (both endpoint projections + the subgraph union) — the
+      // shingle pipeline executed four times per run without this (r16)
       val pairs = Dedup.ngramJaccardPairs(t(s, d, "documents"),
         "doc_id", "text", n = 3, threshold = 0.6).select("da", "db")
+        .localCheckpoint()
       val h = pmod(xxhash64(col("da"), col("db")), lit(2L))
       val stored = Dedup.dedupClustersStar(pairs.filter(h === 0L), "da", "db")
       Dedup.dedupClustersAugment(stored, pairs.filter(h === 1L), "da", "db")
@@ -4049,8 +4070,9 @@ object ExtQueries {
       val ngram = Pipeline.contaminatedDocs(corpus, holdout,
           "doc_id", "text", n = 5)
         .select(col("doc_id"), lit(true).as("ngram"))
+      // read by the vocab restriction, the dot join, and the norms (3×)
       val ctf = Dedup.cappedLexicalTf(corpus, "doc_id", "text",
-        maxDf = 400L)
+        maxDf = 400L).localCheckpoint()
       val lex = Dedup.lexicalCosineAgainst(holdout, "doc_id", "text",
           ctf, Dedup.lexicalNorms(ctf), minSim = 0.8)
         .select(col("corpus_id").as("doc_id")).distinct()
@@ -4353,8 +4375,11 @@ object ExtQueries {
       val v = t(s, d, "lineitem").select(col("l_returnflag").as("grp"),
         round(col("l_extendedprice") * 100).cast("long").as("c"))
       val med = v.groupBy("grp").agg(expr("percentile(c, 0.5)").as("med"))
+      // dev feeds both the MAD percentile and the outlier census; one
+      // materialization instead of two lineitem scans + median joins
       val dev = v.join(med, "grp")
         .withColumn("dev", abs(col("c") - col("med")))
+        .localCheckpoint()
       val mad = dev.groupBy("grp")
         .agg(expr("percentile(dev, 0.5)").as("mad"))
       dev.join(mad, "grp")

@@ -103,10 +103,14 @@ object Graph {
    * `3·Δ/wedges` is the usual readout.
    */
   def triangleCount(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    // normalized edge set materialized once (the pageRank discipline):
+    // referenced by the degree census, the orientation join, the closure
+    // semi-join, and the edge count — four executions of the caller's
+    // edge lineage (for q128, the basket-pair support join) without it
     val und = edges
       .select(least(col(srcCol), col(dstCol)).as("u"),
         greatest(col(srcCol), col(dstCol)).as("v"))
-      .filter(col("u") =!= col("v")).distinct()
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
     val deg = und.select(col("u").as("node"))
       .union(und.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("_d"))
@@ -114,11 +118,14 @@ object Graph {
     val withDeg = und
       .join(deg.select(col("node").as("u"), col("_d").as("_du")), "u")
       .join(deg.select(col("node").as("v"), col("_d").as("_dv")), "v")
+    // both wedge legs read the oriented edges; one materialization
+    // instead of two degree-attach joins
     val oriented = withDeg.select(
       when(struct(col("_du"), col("u")) < struct(col("_dv"), col("v")),
         struct(col("u").as("a"), col("v").as("b")))
         .otherwise(struct(col("v").as("a"), col("u").as("b"))).as("_e"))
       .select(col("_e.a").as("a"), col("_e.b").as("b"))
+      .localCheckpoint()
     val wedges = oriented.select(col("a"), col("b").as("x"))
       .join(oriented.select(col("a"), col("b").as("y")), Seq("a"))
       .filter(col("x") < col("y"))
@@ -191,8 +198,13 @@ object Graph {
   def twoHopReach(edges: DataFrame, srcCol: String, dstCol: String,
                   k: Int, maxMiddleWedges: Option[Long] = None,
                   approxDistinct: Boolean = false): DataFrame = {
+    // distinct edge set materialized once (the pageRank discipline): the
+    // wedge join references it on BOTH legs with different join keys (no
+    // exchange is reusable across them) and the one-hop union reads it a
+    // third time — without the checkpoint the caller's edge lineage (for
+    // q209, the orders⋈lineitem fact join) executed three times
     val e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
-      .distinct()
+      .distinct().localCheckpoint()
     // left leg of the wedge join, optionally stripped of hot middles;
     // filtering ONE leg removes the hub's wedges entirely (the join is
     // keyed on b), so the other leg needs no second anti-join pass

@@ -261,7 +261,12 @@ object Pipeline {
     val minIds = gated.groupBy(xxhash64(col(textCol)).as("_h"))
       .agg(min(col(idCol)).as(idCol))
       .drop("_h")
+    // materialized once: the pair pipeline, the CC anti-join, and the
+    // shuffle-key projection all read the exact-deduped survivors, and
+    // each re-read re-ran the quality gate (entropy + stopword scan over
+    // every doc — the most expensive scalar in this pipeline, r16)
     val exact = gated.join(minIds, Seq(idCol), "left_semi")
+      .localCheckpoint()
     val pairs = Dedup.ngramJaccardPairs(exact, idCol, textCol,
       n = 3, threshold = jaccardThreshold)
     val drop = Dedup.dedupClustersStar(pairs, "da", "db")

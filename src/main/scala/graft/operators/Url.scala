@@ -408,13 +408,17 @@ object Url {
    */
   def domainDupStats(parts: DataFrame, idCol: String, textCol: String,
                      threshold: Double): DataFrame = {
-    val dom = parts.select(col(idCol), col("reg_domain"))
-    val exact = parts
+    // the caller's parse lineage is read by the domain projection, the
+    // exact-dup census, the pair dispatch sample, and the pair pipeline
+    // itself (~4×, r16) — one doc-sized materialization
+    val p = parts.localCheckpoint()
+    val dom = p.select(col(idCol), col("reg_domain"))
+    val exact = p
       .groupBy(col("reg_domain"), md5(col(textCol)).as("_h"))
       .agg(count(lit(1)).as("_n"))
       .groupBy("reg_domain")
       .agg(sum("_n").as("n_docs"), sum(col("_n") - 1).as("n_exact_dup"))
-    val near = Dedup.jaccardPairsAuto(parts, idCol, textCol,
+    val near = Dedup.jaccardPairsAuto(p, idCol, textCol,
         n = 3, threshold = threshold)
       .join(dom.select(col(idCol).as("da"), col("reg_domain")), "da")
       .join(dom.select(col(idCol).as("db"), col("reg_domain").as("_rb")),
