@@ -1109,9 +1109,11 @@ object Dedup {
         base.join(broadcast(hot), bNames, "left_anti")
       case None => base
     }
-    val a = blocked.select(col(idCol).as("a_id") +: col("_key").as("_ka") +:
+    // both self-join legs read the blocked frame; one materialization
+    val bl = blocked.localCheckpoint()
+    val a = bl.select(col(idCol).as("a_id") +: col("_key").as("_ka") +:
       bNames.map(col): _*)
-    val b = blocked.select(col(idCol).as("b_id") +: col("_key").as("_kb") +:
+    val b = bl.select(col(idCol).as("b_id") +: col("_key").as("_kb") +:
       bNames.map(col): _*)
     a.join(b, bNames)
       .filter(col("a_id") < col("b_id"))
@@ -1148,9 +1150,11 @@ object Dedup {
         base.join(broadcast(hot), bNames, "left_anti")
       case None => base
     }
-    val a = blocked.select(col(idCol).as("a_id") +: col("_key").as("_ka") +:
+    // both self-join legs read the blocked frame; one materialization
+    val bl = blocked.localCheckpoint()
+    val a = bl.select(col(idCol).as("a_id") +: col("_key").as("_ka") +:
       bNames.map(col): _*)
-    val b = blocked.select(col(idCol).as("b_id") +: col("_key").as("_kb") +:
+    val b = bl.select(col(idCol).as("b_id") +: col("_key").as("_kb") +:
       bNames.map(col): _*)
     a.join(b, bNames)
       .filter(col("a_id") < col("b_id"))
@@ -1187,14 +1191,20 @@ object Dedup {
         base.join(broadcast(hot), bNames, "left_anti")
       case None => base
     }
-    val pairs = blocked.select(col(idCol).as("a_id") +: bNames.map(col): _*)
-      .join(blocked.select(col(idCol).as("b_id") +: bNames.map(col): _*),
+    // the blocked frame feeds both pair legs AND the tf explode, and tf
+    // feeds the totals plus both common-token legs — one doc-sized and
+    // one token-sized materialization instead of re-running the block
+    // projection 4x and the explode+count 3x (r16)
+    val bl = blocked.localCheckpoint()
+    val pairs = bl.select(col(idCol).as("a_id") +: bNames.map(col): _*)
+      .join(bl.select(col(idCol).as("b_id") +: bNames.map(col): _*),
         bNames)
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id")
-    val tf = blocked
+    val tf = bl
       .select(col(idCol), explode(split(col("_txt"), " ")).as("_t"))
       .groupBy(col(idCol), col("_t")).agg(count(lit(1)).as("_tf"))
+      .localCheckpoint()
     val tot = tf.groupBy(col(idCol)).agg(sum("_tf").as("_tot"))
     val common = pairs
       .join(tf.select(col(idCol).as("a_id"), col("_t"), col("_tf").as("_ca")),

@@ -1628,11 +1628,14 @@ object ExtQueries {
     // key-equi-joins, everything integer-exact.
     "q172_sole_late_supplier" -> ((s, d) => {
       val li = t(s, d, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+      // read by the solo census and the final join; one bounded
+      // materialization instead of two fact-join executions
       val late = li
         .join(t(s, d, "orders").select("o_orderkey", "o_orderdate"),
           col("l_orderkey") === col("o_orderkey"))
         .filter(col("l_shipdate") > col("o_orderdate"))
         .select("l_orderkey", "l_suppkey").distinct()
+        .localCheckpoint()
       val multi = li.groupBy("l_orderkey")
         .agg(countDistinct("l_suppkey").as("_ns")).filter(col("_ns") >= 2)
         .select("l_orderkey")
@@ -3373,14 +3376,22 @@ object ExtQueries {
       // dense every node reaches everything in two hops — the sparse
       // slice keeps the census data-bearing (12 distinct reach values
       // in the top-20 at sf0.001)
+      // LONG node keys through the wedge shuffles (the q118 parity
+      // namespacing — custkey·2 / suppkey·2+1, disjoint by
+      // construction); the 'c'/'s' strings are decoded only at the
+      // 20-row readout, where the rank re-applies the oracle's
+      // string-form tie order
       val pairs = t(s, d, "orders").select("o_orderkey", "o_custkey")
         .join(t(s, d, "lineitem").filter(col("l_quantity") > 45)
             .select("l_orderkey", "l_suppkey"),
           col("l_orderkey") === col("o_orderkey"))
-        .select(concat(lit("c"), col("o_custkey")).as("a"),
-          concat(lit("s"), col("l_suppkey")).as("b"))
+        .select((col("o_custkey") * 2).as("a"),
+          (col("l_suppkey") * 2 + 1).as("b"))
       val edges = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
-      Graph.twoHopReach(edges, "a", "b", PrTopK)
+      Graph.twoHopReach(edges, "a", "b", PrTopK,
+        decodeNode = Some(n =>
+          when(n % 2 === 0, concat(lit("c"), expr("a div 2")))
+            .otherwise(concat(lit("s"), expr("(a - 1) div 2")))))
     }),
 
     // Join-key skew audit — the pre-flight that DECIDES q57's salting:
@@ -3833,15 +3844,24 @@ object ExtQueries {
     // every SF, survivors 72/885/9042 of 153/1544/15452 nodes. Oracle
     // = 6 unrolled MATERIALIZED peel levels (fixpoint => idempotent).
     "q226_kcore" -> ((s, d) => {
+      // LONG node keys through the peel rounds (the q118/q209 parity
+      // namespacing); 'c'/'s' strings decode at the survivor readout,
+      // where the output sort re-applies the oracle's string order
       val pairs = t(s, d, "orders").select("o_orderkey", "o_custkey")
         .join(t(s, d, "lineitem").filter(col("l_quantity") > 45)
             .select("l_orderkey", "l_suppkey"),
           col("l_orderkey") === col("o_orderkey"))
-        .select(concat(lit("c"), col("o_custkey")).as("a"),
-          concat(lit("s"), col("l_suppkey")).as("b"))
+        .select((col("o_custkey") * 2).as("a"),
+          (col("l_suppkey") * 2 + 1).as("b"))
         .distinct()
       val edges = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
-      Graph.kCore(edges, "a", "b", k = 4).orderBy("node")
+      Graph.kCore(edges, "a", "b", k = 4)
+        .select(
+          when(col("node") % 2 === 0, concat(lit("c"), expr("node div 2")))
+            .otherwise(concat(lit("s"), expr("(node - 1) div 2")))
+            .as("node"),
+          col("core_degree"))
+        .orderBy("node")
     }),
 
     // Cross-format round trip (r12, sources/FileFormats): the corpus

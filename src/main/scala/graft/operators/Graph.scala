@@ -58,7 +58,7 @@ object Graph {
     // checkpointed blocks, never the upstream fact-join lineage
     val eDeg = e.join(outDeg, "_src").localCheckpoint()
     var ranks = nodes.withColumn("rank", lit(1.0))
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       val contribs = eDeg
         .join(ranks.withColumnRenamed("node", "_src"), "_src")
         .groupBy(col("_dst").as("node"))
@@ -67,7 +67,13 @@ object Graph {
         .select(col("node"),
           (lit(1.0 - damping) + lit(damping) * coalesce(col("_c"), lit(0.0)))
             .as("rank"))
-        .localCheckpoint()
+      // Each round references the previous ranks exactly ONCE (unlike
+      // dedupClusters' twice-referencing hop), so the bare plan grows
+      // LINEARLY — a fixed small chain executes fastest as one lazy job.
+      // Checkpoint only every 4th round: plan-size insurance for long
+      // runs without paying a full materialization job per round (r16:
+      // per-round eager checkpoints were ~1/3 of q118's wall time).
+      if (i % 4 == 0 && i < iterations) ranks = ranks.localCheckpoint()
     }
     ranks
   }
@@ -194,10 +200,19 @@ object Graph {
    *
    * The top-k rank window runs AFTER the limit (k-row frame, the
    * Search/Graph precedent).
+   *
+   * `decodeNode` (optional) maps the internal node key to its output
+   * form BEFORE the top-k rank — the q118 long-key rule: callers with
+   * string node names can run every wedge shuffle and the distinct on
+   * LONG keys (a measured constant tax with strings through the
+   * corpus-sized exchanges) and decode only the readout; the rank
+   * applies to the DECODED form, so tie order matches an oracle
+   * ordering by the string name.
    */
   def twoHopReach(edges: DataFrame, srcCol: String, dstCol: String,
                   k: Int, maxMiddleWedges: Option[Long] = None,
-                  approxDistinct: Boolean = false): DataFrame = {
+                  approxDistinct: Boolean = false,
+                  decodeNode: Option[Column => Column] = None): DataFrame = {
     // distinct edge set materialized once (the pageRank discipline): the
     // wedge join references it on BOTH legs with different join keys (no
     // exchange is reusable across them) and the one-hop union reads it a
@@ -229,7 +244,11 @@ object Graph {
       else
         one.union(two).distinct()
           .groupBy("a").agg(count(lit(1)).as("reach"))
-    val reach = perNode.orderBy(col("reach").desc, col("a")).limit(k)
+    val named = decodeNode match {
+      case Some(f) => perNode.select(f(col("a")).as("a"), col("reach"))
+      case None => perNode
+    }
+    val reach = named.orderBy(col("reach").desc, col("a")).limit(k)
     reach
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window
@@ -322,7 +341,7 @@ object Graph {
       .localCheckpoint()
     var labels = edges.select(col("x").as("node")).distinct()
       .withColumn("lbl", col("node"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val votes = edges
         .join(labels.select(col("node").as("y"), col("lbl")), "y")
         .groupBy(col("x").as("node"), col("lbl"))
@@ -332,7 +351,9 @@ object Graph {
         .agg(min(struct((-col("c")).as("nc"), col("lbl").as("l")))
           .as("_v"))
         .select(col("node"), col("_v.l").as("lbl"))
-        .localCheckpoint()
+      // single-reference rounds chain lazily (the pageRank rule); every
+      // 4th round checkpoints as plan-size insurance for long runs
+      if (i % 4 == 0 && i < iters) labels = labels.localCheckpoint()
     }
     labels
   }

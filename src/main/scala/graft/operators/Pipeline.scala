@@ -474,6 +474,9 @@ object Pipeline {
         s => concat_ws(" ", slice(ws, s, lit(segWords))))))
       .select(col(idCol), col("pos").cast("long").as("seg_id"),
         col("col").as("seg"))
+      // read by the df census and the join side; one materialization of
+      // the segment explode instead of two (r16)
+      .localCheckpoint()
     val df = segs.select(col("seg"), col(idCol)).distinct()
       .groupBy("seg").agg(count(lit(1)).as("_nd"))
     segs.join(df, Seq("seg"))
