@@ -925,6 +925,10 @@ object ExtQueries {
       val probes = emb.filter(col("vec_id") < 5)
       val exact = Similarity.knnBatch(emb, probes, "vec_id", "embedding", k = 3)
         .select(col("probe_id"), col("rn"), col("nn_id"), col("sim"))
+        // the exact top-3 frame is read twice (recall-hit join + the
+        // emitted rows); one 15-row materialization instead of two
+        // full-corpus cosine scans (r16)
+        .localCheckpoint()
       // tables=32, bits=5: the measured-recall config from the comment
       // above — keep these literals adjacent so contract and code can't
       // drift (round-6 broke the build wiring this to a phantom helper).
@@ -3594,6 +3598,10 @@ object ExtQueries {
       val probes = emb.filter(col("vec_id") < 5)
       val exact = Similarity.knnBatch(emb, probes, "vec_id", "embedding", k = 3)
         .select(col("probe_id"), col("rn"), col("nn_id"), col("sim"))
+        // the exact top-3 frame is read twice (recall-hit join + the
+        // emitted rows); one 15-row materialization instead of two
+        // full-corpus cosine scans (r16)
+        .localCheckpoint()
       val (codes, centroids, codebook) = Similarity.ivfPqIndex(
         emb, "vec_id", "embedding", nlist = 16, subspaces = 16)
       graft.sources.Warehouse.saveIvfPqIndex(codes, centroids, codebook,
@@ -3710,8 +3718,9 @@ object ExtQueries {
     // small source swallowed by a big one scores 1.0, which Jaccard
     // would hide).
     "q218_source_overlap" -> ((s, d) => {
+      // read by the per-source census and both containment-join legs
       val sh = Dedup.shingles(t(s, d, "documents"), "source", "text", n = 3)
-        .select(col("source"), col("shingle")).distinct()
+        .select(col("source"), col("shingle")).distinct().localCheckpoint()
       val cnt = sh.groupBy("source").agg(count(lit(1)).as("n"))
       val pairs = sh.select(col("source").as("src_a"), col("shingle"))
         .join(sh.select(col("source").as("src_b"), col("shingle")), "shingle")
@@ -4242,6 +4251,10 @@ object ExtQueries {
       val exact = Similarity.knnBatch(evens, probes, "vec_id", "embedding",
           k = 3)
         .select(col("probe_id"), col("rn"), col("nn_id"), col("sim"))
+        // the exact top-3 frame is read twice (recall-hit join + the
+        // emitted rows); one 15-row materialization instead of two
+        // full-corpus cosine scans (r16)
+        .localCheckpoint()
       ensureStoredIndex("graft_bench_ivf_q232", d) {
         val (cells, centroids) =
           Similarity.ivfIndex(emb, "vec_id", "embedding", nlist = 16)
@@ -4928,6 +4941,10 @@ object ExtQueries {
       val probes = emb.filter(col("vec_id") < 5)
       val exact = Similarity.knnBatch(emb, probes, "vec_id", "embedding", k = 3)
         .select(col("probe_id"), col("rn"), col("nn_id"), col("sim"))
+        // the exact top-3 frame is read twice (recall-hit join + the
+        // emitted rows); one 15-row materialization instead of two
+        // full-corpus cosine scans (r16)
+        .localCheckpoint()
       val (cells, centroids) =
         Similarity.ivfIndex(emb, "vec_id", "embedding", nlist = 16)
       graft.sources.Warehouse.saveIvfIndex(cells, centroids, "graft_bench_ivf_q53")
@@ -4956,6 +4973,10 @@ object ExtQueries {
       val probes = emb.filter(col("vec_id") < 5)
       val exact = Similarity.knnBatch(emb, probes, "vec_id", "embedding", k = 3)
         .select(col("probe_id"), col("rn"), col("nn_id"), col("sim"))
+        // the exact top-3 frame is read twice (recall-hit join + the
+        // emitted rows); one 15-row materialization instead of two
+        // full-corpus cosine scans (r16)
+        .localCheckpoint()
       val (codes, params) = Similarity.sq8Index(emb, "vec_id", "embedding")
       graft.sources.Warehouse.saveSq8Index(codes, params, "graft_bench_sq8_q117")
       storedIndexOwner.put("graft_bench_sq8_q117", d)
@@ -4985,6 +5006,10 @@ object ExtQueries {
       val probes = emb.filter(col("vec_id") < 5)
       val exact = Similarity.knnBatch(emb, probes, "vec_id", "embedding", k = 3)
         .select(col("probe_id"), col("rn"), col("nn_id"), col("sim"))
+        // the exact top-3 frame is read twice (recall-hit join + the
+        // emitted rows); one 15-row materialization instead of two
+        // full-corpus cosine scans (r16)
+        .localCheckpoint()
       val pq = Similarity.pqCosineTopK(emb, probes, "vec_id", "embedding",
           k = 3, candidates = 150)
         .select(col("probe_id"), col("nn_id"))
