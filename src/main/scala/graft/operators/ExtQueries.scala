@@ -3363,6 +3363,10 @@ object ExtQueries {
     // restricted to the index's kept vocabulary (Dedup scaladoc).
     "q199_cosine_match" -> ((s, d) => {
       val docs = t(s, d, "documents")
+      // the index tf frame is read 3× (vocab, dot join, norms) like
+      // q243's, but a checkpoint here measured SLOWER (r16: 1.07→1.18 s
+      // — the sub-second recomputes are cheaper than the eager
+      // materialization pass at this entry's size); left as-is
       val corpusTf = Dedup.cappedLexicalTf(
         docs.filter(col("doc_id") >= 20), "doc_id", "text", maxDf = 400L)
       Dedup.lexicalCosineAgainst(

@@ -238,6 +238,27 @@ class BehaviorSearchSpec extends AnyFunSuite with SparkTestSession {
     assert(got(20L) == 2L && got(21L) == 2L && got(22L) == 1L)
   }
 
+  test("twoHopReach: decodeNode equals running on pre-decoded string keys") {
+    // long parity keys (the q209 shuffle layout) + decode-at-readout must
+    // equal the string-keyed run EXACTLY — including rank tie order,
+    // which the decode applies BEFORE the top-k ("c10" < "c2" on strings
+    // but 10 < 2 is false on longs, so ranking on longs then decoding
+    // would order ties differently)
+    val longEdges = hubEdges.select((col("s") * 2).as("s"),
+      (col("d") * 2 + 1).as("d"))
+    val dec: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      n => when(n % 2 === 0, concat(lit("c"), (n / 2).cast("long")))
+        .otherwise(concat(lit("s"), ((n - 1) / 2).cast("long")))
+    val strEdges = longEdges.select(dec(col("s")).as("s"), dec(col("d")).as("d"))
+    val viaDecode = Graph.twoHopReach(longEdges, "s", "d", 50,
+        decodeNode = Some(dec))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val direct = Graph.twoHopReach(strEdges, "s", "d", 50)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(viaDecode == direct)
+    assert(viaDecode.nonEmpty)
+  }
+
   test("twoHopReach: approxDistinct agrees with exact counts on a small graph") {
     val exact = Graph.twoHopReach(hubEdges, "s", "d", 50)
       .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
