@@ -191,20 +191,37 @@ object Bench {
         "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3f",
           Double.box(v / baseTimes(k)))
     }.mkString("{", ",", "}")
-    // Full detail (per-query seconds + per-query ratios) goes ONLY to the
-    // self-written baseline file: nine rounds of BENCH_r*.json show the
-    // driver's tail capture truncates anything over ~2 kB mid-line, so a
-    // stdout line carrying 90+ map entries has NEVER parsed (parsed:null
-    // every round). The file is the durable record; stdout carries a
-    // short summary the capture window cannot cut.
+    // Full detail (per-query seconds + per-query ratios) goes ONLY to
+    // self-written files: nine rounds of BENCH_r*.json show the driver's
+    // tail capture truncates anything over ~2 kB mid-line, so a stdout
+    // line carrying 90+ map entries has NEVER parsed (parsed:null every
+    // round). The files are the durable record; stdout carries a short
+    // summary the capture window cannot cut.
+    //
+    // r17 (verdict item 1): every run writes the round-stable
+    // BENCH_LAST_<sf>.json (plus a core-count-keyed copy, so a low-core
+    // scaling run cannot clobber the main record and per-query scaling
+    // stays readable); the committed BENCH_BASELINE_<sf>.json is now
+    // IMMUTABLE between explicit refreshes (SPARK_GRAFT_BASELINE_REFRESH=1)
+    // — the r16 driver run overwrote the baseline with its own 8-core
+    // numbers, which made that run's vs_baseline_median compare
+    // 8-core-now vs 32-core-now.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val fullLine =
-      s"""{"metric":"total","value":${f4(core)},"unit":"sec","queries":$qs,"total_all":${f4(all)},"ingest_eps":${eps.round},"failed":$failedJson,"baseline":"$baseName","vs_baseline":$ratios,"sf":"$sfDir"}"""
-    // The filename is SF-KEYED so a quick local sf0.01 sanity bench
-    // can never clobber the canonical sf0.1 baseline.
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(baselineFileFor(sfDir)), fullLine + "\n")
-    catch { case e: java.io.IOException =>
-      System.err.println(s"[bench] baseline not persisted: ${e.getMessage}")
+      s"""{"metric":"total","value":${f4(core)},"unit":"sec","queries":$qs,"total_all":${f4(all)},"ingest_eps":${eps.round},"failed":$failedJson,"baseline":"$baseName","vs_baseline":$ratios,"cpus":$cpus,"sf":"$sfDir"}"""
+    // Filenames are SF-KEYED so a quick local sf0.01 sanity bench can
+    // never clobber the canonical sf0.1 records.
+    val outFiles =
+      Seq(lastFileFor(sfDir), s"BENCH_LAST_${sfName(sfDir)}_c$cpus.json") ++
+        (if (sys.env.get("SPARK_GRAFT_BASELINE_REFRESH").contains("1"))
+           Seq(baselineFileFor(sfDir))
+         else Nil)
+    outFiles.foreach { f =>
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(f), fullLine + "\n")
+      catch { case e: java.io.IOException =>
+        System.err.println(s"[bench] $f not persisted: ${e.getMessage}")
+      }
     }
     // Median ratio vs the prior baseline: one number summarizes the
     // round-over-round drift the per-query map used to carry.
@@ -221,7 +238,7 @@ object Bench {
       else String.format(java.util.Locale.ROOT, "%.3f", Double.box(medianRatio))
     // LAST stdout line, ~200 bytes: the driver's machine-readable contract.
     println(
-      s"""{"metric":"total","value":${f4(core)},"unit":"sec","total_all":${f4(all)},"ingest_eps":${eps.round},"failed":$failedJson,"vs_baseline_median":$medianJson,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${f4(core)},"unit":"sec","total_all":${f4(all)},"ingest_eps":${eps.round},"failed":$failedJson,"vs_baseline_median":$medianJson,"cpus":$cpus,"sf":"$sfDir"}""")
     spark.stop()
   }
 
@@ -330,10 +347,22 @@ object Bench {
     *    (the tail was cut mid-map, so the seconds are gone);
     *  - no baseline when the recorded sf dir differs from this run's
     *    (cross-sf ratios are meaningless). */
-  /** Self-written baseline file for a sf dir, keyed by its basename:
-    * `BENCH_BASELINE_sf0.1.json`. */
+  private def sfName(sfDir: String): String =
+    new java.io.File(sfDir).getName
+
+  /** Committed baseline file for a sf dir, keyed by its basename:
+    * `BENCH_BASELINE_sf0.1.json`. Read every run for the per-query
+    * ratios; WRITTEN only under SPARK_GRAFT_BASELINE_REFRESH=1 (the
+    * explicit round-open refresh) so a bench run — the driver's
+    * included — cannot silently move the comparison point. */
   private def baselineFileFor(sfDir: String): String =
-    s"BENCH_BASELINE_${new java.io.File(sfDir).getName}.json"
+    s"BENCH_BASELINE_${sfName(sfDir)}.json"
+
+  /** Round-stable per-query record, rewritten by every run:
+    * `BENCH_LAST_sf0.1.json` (committed at round close so the driver
+    * can attribute per-query regressions — r16 verdict item 1). */
+  private def lastFileFor(sfDir: String): String =
+    s"BENCH_LAST_${sfName(sfDir)}.json"
 
   private def loadBaseline(sfDir: String): (String, Map[String, Double], Set[String]) = {
     val roundNum = "BENCH_r(\\d+)\\.json".r
@@ -353,11 +382,21 @@ object Bench {
       val scoped = txt.split("vs_baseline", 2)(0)
       val sfRe = """\\?"sf\\?":\\?"([^"\\]+)""".r
       val recordedSf = sfRe.findAllMatchIn(txt).map(_.group(1)).toSeq.lastOption
+      // cross-core-count ratios are as meaningless as cross-sf ones (the
+      // r16 driver's 8-core run produced a 1.035 "median" against 32-core
+      // seconds); a baseline without the key predates the cpus field and
+      // is accepted as-is
+      val cpusRe = """\\?"cpus\\?":(\d+)""".r
+      val recordedCpus = cpusRe.findAllMatchIn(txt).map(_.group(1)).toSeq.lastOption
+      val nowCpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
       if (!"""\\?"queries\\?":""".r.findFirstIn(scoped).isDefined) {
         System.err.println(s"[bench] baseline ${f.getName} truncated before its queries map — skipping ratios")
         None
       } else if (recordedSf.exists(_ != sfDir)) {
         System.err.println(s"[bench] baseline ${f.getName} ran sf ${recordedSf.get}, this run is $sfDir — skipping ratios")
+        None
+      } else if (recordedCpus.exists(_ != nowCpus)) {
+        System.err.println(s"[bench] baseline ${f.getName} ran at ${recordedCpus.get} cores, this run is $nowCpus — skipping ratios")
         None
       } else {
         val re = """\\?"(q\d{2}[a-z0-9_]*)\\?":([0-9][0-9.Ee+-]*)""".r

@@ -8,12 +8,18 @@ package graft
   * prints `explain("formatted")` instead (numbered operators +
   * PushedFilters/ReadSchema details — the shape the r16 optimization
   * round's plans/r16 evidence files carry).
-  * Usage: `runMain graft.Explain [-exec|-fmt] [sfDir] [q...]`. */
+  * Usage: `runMain graft.Explain [-exec] [-fmt] [sfDir] [q...]` — flags
+  * combine (`-exec -fmt` prints the AQE-final formatted plan); an
+  * unknown leading dash errors instead of being read as the sfDir
+  * (r16 advice item 4). */
 object Explain {
   def main(args: Array[String]): Unit = {
-    val exec = args.headOption.contains("-exec")
-    val fmt = args.headOption.contains("-fmt")
-    val rest = if (exec || fmt) args.drop(1) else args
+    val (flags, rest) = args.span(_.startsWith("-"))
+    val unknown = flags.filterNot(Set("-exec", "-fmt"))
+    require(unknown.isEmpty,
+      s"Explain: unknown flag(s) ${unknown.mkString(", ")} (known: -exec, -fmt)")
+    val exec = flags.contains("-exec")
+    val fmt = flags.contains("-fmt")
     val sfDir = rest.headOption.getOrElse("/root/testdata/sf0.001")
     val inventory = SparkEntry.queries ++ SparkEntry.benchExtra
     val names =
