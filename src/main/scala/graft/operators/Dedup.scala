@@ -189,17 +189,19 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, threshold: Double,
                         maxShingleDf: Option[Long] = None): DataFrame = {
-    // The shingle frame is MATERIALIZED once (eager localCheckpoint, the
-    // dedupClusters discipline — blocks free on frame GC, unlike cache(),
-    // which would pin storage the caller can never unpersist): the plan
-    // below references it four times (both join legs + both count
-    // attaches), and the r16 optimization round measured the explode
-    // subtree executing for each reference — exchange reuse never fired
-    // because the legs' exchanges differ post-aliasing. One compute of
-    // split+explode over the corpus instead of four; the frame is
-    // bounded (Σ shingles, ≪ pair candidates) and spills via
-    // MEMORY_AND_DISK at scale.
-    val all = shingles(docs, idCol, textCol, n).localCheckpoint()
+    // The shingle frame is MATERIALIZED once (eager, at build time — see
+    // [[Materialize]]'s contract note; blocks free on frame GC, unlike
+    // cache(), which would pin storage the caller can never unpersist):
+    // the plan below references it four times (both join legs + both
+    // count attaches), and the r16 optimization round measured the
+    // explode subtree executing for each reference — exchange reuse
+    // never fired because the legs' exchanges differ post-aliasing. One
+    // compute of split+explode over the corpus instead of four; the
+    // frame is corpus-token-sized, so [[Materialize.corpusFrame]] picks
+    // reliable checkpointing when the session configured a checkpoint
+    // dir (r16 verdict item 4) and local MEMORY_AND_DISK blocks
+    // otherwise.
+    val all = Materialize.corpusFrame(shingles(docs, idCol, textCol, n))
     // Optional document-frequency cap (SCALE.md §4): stop-shingles carry
     // no discrimination and all of the join skew; dropping them bounds
     // Σ(bucket²). Off by default — the oracle comparison is exact.
@@ -269,10 +271,11 @@ object Dedup {
   def prefixFilterJaccardPairs(docs: DataFrame, idCol: String,
                                textCol: String, n: Int,
                                threshold: Double): DataFrame = {
-    // materialized once (the ngramJaccardPairs discipline): referenced by
+    // materialized once (the ngramJaccardPairs discipline; corpus-sized →
+    // fault-tolerant when a checkpoint dir is configured): referenced by
     // the df aggregate, the rank join, and BOTH verification legs — five
     // executions of the explode subtree without it
-    val sh = shingles(docs, idCol, textCol, n).localCheckpoint()
+    val sh = Materialize.corpusFrame(shingles(docs, idCol, textCol, n))
     val counts = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
     val freq = sh.groupBy("shingle").agg(count(lit(1)).as("_df"))
     val ranked = sh.join(freq, "shingle")
@@ -648,12 +651,19 @@ object Dedup {
       // DOUBLES per round — caching stores the DATA but not a shorter
       // plan, and beyond ~8 rounds the plan description built per action
       // for the execution listener alone OOMs the driver (deep-path spec
-      // reproduces at diameter 11). An eager localCheckpoint resets the
+      // reproduces at diameter 11). A LAZY localCheckpoint resets the
       // plan to its materialized blocks; every-4 keeps the common
       // clique-ish components (diameter 2-4, never reach a checkpoint)
-      // on the pure-cache path.
+      // on the pure-cache path. Lazy (not eager) because lblSum below
+      // references the frame exactly once, so its aggregation job
+      // computes the hop, persists the checkpoint blocks, and truncates
+      // lineage in ONE job — eager spent a dedicated materialization job
+      // per checkpoint round (r16 verdict item 2). The single-reference
+      // condition matters: a lazily-checkpointed frame referenced twice
+      // in its FIRST action races its own block population (the round-1
+      // lblSum note above).
       val next =
-        if (iter % 4 == 0) hop(labels).localCheckpoint(true)
+        if (iter % 4 == 0) hop(labels).localCheckpoint(false)
         else hop(labels).persist()
       val s = lblSum(next)
       converged = s == prevSum
@@ -769,14 +779,18 @@ object Dedup {
   private[graft] def dedupClustersStarImpl(
       pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int): (DataFrame, Int) = {
-    // eager checkpoint up front: every alternation until the next
-    // truncation would otherwise re-reference the caller's full pair
-    // plan (for q84 that is the whole shingle-join pipeline) 6–8×
+    // checkpoint up front: every alternation until the next truncation
+    // would otherwise re-reference the caller's full pair plan (for q84
+    // that is the whole shingle-join pipeline) 6–8×. LAZY: the sig()
+    // probe below references the frame exactly once, so its aggregation
+    // job computes the distinct, persists the checkpoint blocks, and
+    // truncates lineage in one job — eager paid a dedicated
+    // materialization job first (r16 verdict item 2)
     var edges = pairs
       .select(col(aCol).as("u"), col(bCol).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
 
     // large-star: per node u over the symmetric neighborhood,
     // m = min(N(u) ∪ {u}); emit (v, m) for the strictly-larger
@@ -822,8 +836,13 @@ object Dedup {
       // symmetrize union twice + the min join), so the bare plan grows
       // ~8× per round — two uncheckpointed rounds already put the
       // AQE plan-change log's explainString past driver heap (measured:
-      // the every-4th regime OOM'd in PlanStringConcat before round 4)
-      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      // the every-4th regime OOM'd in PlanStringConcat before round 4).
+      // LAZY checkpoint + single-reference sig(): one job per
+      // alternation computes the round AND persists its blocks, where
+      // eager-then-sig scheduled two (r16 verdict item 2). The previous
+      // round's blocks are already materialized, so the alternation's
+      // three references to `edges` read blocks, never recompute.
+      val next = smallStar(largeStar(edges)).localCheckpoint(false)
       val s = sig(next)
       converged = s == prev
       prev = s
@@ -1268,9 +1287,12 @@ object Dedup {
 
   def lexicalCosinePairs(docs: DataFrame, idCol: String, textCol: String,
                          minSim: Double, maxDf: Long): DataFrame = {
-    // materialized once: the norm aggregate and both dot-product legs
-    // read the capped tf frame (3× tokenize + df-cap without it)
-    val tfc = cappedLexicalTf(docs, idCol, textCol, maxDf).localCheckpoint()
+    // materialized once (corpus-token-sized → fault-tolerant when a
+    // checkpoint dir is configured): the norm aggregate and both
+    // dot-product legs read the capped tf frame (3× tokenize + df-cap
+    // without it)
+    val tfc = Materialize.corpusFrame(
+      cappedLexicalTf(docs, idCol, textCol, maxDf))
     val norms = lexicalNorms(tfc)
     val dots = tfc.select(col("tok"), col("doc_id").as("da"), col("tf").as("tfa"))
       .join(tfc.select(col("tok"), col("doc_id").as("db"), col("tf").as("tfb")),
