@@ -11,6 +11,69 @@ import org.apache.spark.sql.functions._
  */
 object Warehouse {
 
+  /** ~4M index rows per bucket ≈ 100–300 MB parquet per bucket file for
+    * the small index-row shapes saved here (band/code/posting/tf rows,
+    * 20–40 B each) — inside the guide-§6 128 MB–1 GB file-size window. */
+  private val RowsPerBucket = 4L * 1000 * 1000
+
+  /**
+   * Scale-adaptive bucket count (r16 verdict item 3; guide §6 file
+   * sizing + §2.2 fewer-larger partitions): the caller's `buckets` is
+   * the FLOOR — the historical local layout — and the count GROWS with
+   * the frame so per-bucket files stay near [[RowsPerBucket]], capped
+   * at 1024. Resolution order:
+   *
+   *  1. `spark.graft.buckets` session conf — the cluster submission's
+   *     explicit posture (a 100 TB corpus whose band frame carries
+   *     ~10¹¹ rows wants the 1024 cap; a 1 TB one ~256);
+   *  2. the optimizer's ROW-COUNT stats when present (analyzed upstream
+   *     tables / range-shaped sources) — `rows / RowsPerBucket`;
+   *     size-only estimates are deliberately ignored (they inflate
+   *     multiplicatively through joins and explodes, and a spurious
+   *     1024-way local layout would be a silent regression);
+   *  3. the floor — raw-parquet local runs land here, so the bench
+   *     layout is byte-identical to every prior round.
+   *
+   * Bucket-count changes never break probes: bucket pruning and
+   * exchange-free joins key off the CATALOG spec of the table actually
+   * written, and appends follow the stored spec (see
+   * [[bucketsOfOrElse]]).
+   */
+  private[sources] def adaptiveBuckets(df: DataFrame, floor: Int): Int = {
+    val cap = 1024
+    df.sparkSession.conf.getOption("spark.graft.buckets") match {
+      case Some(b) => math.max(floor, math.min(cap, b.toInt))
+      case None =>
+        df.queryExecution.optimizedPlan.stats.rowCount
+          .map(r => (r / RowsPerBucket).min(cap).max(floor).toInt)
+          .getOrElse(floor)
+    }
+  }
+
+  /** Bucket count an APPEND must use: the stored table's catalog spec
+    * when it exists (an append computed from a small batch frame must
+    * match the layout the original — possibly adaptive — save chose;
+    * Spark rejects mismatches loudly, this resolves them correctly),
+    * else the caller's count (append-creates). */
+  private def bucketsOfOrElse(spark: SparkSession, table: String,
+                              fallback: Int): Int = {
+    val cat = spark.sessionState.catalog
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    if (cat.tableExists(ident))
+      cat.getTableMetadata(ident).bucketSpec.map(_.numBuckets)
+        .getOrElse(fallback)
+    else fallback
+  }
+
+  /** One resolution rule for every bucketed saver: Append follows the
+    * stored catalog spec; Overwrite sizes adaptively with the caller's
+    * count as floor. */
+  private def resolveBuckets(df: DataFrame, table: String, caller: Int,
+                             mode: SaveMode): Int =
+    if (mode == SaveMode.Append)
+      bucketsOfOrElse(df.sparkSession, table, caller)
+    else adaptiveBuckets(df, caller)
+
   /** Write the wide table date-partitioned: `.../q_date=YYYY-MM-DD/`.
     * Time-ranged readers prune whole partitions (verified in the spec
     * via PartitionFilters in the scan). */
@@ -59,7 +122,7 @@ object Warehouse {
                                          bucketCol: String,
                                          buckets: Int): Unit =
     df.write.mode(SaveMode.Append)
-      .bucketBy(buckets, bucketCol)
+      .bucketBy(bucketsOfOrElse(df.sparkSession, table, buckets), bucketCol)
       .sortBy(bucketCol)
       .format("parquet")
       .saveAsTable(table)
@@ -76,7 +139,7 @@ object Warehouse {
     if (mode == SaveMode.Overwrite) dropWithLocation(wide.sparkSession, table)
     wide.withColumn("q_date", to_date(col("ts")))
       .write.mode(mode)
-      .bucketBy(buckets, "digest")
+      .bucketBy(resolveBuckets(wide, table, buckets, mode), "digest")
       .sortBy("digest")
       .format("parquet")
       .saveAsTable(table)
@@ -96,7 +159,7 @@ object Warehouse {
     if (mode == SaveMode.Overwrite)
       dropWithLocation(bucketFrame.sparkSession, table)
     bucketFrame.write.mode(mode)
-      .bucketBy(buckets, "key")
+      .bucketBy(resolveBuckets(bucketFrame, table, buckets, mode), "key")
       .sortBy("key")
       .format("parquet")
       .saveAsTable(table)
@@ -135,7 +198,7 @@ object Warehouse {
     if (mode == SaveMode.Overwrite)
       dropWithLocation(bandFrame.sparkSession, table)
     bandFrame.write.mode(mode)
-      .bucketBy(buckets, "key")
+      .bucketBy(resolveBuckets(bandFrame, table, buckets, mode), "key")
       .sortBy("key")
       .format("parquet")
       .saveAsTable(table)
@@ -165,12 +228,13 @@ object Warehouse {
       dropWithLocation(bandFrame.sparkSession, s"${table}_shingles")
     }
     bandFrame.write.mode(mode)
-      .bucketBy(buckets, "key")
+      .bucketBy(resolveBuckets(bandFrame, table, buckets, mode), "key")
       .sortBy("key")
       .format("parquet")
       .saveAsTable(table)
     shingles.write.mode(mode)
-      .bucketBy(buckets, idCol)
+      .bucketBy(
+        resolveBuckets(shingles, s"${table}_shingles", buckets, mode), idCol)
       .sortBy(idCol)
       .format("parquet")
       .saveAsTable(s"${table}_shingles")
@@ -191,7 +255,7 @@ object Warehouse {
     if (mode == SaveMode.Overwrite)
       dropWithLocation(postings.sparkSession, table)
     postings.write.mode(mode)
-      .bucketBy(buckets, "token")
+      .bucketBy(resolveBuckets(postings, table, buckets, mode), "token")
       .sortBy("token")
       .format("parquet")
       .saveAsTable(table)
@@ -213,7 +277,7 @@ object Warehouse {
     if (mode == SaveMode.Overwrite)
       dropWithLocation(selected.sparkSession, table)
     selected.write.mode(mode)
-      .bucketBy(buckets, "fp_hash")
+      .bucketBy(resolveBuckets(selected, table, buckets, mode), "fp_hash")
       .sortBy("fp_hash")
       .format("parquet")
       .saveAsTable(table)
@@ -242,7 +306,7 @@ object Warehouse {
     if (mode == SaveMode.Overwrite)
       dropWithLocation(postings.sparkSession, table)
     postings.write.mode(mode)
-      .bucketBy(buckets, "gram")
+      .bucketBy(resolveBuckets(postings, table, buckets, mode), "gram")
       .sortBy("gram")
       .format("parquet")
       .saveAsTable(table)
@@ -272,7 +336,7 @@ object Warehouse {
     if (mode == SaveMode.Overwrite)
       dropWithLocation(partials.sparkSession, table)
     partials.write.mode(mode)
-      .bucketBy(buckets, "day")
+      .bucketBy(resolveBuckets(partials, table, buckets, mode), "day")
       .sortBy("day")
       .format("parquet")
       .saveAsTable(table)
@@ -304,7 +368,7 @@ object Warehouse {
     if (mode == SaveMode.Overwrite)
       dropWithLocation(partials.sparkSession, table)
     partials.write.mode(mode)
-      .bucketBy(buckets, "reg_domain")
+      .bucketBy(resolveBuckets(partials, table, buckets, mode), "reg_domain")
       .sortBy("reg_domain")
       .format("parquet")
       .saveAsTable(table)
@@ -325,7 +389,7 @@ object Warehouse {
     if (mode == SaveMode.Overwrite)
       dropWithLocation(keys.sparkSession, table)
     keys.write.mode(mode)
-      .bucketBy(buckets, "url_key")
+      .bucketBy(resolveBuckets(keys, table, buckets, mode), "url_key")
       .sortBy("url_key")
       .format("parquet")
       .saveAsTable(table)
@@ -349,7 +413,7 @@ object Warehouse {
       dropWithLocation(cappedTf.sparkSession, s"${table}_norms")
     }
     cappedTf.write.mode(mode)
-      .bucketBy(buckets, "tok")
+      .bucketBy(resolveBuckets(cappedTf, table, buckets, mode), "tok")
       .sortBy("tok")
       .format("parquet")
       .saveAsTable(table)
@@ -390,7 +454,7 @@ object Warehouse {
       dropWithLocation(counts.sparkSession, s"${table}_params")
     }
     counts.write.mode(mode)
-      .bucketBy(buckets, "tok")
+      .bucketBy(resolveBuckets(counts, table, buckets, mode), "tok")
       .sortBy("tok")
       .format("parquet")
       .saveAsTable(table)
@@ -498,7 +562,7 @@ object Warehouse {
       dropWithLocation(cells.sparkSession, s"${table}_centroids")
     }
     cells.write.mode(mode)
-      .bucketBy(buckets, "cell")
+      .bucketBy(resolveBuckets(cells, table, buckets, mode), "cell")
       .sortBy("cell")
       .format("parquet")
       .saveAsTable(table)
@@ -524,7 +588,7 @@ object Warehouse {
       dropWithLocation(codes.sparkSession, s"${table}_codebook")
     }
     codes.write.mode(mode)
-      .bucketBy(buckets, "id")
+      .bucketBy(resolveBuckets(codes, table, buckets, mode), "id")
       .sortBy("id")
       .format("parquet")
       .saveAsTable(table)
@@ -562,7 +626,7 @@ object Warehouse {
       if (writeParams) dropWithLocation(codes.sparkSession, s"${table}_params")
     }
     codes.write.mode(mode)
-      .bucketBy(buckets, "id")
+      .bucketBy(resolveBuckets(codes, table, buckets, mode), "id")
       .sortBy("id")
       .format("parquet")
       .saveAsTable(table)
@@ -590,7 +654,7 @@ object Warehouse {
   def appendIvfIndex(cells: DataFrame, table: String,
                      buckets: Int = 16): Unit =
     cells.write.mode(SaveMode.Append)
-      .bucketBy(buckets, "cell")
+      .bucketBy(bucketsOfOrElse(cells.sparkSession, table, buckets), "cell")
       .sortBy("cell")
       .format("parquet")
       .saveAsTable(table)
@@ -600,7 +664,7 @@ object Warehouse {
   def appendPqIndex(codes: DataFrame, table: String,
                     buckets: Int = 32): Unit =
     codes.write.mode(SaveMode.Append)
-      .bucketBy(buckets, "id")
+      .bucketBy(bucketsOfOrElse(codes.sparkSession, table, buckets), "id")
       .sortBy("id")
       .format("parquet")
       .saveAsTable(table)
@@ -627,7 +691,7 @@ object Warehouse {
       dropWithLocation(codes.sparkSession, s"${table}_codebook")
     }
     codes.write.mode(mode)
-      .bucketBy(buckets, "cell")
+      .bucketBy(resolveBuckets(codes, table, buckets, mode), "cell")
       .sortBy("cell")
       .format("parquet")
       .saveAsTable(table)
@@ -644,7 +708,7 @@ object Warehouse {
   def appendIvfPqIndex(codes: DataFrame, table: String,
                        buckets: Int = 16): Unit =
     codes.write.mode(SaveMode.Append)
-      .bucketBy(buckets, "cell")
+      .bucketBy(bucketsOfOrElse(codes.sparkSession, table, buckets), "cell")
       .sortBy("cell")
       .format("parquet")
       .saveAsTable(table)
