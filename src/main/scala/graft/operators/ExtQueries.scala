@@ -2559,9 +2559,17 @@ object ExtQueries {
           Url.registeredDomain(try_parse_url(col("link"), lit("HOST")))
             .as("dst"))
         .filter(col("src") =!= col("dst"))
+      // One 45-row materialization (r16 advice item 2): the authority
+      // frame is referenced ~4× (caps derivation + two readout joins);
+      // pageRank's fixed 3-round chain is fully lazy since r16, so
+      // without this each reference would re-run the chain and the
+      // double-precision round sums could merge in different orders per
+      // execution — rank and floor(rank·8) in one output row must come
+      // from ONE computation. (Also saves 3 re-runs of the chain.)
       val authority = Graph.pageRank(e, "src", "dst", PrIters, PrDamping)
         .select(col("node").as("reg_domain"),
           round(col("rank"), 4).as("rank"))
+        .localCheckpoint()
       val caps = authority.select(col("reg_domain"),
         (lit(5L) + floor(col("rank") * 8).cast("long")).as("cap"))
       val parts = Url.urlParts(
@@ -3396,10 +3404,15 @@ object ExtQueries {
         .select((col("o_custkey") * 2).as("a"),
           (col("l_suppkey") * 2 + 1).as("b"))
       val edges = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
+      // decode expressed purely via the lambda argument (r16 advice
+      // item 1 — no coupling to twoHopReach's internal column name):
+      // keys are non-negative, so shiftright(n,1) IS `n div 2` for the
+      // even (customer) branch and `(n−1) div 2` for the odd (supplier)
+      // branch — one expression, same decoded strings
       Graph.twoHopReach(edges, "a", "b", PrTopK,
         decodeNode = Some(n =>
-          when(n % 2 === 0, concat(lit("c"), expr("a div 2")))
-            .otherwise(concat(lit("s"), expr("(a - 1) div 2")))))
+          concat(when(n % 2 === 0, lit("c")).otherwise(lit("s")),
+            shiftright(n, 1).cast("string"))))
     }),
 
     // Join-key skew audit — the pre-flight that DECIDES q57's salting:

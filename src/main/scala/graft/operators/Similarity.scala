@@ -614,18 +614,34 @@ object Similarity {
     val groups = if (groupPerSub) subspaces else 1
     val grp = if (groupPerSub) col("sub") else lit(0)
     val poolSize = 8192
-    val iw = Window.partitionBy("_g")
-      .orderBy(xxhash64(col("_sv").cast("string")), col("_sv").cast("string"))
+    // Pool selection — the poolSize hash-smallest subvectors per group,
+    // ordered by (xxhash64(str), str). The hash and its string tiebreak
+    // are computed as COLUMNS and the selection happens driver-side over
+    // the collected sample: the previous per-group rank window ran as a
+    // SINGLE task sorting the entire training sample (groups=1 for the
+    // IVF coarse quantizer — one task ranking up to 200k rows through a
+    // string cast; r16 verdict item 5), where the plain collect fetches
+    // partitions in parallel and the driver sort of ≤trainSampleRows
+    // rows is sub-100ms. The comparator is unchanged (long asc, then
+    // the rendered-array string — pure ASCII, so JVM string order ==
+    // Spark's UTF8 binary order), so the selected pool — and therefore
+    // the codebooks, index geometry, and recall floors — is IDENTICAL
+    // to the window formulation (exact-tie order among byte-identical
+    // renderings was partition-dependent before and still is).
+    // Bounded by construction: every caller feeds a hash-sampled frame
+    // of ≤ trainSampleRows (~200k) rows — this collect is the same
+    // driver-side-fit contract the scaladoc documents, just one step
+    // earlier.
     // dirty rows (null subvectors) never reach the training pool — the
     // same per-row degrade contract as the assigner UDFs
     val pool = train.filter(col("_sv").isNotNull)
-      .select(grp.as("_g"), col("_sv"))
-      .withColumn("_rn", row_number().over(iw))
-      .filter(col("_rn") <= poolSize)
-      .select(col("_g"), col("_rn"), col("_sv")).collect()
+      .select(grp.as("_g"),
+        xxhash64(col("_sv").cast("string")).as("_h"),
+        col("_sv").cast("string").as("_s"), col("_sv")).collect()
       .groupBy(_.getInt(0))
       .map { case (g, rows) =>
-        g -> rows.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray)
+        g -> rows.sortBy(r => (r.getLong(1), r.getString(2)))
+          .take(poolSize).map(_.getSeq[Double](3).toArray)
       }
     val centroids = Array.tabulate(groups, codebook)((g, c) =>
       Array.fill(subDim)(0.0))
