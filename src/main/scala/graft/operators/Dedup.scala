@@ -654,16 +654,15 @@ object Dedup {
       // reproduces at diameter 11). A LAZY localCheckpoint resets the
       // plan to its materialized blocks; every-4 keeps the common
       // clique-ish components (diameter 2-4, never reach a checkpoint)
-      // on the pure-cache path. Lazy (not eager) because lblSum below
-      // references the frame exactly once, so its aggregation job
-      // computes the hop, persists the checkpoint blocks, and truncates
-      // lineage in ONE job — eager spent a dedicated materialization job
-      // per checkpoint round (r16 verdict item 2). The single-reference
-      // condition matters: a lazily-checkpointed frame referenced twice
-      // in its FIRST action races its own block population (the round-1
-      // lblSum note above).
+      // on the pure-cache path. EAGER deliberately (r17 A/B): a lazy
+      // localCheckpoint whose blocks the lblSum probe populates would
+      // save one job per checkpoint round, but measured consistently
+      // SLOWER — q67 QBench sf0.1 3.15 -> 3.53 s, ScaleBench 10x
+      // q67_cluster_only 1.83/1.90 -> 2.19/2.23 s — so the fused
+      // compute+probe job costs more than the saved block-read action
+      // at both scales; reverted per the checkpoint-pays rule.
       val next =
-        if (iter % 4 == 0) hop(labels).localCheckpoint(false)
+        if (iter % 4 == 0) hop(labels).localCheckpoint(true)
         else hop(labels).persist()
       val s = lblSum(next)
       converged = s == prevSum
@@ -779,18 +778,14 @@ object Dedup {
   private[graft] def dedupClustersStarImpl(
       pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int): (DataFrame, Int) = {
-    // checkpoint up front: every alternation until the next truncation
-    // would otherwise re-reference the caller's full pair plan (for q84
-    // that is the whole shingle-join pipeline) 6–8×. LAZY: the sig()
-    // probe below references the frame exactly once, so its aggregation
-    // job computes the distinct, persists the checkpoint blocks, and
-    // truncates lineage in one job — eager paid a dedicated
-    // materialization job first (r16 verdict item 2)
+    // eager checkpoint up front: every alternation until the next
+    // truncation would otherwise re-reference the caller's full pair
+    // plan (for q84 that is the whole shingle-join pipeline) 6–8×
     var edges = pairs
       .select(col(aCol).as("u"), col(bCol).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint(false)
+      .localCheckpoint(true)
 
     // large-star: per node u over the symmetric neighborhood,
     // m = min(N(u) ∪ {u}); emit (v, m) for the strictly-larger
@@ -837,12 +832,14 @@ object Dedup {
       // ~8× per round — two uncheckpointed rounds already put the
       // AQE plan-change log's explainString past driver heap (measured:
       // the every-4th regime OOM'd in PlanStringConcat before round 4).
-      // LAZY checkpoint + single-reference sig(): one job per
-      // alternation computes the round AND persists its blocks, where
-      // eager-then-sig scheduled two (r16 verdict item 2). The previous
-      // round's blocks are already materialized, so the alternation's
-      // three references to `edges` read blocks, never recompute.
-      val next = smallStar(largeStar(edges)).localCheckpoint(false)
+      // EAGER deliberately (r17 A/B): lazy checkpoint + single-reference
+      // sig() folds the round into one job, but measured no better —
+      // q84 QBench sf0.1 3.00 -> 3.26/3.30 s, q220 4.22 -> 4.54/4.83 s,
+      // ScaleBench 10x q84_star_only a wash (2.63/2.23 eager vs
+      // 2.20/2.46 lazy) — the saved block-read action is cheaper than
+      // whatever the fused compute+probe job costs; reverted per the
+      // checkpoint-pays rule.
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
       val s = sig(next)
       converged = s == prev
       prev = s

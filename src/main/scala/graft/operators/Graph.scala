@@ -282,14 +282,14 @@ object Graph {
             maxIter: Int = 20): DataFrame = {
     require(k >= 1, "kCore needs k >= 1")
     require(maxIter >= 1, "kCore needs maxIter >= 1")
-    // LAZY checkpoints throughout the peel: the count() probe references
-    // each round's frame exactly once, so its job computes the round,
-    // persists the checkpoint blocks, and truncates lineage — one job
-    // per round where eager-checkpoint-then-count scheduled two (r16
-    // verdict item 2; the same single-reference rule as dedupClusters'
-    // lblSum). The next round's joins then read materialized blocks.
+    // EAGER checkpoints in the peel, deliberately (r17 A/B): lazy
+    // checkpoints whose blocks the count() probe populates fold each
+    // round into one job, but measured a wash at sf0.1 (q226 QBench
+    // 1.16 eager vs 1.06/1.19 lazy) while the propagation loop's same
+    // change measured 17-20% slower at 10x — keep the measured-safe
+    // eager form (the checkpoint-pays rule; see dedupClusters).
     var cur = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     var prevEdges = cur.count()
     var converged = prevEdges == 0L
     var it = 0
@@ -300,7 +300,7 @@ object Graph {
         .join(keep, "a")
         .join(keep.withColumnRenamed("a", "b"), "b")
         .select("a", "b")
-        .localCheckpoint(false)
+        .localCheckpoint(true)
       val n = cur.count()
       converged = n == prevEdges || n == 0L
       prevEdges = n

@@ -6,13 +6,16 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import java.util.concurrent.atomic.AtomicInteger
 
-/** r16 verdict item 2: the iterative loops' convergence probes must not
-  * pay a dedicated materialization job per round. The mechanism — lazy
-  * `localCheckpoint(false)` whose blocks are populated by the probe's
-  * own single-reference action — is pinned here at the micro level
-  * (job count + block materialization + value parity); the loop
-  * operators' correctness is covered by their existing fixpoint specs
-  * and the oracle board. */
+/** r16 verdict item 2 evaluation record: folding the iterative loops'
+  * convergence probes into the rounds' own jobs via lazy
+  * `localCheckpoint(false)` DOES save a job per round (first test —
+  * the mechanism is real and stays available), but the operators keep
+  * their EAGER in-loop checkpoints because the lazy form measured
+  * slower or flat in every A/B (numbers at the sites in
+  * Dedup.dedupClusters / dedupClustersStarImpl / Graph.kCore — the
+  * checkpoint-pays rule). The second test re-proves the loop fixpoints
+  * on deep graphs so any future flip of that decision keeps its
+  * correctness gate. */
 class LazyCheckpointSpec extends AnyFunSuite with SparkTestSession {
 
   /** Jobs started while `f` runs (listener events are async — poll the
