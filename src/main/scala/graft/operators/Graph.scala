@@ -132,6 +132,12 @@ object Graph {
         .otherwise(struct(col("v").as("a"), col("u").as("b"))).as("_e"))
       .select(col("_e.a").as("a"), col("_e.b").as("b"))
       .localCheckpoint()
+    // Deliberately NO shuffle-hash hint here (r17 A/B): orientation
+    // already bounds the wedge legs, and the hint measured a wash both
+    // scales (sf0.1 q128 1.81 -> 1.93 s, 10x q128_tri 3.03/2.70 ->
+    // 2.95/2.55 s) — the sort-merge default keeps its graceful-spill
+    // posture for free. twoHopReach's UNCAPPED wedge is the
+    // sort-dominated shape where the hint pays (see there).
     val wedges = oriented.select(col("a"), col("b").as("x"))
       .join(oriented.select(col("a"), col("b").as("y")), Seq("a"))
       .filter(col("x") < col("y"))
@@ -233,7 +239,19 @@ object Graph {
           .select(col("_m").as("b"))
         e.join(broadcast(hot), Seq("b"), "left_anti")
     }
-    val two = left.join(e.select(col("a").as("b"), col("b").as("c")), "b")
+    // SHUFFLE_HASH on the right wedge leg (guide §3.1): the planner's
+    // default is a sort-merge join, which pays a full sort of BOTH
+    // legs of the Σ din·dout-sized uncapped wedge (4M rows at sf0.1 —
+    // q209 QBench 3.74 -> 2.86/3.13 s from skipping the two sorts).
+    // The build side is one hash partition of the DISTINCT edge set —
+    // bounded per partition when partition counts scale with input,
+    // and AQE skew-split applies to shuffled-hash joins too. On the
+    // CAPPED planted-hub shape the hint costs a little (ScaleBench 10x
+    // two_hop_cap 1.68/1.71 -> 1.83/2.00 s) — the cap already removed
+    // the sort volume — an accepted trade for the exact path's win.
+    val two = left.join(
+        e.select(col("a").as("b"), col("b").as("c")).hint("shuffle_hash"),
+        "b")
       .filter(col("a") =!= col("c")).select("a", "c")
     val one = e.filter(col("a") =!= col("b"))
       .select(col("a"), col("b").as("c"))
