@@ -225,7 +225,8 @@ object Dedup {
     val counts = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
     val a = sh.select(col(idCol).as("da"), col("shingle"))
     val b = sh.select(col(idCol).as("db"), col("shingle"))
-    val overlap = a.join(b, Seq("shingle")).filter(col("da") < col("db"))
+    val overlap = a.join(b.hint("shuffle_hash"), Seq("shingle"))
+      .filter(col("da") < col("db"))
       .groupBy("da", "db").agg(count(lit(1)).as("overlap"))
     val jac = col("overlap") /
       (col("na") + col("nb") - col("overlap"))
@@ -302,7 +303,7 @@ object Dedup {
     val cand = pref.select(col(idCol).as("da"), col("shingle"),
         col("_pos").as("_pa"), col("n_sh").as("na"))
       .join(pref.select(col(idCol).as("db"), col("shingle"),
-        col("_pos").as("_pb"), col("n_sh").as("nb")), Seq("shingle"))
+        col("_pos").as("_pb"), col("n_sh").as("nb")).hint("shuffle_hash"), Seq("shingle"))
       .filter(col("da") < col("db") &&
         col("nb") >= lit(threshold) * col("na") - lit(1e-9) &&
         col("na") >= lit(threshold) * col("nb") - lit(1e-9))
@@ -465,7 +466,11 @@ object Dedup {
   def minHashCandidatePairsFrom(bandFrame: DataFrame,
                                 idCol: String): DataFrame = {
     val banded = bandFrame.select(col(idCol), col("band"), col("key"))
-    banded.as("x").join(banded.as("y"), Seq("band", "key"))
+    // shuffle-hash: the band self-join's legs are corpus-band-sized and
+    // the sort-merge default paid a full sort of both (the r17 shingle
+    // overlap-join lesson — q40 A/B in OPTIMIZATION_r17.md); the build
+    // side is one hash partition, AQE skew-split applies to SHJ too
+    banded.as("x").join(banded.as("y").hint("shuffle_hash"), Seq("band", "key"))
       .filter(col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("da"), col(s"y.$idCol").as("db"))
       .distinct()
@@ -1051,7 +1056,7 @@ object Dedup {
       call_function("bit_count",
         bandOf(col("_sh_da"), i).bitwiseXOR(bandOf(col("_sh_db"), i))))
       .reduce(_ + _).cast("long")
-    side("da").join(side("db"), Seq("band", "key"))
+    side("da").join(side("db").hint("shuffle_hash"), Seq("band", "key"))
       .filter(col("da") < col("db"))
       .select(col("da"), col("db"), hamming.as("hamming"))
       .distinct()
@@ -1292,7 +1297,8 @@ object Dedup {
       cappedLexicalTf(docs, idCol, textCol, maxDf))
     val norms = lexicalNorms(tfc)
     val dots = tfc.select(col("tok"), col("doc_id").as("da"), col("tf").as("tfa"))
-      .join(tfc.select(col("tok"), col("doc_id").as("db"), col("tf").as("tfb")),
+      .join(tfc.select(col("tok"), col("doc_id").as("db"), col("tf").as("tfb"))
+          .hint("shuffle_hash"),
         "tok")
       .filter(col("da") < col("db"))
       .groupBy("da", "db")
