@@ -465,12 +465,25 @@ object Dedup {
     * back from the warehouse index table). */
   def minHashCandidatePairsFrom(bandFrame: DataFrame,
                                 idCol: String): DataFrame = {
+    // No hint here: this entry point also serves STORED band tables,
+    // whose bucketBy(key)+sortBy layout feeds the sort-merge join
+    // exchange-free and sort-free (hinting it cost q40b +8% and q75b's
+    // simhash twin 2.1x in the r17 in-board A/B). The fresh path hints
+    // via candidatesFromShingles below.
+    bandSelfJoinPairs(bandFrame, idCol, hintShuffleHash = false)
+  }
+
+  /** The banded self-join shared by the fresh and stored candidate
+    * paths. `hintShuffleHash` skips the sort-merge sorts — right for a
+    * FRESH band frame (corpus-band-sized unsorted legs; q40 QBench
+    * 3.78 -> 2.81 s), wrong for a bucket-sorted stored table (see
+    * [[minHashCandidatePairsFrom]]). */
+  private def bandSelfJoinPairs(bandFrame: DataFrame, idCol: String,
+                                hintShuffleHash: Boolean): DataFrame = {
     val banded = bandFrame.select(col(idCol), col("band"), col("key"))
-    // shuffle-hash: the band self-join's legs are corpus-band-sized and
-    // the sort-merge default paid a full sort of both (the r17 shingle
-    // overlap-join lesson — q40 A/B in OPTIMIZATION_r17.md); the build
-    // side is one hash partition, AQE skew-split applies to SHJ too
-    banded.as("x").join(banded.as("y").hint("shuffle_hash"), Seq("band", "key"))
+    val right = if (hintShuffleHash) banded.as("y").hint("shuffle_hash")
+                else banded.as("y")
+    banded.as("x").join(right, Seq("band", "key"))
       .filter(col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("da"), col(s"y.$idCol").as("db"))
       .distinct()
@@ -478,8 +491,9 @@ object Dedup {
 
   private def candidatesFromShingles(sh: DataFrame, idCol: String,
                                      numHashes: Int, rowsPerBand: Int): DataFrame =
-    minHashCandidatePairsFrom(
-      bandedFromShingles(sh, idCol, numHashes, rowsPerBand), idCol)
+    bandSelfJoinPairs(
+      bandedFromShingles(sh, idCol, numHashes, rowsPerBand), idCol,
+      hintShuffleHash = true)
 
   /** Exact-Jaccard verification of candidate pairs `(da, db)` against
     * per-side shingle frames — the shared tail of every candidate
@@ -1056,7 +1070,12 @@ object Dedup {
       call_function("bit_count",
         bandOf(col("_sh_da"), i).bitwiseXOR(bandOf(col("_sh_db"), i))))
       .reduce(_ + _).cast("long")
-    side("da").join(side("db").hint("shuffle_hash"), Seq("band", "key"))
+    // Deliberately NO shuffle-hash hint (r17 in-board A/B): the fresh
+    // path gained only ~5% (q75 3.35 -> 3.17 s), while the STORED path
+    // pays 2.1x (q75b 0.68 -> 1.43 s) — the bucketBy(key)+sortBy table
+    // feeds this join exchange-free AND sort-free, and a hash join
+    // throws that sorted-merge away to build per-partition hash maps.
+    side("da").join(side("db"), Seq("band", "key"))
       .filter(col("da") < col("db"))
       .select(col("da"), col("db"), hamming.as("hamming"))
       .distinct()
